@@ -1,0 +1,94 @@
+"""Character -> glyph-index mapping.
+
+Behavioral equivalent of the reference's ``src/font/CharGlyphMapping.zig``:
+a sorted table of ``RangeMapping{end_char, char_count, end_glyph}`` rows
+queried in O(log n), with glyph 0 (".notdef") for unmapped characters.
+
+Re-design note: the reference builds a breadth-first implicit binary
+search tree of ``Branch`` nodes over the ranges and walks it per lookup
+(``CharGlyphMapping.zig:95-144,71-93``).  The NumPy-idiomatic equivalent
+of that binary search is ``np.searchsorted`` over the sorted ``end_char``
+column — the same O(log n) decision tree, vectorized so whole codepoint
+arrays can be resolved in one call (which is what the atlas packer
+needs).  A reverse ``char_for_glyph`` linear scan mirrors ``getChar``
+(``CharGlyphMapping.zig:62-69``).
+
+Encoding convention carried over from the reference's flatten step
+(``ttf.zig:451-494``): ``end_glyph`` is stored **+1** so that 0 can
+serve as the "explicitly unmapped" sentinel inside a range; ``end_char``
+is exclusive (one past the last char of the range).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from fontrx.utils.reader import CorruptedFont, ensure_mono_increase
+
+
+@dataclass(frozen=True, slots=True)
+class RangeMapping:
+    """One contiguous char range mapping to a contiguous glyph range
+    (``CharGlyphMapping.zig:34-46``)."""
+
+    end_char: int    # exclusive end of the char range
+    char_count: int  # number of chars in the range
+    end_glyph: int   # glyph index of the last char, +1 (0 = unmapped)
+
+
+class CharGlyphMapping:
+    """Vectorized range-mapping lookup table."""
+
+    def __init__(self, rows: np.ndarray):
+        """``rows`` is ``int64 [n, 3]`` of (end_char, char_count, end_glyph)."""
+        rows = np.asarray(rows, dtype=np.int64).reshape(-1, 3)
+        ensure_mono_increase(rows[:, 0], "charmap end_char")
+        if np.any(rows[:, 1] <= 0):
+            raise CorruptedFont("charmap range with non-positive char_count")
+        self.end_char = rows[:, 0].copy()
+        self.char_count = rows[:, 1].copy()
+        self.end_glyph = rows[:, 2].copy()
+
+    def __len__(self) -> int:
+        return len(self.end_char)
+
+    @property
+    def ranges(self) -> list[RangeMapping]:
+        return [RangeMapping(int(e), int(c), int(g))
+                for e, c, g in zip(self.end_char, self.char_count, self.end_glyph)]
+
+    def glyph_index(self, char: int) -> int:
+        """O(log n) single lookup; 0 when unmapped
+        (``CharGlyphMapping.getGlyph``, ``CharGlyphMapping.zig:71-93``)."""
+        return int(self.glyph_indices(np.array([char]))[0])
+
+    def glyph_indices(self, chars: np.ndarray) -> np.ndarray:
+        """Vectorized batch lookup — resolves a whole codepoint array at
+        once (the atlas-packing fast path the reference's per-char tree
+        walk cannot express)."""
+        chars = np.asarray(chars, dtype=np.int64)
+        # Find the first range whose exclusive end exceeds the char.
+        idx = np.searchsorted(self.end_char, chars, side="right")
+        in_table = idx < len(self.end_char)
+        safe = np.where(in_table, idx, 0)
+        start_char = self.end_char[safe] - self.char_count[safe]
+        in_range = in_table & (chars >= start_char)
+        offset_from_end = self.end_char[safe] - 1 - chars
+        glyph = self.end_glyph[safe] - 1 - offset_from_end
+        glyph = np.where(in_range & (self.end_glyph[safe] != 0), glyph, 0)
+        # end_glyph stores +1; unwrap, clamping explicit-unmapped to 0
+        return np.maximum(glyph, 0)
+
+    def char_for_glyph(self, glyph_index: int) -> int | None:
+        """Reverse linear scan (``CharGlyphMapping.getChar``,
+        ``CharGlyphMapping.zig:62-69``)."""
+        for e, c, g in zip(self.end_char, self.char_count, self.end_glyph):
+            if g == 0:
+                continue
+            last_glyph = g - 1
+            first_glyph = last_glyph - (c - 1)
+            if first_glyph <= glyph_index <= last_glyph:
+                return int(e - 1 - (last_glyph - glyph_index))
+        return None

@@ -1,0 +1,595 @@
+"""TrueType wire-format structures and parsers.
+
+Behavioral equivalent of the reference's ``src/font/ttf.zig`` (966 LoC of
+byte-exact ``extern struct`` readers), re-designed for the host side of a
+TPU pipeline: coordinate/flag streams are decoded with NumPy vectorized
+ops so that packing thousands of glyphs (CJK atlas configs) stays fast.
+
+Covered, matching the reference's support matrix:
+- offset subtable + table directory       (``ttf.zig:102-130``)
+- ``head``                                (``ttf.zig:132-214``)
+- ``maxp``                                (``ttf.zig:216-246``)
+- ``hhea`` + ``hmtx`` long metrics        (``ttf.zig:931-966``)
+- ``cmap`` index + encoding-subtable selection (``ttf.zig:263-312``)
+- ``cmap`` **format 4** parse/lookup/flatten   (``ttf.zig:387-494``)
+- ``cmap`` **format 12** parse/lookup/flatten  (``ttf.zig:590-630``)
+- ``cmap`` formats 0/2/6/8/10/13/14 declared-unsupported
+  (reference stubs them with ``@compileError``, ``ttf.zig:349-360``)
+- ``glyf`` simple glyphs (RLE flags, short/long deltas) (``ttf.zig:759-817``)
+- ``glyf`` compound glyphs (2.14 transforms)            (``ttf.zig:857-921``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fontrx.utils.fixed_point import F2D14, FixedPoint
+from fontrx.utils.log import get_logger
+from fontrx.utils.reader import BigEndianReader, CorruptedFont, ensure_mono_increase
+
+log = get_logger("ttf")
+
+# Required tables for a renderable TrueType font (reference required set,
+# ``ttf.zig:94-95``).
+REQUIRED_TABLES = (b"cmap", b"glyf", b"head", b"hhea", b"hmtx", b"loca", b"maxp")
+
+
+# --------------------------------------------------------------------------
+# Table directory
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True, slots=True)
+class OffsetSubtable:
+    scaler_type: int
+    num_tables: int
+    search_range: int
+    entry_selector: int
+    range_shift: int
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "OffsetSubtable":
+        return cls(*r.unpack("IHHHH"))
+
+
+@dataclass(frozen=True, slots=True)
+class TableEntry:
+    tag: bytes
+    checksum: int
+    offset: int
+    length: int
+
+
+def parse_table_directory(r: BigEndianReader) -> dict[bytes, TableEntry]:
+    """Parse offset subtable + directory into a tag -> entry map
+    (reference keeps a linear array + ``findIndex``; a dict is the
+    idiomatic equivalent)."""
+    sub = OffsetSubtable.parse(r)
+    if sub.scaler_type not in (0x00010000, 0x74727565):  # 'true'
+        raise CorruptedFont(f"not a TrueType scaler type: {sub.scaler_type:#x}")
+    tables: dict[bytes, TableEntry] = {}
+    for _ in range(sub.num_tables):
+        tag = r.tag()
+        checksum, offset, length = r.unpack("III")
+        tables[tag] = TableEntry(tag, checksum, offset, length)
+    return tables
+
+
+# --------------------------------------------------------------------------
+# head / maxp / hhea / hmtx
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True, slots=True)
+class Head:
+    """``head`` table (fields per ``ttf.zig:132-214``)."""
+
+    flags: int
+    units_per_em: int
+    x_min: int
+    y_min: int
+    x_max: int
+    y_max: int
+    mac_style: int
+    lowest_rec_ppem: int
+    font_direction_hint: int
+    index_to_loc_format: int  # 0 = short (u16*2), 1 = long (u32)
+    glyph_data_format: int
+
+    MAGIC = 0x5F0F3CF5
+
+    @property
+    def y0_is_baseline(self) -> bool:
+        """head.flags bit 0: y value of 0 specifies baseline."""
+        return bool(self.flags & 1)
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "Head":
+        _version, _revision, _checksum_adj, magic = r.unpack("IIII")
+        if magic != cls.MAGIC:
+            raise CorruptedFont(f"bad head magic {magic:#x}")
+        flags, units_per_em = r.unpack("HH")
+        r.skip(16)  # created + modified longDateTime
+        x_min, y_min, x_max, y_max = r.unpack("hhhh")
+        mac_style, lowest_rec_ppem, direction, loca_fmt, glyph_fmt = r.unpack("HHhhh")
+        return cls(flags, units_per_em, x_min, y_min, x_max, y_max, mac_style,
+                   lowest_rec_ppem, direction, loca_fmt, glyph_fmt)
+
+
+@dataclass(frozen=True, slots=True)
+class Maxp:
+    """``maxp`` table (``ttf.zig:216-246``)."""
+
+    num_glyphs: int
+    max_points: int
+    max_contours: int
+    max_component_points: int
+    max_component_contours: int
+    max_component_elements: int
+    max_component_depth: int
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "Maxp":
+        _version = r.u32()
+        num_glyphs, max_points, max_contours, max_cpoints, max_ccontours = r.unpack("HHHHH")
+        r.skip(2 * 7)  # maxZones .. maxSizeOfInstructions
+        max_celems, max_cdepth = r.unpack("HH")
+        return cls(num_glyphs, max_points, max_contours, max_cpoints,
+                   max_ccontours, max_celems, max_cdepth)
+
+
+@dataclass(frozen=True, slots=True)
+class Hhea:
+    """``hhea`` table (``ttf.zig:931-961``)."""
+
+    ascent: int
+    descent: int
+    line_gap: int
+    advance_width_max: int
+    num_of_long_hor_metrics: int
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "Hhea":
+        _version = r.u32()
+        ascent, descent, line_gap, advance_width_max = r.unpack("hhhH")
+        r.skip(2 * 3 + 2 * 8)  # minLSB..metricDataFormat (incl. reserved)
+        num_metrics = r.u16()
+        return cls(ascent, descent, line_gap, advance_width_max, num_metrics)
+
+
+def parse_hmtx(r: BigEndianReader, num_metrics: int, num_glyphs: int) -> np.ndarray:
+    """Advance widths per glyph; trailing glyphs reuse the last long
+    metric's advance (reference ``loadAdvanceWidths``,
+    ``Font.zig:123-139``).  Returns uint16 array of length num_glyphs."""
+    if num_metrics == 0:
+        raise CorruptedFont("hmtx: zero long metrics")
+    pairs = np.frombuffer(r.data, dtype=">u2", count=2 * num_metrics, offset=r.pos)
+    advances = pairs[0::2].astype(np.uint16)
+    out = np.empty(num_glyphs, dtype=np.uint16)
+    n = min(num_metrics, num_glyphs)
+    out[:n] = advances[:n]
+    out[n:] = advances[n - 1]
+    return out
+
+
+# --------------------------------------------------------------------------
+# cmap
+# --------------------------------------------------------------------------
+
+PLATFORM_UNICODE = 0
+PLATFORM_MACINTOSH = 1
+PLATFORM_MICROSOFT = 3
+
+# Unicode platform-specific ids (``ttf.zig:673-697``)
+UNI_DEFAULT = 0
+UNI_V11 = 1
+UNI_ISO_10646 = 2          # deprecated -> discarded by selection
+UNI_2_0_BMP = 3
+UNI_2_0_FULL = 4
+UNI_VARIATION = 5
+UNI_LAST_RESORT = 6        # reference calls it last_report
+# Microsoft platform-specific ids (``ttf.zig:699-715``)
+MS_UNICODE_BMP = 1
+MS_UNICODE_UCS4 = 10
+
+
+@dataclass(frozen=True, slots=True)
+class CmapEncodingSubtable:
+    """One cmap encoding record, with the reference's selection logic
+    (``ttf.zig:263-312``)."""
+
+    platform_id: int
+    platform_specific_id: int
+    offset: int
+
+    def is_unicode(self) -> bool:
+        if self.platform_id == PLATFORM_UNICODE:
+            return self.platform_specific_id != UNI_VARIATION
+        if self.platform_id == PLATFORM_MICROSOFT:
+            return self.platform_specific_id in (MS_UNICODE_BMP, MS_UNICODE_UCS4)
+        return False
+
+    def bmp_restriction(self) -> int:
+        """-1 unknown, 1 restricted-to-BMP, 0 full-repertoire — ordered so
+        that bigger-is-better matches the reference enum order
+        (unknown=0, true=1, false=2 in ``ttf.zig:295-312``)."""
+        if self.platform_id == PLATFORM_UNICODE:
+            if self.platform_specific_id == UNI_2_0_BMP:
+                return 1
+            if self.platform_specific_id in (UNI_2_0_FULL, UNI_LAST_RESORT):
+                return 2
+            return 0
+        if self.platform_id == PLATFORM_MICROSOFT:
+            if self.platform_specific_id == MS_UNICODE_BMP:
+                return 1
+            if self.platform_specific_id == MS_UNICODE_UCS4:
+                return 2
+            return 0
+        return 0
+
+    def is_unicode_discarded(self) -> bool:
+        return (self.platform_id == PLATFORM_UNICODE
+                and self.platform_specific_id == UNI_ISO_10646)
+
+    def is_the_best(self) -> bool:
+        return (self.is_unicode() and not self.is_unicode_discarded()
+                and self.bmp_restriction() == 2)
+
+    def is_better_than(self, other: "CmapEncodingSubtable") -> bool:
+        if not self.is_unicode():
+            return False
+        if not other.is_unicode():
+            return True
+        if self.is_unicode_discarded():
+            return False
+        if other.is_unicode_discarded():
+            return True
+        return self.bmp_restriction() >= other.bmp_restriction()
+
+
+def select_best_cmap_subtable(
+    subtables: list[CmapEncodingSubtable],
+) -> CmapEncodingSubtable | None:
+    """Pick the best encoding subtable (reference selection loop,
+    ``Font.zig:91-99``): first take-if-best short circuit, else the
+    pairwise-better survivor."""
+    best: CmapEncodingSubtable | None = None
+    for sub in subtables:
+        if sub.is_the_best():
+            return sub
+        if best is None or sub.is_better_than(best):
+            best = sub
+    if best is not None and not best.is_unicode():
+        return None
+    return best
+
+
+def parse_cmap_index(r: BigEndianReader) -> list[CmapEncodingSubtable]:
+    _version, count = r.unpack("HH")
+    return [CmapEncodingSubtable(*r.unpack("HHI")) for _ in range(count)]
+
+
+@dataclass(frozen=True, slots=True)
+class CmapFormat4:
+    """Segment-mapping-to-delta subtable (``ttf.zig:387-494``).
+
+    Arrays are kept as NumPy for vectorized lookup/flatten.
+    """
+
+    end_code: np.ndarray       # u16[seg]
+    start_code: np.ndarray     # u16[seg]
+    id_delta: np.ndarray       # u16[seg] (mod-65536 arithmetic)
+    id_range_offset: np.ndarray  # u16[seg]
+    glyph_index_array: np.ndarray  # u16[n]
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "CmapFormat4":
+        _length, _language, seg_count_x2 = r.unpack("HHH")
+        if seg_count_x2 & 1:
+            raise CorruptedFont("cmap4: odd segCountX2")
+        seg = seg_count_x2 // 2
+        r.skip(6)  # searchRange, entrySelector, rangeShift
+        end_code = r.u16_array(seg)
+        r.skip(2)  # reservedPad
+        start_code = r.u16_array(seg)
+        id_delta = r.u16_array(seg)
+        id_range_offset = r.u16_array(seg)
+        ensure_mono_increase(end_code, "cmap4 endCode")
+        if seg == 0 or end_code[-1] != 0xFFFF:
+            raise CorruptedFont("cmap4: last endCode must be 0xFFFF")
+        if np.any(end_code < start_code):
+            raise CorruptedFont("cmap4: endCode < startCode")
+        if np.any(id_range_offset & 1):
+            raise CorruptedFont("cmap4: odd idRangeOffset")
+
+        # Size of glyphIndexArray actually referenced (reference computes
+        # max index, ``ttf.zig:410-418``).
+        seg_idx = np.arange(seg, dtype=np.int64)
+        used = id_range_offset.astype(np.int64) != 0
+        max_index = -1
+        if np.any(used):
+            idx = (seg_idx + id_range_offset.astype(np.int64) // 2 - seg
+                   + (end_code.astype(np.int64) - start_code.astype(np.int64)))
+            max_index = int(idx[used].max())
+        glyph_index_array = r.u16_array(max_index + 1) if max_index >= 0 else np.empty(0, np.uint16)
+        return cls(end_code, start_code, id_delta, id_range_offset, glyph_index_array)
+
+    def glyph_index(self, char: int) -> int:
+        """Single-char lookup (``ttf.zig:433-449``)."""
+        if char > 0xFFFF:
+            return 0
+        seg = len(self.end_code)
+        i = int(np.searchsorted(self.end_code, char, side="left"))
+        if i >= seg or self.start_code[i] > char:
+            return 0
+        ro = int(self.id_range_offset[i])
+        if ro != 0:
+            offset = i + ro // 2 - seg + (char - int(self.start_code[i]))
+            return (int(self.id_delta[i]) + int(self.glyph_index_array[offset])) & 0xFFFF
+        return (int(self.id_delta[i]) + char) & 0xFFFF
+
+    def collect_range_mappings(self) -> np.ndarray:
+        """Flatten to ``(end_char, char_count, end_glyph)`` rows with the
+        reference's conventions (``ttf.zig:451-494``): glyph-index-array
+        segments become per-char singleton ranges; delta segments that
+        wrap past 65535 split at the wrap point (first half maps to
+        glyph 0 sentinel)."""
+        rows: list[tuple[int, int, int]] = []
+        seg = len(self.end_code)
+        for i in range(seg):
+            start = int(self.start_code[i])
+            end = int(self.end_code[i])
+            delta = int(self.id_delta[i])
+            ro = int(self.id_range_offset[i])
+            if ro != 0:
+                base = i + ro // 2 - seg
+                g = self.glyph_index_array[base + 0 : base + (end - start + 1)].astype(np.int64)
+                for char_offset, glyph in enumerate(g):
+                    rows.append((start + char_offset + 1, 1, (delta + int(glyph) + 1) & 0xFFFF))
+            else:
+                start_glyph = (delta + start) & 0xFFFF
+                end_glyph = (delta + end) & 0xFFFF
+                if start_glyph > end_glyph:  # wraps through 0xFFFF
+                    mid_code = (-start_glyph) & 0xFFFF
+                    rows.append((mid_code + 1, mid_code - start + 1, 0))
+                    rows.append((end + 1, end - mid_code, (end_glyph + 1) & 0xFFFF))
+                else:
+                    rows.append((end + 1, end - start + 1, (end_glyph + 1) & 0xFFFF))
+        return np.array(rows, dtype=np.int64).reshape(-1, 3)
+
+
+@dataclass(frozen=True, slots=True)
+class CmapFormat12:
+    """Segmented-coverage subtable (``ttf.zig:590-630``)."""
+
+    start_char: np.ndarray  # u32[groups]
+    end_char: np.ndarray    # u32[groups]
+    start_glyph: np.ndarray  # u32[groups]
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "CmapFormat12":
+        r.skip(2)  # reserved (format is 12.0: format u16 already consumed)
+        _length, _language, n_groups = r.unpack("III")
+        raw = np.frombuffer(r.data, dtype=">u4", count=3 * n_groups, offset=r.pos)
+        raw = raw.astype(np.uint32).reshape(-1, 3)
+        ensure_mono_increase(raw[:, 0], "cmap12 startCharCode")
+        return cls(raw[:, 0].copy(), raw[:, 1].copy(), raw[:, 2].copy())
+
+    def glyph_index(self, char: int) -> int:
+        i = int(np.searchsorted(self.end_char, char, side="left"))
+        if i >= len(self.end_char) or self.start_char[i] > char:
+            return 0
+        return int(self.start_glyph[i]) + (char - int(self.start_char[i]))
+
+    def collect_range_mappings(self) -> np.ndarray:
+        count = self.end_char.astype(np.int64) - self.start_char.astype(np.int64) + 1
+        end_char = self.end_char.astype(np.int64) + 1
+        end_glyph = self.start_glyph.astype(np.int64) + count - 1 + 1
+        return np.stack([end_char, count, end_glyph], axis=1)
+
+
+UNSUPPORTED_CMAP_FORMATS = (0, 2, 6, 8, 10, 13, 14)
+
+
+def parse_cmap_subtable(r: BigEndianReader):
+    """Dispatch on the format number.  Formats the reference stubs with
+    ``@compileError("not impl")`` raise ``NotImplementedError`` here
+    (``ttf.zig:349-360,497-570,633-670``)."""
+    fmt = r.u16()
+    if fmt == 4:
+        return CmapFormat4.parse(r)
+    if fmt == 12:
+        return CmapFormat12.parse(r)
+    if fmt in UNSUPPORTED_CMAP_FORMATS:
+        raise NotImplementedError(f"cmap format {fmt} not implemented")
+    raise CorruptedFont(f"unknown cmap format {fmt}")
+
+
+# --------------------------------------------------------------------------
+# glyf
+# --------------------------------------------------------------------------
+
+# Simple-glyph outline flags (``ttf.zig:742-757``)
+FLAG_ON_CURVE = 0x01
+FLAG_X_SHORT = 0x02
+FLAG_Y_SHORT = 0x04
+FLAG_REPEAT = 0x08
+FLAG_X_SAME_OR_POS = 0x10
+FLAG_Y_SAME_OR_POS = 0x20
+
+
+@dataclass(frozen=True, slots=True)
+class GlyphDescription:
+    """Per-glyph header (``ttf.zig:717-729``)."""
+
+    number_of_contours: int  # >=0 simple, <0 compound
+    x_min: int
+    y_min: int
+    x_max: int
+    y_max: int
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "GlyphDescription":
+        return cls(*r.unpack("hhhhh"))
+
+
+@dataclass(frozen=True, slots=True)
+class SimpleGlyph:
+    """Decoded simple glyph: absolute points + on-curve bits
+    (``SimpleGlyph.initFromReader``, ``ttf.zig:759-817``)."""
+
+    end_pts_of_contours: np.ndarray  # u16[contours]
+    instructions: bytes
+    on_curve: np.ndarray             # bool[points]
+    coordinates: np.ndarray          # i32[points, 2] absolute
+
+    @classmethod
+    def parse(cls, r: BigEndianReader, num_contours: int) -> "SimpleGlyph":
+        end_pts = r.u16_array(num_contours)
+        ensure_mono_increase(end_pts, "endPtsOfContours")
+        n_points = int(end_pts[-1]) + 1 if num_contours else 0
+        instr_len = r.u16()
+        instructions = r.bytes(instr_len)
+
+        # --- flag stream (run-length encoded) ---
+        flags = np.empty(n_points, dtype=np.uint8)
+        i = 0
+        data, pos = r.data, r.pos
+        while i < n_points:
+            f = data[pos]
+            pos += 1
+            flags[i] = f
+            i += 1
+            if f & FLAG_REPEAT:
+                rep = data[pos]
+                pos += 1
+                flags[i : i + rep] = f
+                i += rep
+        if i != n_points:
+            raise CorruptedFont("glyf: flag run overruns point count")
+        r.pos = pos
+
+        # --- coordinate streams (vectorized delta decode) ---
+        def decode_axis(short_bit: int, same_bit: int) -> np.ndarray:
+            short = (flags & short_bit) != 0
+            same = (flags & same_bit) != 0
+            n_short = int(short.sum())
+            n_long = int((~short & ~same).sum())
+            nbytes = n_short + 2 * n_long
+            raw = np.frombuffer(r.data, dtype=np.uint8, count=nbytes, offset=r.pos)
+            r.skip(nbytes)
+            deltas = np.zeros(n_points, dtype=np.int32)
+            # byte offsets of each point's encoded delta
+            size = np.where(short, 1, np.where(same, 0, 2)).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(size)[:-1]))
+            if n_short:
+                s_starts = starts[short]
+                mag = raw[s_starts].astype(np.int32)
+                sign = np.where(same[short], 1, -1)  # same_bit doubles as sign for short
+                deltas[short] = mag * sign
+            long_mask = ~short & ~same
+            if n_long:
+                l_starts = starts[long_mask]
+                hi = raw[l_starts].astype(np.int32)
+                lo = raw[l_starts + 1].astype(np.int32)
+                val = (hi << 8) | lo
+                val = np.where(val >= 0x8000, val - 0x10000, val)
+                deltas[long_mask] = val
+            return np.cumsum(deltas, dtype=np.int64).astype(np.int32)
+
+        xs = decode_axis(FLAG_X_SHORT, FLAG_X_SAME_OR_POS)
+        ys = decode_axis(FLAG_Y_SHORT, FLAG_Y_SAME_OR_POS)
+        coords = np.stack([xs, ys], axis=1)
+        return cls(end_pts.astype(np.uint16), instructions,
+                   (flags & FLAG_ON_CURVE) != 0, coords)
+
+
+# Compound-glyph component flags (``ttf.zig:829-855``)
+ARG_1_AND_2_ARE_WORDS = 0x0001
+ARGS_ARE_XY_VALUES = 0x0002
+ROUND_XY_TO_GRID = 0x0004
+WE_HAVE_A_SCALE = 0x0008
+MORE_COMPONENTS = 0x0020
+WE_HAVE_AN_X_AND_Y_SCALE = 0x0040
+WE_HAVE_A_TWO_BY_TWO = 0x0080
+WE_HAVE_INSTRUCTIONS = 0x0100
+USE_MY_METRICS = 0x0200
+OVERLAP_COMPOUND = 0x0400
+
+
+@dataclass(frozen=True, slots=True)
+class ComponentPart:
+    """One component reference inside a compound glyph
+    (``ComponentGlyph.initFromReader``, ``ttf.zig:857-921``).
+
+    ``transform`` is the (a, b, c, d) 2.14 matrix — reference stores it in
+    the order [a, b, c, d] and applies x' via (a, c), y' via (b, d)
+    (``Glyph.zig:138-139``).
+    """
+
+    flags: int
+    glyph_index: int
+    argument1: int  # dx (or point index when not ARGS_ARE_XY_VALUES)
+    argument2: int  # dy
+    transform: tuple[FixedPoint, FixedPoint, FixedPoint, FixedPoint]
+
+    @property
+    def args_are_xy_values(self) -> bool:
+        return bool(self.flags & ARGS_ARE_XY_VALUES)
+
+    @property
+    def round_xy_to_grid(self) -> bool:
+        return bool(self.flags & ROUND_XY_TO_GRID)
+
+    @property
+    def use_my_metrics(self) -> bool:
+        return bool(self.flags & USE_MY_METRICS)
+
+
+@dataclass(frozen=True, slots=True)
+class ComponentGlyph:
+    parts: tuple[ComponentPart, ...]
+    instructions: bytes
+    metrics_index: int | None  # component index supplying metrics, if any
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "ComponentGlyph":
+        parts: list[ComponentPart] = []
+        metrics_index: int | None = None
+        has_instructions = False
+        while True:
+            flags, glyph_index = r.unpack("HH")
+            if flags & ARG_1_AND_2_ARE_WORDS:
+                arg1, arg2 = r.unpack("hh")
+            else:
+                b1, b2 = r.unpack("bb") if flags & ARGS_ARE_XY_VALUES else r.unpack("BB")
+                arg1, arg2 = b1, b2
+            one = FixedPoint.from_int(1, 14)
+            zero = FixedPoint(0, 14)
+            if flags & WE_HAVE_A_SCALE:
+                s = F2D14(r.u16())
+                transform = (s, zero, zero, s)
+            elif flags & WE_HAVE_AN_X_AND_Y_SCALE:
+                sx, sy = F2D14(r.u16()), F2D14(r.u16())
+                transform = (sx, zero, zero, sy)
+            elif flags & WE_HAVE_A_TWO_BY_TWO:
+                a, b, c, d = (F2D14(r.u16()) for _ in range(4))
+                transform = (a, b, c, d)
+            else:
+                transform = (one, zero, zero, one)
+            parts.append(ComponentPart(flags, glyph_index, arg1, arg2, transform))
+            if flags & USE_MY_METRICS:
+                if metrics_index is not None:
+                    raise CorruptedFont("compound glyph: multiple USE_MY_METRICS")
+                metrics_index = len(parts) - 1
+            if flags & WE_HAVE_INSTRUCTIONS:
+                has_instructions = True
+            if not flags & MORE_COMPONENTS:
+                break
+        instructions = b""
+        if has_instructions:
+            n = r.u16()
+            instructions = r.bytes(n)
+        return cls(tuple(parts), instructions, metrics_index)

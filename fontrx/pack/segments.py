@@ -1,0 +1,137 @@
+"""Packing normalized glyph outlines into fixed-shape segment tensors.
+
+Everything downstream of this module is static-shape: XLA traces the
+raster step once per ``(batch, S_max, H, W)`` bucket and reuses the
+compiled executable for every subsequent batch (the TPU equivalent of
+the reference uploading each glyph's mesh once and reusing it per frame,
+``src/Appli.zig:29,318-341``).
+
+Padding policy: segments are padded with zeros, which contribute zero
+winding (see package docstring).  ``S_max`` is rounded up to a multiple
+of ``SEG_ALIGN`` to limit the number of distinct compiled shapes
+(bucketing — SURVEY §7 "ragged segment counts" design decision).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from fontrx.font.glyph import Glyph
+
+SEG_ALIGN = 64  # segment-count bucket granularity
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass(frozen=True, slots=True)
+class PackedGlyph:
+    """One glyph as a padded segment array.
+
+    ``segments``: float32 ``[S, 3, 2]`` — (p0, p1, p2) per quadratic, in
+    font units.  ``box``: int ``(x_min, y_min, x_max, y_max)``.
+    """
+
+    segments: np.ndarray
+    seg_count: int
+    box: tuple[int, int, int, int]
+    advance_width: int = 0
+
+    @property
+    def capacity(self) -> int:
+        return self.segments.shape[0]
+
+
+def glyph_segments(glyph: Glyph) -> np.ndarray:
+    """Flatten a glyph's contours to an un-padded ``[n, 3, 2]`` float32
+    segment array.  Each contour with points ``p[0..2k]`` yields segments
+    ``(p[2i], p[2i+1], p[2i+2])`` (the even/odd invariant)."""
+    chunks = []
+    for contour in glyph.contours:
+        pts = contour.points
+        k = len(pts) // 2
+        if k == 0:
+            continue
+        seg = np.stack([pts[0 : 2 * k : 2], pts[1 : 2 * k : 2], pts[2 : 2 * k + 1 : 2]], axis=1)
+        chunks.append(seg)
+    if not chunks:
+        return np.empty((0, 3, 2), dtype=np.float32)
+    return np.concatenate(chunks, axis=0).astype(np.float32)
+
+
+def pack_glyph(
+    glyph: Glyph, capacity: int | None = None, advance_width: int = 0
+) -> PackedGlyph:
+    """Pack one glyph, zero-padding to ``capacity`` (default: segment
+    count rounded up to ``SEG_ALIGN``)."""
+    seg = glyph_segments(glyph)
+    n = len(seg)
+    if capacity is None:
+        capacity = max(_round_up(n, SEG_ALIGN), SEG_ALIGN)
+    if n > capacity:
+        raise ValueError(f"glyph has {n} segments > capacity {capacity}")
+    padded = np.zeros((capacity, 3, 2), dtype=np.float32)
+    padded[:n] = seg
+    box = (glyph.box.x_min, glyph.box.y_min, glyph.box.x_max, glyph.box.y_max)
+    return PackedGlyph(padded, n, box, advance_width)
+
+
+@dataclass(frozen=True, slots=True)
+class PackedBatch:
+    """A batch of glyphs padded to a common segment capacity.
+
+    - ``segments``: float32 ``[B, S, 3, 2]``
+    - ``seg_counts``: int32 ``[B]``
+    - ``boxes``: int32 ``[B, 4]`` (x_min, y_min, x_max, y_max)
+    - ``advance_widths``: int32 ``[B]``
+    """
+
+    segments: np.ndarray
+    seg_counts: np.ndarray
+    boxes: np.ndarray
+    advance_widths: np.ndarray
+
+    def __len__(self) -> int:
+        return self.segments.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.segments.shape[1]
+
+
+def pack_glyphs(
+    glyphs: Sequence[Glyph],
+    advance_widths: Iterable[int] | None = None,
+    capacity: int | None = None,
+    pad_batch_to: int | None = None,
+) -> PackedBatch:
+    """Pack many glyphs into one batch tensor (atlas upload).
+
+    ``pad_batch_to`` optionally pads the batch dimension with empty
+    glyphs — used to make the batch divisible by a device-mesh axis.
+    """
+    seg_arrays = [glyph_segments(g) for g in glyphs]
+    counts = [len(s) for s in seg_arrays]
+    if capacity is None:
+        capacity = max(_round_up(max(counts, default=0), SEG_ALIGN), SEG_ALIGN)
+    b = len(glyphs)
+    if pad_batch_to is not None:
+        b = max(b, pad_batch_to)
+    segments = np.zeros((b, capacity, 3, 2), dtype=np.float32)
+    seg_counts = np.zeros(b, dtype=np.int32)
+    boxes = np.zeros((b, 4), dtype=np.int32)
+    for i, (g, seg, n) in enumerate(zip(glyphs, seg_arrays, counts)):
+        if n > capacity:
+            raise ValueError(f"glyph {i} has {n} segments > capacity {capacity}")
+        segments[i, :n] = seg
+        seg_counts[i] = n
+        boxes[i] = (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max)
+    aw = np.zeros(b, dtype=np.int32)
+    if advance_widths is not None:
+        for i, w in enumerate(advance_widths):
+            aw[i] = w
+    return PackedBatch(segments, seg_counts, boxes, aw)

@@ -1,0 +1,199 @@
+"""TTF parser unit tests against hand-built minimal font blobs and real
+DejaVu fonts (SURVEY §4 item 1)."""
+
+import numpy as np
+import pytest
+
+from fontrx.font import ttf
+from fontrx.font.font import Font
+from fontrx.utils.reader import BigEndianReader, CorruptedFont
+from tests import ttf_builder as tb
+
+
+def square_glyph(size=100, on_all=True):
+    """A simple square contour (clockwise in TTF y-up convention =
+    filled positively)."""
+    pts = [(0, 0, True), (0, size, True), (size, size, True), (size, 0, True)]
+    return tb.build_simple_glyph([pts], box=(0, 0, size, size))
+
+
+def minimal_font(**kw):
+    cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4([(65, 66, -64, None)]))])
+    glyphs = [b"", square_glyph(), square_glyph(200)]
+    return tb.build_font(glyphs, cmap, **kw)
+
+
+class TestDirectory:
+    def test_parses_required_tables(self):
+        font = Font(minimal_font())
+        for tag in ttf.REQUIRED_TABLES:
+            assert tag in font.tables
+
+    def test_rejects_non_truetype(self):
+        with pytest.raises(CorruptedFont):
+            Font(b"OTTO" + b"\x00" * 100)
+
+    def test_missing_table_rejected(self):
+        blob = bytearray(minimal_font())
+        idx = blob.find(b"glyf")
+        blob[idx : idx + 4] = b"glyX"
+        with pytest.raises(CorruptedFont):
+            Font(bytes(blob))
+
+
+class TestHead:
+    def test_fields(self):
+        font = Font(minimal_font(units_per_em=2048))
+        assert font.info.units_per_em == 2048
+        assert font.info.y0_baseline
+        assert font.info.loca_format == 0
+
+    def test_bad_magic(self):
+        blob = minimal_font()
+        font = Font(blob)
+        start = font.tables[b"head"].offset
+        corrupt = bytearray(blob)
+        corrupt[start + 12 : start + 16] = b"\x00\x00\x00\x00"
+        with pytest.raises(CorruptedFont):
+            Font(bytes(corrupt))
+
+
+class TestLoca:
+    def test_short_and_long_agree(self):
+        f_short = Font(minimal_font(loca_format=0))
+        f_long = Font(minimal_font(loca_format=1))
+        for idx in range(3):
+            gs = f_short.load_glyph(idx)
+            gl = f_long.load_glyph(idx)
+            assert len(gs.contours) == len(gl.contours)
+            for cs, cl in zip(gs.contours, gl.contours):
+                np.testing.assert_array_equal(cs.points, cl.points)
+
+    def test_empty_glyph(self):
+        font = Font(minimal_font())
+        g = font.load_glyph(0)
+        assert g.contours == ()
+
+
+class TestSimpleGlyph:
+    def test_square_points(self):
+        font = Font(minimal_font())
+        g = font.load_glyph(1)
+        assert len(g.contours) == 1
+        pts = g.contours[0].points
+        # closed and odd-length (even/odd invariant)
+        np.testing.assert_array_equal(pts[0], pts[-1])
+        assert len(pts) % 2 == 1
+        # all 4 corners present
+        corners = {(0, 0), (0, 100), (100, 100), (100, 0)}
+        assert corners <= {tuple(p) for p in pts}
+
+    def test_repeat_flag_roundtrip(self):
+        # staircase of identical short deltas -> one long flag run
+        pts = [(0, 0, True)] + [(10 * i, 10 * i, True) for i in range(1, 6)] \
+            + [(40, 0, True)]
+        plain = tb.build_simple_glyph([pts], use_repeat=False)
+        rle = tb.build_simple_glyph([pts], use_repeat=True)
+        assert len(rle) < len(plain)  # repeat actually engaged
+        for blob in (plain, rle):
+            r = BigEndianReader(blob)
+            desc = ttf.GlyphDescription.parse(r)
+            sg = ttf.SimpleGlyph.parse(r, desc.number_of_contours)
+            np.testing.assert_array_equal(
+                sg.coordinates, np.array([(p[0], p[1]) for p in pts])
+            )
+            assert sg.on_curve.all()
+
+    def test_long_coordinates(self):
+        pts = [(0, 0, True), (1000, 0, True), (1000, 1000, True), (0, 1000, True)]
+        blob = tb.build_simple_glyph([pts], box=(0, 0, 1000, 1000))
+        r = BigEndianReader(blob)
+        desc = ttf.GlyphDescription.parse(r)
+        sg = ttf.SimpleGlyph.parse(r, desc.number_of_contours)
+        np.testing.assert_array_equal(
+            sg.coordinates, np.array([(p[0], p[1]) for p in pts])
+        )
+
+    def test_off_curve_points(self):
+        pts = [(0, 0, True), (50, 100, False), (100, 0, True)]
+        blob = tb.build_simple_glyph([pts])
+        r = BigEndianReader(blob)
+        desc = ttf.GlyphDescription.parse(r)
+        sg = ttf.SimpleGlyph.parse(r, desc.number_of_contours)
+        np.testing.assert_array_equal(sg.on_curve, [True, False, True])
+
+
+class TestCompoundGlyph:
+    def _font_with_compound(self, part_kwargs):
+        cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4([(65, 65, -63, None)]))])
+        compound = tb.build_compound_glyph(
+            [dict(glyph_index=1, **part_kwargs)], box=(0, 0, 300, 300)
+        )
+        glyphs = [b"", square_glyph(), compound]
+        return Font(tb.build_font(glyphs, cmap))
+
+    def test_translate(self):
+        font = self._font_with_compound(dict(dx=10, dy=20))
+        base = font.load_glyph(1)
+        comp = font.load_glyph(2)
+        np.testing.assert_array_equal(
+            comp.contours[0].points, base.contours[0].points + [10, 20]
+        )
+
+    def test_uniform_scale(self):
+        font = self._font_with_compound(dict(dx=0, dy=0, scale=0.5))
+        base = font.load_glyph(1)
+        comp = font.load_glyph(2)
+        np.testing.assert_array_equal(
+            comp.contours[0].points, base.contours[0].points // 2
+        )
+
+    def test_two_by_two_rotation(self):
+        # 90-degree rotation: (x, y) -> (-y, x); matrix [a b c d] applied
+        # as x' = a*x + c*y, y' = b*x + d*y
+        font = self._font_with_compound(
+            dict(dx=0, dy=0, matrix=(0.0, 1.0, -1.0, 0.0))
+        )
+        base = font.load_glyph(1)
+        comp = font.load_glyph(2)
+        expect = np.stack(
+            [-base.contours[0].points[:, 1], base.contours[0].points[:, 0]], axis=1
+        )
+        np.testing.assert_array_equal(comp.contours[0].points, expect)
+
+    def test_cycle_detection(self):
+        cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4([(65, 65, -64, None)]))])
+        self_ref = tb.build_compound_glyph([dict(glyph_index=1, dx=0, dy=0)])
+        font = Font(tb.build_font([b"", self_ref], cmap))
+        with pytest.raises(CorruptedFont, match="cycle"):
+            font.load_glyph(1)
+
+
+class TestHmtx:
+    def test_runout_advances(self):
+        cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4([(65, 66, -64, None)]))])
+        blob = tb.build_font(
+            [b"", square_glyph(), square_glyph()],
+            cmap,
+            metrics=[(500, 0), (777, 0)],  # fewer metrics than glyphs
+        )
+        font = Font(blob)
+        assert list(font.advance_widths) == [500, 777, 777]
+
+
+class TestRealFonts:
+    def test_dejavu_loads(self, dejavu):
+        assert dejavu.info.units_per_em == 2048
+        assert dejavu.num_glyphs > 5000
+
+    def test_all_ascii_glyphs_load(self, dejavu):
+        for code in range(32, 127):
+            g, aw = dejavu.get_glyph(code)
+            assert aw > 0
+            for c in g.contours:
+                assert len(c.points) % 2 == 1
+                np.testing.assert_array_equal(c.points[0], c.points[-1])
+
+    def test_serif_loads(self, dejavu_serif):
+        g, _ = dejavu_serif.get_glyph("B")
+        assert g.num_segments > 0

@@ -1,0 +1,273 @@
+"""Hand-built minimal TrueType blobs for parser unit tests.
+
+Implements just enough of the TTF wire format to exercise the parser's
+branches (SURVEY §4 item 1): cmap format 4 (both idDelta and
+glyphIndexArray segments) and format 12, short/long loca, simple glyphs
+with repeat-flag and short-coordinate encodings, and compound glyphs
+with 2.14 transforms.  Written from the public TrueType spec — this is
+the *test fixture generator*, independent of the code under test.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 4)
+
+
+def build_head(units_per_em=1000, loca_format=0, flags=1) -> bytes:
+    return struct.pack(
+        ">IIII HH QQ hhhh HHhhh",
+        0x00010000, 0, 0, 0x5F0F3CF5,
+        flags, units_per_em,
+        0, 0,
+        -100, -200, 1000, 800,   # xMin yMin xMax yMax
+        0, 8, 2, loca_format, 0,
+    )
+
+
+def build_maxp(num_glyphs) -> bytes:
+    return struct.pack(
+        ">IHHHHH HHHHHHH HH",
+        0x00010000, num_glyphs, 16, 4, 32, 8,
+        2, 2, 0, 1, 1, 64, 0,   # maxZones .. maxSizeOfInstructions
+        2, 1,                   # maxComponentElements, maxComponentDepth
+    )
+
+
+def build_hhea(num_metrics) -> bytes:
+    return struct.pack(
+        ">I hhhH hhhhhh hhhh h H",
+        0x00010000,
+        800, -200, 90, 1200,
+        0, 0, 0, 1, 0, 0,    # minLSB minRSB xMaxExtent caretRise caretRun caretOffset
+        0, 0, 0, 0,          # reserved
+        0,                   # metricDataFormat
+        num_metrics,
+    )
+
+
+def build_hmtx(metrics: list[tuple[int, int]]) -> bytes:
+    return b"".join(struct.pack(">Hh", aw, lsb) for aw, lsb in metrics)
+
+
+def build_cmap_format4(segments: list[tuple[int, int, int, list[int] | None]]) -> bytes:
+    """``segments``: (start, end, id_delta, glyph_ids-or-None).  A final
+    (0xFFFF, 0xFFFF, 1, None) sentinel segment is appended."""
+    segments = segments + [(0xFFFF, 0xFFFF, 1, None)]
+    seg = len(segments)
+    end_codes = [s[1] for s in segments]
+    start_codes = [s[0] for s in segments]
+    id_deltas = [s[2] & 0xFFFF for s in segments]
+    id_range_offsets = []
+    glyph_index_array: list[int] = []
+    for i, (start, end, delta, ids) in enumerate(segments):
+        if ids is None:
+            id_range_offsets.append(0)
+        else:
+            assert len(ids) == end - start + 1
+            # offset in bytes from this idRangeOffset slot to the ids
+            slots_after = seg - i
+            id_range_offsets.append(2 * (slots_after + len(glyph_index_array)))
+            glyph_index_array.extend(ids)
+    # header: format, length, language, segCountX2, searchRange,
+    # entrySelector, rangeShift (length/searchRange unchecked by parser)
+    body = struct.pack(
+        ">HHHHHHH", 4, 16 + 8 * seg + 2 * len(glyph_index_array), 0, seg * 2, 0, 0, 0
+    )
+    parts = [body]
+    parts.append(struct.pack(f">{seg}H", *end_codes))
+    parts.append(struct.pack(">H", 0))  # reservedPad
+    parts.append(struct.pack(f">{seg}H", *start_codes))
+    parts.append(struct.pack(f">{seg}H", *id_deltas))
+    parts.append(struct.pack(f">{seg}H", *id_range_offsets))
+    if glyph_index_array:
+        parts.append(struct.pack(f">{len(glyph_index_array)}H", *glyph_index_array))
+    return b"".join(parts)
+
+
+def build_cmap_format12(groups: list[tuple[int, int, int]]) -> bytes:
+    body = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups))
+    for start, end, glyph in groups:
+        body += struct.pack(">III", start, end, glyph)
+    return body
+
+
+def build_cmap(subtables: list[tuple[int, int, bytes]]) -> bytes:
+    """``subtables``: list of (platform_id, platform_specific_id, body)."""
+    header = struct.pack(">HH", 0, len(subtables))
+    offset = 4 + 8 * len(subtables)
+    records = b""
+    bodies = b""
+    for pid, psid, body in subtables:
+        records += struct.pack(">HHI", pid, psid, offset)
+        bodies += body
+        offset += len(body)
+    return header + records + bodies
+
+
+ON_CURVE = 0x01
+X_SHORT = 0x02
+Y_SHORT = 0x04
+REPEAT = 0x08
+X_SAME_OR_POS = 0x10
+Y_SAME_OR_POS = 0x20
+
+
+def build_simple_glyph(
+    contours: list[list[tuple[int, int, bool]]],
+    box=(0, 0, 100, 100),
+    use_repeat=False,
+    instructions=b"",
+) -> bytes:
+    """Build a simple glyf entry from contours of (x, y, on_curve).
+
+    Coordinate encoding: picks short (1-byte) form when |delta| < 256,
+    same-flag when delta == 0, long form otherwise.  ``use_repeat``
+    exercises the flag RLE path.
+    """
+    all_pts = [p for c in contours for p in c]
+    end_pts = []
+    acc = -1
+    for c in contours:
+        acc += len(c)
+        end_pts.append(acc)
+
+    flags = []
+    x_bytes = b""
+    y_bytes = b""
+    px, py = 0, 0
+    for x, y, on in all_pts:
+        dx, dy = x - px, y - py
+        f = ON_CURVE if on else 0
+        if dx == 0:
+            f |= X_SAME_OR_POS
+        elif -256 < dx < 256:
+            f |= X_SHORT
+            if dx > 0:
+                f |= X_SAME_OR_POS
+            x_bytes += struct.pack(">B", abs(dx))
+        else:
+            x_bytes += struct.pack(">h", dx)
+        if dy == 0:
+            f |= Y_SAME_OR_POS
+        elif -256 < dy < 256:
+            f |= Y_SHORT
+            if dy > 0:
+                f |= Y_SAME_OR_POS
+            y_bytes += struct.pack(">B", abs(dy))
+        else:
+            y_bytes += struct.pack(">h", dy)
+        flags.append(f)
+        px, py = x, y
+
+    if use_repeat:
+        flag_bytes = b""
+        i = 0
+        while i < len(flags):
+            run = 1
+            while i + run < len(flags) and flags[i + run] == flags[i] and run < 255:
+                run += 1
+            if run > 1:
+                flag_bytes += struct.pack(">BB", flags[i] | REPEAT, run - 1)
+            else:
+                flag_bytes += struct.pack(">B", flags[i])
+            i += run
+    else:
+        flag_bytes = struct.pack(f">{len(flags)}B", *flags)
+
+    header = struct.pack(
+        ">hhhhh", len(contours), box[0], box[1], box[2], box[3]
+    )
+    body = struct.pack(f">{len(end_pts)}H", *end_pts)
+    body += struct.pack(">H", len(instructions)) + instructions
+    return header + body + flag_bytes + x_bytes + y_bytes
+
+
+ARG_WORDS = 0x0001
+ARGS_XY = 0x0002
+ROUND_GRID = 0x0004
+HAVE_SCALE = 0x0008
+MORE = 0x0020
+XY_SCALE = 0x0040
+TWO_BY_TWO = 0x0080
+
+
+def build_compound_glyph(
+    parts: list[dict],
+    box=(0, 0, 100, 100),
+) -> bytes:
+    """``parts``: dicts with keys glyph_index, dx, dy, and optionally
+    scale / xy_scale / matrix (2.14 floats), round_to_grid."""
+    out = struct.pack(">hhhhh", -1, box[0], box[1], box[2], box[3])
+    for i, p in enumerate(parts):
+        flags = ARGS_XY | ARG_WORDS
+        if p.get("round_to_grid"):
+            flags |= ROUND_GRID
+        if "scale" in p:
+            flags |= HAVE_SCALE
+        elif "xy_scale" in p:
+            flags |= XY_SCALE
+        elif "matrix" in p:
+            flags |= TWO_BY_TWO
+        if i + 1 < len(parts):
+            flags |= MORE
+        out += struct.pack(">HHhh", flags, p["glyph_index"], p["dx"], p["dy"])
+
+        def f2d14(v: float) -> int:
+            return int(round(v * 16384)) & 0xFFFF
+
+        if "scale" in p:
+            out += struct.pack(">H", f2d14(p["scale"]))
+        elif "xy_scale" in p:
+            out += struct.pack(">HH", *(f2d14(v) for v in p["xy_scale"]))
+        elif "matrix" in p:
+            out += struct.pack(">HHHH", *(f2d14(v) for v in p["matrix"]))
+    return out
+
+
+def build_font(
+    glyphs: list[bytes],
+    cmap: bytes,
+    units_per_em=1000,
+    loca_format=0,
+    metrics: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Assemble a complete minimal TTF from glyf entries + a cmap."""
+    num_glyphs = len(glyphs)
+    if metrics is None:
+        metrics = [(500, 0)] * num_glyphs
+
+    glyf = b""
+    offsets = [0]
+    for g in glyphs:
+        glyf += _pad4(g)
+        offsets.append(len(glyf))
+    if loca_format == 0:
+        assert all(o % 2 == 0 and o // 2 <= 0xFFFF for o in offsets)
+        loca = struct.pack(f">{len(offsets)}H", *(o // 2 for o in offsets))
+    else:
+        loca = struct.pack(f">{len(offsets)}I", *offsets)
+
+    tables = {
+        b"head": build_head(units_per_em, loca_format),
+        b"maxp": build_maxp(num_glyphs),
+        b"hhea": build_hhea(len(metrics)),
+        b"hmtx": build_hmtx(metrics),
+        b"cmap": cmap,
+        b"loca": loca,
+        b"glyf": glyf,
+    }
+    tags = sorted(tables)
+    num = len(tags)
+    offset = 12 + 16 * num
+    directory = struct.pack(">IHHHH", 0x00010000, num, 0, 0, 0)
+    bodies = b""
+    for tag in tags:
+        body = _pad4(tables[tag])
+        directory += struct.pack(">4sIII", tag, 0, offset, len(tables[tag]))
+        bodies += body
+        offset += len(body)
+    return directory + bodies
