@@ -1,0 +1,127 @@
+"""Benchmark: batched glyph rasterization throughput at 256px.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+
+- value: glyphs/sec of the jitted TPU raster step (full ASCII set,
+  256x256 nonzero-winding fill, compile excluded per BASELINE.md).
+- vs_baseline: speedup over the CPU reference implementation (the
+  NumPy reimplementation of the reference's float winding rasterizer,
+  ``/root/reference/src/tools/render_glyph.zig:11-33`` — the reference
+  publishes no numbers of its own, so this oracle IS the baseline).
+- correctness gate: device rasters are compared against the oracle
+  before timing; mismatched pixels beyond the FMA-tie tolerance fail
+  the bench.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+FONT_SIZE = 256
+TILE = 256
+ASCII = [c for c in range(33, 127)]  # printable, non-space: 94 glyphs
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fontrx.engine.atlas import pack_charset
+    from fontrx.engine.raster import RasterEngine
+    from fontrx.font.font import Font
+    from fontrx.kernels import oracle
+    from fontrx.kernels.grid import RasterGrid
+
+    font = Font.open(FONT)
+    batch = pack_charset(font, ASCII)
+    b = len(batch)
+    grids = [
+        RasterGrid.fixed_tile(tuple(box), FONT_SIZE, font.info.units_per_em, TILE)
+        for box in np.asarray(batch.boxes)
+    ]
+    min_x = np.array([g.min_x for g in grids], np.int32)
+    max_y = np.array([g.max_y for g in grids], np.int32)
+    scale = np.float32(grids[0].scale)
+
+    engine = RasterEngine()
+
+    def step():
+        out = engine.winding_batch(
+            jnp.asarray(batch.segments),
+            jnp.asarray(min_x),
+            jnp.asarray(max_y),
+            scale,
+            height=TILE,
+            width=TILE,
+        )
+        out.block_until_ready()
+        return out
+
+    # --- compile + correctness gate --------------------------------------
+    out = np.asarray(step())
+    sample = range(0, b, 13)
+    mism = 0
+    checked = 0
+    for i in sample:
+        xs, ys = grids[i].sample_coords()
+        wo = oracle.winding_at(batch.segments[i], xs[None, :], ys[:, None])
+        mism += int((wo != out[i]).sum())
+        checked += wo.size
+    if mism > checked * 1e-4:
+        print(
+            json.dumps(
+                {
+                    "metric": "glyphs/sec @256px (FAILED correctness gate)",
+                    "value": 0.0,
+                    "unit": "glyphs/s",
+                    "vs_baseline": 0.0,
+                    "mismatched_pixels": mism,
+                    "checked_pixels": checked,
+                }
+            )
+        )
+        sys.exit(1)
+
+    # --- device timing ----------------------------------------------------
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        step()
+    dt = (time.perf_counter() - t0) / n_iter
+    device_glyphs_per_s = b / dt
+    device_mpix_per_s = b * TILE * TILE / dt / 1e6
+
+    # --- CPU baseline (oracle on a subset, extrapolated per-glyph) --------
+    n_base = 4
+    t0 = time.perf_counter()
+    for i in range(n_base):
+        xs, ys = grids[i].sample_coords()
+        oracle.winding_at(batch.segments[i], xs[None, :], ys[:, None])
+    base_dt = (time.perf_counter() - t0) / n_base
+    baseline_glyphs_per_s = 1.0 / base_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "glyphs/sec @256px nonzero-winding fill (94-glyph ASCII batch)",
+                "value": round(device_glyphs_per_s, 2),
+                "unit": "glyphs/s",
+                "vs_baseline": round(device_glyphs_per_s / baseline_glyphs_per_s, 2),
+                "mpix_per_s": round(device_mpix_per_s, 1),
+                "baseline_glyphs_per_s": round(baseline_glyphs_per_s, 2),
+                "backend": jax.default_backend(),
+                "mismatched_pixels": mism,
+                "checked_pixels": checked,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""High-level raster engine.
+
+Backend-dispatching façade over the winding kernels: picks the Pallas
+TPU kernel on TPU, the jnp kernel elsewhere (or Pallas-interpret for
+debugging — the validation-layer analog, SURVEY §5.2), handles grid
+padding/cropping and device residency.
+
+Shape discipline: every call is bucketed by ``(B, S, H, W)`` so XLA
+compiles once per bucket (the analog of the reference building three
+pipelines once and reusing them per frame, ``src/Appli.zig:411-428``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fontrx.kernels.grid import RasterGrid
+from fontrx.kernels.winding_jnp import winding_batch as _winding_jnp_batch
+from fontrx.kernels.winding_pallas import (
+    TILE_H,
+    TILE_W,
+    winding_pallas_batch,
+)
+from fontrx.pack.segments import PackedBatch
+from fontrx.utils.log import get_logger
+
+log = get_logger("Engine")
+
+BACKEND_AUTO = "auto"
+BACKEND_PALLAS = "pallas"
+BACKEND_JNP = "jnp"
+BACKEND_INTERPRET = "interpret"
+
+
+def default_backend() -> str:
+    return BACKEND_PALLAS if jax.default_backend() == "tpu" else BACKEND_JNP
+
+
+@dataclass
+class RasterEngine:
+    """Stateless-ish raster dispatcher.
+
+    ``backend``: "auto" | "pallas" | "jnp" | "interpret".
+    """
+
+    backend: str = BACKEND_AUTO
+
+    def _resolve(self) -> str:
+        if self.backend == BACKEND_AUTO:
+            return default_backend()
+        return self.backend
+
+    # -- core entry points -------------------------------------------------
+
+    def winding_batch(
+        self,
+        segments,
+        min_x,
+        max_y,
+        scale,
+        *,
+        height: int,
+        width: int,
+    ) -> jax.Array:
+        """Batched winding maps: ``[B, H, W]`` int32.  H/W are padded to
+        kernel tiles internally; the returned array is cropped back."""
+        backend = self._resolve()
+        ph = _round_up(height, TILE_H)
+        pw = _round_up(width, TILE_W)
+        segments = jnp.asarray(segments, jnp.float32)
+        min_x = jnp.asarray(min_x, jnp.int32)
+        max_y = jnp.asarray(max_y, jnp.int32)
+        if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
+            out = winding_pallas_batch(
+                segments,
+                min_x,
+                max_y,
+                jnp.float32(scale),
+                height=ph,
+                width=pw,
+                interpret=backend == BACKEND_INTERPRET,
+            )
+        elif backend == BACKEND_JNP:
+            out = _winding_jnp_batch(
+                segments, min_x, max_y, jnp.float32(scale), height=ph, width=pw
+            )
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        if (ph, pw) != (height, width):
+            out = out[:, :height, :width]
+        return out
+
+    def winding_glyph(self, segments, grid: RasterGrid) -> jax.Array:
+        """Single-glyph winding map over an oracle-convention grid
+        (BASELINE config 1)."""
+        out = self.winding_batch(
+            jnp.asarray(segments)[None],
+            jnp.array([grid.min_x], jnp.int32),
+            jnp.array([grid.max_y], jnp.int32),
+            grid.scale,
+            height=grid.height,
+            width=grid.width,
+        )
+        return out[0]
+
+    def winding_packed(
+        self, batch: PackedBatch, font_size: int, units_per_em: int, tile: int
+    ) -> tuple[jax.Array, list[RasterGrid]]:
+        """Raster a ``PackedBatch`` into fixed ``tile x tile`` maps
+        anchored at each glyph's bbox corner.  Returns ``([B, T, T]
+        winding, per-glyph grids)``."""
+        grids = [
+            RasterGrid.fixed_tile(tuple(box), font_size, units_per_em, tile)
+            for box in np.asarray(batch.boxes)
+        ]
+        out = self.winding_batch(
+            batch.segments,
+            np.array([g.min_x for g in grids], np.int32),
+            np.array([g.max_y for g in grids], np.int32),
+            grids[0].scale if grids else 1.0,
+            height=tile,
+            width=tile,
+        )
+        return out, grids
+
+    # -- fill conversions --------------------------------------------------
+
+    @staticmethod
+    def fill(winding: jax.Array) -> jax.Array:
+        """Nonzero-winding rule -> 0/255 uint8 (``render_glyph.zig:29``)."""
+        return jnp.where(winding != 0, 255, 0).astype(jnp.uint8)
+
+    @staticmethod
+    def gray(winding: jax.Array) -> jax.Array:
+        """The reference's winding visualization
+        (``render_glyph.zig:28``)."""
+        return jnp.clip(winding * 20 + 100, 0, 255).astype(jnp.uint8)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

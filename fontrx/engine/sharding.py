@@ -1,0 +1,99 @@
+"""Multi-device raster sharding.
+
+The reference is strictly single-GPU (SURVEY §2.8); this module is the
+driver-mandated TPU-native scale-out: a ``jax.sharding.Mesh`` over a
+``glyphs`` axis, with the batch dimension of every raster input sharded
+across devices so each chip rasterizes its slice of the atlas and the
+sheet is assembled by XLA's all-gather over ICI (the analog of
+swapchain present, SURVEY §5.8).
+
+Design notes (TPU-first):
+- Glyph-batch sharding is embarrassingly parallel — no collectives in
+  the hot loop; XLA inserts a single all-gather only if the caller asks
+  for a replicated result.
+- ``shard_map`` + the Pallas kernel composes: each device runs the same
+  static-shape kernel on its ``B/n`` shard.
+- Tested on a virtual 8-device CPU mesh
+  (``--xla_force_host_platform_device_count``); the driver dry-runs the
+  same path via ``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fontrx.kernels.winding_jnp import winding_batch as _winding_jnp_batch
+from fontrx.kernels.winding_pallas import winding_pallas_batch
+from fontrx.utils.log import get_logger
+
+log = get_logger("Sharding")
+
+GLYPH_AXIS = "glyphs"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the glyph axis (atlas scale-out rides data
+    parallelism; no tensor-style sharding is profitable for raster)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[: n_devices]
+    return Mesh(np.array(devices), (GLYPH_AXIS,))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with their leading (glyph) dim sharded over the
+    mesh — the TPU analog of per-glyph staging-buffer uploads
+    (``src/Appli.zig:243-275``), except the 'upload' lands pre-sharded."""
+    sharding = NamedSharding(mesh, P(GLYPH_AXIS))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "mesh", "use_pallas", "replicate_out"),
+)
+def winding_sharded(
+    segments,
+    min_x,
+    max_y,
+    scale,
+    *,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    use_pallas: bool = True,
+    replicate_out: bool = False,
+):
+    """Batched winding maps with the glyph axis sharded over ``mesh``.
+
+    ``B`` must divide by the mesh size (pad with empty glyphs via
+    ``pack_glyphs(pad_batch_to=...)``).  Returns ``[B, H, W]`` int32 —
+    sharded over glyphs, or replicated when ``replicate_out`` (one
+    all-gather over ICI).
+    """
+    kernel = winding_pallas_batch if use_pallas else _winding_jnp_batch
+
+    def local(seg, mx, my):
+        return kernel(seg, mx, my, scale, height=height, width=width)
+
+    spec = P(GLYPH_AXIS)
+    out_spec = P() if replicate_out else spec
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        # the kernels build loop carries from shard-agnostic zeros;
+        # varying-axis tracking would demand pvary noise inside them
+        check_vma=False,
+    )
+    out = fn(segments, min_x, max_y)
+    if replicate_out:
+        out = jax.lax.with_sharding_constraint(out, NamedSharding(mesh, P()))
+    return out

@@ -25,7 +25,29 @@ from fontrx.kernels.grid import RasterGrid
 f32 = np.float32
 
 
-def winding_at(segments: np.ndarray, cx, cy) -> np.ndarray:
+def _fma(a, b, c):
+    """IEEE-correct f32 fused multiply-add emulated through float64
+    (the f64 product of two f32 values is exact, so the single f32
+    rounding at the end matches hardware FMA)."""
+    return (np.float64(a) * np.float64(b) + np.float64(c)).astype(f32)
+
+
+def _poly_xx(ax, bx, p0x, t, contract: bool):
+    """Evaluate ``xx = (ax*t + bx)*t + p0x`` (``render_glyph.zig:53,65``).
+
+    ``contract=True`` fuses both steps (what XLA emits on its backends —
+    verified empirically against XLA:CPU); ``contract=False`` is the
+    plain-f32 evaluation of the Zig reference.  The two differ by at most
+    1 ulp, which only matters for samples lying *exactly on* a curve —
+    measure-zero ties where the reference itself is
+    compiler-flag-dependent.
+    """
+    if contract:
+        return _fma(_fma(ax, t, bx), t, p0x)
+    return (ax * t + bx) * t + p0x
+
+
+def winding_at(segments: np.ndarray, cx, cy, contract: bool = True) -> np.ndarray:
     """Winding numbers of sample points against quadratic segments.
 
     ``segments``: float32 ``[S, 3, 2]``; ``cx``/``cy``: broadcastable
@@ -59,7 +81,7 @@ def winding_at(segments: np.ndarray, cx, cy) -> np.ndarray:
         nonflat = lin & (p2y != p0y)
         t = (cy - p0y) / (p2y - p0y)
         valid = nonflat & (t >= 0) & (t < 1)
-        xx = (ax * t + bx) * t + p0x
+        xx = _poly_xx(ax, bx, p0x, t, contract)
         valid &= ~(xx < cx)
         sign = np.where(p0y < p2y, -1, 1).astype(np.int32)
         winding += np.sum(np.where(valid, sign, 0), axis=-1, dtype=np.int32)
@@ -72,7 +94,7 @@ def winding_at(segments: np.ndarray, cx, cy) -> np.ndarray:
         for sgn in (f32(1), f32(-1)):
             troot = ((p0y - p1y) + sgn * sq) / a
             valid = has_roots & (troot >= 0) & (troot < 1)
-            xx = (ax * troot + bx) * troot + p0x
+            xx = _poly_xx(ax, bx, p0x, troot, contract)
             valid &= ~(xx < cx)
             dy = a * troot + (p1y - p0y)
             contrib = np.where(dy > 0, -1, 1).astype(np.int32)
@@ -81,11 +103,13 @@ def winding_at(segments: np.ndarray, cx, cy) -> np.ndarray:
     return winding
 
 
-def winding_map(segments: np.ndarray, grid: RasterGrid) -> np.ndarray:
+def winding_map(
+    segments: np.ndarray, grid: RasterGrid, contract: bool = True
+) -> np.ndarray:
     """Full winding map over a grid: int32 ``[H, W]``, row 0 at the top
     (``render_glyph.zig:24-31`` iteration order)."""
     xs, ys = grid.sample_coords()
-    return winding_at(segments, cx=xs[None, :], cy=ys[:, None])
+    return winding_at(segments, cx=xs[None, :], cy=ys[:, None], contract=contract)
 
 
 def render_gray(segments: np.ndarray, grid: RasterGrid) -> np.ndarray:

@@ -7,12 +7,19 @@ SURVEY §4 item 4).  Must set flags before JAX initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment pre-imports jax via sitecustomize with
+# JAX_PLATFORMS=axon (TPU tunnel), so env vars alone are too late —
+# jax.config.update is authoritative.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,181 @@
+"""Kernel conformance: jnp and Pallas (interpret) backends vs the NumPy
+oracle, bit-exact (SURVEY §4 items 2/4)."""
+
+import numpy as np
+import pytest
+
+from fontrx.kernels import oracle
+from fontrx.kernels.grid import RasterGrid
+from fontrx.pack.segments import glyph_segments, pack_glyphs
+
+
+def glyph_case(font, ch, size):
+    g, _ = font.get_glyph(ch)
+    segs = glyph_segments(g)
+    grid = RasterGrid.for_glyph_box(
+        (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
+        size, font.info.units_per_em,
+    )
+    return segs, grid
+
+
+class TestJnpKernel:
+    @pytest.mark.parametrize("ch", list("AQg@j&"))
+    def test_bitexact_vs_oracle(self, dejavu, ch):
+        from fontrx.kernels.winding_jnp import winding_grid
+
+        segs, grid = glyph_case(dejavu, ch, 96)
+        wo = oracle.winding_map(segs, grid)
+        wj = np.asarray(winding_grid(segs, grid))
+        np.testing.assert_array_equal(wo, wj)
+
+    def test_batch_matches_singles(self, dejavu):
+        from fontrx.kernels.winding_jnp import winding_batch
+
+        import jax.numpy as jnp
+
+        glyphs = [dejavu.get_glyph(c)[0] for c in "ABC"]
+        batch = pack_glyphs(glyphs)
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), 64, 2048, 64) for b in batch.boxes
+        ]
+        out = np.asarray(
+            winding_batch(
+                jnp.asarray(batch.segments),
+                jnp.array([g.min_x for g in grids], jnp.int32),
+                jnp.array([g.max_y for g in grids], jnp.int32),
+                jnp.float32(grids[0].scale),
+                height=64,
+                width=64,
+            )
+        )
+        for i, g in enumerate(grids):
+            xs, ys = g.sample_coords()
+            wo = oracle.winding_at(batch.segments[i], xs[None, :], ys[:, None])
+            np.testing.assert_array_equal(out[i], wo)
+
+
+class TestPallasInterpret:
+    @pytest.mark.parametrize("ch", list("AQg"))
+    def test_bitexact_vs_oracle(self, dejavu, ch):
+        from fontrx.kernels.winding_pallas import winding_pallas_grid
+
+        segs, grid = glyph_case(dejavu, ch, 64)
+        wo = oracle.winding_map(segs, grid)
+        wp = np.asarray(winding_pallas_grid(segs, grid, interpret=True))
+        np.testing.assert_array_equal(wo, wp)
+
+    def test_random_segment_soup(self, rng):
+        """Pallas vs jnp on random quadratic soups (SURVEY §4 item 4)."""
+        import jax.numpy as jnp
+
+        from fontrx.kernels.winding_jnp import winding_batch
+        from fontrx.kernels.winding_pallas import winding_pallas_batch
+
+        b, s = 3, 16
+        segs = rng.integers(-100, 100, (b, s, 3, 2)).astype(np.float32)
+        min_x = rng.integers(-10, 10, b).astype(np.int32)
+        max_y = rng.integers(50, 80, b).astype(np.int32)
+        args = (jnp.asarray(segs), jnp.asarray(min_x), jnp.asarray(max_y),
+                jnp.float32(0.7))
+        wj = np.asarray(winding_batch(*args, height=64, width=128))
+        wp = np.asarray(
+            winding_pallas_batch(*args, height=64, width=128, interpret=True)
+        )
+        np.testing.assert_array_equal(wj, wp)
+
+
+class TestEngine:
+    def test_engine_dispatch_and_crop(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+
+        segs, grid = glyph_case(dejavu, "A", 48)
+        eng = RasterEngine(backend="jnp")
+        w = np.asarray(eng.winding_glyph(segs, grid))
+        assert w.shape == (grid.height, grid.width)
+        np.testing.assert_array_equal(w, oracle.winding_map(segs, grid))
+
+    def test_fill_and_gray(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+
+        segs, grid = glyph_case(dejavu, "A", 48)
+        eng = RasterEngine(backend="jnp")
+        w = eng.winding_glyph(segs, grid)
+        np.testing.assert_array_equal(
+            np.asarray(eng.fill(w)), oracle.render_fill(segs, grid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(eng.gray(w)), oracle.render_gray(segs, grid)
+        )
+
+
+class TestAtlas:
+    def test_ascii_atlas(self, dejavu):
+        from fontrx.engine.atlas import render_atlas
+        from fontrx.engine.raster import RasterEngine
+
+        sheet, layout = render_atlas(
+            dejavu, "ABCDEFGHIJKLMNOP", 64, 64, RasterEngine(backend="jnp")
+        )
+        assert sheet.shape == (layout.height, layout.width)
+        assert layout.cols * layout.rows >= 16
+        # every glyph tile has ink
+        for i in range(16):
+            x0, y0 = layout.tile_origin(i)
+            assert sheet[y0 : y0 + 64, x0 : x0 + 64].any(), chr(layout.chars[i])
+
+
+class TestSharding:
+    def test_virtual_8_device_mesh(self, dejavu):
+        import jax
+        import jax.numpy as jnp
+
+        from fontrx.engine.atlas import pack_charset
+        from fontrx.engine.sharding import make_mesh, shard_batch, winding_sharded
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        batch = pack_charset(dejavu, "ABCDEFGH", pad_batch_to=8)
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), 64, 2048, 64) for b in batch.boxes
+        ]
+        mesh = make_mesh()
+        seg, mx, my = shard_batch(
+            mesh,
+            jnp.asarray(batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+        )
+        out = winding_sharded(
+            seg, mx, my, jnp.float32(grids[0].scale),
+            height=64, width=128, mesh=mesh, use_pallas=False,
+        )
+        assert len(out.sharding.device_set) == 8
+        out = np.asarray(out)
+        for i, g in enumerate(grids):
+            gg = RasterGrid(128, 64, g.min_x, g.max_y, g.scale)
+            xs, ys = gg.sample_coords()
+            wo = oracle.winding_at(batch.segments[i], xs[None, :], ys[:, None])
+            np.testing.assert_array_equal(out[i], wo)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import jax
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape[0] == args[0].shape[0]
+
+    def test_dryrun_multichip(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
