@@ -1,0 +1,138 @@
+"""Schema-derived CLI config parser.
+
+Behavioral equivalent of the reference's comptime-generated parser
+(``src/Config.zig``): option types and required-ness derive from the
+dataclass field types (``Optional`` => not required, ``bool`` =>
+valueless flag), long ``--name`` / short ``-x`` matching, duplicate
+detection, and **error accumulation** — all problems are reported
+together instead of stopping at the first (``Config.zig:144-206``).
+
+The reference's four flags are preserved with the same names/shorts
+(``-f/--font_file``, ``-t/--text``, ``-c/--cache``, ``-d/--debug``,
+``Config.zig:10-13``) plus raster options for the TPU engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+from fontrx.utils.log import get_logger
+
+log = get_logger("Config")
+
+
+class ConfigError(ValueError):
+    """Accumulated parse errors, one per line."""
+
+    def __init__(self, errors: list[str]):
+        super().__init__("\n".join(errors))
+        self.errors = errors
+
+
+def option(short: str | None = None, default=dataclasses.MISSING, help: str = ""):
+    """Declare a CLI option on a dataclass field."""
+    return field(
+        default=default,
+        metadata={"short": short, "help": help},
+    )
+
+
+@dataclass
+class Config:
+    """Runtime configuration (flags mirror ``Config.zig:10-13``)."""
+
+    font_file: str = option("f", help="path to a .ttf font file")
+    text: Optional[str] = option("t", default=None, help="text to render")
+    cache: bool = option("c", default=False, help="enable the XLA compilation cache")
+    debug: bool = option("d", default=False, help="debug render (triangle classes)")
+    # raster extensions
+    size: int = option("s", default=256, help="font size in pixels")
+    samples: int = option(None, default=1, help="MSAA supersample factor k (k*k samples)")
+    mode: str = option("m", default="fill", help="fill|gray|coverage|sdf|triangulation")
+    output: Optional[str] = option("o", default=None, help="output .qoi path")
+    backend: str = option(None, default="auto", help="auto|pallas|jnp|interpret")
+    interactive: bool = option("i", default=False, help="interactive zoom/pan session")
+
+
+def _fields(cls):
+    out = {}
+    for f in dataclasses.fields(cls):
+        out[f.name] = f
+    return out
+
+
+def parse_args(argv: list[str], cls=Config):
+    """Parse ``argv`` (no program name) into ``cls``.
+
+    Mirrors the reference's behavior: ``--long`` and ``-x`` forms, bool
+    flags take no value, typed values parse with error accumulation,
+    duplicates rejected, missing required options reported at build time
+    (``Config.zig:122-134``).
+    """
+    fields = _fields(cls)
+    by_long = {f.name: f for f in fields.values()}
+    by_short = {
+        f.metadata.get("short"): f
+        for f in fields.values()
+        if f.metadata.get("short")
+    }
+
+    values: dict[str, object] = {}
+    errors: list[str] = []
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        i += 1
+        if arg.startswith("--"):
+            f = by_long.get(arg[2:])
+        elif arg.startswith("-") and len(arg) == 2:
+            f = by_short.get(arg[1])
+        else:
+            errors.append(f"unexpected positional argument {arg!r}")
+            continue
+        if f is None:
+            errors.append(f"unknown option {arg!r}")
+            continue
+        if f.name in values:
+            errors.append(f"duplicate option {arg!r}")
+            continue
+        ftype = f.type
+        is_bool = ftype in (bool, "bool")
+        if is_bool:
+            values[f.name] = True
+            continue
+        if i >= len(argv):
+            errors.append(f"option {arg!r} requires a value")
+            continue
+        raw = argv[i]
+        i += 1
+        try:
+            values[f.name] = _convert(raw, ftype)
+        except ValueError:
+            errors.append(f"invalid value {raw!r} for option {arg!r}")
+
+    # required = fields without defaults
+    for f in fields.values():
+        required = (
+            f.default is dataclasses.MISSING
+            and f.default_factory is dataclasses.MISSING
+        )
+        if required and f.name not in values:
+            errors.append(f"missing required option --{f.name}"
+                          + (f" (-{f.metadata['short']})" if f.metadata.get("short") else ""))
+
+    if errors:
+        raise ConfigError(errors)
+    return cls(**values)
+
+
+def _convert(raw: str, ftype):
+    name = getattr(ftype, "__name__", str(ftype))
+    s = str(ftype)
+    if ftype in (int, "int") or "int" in s and "Optional" not in s:
+        return int(raw)
+    if ftype in (float, "float"):
+        return float(raw)
+    return raw

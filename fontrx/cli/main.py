@@ -1,0 +1,206 @@
+"""fontrx CLI entry point.
+
+The equivalent of the reference's ``src/main.zig``: parse config, open
+the font, lay out the text, render, and either write QOI output or run
+the interactive session.  Modes cover the BASELINE configs:
+
+- ``fill`` / ``gray``: nonzero-winding raster (config 1)
+- ``coverage``: k x k supersampled antialiasing (config 2)
+- ``sdf``: signed-distance output (config 4)
+- ``triangulation``: triangle-mesh fill, ``--debug`` for the colored
+  class visualization (config 3; Ctrl+D analog)
+- ``--interactive``: headless zoom/pan session (config 5)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from fontrx.cli.config import Config, ConfigError, parse_args
+from fontrx.utils.log import get_logger
+
+log = get_logger("Main")
+
+
+def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    try:
+        cfg = parse_args(argv)
+    except ConfigError as e:
+        for err in e.errors:
+            print(f"error: {err}", file=sys.stderr)
+        return 2
+
+    if cfg.cache:
+        from fontrx.engine.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+    from fontrx.engine.raster import RasterEngine
+    from fontrx.font.font import Font
+    from fontrx.io.image import Gray, RGB
+    from fontrx.io.qoi import encode_rgb
+    from fontrx.kernels.grid import RasterGrid
+    from fontrx.pack.segments import glyph_segments
+
+    font = Font.open(cfg.font_file)
+    engine = RasterEngine(backend=cfg.backend)
+    text = cfg.text if cfg.text is not None else "A"
+
+    if cfg.interactive:
+        return _run_interactive(font, text, cfg, engine)
+
+    # single-line render of the text's first glyph per char, written as
+    # one page (or per-glyph for sdf/triangulation modes)
+    out_img = _render(font, text, cfg, engine)
+    if cfg.output:
+        with open(cfg.output, "wb") as f:
+            f.write(encode_rgb(out_img))
+        log.info("wrote %s", cfg.output)
+    else:
+        _print_ascii(out_img)
+    return 0
+
+
+def _render(font, text, cfg, engine) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from fontrx.kernels.grid import RasterGrid
+    from fontrx.pack.segments import glyph_segments
+
+    if cfg.mode in ("fill", "gray"):
+        from fontrx.scene.layout import layout_text
+        from fontrx.scene.page import PageRenderer
+        from fontrx.scene.transform import ViewTransform
+
+        layout = layout_text(font, text)
+        scale_px = cfg.size / font.info.units_per_em
+        width = max(int(layout.width * scale_px) + 2 * cfg.size, cfg.size)
+        height = max(int(layout.height * scale_px) + cfg.size, cfg.size)
+        pr = PageRenderer(font, layout, width, height, engine)
+        view = ViewTransform.init(font.info.units_per_em, width, height)
+        # scale so that one em maps to cfg.size pixels; NDC x spans
+        # width px => em scale = 2*size/(upem*width)
+        s = 2.0 * cfg.size / (font.info.units_per_em * width)
+        view = ViewTransform(
+            (s, s), (-0.9, 0.0), width / height
+        )
+        page = pr.render(view)
+        return np.repeat(page[:, :, None], 3, axis=2)
+
+    if cfg.mode == "coverage":
+        from fontrx.kernels.coverage import coverage_batch, coverage_to_gray
+        from fontrx.scene.layout import layout_text
+
+        layout = layout_text(font, text)
+        # per-glyph tiles at cfg.size, k=samples
+        import jax
+
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
+            for b in np.asarray(layout.batch.boxes)
+        ]
+        cov = coverage_batch(
+            jnp.asarray(layout.batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+            height=cfg.size,
+            width=cfg.size,
+            samples=max(cfg.samples, 2),
+            use_pallas=engine._resolve() == "pallas",
+        )
+        sheet = np.concatenate(list(np.asarray(coverage_to_gray(cov))), axis=1)
+        return np.repeat(sheet[:, :, None], 3, axis=2)
+
+    if cfg.mode == "sdf":
+        from fontrx.kernels.sdf import sdf_batch, sdf_to_u8
+        from fontrx.scene.layout import layout_text
+
+        layout = layout_text(font, text)
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
+            for b in np.asarray(layout.batch.boxes)
+        ]
+        sdf = sdf_batch(
+            jnp.asarray(layout.batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+            height=cfg.size,
+            width=cfg.size,
+        )
+        sheet = np.concatenate(list(np.asarray(sdf_to_u8(sdf))), axis=1)
+        return np.repeat(sheet[:, :, None], 3, axis=2)
+
+    if cfg.mode == "triangulation":
+        from fontrx.geometry import TriangulatedGlyph
+        from fontrx.kernels.loopblinn import debug_render, loopblinn_fill
+
+        ch = text[0]
+        glyph, _ = font.get_glyph(ch)
+        grid = RasterGrid.for_glyph_box(
+            (glyph.box.x_min, glyph.box.y_min, glyph.box.x_max, glyph.box.y_max),
+            cfg.size,
+            font.info.units_per_em,
+        )
+        tg = TriangulatedGlyph.from_glyph(glyph)
+        if cfg.debug:
+            return debug_render(tg, grid)
+        fill = loopblinn_fill(tg, grid)
+        return np.repeat(fill[:, :, None], 3, axis=2)
+
+    raise SystemExit(f"unknown mode {cfg.mode!r}")
+
+
+def _run_interactive(font, text, cfg, engine) -> int:
+    """Headless interactive loop: reads events from stdin, one per line:
+    ``scroll <amt> [cx cy]`` / ``drag <dx> <dy>`` / ``resize <w> <h>`` /
+    ``key <m|d|t>`` / ``frame`` / ``stats`` / ``quit``.  Writes frames
+    to ``--output`` (numbered) when given."""
+    from fontrx.io.qoi import encode_rgb
+    from fontrx.scene.interactive import InteractiveSession
+
+    sess = InteractiveSession(font, text, 1920, 1080, engine)
+    n = 0
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts:
+            continue
+        cmd, *args = parts
+        if cmd == "quit":
+            break
+        elif cmd == "scroll":
+            cur = (float(args[1]), float(args[2])) if len(args) >= 3 else (0.0, 0.0)
+            sess.scroll(float(args[0]), cur)
+        elif cmd == "drag":
+            sess.drag(float(args[0]), float(args[1]))
+        elif cmd == "resize":
+            sess.resize(int(args[0]), int(args[1]))
+        elif cmd == "key":
+            sess.key(args[0])
+        elif cmd == "frame":
+            page = sess.frame()
+            if cfg.output:
+                path = cfg.output.replace(".qoi", f"_{n:04d}.qoi")
+                with open(path, "wb") as f:
+                    f.write(encode_rgb(np.repeat(page[:, :, None], 3, axis=2)))
+            n += 1
+        elif cmd == "stats":
+            print(sess.stats(), flush=True)
+    print(sess.stats(), flush=True)
+    return 0
+
+
+def _print_ascii(img: np.ndarray, max_w: int = 100) -> None:
+    g = img[:, :, 0]
+    step = max(1, g.shape[1] // max_w)
+    for row in g[:: 2 * step]:
+        print("".join("#" if v > 64 else "." for v in row[::step]))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

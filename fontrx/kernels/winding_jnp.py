@@ -87,23 +87,29 @@ def _winding_single(segments, cx, cy):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
-def winding_batch(segments, min_x, max_y, scale, *, height, width):
+def winding_batch(
+    segments, min_x, max_y, scale, *, height, width, sample_offset=(0.0, 0.0)
+):
     """Batched winding maps with per-glyph grid anchors.
 
     - ``segments``: float32 ``[B, S, 3, 2]`` (zero-padded)
     - ``min_x``, ``max_y``: int32 ``[B]`` pixel-space anchors
     - ``scale``: float32 scalar (pixels per font unit)
+    - ``sample_offset``: (ox, oy) sub-pixel sample offsets in pixel
+      units (MSAA); (0, 0) is bit-neutral vs the oracle grid.
     -> int32 ``[B, height, width]``, row 0 at the top.
 
     Sample coords follow ``render_glyph.zig:26-27``: integer add/sub
     first, then a single f32 divide.
     """
     scale = jnp.asarray(scale, jnp.float32)
+    ox = jnp.asarray(sample_offset[0], jnp.float32)
+    oy = jnp.asarray(sample_offset[1], jnp.float32)
 
     def one(seg, mx, my):
-        xs = (mx + jnp.arange(width, dtype=jnp.int32)).astype(jnp.float32) / scale
-        ys = (my - jnp.arange(height, dtype=jnp.int32)).astype(jnp.float32) / scale
-        return _winding_single(seg, xs, ys)
+        xi = (mx + jnp.arange(width, dtype=jnp.int32)).astype(jnp.float32)
+        yi = (my - jnp.arange(height, dtype=jnp.int32)).astype(jnp.float32)
+        return _winding_single(seg, (xi + ox) / scale, (yi + oy) / scale)
 
     return jax.vmap(one)(segments, min_x, max_y)
 

@@ -45,7 +45,7 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _winding_kernel(min_x_ref, max_y_ref, scale_ref, seg_ref, out_ref):
+def _winding_kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
     """One (glyph, tile_y, tile_x) grid instance."""
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -53,16 +53,18 @@ def _winding_kernel(min_x_ref, max_y_ref, scale_ref, seg_ref, out_ref):
     min_x = min_x_ref[b, 0]
     max_y = max_y_ref[b, 0]
     scale = scale_ref[0, 0]
+    ox = off_ref[0, 0]  # sub-pixel sample offsets (MSAA); 0.0 at 1x is
+    oy = off_ref[0, 1]  # bit-neutral (x + 0.0 == x in f32)
 
     s_cap = seg_ref.shape[1]
     n_chunks = s_cap // SEG_CHUNK
 
     # em-space x coords of this tile's columns: (1, TILE_W)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
-    cx = (min_x + j * TILE_W + col).astype(jnp.float32) / scale
+    cx = ((min_x + j * TILE_W + col).astype(jnp.float32) + ox) / scale
 
     def row_body(y, _):
-        cy = (max_y - (i * TILE_H + y)).astype(jnp.float32) / scale
+        cy = ((max_y - (i * TILE_H + y)).astype(jnp.float32) + oy) / scale
 
         def chunk_body(c, acc):
             chunk = seg_ref[0, pl.ds(c * SEG_CHUNK, SEG_CHUNK), :]  # (C, 8)
@@ -132,13 +134,16 @@ def segments_to_soa(segments):
     jax.jit, static_argnames=("height", "width", "interpret")
 )
 def winding_pallas_batch(
-    segments, min_x, max_y, scale, *, height, width, interpret=False
+    segments, min_x, max_y, scale, *, height, width, interpret=False,
+    sample_offset=(0.0, 0.0),
 ):
     """Batched winding maps on TPU.
 
     - ``segments``: float32 ``[B, S, 3, 2]`` (zero-padded); S need not be
       chunk-aligned (realigned here).
     - ``min_x``, ``max_y``: int32 ``[B]``; ``scale``: float32 scalar.
+    - ``sample_offset``: (ox, oy) sub-pixel offsets in pixel units
+      (MSAA sample positions); (0, 0) reproduces the oracle grid.
     -> int32 ``[B, height, width]`` — height/width must be multiples of
     (TILE_H, TILE_W); use ``RasterGrid.padded`` + crop.
     """
@@ -150,6 +155,7 @@ def winding_pallas_batch(
     min_x = min_x.reshape(b, 1).astype(jnp.int32)
     max_y = max_y.reshape(b, 1).astype(jnp.int32)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
+    off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
 
     grid = (b, height // TILE_H, width // TILE_W)
     return pl.pallas_call(
@@ -157,6 +163,7 @@ def winding_pallas_batch(
         grid=grid,
         in_specs=[
             # whole-array SMEM residency; indexed by program_id(0) in-kernel
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -169,7 +176,7 @@ def winding_pallas_batch(
         ),
         out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.int32),
         interpret=interpret,
-    )(min_x, max_y, scale_arr, soa)
+    )(min_x, max_y, scale_arr, off_arr, soa)
 
 
 def winding_pallas_grid(segments, grid, interpret=False):

@@ -1,0 +1,143 @@
+"""Headless interactive session: zoom/pan/toggle events -> re-rendered
+frames.
+
+The TPU-native analog of the reference's GLFW window loop
+(``src/VulkanContext.zig:95-213`` + ``src/CallbackContext.zig``): event
+flags accumulate between frames (scroll accumulator, drag state, toggle
+keys), each ``frame()`` consumes them, updates the view transform, and
+re-rasters the page (BASELINE config 5).  There is no display in this
+environment, so frames return as arrays (and can stream to QOI files);
+the event surface matches the reference's keybinds:
+
+- scroll        -> exponential zoom about the cursor (``Appli.zig:376``)
+- drag          -> pan (``Appli.zig:392``)
+- ``m``         -> toggle MSAA (Ctrl+M, ``VulkanContext.zig:114-130``)
+- ``d``         -> toggle debug render (Ctrl+D)
+- ``t``         -> toggle transparent background (Ctrl+T)
+- resize        -> aspect-ratio update (``Appli.zig:364-369``)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fontrx.engine.raster import RasterEngine
+from fontrx.font.font import Font
+from fontrx.scene.layout import TextLayout, layout_text
+from fontrx.scene.page import PageRenderer
+from fontrx.scene.transform import ViewTransform
+from fontrx.utils.log import get_logger
+from fontrx.utils.timer import PhaseTimer
+
+log = get_logger("Interactive")
+
+
+@dataclass
+class EventState:
+    """Accumulated inter-frame events (``CallbackContext.zig:10-17``)."""
+
+    scroll: float = 0.0
+    cursor: tuple[float, float] = (0.0, 0.0)  # NDC
+    dragging: bool = False
+    drag_delta: tuple[float, float] = (0.0, 0.0)
+    resized: tuple[int, int] | None = None
+    toggle_msaa: bool = False
+    toggle_debug: bool = False
+    toggle_transparent: bool = False
+
+
+@dataclass
+class InteractiveSession:
+    font: Font
+    text: str
+    width: int = 1920
+    height: int = 1080
+    engine: RasterEngine = field(default_factory=RasterEngine)
+    msaa: bool = False
+    debug: bool = False
+    transparent: bool = False
+
+    def __post_init__(self):
+        self.layout: TextLayout = layout_text(self.font, self.text)
+        self.view = ViewTransform.init(
+            self.font.info.units_per_em, self.width, self.height
+        )
+        self.events = EventState()
+        self.renderer = PageRenderer(
+            self.font, self.layout, self.width, self.height, self.engine
+        )
+        self.timer = PhaseTimer()
+        self.frame_count = 0
+        self.frame_ms: list[float] = []
+
+    # -- event feeds (the GLFW-callback surface) --------------------------
+
+    def scroll(self, amount: float, cursor_ndc=(0.0, 0.0)):
+        self.events.scroll += amount
+        self.events.cursor = cursor_ndc
+
+    def drag(self, dx_ndc: float, dy_ndc: float):
+        self.events.dragging = True
+        d = self.events.drag_delta
+        self.events.drag_delta = (d[0] + dx_ndc, d[1] + dy_ndc)
+
+    def resize(self, width: int, height: int):
+        self.events.resized = (width, height)
+
+    def key(self, k: str):
+        if k == "m":
+            self.events.toggle_msaa = True
+        elif k == "d":
+            self.events.toggle_debug = True
+        elif k == "t":
+            self.events.toggle_transparent = True
+
+    # -- frame loop --------------------------------------------------------
+
+    def frame(self) -> np.ndarray:
+        """Consume events, update the view, re-raster; returns the page
+        (uint8 [H, W]).  Mirrors the order of ``renderingFn``
+        (``Appli.zig:148-150``): aspect, zoom, drag."""
+        t0 = time.perf_counter()
+        ev = self.events
+        if ev.resized is not None:
+            self.width, self.height = ev.resized
+            self.view = self.view.with_aspect(self.width, self.height)
+            self.renderer = PageRenderer(
+                self.font, self.layout, self.width, self.height, self.engine
+            )
+            ev.resized = None
+        if ev.toggle_msaa:
+            self.msaa = not self.msaa
+            ev.toggle_msaa = False
+        if ev.toggle_debug:
+            self.debug = not self.debug
+            ev.toggle_debug = False
+        if ev.toggle_transparent:
+            self.transparent = not self.transparent
+            ev.toggle_transparent = False
+        if ev.scroll != 0.0:
+            self.view = self.view.zoomed(ev.scroll, ev.cursor)
+            ev.scroll = 0.0
+        if ev.drag_delta != (0.0, 0.0):
+            self.view = self.view.dragged(*ev.drag_delta)
+            ev.drag_delta = (0.0, 0.0)
+            ev.dragging = False
+
+        page = self.renderer.render(self.view)
+        self.frame_count += 1
+        dt = (time.perf_counter() - t0) * 1e3
+        self.frame_ms.append(dt)
+        return page
+
+    def stats(self) -> dict:
+        ms = self.frame_ms[1:] or self.frame_ms  # drop compile frame
+        return {
+            "frames": self.frame_count,
+            "mean_ms": float(np.mean(ms)) if ms else 0.0,
+            "p99_ms": float(np.percentile(ms, 99)) if ms else 0.0,
+            "fps": 1000.0 / float(np.mean(ms)) if ms else 0.0,
+        }

@@ -1,0 +1,300 @@
+"""Coverage (MSAA), SDF, scene, interactive-session, and CLI tests."""
+
+import numpy as np
+import pytest
+
+
+class TestCoverage:
+    def square(self, size=64.0):
+        corners = [(0, 0), (size, 0), (size, size), (0, size)]
+        segs = np.zeros((1, 8, 3, 2), np.float32)
+        for i in range(4):
+            p0 = np.array(corners[i], np.float32)
+            p2 = np.array(corners[(i + 1) % 4], np.float32)
+            segs[0, i] = [p0, (p0 + p2) / 2, p2]
+        return segs
+
+    def test_k1_equals_winding(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.coverage import coverage_batch
+        from fontrx.kernels.winding_jnp import winding_batch
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import glyph_segments
+
+        g, _ = dejavu.get_glyph("A")
+        seg = glyph_segments(g)[None]
+        grid = RasterGrid.for_glyph_box(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max), 48, 2048
+        )
+        args = (
+            jnp.asarray(seg),
+            jnp.array([grid.min_x], jnp.int32),
+            jnp.array([grid.max_y], jnp.int32),
+            jnp.float32(grid.scale),
+        )
+        cov = np.asarray(
+            coverage_batch(*args, height=grid.height, width=grid.width, samples=1)
+        )
+        w = np.asarray(
+            winding_batch(*args, height=grid.height, width=grid.width)
+        )
+        np.testing.assert_array_equal(cov, (w != 0).astype(np.float32))
+
+    def test_supersampled_square_edges(self):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.coverage import coverage_batch
+
+        segs = self.square(64.0)
+        cov = np.asarray(
+            coverage_batch(
+                jnp.asarray(segs),
+                jnp.array([-8], jnp.int32),
+                jnp.array([71], jnp.int32),
+                jnp.float32(1.0),
+                height=80, width=80, samples=4,
+            )
+        )[0]
+        assert cov[40, 40] == 1.0   # interior fully covered
+        assert cov[0, 0] == 0.0     # exterior uncovered
+        # corner pixel: exactly quarter-covered by the axis-aligned square
+        assert cov[71, 8] == pytest.approx(0.25)
+        # values are k^2-quantized fractions
+        assert np.all((cov * 16) == np.round(cov * 16))
+
+    def test_coverage_monotone_in_k(self, dejavu):
+        """More samples -> coverage converges; mean stays stable."""
+        import jax.numpy as jnp
+
+        from fontrx.kernels.coverage import coverage_batch
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import glyph_segments
+
+        g, _ = dejavu.get_glyph("o")
+        seg = glyph_segments(g)[None]
+        grid = RasterGrid.for_glyph_box(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max), 32, 2048
+        )
+        args = (
+            jnp.asarray(seg),
+            jnp.array([grid.min_x], jnp.int32),
+            jnp.array([grid.max_y], jnp.int32),
+            jnp.float32(grid.scale),
+        )
+        means = [
+            float(
+                np.asarray(
+                    coverage_batch(
+                        *args, height=grid.height, width=grid.width, samples=k
+                    )
+                ).mean()
+            )
+            for k in (2, 4)
+        ]
+        assert abs(means[0] - means[1]) < 0.01
+
+
+class TestSDF:
+    def test_square_distances(self):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.sdf import sdf_batch
+
+        corners = [(0, 0), (64, 0), (64, 64), (0, 64)]
+        segs = np.zeros((1, 8, 3, 2), np.float32)
+        for i in range(4):
+            p0 = np.array(corners[i], np.float32)
+            p2 = np.array(corners[(i + 1) % 4], np.float32)
+            segs[0, i] = [p0, (p0 + p2) / 2, p2]
+        sdf = np.asarray(
+            sdf_batch(
+                jnp.asarray(segs),
+                jnp.array([-8], jnp.int32),
+                jnp.array([71], jnp.int32),
+                jnp.float32(1.0),
+                height=80, width=80,
+            )
+        )[0]
+        assert sdf[40, 40] == pytest.approx(31.0, abs=1e-3)   # inside
+        assert sdf[0, 0] == pytest.approx(-np.hypot(8, 7), abs=1e-3)  # outside
+        assert abs(sdf[71, 8]) < 1e-3                          # on edge
+
+    def test_sdf_quantization(self):
+        from fontrx.kernels.sdf import sdf_to_u8
+        import jax.numpy as jnp
+
+        sdf = jnp.array([[-100.0, -8.0, 0.0, 8.0, 100.0]])
+        u8 = np.asarray(sdf_to_u8(sdf, spread=8.0))
+        assert list(u8[0]) == [0, 1, 128, 255, 255]
+
+    def test_glyph_sdf_sign_matches_fill(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.kernels.sdf import sdf_batch
+        from fontrx.kernels import oracle
+        from fontrx.pack.segments import glyph_segments
+
+        g, _ = dejavu.get_glyph("H")
+        seg = glyph_segments(g)
+        grid = RasterGrid.for_glyph_box(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max), 32, 2048
+        )
+        sdf = np.asarray(
+            sdf_batch(
+                jnp.asarray(seg)[None],
+                jnp.array([grid.min_x], jnp.int32),
+                jnp.array([grid.max_y], jnp.int32),
+                jnp.float32(grid.scale),
+                height=grid.height, width=grid.width,
+            )
+        )[0]
+        fill = oracle.winding_map(seg, grid) != 0
+        # on-outline pixels have distance exactly 0; the inside/outside
+        # sign survives in the float sign bit (+0.0 vs -0.0)
+        np.testing.assert_array_equal(~np.signbit(sdf), fill)
+
+
+class TestViewTransform:
+    def test_apply_invert_roundtrip(self):
+        from fontrx.scene.transform import ViewTransform
+
+        v = ViewTransform.init(2048, 800, 600)
+        x, y = v.apply(1000.0, 500.0)
+        bx, by = v.invert(x, y)
+        assert bx == pytest.approx(1000.0, rel=1e-5)
+        assert by == pytest.approx(500.0, rel=1e-5)
+
+    def test_zoom_preserves_cursor_point(self):
+        from fontrx.scene.transform import ViewTransform
+
+        v = ViewTransform.init(2048, 800, 600)
+        cursor = (0.3, -0.2)
+        em = v.invert(*cursor)
+        v2 = v.zoomed(3.0, cursor)
+        em2 = v2.invert(*cursor)
+        assert em[0] == pytest.approx(em2[0], rel=1e-4)
+        assert em[1] == pytest.approx(em2[1], rel=1e-4)
+
+    def test_zoom_factor(self):
+        from fontrx.scene.transform import ViewTransform, ZOOM_FACTOR
+
+        v = ViewTransform.init(2048, 800, 600)
+        v2 = v.zoomed(1.0, (0.0, 0.0))
+        assert v2.scale[0] == pytest.approx(v.scale[0] * ZOOM_FACTOR)
+
+    def test_drag_moves_offset(self):
+        from fontrx.scene.transform import ViewTransform
+
+        v = ViewTransform.init(2048, 800, 600)
+        v2 = v.dragged(0.1, 0.2)
+        assert v2.offset[0] == pytest.approx(v.offset[0] + 0.1)
+        # y drag divides by aspect (Appli.zig:399)
+        assert v2.offset[1] == pytest.approx(v.offset[1] + 0.2 / v.aspect_ratio)
+
+
+class TestLayout:
+    def test_dedup_and_advance(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(dejavu, "AAB")
+        assert len(lt.batch) == 2           # A and B dedup
+        assert len(lt.instances) == 3
+        aw_a = int(dejavu.advance_widths[dejavu.glyph_index("A")])
+        assert lt.instances[1].x == aw_a
+        assert lt.instances[2].x == 2 * aw_a
+
+    def test_newline(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(dejavu, "A\nB")
+        assert lt.instances[1].x == 0
+        assert lt.instances[1].y < 0
+
+
+class TestInteractive:
+    def test_session_frames_and_events(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            dejavu, "Hi", 256, 192, RasterEngine(backend="jnp")
+        )
+        f0 = sess.frame()
+        assert f0.shape == (192, 256)
+        assert f0.any()
+        sess.scroll(2.0, (0.0, 0.0))
+        f1 = sess.frame()
+        assert not np.array_equal(f0, f1)   # zoom changed the page
+        sess.drag(0.5, 0.0)
+        f2 = sess.frame()
+        assert not np.array_equal(f1, f2)
+        sess.key("m")
+        sess.frame()
+        assert sess.msaa
+        stats = sess.stats()
+        assert stats["frames"] == 4
+        assert stats["mean_ms"] > 0
+
+
+class TestCLI:
+    FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+    def test_missing_required(self, capsys):
+        from fontrx.cli.main import main
+
+        assert main([]) == 2
+        err = capsys.readouterr().err
+        assert "font_file" in err
+
+    def test_error_accumulation(self, capsys):
+        from fontrx.cli.main import main
+
+        assert main(["--nope", "-t"]) == 2
+        err = capsys.readouterr().err
+        assert "unknown option" in err and "requires a value" in err
+
+    def test_duplicate_flag(self):
+        from fontrx.cli.config import ConfigError, parse_args
+
+        with pytest.raises(ConfigError, match="duplicate"):
+            parse_args(["-f", "x", "-f", "y"])
+
+    def test_triangulation_mode(self, capsys, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "b.qoi"
+        rc = main(["-f", self.FONT, "-t", "B", "-m", "triangulation",
+                   "-s", "32", "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        assert img.any()
+
+    def test_sdf_mode(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "s.qoi"
+        rc = main(["-f", self.FONT, "-t", "A", "-m", "sdf", "-s", "32",
+                   "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        assert img.shape == (32, 32, 3)
+
+
+class TestCompilationCache:
+    def test_enable_and_stats(self, tmp_path):
+        from fontrx.engine.cache import cache_stats, enable_compilation_cache
+
+        d = enable_compilation_cache(str(tmp_path / "xla"))
+        stats = cache_stats(str(tmp_path / "xla"))
+        assert stats["dir"] == d
+        # render something tiny to produce a cache entry
+        import jax
+        import jax.numpy as jnp
+
+        jax.jit(lambda x: x * 2 + 1)(jnp.ones((8, 8))).block_until_ready()
+        stats = cache_stats(str(tmp_path / "xla"))
+        assert stats["entries"] >= 1
