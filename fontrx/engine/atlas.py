@@ -40,15 +40,73 @@ class AtlasLayout:
 
 
 def pack_charset(
-    font: Font, chars: str | list[int], pad_batch_to: int | None = None
+    font: Font,
+    chars: str | list[int],
+    pad_batch_to: int | None = None,
+    use_native: bool = True,
 ) -> PackedBatch:
     """Load + pack a character set from a font (vectorized char->glyph
-    resolution, lazy glyph loads)."""
+    resolution).
+
+    Fast path: the native C++ data-loader decodes+packs all simple
+    glyphs in one call (``fontrx/native/src/ttf_pack.cc``); compound or
+    flagged glyphs fall back to the Python pipeline row by row.
+    """
     codes = [ord(c) for c in chars] if isinstance(chars, str) else list(chars)
     idx = font.charmap.glyph_indices(np.array(codes, np.int64))
+    widths = np.asarray(font.advance_widths)[idx].astype(np.int32)
+
+    if use_native:
+        batch = _pack_charset_native(font, idx, widths, pad_batch_to)
+        if batch is not None:
+            return batch
+
     glyphs = [font.load_glyph(int(i)) for i in idx]
-    widths = [int(font.advance_widths[int(i)]) for i in idx]
-    return pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
+    return pack_glyphs(glyphs, widths.tolist(), pad_batch_to=pad_batch_to)
+
+
+_NATIVE_SCRATCH_CAPACITY = 1024
+
+
+def _pack_charset_native(font, idx, widths, pad_batch_to):
+    from fontrx import native
+    from fontrx.pack.segments import SEG_ALIGN, glyph_segments
+
+    res = native.pack_glyphs_native(
+        font._reader.data,
+        font._loca,
+        font.tables[b"glyf"].offset,
+        idx.astype(np.int32),
+        _NATIVE_SCRATCH_CAPACITY,
+    )
+    if res is None:
+        return None
+    segments, counts, boxes, flags = res
+    # fill non-simple rows (compound glyphs etc.) via the Python path
+    for i in np.nonzero(flags != 0)[0]:
+        g = font.load_glyph(int(idx[i]))
+        seg = glyph_segments(g)
+        if len(seg) > _NATIVE_SCRATCH_CAPACITY:
+            return None  # pathological; let the pure path size it
+        segments[i] = 0
+        segments[i, : len(seg)] = seg
+        counts[i] = len(seg)
+        boxes[i] = (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max)
+
+    b = len(idx)
+    if pad_batch_to is not None:
+        b = max(b, pad_batch_to)
+    cap = max(int(counts.max()) if len(counts) else 0, 1)
+    cap = ((cap + SEG_ALIGN - 1) // SEG_ALIGN) * SEG_ALIGN
+    final = np.zeros((b, cap, 3, 2), np.float32)
+    final[: len(idx), :, :, :] = segments[:, :cap]
+    out_counts = np.zeros(b, np.int32)
+    out_counts[: len(idx)] = counts
+    out_boxes = np.zeros((b, 4), np.int32)
+    out_boxes[: len(idx)] = boxes
+    out_widths = np.zeros(b, np.int32)
+    out_widths[: len(idx)] = widths
+    return PackedBatch(final, out_counts, out_boxes, out_widths)
 
 
 def render_atlas(

@@ -25,6 +25,10 @@ from fontrx.kernels.winding_pallas import (
     TILE_W,
     winding_pallas_batch,
 )
+from fontrx.kernels.winding_pallas_v2 import (
+    STRIP_ROWS,
+    winding_pallas_v2_batch,
+)
 from fontrx.pack.segments import PackedBatch
 from fontrx.utils.log import get_logger
 
@@ -75,7 +79,15 @@ class RasterEngine:
         min_x = jnp.asarray(min_x, jnp.int32)
         max_y = jnp.asarray(max_y, jnp.int32)
         if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
-            out = winding_pallas_batch(
+            # v2 (row-strip carry sweep, 4.7x faster) needs 128-row
+            # strips; pick it unless the extra padding outweighs its
+            # per-pixel advantage on small tiles
+            ph2 = _round_up(height, STRIP_ROWS)
+            use_v2 = ph2 * pw <= 2 * ph * pw
+            kernel = winding_pallas_v2_batch if use_v2 else winding_pallas_batch
+            if use_v2:
+                ph = ph2
+            out = kernel(
                 segments,
                 min_x,
                 max_y,

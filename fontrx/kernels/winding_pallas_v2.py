@@ -1,0 +1,230 @@
+"""Pallas TPU winding kernel, v2 — row-strip carry-sweep formulation.
+
+Replaces the v1 per-row scalar-ish root solve (which wasted 127/128 VPU
+lanes on ``(C, 1)`` columns) with a structure where every op runs on
+full ``(8, 128)`` register tiles:
+
+- **Grid** = (glyph, row-strip): each instance owns a strip of
+  ``STRIP_ROWS = 128`` pixel rows x the full width, so the quadratic
+  root solve per (segment-chunk, row) — the expensive math — is
+  computed ONCE per strip on ``(C, R)`` tiles with rows on lanes.
+- **Crossing factorization**: a winding crossing at em-x ``xx`` adds
+  its sign to every pixel left of it.  Column tiles sweep right-to-left
+  carrying a per-row base: crossings right of the tile fold into the
+  carry with one ``(C, R)`` compare; only crossings *landing inside*
+  the tile do per-pixel ``(R, TILE_W)`` compares — and that whole block
+  is skipped (``@pl.when``) for (chunk, tile) pairs with no in-tile
+  crossing.  The tile classification is exact: it compares against the
+  same float cx values the per-pixel test uses, so results are
+  bit-identical to the unfactored kernel.
+- **Y-culling**: a segment chunk whose control-hull y-range misses the
+  strip (with a +-1 font-unit guard band for float slack) skips
+  entirely — the big win for high-segment-count (CJK) glyphs.
+
+Float semantics per crossing match ``oracle.winding_at`` exactly (same
+op order).  Interface-compatible with ``winding_pallas_batch``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fontrx.kernels.winding_pallas import segments_to_soa
+
+STRIP_ROWS = 128
+TILE_W = 128
+SEG_CHUNK = 8
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _winding_v2_kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    min_x = min_x_ref[b, 0]
+    max_y = max_y_ref[b, 0]
+    scale = scale_ref[0, 0]
+    ox = off_ref[0, 0]
+    oy = off_ref[0, 1]
+
+    width = out_ref.shape[2]
+    n_tiles = width // TILE_W
+    s_cap = seg_ref.shape[1]
+    n_chunks = s_cap // SEG_CHUNK
+
+    # per-row em y: (1, R), rows on lanes, descending
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
+    cy = ((max_y - (i * STRIP_ROWS + row)).astype(jnp.float32) + oy) / scale
+    cy_hi = cy[0, 0]                   # strip's largest em y
+    cy_lo = cy[0, STRIP_ROWS - 1]
+
+    # per-tile em x row vectors and their left-edge values; tiles are
+    # indexed left-to-right, plus the one-past-the-end left edge
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+    cx_tiles = []
+    for t in range(n_tiles):
+        cx_tiles.append(
+            ((min_x + t * TILE_W + col).astype(jnp.float32) + ox) / scale
+        )
+    cx_end = ((min_x + width).astype(jnp.float32) + ox) / scale
+    tile_lo = [cxt[0, 0] for cxt in cx_tiles] + [cx_end]
+
+    out_ref[0] = jnp.zeros((STRIP_ROWS, width), jnp.int32)
+
+    def chunk_body(c, _):
+        chunk = seg_ref[0, pl.ds(c * SEG_CHUNK, SEG_CHUNK), :]  # (C, 8)
+        p0x = chunk[:, 0:1]
+        p0y = chunk[:, 1:2]
+        p1x = chunk[:, 2:3]
+        p1y = chunk[:, 3:4]
+        p2x = chunk[:, 4:5]
+        p2y = chunk[:, 5:6]
+
+        hull_min = jnp.min(jnp.minimum(jnp.minimum(p0y, p1y), p2y))
+        hull_max = jnp.max(jnp.maximum(jnp.maximum(p0y, p1y), p2y))
+
+        @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi))
+        def _():
+            a = p0y - 2 * p1y + p2y      # (C, 1)
+            ax = p0x - 2 * p1x + p2x
+            bx = 2 * (p1x - p0x)
+            lin = a == 0
+            denom = p2y - p0y
+            py01 = p0y - p1y
+
+            # phase A on (C, R): roots + crossings for the whole strip
+            delta = cy * a + p1y * p1y - p0y * p2y       # (C, R)
+            has = jnp.logical_not(lin) & (delta >= 0)
+            sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+
+            t_lin = (cy - p0y) / denom
+            t_pos = (py01 + sq) / a
+            t_neg = (py01 - sq) / a
+
+            # slot 0: linear crossing or +root; slot 1: -root
+            t0 = jnp.where(lin, t_lin, t_pos)
+            # (boolean select via logic ops — Mosaic cannot truncate
+            # i8 selects to i1)
+            v0_base = (lin & (denom != 0)) | (jnp.logical_not(lin) & has)
+            v0 = v0_base & (t0 >= 0) & (t0 < 1)
+            t1 = t_neg
+            v1 = has & (t1 >= 0) & (t1 < 1)
+
+            xx0 = (ax * t0 + bx) * t0 + p0x
+            xx1 = (ax * t1 + bx) * t1 + p0x
+            dy0 = a * t0 + (p1y - p0y)
+            sgn_lin = jnp.where(p0y < p2y, -1, 1)
+            s0 = jnp.where(
+                v0,
+                jnp.where(lin, sgn_lin, jnp.where(dy0 > 0, -1, 1)),
+                0,
+            ).astype(jnp.int32)
+            dy1 = a * t1 + (p1y - p0y)
+            s1 = jnp.where(v1, jnp.where(dy1 > 0, -1, 1), 0).astype(jnp.int32)
+            # neutralize xx of dead crossings so tile classification
+            # never selects them (NaNs compare false anyway; this makes
+            # the "in tile" scalar any() cheap and well-defined)
+            neg_inf = jnp.float32(-jnp.inf)
+            xx0m = jnp.where(s0 != 0, xx0, neg_inf)
+            xx1m = jnp.where(s1 != 0, xx1, neg_inf)
+
+            # right-to-left carry sweep
+            carry = jnp.zeros((1, STRIP_ROWS), jnp.int32)
+            # crossings at/right of the page's right edge
+            carry = carry + jnp.sum(
+                jnp.where(xx0m >= cx_end, s0, 0), axis=0, keepdims=True
+            )
+            carry = carry + jnp.sum(
+                jnp.where(xx1m >= cx_end, s1, 0), axis=0, keepdims=True
+            )
+
+            for t in range(n_tiles - 1, -1, -1):
+                lo = tile_lo[t]
+                hi = tile_lo[t + 1]
+                in0 = (xx0m >= lo) & (xx0m < hi)
+                in1 = (xx1m >= lo) & (xx1m < hi)
+
+                # carry broadcast: (1, R) -> rows of the (R, TILE_W) tile
+                carry_col = carry.T  # (R, 1)
+                base = jnp.broadcast_to(carry_col, (STRIP_ROWS, TILE_W))
+                sl = out_ref[0, :, pl.ds(t * TILE_W, TILE_W)]
+
+                @pl.when(jnp.any(in0 | in1))
+                def _():
+                    sd0 = jnp.where(in0, s0, 0)
+                    sd1 = jnp.where(in1, s1, 0)
+                    xxT0 = xx0m.T          # (R, C)
+                    xxT1 = xx1m.T
+                    sT0 = sd0.T
+                    sT1 = sd1.T
+                    cxt = cx_tiles[t]      # (1, TILE_W)
+                    detail = jnp.zeros((STRIP_ROWS, TILE_W), jnp.int32)
+                    for s in range(SEG_CHUNK):
+                        detail = detail + jnp.where(
+                            xxT0[:, s : s + 1] >= cxt, sT0[:, s : s + 1], 0
+                        )
+                        detail = detail + jnp.where(
+                            xxT1[:, s : s + 1] >= cxt, sT1[:, s : s + 1], 0
+                        )
+                    out_ref[0, :, pl.ds(t * TILE_W, TILE_W)] = sl + base + detail
+
+                @pl.when(jnp.logical_not(jnp.any(in0 | in1)))
+                def _():
+                    out_ref[0, :, pl.ds(t * TILE_W, TILE_W)] = sl + base
+
+                carry = carry + jnp.sum(
+                    jnp.where(in0, s0, 0), axis=0, keepdims=True
+                )
+                carry = carry + jnp.sum(
+                    jnp.where(in1, s1, 0), axis=0, keepdims=True
+                )
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+def winding_pallas_v2_batch(
+    segments, min_x, max_y, scale, *, height, width, interpret=False,
+    sample_offset=(0.0, 0.0),
+):
+    """Batched winding maps, v2 kernel.  height must be a multiple of
+    ``STRIP_ROWS`` (128) and width of ``TILE_W`` (128)."""
+    b = segments.shape[0]
+    assert height % STRIP_ROWS == 0 and width % TILE_W == 0, (height, width)
+    soa = segments_to_soa(segments)
+    s8 = soa.shape[1]
+
+    min_x = min_x.reshape(b, 1).astype(jnp.int32)
+    max_y = max_y.reshape(b, 1).astype(jnp.int32)
+    scale_arr = jnp.full((1, 1), scale, jnp.float32)
+    off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
+
+    grid = (b, height // STRIP_ROWS)
+    return pl.pallas_call(
+        _winding_v2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, s8, 8), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, STRIP_ROWS, width), lambda b_, i: (b_, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.int32),
+        interpret=interpret,
+    )(min_x, max_y, scale_arr, off_arr, soa)
