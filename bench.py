@@ -39,10 +39,15 @@ def main() -> None:
     import jax.numpy as jnp
 
     from fontrx.engine.atlas import pack_charset
+    from fontrx.engine.cache import enable_compilation_cache
     from fontrx.engine.raster import RasterEngine
     from fontrx.font.font import Font
     from fontrx.kernels import oracle
     from fontrx.kernels.grid import RasterGrid
+
+    # persistent compile cache: repeat bench runs (and driver runs in
+    # the same container) skip the slow remote TPU compile entirely
+    enable_compilation_cache()
 
     font = Font.open(FONT)
     batch = pack_charset(font, ASCII)
@@ -57,14 +62,15 @@ def main() -> None:
 
     engine = RasterEngine()
 
+    # device residency up front (BASELINE measurement plan: transfer is
+    # only charged for interactive configs)
+    d_segments = jnp.asarray(batch.segments)
+    d_min_x = jnp.asarray(min_x)
+    d_max_y = jnp.asarray(max_y)
+
     def step():
         out = engine.winding_batch(
-            jnp.asarray(batch.segments),
-            jnp.asarray(min_x),
-            jnp.asarray(max_y),
-            scale,
-            height=TILE,
-            width=TILE,
+            d_segments, d_min_x, d_max_y, scale, height=TILE, width=TILE
         )
         out.block_until_ready()
         return out

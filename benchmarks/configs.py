@@ -1,0 +1,220 @@
+"""The five BASELINE benchmark configs (see harness.py).
+
+Run all: ``python -m benchmarks.configs``
+Run one: ``python -m benchmarks.configs 3``
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from benchmarks.harness import DEJAVU, emit, setup_cache, timeit
+
+
+def config1_single_glyph():
+    """Single glyph 'A' 256x256 nonzero-winding fill -> QOI, with
+    CPU-oracle parity check."""
+    import jax.numpy as jnp
+
+    from fontrx.engine.raster import RasterEngine
+    from fontrx.font.font import Font
+    from fontrx.io.qoi import encode_rgb
+    from fontrx.kernels import oracle
+    from fontrx.kernels.grid import RasterGrid
+    from fontrx.pack.segments import glyph_segments
+
+    font = Font.open(DEJAVU)
+    g, _ = font.get_glyph("A")
+    segs = glyph_segments(g)
+    grid = RasterGrid.for_glyph_box(
+        (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
+        256, font.info.units_per_em,
+    )
+    eng = RasterEngine()
+
+    def step():
+        w = eng.winding_glyph(segs, grid)
+        w.block_until_ready()
+        return w
+
+    w = np.asarray(step())
+    wo = oracle.winding_map(segs, grid)
+    mism = int((w != wo).sum())
+    qoi = encode_rgb(np.repeat(
+        np.where(w != 0, 255, 0).astype(np.uint8)[:, :, None], 3, axis=2))
+    dt = timeit(step)
+    emit("1-single-glyph", "ms per 256px glyph raster", dt * 1e3, "ms",
+         mismatched_pixels=mism, total_pixels=int(wo.size), qoi_bytes=len(qoi))
+
+
+def config2_hello_world_msaa():
+    """'Hello, World!' 64px glyphs with 4x (2x2) supersampled coverage."""
+    import jax
+    import jax.numpy as jnp
+
+    from fontrx.font.font import Font
+    from fontrx.kernels.coverage import coverage_batch
+    from fontrx.kernels.grid import RasterGrid
+    from fontrx.scene.layout import layout_text
+
+    font = Font.open(DEJAVU)
+    layout = layout_text(font, "Hello, World!")
+    grids = [
+        RasterGrid.fixed_tile(tuple(b), 64, font.info.units_per_em, 64)
+        for b in np.asarray(layout.batch.boxes)
+    ]
+    args = (
+        jnp.asarray(layout.batch.segments),
+        jnp.array([g.min_x for g in grids], jnp.int32),
+        jnp.array([g.max_y for g in grids], jnp.int32),
+        jnp.float32(grids[0].scale),
+    )
+    use_pallas = jax.default_backend() == "tpu"
+
+    def step():
+        c = coverage_batch(*args, height=64, width=64, samples=2,
+                           use_pallas=use_pallas)
+        c.block_until_ready()
+        return c
+
+    dt = timeit(step)
+    n = len(layout.batch)
+    emit("2-hello-msaa", "glyphs/s 64px 4xMSAA coverage", n / dt, "glyphs/s",
+         ms_per_line=round(dt * 1e3, 3), unique_glyphs=n,
+         instances=len(layout.instances))
+
+
+def config3_ascii_atlas():
+    """Full printable-ASCII atlas @128px, triangulation-equivalent fill."""
+    import jax.numpy as jnp
+
+    from fontrx.font.font import Font
+    from fontrx.geometry import TriangulatedGlyph
+    from fontrx.kernels.grid import RasterGrid
+    from fontrx.kernels.loopblinn import (
+        _pack_triangle_arrays,
+        loopblinn_batch,
+        pad_triangles,
+    )
+
+    font = Font.open(DEJAVU)
+    chars = [chr(c) for c in range(33, 127)]
+    tgs = [TriangulatedGlyph.from_glyph(font.get_glyph(c)[0]) for c in chars]
+    cap = max(len(t.triangles) for t in tgs)
+    tris = np.zeros((len(tgs), cap, 3, 4), np.float32)
+    cls = np.full((len(tgs), cap), 3, np.int32)
+    boxes = []
+    for i, (c, tg) in enumerate(zip(chars, tgs)):
+        packed, pc = pad_triangles(_pack_triangle_arrays(tg), tg.classes, cap)
+        tris[i] = packed
+        cls[i] = pc
+        g, _ = font.get_glyph(c)
+        boxes.append((g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max))
+    grids = [
+        RasterGrid.fixed_tile(b, 128, font.info.units_per_em, 128)
+        for b in boxes
+    ]
+    args = (
+        jnp.asarray(tris), jnp.asarray(cls),
+        jnp.array([g.min_x for g in grids], jnp.int32),
+        jnp.array([g.max_y for g in grids], jnp.int32),
+        jnp.float32(grids[0].scale),
+    )
+
+    def step():
+        out = loopblinn_batch(*args, height=128, width=128)
+        out.block_until_ready()
+        return out
+
+    dt = timeit(step)
+    emit("3-ascii-triangulation", "glyphs/s 128px triangle fill",
+         len(tgs) / dt, "glyphs/s", ms_per_atlas=round(dt * 1e3, 3))
+
+
+def config4_sdf_atlas(n_glyphs: int = 1000, size: int = 32):
+    """SDF atlas for 1000 glyphs (CJK-scale batch; DejaVu has no CJK so
+    the first 1000 non-empty glyph indices stand in — same shapes/work)."""
+    import jax.numpy as jnp
+
+    from fontrx.font.font import Font
+    from fontrx.kernels.grid import RasterGrid
+    from fontrx.kernels.sdf import sdf_batch, sdf_to_u8
+    from fontrx.pack.segments import pack_glyphs
+
+    font = Font.open(DEJAVU)
+    glyphs = []
+    idx = 1
+    while len(glyphs) < n_glyphs and idx < font.num_glyphs:
+        g = font.load_glyph(idx)
+        if g.num_segments:
+            glyphs.append(g)
+        idx += 1
+    batch = pack_glyphs(glyphs)
+    grids = [
+        RasterGrid.fixed_tile(tuple(b), size, font.info.units_per_em, size)
+        for b in np.asarray(batch.boxes)
+    ]
+    args = (
+        jnp.asarray(batch.segments),
+        jnp.array([g.min_x for g in grids], jnp.int32),
+        jnp.array([g.max_y for g in grids], jnp.int32),
+        jnp.float32(grids[0].scale),
+    )
+
+    def step():
+        s = sdf_to_u8(sdf_batch(*args, height=size, width=size))
+        s.block_until_ready()
+        return s
+
+    dt = timeit(step, n=3)
+    emit("4-sdf-atlas", f"glyphs/s {size}px SDF", len(glyphs) / dt,
+         "glyphs/s", ms_per_atlas=round(dt * 1e3, 2),
+         batch=len(glyphs), seg_capacity=batch.capacity)
+
+
+def config5_interactive_page():
+    """Interactive 1920x1080 text page: per-frame zoom/pan re-raster."""
+    from fontrx.engine.raster import RasterEngine
+    from fontrx.font.font import Font
+    from fontrx.scene.interactive import InteractiveSession
+
+    font = Font.open(DEJAVU)
+    text = "\n".join(
+        "The quick brown fox jumps over the lazy dog 0123456789"
+        for _ in range(20)
+    )
+    sess = InteractiveSession(font, text, 1920, 1080, RasterEngine())
+    sess.frame()  # compile + first raster
+    # alternating zoom/pan event stream, 30 frames
+    for i in range(30):
+        if i % 3 == 0:
+            sess.scroll(0.5 if i % 2 else -0.5, (0.1, 0.1))
+        else:
+            sess.drag(0.01, 0.005)
+        sess.frame()
+    stats = sess.stats()
+    emit("5-interactive-1080p", "ms/frame 1080p zoom-pan",
+         stats["mean_ms"], "ms", fps=round(stats["fps"], 1),
+         p99_ms=round(stats["p99_ms"], 2), frames=stats["frames"])
+
+
+ALL = {
+    "1": config1_single_glyph,
+    "2": config2_hello_world_msaa,
+    "3": config3_ascii_atlas,
+    "4": config4_sdf_atlas,
+    "5": config5_interactive_page,
+}
+
+
+def main(argv):
+    setup_cache()
+    which = argv[1:] or list(ALL)
+    for k in which:
+        ALL[k]()
+
+
+if __name__ == "__main__":
+    main(sys.argv)
