@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fontrx.kernels.exactmath import div_cr, sqrt_cr
 from fontrx.kernels.winding_pallas import segments_to_soa
 
 STRIP_ROWS = 128
@@ -45,159 +46,176 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _winding_v2_kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    min_x = min_x_ref[b, 0]
-    max_y = max_y_ref[b, 0]
-    scale = scale_ref[0, 0]
-    ox = off_ref[0, 0]
-    oy = off_ref[0, 1]
+def _make_v2_kernel(exact: bool):
+    """Kernel factory: ``exact=True`` swaps every division/sqrt in the
+    per-row phase for the correctly-rounded emulations
+    (``fontrx.kernels.exactmath``), closing the TPU tie-pixel gap with
+    the IEEE-correct CPU oracle at ~2x phase-A cost."""
+    fdiv = div_cr if exact else (lambda a, b: a / b)
+    fsqrt = sqrt_cr if exact else jnp.sqrt
 
-    width = out_ref.shape[2]
-    n_tiles = width // TILE_W
-    s_cap = seg_ref.shape[1]
-    n_chunks = s_cap // SEG_CHUNK
+    def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        min_x = min_x_ref[b, 0]
+        max_y = max_y_ref[b, 0]
+        scale = scale_ref[0, 0]
+        ox = off_ref[0, 0]
+        oy = off_ref[0, 1]
 
-    # per-row em y: (1, R), rows on lanes, descending
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
-    cy = ((max_y - (i * STRIP_ROWS + row)).astype(jnp.float32) + oy) / scale
-    cy_hi = cy[0, 0]                   # strip's largest em y
-    cy_lo = cy[0, STRIP_ROWS - 1]
+        width = out_ref.shape[2]
+        n_tiles = width // TILE_W
+        s_cap = seg_ref.shape[1]
+        n_chunks = s_cap // SEG_CHUNK
 
-    # per-tile em x row vectors and their left-edge values; tiles are
-    # indexed left-to-right, plus the one-past-the-end left edge
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
-    cx_tiles = []
-    for t in range(n_tiles):
-        cx_tiles.append(
-            ((min_x + t * TILE_W + col).astype(jnp.float32) + ox) / scale
-        )
-    cx_end = ((min_x + width).astype(jnp.float32) + ox) / scale
-    tile_lo = [cxt[0, 0] for cxt in cx_tiles] + [cx_end]
+        # per-row em y: (1, R), rows on lanes, descending
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
+        cy = fdiv((max_y - (i * STRIP_ROWS + row)).astype(jnp.float32) + oy, scale)
+        cy_hi = cy[0, 0]                   # strip's largest em y
+        cy_lo = cy[0, STRIP_ROWS - 1]
 
-    out_ref[0] = jnp.zeros((STRIP_ROWS, width), jnp.int32)
-
-    def chunk_body(c, _):
-        chunk = seg_ref[0, pl.ds(c * SEG_CHUNK, SEG_CHUNK), :]  # (C, 8)
-        p0x = chunk[:, 0:1]
-        p0y = chunk[:, 1:2]
-        p1x = chunk[:, 2:3]
-        p1y = chunk[:, 3:4]
-        p2x = chunk[:, 4:5]
-        p2y = chunk[:, 5:6]
-
-        hull_min = jnp.min(jnp.minimum(jnp.minimum(p0y, p1y), p2y))
-        hull_max = jnp.max(jnp.maximum(jnp.maximum(p0y, p1y), p2y))
-
-        @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi))
-        def _():
-            a = p0y - 2 * p1y + p2y      # (C, 1)
-            ax = p0x - 2 * p1x + p2x
-            bx = 2 * (p1x - p0x)
-            lin = a == 0
-            denom = p2y - p0y
-            py01 = p0y - p1y
-
-            # phase A on (C, R): roots + crossings for the whole strip
-            delta = cy * a + p1y * p1y - p0y * p2y       # (C, R)
-            has = jnp.logical_not(lin) & (delta >= 0)
-            sq = jnp.sqrt(jnp.maximum(delta, 0.0))
-
-            t_lin = (cy - p0y) / denom
-            t_pos = (py01 + sq) / a
-            t_neg = (py01 - sq) / a
-
-            # slot 0: linear crossing or +root; slot 1: -root
-            t0 = jnp.where(lin, t_lin, t_pos)
-            # (boolean select via logic ops — Mosaic cannot truncate
-            # i8 selects to i1)
-            v0_base = (lin & (denom != 0)) | (jnp.logical_not(lin) & has)
-            v0 = v0_base & (t0 >= 0) & (t0 < 1)
-            t1 = t_neg
-            v1 = has & (t1 >= 0) & (t1 < 1)
-
-            xx0 = (ax * t0 + bx) * t0 + p0x
-            xx1 = (ax * t1 + bx) * t1 + p0x
-            dy0 = a * t0 + (p1y - p0y)
-            sgn_lin = jnp.where(p0y < p2y, -1, 1)
-            s0 = jnp.where(
-                v0,
-                jnp.where(lin, sgn_lin, jnp.where(dy0 > 0, -1, 1)),
-                0,
-            ).astype(jnp.int32)
-            dy1 = a * t1 + (p1y - p0y)
-            s1 = jnp.where(v1, jnp.where(dy1 > 0, -1, 1), 0).astype(jnp.int32)
-            # neutralize xx of dead crossings so tile classification
-            # never selects them (NaNs compare false anyway; this makes
-            # the "in tile" scalar any() cheap and well-defined)
-            neg_inf = jnp.float32(-jnp.inf)
-            xx0m = jnp.where(s0 != 0, xx0, neg_inf)
-            xx1m = jnp.where(s1 != 0, xx1, neg_inf)
-
-            # right-to-left carry sweep
-            carry = jnp.zeros((1, STRIP_ROWS), jnp.int32)
-            # crossings at/right of the page's right edge
-            carry = carry + jnp.sum(
-                jnp.where(xx0m >= cx_end, s0, 0), axis=0, keepdims=True
+        # per-tile em x row vectors and their left-edge values; tiles are
+        # indexed left-to-right, plus the one-past-the-end left edge
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+        cx_tiles = []
+        for t in range(n_tiles):
+            cx_tiles.append(
+                fdiv((min_x + t * TILE_W + col).astype(jnp.float32) + ox, scale)
             )
-            carry = carry + jnp.sum(
-                jnp.where(xx1m >= cx_end, s1, 0), axis=0, keepdims=True
-            )
+        cx_end = fdiv((min_x + width).astype(jnp.float32) + ox, scale)
+        tile_lo = [cxt[0, 0] for cxt in cx_tiles] + [cx_end]
 
-            for t in range(n_tiles - 1, -1, -1):
-                lo = tile_lo[t]
-                hi = tile_lo[t + 1]
-                in0 = (xx0m >= lo) & (xx0m < hi)
-                in1 = (xx1m >= lo) & (xx1m < hi)
+        out_ref[0] = jnp.zeros((STRIP_ROWS, width), jnp.int32)
 
-                # carry broadcast: (1, R) -> rows of the (R, TILE_W) tile
-                carry_col = carry.T  # (R, 1)
-                base = jnp.broadcast_to(carry_col, (STRIP_ROWS, TILE_W))
-                sl = out_ref[0, :, pl.ds(t * TILE_W, TILE_W)]
+        def chunk_body(c, _):
+            chunk = seg_ref[0, pl.ds(c * SEG_CHUNK, SEG_CHUNK), :]  # (C, 8)
+            p0x = chunk[:, 0:1]
+            p0y = chunk[:, 1:2]
+            p1x = chunk[:, 2:3]
+            p1y = chunk[:, 3:4]
+            p2x = chunk[:, 4:5]
+            p2y = chunk[:, 5:6]
 
-                @pl.when(jnp.any(in0 | in1))
-                def _():
-                    sd0 = jnp.where(in0, s0, 0)
-                    sd1 = jnp.where(in1, s1, 0)
-                    xxT0 = xx0m.T          # (R, C)
-                    xxT1 = xx1m.T
-                    sT0 = sd0.T
-                    sT1 = sd1.T
-                    cxt = cx_tiles[t]      # (1, TILE_W)
-                    detail = jnp.zeros((STRIP_ROWS, TILE_W), jnp.int32)
-                    for s in range(SEG_CHUNK):
-                        detail = detail + jnp.where(
-                            xxT0[:, s : s + 1] >= cxt, sT0[:, s : s + 1], 0
-                        )
-                        detail = detail + jnp.where(
-                            xxT1[:, s : s + 1] >= cxt, sT1[:, s : s + 1], 0
-                        )
-                    out_ref[0, :, pl.ds(t * TILE_W, TILE_W)] = sl + base + detail
+            hull_min = jnp.min(jnp.minimum(jnp.minimum(p0y, p1y), p2y))
+            hull_max = jnp.max(jnp.maximum(jnp.maximum(p0y, p1y), p2y))
 
-                @pl.when(jnp.logical_not(jnp.any(in0 | in1)))
-                def _():
-                    out_ref[0, :, pl.ds(t * TILE_W, TILE_W)] = sl + base
+            @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi))
+            def _():
+                a = p0y - 2 * p1y + p2y      # (C, 1)
+                ax = p0x - 2 * p1x + p2x
+                bx = 2 * (p1x - p0x)
+                lin = a == 0
+                denom = p2y - p0y
+                py01 = p0y - p1y
 
+                # phase A on (C, R): roots + crossings for the whole strip
+                delta = cy * a + p1y * p1y - p0y * p2y       # (C, R)
+                has = jnp.logical_not(lin) & (delta >= 0)
+                sq = fsqrt(jnp.maximum(delta, 0.0))
+
+                t_lin = fdiv(cy - p0y, denom)
+                t_pos = fdiv(py01 + sq, a)
+                t_neg = fdiv(py01 - sq, a)
+
+                # slot 0: linear crossing or +root; slot 1: -root
+                t0 = jnp.where(lin, t_lin, t_pos)
+                # (boolean select via logic ops — Mosaic cannot truncate
+                # i8 selects to i1)
+                v0_base = (lin & (denom != 0)) | (jnp.logical_not(lin) & has)
+                v0 = v0_base & (t0 >= 0) & (t0 < 1)
+                t1 = t_neg
+                v1 = has & (t1 >= 0) & (t1 < 1)
+
+                xx0 = (ax * t0 + bx) * t0 + p0x
+                xx1 = (ax * t1 + bx) * t1 + p0x
+                dy0 = a * t0 + (p1y - p0y)
+                sgn_lin = jnp.where(p0y < p2y, -1, 1)
+                s0 = jnp.where(
+                    v0,
+                    jnp.where(lin, sgn_lin, jnp.where(dy0 > 0, -1, 1)),
+                    0,
+                ).astype(jnp.int32)
+                dy1 = a * t1 + (p1y - p0y)
+                s1 = jnp.where(v1, jnp.where(dy1 > 0, -1, 1), 0).astype(jnp.int32)
+                # neutralize xx of dead crossings so tile classification
+                # never selects them (NaNs compare false anyway; this makes
+                # the "in tile" scalar any() cheap and well-defined)
+                neg_inf = jnp.float32(-jnp.inf)
+                xx0m = jnp.where(s0 != 0, xx0, neg_inf)
+                xx1m = jnp.where(s1 != 0, xx1, neg_inf)
+
+                # right-to-left carry sweep
+                carry = jnp.zeros((1, STRIP_ROWS), jnp.int32)
+                # crossings at/right of the page's right edge
                 carry = carry + jnp.sum(
-                    jnp.where(in0, s0, 0), axis=0, keepdims=True
+                    jnp.where(xx0m >= cx_end, s0, 0), axis=0, keepdims=True
                 )
                 carry = carry + jnp.sum(
-                    jnp.where(in1, s1, 0), axis=0, keepdims=True
+                    jnp.where(xx1m >= cx_end, s1, 0), axis=0, keepdims=True
                 )
 
-        return 0
+                for t in range(n_tiles - 1, -1, -1):
+                    lo = tile_lo[t]
+                    hi = tile_lo[t + 1]
+                    in0 = (xx0m >= lo) & (xx0m < hi)
+                    in1 = (xx1m >= lo) & (xx1m < hi)
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+                    # carry broadcast: (1, R) -> rows of the (R, TILE_W) tile
+                    carry_col = carry.T  # (R, 1)
+                    base = jnp.broadcast_to(carry_col, (STRIP_ROWS, TILE_W))
+                    sl = out_ref[0, :, pl.ds(t * TILE_W, TILE_W)]
+
+                    @pl.when(jnp.any(in0 | in1))
+                    def _():
+                        sd0 = jnp.where(in0, s0, 0)
+                        sd1 = jnp.where(in1, s1, 0)
+                        xxT0 = xx0m.T          # (R, C)
+                        xxT1 = xx1m.T
+                        sT0 = sd0.T
+                        sT1 = sd1.T
+                        cxt = cx_tiles[t]      # (1, TILE_W)
+                        detail = jnp.zeros((STRIP_ROWS, TILE_W), jnp.int32)
+                        for s in range(SEG_CHUNK):
+                            detail = detail + jnp.where(
+                                xxT0[:, s : s + 1] >= cxt, sT0[:, s : s + 1], 0
+                            )
+                            detail = detail + jnp.where(
+                                xxT1[:, s : s + 1] >= cxt, sT1[:, s : s + 1], 0
+                            )
+                        out_ref[0, :, pl.ds(t * TILE_W, TILE_W)] = sl + base + detail
+
+                    @pl.when(jnp.logical_not(jnp.any(in0 | in1)))
+                    def _():
+                        out_ref[0, :, pl.ds(t * TILE_W, TILE_W)] = sl + base
+
+                    carry = carry + jnp.sum(
+                        jnp.where(in0, s0, 0), axis=0, keepdims=True
+                    )
+                    carry = carry + jnp.sum(
+                        jnp.where(in1, s1, 0), axis=0, keepdims=True
+                    )
+
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "interpret", "exact")
+)
 def winding_pallas_v2_batch(
     segments, min_x, max_y, scale, *, height, width, interpret=False,
-    sample_offset=(0.0, 0.0),
+    sample_offset=(0.0, 0.0), exact=False,
 ):
     """Batched winding maps, v2 kernel.  height must be a multiple of
-    ``STRIP_ROWS`` (128) and width of ``TILE_W`` (128)."""
+    ``STRIP_ROWS`` (128) and width of ``TILE_W`` (128).
+
+    ``exact=True``: correctly-rounded div/sqrt in the root solve —
+    bit-parity with the CPU oracle even on TPU tie pixels."""
     b = segments.shape[0]
     assert height % STRIP_ROWS == 0 and width % TILE_W == 0, (height, width)
     soa = segments_to_soa(segments)
@@ -210,7 +228,7 @@ def winding_pallas_v2_batch(
 
     grid = (b, height // STRIP_ROWS)
     return pl.pallas_call(
-        _winding_v2_kernel,
+        _make_v2_kernel(exact),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -51,11 +51,17 @@ class EventState:
 
 @dataclass
 class InteractiveSession:
+    """``mode``: "composite" renders per-glyph tiles + a composite pass
+    (glyph tiles cached across pans, like the reference's GPU-resident
+    meshes); "direct" rasters the page straight from instance segments
+    in one kernel launch (subpixel placement, no recompiles on zoom)."""
+
     font: Font
     text: str
     width: int = 1920
     height: int = 1080
     engine: RasterEngine = field(default_factory=RasterEngine)
+    mode: str = "direct"
     msaa: bool = False
     debug: bool = False
     transparent: bool = False
@@ -127,7 +133,10 @@ class InteractiveSession:
             ev.drag_delta = (0.0, 0.0)
             ev.dragging = False
 
-        page = self.renderer.render(self.view)
+        if self.mode == "direct":
+            page = self.renderer.render_direct(self.view)
+        else:
+            page = self.renderer.render(self.view)
         self.frame_count += 1
         dt = (time.perf_counter() - t0) * 1e3
         self.frame_ms.append(dt)

@@ -65,6 +65,53 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+# pad sentinel for direct page raster: far outside any page, so padded
+# segments fail the kernel's hull cull (pure-pad chunks skip entirely)
+# and are arithmetically inert in mixed chunks (their roots fall outside
+# t in [0,1))
+_PAD_BIG = 1.0e30
+
+
+@functools.partial(
+    jax.jit, static_argnames=("page_h", "page_w", "exact", "interpret")
+)
+def _direct_page_step(
+    segments, pad_mask, slots, inst_offsets, s_px, *, page_h, page_w,
+    exact=False, interpret=False,
+):
+    """One direct-raster frame: gather instance segments, map em -> page
+    pixels (y up), raster the whole page with the v2 kernel.
+
+    - ``segments``: float32 [B, S, 3, 2] unique-glyph segments (em)
+    - ``pad_mask``: bool [B, S] True where padding
+    - ``slots``: int32 [N]; ``inst_offsets``: float32 [N, 2] page-pixel
+      offsets of each instance's em origin (y up)
+    - ``s_px``: pixels per font unit
+    """
+    from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
+
+    inst = segments[slots]                      # [N, S, 3, 2]
+    inst = inst * s_px + inst_offsets[:, None, None, :]
+    mask = pad_mask[slots][:, :, None, None]    # [N, S, 1, 1]
+    inst = jnp.where(mask, _PAD_BIG, inst)
+    flat = inst.reshape(1, -1, 3, 2)
+
+    ph = ((page_h + 127) // 128) * 128
+    pw = ((page_w + 127) // 128) * 128
+    winding = winding_pallas_v2_batch(
+        flat,
+        jnp.zeros(1, jnp.int32),
+        jnp.full(1, page_h - 1, jnp.int32),
+        jnp.float32(1.0),
+        height=ph,
+        width=pw,
+        exact=exact,
+        interpret=interpret,
+    )
+    fill = jnp.where(winding[0, :page_h, :page_w] != 0, 255, 0).astype(jnp.uint8)
+    return fill
+
+
 @dataclass
 class PageRenderer:
     """Renders a ``TextLayout`` under a ``ViewTransform`` to a page.
@@ -128,6 +175,47 @@ class PageRenderer:
         self._cached_tiles = tiles
         self._cached_grids = grids
         return tiles, grids, tile
+
+    # -- direct path -------------------------------------------------------
+
+    def render_direct(self, view: ViewTransform) -> np.ndarray:
+        """Render one frame by rasterizing the *page* directly from all
+        instance segments in a single v2-kernel launch — no per-glyph
+        tiles, no composite pass.
+
+        The carry-sweep kernel makes this efficient: per 128-row strip
+        the root solve touches only instances whose glyphs intersect the
+        strip (hull cull), and per-pixel work happens only in column
+        tiles an outline actually crosses.  Zoom/pan change only traced
+        inputs — no recompile.
+        """
+        slots, offsets_em = self.layout.instance_arrays()
+        if len(slots) == 0:
+            return np.zeros((self.height, self.width), np.uint8)
+        s_px = np.float32(view.scale[0] * (self.width / 2.0))
+        # em origin of each instance in page pixels, y up
+        # (page row r samples y = page_h-1-r in the kernel's grid)
+        xs = np.empty((len(slots), 2), np.float32)
+        for i, (ex, ey) in enumerate(offsets_em):
+            ndc_x, ndc_y = view.apply(float(ex), float(ey))
+            xs[i, 0] = (ndc_x + 1.0) / 2.0 * self.width
+            xs[i, 1] = (ndc_y + 1.0) / 2.0 * self.height
+        batch = self.layout.batch
+        pad_mask = (
+            np.arange(batch.capacity)[None, :] >= batch.seg_counts[:, None]
+        )
+        return np.asarray(
+            _direct_page_step(
+                jnp.asarray(batch.segments),
+                jnp.asarray(pad_mask),
+                jnp.asarray(slots),
+                jnp.asarray(xs),
+                s_px,
+                page_h=self.height,
+                page_w=self.width,
+                interpret=self.engine._resolve() != "pallas",
+            )
+        )
 
     # -- frame -------------------------------------------------------------
 
