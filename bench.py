@@ -45,9 +45,13 @@ def main() -> None:
     from fontrx.kernels import oracle
     from fontrx.kernels.grid import RasterGrid
 
-    # persistent compile cache: repeat bench runs (and driver runs in
-    # the same container) skip the slow remote TPU compile entirely
-    enable_compilation_cache()
+    # persistent compile cache: repeat bench runs skip the remote TPU
+    # compile.  Opt-in (FONTRX_CACHE=1): executable serialization on
+    # the axon remote-compile backend has been observed to wedge.
+    import os
+
+    if os.environ.get("FONTRX_CACHE"):
+        enable_compilation_cache()
 
     font = Font.open(FONT)
     batch = pack_charset(font, ASCII)

@@ -136,11 +136,13 @@ def config3_ascii_atlas():
 def config4_sdf_atlas(n_glyphs: int = 1000, size: int = 32):
     """SDF atlas for 1000 glyphs (CJK-scale batch; DejaVu has no CJK so
     the first 1000 non-empty glyph indices stand in — same shapes/work)."""
+    import jax
     import jax.numpy as jnp
 
     from fontrx.font.font import Font
     from fontrx.kernels.grid import RasterGrid
     from fontrx.kernels.sdf import sdf_batch, sdf_to_u8
+    from fontrx.kernels.sdf_pallas import sdf_pallas_batch
     from fontrx.pack.segments import pack_glyphs
 
     font = Font.open(DEJAVU)
@@ -163,15 +165,28 @@ def config4_sdf_atlas(n_glyphs: int = 1000, size: int = 32):
         jnp.float32(grids[0].scale),
     )
 
-    def step():
-        s = sdf_to_u8(sdf_batch(*args, height=size, width=size))
-        s.block_until_ready()
-        return s
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        w128 = ((size + 127) // 128) * 128
+
+        def step():
+            s = sdf_to_u8(
+                sdf_pallas_batch(*args, height=size, width=w128)[:, :, :size]
+            )
+            s.block_until_ready()
+            return s
+    else:
+
+        def step():
+            s = sdf_to_u8(sdf_batch(*args, height=size, width=size))
+            s.block_until_ready()
+            return s
 
     dt = timeit(step, n=3)
     emit("4-sdf-atlas", f"glyphs/s {size}px SDF", len(glyphs) / dt,
          "glyphs/s", ms_per_atlas=round(dt * 1e3, 2),
-         batch=len(glyphs), seg_capacity=batch.capacity)
+         batch=len(glyphs), seg_capacity=batch.capacity,
+         kernel="pallas-banded" if use_pallas else "jnp")
 
 
 def config5_interactive_page():

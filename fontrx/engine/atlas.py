@@ -61,7 +61,7 @@ def pack_charset(
         if batch is not None:
             return batch
 
-    glyphs = [font.load_glyph(int(i)) for i in idx]
+    glyphs = [font.load_glyph_safe(int(i)) for i in idx]
     return pack_glyphs(glyphs, widths.tolist(), pad_batch_to=pad_batch_to)
 
 
@@ -84,7 +84,7 @@ def _pack_charset_native(font, idx, widths, pad_batch_to):
     segments, counts, boxes, flags = res
     # fill non-simple rows (compound glyphs etc.) via the Python path
     for i in np.nonzero(flags != 0)[0]:
-        g = font.load_glyph(int(idx[i]))
+        g = font.load_glyph_safe(int(idx[i]))
         seg = glyph_segments(g)
         if len(seg) > _NATIVE_SCRATCH_CAPACITY:
             return None  # pathological; let the pure path size it

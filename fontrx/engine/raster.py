@@ -73,38 +73,46 @@ class RasterEngine:
         """Batched winding maps: ``[B, H, W]`` int32.  H/W are padded to
         kernel tiles internally; the returned array is cropped back."""
         backend = self._resolve()
-        ph = _round_up(height, TILE_H)
-        pw = _round_up(width, TILE_W)
-        segments = jnp.asarray(segments, jnp.float32)
-        min_x = jnp.asarray(min_x, jnp.int32)
-        max_y = jnp.asarray(max_y, jnp.int32)
-        if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
-            # v2 (row-strip carry sweep, 4.7x faster) needs 128-row
-            # strips; pick it unless the extra padding outweighs its
-            # per-pixel advantage on small tiles
-            ph2 = _round_up(height, STRIP_ROWS)
-            use_v2 = ph2 * pw <= 2 * ph * pw
-            kernel = winding_pallas_v2_batch if use_v2 else winding_pallas_batch
-            if use_v2:
-                ph = ph2
-            out = kernel(
-                segments,
-                min_x,
-                max_y,
-                jnp.float32(scale),
-                height=ph,
-                width=pw,
-                interpret=backend == BACKEND_INTERPRET,
-            )
-        elif backend == BACKEND_JNP:
-            out = _winding_jnp_batch(
-                segments, min_x, max_y, jnp.float32(scale), height=ph, width=pw
-            )
-        else:
-            raise ValueError(f"unknown backend {backend!r}")
-        if (ph, pw) != (height, width):
-            out = out[:, :height, :width]
-        return out
+        # profiler annotation (SURVEY §5.1): raster phases show up in
+        # TPU traces under fontrx/raster
+        with jax.profiler.TraceAnnotation(
+            f"fontrx/raster[{backend}] {height}x{width}"
+        ):
+            ph = _round_up(height, TILE_H)
+            pw = _round_up(width, TILE_W)
+            segments = jnp.asarray(segments, jnp.float32)
+            min_x = jnp.asarray(min_x, jnp.int32)
+            max_y = jnp.asarray(max_y, jnp.int32)
+            if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
+                # v2 (row-strip carry sweep, 4.7x faster) needs 128-row
+                # strips; pick it unless the extra padding outweighs its
+                # per-pixel advantage on small tiles
+                ph2 = _round_up(height, STRIP_ROWS)
+                use_v2 = ph2 * pw <= 2 * ph * pw
+                kernel = (
+                    winding_pallas_v2_batch if use_v2 else winding_pallas_batch
+                )
+                if use_v2:
+                    ph = ph2
+                out = kernel(
+                    segments,
+                    min_x,
+                    max_y,
+                    jnp.float32(scale),
+                    height=ph,
+                    width=pw,
+                    interpret=backend == BACKEND_INTERPRET,
+                )
+            elif backend == BACKEND_JNP:
+                out = _winding_jnp_batch(
+                    segments, min_x, max_y, jnp.float32(scale),
+                    height=ph, width=pw,
+                )
+            else:
+                raise ValueError(f"unknown backend {backend!r}")
+            if (ph, pw) != (height, width):
+                out = out[:, :height, :width]
+            return out
 
     def winding_glyph(self, segments, grid: RasterGrid) -> jax.Array:
         """Single-glyph winding map over an oracle-convention grid

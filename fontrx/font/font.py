@@ -164,3 +164,15 @@ class Font:
         log.debug("loaded glyph %d (%d segments)", index, glyph.num_segments)
         self._glyphs[index] = glyph
         return glyph
+
+    def load_glyph_safe(self, index: int) -> Glyph:
+        """Fallible per-glyph loading for batch pipelines: structural
+        failures degrade to an empty glyph with a warning instead of
+        aborting the batch (SURVEY §5.3 — mask out bad glyphs rather
+        than abort)."""
+        try:
+            return self.load_glyph(index)
+        except (CorruptedFont, NotImplementedError) as e:
+            log.warning("glyph %d failed to load (%s); masking as empty",
+                        index, e)
+            return Glyph.empty()

@@ -217,6 +217,23 @@ class PageRenderer:
             )
         )
 
+    # -- output conversion -------------------------------------------------
+
+    @staticmethod
+    def to_rgba(page: np.ndarray, transparent: bool = False) -> np.ndarray:
+        """Page coverage -> RGBA.  ``transparent=True`` is the analog of
+        the reference's transparent-framebuffer mode (premultiplied
+        composite alpha, ``VulkanContext.zig:891`` + Ctrl+T): background
+        alpha 0 so the page composites over anything; otherwise opaque
+        over black."""
+        a = page.astype(np.uint8)
+        rgba = np.zeros(page.shape + (4,), np.uint8)
+        rgba[..., 0] = a
+        rgba[..., 1] = a
+        rgba[..., 2] = a
+        rgba[..., 3] = a if transparent else 255
+        return rgba
+
     # -- frame -------------------------------------------------------------
 
     def render(self, view: ViewTransform) -> np.ndarray:

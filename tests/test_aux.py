@@ -1,0 +1,131 @@
+"""Aux-subsystem tests: artifact cache, fallible glyph loading, metrics,
+RGBA output, debug helpers (SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+
+class TestArtifactCache:
+    def test_roundtrip_and_hit(self, dejavu, tmp_path):
+        from fontrx.engine.artifacts import ArtifactCache, cached_atlas
+        from fontrx.engine.raster import RasterEngine
+
+        cache = ArtifactCache(str(tmp_path))
+        s1, l1 = cached_atlas(dejavu, "ABC", 48, 64,
+                              RasterEngine(backend="jnp"), cache)
+        assert cache.stats()["entries"] == 1
+        s2, l2 = cached_atlas(dejavu, "ABC", 48, 64,
+                              RasterEngine(backend="jnp"), cache)
+        np.testing.assert_array_equal(s1, s2)
+        assert (l1.cols, l1.rows) == (l2.cols, l2.rows)
+
+    def test_key_sensitivity(self, dejavu):
+        from fontrx.engine.artifacts import ArtifactCache
+
+        data = dejavu._reader.data
+        k1 = ArtifactCache.key(data, [65], 64, "fill", tile=64)
+        assert k1 == ArtifactCache.key(data, [65], 64, "fill", tile=64)
+        assert k1 != ArtifactCache.key(data, [66], 64, "fill", tile=64)
+        assert k1 != ArtifactCache.key(data, [65], 65, "fill", tile=64)
+        assert k1 != ArtifactCache.key(data, [65], 64, "sdf", tile=64)
+
+    def test_corrupt_entry_degrades_to_miss(self, tmp_path):
+        from fontrx.engine.artifacts import ArtifactCache
+
+        cache = ArtifactCache(str(tmp_path))
+        cache.put("deadbeef", x=np.arange(3))
+        (tmp_path / "deadbeef.npz").write_bytes(b"garbage")
+        assert cache.get("deadbeef") is None
+
+
+class TestSafeLoading:
+    def test_bad_glyph_masks_empty(self, dejavu):
+        # out-of-range index raises in strict mode, masks in safe mode
+        from fontrx.utils.reader import CorruptedFont
+
+        with pytest.raises(CorruptedFont):
+            dejavu.load_glyph(10**6)
+        g = dejavu.load_glyph_safe(10**6)
+        assert g.contours == ()
+
+
+class TestMetrics:
+    def test_counters(self):
+        import time
+
+        from fontrx.utils.metrics import RasterMetrics
+
+        m = RasterMetrics()
+        with m.step(glyphs=10, pixels=1000):
+            time.sleep(0.01)
+        assert m.glyphs_per_s > 0
+        assert m.mpix_per_s > 0
+        s = m.summary()
+        assert s["steps"] == 1
+
+
+class TestRGBA:
+    def test_transparent_mode(self):
+        from fontrx.scene.page import PageRenderer
+
+        page = np.array([[0, 255], [128, 0]], np.uint8)
+        opaque = PageRenderer.to_rgba(page, transparent=False)
+        assert (opaque[..., 3] == 255).all()
+        transparent = PageRenderer.to_rgba(page, transparent=True)
+        np.testing.assert_array_equal(transparent[..., 3], page)
+        np.testing.assert_array_equal(transparent[..., 0], page)
+
+
+class TestDebugHelpers:
+    def test_diff_report(self):
+        from fontrx.utils.debug import diff_report
+
+        a = np.zeros((4, 4), np.int32)
+        b = a.copy()
+        assert diff_report(a, b)["mismatched"] == 0
+        b[1, 2] = 5
+        r = diff_report(a, b)
+        assert r["mismatched"] == 1 and r["first"] == (1, 2)
+
+    def test_assert_finite(self):
+        from fontrx.utils.debug import assert_finite
+
+        assert_finite(np.ones(3))
+        with pytest.raises(FloatingPointError):
+            assert_finite(np.array([1.0, np.nan]))
+
+    def test_checked_wrapper(self):
+        import jax.numpy as jnp
+
+        from fontrx.utils.debug import checked
+
+        fn = checked(lambda x: jnp.log(x))
+        fn(jnp.array([1.0, 2.0]))  # fine
+        with pytest.raises(Exception):
+            fn(jnp.array([-1.0]))  # nan -> checkify error
+
+    def test_validation_mode_runs_kernel(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.kernels.winding_pallas import winding_pallas_batch
+        from fontrx.pack.segments import glyph_segments
+        from fontrx.utils.debug import validation_mode
+        from fontrx.kernels import oracle
+
+        g, _ = dejavu.get_glyph("T")
+        seg = glyph_segments(g)
+        grid = RasterGrid.for_glyph_box(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max), 32, 2048
+        ).padded(8, 128)
+        with validation_mode():
+            out = winding_pallas_batch(
+                jnp.asarray(seg)[None],
+                jnp.array([grid.min_x], jnp.int32),
+                jnp.array([grid.max_y], jnp.int32),
+                jnp.float32(grid.scale),
+                height=grid.height, width=grid.width,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(out[0]), oracle.winding_map(seg, grid)
+        )

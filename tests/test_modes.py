@@ -298,3 +298,30 @@ class TestCompilationCache:
         jax.jit(lambda x: x * 2 + 1)(jnp.ones((8, 8))).block_until_ready()
         stats = cache_stats(str(tmp_path / "xla"))
         assert stats["entries"] >= 1
+
+
+class TestSDFPallas:
+    def test_matches_jnp_sdf(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.kernels.sdf import sdf_batch
+        from fontrx.kernels.sdf_pallas import sdf_pallas_batch
+        from fontrx.pack.segments import pack_glyphs
+
+        glyphs = [dejavu.get_glyph(c)[0] for c in "Ag"]
+        batch = pack_glyphs(glyphs)
+        grids = [RasterGrid.fixed_tile(tuple(b), 32, 2048, 32)
+                 for b in batch.boxes]
+        args = (
+            jnp.asarray(batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+        )
+        ref = np.clip(np.asarray(sdf_batch(*args, height=32, width=32)),
+                      -8.0, 8.0)
+        fast = np.asarray(
+            sdf_pallas_batch(*args, height=32, width=128, interpret=True)
+        )[:, :, :32]
+        assert np.abs(ref - fast).max() < 8.0 / 127  # sub-quantization
