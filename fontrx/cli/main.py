@@ -77,18 +77,30 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.scene.transform import ViewTransform
 
         layout = layout_text(font, text)
-        scale_px = cfg.size / font.info.units_per_em
-        width = max(int(layout.width * scale_px) + 2 * cfg.size, cfg.size)
-        height = max(int(layout.height * scale_px) + cfg.size, cfg.size)
+        upem = font.info.units_per_em
+        px_per_unit = cfg.size / upem
+        margin = max(cfg.size // 8, 4)
+        width = int(layout.width * px_per_unit) + 2 * margin
+        height = int(layout.height * px_per_unit) + 2 * margin
         pr = PageRenderer(font, layout, width, height, engine)
-        view = ViewTransform.init(font.info.units_per_em, width, height)
-        # scale so that one em maps to cfg.size pixels; NDC x spans
-        # width px => em scale = 2*size/(upem*width)
-        s = 2.0 * cfg.size / (font.info.units_per_em * width)
+        # 1 em == cfg.size px; text origin at (margin, bottom margin
+        # above the last baseline's descent)
+        s = 2.0 * px_per_unit / width
+        sy = 2.0 * px_per_unit / height
+        ox = -1.0 + 2.0 * margin / width
+        descent_px = -font.info.descent * px_per_unit
+        oy = -1.0 + 2.0 * (margin + descent_px + layout.height * px_per_unit
+                           - (font.info.ascent + font.info.line_gap
+                              - font.info.descent) * px_per_unit) / height
+        # ViewTransform.apply multiplies y by aspect; pre-divide so the
+        # net y scale is sy
         view = ViewTransform(
-            (s, s), (-0.9, 0.0), width / height
+            (s, sy * height / width), (ox, oy * height / width),
+            width / height,
         )
-        page = pr.render(view)
+        page = pr.render_direct(view)
+        if cfg.mode == "gray":
+            page = np.where(page > 0, 255, 100).astype(np.uint8)
         return np.repeat(page[:, :, None], 3, axis=2)
 
     if cfg.mode == "coverage":

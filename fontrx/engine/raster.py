@@ -49,9 +49,13 @@ class RasterEngine:
     """Stateless-ish raster dispatcher.
 
     ``backend``: "auto" | "pallas" | "jnp" | "interpret".
+    ``exact`` (default on): correctly-rounded div/sqrt in the Pallas
+    root solve — bit-parity with the CPU oracle even on TPU tie pixels;
+    measured at zero throughput cost (see ``fontrx.kernels.exactmath``).
     """
 
     backend: str = BACKEND_AUTO
+    exact: bool = True
 
     def _resolve(self) -> str:
         if self.backend == BACKEND_AUTO:
@@ -94,6 +98,7 @@ class RasterEngine:
                 )
                 if use_v2:
                     ph = ph2
+                kwargs = {"exact": self.exact} if use_v2 else {}
                 out = kernel(
                     segments,
                     min_x,
@@ -102,6 +107,7 @@ class RasterEngine:
                     height=ph,
                     width=pw,
                     interpret=backend == BACKEND_INTERPRET,
+                    **kwargs,
                 )
             elif backend == BACKEND_JNP:
                 out = _winding_jnp_batch(
