@@ -54,8 +54,8 @@ def config2_hello_world_msaa():
     import jax
     import jax.numpy as jnp
 
+    from fontrx.engine.raster import RasterEngine
     from fontrx.font.font import Font
-    from fontrx.kernels.coverage import coverage_batch
     from fontrx.kernels.grid import RasterGrid
     from fontrx.scene.layout import layout_text
 
@@ -71,11 +71,12 @@ def config2_hello_world_msaa():
         jnp.array([g.max_y for g in grids], jnp.int32),
         jnp.float32(grids[0].scale),
     )
-    use_pallas = jax.default_backend() == "tpu"
+    eng = RasterEngine(
+        backend="jnp" if jax.default_backend() != "tpu" else "auto"
+    )
 
     def step():
-        c = coverage_batch(*args, height=64, width=64, samples=2,
-                           use_pallas=use_pallas)
+        c = eng.coverage_batch(*args, height=64, width=64, samples=2)
         c.block_until_ready()
         return c
 

@@ -153,6 +153,43 @@ class RasterEngine:
         )
         return out, grids
 
+    def coverage_batch(
+        self,
+        segments,
+        min_x,
+        max_y,
+        scale,
+        *,
+        height: int,
+        width: int,
+        samples: int = 2,
+    ) -> jax.Array:
+        """Batched k x k supersampled coverage (MSAA analog).  Uses the
+        fused single-launch Pallas kernel on TPU, the lax.map multipass
+        elsewhere."""
+        from fontrx.kernels.coverage import coverage_batch as _multipass
+        from fontrx.kernels.coverage_pallas import coverage_pallas_batch
+
+        backend = self._resolve()
+        segments = jnp.asarray(segments, jnp.float32)
+        min_x = jnp.asarray(min_x, jnp.int32)
+        max_y = jnp.asarray(max_y, jnp.int32)
+        if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
+            ph = _round_up(height, STRIP_ROWS)
+            pw = _round_up(width, TILE_W)
+            out = coverage_pallas_batch(
+                segments, min_x, max_y, jnp.float32(scale),
+                height=ph, width=pw, samples=samples, exact=self.exact,
+                interpret=backend == BACKEND_INTERPRET,
+            )
+            if (ph, pw) != (height, width):
+                out = out[:, :height, :width]
+            return out
+        return _multipass(
+            segments, min_x, max_y, jnp.float32(scale),
+            height=height, width=width, samples=samples,
+        )
+
     # -- fill conversions --------------------------------------------------
 
     @staticmethod

@@ -148,3 +148,65 @@ class TestDirectPage:
         sess.scroll(1.0, (0.0, 0.0))
         f1 = sess.frame()
         assert not np.array_equal(f0, f1)
+
+
+class TestFusedCoverage:
+    def test_matches_multipass(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.coverage import coverage_batch
+        from fontrx.kernels.coverage_pallas import coverage_pallas_batch
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import glyph_segments
+
+        g, _ = dejavu.get_glyph("B")
+        seg = glyph_segments(g)[None]
+        grid = RasterGrid.for_glyph_box(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max), 96, 2048
+        ).padded(128, 128)
+        args = (
+            jnp.asarray(seg),
+            jnp.array([grid.min_x], jnp.int32),
+            jnp.array([grid.max_y], jnp.int32),
+            jnp.float32(grid.scale),
+        )
+        ref = np.asarray(
+            coverage_batch(*args, height=grid.height, width=grid.width,
+                           samples=2)
+        )
+        fused = np.asarray(
+            coverage_pallas_batch(*args, height=grid.height,
+                                  width=grid.width, samples=2,
+                                  interpret=True)
+        )
+        np.testing.assert_array_equal(ref, fused)
+
+    def test_engine_coverage_dispatch(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import glyph_segments
+
+        g, _ = dejavu.get_glyph("o")
+        seg = glyph_segments(g)[None]
+        grid = RasterGrid.for_glyph_box(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max), 48, 2048
+        )
+        args = (
+            jnp.asarray(seg),
+            jnp.array([grid.min_x], jnp.int32),
+            jnp.array([grid.max_y], jnp.int32),
+            grid.scale,
+        )
+        a = np.asarray(
+            RasterEngine(backend="jnp").coverage_batch(
+                *args, height=grid.height, width=grid.width, samples=2
+            )
+        )
+        b = np.asarray(
+            RasterEngine(backend="interpret").coverage_batch(
+                *args, height=grid.height, width=grid.width, samples=2
+            )
+        )
+        np.testing.assert_array_equal(a, b)
