@@ -104,26 +104,22 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         return np.repeat(page[:, :, None], 3, axis=2)
 
     if cfg.mode == "coverage":
-        from fontrx.kernels.coverage import coverage_batch, coverage_to_gray
+        from fontrx.kernels.coverage import coverage_to_gray
         from fontrx.scene.layout import layout_text
 
         layout = layout_text(font, text)
-        # per-glyph tiles at cfg.size, k=samples
-        import jax
-
         grids = [
             RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
             for b in np.asarray(layout.batch.boxes)
         ]
-        cov = coverage_batch(
+        cov = engine.coverage_batch(
             jnp.asarray(layout.batch.segments),
             jnp.array([g.min_x for g in grids], jnp.int32),
             jnp.array([g.max_y for g in grids], jnp.int32),
-            jnp.float32(grids[0].scale),
+            grids[0].scale,
             height=cfg.size,
             width=cfg.size,
             samples=max(cfg.samples, 2),
-            use_pallas=engine._resolve() == "pallas",
         )
         sheet = np.concatenate(list(np.asarray(coverage_to_gray(cov))), axis=1)
         return np.repeat(sheet[:, :, None], 3, axis=2)
@@ -194,6 +190,8 @@ def _run_interactive(font, text, cfg, engine) -> int:
             sess.resize(int(args[0]), int(args[1]))
         elif cmd == "key":
             sess.key(args[0])
+        elif cmd == "type":
+            sess.char_input(" ".join(args))
         elif cmd == "frame":
             page = sess.frame()
             if cfg.output:

@@ -165,6 +165,25 @@ class Font:
         self._glyphs[index] = glyph
         return glyph
 
+    def dump_charmap(self, limit: int = 32) -> str:
+        """Human-readable cmap dump for debugging (the analog of the
+        reference's subtable dumper, ``Font.zig:224-278``)."""
+        lines = [
+            f"cmap: {type(self.cmap_subtable).__name__}, "
+            f"{len(self.charmap)} ranges"
+        ]
+        for r in self.charmap.ranges[:limit]:
+            first_char = r.end_char - r.char_count
+            first_glyph = r.end_glyph - r.char_count
+            lines.append(
+                f"  U+{first_char:04X}..U+{r.end_char - 1:04X} -> "
+                f"glyphs {max(first_glyph, 0)}..{r.end_glyph - 1}"
+                + ("  (unmapped)" if r.end_glyph == 0 else "")
+            )
+        if len(self.charmap) > limit:
+            lines.append(f"  ... {len(self.charmap) - limit} more ranges")
+        return "\n".join(lines)
+
     def load_glyph_safe(self, index: int) -> Glyph:
         """Fallible per-glyph loading for batch pipelines: structural
         failures degrade to an empty glyph with a warning instead of

@@ -101,6 +101,16 @@ class InteractiveSession:
         elif k == "t":
             self.events.toggle_transparent = True
 
+    def char_input(self, text: str):
+        """Append typed characters to the scene and re-layout — the
+        feature the reference's char callback stubs out with a print
+        (``CallbackContext.zig:80-88``, README TODO 'user text input')."""
+        self.text += text
+        self.layout = layout_text(self.font, self.text)
+        self.renderer = PageRenderer(
+            self.font, self.layout, self.width, self.height, self.engine
+        )
+
     # -- frame loop --------------------------------------------------------
 
     def frame(self) -> np.ndarray:
