@@ -150,7 +150,7 @@ def config4_sdf_atlas(n_glyphs: int = 1000, size: int = 32):
     glyphs = []
     idx = 1
     while len(glyphs) < n_glyphs and idx < font.num_glyphs:
-        g = font.load_glyph(idx)
+        g = font.load_glyph_safe(idx)
         if g.num_segments:
             glyphs.append(g)
         idx += 1

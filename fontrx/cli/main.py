@@ -41,10 +41,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from fontrx.engine.raster import RasterEngine
     from fontrx.font.font import Font
-    from fontrx.io.image import Gray, RGB
     from fontrx.io.qoi import encode_rgb
-    from fontrx.kernels.grid import RasterGrid
-    from fontrx.pack.segments import glyph_segments
 
     font = Font.open(cfg.font_file)
     engine = RasterEngine(backend=cfg.backend)
@@ -69,7 +66,6 @@ def _render(font, text, cfg, engine) -> np.ndarray:
     import jax.numpy as jnp
 
     from fontrx.kernels.grid import RasterGrid
-    from fontrx.pack.segments import glyph_segments
 
     if cfg.mode in ("fill", "gray"):
         from fontrx.scene.layout import layout_text

@@ -581,9 +581,11 @@ class ComponentGlyph:
                 transform = (one, zero, zero, one)
             parts.append(ComponentPart(flags, glyph_index, arg1, arg2, transform))
             if flags & USE_MY_METRICS:
-                if metrics_index is not None:
-                    raise CorruptedFont("compound glyph: multiple USE_MY_METRICS")
-                metrics_index = len(parts) - 1
+                # the spec allows at most one, but real fonts (DejaVu
+                # glyph sets) set it on several parts; keep the first
+                # (graceful degradation, SURVEY §5.3)
+                if metrics_index is None:
+                    metrics_index = len(parts) - 1
             if flags & WE_HAVE_INSTRUCTIONS:
                 has_instructions = True
             if not flags & MORE_COMPONENTS:

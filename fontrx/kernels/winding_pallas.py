@@ -120,11 +120,11 @@ def _winding_kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
     jax.lax.fori_loop(0, TILE_H, row_body, 0)
 
 
-def segments_to_soa(segments):
+def segments_to_soa(segments, chunk=SEG_CHUNK):
     """``[B, S, 3, 2]`` -> kernel layout ``[B, S8, 8]`` (S rounded up to
     the chunk size, params padded to 8 lanes)."""
     b, s = segments.shape[:2]
-    s8 = _round_up(max(s, SEG_CHUNK), SEG_CHUNK)
+    s8 = _round_up(max(s, chunk), chunk)
     flat = segments.reshape(b, s, 6)
     out = jnp.zeros((b, s8, 8), segments.dtype)
     return out.at[:, :s, :6].set(flat)

@@ -46,11 +46,21 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _make_v2_kernel(exact: bool):
-    """Kernel factory: ``exact=True`` swaps every division/sqrt in the
-    per-row phase for the correctly-rounded emulations
-    (``fontrx.kernels.exactmath``), closing the TPU tie-pixel gap with
-    the IEEE-correct CPU oracle at ~2x phase-A cost."""
+def _make_v2_kernel(
+    exact: bool,
+    seg_chunk: int = SEG_CHUNK,
+    tile_w: int = TILE_W,
+    guard: bool = True,
+):
+    """Kernel factory.
+
+    - ``exact``: correctly-rounded div/sqrt in the per-row phase
+      (``fontrx.kernels.exactmath``) — TPU tie-pixel parity with the
+      IEEE-correct CPU oracle.
+    - ``seg_chunk`` / ``tile_w`` / ``guard``: tuning knobs (segment
+      chunk height, column-tile width, whether detail compares are
+      skipped behind ``@pl.when`` per (chunk, tile)).
+    """
     fdiv = div_cr if exact else (lambda a, b: a / b)
     fsqrt = sqrt_cr if exact else jnp.sqrt
 
@@ -64,9 +74,9 @@ def _make_v2_kernel(exact: bool):
         oy = off_ref[0, 1]
 
         width = out_ref.shape[2]
-        n_tiles = width // TILE_W
+        n_tiles = width // tile_w
         s_cap = seg_ref.shape[1]
-        n_chunks = s_cap // SEG_CHUNK
+        n_chunks = s_cap // seg_chunk
 
         # per-row em y: (1, R), rows on lanes, descending
         row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
@@ -76,11 +86,11 @@ def _make_v2_kernel(exact: bool):
 
         # per-tile em x row vectors and their left-edge values; tiles are
         # indexed left-to-right, plus the one-past-the-end left edge
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
         cx_tiles = []
         for t in range(n_tiles):
             cx_tiles.append(
-                fdiv((min_x + t * TILE_W + col).astype(jnp.float32) + ox, scale)
+                fdiv((min_x + t * tile_w + col).astype(jnp.float32) + ox, scale)
             )
         cx_end = fdiv((min_x + width).astype(jnp.float32) + ox, scale)
         tile_lo = [cxt[0, 0] for cxt in cx_tiles] + [cx_end]
@@ -88,7 +98,7 @@ def _make_v2_kernel(exact: bool):
         out_ref[0] = jnp.zeros((STRIP_ROWS, width), jnp.int32)
 
         def chunk_body(c, _):
-            chunk = seg_ref[0, pl.ds(c * SEG_CHUNK, SEG_CHUNK), :]  # (C, 8)
+            chunk = seg_ref[0, pl.ds(c * seg_chunk, seg_chunk), :]  # (C, 8)
             p0x = chunk[:, 0:1]
             p0y = chunk[:, 1:2]
             p1x = chunk[:, 2:3]
@@ -160,33 +170,38 @@ def _make_v2_kernel(exact: bool):
                     in0 = (xx0m >= lo) & (xx0m < hi)
                     in1 = (xx1m >= lo) & (xx1m < hi)
 
-                    # carry broadcast: (1, R) -> rows of the (R, TILE_W) tile
+                    # carry broadcast: (1, R) -> rows of the (R, tile_w) tile
                     carry_col = carry.T  # (R, 1)
-                    base = jnp.broadcast_to(carry_col, (STRIP_ROWS, TILE_W))
-                    sl = out_ref[0, :, pl.ds(t * TILE_W, TILE_W)]
+                    base = jnp.broadcast_to(carry_col, (STRIP_ROWS, tile_w))
+                    sl = out_ref[0, :, pl.ds(t * tile_w, tile_w)]
 
-                    @pl.when(jnp.any(in0 | in1))
-                    def _():
+                    def detail_store():
                         sd0 = jnp.where(in0, s0, 0)
                         sd1 = jnp.where(in1, s1, 0)
                         xxT0 = xx0m.T          # (R, C)
                         xxT1 = xx1m.T
                         sT0 = sd0.T
                         sT1 = sd1.T
-                        cxt = cx_tiles[t]      # (1, TILE_W)
-                        detail = jnp.zeros((STRIP_ROWS, TILE_W), jnp.int32)
-                        for s in range(SEG_CHUNK):
+                        cxt = cx_tiles[t]      # (1, tile_w)
+                        detail = jnp.zeros((STRIP_ROWS, tile_w), jnp.int32)
+                        for s in range(seg_chunk):
                             detail = detail + jnp.where(
                                 xxT0[:, s : s + 1] >= cxt, sT0[:, s : s + 1], 0
                             )
                             detail = detail + jnp.where(
                                 xxT1[:, s : s + 1] >= cxt, sT1[:, s : s + 1], 0
                             )
-                        out_ref[0, :, pl.ds(t * TILE_W, TILE_W)] = sl + base + detail
+                        out_ref[0, :, pl.ds(t * tile_w, tile_w)] = sl + base + detail
 
-                    @pl.when(jnp.logical_not(jnp.any(in0 | in1)))
-                    def _():
-                        out_ref[0, :, pl.ds(t * TILE_W, TILE_W)] = sl + base
+                    if guard:
+                        any_in = jnp.any(in0 | in1)
+                        pl.when(any_in)(detail_store)
+
+                        @pl.when(jnp.logical_not(any_in))
+                        def _():
+                            out_ref[0, :, pl.ds(t * tile_w, tile_w)] = sl + base
+                    else:
+                        detail_store()
 
                     carry = carry + jnp.sum(
                         jnp.where(in0, s0, 0), axis=0, keepdims=True
@@ -205,11 +220,16 @@ def _make_v2_kernel(exact: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "interpret", "exact")
+    jax.jit,
+    static_argnames=(
+        "height", "width", "interpret", "exact", "seg_chunk", "tile_w",
+        "guard",
+    ),
 )
 def winding_pallas_v2_batch(
     segments, min_x, max_y, scale, *, height, width, interpret=False,
-    sample_offset=(0.0, 0.0), exact=False,
+    sample_offset=(0.0, 0.0), exact=False, seg_chunk=SEG_CHUNK,
+    tile_w=TILE_W, guard=True,
 ):
     """Batched winding maps, v2 kernel.  height must be a multiple of
     ``STRIP_ROWS`` (128) and width of ``TILE_W`` (128).
@@ -217,8 +237,8 @@ def winding_pallas_v2_batch(
     ``exact=True``: correctly-rounded div/sqrt in the root solve —
     bit-parity with the CPU oracle even on TPU tie pixels."""
     b = segments.shape[0]
-    assert height % STRIP_ROWS == 0 and width % TILE_W == 0, (height, width)
-    soa = segments_to_soa(segments)
+    assert height % STRIP_ROWS == 0 and width % tile_w == 0, (height, width)
+    soa = segments_to_soa(segments, chunk=seg_chunk)
     s8 = soa.shape[1]
 
     min_x = min_x.reshape(b, 1).astype(jnp.int32)
@@ -228,7 +248,7 @@ def winding_pallas_v2_batch(
 
     grid = (b, height // STRIP_ROWS)
     return pl.pallas_call(
-        _make_v2_kernel(exact),
+        _make_v2_kernel(exact, seg_chunk, tile_w, guard),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
