@@ -197,3 +197,79 @@ class TestRealFonts:
     def test_serif_loads(self, dejavu_serif):
         g, _ = dejavu_serif.get_glyph("B")
         assert g.num_segments > 0
+
+
+MPL_FONTS = "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/fonts/ttf"
+
+
+class TestFontZoo:
+    """Real-font sweep: formats, units, and raster sanity across the
+    matplotlib font bundle (format-4 cmaps, 1000-upem fonts, computer
+    modern)."""
+
+    def test_format4_font_loads_and_rasters(self):
+        import glob
+
+        from fontrx.font.font import Font
+        from fontrx.font.ttf import CmapFormat4
+        from fontrx.kernels import oracle
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import glyph_segments
+
+        font = Font.open(f"{MPL_FONTS}/STIXNonUni.ttf")
+        assert isinstance(font.cmap_subtable, CmapFormat4)
+        # raster a mapped glyph
+        code = None
+        for r in font.charmap.ranges:
+            if r.end_glyph:
+                code = r.end_char - 1
+                break
+        assert code is not None
+        g = font.load_glyph_safe(font.glyph_index(code))
+        if g.num_segments:
+            grid = RasterGrid.for_glyph_box(
+                (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
+                48, font.info.units_per_em,
+            )
+            oracle.winding_map(glyph_segments(g), grid)
+
+    def test_cm_and_stix_ascii_kernel_parity(self):
+        """Kernel == oracle on fonts with non-2048 upem."""
+        import jax.numpy as jnp
+
+        from fontrx.font.font import Font
+        from fontrx.kernels import oracle
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.kernels.winding_jnp import winding_grid
+        from fontrx.pack.segments import glyph_segments
+
+        for name in ("cmr10.ttf", "STIXGeneral.ttf"):
+            font = Font.open(f"{MPL_FONTS}/{name}")
+            for ch in "Ag8":
+                idx = font.glyph_index(ch)
+                if idx == 0:
+                    continue
+                g = font.load_glyph_safe(idx)
+                if not g.num_segments:
+                    continue
+                segs = glyph_segments(g)
+                grid = RasterGrid.for_glyph_box(
+                    (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
+                    64, font.info.units_per_em,
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(winding_grid(segs, grid)),
+                    oracle.winding_map(segs, grid),
+                    err_msg=f"{name}:{ch}",
+                )
+
+    def test_all_mpl_fonts_parse(self):
+        import glob
+
+        from fontrx.font.font import Font
+
+        ok = 0
+        for p in glob.glob(f"{MPL_FONTS}/*.ttf"):
+            Font.open(p)  # should never raise on this bundle
+            ok += 1
+        assert ok > 20
