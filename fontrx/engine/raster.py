@@ -98,7 +98,15 @@ class RasterEngine:
                 )
                 if use_v2:
                     ph = ph2
-                kwargs = {"exact": self.exact} if use_v2 else {}
+                kwargs = {}
+                if use_v2:
+                    # carry/guard machinery pays off on wide pages and
+                    # high segment counts; small atlas tiles run the
+                    # leaner carry-free path (TPU sweep, round 1)
+                    kwargs = {
+                        "exact": self.exact,
+                        "guard": pw > 512 or segments.shape[1] > 256,
+                    }
                 out = kernel(
                     segments,
                     min_x,

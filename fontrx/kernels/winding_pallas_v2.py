@@ -154,61 +154,78 @@ def _make_v2_kernel(
                 xx0m = jnp.where(s0 != 0, xx0, neg_inf)
                 xx1m = jnp.where(s1 != 0, xx1, neg_inf)
 
-                # right-to-left carry sweep
-                carry = jnp.zeros((1, STRIP_ROWS), jnp.int32)
-                # crossings at/right of the page's right edge
-                carry = carry + jnp.sum(
-                    jnp.where(xx0m >= cx_end, s0, 0), axis=0, keepdims=True
-                )
-                carry = carry + jnp.sum(
-                    jnp.where(xx1m >= cx_end, s1, 0), axis=0, keepdims=True
-                )
+                # crossing positions/signs in pixel-major layout, hoisted
+                # out of the tile loop (one relayout per chunk)
+                xxT0 = xx0m.T          # (R, C)
+                xxT1 = xx1m.T
+                sT0 = s0.T
+                sT1 = s1.T
 
-                for t in range(n_tiles - 1, -1, -1):
-                    lo = tile_lo[t]
-                    hi = tile_lo[t + 1]
-                    in0 = (xx0m >= lo) & (xx0m < hi)
-                    in1 = (xx1m >= lo) & (xx1m < hi)
+                def tile_detail(t, sd_t0, sd_t1, sl, base):
+                    """Per-pixel compares for tile t.  A crossing with
+                    ``xx >= tile_hi`` compares true on every column, so
+                    unmasked inputs yield the *complete* winding for all
+                    crossings at/right of the tile's left edge."""
+                    cxt = cx_tiles[t]      # (1, tile_w)
+                    detail = base
+                    for s in range(seg_chunk):
+                        detail = detail + jnp.where(
+                            xxT0[:, s : s + 1] >= cxt, sd_t0[:, s : s + 1], 0
+                        )
+                        detail = detail + jnp.where(
+                            xxT1[:, s : s + 1] >= cxt, sd_t1[:, s : s + 1], 0
+                        )
+                    out_ref[0, :, pl.ds(t * tile_w, tile_w)] = sl + detail
 
-                    # carry broadcast: (1, R) -> rows of the (R, tile_w) tile
-                    carry_col = carry.T  # (R, 1)
-                    base = jnp.broadcast_to(carry_col, (STRIP_ROWS, tile_w))
-                    sl = out_ref[0, :, pl.ds(t * tile_w, tile_w)]
-
-                    def detail_store():
-                        sd0 = jnp.where(in0, s0, 0)
-                        sd1 = jnp.where(in1, s1, 0)
-                        xxT0 = xx0m.T          # (R, C)
-                        xxT1 = xx1m.T
-                        sT0 = sd0.T
-                        sT1 = sd1.T
-                        cxt = cx_tiles[t]      # (1, tile_w)
-                        detail = jnp.zeros((STRIP_ROWS, tile_w), jnp.int32)
-                        for s in range(seg_chunk):
-                            detail = detail + jnp.where(
-                                xxT0[:, s : s + 1] >= cxt, sT0[:, s : s + 1], 0
-                            )
-                            detail = detail + jnp.where(
-                                xxT1[:, s : s + 1] >= cxt, sT1[:, s : s + 1], 0
-                            )
-                        out_ref[0, :, pl.ds(t * tile_w, tile_w)] = sl + base + detail
-
-                    if guard:
+                if not guard:
+                    # carry-free: every tile compares every crossing at or
+                    # right of its left edge (correct per docstring above)
+                    zero = jnp.zeros((STRIP_ROWS, tile_w), jnp.int32)
+                    for t in range(n_tiles):
+                        sl = out_ref[0, :, pl.ds(t * tile_w, tile_w)]
+                        tile_detail(t, sT0, sT1, sl, zero)
+                else:
+                    # carry sweep: far-right crossings fold into a per-row
+                    # base; per-pixel compares (and their stores) are
+                    # skipped for tiles with no in-tile crossing
+                    carry = jnp.zeros((1, STRIP_ROWS), jnp.int32)
+                    carry = carry + jnp.sum(
+                        jnp.where(xx0m >= cx_end, s0, 0), axis=0, keepdims=True
+                    )
+                    carry = carry + jnp.sum(
+                        jnp.where(xx1m >= cx_end, s1, 0), axis=0, keepdims=True
+                    )
+                    for t in range(n_tiles - 1, -1, -1):
+                        lo = tile_lo[t]
+                        hi = tile_lo[t + 1]
+                        in0 = (xx0m >= lo) & (xx0m < hi)
+                        in1 = (xx1m >= lo) & (xx1m < hi)
+                        base = jnp.broadcast_to(
+                            carry.T, (STRIP_ROWS, tile_w)
+                        )
+                        sl = out_ref[0, :, pl.ds(t * tile_w, tile_w)]
                         any_in = jnp.any(in0 | in1)
-                        pl.when(any_in)(detail_store)
+
+                        @pl.when(any_in)
+                        def _(t=t, in0=in0, in1=in1, sl=sl, base=base):
+                            tile_detail(
+                                t,
+                                jnp.where(in0, s0, 0).T,
+                                jnp.where(in1, s1, 0).T,
+                                sl,
+                                base,
+                            )
 
                         @pl.when(jnp.logical_not(any_in))
-                        def _():
+                        def _(sl=sl, base=base, t=t):
                             out_ref[0, :, pl.ds(t * tile_w, tile_w)] = sl + base
-                    else:
-                        detail_store()
 
-                    carry = carry + jnp.sum(
-                        jnp.where(in0, s0, 0), axis=0, keepdims=True
-                    )
-                    carry = carry + jnp.sum(
-                        jnp.where(in1, s1, 0), axis=0, keepdims=True
-                    )
+                        carry = carry + jnp.sum(
+                            jnp.where(in0, s0, 0), axis=0, keepdims=True
+                        )
+                        carry = carry + jnp.sum(
+                            jnp.where(in1, s1, 0), axis=0, keepdims=True
+                        )
 
             return 0
 
@@ -228,7 +245,7 @@ def _make_v2_kernel(
 )
 def winding_pallas_v2_batch(
     segments, min_x, max_y, scale, *, height, width, interpret=False,
-    sample_offset=(0.0, 0.0), exact=False, seg_chunk=SEG_CHUNK,
+    sample_offset=(0.0, 0.0), exact=False, seg_chunk=16,
     tile_w=TILE_W, guard=True,
 ):
     """Batched winding maps, v2 kernel.  height must be a multiple of
