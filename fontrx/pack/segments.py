@@ -135,3 +135,42 @@ def pack_glyphs(
         for i, w in enumerate(advance_widths):
             aw[i] = w
     return PackedBatch(segments, seg_counts, boxes, aw)
+
+
+def pack_glyphs_bucketed(
+    glyphs: Sequence[Glyph],
+    advance_widths: Iterable[int] | None = None,
+    bucket_sizes: Sequence[int] = (64, 128, 256, 512, 1024),
+) -> list[tuple[PackedBatch, list[int]]]:
+    """Pack glyphs into segment-capacity buckets to bound padding waste
+    on ragged sets (SURVEY §7's central packing decision: a CJK charset
+    spans 0..1000+ segments; one shared capacity wastes ~90% of the
+    segment tensor).
+
+    Returns ``[(batch, original_indices), ...]`` — one batch per
+    non-empty bucket, each raster-able independently (compiled once per
+    bucket shape); ``original_indices`` maps rows back to the input
+    order.
+    """
+    aw = list(advance_widths) if advance_widths is not None else [0] * len(glyphs)
+    buckets: dict[int, list[int]] = {}
+    for i, g in enumerate(glyphs):
+        n = g.num_segments
+        for cap in bucket_sizes:
+            if n <= cap:
+                buckets.setdefault(cap, []).append(i)
+                break
+        else:
+            raise ValueError(
+                f"glyph {i} has {n} segments > max bucket {bucket_sizes[-1]}"
+            )
+    out = []
+    for cap in sorted(buckets):
+        idxs = buckets[cap]
+        batch = pack_glyphs(
+            [glyphs[i] for i in idxs],
+            [aw[i] for i in idxs],
+            capacity=cap,
+        )
+        out.append((batch, idxs))
+    return out

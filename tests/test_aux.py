@@ -129,3 +129,43 @@ class TestDebugHelpers:
         np.testing.assert_array_equal(
             np.asarray(out[0]), oracle.winding_map(seg, grid)
         )
+
+
+class TestBucketedPacking:
+    def test_buckets_and_mapping(self, dejavu):
+        from fontrx.pack.segments import pack_glyphs_bucketed
+
+        # mix of simple and complex glyphs -> multiple buckets
+        chars = "Il.@%&WM#"
+        glyphs = [dejavu.get_glyph(c)[0] for c in chars]
+        sizes = (16, 32, 64)
+        buckets = pack_glyphs_bucketed(glyphs, range(len(glyphs)), sizes)
+        assert len(buckets) >= 2
+        seen = set()
+        for batch, idxs in buckets:
+            assert batch.capacity in sizes
+            for row, orig in enumerate(idxs):
+                assert batch.seg_counts[row] == glyphs[orig].num_segments
+                assert batch.seg_counts[row] <= batch.capacity
+                assert batch.advance_widths[row] == orig
+                seen.add(orig)
+        assert seen == set(range(len(glyphs)))
+
+    def test_bucketed_raster_matches_flat(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.pack.segments import pack_glyphs, pack_glyphs_bucketed
+
+        chars = "Io@"
+        glyphs = [dejavu.get_glyph(c)[0] for c in chars]
+        eng = RasterEngine(backend="jnp")
+        flat = pack_glyphs(glyphs)
+        w_flat, grids = eng.winding_packed(flat, 64, 2048, 64)
+        w_flat = np.asarray(w_flat)
+        for batch, idxs in pack_glyphs_bucketed(glyphs):
+            w_b, _ = eng.winding_packed(batch, 64, 2048, 64)
+            for row, orig in enumerate(idxs):
+                np.testing.assert_array_equal(
+                    np.asarray(w_b)[row], w_flat[orig]
+                )
