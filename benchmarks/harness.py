@@ -21,12 +21,23 @@ DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
 
 
 def timeit(fn, n: int = 10, warmup: int = 1) -> float:
-    """Mean seconds per call (after warmup/compile)."""
-    for _ in range(warmup):
-        fn()
+    """Mean seconds per call (after warmup/compile).
+
+    ``fn(i)`` receives the iteration index — step functions MUST vary
+    their inputs by it and force result materialization (fetch a
+    scalar): on the tunneled TPU backend, identical dispatches can be
+    memoized and ``block_until_ready`` can return before execution
+    finishes, so naive loops measure nothing.
+    """
+    import inspect
+
+    takes_i = len(inspect.signature(fn).parameters) >= 1
+    call = (lambda i: fn(i)) if takes_i else (lambda i: fn())
+    for i in range(warmup):
+        call(i)
     t0 = time.perf_counter()
-    for _ in range(n):
-        fn()
+    for i in range(n):
+        call(warmup + i)
     return (time.perf_counter() - t0) / n
 
 
