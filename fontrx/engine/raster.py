@@ -88,26 +88,12 @@ class RasterEngine:
             min_x = jnp.asarray(min_x, jnp.int32)
             max_y = jnp.asarray(max_y, jnp.int32)
             if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
-                # v2 (row-strip carry sweep, 4.7x faster) needs 128-row
-                # strips; pick it unless the extra padding outweighs its
-                # per-pixel advantage on small tiles
-                ph2 = _round_up(height, STRIP_ROWS)
-                use_v2 = ph2 * pw <= 2 * ph * pw
-                kernel = (
-                    winding_pallas_v2_batch if use_v2 else winding_pallas_batch
-                )
-                if use_v2:
-                    ph = ph2
-                kwargs = {}
-                if use_v2:
-                    # carry/guard machinery pays off on wide pages and
-                    # high segment counts; small atlas tiles run the
-                    # leaner carry-free path (TPU sweep, round 1)
-                    kwargs = {
-                        "exact": self.exact,
-                        "guard": pw > 512 or segments.shape[1] > 256,
-                    }
-                out = kernel(
+                # v2 always: its 128-row strips overpad small tiles, but
+                # per-pixel it is ~5x cheaper than v1, hull culls skip
+                # the padding rows, and only v2 carries the exact-math
+                # path (bit-parity with the oracle on TPU)
+                ph = _round_up(height, STRIP_ROWS)
+                out = winding_pallas_v2_batch(
                     segments,
                     min_x,
                     max_y,
@@ -115,7 +101,10 @@ class RasterEngine:
                     height=ph,
                     width=pw,
                     interpret=backend == BACKEND_INTERPRET,
-                    **kwargs,
+                    exact=self.exact,
+                    # carry/guard machinery pays off on wide pages and
+                    # high segment counts (TPU sweep, round 1)
+                    guard=pw > 512 or segments.shape[1] > 256,
                 )
             elif backend == BACKEND_JNP:
                 out = _winding_jnp_batch(

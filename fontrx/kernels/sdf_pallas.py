@@ -134,11 +134,12 @@ def _make_sdf_kernel(spread_px: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "spread_px", "interpret")
+    jax.jit,
+    static_argnames=("height", "width", "spread_px", "interpret", "exact"),
 )
 def sdf_pallas_batch(
     segments, min_x, max_y, scale, *, height, width, spread_px=8.0,
-    interpret=False,
+    interpret=False, exact=True,
 ):
     """Batched SDF via winding sign + banded Pallas distance.
 
@@ -184,7 +185,7 @@ def sdf_pallas_batch(
     wh = ((height + STRIP_ROWS - 1) // STRIP_ROWS) * STRIP_ROWS
     winding = winding_pallas_v2_batch(
         segments, min_x[:, 0], max_y[:, 0], scale,
-        height=wh, width=width, interpret=interpret,
+        height=wh, width=width, interpret=interpret, exact=exact,
     )[:, :height, :]
     sign = jnp.where(winding != 0, 1.0, -1.0)
     return sign * dist_px
