@@ -113,11 +113,30 @@ def main() -> None:
         sys.exit(1)
 
     # --- device timing ----------------------------------------------------
+    # Chained steps: each step's min_x depends on the previous step's
+    # output through abs(w)>>30 (always 0, but not constant-foldable),
+    # so no step can be elided or reordered; one scalar fetch at the end
+    # forces the whole chain.  Host<->device RTT (~30 ms on the dev
+    # tunnel) is paid once, not per step.
     n_iter = 10
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        step(i)
-    dt = (time.perf_counter() - t0) / n_iter
+
+    def chained(n):
+        prev = jnp.int32(0)
+        t0 = time.perf_counter()
+        for i in range(n):
+            dep = jnp.abs(prev) >> 30  # 0, data-dependent
+            out = engine.winding_batch(
+                d_segments, d_variants[i % 4] + dep, d_max_y, scale,
+                height=TILE, width=TILE,
+            )
+            prev = out[0, 0, 0]
+        float(prev)
+        return time.perf_counter() - t0
+
+    chained(2)  # warm the chained shapes
+    rtt = chained(0 + 1)  # ~1 step + 1 fetch
+    total = chained(n_iter)
+    dt = max((total - rtt), 1e-9) / max(n_iter - 1, 1)
     device_glyphs_per_s = b / dt
     device_mpix_per_s = b * TILE * TILE / dt / 1e6
 
