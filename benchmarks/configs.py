@@ -234,8 +234,10 @@ def config5_interactive_page():
             sess.drag(0.01, 0.005)
         sess.frame()
     stats = sess.stats()
-    emit("5-interactive-1080p", "ms/frame 1080p zoom-pan",
-         stats["mean_ms"], "ms", fps=round(stats["fps"], 1),
+    emit("5-interactive-1080p", "ms/frame 1080p zoom-pan (raster only)",
+         stats["compute_ms"], "ms",
+         compute_fps=round(stats["compute_fps"], 1),
+         with_host_fetch_ms=round(stats["mean_ms"], 2),
          p99_ms=round(stats["p99_ms"], 2), frames=stats["frames"])
 
 

@@ -78,6 +78,7 @@ class InteractiveSession:
         self.timer = PhaseTimer()
         self.frame_count = 0
         self.frame_ms: list[float] = []
+        self.compute_ms: list[float] = []
 
     # -- event feeds (the GLFW-callback surface) --------------------------
 
@@ -144,9 +145,15 @@ class InteractiveSession:
             ev.dragging = False
 
         if self.mode == "direct":
-            page = self.renderer.render_direct(self.view)
+            page_dev = self.renderer.render_direct(self.view)
+            float(page_dev[0, 0])  # force device completion
+            self.compute_ms.append((time.perf_counter() - t0) * 1e3)
+            # the host fetch is the display boundary; on the dev tunnel
+            # it dominates, so it is tracked separately in stats()
+            page = np.asarray(page_dev)
         else:
             page = self.renderer.render(self.view)
+            self.compute_ms.append((time.perf_counter() - t0) * 1e3)
         self.frame_count += 1
         dt = (time.perf_counter() - t0) * 1e3
         self.frame_ms.append(dt)
@@ -154,9 +161,13 @@ class InteractiveSession:
 
     def stats(self) -> dict:
         ms = self.frame_ms[1:] or self.frame_ms  # drop compile frame
+        cms = self.compute_ms[1:] or self.compute_ms
         return {
             "frames": self.frame_count,
             "mean_ms": float(np.mean(ms)) if ms else 0.0,
             "p99_ms": float(np.percentile(ms, 99)) if ms else 0.0,
             "fps": 1000.0 / float(np.mean(ms)) if ms else 0.0,
+            # raster-only time (excludes the page host fetch)
+            "compute_ms": float(np.mean(cms)) if cms else 0.0,
+            "compute_fps": 1000.0 / float(np.mean(cms)) if cms else 0.0,
         }

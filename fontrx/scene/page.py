@@ -178,7 +178,7 @@ class PageRenderer:
 
     # -- direct path -------------------------------------------------------
 
-    def render_direct(self, view: ViewTransform) -> np.ndarray:
+    def render_direct(self, view: ViewTransform) -> jax.Array:
         """Render one frame by rasterizing the *page* directly from all
         instance segments in a single v2-kernel launch — no per-glyph
         tiles, no composite pass.
@@ -204,17 +204,16 @@ class PageRenderer:
         pad_mask = (
             np.arange(batch.capacity)[None, :] >= batch.seg_counts[:, None]
         )
-        return np.asarray(
-            _direct_page_step(
-                jnp.asarray(batch.segments),
-                jnp.asarray(pad_mask),
-                jnp.asarray(slots),
-                jnp.asarray(xs),
-                s_px,
-                page_h=self.height,
-                page_w=self.width,
-                interpret=self.engine._resolve() != "pallas",
-            )
+        # returns the device array; callers fetch at IO boundaries
+        return _direct_page_step(
+            jnp.asarray(batch.segments),
+            jnp.asarray(pad_mask),
+            jnp.asarray(slots),
+            jnp.asarray(xs),
+            s_px,
+            page_h=self.height,
+            page_w=self.width,
+            interpret=self.engine._resolve() != "pallas",
         )
 
     # -- output conversion -------------------------------------------------
