@@ -120,16 +120,24 @@ def main() -> None:
     # tunnel) is paid once, not per step.
     n_iter = 10
 
+    @jax.jit
+    def chained_step(segs, mx, my, dep):
+        # the dependency lives inside the jitted program: abs(w)>>30 is
+        # always 0 but not constant-foldable, so steps can't be elided,
+        # and each timing step is exactly one device execution
+        mx = mx + (jnp.abs(dep) >> 30)
+        out = engine.winding_batch(
+            segs, mx, my, scale, height=TILE, width=TILE
+        )
+        # return only the chain scalar: the next step consumes it with
+        # no eager host-side ops between executions
+        return out[0, 0, 0]
+
     def chained(n):
         prev = jnp.int32(0)
         t0 = time.perf_counter()
         for i in range(n):
-            dep = jnp.abs(prev) >> 30  # 0, data-dependent
-            out = engine.winding_batch(
-                d_segments, d_variants[i % 4] + dep, d_max_y, scale,
-                height=TILE, width=TILE,
-            )
-            prev = out[0, 0, 0]
+            prev = chained_step(d_segments, d_variants[i % 4], d_max_y, prev)
         float(prev)
         return time.perf_counter() - t0
 

@@ -63,12 +63,14 @@ def _make_sdf_kernel(spread_px: float):
 
         def chunk_body(c, _):
             chunk = seg_ref[0, pl.ds(c * SEG_CHUNK, SEG_CHUNK), :]  # (C, 8)
-            p0x = chunk[:, 0:1, None]  # (C,1,1)
-            p0y = chunk[:, 1:2, None]
-            p1x = chunk[:, 2:3, None]
-            p1y = chunk[:, 3:4, None]
-            p2x = chunk[:, 4:5, None]
-            p2y = chunk[:, 5:6, None]
+            # slice then reshape — newaxis getitem lowers to an
+            # unsupported gather in Mosaic
+            p0x = chunk[:, 0:1].reshape(SEG_CHUNK, 1, 1)
+            p0y = chunk[:, 1:2].reshape(SEG_CHUNK, 1, 1)
+            p1x = chunk[:, 2:3].reshape(SEG_CHUNK, 1, 1)
+            p1y = chunk[:, 3:4].reshape(SEG_CHUNK, 1, 1)
+            p2x = chunk[:, 4:5].reshape(SEG_CHUNK, 1, 1)
+            p2y = chunk[:, 5:6].reshape(SEG_CHUNK, 1, 1)
 
             hx0 = jnp.min(jnp.minimum(jnp.minimum(p0x, p1x), p2x))
             hx1 = jnp.max(jnp.maximum(jnp.maximum(p0x, p1x), p2x))
