@@ -29,11 +29,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fontrx.kernels.winding_jnp import winding_batch as _winding_jnp_batch
 from fontrx.kernels.winding_pallas import winding_pallas_batch
+from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
 from fontrx.utils.log import get_logger
 
 log = get_logger("Sharding")
 
 GLYPH_AXIS = "glyphs"
+ROW_AXIS = "rows"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -44,6 +46,19 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
         if n_devices is not None:
             devices = devices[: n_devices]
     return Mesh(np.array(devices), (GLYPH_AXIS,))
+
+
+def make_mesh_2d(
+    n_glyph: int, n_rows: int, devices=None
+) -> Mesh:
+    """2-D mesh (glyphs x row-bands): data parallelism over the glyph
+    batch crossed with spatial parallelism over pixel-row bands — the
+    raster analog of DP x SP.  Row bands are independent (winding is
+    per-row), so the only collective is the output layout itself."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_glyph * n_rows]).reshape(n_glyph, n_rows)
+    return Mesh(devices, (GLYPH_AXIS, ROW_AXIS))
 
 
 def shard_batch(mesh: Mesh, *arrays):
@@ -97,3 +112,48 @@ def winding_sharded(
     if replicate_out:
         out = jax.lax.with_sharding_constraint(out, NamedSharding(mesh, P()))
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "mesh", "use_pallas"),
+)
+def winding_sharded_2d(
+    segments,
+    min_x,
+    max_y,
+    scale,
+    *,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    use_pallas: bool = True,
+):
+    """Winding maps sharded over a 2-D (glyphs x row-bands) mesh.
+
+    Each device rasters its glyph shard restricted to its horizontal
+    band of the pixel grid — pure SPMD: the band grid is derived from
+    ``jax.lax.axis_index(ROW_AXIS)`` (each band's ``max_y`` anchor drops
+    by ``band_h`` rows), and the output's row dimension is sharded over
+    the same axis, so XLA lays the bands out without any cross-device
+    traffic.  ``height`` must divide by the row-axis size; segments are
+    replicated along rows (small) and sharded along glyphs.
+    """
+    kernel = winding_pallas_v2_batch if use_pallas else _winding_jnp_batch
+    n_rows = mesh.shape[ROW_AXIS]
+    assert height % n_rows == 0, (height, n_rows)
+    band_h = height // n_rows
+
+    def local(seg, mx, my):
+        band = jax.lax.axis_index(ROW_AXIS)
+        my_band = my - band * band_h
+        return kernel(seg, mx, my_band, scale, height=band_h, width=width)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(GLYPH_AXIS), P(GLYPH_AXIS), P(GLYPH_AXIS)),
+        out_specs=P(GLYPH_AXIS, ROW_AXIS),
+        check_vma=False,
+    )
+    return fn(segments, min_x, max_y)

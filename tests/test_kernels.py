@@ -179,3 +179,35 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestSharding2D:
+    def test_glyph_by_row_mesh(self, dejavu):
+        import jax
+        import jax.numpy as jnp
+
+        from fontrx.engine.atlas import pack_charset
+        from fontrx.engine.sharding import make_mesh_2d, winding_sharded_2d
+        from fontrx.kernels import oracle
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        batch = pack_charset(dejavu, "ABCD")
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), 128, 2048, 128) for b in batch.boxes
+        ]
+        mesh = make_mesh_2d(2, 4)
+        out = winding_sharded_2d(
+            jnp.asarray(batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+            height=128, width=128, mesh=mesh, use_pallas=False,
+        )
+        assert len(out.sharding.device_set) == 8
+        for i, g in enumerate(grids):
+            xs, ys = g.sample_coords()
+            np.testing.assert_array_equal(
+                np.asarray(out[i]),
+                oracle.winding_at(batch.segments[i], xs[None, :], ys[:, None]),
+            )
