@@ -65,36 +65,28 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-# pad sentinel for direct page raster: far outside any page, so padded
-# segments fail the kernel's hull cull (pure-pad chunks skip entirely)
-# and are arithmetically inert in mixed chunks (their roots fall outside
-# t in [0,1))
-_PAD_BIG = 1.0e30
-
-
 @functools.partial(
     jax.jit, static_argnames=("page_h", "page_w", "exact", "interpret")
 )
 def _direct_page_step(
-    segments, pad_mask, slots, inst_offsets, s_px, *, page_h, page_w,
+    flat_segments, seg_inst_idx, inst_offsets, s_px, *, page_h, page_w,
     exact=False, interpret=False,
 ):
-    """One direct-raster frame: gather instance segments, map em -> page
-    pixels (y up), raster the whole page with the v2 kernel.
+    """One direct-raster frame: map pre-compacted instance segments from
+    em to page pixels (y up) and raster the whole page with the v2
+    kernel.
 
-    - ``segments``: float32 [B, S, 3, 2] unique-glyph segments (em)
-    - ``pad_mask``: bool [B, S] True where padding
-    - ``slots``: int32 [N]; ``inst_offsets``: float32 [N, 2] page-pixel
-      offsets of each instance's em origin (y up)
+    - ``flat_segments``: float32 [S_total, 3, 2] — every instance's live
+      segments concatenated (no padding; built once per layout)
+    - ``seg_inst_idx``: int32 [S_total] — owning instance per segment
+    - ``inst_offsets``: float32 [N, 2] page-pixel offsets of each
+      instance's em origin (y up)
     - ``s_px``: pixels per font unit
     """
     from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
 
-    inst = segments[slots]                      # [N, S, 3, 2]
-    inst = inst * s_px + inst_offsets[:, None, None, :]
-    mask = pad_mask[slots][:, :, None, None]    # [N, S, 1, 1]
-    inst = jnp.where(mask, _PAD_BIG, inst)
-    flat = inst.reshape(1, -1, 3, 2)
+    offs = inst_offsets[seg_inst_idx]           # [S_total, 2]
+    flat = (flat_segments * s_px + offs[:, None, :])[None]  # [1, S, 3, 2]
 
     ph = ((page_h + 127) // 128) * 128
     pw = ((page_w + 127) // 128) * 128
@@ -192,6 +184,7 @@ class PageRenderer:
         slots, offsets_em = self.layout.instance_arrays()
         if len(slots) == 0:
             return np.zeros((self.height, self.width), np.uint8)
+        flat_segments, seg_inst_idx = self._compact_instances(slots)
         s_px = np.float32(view.scale[0] * (self.width / 2.0))
         # em origin of each instance in page pixels, y up
         # (page row r samples y = page_h-1-r in the kernel's grid)
@@ -200,21 +193,42 @@ class PageRenderer:
             ndc_x, ndc_y = view.apply(float(ex), float(ey))
             xs[i, 0] = (ndc_x + 1.0) / 2.0 * self.width
             xs[i, 1] = (ndc_y + 1.0) / 2.0 * self.height
-        batch = self.layout.batch
-        pad_mask = (
-            np.arange(batch.capacity)[None, :] >= batch.seg_counts[:, None]
-        )
         # returns the device array; callers fetch at IO boundaries
         return _direct_page_step(
-            jnp.asarray(batch.segments),
-            jnp.asarray(pad_mask),
-            jnp.asarray(slots),
+            flat_segments,
+            seg_inst_idx,
             jnp.asarray(xs),
             s_px,
             page_h=self.height,
             page_w=self.width,
             interpret=self.engine._resolve() != "pallas",
         )
+
+    def _compact_instances(self, slots):
+        """Per-layout compaction: concatenate every instance's *live*
+        segments (padding dropped — at 1000-instance pages the padded
+        gather was ~4x the real segment count) with an owning-instance
+        index per segment.  Built once; zoom/pan only change the traced
+        offsets."""
+        if getattr(self, "_compact_cache", None) is not None:
+            return self._compact_cache
+        batch = self.layout.batch
+        seg_chunks = []
+        idx_chunks = []
+        for i, slot in enumerate(slots):
+            n = int(batch.seg_counts[slot])
+            if n == 0:
+                continue
+            seg_chunks.append(batch.segments[slot, :n])
+            idx_chunks.append(np.full(n, i, np.int32))
+        if not seg_chunks:
+            seg_chunks = [np.zeros((1, 3, 2), np.float32)]
+            idx_chunks = [np.zeros(1, np.int32)]
+        self._compact_cache = (
+            jnp.asarray(np.concatenate(seg_chunks)),
+            jnp.asarray(np.concatenate(idx_chunks)),
+        )
+        return self._compact_cache
 
     # -- output conversion -------------------------------------------------
 
