@@ -234,9 +234,24 @@ def config5_interactive_page():
             sess.drag(0.01, 0.005)
         sess.frame()
     stats = sess.stats()
+    # per-frame scalar-fetch RTT baseline (the dev tunnel adds ~30 ms
+    # per forced materialization; production-local TPUs do not)
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    triv = jax.jit(lambda x: x * 2)
+    float(triv(jnp.float32(1.0)))
+    t0 = time.perf_counter()
+    for i in range(10):
+        float(triv(jnp.float32(i)))
+    rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
     emit("5-interactive-1080p", "ms/frame 1080p zoom-pan (raster only)",
          stats["compute_ms"], "ms",
          compute_fps=round(stats["compute_fps"], 1),
+         rtt_ms=round(rtt_ms, 2),
+         device_ms_rtt_corrected=round(max(stats["compute_ms"] - rtt_ms, 0.0), 2),
          with_host_fetch_ms=round(stats["mean_ms"], 2),
          p99_ms=round(stats["p99_ms"], 2), frames=stats["frames"])
 
