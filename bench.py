@@ -148,13 +148,17 @@ def main() -> None:
     device_glyphs_per_s = b / dt
     device_mpix_per_s = b * TILE * TILE / dt / 1e6
 
-    # --- CPU baseline (oracle on a subset, extrapolated per-glyph) --------
-    n_base = 4
-    t0 = time.perf_counter()
-    for i in range(n_base):
-        xs, ys = grids[i].sample_coords()
-        oracle.winding_at(batch.segments[i], xs[None, :], ys[:, None])
-    base_dt = (time.perf_counter() - t0) / n_base
+    # --- CPU baseline (oracle on a subset; min over repeats for noise
+    # immunity — the vectorized oracle is memory-bound and sensitive to
+    # host load) ------------------------------------------------------
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(2):
+            xs, ys = grids[i].sample_coords()
+            oracle.winding_at(batch.segments[i], xs[None, :], ys[:, None])
+        reps.append((time.perf_counter() - t0) / 2)
+    base_dt = min(reps)
     baseline_glyphs_per_s = 1.0 / base_dt
 
     print(

@@ -129,10 +129,9 @@ def parse_args(argv: list[str], cls=Config):
 
 
 def _convert(raw: str, ftype):
-    name = getattr(ftype, "__name__", str(ftype))
-    s = str(ftype)
-    if ftype in (int, "int") or "int" in s and "Optional" not in s:
+    s = ftype if isinstance(ftype, str) else getattr(ftype, "__name__", "")
+    if s == "int" or ftype is int:
         return int(raw)
-    if ftype in (float, "float"):
+    if s == "float" or ftype is float:
         return float(raw)
     return raw

@@ -20,11 +20,7 @@ import numpy as np
 
 from fontrx.kernels.grid import RasterGrid
 from fontrx.kernels.winding_jnp import winding_batch as _winding_jnp_batch
-from fontrx.kernels.winding_pallas import (
-    TILE_H,
-    TILE_W,
-    winding_pallas_batch,
-)
+from fontrx.kernels.winding_pallas import TILE_H, TILE_W
 from fontrx.kernels.winding_pallas_v2 import (
     STRIP_ROWS,
     winding_pallas_v2_batch,
