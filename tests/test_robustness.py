@@ -1,0 +1,117 @@
+"""Robustness: parser fuzzing and raster property tests (SURVEY §4
+item 3 transform equivariance; §5.3 graceful failure)."""
+
+import numpy as np
+import pytest
+
+from fontrx.font.font import Font
+from fontrx.utils.reader import CorruptedFont
+from tests import ttf_builder as tb
+
+
+class TestParserFuzz:
+    """Truncations and bit flips must fail *cleanly* (CorruptedFont /
+    NotImplementedError / struct errors surfaced as parse failures) —
+    never hang, never index-crash deep in numpy."""
+
+    def _blob(self):
+        cmap = tb.build_cmap(
+            [(3, 1, tb.build_cmap_format4([(65, 70, -64, None)]))]
+        )
+        glyphs = [b"", tb.build_simple_glyph(
+            [[(0, 0, True), (50, 100, False), (100, 0, True)]]
+        )]
+        return tb.build_font(glyphs, cmap)
+
+    def test_truncations(self):
+        blob = self._blob()
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError)
+        # struct.error subclasses Exception; ensure it's wrapped or raised
+        import struct
+
+        for cut in range(0, len(blob), 7):
+            try:
+                f = Font(blob[:cut])
+                f.load_glyph(1)
+            except acceptable:
+                pass
+            except struct.error:
+                pass  # clean parse failure at the wire layer
+
+    def test_bit_flips(self, rng):
+        import struct
+
+        blob = bytearray(self._blob())
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        for _ in range(60):
+            b2 = bytearray(blob)
+            pos = int(rng.integers(0, len(b2)))
+            b2[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                f = Font(bytes(b2))
+                for idx in range(f.num_glyphs):
+                    f.load_glyph_safe(idx)
+            except acceptable:
+                pass
+
+    def test_safe_loading_never_raises_on_real_font_indices(self, dejavu):
+        # every index in range loads or masks, never crashes
+        for idx in range(0, dejavu.num_glyphs, 211):
+            g = dejavu.load_glyph_safe(idx)
+            assert g is not None
+
+
+class TestTransformEquivariance:
+    def test_integer_translation_shifts_raster(self, dejavu):
+        """Rastering a glyph translated by whole pixels equals shifting
+        the raster (SURVEY §4 item 3)."""
+        from fontrx.kernels import oracle
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import glyph_segments
+
+        g, _ = dejavu.get_glyph("e")
+        segs = glyph_segments(g)
+        grid = RasterGrid.for_glyph_box(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
+            64, dejavu.info.units_per_em,
+        )
+        w0 = oracle.winding_map(segs, grid)
+        # translate by exactly 8 pixels worth of font units
+        shift_units = int(round(8 / grid.scale))
+        segs2 = segs + np.array([shift_units, 0], np.float32)
+        grid2 = RasterGrid(grid.width, grid.height,
+                           grid.min_x + 8, grid.max_y, grid.scale)
+        w1 = oracle.winding_map(segs2, grid2)
+        np.testing.assert_array_equal(w0, w1)
+
+    def test_power_of_two_scale_consistency(self, dejavu):
+        """Doubling the font size doubles the sampled lattice: the
+        coarse raster equals the fine raster subsampled 2x (both sample
+        the same em points when scales are powers of two)."""
+        from fontrx.kernels import oracle
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import glyph_segments
+
+        g, _ = dejavu.get_glyph("n")
+        segs = glyph_segments(g)
+        box = (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max)
+        fine = RasterGrid.for_glyph_box(box, 128, 2048)
+        coarse = RasterGrid.for_glyph_box(box, 64, 2048)
+        wf = oracle.winding_map(segs, fine)
+        wc = oracle.winding_map(segs, coarse)
+        # compare at the exact em coordinates both lattices share
+        xs_c, ys_c = coarse.sample_coords()
+        xs_f, ys_f = fine.sample_coords()
+        common_x = np.intersect1d(xs_c, xs_f)
+        common_y = np.intersect1d(ys_c, ys_f)
+        assert len(common_x) > 10 and len(common_y) > 10
+        ix_c = np.searchsorted(xs_c, common_x)
+        ix_f = np.searchsorted(xs_f, common_x)
+        posc = {v: i for i, v in enumerate(ys_c)}
+        posf = {v: i for i, v in enumerate(ys_f)}
+        for y in common_y:
+            np.testing.assert_array_equal(
+                wc[posc[y]][ix_c], wf[posf[y]][ix_f], err_msg=str(y)
+            )
