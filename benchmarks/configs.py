@@ -256,11 +256,17 @@ def config5_interactive_page():
          p99_ms=round(stats["p99_ms"], 2), frames=stats["frames"])
 
 
+def config4_both_sizes():
+    """BASELINE config 4 calls for 32px and 64px SDF atlases."""
+    config4_sdf_atlas(n_glyphs=1000, size=32)
+    config4_sdf_atlas(n_glyphs=1000, size=64)
+
+
 ALL = {
     "1": config1_single_glyph,
     "2": config2_hello_world_msaa,
     "3": config3_ascii_atlas,
-    "4": config4_sdf_atlas,
+    "4": config4_both_sizes,
     "5": config5_interactive_page,
 }
 

@@ -8,7 +8,7 @@ and exposes ``rgb()`` -> ``uint8 [H, W, 3]`` (the analog of
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

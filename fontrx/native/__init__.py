@@ -10,7 +10,6 @@ implementations when the shared library hasn't been built
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 

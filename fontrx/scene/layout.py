@@ -10,7 +10,7 @@ TODO-lists as "user text input" (``README.md:73``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
