@@ -62,6 +62,7 @@ class InteractiveSession:
     height: int = 1080
     engine: RasterEngine = field(default_factory=RasterEngine)
     mode: str = "direct"
+    pipeline: bool = False
     msaa: bool = False
     debug: bool = False
     transparent: bool = False
@@ -144,7 +145,17 @@ class InteractiveSession:
             ev.drag_delta = (0.0, 0.0)
             ev.dragging = False
 
-        if self.mode == "direct":
+        if self.mode == "direct" and self.pipeline:
+            # frames-in-flight (the analog of the reference's
+            # max_frames_in_flight=2, VulkanContext.zig:48): dispatch
+            # frame N, fetch frame N-1 — device compute overlaps the
+            # host fetch of the previous frame
+            page_dev = self.renderer.render_direct(self.view)
+            prev = getattr(self, "_inflight", None)
+            self._inflight = page_dev
+            self.compute_ms.append((time.perf_counter() - t0) * 1e3)
+            page = np.asarray(prev if prev is not None else page_dev)
+        elif self.mode == "direct":
             page_dev = self.renderer.render_direct(self.view)
             float(page_dev[0, 0])  # force device completion
             self.compute_ms.append((time.perf_counter() - t0) * 1e3)
