@@ -211,3 +211,40 @@ class TestSharding2D:
                 np.asarray(out[i]),
                 oracle.winding_at(batch.segments[i], xs[None, :], ys[:, None]),
             )
+
+    def test_page_raster_row_band_mesh(self, dejavu):
+        """Config-5 scale-out shape: one page sharded over row bands."""
+        import jax
+        import jax.numpy as jnp
+
+        from fontrx.engine.sharding import make_mesh_2d, winding_sharded_2d
+        from fontrx.scene.layout import layout_text
+        from fontrx.scene.transform import ViewTransform
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        layout = layout_text(dejavu, "ab")
+        w, h = 256, 64
+        view = ViewTransform.init(2048, w, h)
+        slots, offs = layout.instance_arrays()
+        s_px = np.float32(view.scale[0] * (w / 2.0))
+        chunks = []
+        for slot, (ex, ey) in zip(slots, offs):
+            ndc = view.apply(float(ex), float(ey))
+            off = np.array(
+                [(ndc[0] + 1) / 2 * w, (ndc[1] + 1) / 2 * h], np.float32
+            )
+            n = layout.batch.seg_counts[slot]
+            chunks.append(layout.batch.segments[slot][:n] * s_px + off)
+        allsegs = np.concatenate(chunks).astype(np.float32)[None]
+        mesh = make_mesh_2d(1, 8)
+        out = winding_sharded_2d(
+            jnp.asarray(allsegs), jnp.zeros(1, jnp.int32),
+            jnp.full(1, h - 1, jnp.int32), jnp.float32(1.0),
+            height=h, width=w, mesh=mesh, use_pallas=False,
+        )
+        assert len(out.sharding.device_set) == 8
+        xs = np.arange(w, dtype=np.float32)
+        ys = (h - 1 - np.arange(h)).astype(np.float32)
+        wp = oracle.winding_at(allsegs[0], xs[None, :], ys[:, None])
+        np.testing.assert_array_equal(np.asarray(out[0]), wp)
