@@ -29,7 +29,10 @@ def _fma(a, b, c):
     """IEEE-correct f32 fused multiply-add emulated through float64
     (the f64 product of two f32 values is exact, so the single f32
     rounding at the end matches hardware FMA)."""
-    return (np.float64(a) * np.float64(b) + np.float64(c)).astype(f32)
+    a64 = np.asarray(a, np.float64)
+    b64 = np.asarray(b, np.float64)
+    c64 = np.asarray(c, np.float64)
+    return (a64 * b64 + c64).astype(f32)
 
 
 def _poly_xx(ax, bx, p0x, t, contract: bool):
@@ -59,13 +62,25 @@ def winding_at(segments: np.ndarray, cx, cy, contract: bool = True) -> np.ndarra
     ``render_glyph.zig:49-50``).
     """
     seg = np.asarray(segments, dtype=f32)
+    cx = np.asarray(cx, dtype=f32)
+    cy = np.asarray(cy, dtype=f32)
+    out_shape = np.broadcast_shapes(cx.shape, cy.shape)
+
+    # chunk the segment axis to bound temporaries (a 256px glyph against
+    # hundreds of segments would otherwise materialize GB-scale
+    # intermediates); integer winding sums are order-independent, so
+    # per-element results are unchanged
+    chunk = 16
+    if len(seg) > chunk:
+        total = np.zeros(out_shape, dtype=np.int32)
+        for s0 in range(0, len(seg), chunk):
+            total += winding_at(seg[s0 : s0 + chunk], cx, cy, contract)
+        return total
+
     p0x, p0y = seg[:, 0, 0], seg[:, 0, 1]
     p1x, p1y = seg[:, 1, 0], seg[:, 1, 1]
     p2x, p2y = seg[:, 2, 0], seg[:, 2, 1]
 
-    cx = np.asarray(cx, dtype=f32)
-    cy = np.asarray(cy, dtype=f32)
-    out_shape = np.broadcast_shapes(cx.shape, cy.shape)
     cx = np.broadcast_to(cx, out_shape)[..., None]  # [..., 1] vs segment axis
     cy = np.broadcast_to(cy, out_shape)[..., None]
 
