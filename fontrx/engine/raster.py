@@ -35,6 +35,10 @@ BACKEND_PALLAS = "pallas"
 BACKEND_JNP = "jnp"
 BACKEND_INTERPRET = "interpret"
 
+# per-call glyph cap: the Pallas kernels keep per-glyph grid anchors
+# resident in SMEM (~1 MB); larger batches split into sub-launches
+MAX_KERNEL_BATCH = 1024
+
 
 def default_backend() -> str:
     return BACKEND_PALLAS if jax.default_backend() == "tpu" else BACKEND_JNP
@@ -83,6 +87,19 @@ class RasterEngine:
             segments = jnp.asarray(segments, jnp.float32)
             min_x = jnp.asarray(min_x, jnp.int32)
             max_y = jnp.asarray(max_y, jnp.int32)
+            if segments.shape[0] > MAX_KERNEL_BATCH:
+                parts = [
+                    self.winding_batch(
+                        segments[i : i + MAX_KERNEL_BATCH],
+                        min_x[i : i + MAX_KERNEL_BATCH],
+                        max_y[i : i + MAX_KERNEL_BATCH],
+                        scale,
+                        height=height,
+                        width=width,
+                    )
+                    for i in range(0, segments.shape[0], MAX_KERNEL_BATCH)
+                ]
+                return jnp.concatenate(parts, axis=0)
             if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
                 # v2 always: its 128-row strips overpad small tiles, but
                 # per-pixel it is ~5x cheaper than v1, hull culls skip

@@ -248,3 +248,31 @@ class TestSharding2D:
         ys = (h - 1 - np.arange(h)).astype(np.float32)
         wp = oracle.winding_at(allsegs[0], xs[None, :], ys[:, None])
         np.testing.assert_array_equal(np.asarray(out[0]), wp)
+
+
+class TestBigBatchChunking:
+    def test_batch_over_kernel_cap_matches(self, dejavu):
+        """Batches beyond the SMEM-anchored kernel cap split into
+        sub-launches transparently."""
+        import jax.numpy as jnp
+
+        from fontrx.engine import raster as raster_mod
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.pack.segments import glyph_segments, pack_glyphs
+
+        old = raster_mod.MAX_KERNEL_BATCH
+        raster_mod.MAX_KERNEL_BATCH = 3
+        try:
+            glyphs = [dejavu.get_glyph(c)[0] for c in "ABCDEFG"]
+            batch = pack_glyphs(glyphs)
+            eng = RasterEngine(backend="jnp")
+            w, grids = eng.winding_packed(batch, 48, 2048, 48)
+            w = np.asarray(w)
+            for i, g in enumerate(grids):
+                xs, ys = g.sample_coords()
+                np.testing.assert_array_equal(
+                    w[i],
+                    oracle.winding_at(batch.segments[i], xs[None, :], ys[:, None]),
+                )
+        finally:
+            raster_mod.MAX_KERNEL_BATCH = old
