@@ -43,8 +43,8 @@ def _make_coverage_kernel(k: int, exact: bool):
     def kernel(min_x_ref, max_y_ref, scale_ref, seg_ref, out_ref, wind_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
-        min_x = min_x_ref[b, 0]
-        max_y = max_y_ref[b, 0]
+        min_x = min_x_ref[0, b]
+        max_y = max_y_ref[0, b]
         scale = scale_ref[0, 0]
 
         width = out_ref.shape[2]
@@ -215,8 +215,8 @@ def coverage_pallas_batch(
     assert height % STRIP_ROWS == 0 and width % TILE_W == 0
     soa = segments_to_soa(segments)
     s8 = soa.shape[1]
-    min_x = min_x.reshape(b, 1).astype(jnp.int32)
-    max_y = max_y.reshape(b, 1).astype(jnp.int32)
+    min_x = min_x.reshape(1, b).astype(jnp.int32)
+    max_y = max_y.reshape(1, b).astype(jnp.int32)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
 
     grid = (b, height // STRIP_ROWS)

@@ -42,8 +42,8 @@ def _make_sdf_kernel(spread_px: float):
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        min_x = min_x_ref[b, 0]
-        max_y = max_y_ref[b, 0]
+        min_x = min_x_ref[0, b]
+        max_y = max_y_ref[0, b]
         scale = scale_ref[0, 0]
 
         s_cap = seg_ref.shape[1]
@@ -157,8 +157,8 @@ def sdf_pallas_batch(
     assert height % TILE_H == 0 and width % TILE_W == 0
     soa = segments_to_soa(segments)
     s8 = soa.shape[1]
-    min_x = min_x.reshape(b, 1).astype(jnp.int32)
-    max_y = max_y.reshape(b, 1).astype(jnp.int32)
+    min_x = min_x.reshape(1, b).astype(jnp.int32)
+    max_y = max_y.reshape(1, b).astype(jnp.int32)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
 
     grid = (b, height // TILE_H, width // TILE_W)
@@ -186,7 +186,7 @@ def sdf_pallas_batch(
 
     wh = ((height + STRIP_ROWS - 1) // STRIP_ROWS) * STRIP_ROWS
     winding = winding_pallas_v2_batch(
-        segments, min_x[:, 0], max_y[:, 0], scale,
+        segments, min_x[0, :], max_y[0, :], scale,
         height=wh, width=width, interpret=interpret, exact=exact,
     )[:, :height, :]
     sign = jnp.where(winding != 0, 1.0, -1.0)

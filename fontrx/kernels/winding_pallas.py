@@ -50,8 +50,8 @@ def _winding_kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    min_x = min_x_ref[b, 0]
-    max_y = max_y_ref[b, 0]
+    min_x = min_x_ref[0, b]
+    max_y = max_y_ref[0, b]
     scale = scale_ref[0, 0]
     ox = off_ref[0, 0]  # sub-pixel sample offsets (MSAA); 0.0 at 1x is
     oy = off_ref[0, 1]  # bit-neutral (x + 0.0 == x in f32)
@@ -152,8 +152,8 @@ def winding_pallas_batch(
     soa = segments_to_soa(segments)
     s8 = soa.shape[1]
 
-    min_x = min_x.reshape(b, 1).astype(jnp.int32)
-    max_y = max_y.reshape(b, 1).astype(jnp.int32)
+    min_x = min_x.reshape(1, b).astype(jnp.int32)
+    max_y = max_y.reshape(1, b).astype(jnp.int32)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
     off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
 
