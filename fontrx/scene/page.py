@@ -90,16 +90,26 @@ def _direct_page_step(
 
     ph = ((page_h + 127) // 128) * 128
     pw = ((page_w + 127) // 128) * 128
-    winding = winding_pallas_v2_batch(
-        flat,
-        jnp.zeros(1, jnp.int32),
-        jnp.full(1, page_h - 1, jnp.int32),
-        jnp.float32(1.0),
-        height=ph,
-        width=pw,
-        exact=exact,
-        interpret=interpret,
-    )
+    # split very large pages into row bands: XLA stages each kernel
+    # output in scoped VMEM (~16 MB), which a 4K int32 page blows past
+    band_rows = ph
+    while band_rows * pw * 4 > 4 * 1024 * 1024 and band_rows > 128:
+        band_rows //= 2
+    bands = []
+    for b0 in range(0, ph, band_rows):
+        bands.append(
+            winding_pallas_v2_batch(
+                flat,
+                jnp.zeros(1, jnp.int32),
+                jnp.full(1, page_h - 1 - b0, jnp.int32),
+                jnp.float32(1.0),
+                height=band_rows,
+                width=pw,
+                exact=exact,
+                interpret=interpret,
+            )
+        )
+    winding = jnp.concatenate(bands, axis=1)
     fill = jnp.where(winding[0, :page_h, :page_w] != 0, 255, 0).astype(jnp.uint8)
     return fill
 
