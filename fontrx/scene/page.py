@@ -92,9 +92,8 @@ def _direct_page_step(
     pw = ((page_w + 127) // 128) * 128
     # split very large pages into row bands: XLA stages each kernel
     # output in scoped VMEM (~16 MB), which a 4K int32 page blows past
-    band_rows = ph
-    while band_rows * pw * 4 > 4 * 1024 * 1024 and band_rows > 128:
-        band_rows //= 2
+    target_bytes = 4 * 1024 * 1024
+    band_rows = min(ph, max(128, (target_bytes // (pw * 4)) // 128 * 128))
     bands = []
     for b0 in range(0, ph, band_rows):
         bands.append(
