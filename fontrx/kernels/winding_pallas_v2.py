@@ -67,6 +67,12 @@ def _make_v2_kernel(
     def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
+        # segment super-chunk index: the segment axis streams through
+        # the grid so VMEM holds one (SEG_SUPER, 8) window at a time
+        # (the (.., 8) lane dim pads to 128 in VMEM — holding ALL
+        # segments resident costs 64 bytes/segment and breaks at
+        # page-scale segment counts)
+        s_sup = pl.program_id(2)
         min_x = min_x_ref[0, b]
         max_y = max_y_ref[0, b]
         scale = scale_ref[0, 0]
@@ -95,7 +101,9 @@ def _make_v2_kernel(
         cx_end = fdiv((min_x + width).astype(jnp.float32) + ox, scale)
         tile_lo = [cxt[0, 0] for cxt in cx_tiles] + [cx_end]
 
-        out_ref[0] = jnp.zeros((STRIP_ROWS, width), jnp.int32)
+        @pl.when(s_sup == 0)
+        def _():
+            out_ref[0] = jnp.zeros((STRIP_ROWS, width), jnp.int32)
 
         def chunk_body(c, _):
             chunk = seg_ref[0, pl.ds(c * seg_chunk, seg_chunk), :]  # (C, 8)
@@ -263,7 +271,17 @@ def winding_pallas_v2_batch(
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
     off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
 
-    grid = (b, height // STRIP_ROWS)
+    # stream the segment axis in super-chunks: the (.., 8) lane dim pads
+    # to 128 in VMEM (64 B/segment), so holding every segment resident
+    # breaks at page-scale segment counts
+    seg_super = min(s8, 4096)
+    if s8 % seg_super:
+        pad = seg_super - (s8 % seg_super)
+        soa = jnp.pad(soa, ((0, 0), (0, pad), (0, 0)))
+        s8 = soa.shape[1]
+    n_super = s8 // seg_super
+
+    grid = (b, height // STRIP_ROWS, n_super)
     return pl.pallas_call(
         _make_v2_kernel(exact, seg_chunk, tile_w, guard),
         grid=grid,
@@ -273,11 +291,12 @@ def winding_pallas_v2_batch(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, s8, 8), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM
+                (1, seg_super, 8), lambda b_, i, s: (b_, s, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, STRIP_ROWS, width), lambda b_, i: (b_, i, 0),
+            (1, STRIP_ROWS, width), lambda b_, i, s: (b_, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.int32),
