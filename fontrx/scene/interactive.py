@@ -145,18 +145,19 @@ class InteractiveSession:
             ev.drag_delta = (0.0, 0.0)
             ev.dragging = False
 
+        render_kwargs = {"msaa": self.msaa, "debug": self.debug}
         if self.mode == "direct" and self.pipeline:
             # frames-in-flight (the analog of the reference's
             # max_frames_in_flight=2, VulkanContext.zig:48): dispatch
             # frame N, fetch frame N-1 — device compute overlaps the
             # host fetch of the previous frame
-            page_dev = self.renderer.render_direct(self.view)
+            page_dev = self.renderer.render_direct(self.view, **render_kwargs)
             prev = getattr(self, "_inflight", None)
             self._inflight = page_dev
             self.compute_ms.append((time.perf_counter() - t0) * 1e3)
             page = np.asarray(prev if prev is not None else page_dev)
         elif self.mode == "direct":
-            page_dev = self.renderer.render_direct(self.view)
+            page_dev = self.renderer.render_direct(self.view, **render_kwargs)
             float(page_dev[0, 0])  # force device completion
             self.compute_ms.append((time.perf_counter() - t0) * 1e3)
             # the host fetch is the display boundary; on the dev tunnel

@@ -66,11 +66,12 @@ def _next_pow2(n: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_h", "page_w", "exact", "interpret")
+    jax.jit,
+    static_argnames=("page_h", "page_w", "exact", "interpret", "mode"),
 )
 def _direct_page_step(
     flat_segments, seg_inst_idx, inst_offsets, s_px, *, page_h, page_w,
-    exact=False, interpret=False,
+    exact=False, interpret=False, sample_offset=(0.0, 0.0), mode="fill",
 ):
     """One direct-raster frame: map pre-compacted instance segments from
     em to page pixels (y up) and raster the whole page with the v2
@@ -106,11 +107,15 @@ def _direct_page_step(
                 width=pw,
                 exact=exact,
                 interpret=interpret,
+                sample_offset=sample_offset,
             )
         )
-    winding = jnp.concatenate(bands, axis=1)
-    fill = jnp.where(winding[0, :page_h, :page_w] != 0, 255, 0).astype(jnp.uint8)
-    return fill
+    winding = jnp.concatenate(bands, axis=1)[0, :page_h, :page_w]
+    if mode == "winding":
+        # debug visualization: the reference's winding coloring
+        # (render_glyph.zig:28) instead of the binary fill (Ctrl+D)
+        return jnp.clip(winding * 20 + 100, 0, 255).astype(jnp.uint8)
+    return jnp.where(winding != 0, 255, 0).astype(jnp.uint8)
 
 
 @dataclass
@@ -179,7 +184,9 @@ class PageRenderer:
 
     # -- direct path -------------------------------------------------------
 
-    def render_direct(self, view: ViewTransform) -> jax.Array:
+    def render_direct(
+        self, view: ViewTransform, msaa: bool = False, debug: bool = False
+    ) -> jax.Array:
         """Render one frame by rasterizing the *page* directly from all
         instance segments in a single v2-kernel launch — no per-glyph
         tiles, no composite pass.
@@ -203,6 +210,20 @@ class PageRenderer:
             xs[i, 0] = (ndc_x + 1.0) / 2.0 * self.width
             xs[i, 1] = (ndc_y + 1.0) / 2.0 * self.height
         # returns the device array; callers fetch at IO boundaries
+        interp = self.engine._resolve() != "pallas"
+        if msaa:
+            # page-level MSAA: average of 2x2 sub-pixel-offset fills
+            from fontrx.kernels.coverage import sample_offsets
+
+            acc = None
+            for ox, oy in sample_offsets(2):
+                f = _direct_page_step(
+                    flat_segments, seg_inst_idx, jnp.asarray(xs), s_px,
+                    page_h=self.height, page_w=self.width, interpret=interp,
+                    sample_offset=(float(ox), float(oy)),
+                ).astype(jnp.uint16)
+                acc = f if acc is None else acc + f
+            return (acc // 4).astype(jnp.uint8)
         return _direct_page_step(
             flat_segments,
             seg_inst_idx,
@@ -210,7 +231,8 @@ class PageRenderer:
             s_px,
             page_h=self.height,
             page_w=self.width,
-            interpret=self.engine._resolve() != "pallas",
+            interpret=interp,
+            mode="winding" if debug else "fill",
         )
 
     def _compact_instances(self, slots):
