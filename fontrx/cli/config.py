@@ -31,6 +31,10 @@ class ConfigError(ValueError):
         self.errors = errors
 
 
+class HelpRequested(Exception):
+    """Raised by the parser when -h/--help is present."""
+
+
 def option(short: str | None = None, default=dataclasses.MISSING, help: str = ""):
     """Declare a CLI option on a dataclass field."""
     return field(
@@ -63,6 +67,26 @@ def _fields(cls):
     return out
 
 
+def help_text(cls=Config) -> str:
+    """Usage text generated from the schema (the reference has no help
+    output; its README documents the flags — ``README.md:47-56``)."""
+    import dataclasses as _dc
+
+    lines = ["usage: fontrx [options]", "", "options:"]
+    for f in _dc.fields(cls):
+        short = f.metadata.get("short")
+        names = (f"-{short}, " if short else "    ") + f"--{f.name}"
+        ftype = f.type if isinstance(f.type, str) else getattr(f.type, "__name__", "")
+        is_bool = ftype == "bool" or f.type is bool
+        required = (
+            f.default is _dc.MISSING and f.default_factory is _dc.MISSING
+        )
+        val = "" if is_bool else " <value>"
+        req = "  (required)" if required else ""
+        lines.append(f"  {names}{val:<9} {f.metadata.get('help', '')}{req}")
+    return "\n".join(lines)
+
+
 def parse_args(argv: list[str], cls=Config):
     """Parse ``argv`` (no program name) into ``cls``.
 
@@ -78,6 +102,9 @@ def parse_args(argv: list[str], cls=Config):
         for f in fields.values()
         if f.metadata.get("short")
     }
+
+    if "-h" in argv or "--help" in argv:
+        raise HelpRequested(help_text(cls))
 
     values: dict[str, object] = {}
     errors: list[str] = []

@@ -18,7 +18,7 @@ import sys
 
 import numpy as np
 
-from fontrx.cli.config import Config, ConfigError, parse_args
+from fontrx.cli.config import Config, ConfigError, HelpRequested, parse_args
 from fontrx.utils.log import get_logger
 
 log = get_logger("Main")
@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
         argv = sys.argv[1:]
     try:
         cfg = parse_args(argv)
+    except HelpRequested as e:
+        print(e)
+        return 0
     except ConfigError as e:
         for err in e.errors:
             print(f"error: {err}", file=sys.stderr)

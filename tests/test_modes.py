@@ -325,3 +325,13 @@ class TestSDFPallas:
             sdf_pallas_batch(*args, height=32, width=128, interpret=True)
         )[:, :, :32]
         assert np.abs(ref - fast).max() < 8.0 / 127  # sub-quantization
+
+
+class TestCLIHelp:
+    def test_help_exits_zero_and_lists_flags(self, capsys):
+        from fontrx.cli.main import main
+
+        assert main(["-h"]) == 0
+        out = capsys.readouterr().out
+        for flag in ("--font_file", "--mode", "--interactive", "(required)"):
+            assert flag in out
