@@ -89,6 +89,15 @@ class Font:
         # lazy glyph cache (``Font.zig:21,60-62``)
         self._glyphs: list[Glyph | None] = [None] * maxp.num_glyphs
 
+        # pair kerning — an extension beyond the reference (which does
+        # no kerning); None when the font has no usable kern subtable
+        self.kerning = None
+        if b"kern" in self.tables:
+            try:
+                self.kerning = ttf.KernTable.parse(self._at(b"kern"))
+            except Exception as e:  # malformed kern degrades to none
+                log.warning("kern table unusable: %s", e)
+
     # -- constructors ------------------------------------------------------
 
     @classmethod

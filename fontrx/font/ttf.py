@@ -595,3 +595,56 @@ class ComponentGlyph:
             n = r.u16()
             instructions = r.bytes(n)
         return cls(tuple(parts), instructions, metrics_index)
+
+
+# --------------------------------------------------------------------------
+# kern (extension beyond the reference, which does no kerning)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True, slots=True)
+class KernTable:
+    """Horizontal pair kerning from a format-0 ``kern`` subtable.
+
+    Pairs are stored as a sorted ``(left << 16) | right`` key array for
+    vectorized batch lookup (the layout engine resolves whole pair
+    streams in one ``searchsorted``).
+    """
+
+    keys: np.ndarray    # uint32[n], sorted
+    values: np.ndarray  # int16[n]
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "KernTable | None":
+        """Parse the first horizontal format-0 subtable (the common
+        case for OpenType-with-TrueType-outlines fonts)."""
+        version, n_tables = r.unpack("HH")
+        for _ in range(n_tables):
+            sub_start = r.pos
+            _sub_version, length, coverage = r.unpack("HHH")
+            fmt = coverage >> 8
+            horizontal = coverage & 0x01
+            cross_stream = coverage & 0x04
+            if fmt == 0 and horizontal and not cross_stream:
+                n_pairs = r.u16()
+                r.skip(6)  # searchRange, entrySelector, rangeShift
+                raw = np.frombuffer(
+                    r.data, dtype=">u2", count=3 * n_pairs, offset=r.pos
+                ).astype(np.int64).reshape(-1, 3)
+                keys = (raw[:, 0].astype(np.uint32) << 16) | raw[:, 1].astype(
+                    np.uint32
+                )
+                values = raw[:, 2].astype(np.uint16).astype(np.int16)
+                ensure_mono_increase(keys, "kern pair keys")
+                return cls(keys, values)
+            r.pos = sub_start + max(length, 6)
+        return None
+
+    def lookup(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        """Vectorized kerning values for glyph-index pairs; 0 when the
+        pair is not kerned."""
+        key = (np.asarray(left, np.uint32) << 16) | np.asarray(right, np.uint32)
+        idx = np.searchsorted(self.keys, key)
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        hit = self.keys[idx] == key
+        return np.where(hit, self.values[idx], 0).astype(np.int32)

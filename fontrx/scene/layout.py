@@ -53,10 +53,15 @@ def layout_text(
     font: Font,
     text: str,
     pad_batch_to: int | None = None,
+    kern: bool = False,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup by codepoint (``Appli.zig:319`` getOrPut) and instances carry
-    pen offsets (``Appli.zig:343-351``)."""
+    pen offsets (``Appli.zig:343-351``).
+
+    ``kern=True`` applies format-0 pair kerning — an extension over the
+    reference, whose pen only uses advance widths; off by default so
+    default layout matches the reference exactly."""
     # dedup pass
     slot_of: dict[int, int] = {}
     glyphs = []
@@ -73,19 +78,29 @@ def layout_text(
 
     line_height = font.info.ascent - font.info.descent + font.info.line_gap
 
+    kern_table = font.kerning if kern else None
+    glyph_ids = {c: int(font.charmap.glyph_index(c)) for c in slot_of}
+
     instances: list[Instance] = []
     pen_x = 0.0
     pen_y = 0.0
     max_x = 0.0
+    prev_gid: int | None = None
     for ch in text:
         if ch == "\n":
             pen_x = 0.0
             pen_y -= line_height
+            prev_gid = None
             continue
-        slot = slot_of[ord(ch)]
+        code = ord(ch)
+        slot = slot_of[code]
+        gid = glyph_ids[code]
+        if kern_table is not None and prev_gid is not None:
+            pen_x += float(kern_table.lookup(prev_gid, gid))
         instances.append(Instance(slot, pen_x, pen_y))
         pen_x += widths[slot]
         max_x = max(max_x, pen_x)
+        prev_gid = gid
 
     batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
     n_lines = text.count("\n") + 1

@@ -335,3 +335,32 @@ class TestCLIHelp:
         out = capsys.readouterr().out
         for flag in ("--font_file", "--mode", "--interactive", "(required)"):
             assert flag in out
+
+
+class TestKerning:
+    def test_kern_pair_lookup(self, dejavu):
+        assert dejavu.kerning is not None
+        av = int(dejavu.kerning.lookup(
+            dejavu.glyph_index("A"), dejavu.glyph_index("V")))
+        assert av < 0  # AV is famously negative
+        # unkerned pair returns 0
+        assert int(dejavu.kerning.lookup(
+            dejavu.glyph_index("H"), dejavu.glyph_index("H"))) == 0
+
+    def test_layout_kern_optin(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        plain = layout_text(dejavu, "AV")
+        kerned = layout_text(dejavu, "AV", kern=True)
+        av = int(dejavu.kerning.lookup(
+            dejavu.glyph_index("A"), dejavu.glyph_index("V")))
+        assert kerned.instances[1].x == plain.instances[1].x + av
+        # default layout stays reference-exact (advance widths only)
+        aw = int(dejavu.advance_widths[dejavu.glyph_index("A")])
+        assert plain.instances[1].x == aw
+
+    def test_kern_resets_across_newline(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        kerned = layout_text(dejavu, "A\nV", kern=True)
+        assert kerned.instances[1].x == 0  # new line: no kern carryover
