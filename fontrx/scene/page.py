@@ -118,31 +118,6 @@ def _direct_page_step(
     return jnp.where(winding != 0, 255, 0).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("page_h", "page_w"))
-def _direct_page_msaa_fused(
-    flat_segments, seg_inst_idx, inst_offsets, s_px, *, page_h, page_w
-):
-    """One-launch 2x2 supersampled page via the fused coverage kernel."""
-    from fontrx.kernels.coverage_pallas import coverage_pallas_batch
-
-    offs = inst_offsets[seg_inst_idx]
-    flat = (flat_segments * s_px + offs[:, None, :])[None]
-    ph = ((page_h + 127) // 128) * 128
-    pw = ((page_w + 127) // 128) * 128
-    cov = coverage_pallas_batch(
-        flat,
-        jnp.zeros(1, jnp.int32),
-        jnp.full(1, page_h - 1, jnp.int32),
-        jnp.float32(1.0),
-        height=ph,
-        width=pw,
-        samples=2,
-    )
-    return jnp.clip(
-        jnp.round(cov[0, :page_h, :page_w] * 255.0), 0, 255
-    ).astype(jnp.uint8)
-
-
 @dataclass
 class PageRenderer:
     """Renders a ``TextLayout`` under a ``ViewTransform`` to a page.
@@ -237,16 +212,12 @@ class PageRenderer:
         # returns the device array; callers fetch at IO boundaries
         interp = self.engine._resolve() != "pallas"
         if msaa:
-            # page-level MSAA.  Fast path: the fused coverage kernel in
-            # one launch (shares the root solve across sub-columns) —
-            # valid while the segment window fits VMEM (the fused
-            # kernel keeps all segments resident; the winding kernel
-            # streams them, so huge pages fall back to 4 offset fills)
-            if flat_segments.shape[0] <= 32768 and not interp:
-                return _direct_page_msaa_fused(
-                    flat_segments, seg_inst_idx, jnp.asarray(xs), s_px,
-                    page_h=self.height, page_w=self.width,
-                )
+            # page-level MSAA as four sub-pixel-offset fills of the
+            # streamed winding kernel.  (Measured on TPU: the fused
+            # coverage kernel loses badly at page widths — its
+            # per-(chunk, sample, tile) guard branches dominate — while
+            # four passes of the tuned winding kernel cost ~4 x 13 ms
+            # at 1080p.)
             from fontrx.kernels.coverage import sample_offsets
 
             acc = None
