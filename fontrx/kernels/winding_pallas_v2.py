@@ -4,10 +4,13 @@ Replaces the v1 per-row scalar-ish root solve (which wasted 127/128 VPU
 lanes on ``(C, 1)`` columns) with a structure where every op runs on
 full ``(8, 128)`` register tiles:
 
-- **Grid** = (glyph, row-strip): each instance owns a strip of
-  ``STRIP_ROWS = 128`` pixel rows x the full width, so the quadratic
-  root solve per (segment-chunk, row) — the expensive math — is
-  computed ONCE per strip on ``(C, R)`` tiles with rows on lanes.
+- **Grid** = (glyph, row-strip, segment-super-chunk): each instance
+  owns a strip of ``STRIP_ROWS = 128`` pixel rows x the full width for
+  one window of the segment stream, so the quadratic root solve per
+  (segment-chunk, row) — the expensive math — is computed ONCE per
+  strip on ``(C, R)`` tiles with rows on lanes, and arbitrarily large
+  segment counts stream through VMEM (the out strip stays resident
+  across the stream).
 - **Crossing factorization**: a winding crossing at em-x ``xx`` adds
   its sign to every pixel left of it.  Column tiles sweep right-to-left
   carrying a per-row base: crossings right of the tile fold into the
