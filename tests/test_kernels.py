@@ -276,3 +276,36 @@ class TestBigBatchChunking:
                 )
         finally:
             raster_mod.MAX_KERNEL_BATCH = old
+
+
+class TestOtherFontsParity:
+    @pytest.mark.parametrize("fixture", ["dejavu_serif"])
+    def test_serif_kernel_parity(self, fixture, request):
+        """Kernel == oracle on serif curves (heavier use of quadratics
+        and hairline features than the sans)."""
+        import jax.numpy as jnp
+
+        from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
+        from fontrx.pack.segments import glyph_segments
+
+        font = request.getfixturevalue(fixture)
+        for ch in "SgQ&":
+            g, _ = font.get_glyph(ch)
+            segs = glyph_segments(g)
+            grid = RasterGrid.for_glyph_box(
+                (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
+                96, font.info.units_per_em,
+            ).padded(128, 128)
+            out = winding_pallas_v2_batch(
+                jnp.asarray(segs)[None],
+                jnp.array([grid.min_x], jnp.int32),
+                jnp.array([grid.max_y], jnp.int32),
+                jnp.float32(grid.scale),
+                height=grid.height, width=grid.width, interpret=True,
+            )
+            xs, ys = grid.sample_coords()
+            np.testing.assert_array_equal(
+                np.asarray(out[0]),
+                oracle.winding_at(segs, xs[None, :], ys[:, None]),
+                err_msg=ch,
+            )
