@@ -142,8 +142,8 @@ def main() -> None:
         return time.perf_counter() - t0
 
     chained(2)  # warm the chained shapes
-    rtt = chained(0 + 1)  # ~1 step + 1 fetch
-    total = chained(n_iter)
+    rtt = min(chained(1), chained(1))  # ~1 step + 1 fetch
+    total = min(chained(n_iter), chained(n_iter))
     dt = max((total - rtt), 1e-9) / max(n_iter - 1, 1)
     device_glyphs_per_s = b / dt
     device_mpix_per_s = b * TILE * TILE / dt / 1e6

@@ -178,30 +178,46 @@ def _run_interactive(font, text, cfg, engine) -> int:
         if not parts:
             continue
         cmd, *args = parts
-        if cmd == "quit":
+        try:
+            n = _dispatch(sess, cfg, cmd, args, n)
+        except StopIteration:
             break
-        elif cmd == "scroll":
-            cur = (float(args[1]), float(args[2])) if len(args) >= 3 else (0.0, 0.0)
-            sess.scroll(float(args[0]), cur)
-        elif cmd == "drag":
-            sess.drag(float(args[0]), float(args[1]))
-        elif cmd == "resize":
-            sess.resize(int(args[0]), int(args[1]))
-        elif cmd == "key":
-            sess.key(args[0])
-        elif cmd == "type":
-            sess.char_input(" ".join(args))
-        elif cmd == "frame":
-            page = sess.frame()
-            if cfg.output:
-                path = cfg.output.replace(".qoi", f"_{n:04d}.qoi")
-                with open(path, "wb") as f:
-                    f.write(encode_rgb(np.repeat(page[:, :, None], 3, axis=2)))
-            n += 1
-        elif cmd == "stats":
-            print(sess.stats(), flush=True)
+        except (ValueError, IndexError) as e:
+            print(f"error: bad command {line.strip()!r} ({e})", file=sys.stderr)
     print(sess.stats(), flush=True)
     return 0
+
+
+def _dispatch(sess, cfg, cmd, args, n) -> int:
+    import numpy as np
+
+    from fontrx.io.qoi import encode_rgb
+
+    if cmd == "quit":
+        raise StopIteration
+    elif cmd == "scroll":
+        cur = (float(args[1]), float(args[2])) if len(args) >= 3 else (0.0, 0.0)
+        sess.scroll(float(args[0]), cur)
+    elif cmd == "drag":
+        sess.drag(float(args[0]), float(args[1]))
+    elif cmd == "resize":
+        sess.resize(int(args[0]), int(args[1]))
+    elif cmd == "key":
+        sess.key(args[0])
+    elif cmd == "type":
+        sess.char_input(" ".join(args))
+    elif cmd == "frame":
+        page = sess.frame()
+        if cfg.output:
+            path = cfg.output.replace(".qoi", f"_{n:04d}.qoi")
+            with open(path, "wb") as f:
+                f.write(encode_rgb(np.repeat(page[:, :, None], 3, axis=2)))
+        n += 1
+    elif cmd == "stats":
+        print(sess.stats(), flush=True)
+    else:
+        raise ValueError(f"unknown command {cmd!r}")
+    return n
 
 
 def _print_ascii(img: np.ndarray, max_w: int = 100) -> None:
