@@ -133,17 +133,28 @@ def main() -> None:
         # no eager host-side ops between executions
         return out[0, 0, 0]
 
+    # every chained() call must present input sequences never seen
+    # before in this process: the tunnel memoizes executions by input
+    # value, so repeating a chain returns instantly and reads as fake
+    # throughput.  A fresh seed makes step 1 novel and the data
+    # dependency propagates novelty down the chain.
+    call_counter = [100]
+
     def chained(n):
-        prev = jnp.int32(0)
+        call_counter[0] += 1
+        prev = jnp.int32(call_counter[0] << 8)  # unique, abs()>>30 == 0
         t0 = time.perf_counter()
         for i in range(n):
-            prev = chained_step(d_segments, d_variants[i % 4], d_max_y, prev)
+            prev = chained_step(
+                d_segments, d_variants[(i + call_counter[0]) % 4],
+                d_max_y, prev,
+            )
         float(prev)
         return time.perf_counter() - t0
 
     chained(2)  # warm the chained shapes
-    rtt = min(chained(1), chained(1))  # ~1 step + 1 fetch
-    total = min(chained(n_iter), chained(n_iter))
+    rtt = chained(1)  # ~1 step + 1 fetch
+    total = chained(n_iter)
     dt = max((total - rtt), 1e-9) / max(n_iter - 1, 1)
     device_glyphs_per_s = b / dt
     device_mpix_per_s = b * TILE * TILE / dt / 1e6
