@@ -118,43 +118,48 @@ def main() -> None:
     # so no step can be elided or reordered; one scalar fetch at the end
     # forces the whole chain.  Host<->device RTT (~30 ms on the dev
     # tunnel) is paid once, not per step.
-    n_iter = 10
+    n_iter = 30
 
-    @jax.jit
-    def chained_step(segs, mx, my, dep):
-        # the dependency lives inside the jitted program: abs(w)>>30 is
-        # always 0 but not constant-foldable, so steps can't be elided,
-        # and each timing step is exactly one device execution
-        mx = mx + (jnp.abs(dep) >> 30)
-        out = engine.winding_batch(
-            segs, mx, my, scale, height=TILE, width=TILE
-        )
-        # return only the chain scalar: the next step consumes it with
-        # no eager host-side ops between executions
-        return out[0, 0, 0]
+    d_var_stack = jnp.stack(d_variants)  # [4, B]
 
-    # every chained() call must present input sequences never seen
-    # before in this process: the tunnel memoizes executions by input
-    # value, so repeating a chain returns instantly and reads as fake
-    # throughput.  A fresh seed makes step 1 novel and the data
-    # dependency propagates novelty down the chain.
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n")
+    def chain_n(segs, var_stack, my, seed, n):
+        # n rasters chained on-device inside ONE dispatch: the host
+        # issues a single execution and fetches a single scalar, so
+        # neither per-step dispatch latency nor tunnel RTT appears in
+        # the timed region.  abs(dep)>>30 is always 0 but not
+        # constant-foldable, so no step can be elided or reordered;
+        # dep%1009 threads the seed through every iteration, keeping
+        # every step's dep distinct across runs (the tunnel memoizes
+        # repeated identical executions).
+        def body(i, dep):
+            mx = var_stack[i % 4] + (jnp.abs(dep) >> 30)
+            out = engine.winding_batch(
+                segs, mx, my, scale, height=TILE, width=TILE
+            )
+            return out[0, 0, 0] + dep % 1009
+
+        return jax.lax.fori_loop(0, n, body, seed)
+
+    # every timing call gets a fresh seed so its input is novel —
+    # repeating an input the tunnel has already seen returns a
+    # memoized result and reads as fake throughput
     call_counter = [100]
 
     def chained(n):
         call_counter[0] += 1
-        prev = jnp.int32(call_counter[0] << 8)  # unique, abs()>>30 == 0
+        seed = jnp.int32(call_counter[0] << 8)  # unique, abs()>>30 == 0
         t0 = time.perf_counter()
-        for i in range(n):
-            prev = chained_step(
-                d_segments, d_variants[(i + call_counter[0]) % 4],
-                d_max_y, prev,
-            )
-        float(prev)
+        float(chain_n(d_segments, d_var_stack, d_max_y, seed, n))
         return time.perf_counter() - t0
 
-    chained(2)  # warm the chained shapes
-    rtt = chained(1)  # ~1 step + 1 fetch
-    total = chained(n_iter)
+    chained(1), chained(n_iter)  # compile-warm both loop bounds
+    # min over repeats filters tunnel-scheduling stalls; every repeat
+    # is a real end-to-end device execution (fresh seed per run)
+    rtt = min(chained(1) for _ in range(3))  # 1 step + dispatch + fetch
+    total = min(chained(n_iter) for _ in range(3))
     dt = max((total - rtt), 1e-9) / max(n_iter - 1, 1)
     device_glyphs_per_s = b / dt
     device_mpix_per_s = b * TILE * TILE / dt / 1e6

@@ -141,11 +141,21 @@ def pack_glyphs_bucketed(
     glyphs: Sequence[Glyph],
     advance_widths: Iterable[int] | None = None,
     bucket_sizes: Sequence[int] = (64, 128, 256, 512, 1024),
+    min_occupancy: int = 8,
 ) -> list[tuple[PackedBatch, list[int]]]:
     """Pack glyphs into segment-capacity buckets to bound padding waste
     on ragged sets (SURVEY §7's central packing decision: a CJK charset
     spans 0..1000+ segments; one shared capacity wastes ~90% of the
     segment tensor).
+
+    Buckets holding fewer than ``min_occupancy`` glyphs fold into the
+    nearest larger *non-empty* bucket: each raster launch carries ~10 ms
+    of fixed dispatch cost on the tunneled TPU, so a near-empty bucket
+    costs more in launches than its tighter capacity saves in compute
+    (measured: DejaVuSans' cap-512 bucket holds 2 glyphs and its cap-1024
+    bucket 1 — merging them turns two launches into one).  Merging into
+    an empty larger bucket is never done: that would keep the launch
+    count while inflating capacity.
 
     Returns ``[(batch, original_indices), ...]`` — one batch per
     non-empty bucket, each raster-able independently (compiled once per
@@ -164,9 +174,19 @@ def pack_glyphs_bucketed(
             raise ValueError(
                 f"glyph {i} has {n} segments > max bucket {bucket_sizes[-1]}"
             )
+    for cap in sorted(buckets):
+        idxs = buckets[cap]
+        if not idxs or len(idxs) >= min_occupancy:
+            continue
+        larger = [c for c in sorted(buckets) if c > cap and buckets[c]]
+        if larger:
+            buckets[larger[0]] = idxs + buckets[larger[0]]
+            buckets[cap] = []
     out = []
     for cap in sorted(buckets):
         idxs = buckets[cap]
+        if not idxs:
+            continue
         batch = pack_glyphs(
             [glyphs[i] for i in idxs],
             [aw[i] for i in idxs],

@@ -139,7 +139,9 @@ class TestBucketedPacking:
         chars = "Il.@%&WM#"
         glyphs = [dejavu.get_glyph(c)[0] for c in chars]
         sizes = (16, 32, 64)
-        buckets = pack_glyphs_bucketed(glyphs, range(len(glyphs)), sizes)
+        buckets = pack_glyphs_bucketed(
+            glyphs, range(len(glyphs)), sizes, min_occupancy=1
+        )
         assert len(buckets) >= 2
         seen = set()
         for batch, idxs in buckets:
@@ -150,6 +152,37 @@ class TestBucketedPacking:
                 assert batch.advance_widths[row] == orig
                 seen.add(orig)
         assert seen == set(range(len(glyphs)))
+
+    def test_tail_buckets_merge_upward(self, dejavu):
+        from fontrx.pack.segments import pack_glyphs_bucketed
+
+        # 9 simple + 1 complex glyph: with min_occupancy=8 the
+        # 1-glyph large bucket can't merge down, but any small bucket
+        # UNDER it must not exist below occupancy unless it's the only
+        # populated one; here the simple bucket (9 >= 8) survives and
+        # nothing folds into an empty bucket
+        chars = "IIIIlllli@"
+        glyphs = [dejavu.get_glyph(c)[0] for c in chars]
+        buckets = pack_glyphs_bucketed(glyphs, range(10), (16, 32, 64, 128))
+        caps = sorted(b.capacity for b, _ in buckets)
+        # every glyph accounted for exactly once
+        seen = sorted(i for _, idxs in buckets for i in idxs)
+        assert seen == list(range(10))
+        # a tiny bucket below a populated larger one folds upward:
+        # force it by demanding occupancy 100
+        merged = pack_glyphs_bucketed(
+            glyphs, range(10), (16, 32, 64, 128), min_occupancy=100
+        )
+        assert len(merged) == 1
+        assert merged[0][0].capacity == max(caps)
+        assert sorted(merged[0][1]) == list(range(10))
+        # merging never targets an EMPTY larger bucket: all-simple set
+        # stays in its small bucket even with a huge occupancy demand
+        solo = pack_glyphs_bucketed(
+            glyphs[:4], range(4), (16, 32, 64, 128), min_occupancy=100
+        )
+        assert len(solo) == 1
+        assert solo[0][0].capacity <= 32
 
     def test_bucketed_raster_matches_flat(self, dejavu):
         import jax.numpy as jnp
