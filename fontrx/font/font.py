@@ -117,11 +117,34 @@ class Font:
         base = r.pos
         subtables = ttf.parse_cmap_index(r)
         best = ttf.select_best_cmap_subtable(subtables)
-        if best is None:
-            raise CorruptedFont("no usable unicode cmap subtable")
-        sub = ttf.parse_cmap_subtable(BigEndianReader(r.data, base + best.offset))
-        self.cmap_subtable = sub
-        return CharGlyphMapping(sub.collect_range_mappings())
+        # try the best unicode subtable first (the reference stops here,
+        # ``Font.zig:87-121``), then fall back to any other parseable
+        # subtable — legacy Mac-only fonts carry format 0/6 under
+        # platform 1, which fontrx supports beyond the reference
+        candidates = ([best] if best is not None else []) + [
+            s for s in subtables if s is not best
+        ]
+        last_err: Exception | None = None
+        for cand in candidates:
+            try:
+                sub = ttf.parse_cmap_subtable(
+                    BigEndianReader(r.data, base + cand.offset)
+                )
+            except NotImplementedError as e:
+                last_err = e
+                continue
+            if cand is not best:
+                log.warning(
+                    "no usable unicode cmap subtable; falling back to "
+                    "platform %d/%d", cand.platform_id,
+                    cand.platform_specific_id,
+                )
+            self.cmap_subtable = sub
+            return CharGlyphMapping(sub.collect_range_mappings())
+        raise CorruptedFont(
+            "no usable unicode cmap subtable"
+            + (f" (last error: {last_err})" if last_err else "")
+        )
 
     # -- public API --------------------------------------------------------
 

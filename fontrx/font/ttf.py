@@ -390,16 +390,93 @@ class CmapFormat12:
         return np.stack([end_char, count, end_glyph], axis=1)
 
 
-UNSUPPORTED_CMAP_FORMATS = (0, 2, 6, 8, 10, 13, 14)
+@dataclass(frozen=True, slots=True)
+class CmapFormat0:
+    """Byte-encoding subtable: a flat 256-entry u8 table (classic Mac
+    fonts).  The reference stubs this format out
+    (``ttf.zig:349-360``); supported here as a capability extension."""
+
+    glyph_ids: np.ndarray  # u8[256]
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "CmapFormat0":
+        _length, _language = r.unpack("HH")
+        ids = np.frombuffer(r.data, dtype=np.uint8, count=256, offset=r.pos)
+        return cls(ids.copy())
+
+    def glyph_index(self, char: int) -> int:
+        if not 0 <= char < 256:
+            return 0
+        return int(self.glyph_ids[char])
+
+    def collect_range_mappings(self) -> np.ndarray:
+        return _runs_to_range_rows(
+            np.arange(256, dtype=np.int64), self.glyph_ids.astype(np.int64)
+        )
+
+
+@dataclass(frozen=True, slots=True)
+class CmapFormat6:
+    """Trimmed-table subtable: one dense glyph array for
+    ``[first_code, first_code + entry_count)``.  Stubbed by the
+    reference (``ttf.zig:497-570``); supported here as an extension."""
+
+    first_code: int
+    glyph_ids: np.ndarray  # u16[entry_count]
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "CmapFormat6":
+        _length, _language, first_code, entry_count = r.unpack("HHHH")
+        return cls(first_code, r.u16_array(entry_count))
+
+    def glyph_index(self, char: int) -> int:
+        off = char - self.first_code
+        if not 0 <= off < len(self.glyph_ids):
+            return 0
+        return int(self.glyph_ids[off])
+
+    def collect_range_mappings(self) -> np.ndarray:
+        chars = self.first_code + np.arange(len(self.glyph_ids), dtype=np.int64)
+        return _runs_to_range_rows(chars, self.glyph_ids.astype(np.int64))
+
+
+def _runs_to_range_rows(chars: np.ndarray, glyphs: np.ndarray) -> np.ndarray:
+    """Compress a dense ``char -> glyph`` table into
+    ``(end_char, char_count, end_glyph)`` rows: maximal runs where the
+    glyph index advances in lockstep with the char code.  Glyph 0
+    entries are unmapped and dropped (``CharGlyphMapping`` already
+    resolves missing chars to glyph 0)."""
+    keep = glyphs != 0
+    chars, glyphs = chars[keep], glyphs[keep]
+    if len(chars) == 0:
+        return np.empty((0, 3), dtype=np.int64)
+    # a new run starts wherever char or glyph does not advance by 1
+    breaks = np.flatnonzero(
+        (np.diff(chars) != 1) | (np.diff(glyphs) != 1)
+    )
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [len(chars) - 1]))
+    count = chars[ends] - chars[starts] + 1
+    return np.stack([chars[ends] + 1, count, glyphs[ends] + 1], axis=1)
+
+
+UNSUPPORTED_CMAP_FORMATS = (2, 8, 10, 13, 14)
 
 
 def parse_cmap_subtable(r: BigEndianReader):
-    """Dispatch on the format number.  Formats the reference stubs with
-    ``@compileError("not impl")`` raise ``NotImplementedError`` here
-    (``ttf.zig:349-360,497-570,633-670``)."""
+    """Dispatch on the format number.  The reference supports only
+    formats 4 and 12 and stubs the rest with ``@compileError("not
+    impl")`` (``ttf.zig:349-360,497-570,633-670``); fontrx additionally
+    parses formats 0 and 6.  Format 13's many-to-one groups don't fit
+    the consecutive-range table (and would explode into per-char rows),
+    so it stays unsupported alongside 2/8/10/14."""
     fmt = r.u16()
+    if fmt == 0:
+        return CmapFormat0.parse(r)
     if fmt == 4:
         return CmapFormat4.parse(r)
+    if fmt == 6:
+        return CmapFormat6.parse(r)
     if fmt == 12:
         return CmapFormat12.parse(r)
     if fmt in UNSUPPORTED_CMAP_FORMATS:

@@ -102,7 +102,7 @@ class TestSelection:
     def test_unsupported_format_raises(self):
         import struct
 
-        blob = struct.pack(">HHH", 6, 0, 0)
+        blob = struct.pack(">HHH", 8, 0, 0)  # format 8: still unsupported
         with pytest.raises(NotImplementedError):
             ttf.parse_cmap_subtable(BigEndianReader(blob))
 

@@ -169,6 +169,82 @@ class TestCompoundGlyph:
             font.load_glyph(1)
 
 
+class TestLegacyCmapFormats:
+    """Formats 0 and 6 — capability extensions beyond the reference,
+    which ``@compileError``s them (``ttf.zig:349-360,497-570``)."""
+
+    def _font_with_cmap(self, cmap):
+        glyphs = [b"", square_glyph(), square_glyph(200)]
+        return Font(tb.build_font(glyphs, cmap))
+
+    def test_format0_mac_only_font(self):
+        ids = [0] * 256
+        ids[65], ids[66] = 1, 2  # 'A'->1, 'B'->2
+        cmap = tb.build_cmap([(1, 0, tb.build_cmap_format0(ids))])
+        font = self._font_with_cmap(cmap)
+        assert font.glyph_index("A") == 1
+        assert font.glyph_index("B") == 2
+        assert font.glyph_index("C") == 0
+        assert font.glyph_index(0x1F600) == 0  # out of byte range
+
+    def test_format0_run_compression(self):
+        ids = [0] * 256
+        for i in range(65, 91):  # A..Z -> 1..26 consecutive
+            ids[i] = i - 64
+        ids[97] = 2  # lone 'a' -> same glyph as 'B' (non-consecutive run)
+        sub = ttf.CmapFormat0.parse(
+            BigEndianReader(tb.build_cmap_format0(ids), 2)
+        )
+        rows = sub.collect_range_mappings()
+        assert rows.shape == (2, 3)  # one 26-char run + one singleton
+        assert rows[0].tolist() == [91, 26, 27]
+        assert rows[1].tolist() == [98, 1, 3]
+
+    def test_format6_trimmed_table(self):
+        cmap = tb.build_cmap([(1, 0, tb.build_cmap_format6(65, [1, 2]))])
+        font = self._font_with_cmap(cmap)
+        assert font.glyph_index("A") == 1
+        assert font.glyph_index("B") == 2
+        assert font.glyph_index("@") == 0  # below first_code
+        assert font.glyph_index("C") == 0  # past the table
+
+    def test_unicode_subtable_still_preferred(self):
+        ids = [0] * 256
+        ids[65] = 2  # Mac table disagrees: 'A'->2
+        cmap = tb.build_cmap([
+            (1, 0, tb.build_cmap_format0(ids)),
+            (3, 1, tb.build_cmap_format4([(65, 66, -64, None)])),
+        ])
+        font = self._font_with_cmap(cmap)
+        assert isinstance(font.cmap_subtable, ttf.CmapFormat4)
+        assert font.glyph_index("A") == 1  # unicode table wins
+
+    def test_unsupported_only_cmap_raises(self):
+        import struct
+
+        body = struct.pack(">HHH", 8, 6, 0)  # format 8 stub
+        cmap = tb.build_cmap([(1, 0, body)])
+        with pytest.raises(CorruptedFont, match="no usable"):
+            self._font_with_cmap(cmap)
+
+    def test_format6_raster_parity_with_format4(self):
+        # same glyphs exposed through format 6 and format 4 must raster
+        # identically end-to-end
+        f6 = self._font_with_cmap(
+            tb.build_cmap([(1, 0, tb.build_cmap_format6(65, [1, 2]))])
+        )
+        f4 = self._font_with_cmap(
+            tb.build_cmap([(3, 1, tb.build_cmap_format4([(65, 66, -64, None)]))])
+        )
+        g6, aw6 = f6.get_glyph("B")
+        g4, aw4 = f4.get_glyph("B")
+        assert aw6 == aw4
+        assert g6.num_segments == g4.num_segments
+        np.testing.assert_array_equal(
+            g6.contours[0].points, g4.contours[0].points
+        )
+
+
 class TestHmtx:
     def test_runout_advances(self):
         cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4([(65, 66, -64, None)]))])

@@ -95,6 +95,19 @@ def build_cmap_format12(groups: list[tuple[int, int, int]]) -> bytes:
     return body
 
 
+def build_cmap_format0(glyph_ids: list[int]) -> bytes:
+    """``glyph_ids``: up to 256 u8 glyph indices (zero-padded)."""
+    ids = (glyph_ids + [0] * 256)[:256]
+    return struct.pack(">HHH", 0, 262, 0) + bytes(ids)
+
+
+def build_cmap_format6(first_code: int, glyph_ids: list[int]) -> bytes:
+    n = len(glyph_ids)
+    return struct.pack(
+        f">HHHHH{n}H", 6, 10 + 2 * n, 0, first_code, n, *glyph_ids
+    )
+
+
 def build_cmap(subtables: list[tuple[int, int, bytes]]) -> bytes:
     """``subtables``: list of (platform_id, platform_specific_id, body)."""
     header = struct.pack(">HH", 0, len(subtables))
