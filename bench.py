@@ -118,7 +118,7 @@ def main() -> None:
     # so no step can be elided or reordered; one scalar fetch at the end
     # forces the whole chain.  Host<->device RTT (~30 ms on the dev
     # tunnel) is paid once, not per step.
-    n_iter = 30
+    n_iter = 60
 
     d_var_stack = jnp.stack(d_variants)  # [4, B]
 
@@ -158,8 +158,8 @@ def main() -> None:
     chained(1), chained(n_iter)  # compile-warm both loop bounds
     # min over repeats filters tunnel-scheduling stalls; every repeat
     # is a real end-to-end device execution (fresh seed per run)
-    rtt = min(chained(1) for _ in range(3))  # 1 step + dispatch + fetch
-    total = min(chained(n_iter) for _ in range(3))
+    rtt = min(chained(1) for _ in range(5))  # 1 step + dispatch + fetch
+    total = min(chained(n_iter) for _ in range(5))
     dt = max((total - rtt), 1e-9) / max(n_iter - 1, 1)
     device_glyphs_per_s = b / dt
     device_mpix_per_s = b * TILE * TILE / dt / 1e6
