@@ -56,6 +56,39 @@ class TestParserFuzz:
             except acceptable:
                 pass
 
+    def test_legacy_cmap_bit_flips(self, rng):
+        """Format 0/6 parsers (capability extension) must fail as
+        cleanly as the format 4/12 paths under corruption."""
+        import struct
+
+        ids = [0] * 256
+        for i in range(65, 91):
+            ids[i] = (i - 64) % 2 + 1
+        for cmap_body in (
+            tb.build_cmap_format0(ids),
+            tb.build_cmap_format6(60, [1, 2, 0, 1, 2] * 10),
+        ):
+            blob = bytearray(self._blob())
+            # swap in a mac-platform-only cmap
+            cmap = tb.build_cmap([(1, 0, bytes(cmap_body))])
+            glyphs = [b"", tb.build_simple_glyph(
+                [[(0, 0, True), (50, 100, False), (100, 0, True)]]
+            )]
+            blob = bytearray(tb.build_font(glyphs, cmap))
+            acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                          IndexError, KeyError, struct.error, OverflowError)
+            for _ in range(40):
+                b2 = bytearray(blob)
+                pos = int(rng.integers(0, len(b2)))
+                b2[pos] ^= 1 << int(rng.integers(0, 8))
+                try:
+                    f = Font(bytes(b2))
+                    f.glyph_index("A")
+                    for idx in range(f.num_glyphs):
+                        f.load_glyph_safe(idx)
+                except acceptable:
+                    pass
+
     def test_safe_loading_never_raises_on_real_font_indices(self, dejavu):
         # every index in range loads or masks, never crashes
         for idx in range(0, dejavu.num_glyphs, 211):
