@@ -206,10 +206,11 @@ class Font:
         ]
         for r in self.charmap.ranges[:limit]:
             first_char = r.end_char - r.char_count
-            first_glyph = r.end_glyph - r.char_count
+            first_glyph = r.end_glyph - 1 - (r.char_count - 1) * r.stride
             lines.append(
                 f"  U+{first_char:04X}..U+{r.end_char - 1:04X} -> "
                 f"glyphs {max(first_glyph, 0)}..{r.end_glyph - 1}"
+                + ("  (constant)" if r.stride == 0 and r.end_glyph else "")
                 + ("  (unmapped)" if r.end_glyph == 0 else "")
             )
         if len(self.charmap) > limit:

@@ -460,16 +460,51 @@ def _runs_to_range_rows(chars: np.ndarray, glyphs: np.ndarray) -> np.ndarray:
     return np.stack([chars[ends] + 1, count, glyphs[ends] + 1], axis=1)
 
 
-UNSUPPORTED_CMAP_FORMATS = (2, 8, 10, 13, 14)
+@dataclass(frozen=True, slots=True)
+class CmapFormat13:
+    """Many-to-one range mappings (last-resort fonts): every char in a
+    group maps to the SAME glyph.  Stubbed by the reference
+    (``ttf.zig:633-670``); supported here via the stride-0 extension of
+    the range table (``fontrx.font.charmap.RangeMapping``)."""
+
+    start_char: np.ndarray  # u32[groups]
+    end_char: np.ndarray    # u32[groups] (inclusive)
+    glyph: np.ndarray       # u32[groups] (constant per group)
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "CmapFormat13":
+        r.skip(2)  # reserved (format u16 already consumed)
+        _length, _language, n_groups = r.unpack("III")
+        raw = np.frombuffer(r.data, dtype=">u4", count=3 * n_groups, offset=r.pos)
+        raw = raw.astype(np.uint32).reshape(-1, 3)
+        ensure_mono_increase(raw[:, 0], "cmap13 startCharCode")
+        if np.any(raw[:, 1] < raw[:, 0]):
+            raise CorruptedFont("cmap13: endCharCode < startCharCode")
+        return cls(raw[:, 0].copy(), raw[:, 1].copy(), raw[:, 2].copy())
+
+    def glyph_index(self, char: int) -> int:
+        i = int(np.searchsorted(self.end_char, char, side="left"))
+        if i >= len(self.end_char) or self.start_char[i] > char:
+            return 0
+        return int(self.glyph[i])
+
+    def collect_range_mappings(self) -> np.ndarray:
+        end = self.end_char.astype(np.int64)
+        count = end - self.start_char.astype(np.int64) + 1
+        end_glyph = self.glyph.astype(np.int64) + 1
+        stride = np.zeros(len(end), dtype=np.int64)
+        return np.stack([end + 1, count, end_glyph, stride], axis=1)
+
+
+UNSUPPORTED_CMAP_FORMATS = (2, 8, 10, 14)
 
 
 def parse_cmap_subtable(r: BigEndianReader):
     """Dispatch on the format number.  The reference supports only
     formats 4 and 12 and stubs the rest with ``@compileError("not
     impl")`` (``ttf.zig:349-360,497-570,633-670``); fontrx additionally
-    parses formats 0 and 6.  Format 13's many-to-one groups don't fit
-    the consecutive-range table (and would explode into per-char rows),
-    so it stays unsupported alongside 2/8/10/14."""
+    parses formats 0, 6 and 13 (13 via stride-0 constant-glyph ranges).
+    Formats 2/8/10/14 stay unsupported."""
     fmt = r.u16()
     if fmt == 0:
         return CmapFormat0.parse(r)
@@ -479,6 +514,8 @@ def parse_cmap_subtable(r: BigEndianReader):
         return CmapFormat6.parse(r)
     if fmt == 12:
         return CmapFormat12.parse(r)
+    if fmt == 13:
+        return CmapFormat13.parse(r)
     if fmt in UNSUPPORTED_CMAP_FORMATS:
         raise NotImplementedError(f"cmap format {fmt} not implemented")
     raise CorruptedFont(f"unknown cmap format {fmt}")

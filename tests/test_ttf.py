@@ -219,6 +219,32 @@ class TestLegacyCmapFormats:
         assert isinstance(font.cmap_subtable, ttf.CmapFormat4)
         assert font.glyph_index("A") == 1  # unicode table wins
 
+    def test_format13_many_to_one(self):
+        # chars 0x40..0x5A all -> glyph 1, 0x60..0x7A all -> glyph 2
+        cmap = tb.build_cmap([
+            (3, 10, tb.build_cmap_format13([(0x40, 0x5A, 1), (0x60, 0x7A, 2)]))
+        ])
+        font = self._font_with_cmap(cmap)
+        assert isinstance(font.cmap_subtable, ttf.CmapFormat13)
+        for ch in "@AZ":
+            assert font.glyph_index(ch) == 1
+        for ch in "`az":
+            assert font.glyph_index(ch) == 2
+        assert font.glyph_index("0") == 0  # outside any group
+        # vectorized batch lookup agrees with scalar
+        chars = np.array([0x40, 0x41, 0x5A, 0x5B, 0x60, 0x7A, 0x30])
+        np.testing.assert_array_equal(
+            font.charmap.glyph_indices(chars), [1, 1, 1, 0, 2, 2, 0]
+        )
+        # reverse lookup returns the first char of the constant range
+        assert font.charmap.char_for_glyph(1) == 0x40
+        assert font.charmap.char_for_glyph(2) == 0x60
+        # raster end-to-end through the constant mapping
+        g, _ = font.get_glyph("M")
+        assert g.num_segments > 0
+        # debug dump marks constant ranges
+        assert "(constant)" in font.dump_charmap()
+
     def test_unsupported_only_cmap_raises(self):
         import struct
 

@@ -108,6 +108,14 @@ def build_cmap_format6(first_code: int, glyph_ids: list[int]) -> bytes:
     )
 
 
+def build_cmap_format13(groups: list[tuple[int, int, int]]) -> bytes:
+    """``groups``: (start_char, end_char_inclusive, constant_glyph)."""
+    body = struct.pack(">HHIII", 13, 0, 16 + 12 * len(groups), 0, len(groups))
+    for start, end, glyph in groups:
+        body += struct.pack(">III", start, end, glyph)
+    return body
+
+
 def build_cmap(subtables: list[tuple[int, int, bytes]]) -> bytes:
     """``subtables``: list of (platform_id, platform_specific_id, body)."""
     header = struct.pack(">HH", 0, len(subtables))
