@@ -98,6 +98,19 @@ class Font:
             except Exception as e:  # malformed kern degrades to none
                 log.warning("kern table unusable: %s", e)
 
+        # GPOS pair positioning (modern kerning) — also an extension;
+        # same .lookup interface as KernTable
+        self.gpos_kerning = None
+        if b"GPOS" in self.tables:
+            try:
+                from fontrx.font.gpos import GposKernTable
+
+                self.gpos_kerning = GposKernTable.parse(self._at(b"GPOS"))
+            except Exception as e:  # malformed GPOS degrades to none
+                log.warning("GPOS table unusable: %s", e)
+        if self.kerning is None:
+            self.kerning = self.gpos_kerning  # layout fallback
+
     # -- constructors ------------------------------------------------------
 
     @classmethod
