@@ -58,6 +58,7 @@ class Config:
     output: Optional[str] = option("o", default=None, help="output .qoi path")
     backend: str = option(None, default="auto", help="auto|pallas|jnp|interpret")
     interactive: bool = option("i", default=False, help="interactive zoom/pan session")
+    kern: bool = option("k", default=False, help="apply pair kerning (kern table or GPOS)")
 
 
 def _fields(cls):

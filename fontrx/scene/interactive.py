@@ -66,9 +66,11 @@ class InteractiveSession:
     msaa: bool = False
     debug: bool = False
     transparent: bool = False
+    kern: bool = False
 
     def __post_init__(self):
-        self.layout: TextLayout = layout_text(self.font, self.text)
+        self.layout: TextLayout = layout_text(self.font, self.text,
+                                              kern=self.kern)
         self.view = ViewTransform.init(
             self.font.info.units_per_em, self.width, self.height
         )
@@ -108,7 +110,7 @@ class InteractiveSession:
         feature the reference's char callback stubs out with a print
         (``CallbackContext.zig:80-88``, README TODO 'user text input')."""
         self.text += text
-        self.layout = layout_text(self.font, self.text)
+        self.layout = layout_text(self.font, self.text, kern=self.kern)
         self.renderer = PageRenderer(
             self.font, self.layout, self.width, self.height, self.engine
         )

@@ -272,6 +272,19 @@ class TestCLI:
         img = decode(out.read_bytes())
         assert img.any()
 
+    def test_kern_flag_narrows_page(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        plain, kerned = tmp_path / "p.qoi", tmp_path / "k.qoi"
+        assert main(["-f", self.FONT, "-t", "AV", "-m", "fill",
+                     "-s", "48", "-o", str(plain)]) == 0
+        assert main(["-f", self.FONT, "-t", "AV", "-m", "fill",
+                     "-s", "48", "-o", str(kerned), "-k"]) == 0
+        wp = decode(plain.read_bytes()).shape[1]
+        wk = decode(kerned.read_bytes()).shape[1]
+        assert wk < wp  # AV kerns negative in DejaVu
+
     def test_sdf_mode(self, tmp_path):
         from fontrx.cli.main import main
         from fontrx.io.qoi import decode
