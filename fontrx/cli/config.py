@@ -59,6 +59,7 @@ class Config:
     backend: str = option(None, default="auto", help="auto|pallas|jnp|interpret")
     interactive: bool = option("i", default=False, help="interactive zoom/pan session")
     kern: bool = option("k", default=False, help="apply pair kerning (kern table or GPOS)")
+    ligatures: bool = option("l", default=False, help="apply GSUB standard ligatures")
 
 
 def _fields(cls):

@@ -75,7 +75,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.scene.page import PageRenderer
         from fontrx.scene.transform import ViewTransform
 
-        layout = layout_text(font, text, kern=cfg.kern)
+        layout = layout_text(font, text, kern=cfg.kern,
+                             ligatures=cfg.ligatures)
         upem = font.info.units_per_em
         px_per_unit = cfg.size / upem
         margin = max(cfg.size // 8, 4)
@@ -106,7 +107,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.kernels.coverage import coverage_to_gray
         from fontrx.scene.layout import layout_text
 
-        layout = layout_text(font, text, kern=cfg.kern)
+        layout = layout_text(font, text, kern=cfg.kern,
+                             ligatures=cfg.ligatures)
         grids = [
             RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
             for b in np.asarray(layout.batch.boxes)
@@ -127,7 +129,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.kernels.sdf import sdf_batch, sdf_to_u8
         from fontrx.scene.layout import layout_text
 
-        layout = layout_text(font, text, kern=cfg.kern)
+        layout = layout_text(font, text, kern=cfg.kern,
+                             ligatures=cfg.ligatures)
         grids = [
             RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
             for b in np.asarray(layout.batch.boxes)
@@ -172,7 +175,7 @@ def _run_interactive(font, text, cfg, engine) -> int:
     from fontrx.scene.interactive import InteractiveSession
 
     sess = InteractiveSession(font, text, 1920, 1080, engine,
-                              kern=cfg.kern)
+                              kern=cfg.kern, ligatures=cfg.ligatures)
     n = 0
     for line in sys.stdin:
         parts = line.split()

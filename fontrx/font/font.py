@@ -111,6 +111,17 @@ class Font:
         if self.kerning is None:
             self.kerning = self.gpos_kerning  # layout fallback
 
+        # GSUB standard ligatures (fi/fl/ffi...) — extension; None when
+        # the font has no liga feature
+        self.ligatures = None
+        if b"GSUB" in self.tables:
+            try:
+                from fontrx.font.gsub import LigatureTable
+
+                self.ligatures = LigatureTable.parse(self._at(b"GSUB"))
+            except Exception as e:  # malformed GSUB degrades to none
+                log.warning("GSUB table unusable: %s", e)
+
     # -- constructors ------------------------------------------------------
 
     @classmethod

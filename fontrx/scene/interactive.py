@@ -67,10 +67,12 @@ class InteractiveSession:
     debug: bool = False
     transparent: bool = False
     kern: bool = False
+    ligatures: bool = False
 
     def __post_init__(self):
         self.layout: TextLayout = layout_text(self.font, self.text,
-                                              kern=self.kern)
+                                              kern=self.kern,
+                                              ligatures=self.ligatures)
         self.view = ViewTransform.init(
             self.font.info.units_per_em, self.width, self.height
         )
@@ -110,7 +112,8 @@ class InteractiveSession:
         feature the reference's char callback stubs out with a print
         (``CallbackContext.zig:80-88``, README TODO 'user text input')."""
         self.text += text
-        self.layout = layout_text(self.font, self.text, kern=self.kern)
+        self.layout = layout_text(self.font, self.text, kern=self.kern,
+                                  ligatures=self.ligatures)
         self.renderer = PageRenderer(
             self.font, self.layout, self.width, self.height, self.engine
         )

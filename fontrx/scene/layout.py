@@ -54,60 +54,68 @@ def layout_text(
     text: str,
     pad_batch_to: int | None = None,
     kern: bool = False,
+    ligatures: bool = False,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
-    dedup by codepoint (``Appli.zig:319`` getOrPut) and instances carry
-    pen offsets (``Appli.zig:343-351``).
+    dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
+    subsumes the reference's by-codepoint dedup) and instances carry pen
+    offsets (``Appli.zig:343-351``).
 
-    ``kern=True`` applies format-0 pair kerning — an extension over the
-    reference, whose pen only uses advance widths; off by default so
-    default layout matches the reference exactly."""
-    # dedup pass
+    Extensions over the reference (whose pen only uses advance widths),
+    both off by default so default layout matches it exactly:
+
+    - ``kern=True``: pair kerning (``kern`` table, GPOS fallback);
+    - ``ligatures=True``: GSUB standard ligatures (fi/ffl/...) applied
+      to each line's glyph stream before placement.
+    """
+    # text -> per-line glyph-id streams (ligatures never cross newlines)
+    lines: list[list[int]] = [[]]
+    for ch in text:
+        if ch == "\n":
+            lines.append([])
+        else:
+            lines[-1].append(int(font.charmap.glyph_index(ord(ch))))
+    lig_table = font.ligatures if ligatures else None
+    if lig_table is not None:
+        lines = [lig_table.apply(line) for line in lines]
+
+    # dedup pass (by glyph index: ligature glyphs have no codepoint)
     slot_of: dict[int, int] = {}
     glyphs = []
     widths = []
-    for ch in text:
-        if ch == "\n":
-            continue
-        code = ord(ch)
-        if code not in slot_of:
-            idx = font.charmap.glyph_index(code)
-            slot_of[code] = len(glyphs)
-            glyphs.append(font.load_glyph(idx))
-            widths.append(int(font.advance_widths[idx]))
+    slot_chars: list[int] = []
+    for line in lines:
+        for gid in line:
+            if gid not in slot_of:
+                slot_of[gid] = len(glyphs)
+                glyphs.append(font.load_glyph(gid))
+                widths.append(int(font.advance_widths[gid]))
+                c = font.charmap.char_for_glyph(gid)
+                slot_chars.append(int(c) if c is not None else -1)
 
     line_height = font.info.ascent - font.info.descent + font.info.line_gap
-
     kern_table = font.kerning if kern else None
-    glyph_ids = {c: int(font.charmap.glyph_index(c)) for c in slot_of}
 
     instances: list[Instance] = []
-    pen_x = 0.0
-    pen_y = 0.0
     max_x = 0.0
-    prev_gid: int | None = None
-    for ch in text:
-        if ch == "\n":
-            pen_x = 0.0
-            pen_y -= line_height
-            prev_gid = None
-            continue
-        code = ord(ch)
-        slot = slot_of[code]
-        gid = glyph_ids[code]
-        if kern_table is not None and prev_gid is not None:
-            pen_x += float(kern_table.lookup(prev_gid, gid))
-        instances.append(Instance(slot, pen_x, pen_y))
-        pen_x += widths[slot]
-        max_x = max(max_x, pen_x)
-        prev_gid = gid
+    for line_no, line in enumerate(lines):
+        pen_x = 0.0
+        pen_y = -line_no * float(line_height)
+        prev_gid: int | None = None
+        for gid in line:
+            slot = slot_of[gid]
+            if kern_table is not None and prev_gid is not None:
+                pen_x += float(kern_table.lookup(prev_gid, gid))
+            instances.append(Instance(slot, pen_x, pen_y))
+            pen_x += widths[slot]
+            max_x = max(max_x, pen_x)
+            prev_gid = gid
 
     batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
-    n_lines = text.count("\n") + 1
     return TextLayout(
         batch=batch,
-        slot_chars=list(slot_of.keys()),
+        slot_chars=slot_chars,
         instances=instances,
         width=max_x,
-        height=n_lines * line_height,
+        height=len(lines) * line_height,
     )
