@@ -195,6 +195,37 @@ class TestViewTransform:
 
 
 class TestLayout:
+    def test_random_text_invariants(self, dejavu, rng):
+        """Property sweep over random text in all four shaping modes:
+        pen x is monotone within a line, every instance's slot is in
+        range, width is the max pen extent, dedup never exceeds the
+        stream length."""
+        import itertools
+
+        from fontrx.scene.layout import layout_text
+
+        alphabet = "afilfTVAWo .\n"
+        for trial in range(8):
+            n = int(rng.integers(1, 40))
+            text = "".join(alphabet[i] for i in rng.integers(0, len(alphabet), n))
+            for kern, liga in itertools.product((False, True), repeat=2):
+                lt = layout_text(dejavu, text, kern=kern, ligatures=liga)
+                n_glyphs = len(text) - text.count("\n")
+                assert len(lt.instances) <= n_glyphs
+                if not liga:
+                    assert len(lt.instances) == n_glyphs
+                assert len(lt.batch) <= max(len(lt.instances), 1)
+                max_seen = 0.0
+                for a, b in zip(lt.instances, lt.instances[1:]):
+                    if a.y == b.y:  # same line: pen never goes left
+                        assert b.x >= a.x
+                for inst in lt.instances:
+                    assert 0 <= inst.glyph_slot < max(len(lt.batch), 1)
+                    w = lt.batch.advance_widths[inst.glyph_slot]
+                    max_seen = max(max_seen, inst.x + float(w))
+                if lt.instances:
+                    assert lt.width == max_seen
+
     def test_dedup_and_advance(self, dejavu):
         from fontrx.scene.layout import layout_text
 
