@@ -37,7 +37,7 @@ def config1_single_glyph():
 
     def step(i=0):
         # vary the grid anchor to defeat upstream dispatch memoization
-        g2 = RG(grid.width, grid.height, grid.min_x, grid.max_y + (i % 4),
+        g2 = RG(grid.width, grid.height, grid.min_x, grid.max_y + i,
                 grid.scale)
         w = eng.winding_glyph(segs, g2)
         float(w[0, 0])  # force materialization
@@ -83,11 +83,11 @@ def config2_hello_world_msaa():
 
     variants = [
         (args[0], jnp.asarray(np.asarray(args[1]) + i), args[2], args[3])
-        for i in range(4)
+        for i in range(12)
     ]
 
     def step(i=0):
-        a = variants[i % 4]
+        a = variants[i]  # every timed call sees a NEVER-repeated input
         c = eng.coverage_batch(*a, height=64, width=64, samples=2)
         float(c[0, 0, 0])
         return c
@@ -139,11 +139,11 @@ def config3_ascii_atlas():
     variants = [
         (args[0], args[1], jnp.asarray(np.asarray(args[2]) + i), args[3],
          args[4])
-        for i in range(4)
+        for i in range(12)
     ]
 
     def step(i=0):
-        a = variants[i % 4]
+        a = variants[i]  # every timed call sees a NEVER-repeated input
         out = loopblinn_batch(*a, height=128, width=128)
         float(out[0, 0, 0])
         return out

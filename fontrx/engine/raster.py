@@ -163,6 +163,37 @@ class RasterEngine:
         )
         return out, grids
 
+    def winding_split(
+        self, split, font_size: int, units_per_em: int, tile: int
+    ) -> tuple[jax.Array, list[RasterGrid]]:
+        """Raster a :class:`~fontrx.pack.segments.SplitBatch`: one
+        small-capacity kernel launch over all rows, then an on-device
+        ``segment_sum`` folds each glyph's rows back into its winding
+        map — exact, because winding contributions are integer adds
+        that commute across segment subsets.  Returns ``([G, T, T]
+        winding, per-glyph grids)``."""
+        grids = [
+            RasterGrid.fixed_tile(tuple(box), font_size, units_per_em, tile)
+            for box in np.asarray(split.boxes)
+        ]
+        rows = self.winding_batch(
+            split.segments,
+            np.array([g.min_x for g in grids], np.int32),
+            np.array([g.max_y for g in grids], np.int32),
+            grids[0].scale if grids else 1.0,
+            height=tile,
+            width=tile,
+        )
+        summed = jax.ops.segment_sum(
+            rows,
+            jnp.asarray(split.row_owner),
+            num_segments=split.num_glyphs,
+            indices_are_sorted=True,
+        )
+        # per-glyph grids: first row of each owner group
+        first = np.searchsorted(split.row_owner, np.arange(split.num_glyphs))
+        return summed, [grids[i] for i in first]
+
     def coverage_batch(
         self,
         segments,

@@ -137,6 +137,67 @@ def pack_glyphs(
     return PackedBatch(segments, seg_counts, boxes, aw)
 
 
+@dataclass(frozen=True, slots=True)
+class SplitBatch:
+    """A split-packed glyph set: every glyph occupies
+    ``ceil(seg_count / capacity)`` consecutive rows of one
+    ``[R, capacity, 3, 2]`` tensor.
+
+    Soundness: the winding number is a SUM of per-segment crossing
+    contributions (integer adds, order-independent), so the winding map
+    of a glyph equals the elementwise sum of its rows' winding maps —
+    exactly, not approximately.  This lets one small-capacity kernel
+    launch cover a whole ragged charset with no per-bucket launches and
+    bounded padding waste (< capacity segments per glyph).
+    """
+
+    segments: np.ndarray        # float32 [R, capacity, 3, 2]
+    seg_counts: np.ndarray      # int32 [R] live segments per row
+    boxes: np.ndarray           # int32 [R, 4] (glyph box, duplicated)
+    row_owner: np.ndarray       # int32 [R] glyph index per row (sorted)
+    num_glyphs: int
+    advance_widths: np.ndarray  # int32 [num_glyphs]
+
+    def __len__(self) -> int:
+        return self.segments.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.segments.shape[1]
+
+
+def pack_glyphs_split(
+    glyphs: Sequence[Glyph],
+    advance_widths: Iterable[int] | None = None,
+    capacity: int = 64,
+) -> SplitBatch:
+    """Split-pack ``glyphs`` into one ``capacity``-segment batch (see
+    :class:`SplitBatch`).  Empty glyphs still get one (all-zero) row so
+    every glyph owns at least one row."""
+    aw = list(advance_widths) if advance_widths is not None else [0] * len(glyphs)
+    seg_arrays = [glyph_segments(g) for g in glyphs]
+    n_rows = [max((len(s) + capacity - 1) // capacity, 1) for s in seg_arrays]
+    total = sum(n_rows)
+    segments = np.zeros((total, capacity, 3, 2), dtype=np.float32)
+    seg_counts = np.zeros(total, dtype=np.int32)
+    boxes = np.zeros((total, 4), dtype=np.int32)
+    row_owner = np.zeros(total, dtype=np.int32)
+    r = 0
+    for gi, (g, seg) in enumerate(zip(glyphs, seg_arrays)):
+        box = (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max)
+        for start in range(0, max(len(seg), 1), capacity):
+            part = seg[start : start + capacity]
+            segments[r, : len(part)] = part
+            seg_counts[r] = len(part)
+            boxes[r] = box
+            row_owner[r] = gi
+            r += 1
+    return SplitBatch(
+        segments, seg_counts, boxes, row_owner,
+        len(glyphs), np.asarray(aw, np.int32),
+    )
+
+
 def pack_glyphs_bucketed(
     glyphs: Sequence[Glyph],
     advance_widths: Iterable[int] | None = None,

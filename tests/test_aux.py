@@ -184,6 +184,31 @@ class TestBucketedPacking:
         assert len(solo) == 1
         assert solo[0][0].capacity <= 32
 
+    def test_split_raster_matches_flat_bitexact(self, dejavu):
+        """Winding additivity: a glyph split across small-capacity rows
+        and segment-summed must equal the whole-glyph raster EXACTLY
+        (integer crossing contributions commute)."""
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.pack.segments import pack_glyphs, pack_glyphs_split
+
+        chars = "I@%&WMm gQ"
+        glyphs = [dejavu.get_glyph(c)[0] for c in chars]
+        eng = RasterEngine(backend="jnp")
+        whole, _ = eng.winding_packed(pack_glyphs(glyphs), 64, 2048, 64)
+        split = pack_glyphs_split(glyphs, capacity=16)
+        assert len(split) > len(glyphs)  # actually split something
+        summed, grids = eng.winding_split(split, 64, 2048, 64)
+        np.testing.assert_array_equal(np.asarray(summed), np.asarray(whole))
+        assert len(grids) == len(glyphs)
+
+    def test_split_empty_glyph_gets_a_row(self, dejavu):
+        from fontrx.font.glyph import Glyph
+        from fontrx.pack.segments import pack_glyphs_split
+
+        split = pack_glyphs_split([Glyph.empty(), dejavu.get_glyph("I")[0]])
+        assert split.num_glyphs == 2
+        assert (split.row_owner == np.array([0, 1])).all()
+
     def test_bucketed_raster_matches_flat(self, dejavu):
         import jax.numpy as jnp
 
