@@ -168,7 +168,7 @@ def main() -> None:
     # immunity — the vectorized oracle is memory-bound and sensitive to
     # host load) ------------------------------------------------------
     reps = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for i in range(2):
             xs, ys = grids[i].sample_coords()
