@@ -100,19 +100,32 @@ def big_page(instances: int = 10000):
 
     page = pr.render_direct(view)
     float(page[0, 0])  # compile + first frame
-    import time
+    import jax
+    import jax.numpy as jnp
 
     n = 5
     t0 = time.perf_counter()
     for i in range(n):
+        # every frame's view is unique (accumulating zoom), so no
+        # dispatch can be served from the tunnel's execution memo
         v = view.zoomed(0.01 * (i + 1), (0.0, 0.0))
         p = pr.render_direct(v)
         float(p[0, 0])
     dt = (time.perf_counter() - t0) / n
+    # per-frame scalar-fetch RTT baseline (dev-tunnel artifact; a
+    # colocated host pipelines frames and pays none of this)
+    triv = jax.jit(lambda x: x * 2)
+    float(triv(jnp.float32(1.0)))
+    t0 = time.perf_counter()
+    for i in range(10):
+        float(triv(jnp.float32(100.0 + i)))
+    rtt = (time.perf_counter() - t0) / 10
     slots, _ = layout.instance_arrays()
     live_segments = int(np.asarray(layout.batch.seg_counts)[slots].sum())
     emit("stress-4k-page", "ms/frame 4K page re-raster", dt * 1e3, "ms",
-         instances=len(layout.instances), live_segments=live_segments)
+         instances=len(layout.instances), live_segments=live_segments,
+         rtt_ms=round(rtt * 1e3, 2),
+         device_ms_rtt_corrected=round(max(dt - rtt, 0.0) * 1e3, 2))
 
 
 def main(argv):
