@@ -37,7 +37,13 @@ class LigatureTable:
     sets: dict
 
     @classmethod
-    def parse(cls, r: BigEndianReader) -> "LigatureTable | None":
+    def parse(
+        cls, r: BigEndianReader,
+        tags: tuple[bytes, ...] = (b"liga", b"rlig"),
+    ) -> "LigatureTable | None":
+        """``tags``: feature tags to collect.  Defaults to standard
+        (``liga``) plus required (``rlig``) ligatures — shaping always
+        applies ``rlig`` when it applies ``liga``."""
         gsub_base = r.pos
         major, _minor = r.unpack("HH")
         if major != 1:
@@ -51,7 +57,7 @@ class LigatureTable:
         for _ in range(n_feat):
             tag = fr.tag()
             off = fr.u16()
-            if tag == b"liga":
+            if tag in tags:
                 tr = BigEndianReader(r.data, f_base + off)
                 tr.skip(2)  # featureParamsOffset
                 n_lk = tr.u16()
