@@ -65,3 +65,23 @@ def test_engine_matches_golden(dejavu):
         w = np.asarray(eng.winding_glyph(glyph_segments(g), _grid(g, size)))
         got = hashlib.sha256(w.astype(np.int32).tobytes()).hexdigest()[:16]
         assert got == expected, (ch, size)
+
+
+def test_shaped_page_hash(tmp_path):
+    """End-to-end CLI page with kerning + ligatures pinned by hash:
+    catches regressions anywhere in cmap -> GSUB -> GPOS -> layout ->
+    raster -> QOI (CPU/jnp path is deterministic)."""
+    from fontrx.cli.main import main
+    from fontrx.io.qoi import decode
+
+    out = tmp_path / "shaped.qoi"
+    rc = main([
+        "-f", "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "-t", "Tfi AVfl office", "-m", "fill", "-s", "32",
+        "-o", str(out), "-k", "-l",
+    ])
+    assert rc == 0
+    img = np.asarray(decode(out.read_bytes()))
+    assert img.shape == (45, 217, 3)
+    got = hashlib.sha256(img.tobytes()).hexdigest()[:16]
+    assert got == "3636357199ae5572", got
