@@ -71,7 +71,9 @@ def shard_batch(mesh: Mesh, *arrays):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "mesh", "use_pallas", "replicate_out"),
+    static_argnames=(
+        "height", "width", "mesh", "use_pallas", "replicate_out", "interpret",
+    ),
 )
 def winding_sharded(
     segments,
@@ -84,6 +86,7 @@ def winding_sharded(
     mesh: Mesh,
     use_pallas: bool = True,
     replicate_out: bool = False,
+    interpret: bool = False,
 ):
     """Batched winding maps with the glyph axis sharded over ``mesh``.
 
@@ -92,10 +95,17 @@ def winding_sharded(
     sharded over glyphs, or replicated when ``replicate_out`` (one
     all-gather over ICI).
     """
-    kernel = winding_pallas_batch if use_pallas else _winding_jnp_batch
-
-    def local(seg, mx, my):
-        return kernel(seg, mx, my, scale, height=height, width=width)
+    if use_pallas:
+        def local(seg, mx, my):
+            return winding_pallas_batch(
+                seg, mx, my, scale, height=height, width=width,
+                interpret=interpret,
+            )
+    else:
+        def local(seg, mx, my):
+            return _winding_jnp_batch(
+                seg, mx, my, scale, height=height, width=width
+            )
 
     spec = P(GLYPH_AXIS)
     out_spec = P() if replicate_out else spec
@@ -116,7 +126,7 @@ def winding_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "mesh", "use_pallas"),
+    static_argnames=("height", "width", "mesh", "use_pallas", "interpret"),
 )
 def winding_sharded_2d(
     segments,
@@ -128,6 +138,7 @@ def winding_sharded_2d(
     width: int,
     mesh: Mesh,
     use_pallas: bool = True,
+    interpret: bool = False,
 ):
     """Winding maps sharded over a 2-D (glyphs x row-bands) mesh.
 
@@ -139,15 +150,45 @@ def winding_sharded_2d(
     traffic.  ``height`` must divide by the row-axis size; segments are
     replicated along rows (small) and sharded along glyphs.
     """
-    kernel = winding_pallas_v2_batch if use_pallas else _winding_jnp_batch
     n_rows = mesh.shape[ROW_AXIS]
     assert height % n_rows == 0, (height, n_rows)
     band_h = height // n_rows
 
+    # Kernel routing by band height: the v2 carry-sweep kernel owns
+    # 128-row strips; thinner bands (sub-128) go to the v1 tile kernel
+    # (8-row tiles) rather than tripping v2's strip assertion.
+    from fontrx.kernels.winding_pallas import TILE_H as _V1_TILE_H
+    from fontrx.kernels.winding_pallas_v2 import STRIP_ROWS as _V2_STRIP
+
+    if use_pallas:
+        if band_h % _V2_STRIP == 0:
+            def kernel(seg, mx, my):
+                return winding_pallas_v2_batch(
+                    seg, mx, my, scale, height=band_h, width=width,
+                    interpret=interpret,
+                )
+        elif band_h % _V1_TILE_H == 0:
+            def kernel(seg, mx, my):
+                return winding_pallas_batch(
+                    seg, mx, my, scale, height=band_h, width=width,
+                    interpret=interpret,
+                )
+        else:
+            raise ValueError(
+                f"band height {band_h} (height {height} / {n_rows} row "
+                f"shards) must be a multiple of {_V1_TILE_H} for the "
+                "Pallas path; pad height or use use_pallas=False"
+            )
+    else:
+        def kernel(seg, mx, my):
+            return _winding_jnp_batch(
+                seg, mx, my, scale, height=band_h, width=width
+            )
+
     def local(seg, mx, my):
         band = jax.lax.axis_index(ROW_AXIS)
         my_band = my - band * band_h
-        return kernel(seg, mx, my_band, scale, height=band_h, width=width)
+        return kernel(seg, mx, my_band)
 
     fn = jax.shard_map(
         local,
