@@ -160,6 +160,20 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         tg = TriangulatedGlyph.from_glyph(glyph)
         if cfg.debug:
             return debug_render(tg, grid)
+        if tg.self_intersecting:
+            # the triangle mesh would fill the wrong region (the
+            # reference's acknowledged failure, README TODO "fix wrong
+            # glyph triangulation"); the winding fill handles crossing
+            # contours natively via the nonzero rule
+            from fontrx.pack.segments import glyph_segments
+
+            log.warning(
+                "%r outline self-intersects: triangulation mode falling "
+                "back to the winding fill", ch,
+            )
+            w = engine.winding_glyph(glyph_segments(glyph), grid)
+            fill = np.where(np.asarray(w) != 0, 255, 0).astype(np.uint8)
+            return np.repeat(fill[:, :, None], 3, axis=2)
         fill = loopblinn_fill(tg, grid)
         return np.repeat(fill[:, :, None], 3, axis=2)
 
@@ -211,11 +225,19 @@ def _dispatch(sess, cfg, cmd, args, n) -> int:
     elif cmd == "type":
         sess.char_input(" ".join(args))
     elif cmd == "frame":
-        page = sess.frame()
+        # display_frame routes through to_rgba so the 't' (transparent
+        # background) toggle is observable in the emitted file: RGBA
+        # with alpha=coverage when on, opaque RGB otherwise
+        rgba = sess.display_frame()
         if cfg.output:
+            from fontrx.io.qoi import encode_rgba
+
             path = cfg.output.replace(".qoi", f"_{n:04d}.qoi")
             with open(path, "wb") as f:
-                f.write(encode_rgb(np.repeat(page[:, :, None], 3, axis=2)))
+                f.write(
+                    encode_rgba(rgba) if sess.transparent
+                    else encode_rgb(rgba[:, :, :3])
+                )
         n += 1
     elif cmd == "stats":
         print(sess.stats(), flush=True)

@@ -204,11 +204,32 @@ class RasterEngine:
         height: int,
         width: int,
         samples: int = 2,
+        fused: bool | None = None,
     ) -> jax.Array:
-        """Batched k x k supersampled coverage (MSAA analog).  Uses the
-        fused single-launch Pallas kernel on TPU, the lax.map multipass
-        elsewhere."""
-        from fontrx.kernels.coverage import coverage_batch as _multipass
+        """Batched k x k supersampled coverage (MSAA analog).
+
+        On the Pallas backends two strategies exist (``fused``):
+
+        - ``True``: the single-launch fused kernel
+          (``coverage_pallas_batch``): the per-row root solve is shared
+          across sub-column offsets, but each (chunk, sample, tile)
+          pays carry/guard branches — so it wins when there are few
+          column tiles and loses at page widths.
+        - ``False``: k^2 sub-pixel-offset passes of the tuned v2
+          winding kernel (``coverage_batch_v2``) — the page path's MSAA
+          strategy (``scene/page.py:215-231``).  The offset is a traced
+          input, so the kernel compiles once.
+
+        ``None`` (default) picks by the measured TPU crossover
+        (``tools/tpu_probes/tpu_coverage_sweep.py``: fused 3.0x faster
+        at 128 px wide, multipass 2.3x faster at 2048): fused up to two
+        column tiles, multipass beyond.  Both strategies are
+        bit-identical to the jnp multipass reference.
+        """
+        from fontrx.kernels.coverage import (
+            coverage_batch as _multipass,
+            coverage_batch_v2,
+        )
         from fontrx.kernels.coverage_pallas import coverage_pallas_batch
 
         backend = self._resolve()
@@ -218,11 +239,21 @@ class RasterEngine:
         if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
             ph = _round_up(height, STRIP_ROWS)
             pw = _round_up(width, TILE_W)
-            out = coverage_pallas_batch(
-                segments, min_x, max_y, jnp.float32(scale),
-                height=ph, width=pw, samples=samples, exact=self.exact,
-                interpret=backend == BACKEND_INTERPRET,
-            )
+            if fused is None:
+                fused = pw <= 256
+            if fused:
+                out = coverage_pallas_batch(
+                    segments, min_x, max_y, jnp.float32(scale),
+                    height=ph, width=pw, samples=samples, exact=self.exact,
+                    interpret=backend == BACKEND_INTERPRET,
+                )
+            else:
+                out = coverage_batch_v2(
+                    segments, min_x, max_y, jnp.float32(scale),
+                    height=ph, width=pw, samples=samples, exact=self.exact,
+                    guard=pw > 512 or segments.shape[1] > 256,
+                    interpret=backend == BACKEND_INTERPRET,
+                )
             if (ph, pw) != (height, width):
                 out = out[:, :height, :width]
             return out

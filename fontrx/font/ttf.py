@@ -13,8 +13,12 @@ Covered, matching the reference's support matrix:
 - ``cmap`` index + encoding-subtable selection (``ttf.zig:263-312``)
 - ``cmap`` **format 4** parse/lookup/flatten   (``ttf.zig:387-494``)
 - ``cmap`` **format 12** parse/lookup/flatten  (``ttf.zig:590-630``)
-- ``cmap`` formats 0/2/6/8/10/13/14 declared-unsupported
-  (reference stubs them with ``@compileError``, ``ttf.zig:349-360``)
+- ``cmap`` formats **0/6/13** implemented *beyond* the reference (legacy
+  byte table, trimmed table, many-to-one coverage; see ``CmapFormat0/6/13``
+  below) — the reference stubs all of 0/2/6/8/10/13/14 with
+  ``@compileError`` (``ttf.zig:349-360``); formats 2/8/10/14 remain
+  declared-unsupported here (2/8/10 are obsolete; 14 is variation
+  selectors, raising ``NotImplementedError``)
 - ``glyf`` simple glyphs (RLE flags, short/long deltas) (``ttf.zig:759-817``)
 - ``glyf`` compound glyphs (2.14 transforms)            (``ttf.zig:857-921``)
 """
@@ -310,8 +314,17 @@ class CmapFormat4:
         used = id_range_offset.astype(np.int64) != 0
         max_index = -1
         if np.any(used):
-            idx = (seg_idx + id_range_offset.astype(np.int64) // 2 - seg
-                   + (end_code.astype(np.int64) - start_code.astype(np.int64)))
+            base = seg_idx + id_range_offset.astype(np.int64) // 2 - seg
+            # a base before the glyphIndexArray would turn into a
+            # negative Python index (silently wrapping to the array
+            # tail) in glyph_index/collect_range_mappings — corrupt
+            if np.any(base[used] < 0):
+                raise CorruptedFont(
+                    "cmap4: idRangeOffset points before glyphIndexArray"
+                )
+            idx = base + (
+                end_code.astype(np.int64) - start_code.astype(np.int64)
+            )
             max_index = int(idx[used].max())
         glyph_index_array = r.u16_array(max_index + 1) if max_index >= 0 else np.empty(0, np.uint16)
         return cls(end_code, start_code, id_delta, id_range_offset, glyph_index_array)
@@ -758,6 +771,8 @@ class KernTable:
         """Vectorized kerning values for glyph-index pairs; 0 when the
         pair is not kerned."""
         key = (np.asarray(left, np.uint32) << 16) | np.asarray(right, np.uint32)
+        if len(self.keys) == 0:  # nPairs == 0: degrade, don't crash
+            return np.zeros(np.shape(key), np.int32)
         idx = np.searchsorted(self.keys, key)
         idx = np.clip(idx, 0, len(self.keys) - 1)
         hit = self.keys[idx] == key

@@ -53,7 +53,13 @@ def point_in_polygon(x: int, y: int, poly: list[Vertex]) -> bool:
 
 
 def _segments_properly_intersect(p1, p2, q1, q2) -> bool:
-    """True if open segments p1p2 and q1q2 cross (exact integer)."""
+    """True if segments p1p2 and q1q2 cross or graze (exact integer).
+
+    NOTE: an endpoint of one segment lying ON the other counts as an
+    intersection here — that is what ``_bridge_hole``'s visibility test
+    wants (a bridge grazing a vertex is not visible); it skips
+    shared-endpoint pairs explicitly before calling.  For strict
+    interior crossings use :func:`_segments_cross_strictly`."""
     d1 = _cross(q1, q2, p1)
     d2 = _cross(q1, q2, p2)
     d3 = _cross(p1, p2, q1)
@@ -63,9 +69,58 @@ def _segments_properly_intersect(p1, p2, q1, q2) -> bool:
     return False
 
 
+def _segments_cross_strictly(p1, p2, q1, q2) -> bool:
+    """True only when the segment *interiors* cross (exact integer):
+    both endpoints of each segment strictly on opposite sides of the
+    other.  Endpoint touching, T-junctions, and collinear overlap do
+    not count — adjacent contour edges sharing a vertex never trip."""
+    d1 = _cross(q1, q2, p1)
+    d2 = _cross(q1, q2, p2)
+    d3 = _cross(p1, p2, q1)
+    d4 = _cross(p1, p2, q2)
+    return (
+        ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
+        and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0))
+    )
+
+
 def _point_in_triangle(p: Vertex, a: Vertex, b: Vertex, c: Vertex) -> bool:
     """Closed containment for a CCW triangle (boundary counts)."""
     return _cross(a, b, p) >= 0 and _cross(b, c, p) >= 0 and _cross(c, a, p) >= 0
+
+
+def contours_self_intersect(polys: list[list[Vertex]]) -> bool:
+    """Exact detector for crossing interior-polygon edges (within a
+    contour or across contours of the same glyph).
+
+    The reference's triangulation is known-broken on self-intersecting
+    contours: its crossing-splitting preprocessor is float-based and
+    disabled (``geometry.zig:74-127`` commented out at
+    ``TriangulatedGlyph.zig:120``; README TODO "fix wrong glyph
+    triangulation").  Rather than split at crossings — which forces
+    rounding new vertices to the integer grid, the very caveat that got
+    the reference's pass disabled — we *detect* exactly (int64 cross
+    products) and let callers fall back to the winding fill, which
+    handles self-intersection natively via the nonzero rule.
+
+    O(E^2) over chord edges; glyph polygons are small (tens to low
+    hundreds of edges), so exactness beats asymptotics, as elsewhere in
+    this module.
+    """
+    edges: list[tuple[Vertex, Vertex]] = []
+    for poly in polys:
+        n = len(poly)
+        for i in range(n):
+            a, b = poly[i], poly[(i + 1) % n]
+            if a[:2] != b[:2]:
+                edges.append((a, b))
+    for i in range(len(edges)):
+        a1, a2 = edges[i]
+        for j in range(i + 1, len(edges)):
+            b1, b2 = edges[j]
+            if _segments_cross_strictly(a1, a2, b1, b2):
+                return True
+    return False
 
 
 def _bridge_hole(outer: list[Vertex], hole: list[Vertex]) -> list[Vertex]:

@@ -30,10 +30,14 @@ import numpy as np
 from fontrx.font.glyph import Glyph
 from fontrx.geometry.triangulate import (
     Vertex,
+    contours_self_intersect,
     point_in_polygon,
     signed_area2,
     triangulate_polygon,
 )
+from fontrx.utils.log import get_logger
+
+log = get_logger("TriangulatedGlyph")
 
 CLASS_CONCAVE = 0
 CLASS_CONVEX = 1
@@ -50,6 +54,11 @@ class TriangulatedGlyph:
     concave_count: int
     convex_count: int
     solid_count: int
+    # exact-detected crossing contour edges: the interior mesh is
+    # best-effort and may fill the wrong region (the reference's own
+    # acknowledged failure mode) — renderers should fall back to the
+    # winding fill (see ``triangulate.contours_self_intersect``)
+    self_intersecting: bool = False
 
     @property
     def classes(self) -> np.ndarray:
@@ -102,6 +111,13 @@ class TriangulatedGlyph:
             if poly:
                 contour_polys.append(poly)
 
+        crossing = contours_self_intersect(contour_polys)
+        if crossing:
+            log.warning(
+                "glyph outline self-intersects: interior triangulation is "
+                "best-effort; render via the winding fill for a correct "
+                "result (reference limitation: geometry.zig:74-127)"
+            )
         solid = _triangulate_interior(contour_polys)
 
         tris = concave + convex + solid
@@ -112,6 +128,7 @@ class TriangulatedGlyph:
             concave_count=len(concave),
             convex_count=len(convex),
             solid_count=len(solid),
+            self_intersecting=crossing,
         )
 
 

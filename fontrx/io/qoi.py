@@ -113,14 +113,85 @@ def _encode_rgb_py(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_rgba(pixels: np.ndarray) -> bytes:
+    """Encode ``uint8 [H, W, 4]`` to QOI bytes (channels=4).
+
+    Beyond the reference (its encoder is RGB-only, ``qoi.zig:26``): the
+    transparent-background display mode (the Ctrl+T analog) emits RGBA
+    frames, so the alpha channel must survive the container.  Standard
+    QOI semantics: DIFF/LUMA/RGB ops only when alpha is unchanged,
+    OP_RGBA otherwise; the running hash includes the real alpha."""
+    h, w = pixels.shape[:2]
+    header = MAGIC + struct.pack(">IIBB", w, h, 4, 0)
+    flat = pixels.reshape(-1, 4).astype(np.uint8)
+    total = flat.shape[0]
+    out = bytearray(header)
+    if total == 0:
+        out += END_MARKER
+        return bytes(out)
+
+    first_prev = np.array([[0, 0, 0, 255]], np.uint8)  # spec start pixel
+    prev = np.vstack([first_prev, flat[:-1]])
+    delta = (flat.astype(np.int16) - prev.astype(np.int16)) & 0xFF
+    same = (delta == 0).all(axis=1)
+    alpha_same = delta[:, 3] == 0
+    dr = ((delta[:, 0] + 2) & 0xFF).astype(np.uint8)
+    dg = ((delta[:, 1] + 2) & 0xFF).astype(np.uint8)
+    db = ((delta[:, 2] + 2) & 0xFF).astype(np.uint8)
+    small = (dr < 4) & (dg < 4) & (db < 4) & alpha_same
+    lr = (dr + (8 - dg)) & 0xFF
+    lb = (db + (8 - dg)) & 0xFF
+    lg = (dg + 30) & 0xFF
+    luma = (lr < 16) & (lg < 64) & (lb < 16) & alpha_same
+    hashes = (
+        flat[:, 0].astype(np.uint32) * 3
+        + flat[:, 1].astype(np.uint32) * 5
+        + flat[:, 2].astype(np.uint32) * 7
+        + flat[:, 3].astype(np.uint32) * 11
+    ) & 63
+
+    index = np.zeros((64, 4), np.uint8)
+    i = 0
+    while i < total:
+        if same[i]:
+            run = 1
+            j = i + 1
+            while j < total and same[j] and run < 62:
+                run += 1
+                j += 1
+            out.append(OP_RUN | (run - 1))
+            index[hashes[i]] = flat[i]
+            i = j
+            continue
+        r, g, b, a = flat[i]
+        hsh = hashes[i]
+        if (index[hsh] == flat[i]).all():
+            out.append(OP_INDEX | int(hsh))
+        elif small[i]:
+            out.append(OP_DIFF | (int(dr[i]) << 4) | (int(dg[i]) << 2) | int(db[i]))
+        elif luma[i]:
+            out.append(OP_LUMA | int(lg[i]))
+            out.append((int(lr[i]) << 4) | int(lb[i]))
+        elif alpha_same[i]:
+            out += bytes((OP_RGB, r, g, b))
+        else:
+            out += bytes((OP_RGBA, r, g, b, a))
+        index[hsh] = flat[i]
+        i += 1
+
+    out += END_MARKER
+    return bytes(out)
+
+
 def decode(data: bytes) -> np.ndarray:
-    """Decode QOI bytes to ``uint8 [H, W, 3]`` (alpha dropped).  Used by
-    tests to round-trip the encoder."""
+    """Decode QOI bytes to ``uint8 [H, W, channels]`` — 3 channels with
+    alpha dropped for RGB files, 4 for RGBA files.  Used by tests to
+    round-trip the encoders."""
     if data[:4] != MAGIC:
         raise ValueError("not a QOI file")
     w, h, channels, _colorspace = struct.unpack(">IIBB", data[4:14])
     total = w * h
-    out = np.zeros((total, 3), np.uint8)
+    out = np.zeros((total, 4), np.uint8)
     index = np.zeros((64, 4), np.uint8)
     r, g, b, a = 0, 0, 0, 255
     pos = 14
@@ -151,13 +222,14 @@ def decode(data: bytes) -> np.ndarray:
                 b = (b + dg + (b2 & 0xF) - 8) & 0xFF
             else:  # OP_RUN
                 run = (op & 0x3F) + 1
-                out[i : i + run] = (r, g, b)
+                out[i : i + run] = (r, g, b, a)
                 i += run
                 index[(r * 3 + g * 5 + b * 7 + a * 11) & 63] = (r, g, b, a)
                 continue
-        out[i] = (r, g, b)
+        out[i] = (r, g, b, a)
         i += 1
         index[(r * 3 + g * 5 + b * 7 + a * 11) & 63] = (r, g, b, a)
     if data[pos : pos + 8] != END_MARKER:
         raise ValueError("bad QOI end marker")
-    return out.reshape(h, w, 3)
+    out = out.reshape(h, w, 4)
+    return out if channels == 4 else out[:, :, :3]

@@ -77,6 +77,51 @@ def coverage_batch(
     return cov.mean(axis=0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "samples", "exact", "guard", "interpret"),
+)
+def coverage_batch_v2(
+    segments,
+    min_x,
+    max_y,
+    scale,
+    *,
+    height,
+    width,
+    samples: int = 2,
+    exact: bool = True,
+    guard: bool = False,
+    interpret: bool = False,
+):
+    """k x k supersampled coverage as k^2 sub-pixel-offset passes of the
+    tuned v2 carry-sweep winding kernel (the page path's MSAA strategy,
+    ``scene/page.py``, applied at tile scale).
+
+    The v2 kernel takes its sample offset as a *traced* SMEM input, so
+    ``lax.map`` over the offset lattice compiles the kernel once.  Same
+    conventions as :func:`coverage_batch`; ``height``/``width`` must be
+    multiples of 128 (v2 strips).  Bit-identical to the jnp/v1 multipass
+    and to the fused kernel: each sample's winding is the same float
+    program, and the mean of k^2 {0,1} values is exact in f32.
+    """
+    from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
+
+    offs = jnp.asarray(sample_offsets(samples))
+
+    def one(off):
+        w = winding_pallas_v2_batch(
+            segments, min_x, max_y, scale,
+            height=height, width=width,
+            interpret=interpret, sample_offset=(off[0], off[1]),
+            exact=exact, guard=guard,
+        )
+        return (w != 0).astype(jnp.float32)
+
+    cov = jax.lax.map(one, offs)  # [k*k, B, H, W]
+    return cov.mean(axis=0)
+
+
 def coverage_to_gray(coverage) -> jnp.ndarray:
     """Antialiased 8-bit alpha from coverage."""
     return jnp.clip(jnp.round(coverage * 255.0), 0, 255).astype(jnp.uint8)

@@ -169,12 +169,21 @@ class InteractiveSession:
             # it dominates, so it is tracked separately in stats()
             page = np.asarray(page_dev)
         else:
-            page = self.renderer.render(self.view)
+            page = self.renderer.render(self.view, **render_kwargs)
             self.compute_ms.append((time.perf_counter() - t0) * 1e3)
         self.frame_count += 1
         dt = (time.perf_counter() - t0) * 1e3
         self.frame_ms.append(dt)
         return page
+
+    def display_frame(self) -> np.ndarray:
+        """One frame as displayable RGBA (uint8 ``[H, W, 4]``): the
+        ``t`` toggle becomes observable here — transparent background
+        (alpha = coverage, the reference's premultiplied-composite-alpha
+        mode, ``VulkanContext.zig:891`` + Ctrl+T) vs. opaque over
+        black."""
+        page = np.asarray(self.frame())
+        return PageRenderer.to_rgba(page, self.transparent)
 
     def stats(self) -> dict:
         ms = self.frame_ms[1:] or self.frame_ms  # drop compile frame

@@ -151,10 +151,20 @@ class PageRenderer:
         max_px = float(spans.max()) * px_per_unit
         return min(max(_next_pow2(int(max_px) + 2), 128), 2048)
 
-    def rasterize_glyphs(self, px_per_unit: float):
+    def rasterize_glyphs(
+        self, px_per_unit: float, msaa: bool = False, debug: bool = False
+    ):
         """Raster every unique glyph at the current zoom into fixed
-        tiles; cached until the zoom (scale) changes."""
-        if self._cached_scale == px_per_unit and self._cached_tiles is not None:
+        tiles; cached until the zoom (scale) or render mode changes.
+
+        ``msaa``: tiles are 2x2-supersampled coverage (antialiased
+        alpha) instead of the binary fill — the composite-mode analog of
+        the reference's MSAA resolve.  ``debug``: tiles carry the
+        winding visualization (``render_glyph.zig:28``), so the
+        composite shows per-tile extents + winding structure (the
+        Ctrl+D analog for this path)."""
+        key = (px_per_unit, msaa, debug)
+        if self._cached_scale == key and self._cached_tiles is not None:
             return self._cached_tiles, self._cached_grids, self._tile_size(px_per_unit)
         tile = self._tile_size(px_per_unit)
         boxes = np.asarray(self.layout.batch.boxes)
@@ -168,16 +178,26 @@ class PageRenderer:
             )
             for b in boxes
         ]
-        winding = self.engine.winding_batch(
+        args = (
             jnp.asarray(self.layout.batch.segments),
             np.array([g.min_x for g in grids], np.int32),
             np.array([g.max_y for g in grids], np.int32),
             np.float32(px_per_unit),
-            height=tile,
-            width=tile,
         )
-        tiles = self.engine.fill(winding)  # [B, T, T] uint8
-        self._cached_scale = px_per_unit
+        if msaa and not debug:
+            cov = self.engine.coverage_batch(
+                *args, height=tile, width=tile, samples=2
+            )
+            tiles = jnp.clip(jnp.round(cov * 255.0), 0, 255).astype(jnp.uint8)
+        else:
+            winding = self.engine.winding_batch(
+                *args, height=tile, width=tile
+            )
+            # debug: winding visualization; else binary fill [B, T, T] u8
+            tiles = (
+                self.engine.gray(winding) if debug else self.engine.fill(winding)
+            )
+        self._cached_scale = key
         self._cached_tiles = tiles
         self._cached_grids = grids
         return tiles, grids, tile
@@ -285,12 +305,15 @@ class PageRenderer:
 
     # -- frame -------------------------------------------------------------
 
-    def render(self, view: ViewTransform) -> np.ndarray:
-        """Render one frame: uint8 ``[H, W]`` page."""
+    def render(
+        self, view: ViewTransform, msaa: bool = False, debug: bool = False
+    ) -> np.ndarray:
+        """Render one frame: uint8 ``[H, W]`` page.  ``msaa``/``debug``
+        select the glyph-tile mode (see ``rasterize_glyphs``)."""
         px_per_unit = view.scale[0] * (self.width / 2.0)
         if px_per_unit <= 0:
             raise ValueError("view scale must be positive")
-        tiles, grids, tile = self.rasterize_glyphs(px_per_unit)
+        tiles, grids, tile = self.rasterize_glyphs(px_per_unit, msaa, debug)
 
         slots, offsets = self.layout.instance_arrays()
         if len(slots) == 0:

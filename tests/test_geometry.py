@@ -137,3 +137,88 @@ class TestTriangulatedGlyph:
         assert (img[:, :, 0] > 0).any()
         assert (img[:, :, 1] > 0).any()
         assert (img[:, :, 2] > 0).any()
+
+
+class TestSelfIntersection:
+    """The reference's acknowledged failure (disabled float
+    crossing-splitter, ``geometry.zig:74-127``; README TODO "fix wrong
+    glyph triangulation"): crossing outlines are exactly *detected* and
+    renderers fall back to the winding fill, which handles them natively
+    via the nonzero rule — defined behavior, no wrong silent fill."""
+
+    @staticmethod
+    def bowtie_glyph():
+        from fontrx.font.glyph import Box, Contour, Glyph
+
+        # figure-8: (0,0)->(100,100)->(100,0)->(0,100)->close; straight
+        # segments encoded with collinear midpoint controls to satisfy
+        # the even/odd invariant
+        corners = [(0, 0), (100, 100), (100, 0), (0, 100)]
+        pts = []
+        for i, c in enumerate(corners):
+            nxt = corners[(i + 1) % 4]
+            pts.append(c)
+            pts.append(((c[0] + nxt[0]) // 2, (c[1] + nxt[1]) // 2))
+        pts.append(corners[0])
+        return Glyph(
+            Box(0, 0, 100, 100),
+            (Contour(np.array(pts, np.int32)),),
+        )
+
+    def test_bowtie_flagged(self):
+        tg = TriangulatedGlyph.from_glyph(self.bowtie_glyph())
+        assert tg.self_intersecting
+
+    def test_clean_glyphs_not_flagged(self, dejavu):
+        for ch in "AHgo8@":
+            g, _ = dejavu.get_glyph(ch)
+            assert not TriangulatedGlyph.from_glyph(g).self_intersecting, ch
+
+    def test_strict_crossing_predicate(self):
+        from fontrx.geometry.triangulate import _segments_cross_strictly
+
+        a, b = (0, 0, 0), (10, 10, 1)
+        c, d = (0, 10, 2), (10, 0, 3)
+        assert _segments_cross_strictly(a, b, c, d)          # X cross
+        assert not _segments_cross_strictly(a, b, b, c)      # shared end
+        assert not _segments_cross_strictly(a, b, (5, 5, 4), (20, 5, 5))  # T-junction
+        assert not _segments_cross_strictly(a, b, (2, 2, 4), (8, 8, 5))   # collinear
+
+    def test_cli_falls_back_to_winding(self, tmp_path, monkeypatch):
+        """Triangulation mode on a self-intersecting glyph produces the
+        exact winding fill (via fallback), not the broken mesh fill."""
+        import jax.numpy as jnp
+
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.kernels import oracle
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.kernels.loopblinn import loopblinn_fill
+        from fontrx.pack.segments import glyph_segments
+
+        glyph = self.bowtie_glyph()
+        grid = RasterGrid.for_glyph_box((0, 0, 100, 100), 50, 100)
+        segs = glyph_segments(glyph)
+        want = np.where(oracle.winding_map(segs, grid) != 0, 255, 0)
+
+        # the mesh fill IS wrong for the bowtie (this is why we fence):
+        tg = TriangulatedGlyph.from_glyph(glyph)
+        mesh = loopblinn_fill(tg, grid)
+        assert (mesh != want).any()
+
+        # CLI path falls back to the winding fill
+        import fontrx.cli.main as cli_main
+
+        class FakeFont:
+            class info:
+                units_per_em = 100
+
+            def get_glyph(self, ch):
+                return glyph, 100
+
+        class Cfg:
+            mode = "triangulation"
+            debug = False
+            size = 50
+
+        out = cli_main._render(FakeFont(), "X", Cfg(), RasterEngine(backend="jnp"))
+        np.testing.assert_array_equal(out[:, :, 0], want)

@@ -63,6 +63,71 @@ class TestCoverage:
         # values are k^2-quantized fractions
         assert np.all((cov * 16) == np.round(cov * 16))
 
+    def test_multipass_v2_matches_jnp(self, dejavu):
+        """The tile-scale MSAA path (k^2 offset passes of the v2 kernel,
+        config 2's production strategy) is bit-identical to the jnp
+        multipass reference."""
+        import jax.numpy as jnp
+
+        from fontrx.kernels.coverage import coverage_batch, coverage_batch_v2
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import pack_glyphs
+
+        glyphs = [dejavu.get_glyph(c)[0] for c in "HeloWrd!,"]
+        batch = pack_glyphs(glyphs)
+        grids = [RasterGrid.fixed_tile(tuple(b), 64, 2048, 64)
+                 for b in batch.boxes]
+        args = (
+            jnp.asarray(batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+        )
+        ref = np.asarray(
+            coverage_batch(*args, height=128, width=128, samples=2)
+        )
+        v2 = np.asarray(
+            coverage_batch_v2(
+                *args, height=128, width=128, samples=2, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(ref, v2)
+
+    def test_engine_coverage_interpret_matches_jnp(self, dejavu):
+        """RasterEngine.coverage_batch dispatches the multipass-v2 path
+        (fused=None default) with tile padding/cropping intact."""
+        import jax.numpy as jnp
+
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.kernels.coverage import coverage_batch
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import glyph_segments
+
+        g, _ = dejavu.get_glyph("e")
+        seg = jnp.asarray(glyph_segments(g))[None]
+        grid = RasterGrid.fixed_tile(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max), 64, 2048, 64
+        )
+        args = (
+            seg,
+            jnp.array([grid.min_x], jnp.int32),
+            jnp.array([grid.max_y], jnp.int32),
+            jnp.float32(grid.scale),
+        )
+        ref = np.asarray(
+            coverage_batch(*args, height=64, width=64, samples=2)
+        )
+        eng = RasterEngine(backend="interpret")
+        out = np.asarray(
+            eng.coverage_batch(*args, height=64, width=64, samples=2)
+        )
+        np.testing.assert_array_equal(ref, out)
+        fused = np.asarray(
+            eng.coverage_batch(*args, height=64, width=64, samples=2,
+                               fused=True)
+        )
+        np.testing.assert_array_equal(ref, fused)
+
     def test_coverage_monotone_in_k(self, dejavu):
         """More samples -> coverage converges; mean stays stable."""
         import jax.numpy as jnp
@@ -267,6 +332,52 @@ class TestInteractive:
         stats = sess.stats()
         assert stats["frames"] == 4
         assert stats["mean_ms"] > 0
+
+
+class TestToggles:
+    """The m/d/t keybinds must have *observable* frame effects in both
+    render modes (reference behavior: Ctrl+M/T/D,
+    ``CallbackContext.zig:67-78`` + ``VulkanContext.zig:114-141,891``)."""
+
+    @pytest.mark.parametrize("mode", ["direct", "composite"])
+    def test_msaa_and_debug_change_frames(self, dejavu, mode):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            dejavu, "Hi", 256, 192, RasterEngine(backend="jnp"), mode=mode
+        )
+        base = sess.frame()
+        sess.key("m")
+        f_msaa = sess.frame()
+        assert sess.msaa
+        assert not np.array_equal(base, f_msaa)  # antialiased edges
+        # msaa frames contain partial coverage, not just 0/255
+        assert len(np.unique(f_msaa)) > 2
+        sess.key("m")
+        sess.key("d")
+        f_debug = sess.frame()
+        assert sess.debug
+        assert not np.array_equal(base, f_debug)  # winding visualization
+        # debug background is the reference's winding-vis gray (100)
+        assert (f_debug == 100).any()
+
+    @pytest.mark.parametrize("mode", ["direct", "composite"])
+    def test_transparent_changes_display_alpha(self, dejavu, mode):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            dejavu, "Hi", 256, 192, RasterEngine(backend="jnp"), mode=mode
+        )
+        opaque = sess.display_frame()
+        assert opaque.shape == (192, 256, 4)
+        assert (opaque[..., 3] == 255).all()
+        sess.key("t")
+        transp = sess.display_frame()
+        assert sess.transparent
+        assert not (transp[..., 3] == 255).all()  # background alpha 0
+        np.testing.assert_array_equal(transp[..., 3], transp[..., 0])
 
 
 class TestCLI:

@@ -109,3 +109,45 @@ class TestImages:
         assert h == g.box.y_max - g.box.y_min + 3
         # control-point overlay present
         assert (im.rgb() == np.array([255, 255, 0], np.uint8)).all(-1).any()
+
+
+class TestRGBA:
+    def test_rgba_roundtrip_random(self, rng):
+        from fontrx.io.qoi import decode, encode_rgba
+
+        img = rng.integers(0, 256, (13, 17, 4)).astype(np.uint8)
+        out = decode(encode_rgba(img))
+        assert out.shape == (13, 17, 4)
+        np.testing.assert_array_equal(out, img)
+
+    def test_rgba_header_channels(self):
+        from fontrx.io.qoi import encode_rgba
+
+        img = np.zeros((2, 2, 4), np.uint8)
+        data = encode_rgba(img)
+        assert data[12] == 4  # channels field
+
+    def test_rgba_constant_alpha_matches_rgb_payload(self, rng):
+        """With alpha pinned at 255 the RGBA stream decodes to the same
+        pixels as the RGB encoder's (alpha-extended)."""
+        from fontrx.io.qoi import decode, encode_rgb, encode_rgba
+
+        rgb = rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+        rgba = np.concatenate(
+            [rgb, np.full((9, 11, 1), 255, np.uint8)], axis=2
+        )
+        out4 = decode(encode_rgba(rgba))
+        out3 = decode(encode_rgb(rgb))
+        np.testing.assert_array_equal(out4[:, :, :3], out3)
+        np.testing.assert_array_equal(out4[:, :, 3], 255)
+
+    def test_transparent_page_roundtrip(self):
+        from fontrx.io.qoi import decode, encode_rgba
+        from fontrx.scene.page import PageRenderer
+
+        page = np.zeros((8, 8), np.uint8)
+        page[2:5, 3:6] = 255
+        rgba = PageRenderer.to_rgba(page, transparent=True)
+        out = decode(encode_rgba(rgba))
+        np.testing.assert_array_equal(out, rgba)
+        assert out[0, 0, 3] == 0 and out[3, 4, 3] == 255

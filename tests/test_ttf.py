@@ -375,3 +375,47 @@ class TestFontZoo:
             Font.open(p)  # should never raise on this bundle
             ok += 1
         assert ok > 20
+
+
+class TestParserHardening:
+    """Corrupt-input edges flagged in review: degrade or raise typed
+    errors instead of crashing / silently mis-mapping."""
+
+    def test_kern_zero_pairs_degrades(self):
+        import struct
+
+        # kern v0, 1 subtable: format 0, horizontal, nPairs == 0
+        data = (
+            struct.pack(">HH", 0, 1)
+            + struct.pack(">HHH", 0, 14, 0x0001)
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+        )
+        kt = ttf.KernTable.parse(BigEndianReader(data))
+        assert kt is not None
+        out = kt.lookup(np.array([3, 5]), np.array([7, 9]))
+        np.testing.assert_array_equal(out, [0, 0])
+
+    def test_cmap4_negative_range_offset_rejected(self):
+        import struct
+
+        # 2 segments; segment 0's idRangeOffset=2 makes the
+        # glyphIndexArray base negative (i + ro/2 - seg = 0 + 1 - 2)
+        seg = 2
+        body = (
+            struct.pack(">HHH", 0, 0, seg * 2)   # length, language, segX2
+            + struct.pack(">HHH", 0, 0, 0)       # search/entry/rangeShift
+            + struct.pack(">HH", 0x42, 0xFFFF)   # endCode
+            + struct.pack(">H", 0)               # reservedPad
+            + struct.pack(">HH", 0x41, 0xFFFF)   # startCode
+            + struct.pack(">HH", 0, 1)           # idDelta
+            + struct.pack(">HH", 2, 0)           # idRangeOffset (bogus)
+        )
+        with pytest.raises(CorruptedFont, match="idRangeOffset"):
+            ttf.CmapFormat4.parse(BigEndianReader(body))
+
+    def test_cmap4_valid_range_offset_still_parses(self):
+        # the builder emits correct in-bounds offsets; must still parse
+        sub = tb.build_cmap_format4([(65, 66, 0, [1, 2])])
+        cm = ttf.CmapFormat4.parse(BigEndianReader(sub, 2))
+        assert cm.glyph_index(65) == 1
+        assert cm.glyph_index(66) == 2
