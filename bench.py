@@ -112,6 +112,25 @@ def main() -> None:
         )
         sys.exit(1)
 
+    # --- optional exhaustive gate (FONTRX_FULL_GATE=1) ---------------------
+    # every pixel of: ASCII@256 (both guard modes), ASCII@64 4x coverage
+    # (both strategies), 100 random glyphs@256 (both guard modes), and
+    # the split-pack fold — compared on device against the CPU oracle
+    full_gate: dict | None = None
+    if os.environ.get("FONTRX_FULL_GATE"):
+        from benchmarks.full_gate import run_full_gate
+
+        full_gate = run_full_gate()
+        if full_gate["total_mismatch_canonical"] != 0:
+            print(json.dumps({
+                "metric": "glyphs/sec @256px (FAILED full exactness gate)",
+                "value": 0.0,
+                "unit": "glyphs/s",
+                "vs_baseline": 0.0,
+                "full_gate": full_gate,
+            }))
+            sys.exit(1)
+
     # --- device timing ----------------------------------------------------
     # Chained steps: each step's min_x depends on the previous step's
     # output through abs(w)>>30 (always 0, but not constant-foldable),
@@ -189,6 +208,15 @@ def main() -> None:
                 "backend": jax.default_backend(),
                 "mismatched_pixels": mism,
                 "checked_pixels": checked,
+                **(
+                    {
+                        "full_gate_checked": full_gate["total_checked"],
+                        "full_gate_mismatched":
+                            full_gate["total_mismatch_canonical"],
+                    }
+                    if full_gate
+                    else {}
+                ),
             }
         )
     )

@@ -1,0 +1,244 @@
+"""Exhaustive TPU bit-exactness qualification (the full gate).
+
+Checks EVERY pixel of:
+
+1. all 94 printable-ASCII glyphs @256px, winding, both kernel modes
+   (``guard=False`` carry-free and ``guard=True`` carry-sweep);
+2. the same ASCII set @64px 4x (2x2) MSAA coverage through BOTH
+   strategies (fused single-launch kernel and k^2-offset multipass-v2),
+   at every sample offset;
+3. 100 seeded-random glyphs from the full font @256px, both guard
+   modes;
+4. the split-packing path (``pack_glyphs_split`` +
+   ``RasterEngine.winding_split``: per-row rasters folded by an
+   on-device ``segment_sum``) over those random glyphs @64px,
+
+against the CPU IEEE oracle (the op-for-op NumPy reimplementation of
+``/root/reference/src/tools/render_glyph.zig:35-73``).
+
+Tunnel-aware design: large host *fetches* crawl (~8 MB/s), so expected
+rasters are uploaded once with ``device_put`` and compared ON DEVICE;
+only the int mismatch-count scalar comes back.
+
+FMA semantics: the oracle has two modes for the x-polynomial
+``(ax*t + bx)*t + p0x`` — ``contract=True`` (fused, what XLA:CPU
+emits) and ``contract=False`` (strict, what XLA:TPU emits).  The gate
+reports mismatches against BOTH and asserts zero against the
+backend-canonical one.
+
+Run standalone (``python -m benchmarks.full_gate``) or via
+``FONTRX_FULL_GATE=1 python bench.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+ASCII = [c for c in range(33, 127)]
+
+
+def _device_mismatch(out_dev, expected: np.ndarray) -> int:
+    """Exact device-side compare: upload expected, fetch one scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    exp = jax.device_put(jnp.asarray(expected))
+    return int(jnp.sum(out_dev != exp))
+
+
+def _oracle_windings(batch, grids, contract: bool) -> np.ndarray:
+    from fontrx.kernels import oracle
+
+    out = np.zeros(
+        (len(grids), grids[0].height, grids[0].width), np.int32
+    )
+    for i, g in enumerate(grids):
+        xs, ys = g.sample_coords()
+        out[i] = oracle.winding_at(
+            batch.segments[i], xs[None, :], ys[:, None], contract=contract
+        )
+    return out
+
+
+def _offset_coords(grid, ox: float, oy: float):
+    """Sample coords at an MSAA sub-pixel offset with the kernels' exact
+    op order: int anchor -> f32, + f32 offset, correctly-rounded / scale."""
+    scale = np.float32(grid.scale)
+    xs = ((grid.min_x + np.arange(grid.width)).astype(np.float32)
+          + np.float32(ox)) / scale
+    ys = ((grid.max_y - np.arange(grid.height)).astype(np.float32)
+          + np.float32(oy)) / scale
+    return xs, ys
+
+
+def run_full_gate(verbose: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from fontrx.engine.atlas import pack_charset
+    from fontrx.engine.raster import RasterEngine
+    from fontrx.font.font import Font
+    from fontrx.kernels import oracle
+    from fontrx.kernels.coverage import sample_offsets
+    from fontrx.kernels.grid import RasterGrid
+    from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
+    from fontrx.pack.segments import pack_glyphs, pack_glyphs_split
+
+    backend = jax.default_backend()
+    # canonical oracle mode per backend: XLA:TPU does not contract the
+    # x-polynomial into FMAs; XLA:CPU does (round-1 finding)
+    canonical_contract = backend != "tpu"
+    engine = RasterEngine()  # exact=True default
+    font = Font.open(FONT)
+    results = {"backend": backend, "canonical_contract": canonical_contract}
+    total_checked = 0
+    total_mismatch = 0
+
+    def log(msg):
+        if verbose:
+            print(msg, file=sys.stderr, flush=True)
+
+    oracle_cache: dict = {}
+
+    def gate(name, out_dev, grids, batch):
+        nonlocal total_checked, total_mismatch
+        t0 = time.perf_counter()
+        key = (id(batch), id(grids))  # expected is identical across guard modes
+        if key not in oracle_cache:
+            oracle_cache[key] = (
+                _oracle_windings(batch, grids, contract=canonical_contract),
+                _oracle_windings(batch, grids, contract=not canonical_contract),
+            )
+        exp_c, exp_a = oracle_cache[key]
+        m_c = _device_mismatch(out_dev, exp_c)
+        m_a = _device_mismatch(out_dev, exp_a)
+        n = exp_c.size
+        results[name] = {
+            "checked": n,
+            "mismatch_canonical": m_c,
+            "mismatch_alt_fma": m_a,
+        }
+        total_checked += n
+        total_mismatch += m_c
+        log(f"  {name}: {m_c}/{n} (alt-FMA oracle: {m_a}) "
+            f"[{time.perf_counter() - t0:.1f}s]")
+
+    # ---- 1. ASCII @256, both guard modes --------------------------------
+    log("gate 1: ASCII 94 @256px winding, both guard modes")
+    batch = pack_charset(font, ASCII)
+    grids = [
+        RasterGrid.fixed_tile(tuple(b), 256, font.info.units_per_em, 256)
+        for b in np.asarray(batch.boxes)
+    ]
+    seg = jnp.asarray(batch.segments)
+    mx = jnp.asarray(np.array([g.min_x for g in grids], np.int32))
+    my = jnp.asarray(np.array([g.max_y for g in grids], np.int32))
+    scale = jnp.float32(grids[0].scale)
+    for guard in (False, True):
+        out = winding_pallas_v2_batch(
+            seg, mx, my, scale, height=256, width=256,
+            exact=True, guard=guard,
+            interpret=backend != "tpu",
+        )
+        gate(f"ascii256_guard{guard}", out, grids, batch)
+
+    # ---- 2. ASCII @64 4x MSAA coverage, both strategies, every offset ---
+    log("gate 2: ASCII 94 @64px 2x2 coverage, fused + multipass")
+    grids64 = [
+        RasterGrid.fixed_tile(tuple(b), 64, font.info.units_per_em, 64)
+        for b in np.asarray(batch.boxes)
+    ]
+    mx64 = jnp.asarray(np.array([g.min_x for g in grids64], np.int32))
+    my64 = jnp.asarray(np.array([g.max_y for g in grids64], np.int32))
+    s64 = jnp.float32(grids64[0].scale)
+    # expected coverage: mean over offsets of oracle nonzero-winding
+    offs = sample_offsets(2)
+    exp_cov = np.zeros((len(grids64), 64, 64), np.float32)
+    for ox, oy in offs:
+        for i, g in enumerate(grids64):
+            xs, ys = _offset_coords(g, ox, oy)
+            w = oracle.winding_at(
+                batch.segments[i], xs[None, :], ys[:, None],
+                contract=canonical_contract,
+            )
+            exp_cov[i] += (w != 0).astype(np.float32)
+    exp_cov /= len(offs)
+    for fused in (True, False):
+        cov = engine.coverage_batch(
+            seg, mx64, my64, s64, height=64, width=64, samples=2,
+            fused=fused,
+        )
+        m = _device_mismatch(cov, exp_cov)
+        name = f"coverage64_{'fused' if fused else 'multipass'}"
+        results[name] = {"checked": exp_cov.size, "mismatch_canonical": m}
+        total_checked += exp_cov.size
+        total_mismatch += m
+        log(f"  {name}: {m}/{exp_cov.size}")
+
+    # ---- 3. 100 random glyphs @256, both guard modes --------------------
+    log("gate 3: 100 random font glyphs @256px, both guard modes")
+    rng = np.random.default_rng(20260816)
+    candidates = rng.permutation(font.num_glyphs)
+    glyphs = []
+    for idx in candidates:
+        g = font.load_glyph_safe(int(idx))
+        if g.num_segments:
+            glyphs.append(g)
+        if len(glyphs) == 100:
+            break
+    rbatch = pack_glyphs(glyphs)
+    rgrids = [
+        RasterGrid.fixed_tile(tuple(b), 256, font.info.units_per_em, 256)
+        for b in np.asarray(rbatch.boxes)
+    ]
+    rseg = jnp.asarray(rbatch.segments)
+    rmx = jnp.asarray(np.array([g.min_x for g in rgrids], np.int32))
+    rmy = jnp.asarray(np.array([g.max_y for g in rgrids], np.int32))
+    rscale = jnp.float32(rgrids[0].scale)
+    for guard in (False, True):
+        out = winding_pallas_v2_batch(
+            rseg, rmx, rmy, rscale, height=256, width=256,
+            exact=True, guard=guard,
+            interpret=backend != "tpu",
+        )
+        gate(f"random256_guard{guard}", out, rgrids, rbatch)
+
+    # ---- 4. split-packing path @64 --------------------------------------
+    log("gate 4: split packing + on-device segment_sum fold @64px")
+    split = pack_glyphs_split(glyphs, capacity=32)
+    out_split, sgrids = engine.winding_split(
+        split, 64, font.info.units_per_em, 64
+    )
+    exp_split = np.zeros((len(glyphs), 64, 64), np.int32)
+    from fontrx.pack.segments import glyph_segments
+
+    for i, (g, grid) in enumerate(zip(glyphs, sgrids)):
+        xs, ys = grid.sample_coords()
+        exp_split[i] = oracle.winding_at(
+            glyph_segments(g), xs[None, :], ys[:, None],
+            contract=canonical_contract,
+        )
+    m = _device_mismatch(out_split, exp_split)
+    results["split64"] = {"checked": exp_split.size, "mismatch_canonical": m}
+    total_checked += exp_split.size
+    total_mismatch += m
+    log(f"  split64: {m}/{exp_split.size}")
+
+    results["total_checked"] = total_checked
+    results["total_mismatch_canonical"] = total_mismatch
+    return results
+
+
+def main() -> int:
+    res = run_full_gate()
+    print(json.dumps(res))
+    return 0 if res["total_mismatch_canonical"] == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -170,6 +170,19 @@ class Font:
             + (f" (last error: {last_err})" if last_err else "")
         )
 
+    def _load_uvs(self) -> "ttf.CmapFormat14 | None":
+        """Parse the format-14 Unicode Variation Sequences subtable
+        (platform 0, encoding 5) when present — a supplement to the
+        charmap, beyond the reference (``ttf.zig:349-360`` stubs it)."""
+        r = self._at(b"cmap")
+        base = r.pos
+        for sub in ttf.parse_cmap_index(r):
+            if sub.platform_id == 0 and sub.platform_specific_id == 5:
+                sr = BigEndianReader(r.data, base + sub.offset)
+                if sr.u16() == 14:
+                    return ttf.CmapFormat14.parse(sr, base + sub.offset)
+        return None
+
     # -- public API --------------------------------------------------------
 
     @property
@@ -179,6 +192,27 @@ class Font:
     def glyph_index(self, char: int | str) -> int:
         if isinstance(char, str):
             char = ord(char)
+        return self.charmap.glyph_index(char)
+
+    @property
+    def uvs(self) -> "ttf.CmapFormat14 | None":
+        """The variation-sequences subtable, or ``None``."""
+        if not hasattr(self, "_uvs"):
+            self._uvs = self._load_uvs()
+        return self._uvs
+
+    def glyph_index_variant(self, char: int | str, selector: int) -> int:
+        """Char->glyph resolution honoring a Unicode variation selector
+        (U+FE00..FE0F, U+E0100..E01EF).  Sequences absent from the
+        format-14 table fall back to the base glyph, per spec."""
+        if isinstance(char, str):
+            char = ord(char)
+        if self.uvs is not None:
+            g = self.uvs.glyph_for_variant(
+                char, selector, self.charmap.glyph_index
+            )
+            if g is not None:
+                return g
         return self.charmap.glyph_index(char)
 
     def get_glyph(self, char: int | str) -> tuple[Glyph, int]:

@@ -16,9 +16,10 @@ Covered, matching the reference's support matrix:
 - ``cmap`` formats **0/6/13** implemented *beyond* the reference (legacy
   byte table, trimmed table, many-to-one coverage; see ``CmapFormat0/6/13``
   below) — the reference stubs all of 0/2/6/8/10/13/14 with
-  ``@compileError`` (``ttf.zig:349-360``); formats 2/8/10/14 remain
-  declared-unsupported here (2/8/10 are obsolete; 14 is variation
-  selectors, raising ``NotImplementedError``)
+  ``@compileError`` (``ttf.zig:349-360``); format **14** (Unicode
+  Variation Sequences) is also implemented beyond the reference as a
+  mapping *supplement* (``CmapFormat14``); formats 2/8/10 remain
+  declared-unsupported (obsolete)
 - ``glyf`` simple glyphs (RLE flags, short/long deltas) (``ttf.zig:759-817``)
 - ``glyf`` compound glyphs (2.14 transforms)            (``ttf.zig:857-921``)
 """
@@ -509,7 +510,101 @@ class CmapFormat13:
         return np.stack([end + 1, count, end_glyph, stride], axis=1)
 
 
-UNSUPPORTED_CMAP_FORMATS = (2, 8, 10, 14)
+@dataclass(frozen=True, slots=True)
+class CmapFormat14:
+    """Unicode Variation Sequences subtable (format 14) — beyond the
+    reference (stubbed at ``ttf.zig:349-360``); the one legacy-free
+    optional format modern fonts actually use (CJK ideograph variants,
+    emoji text/em presentation).
+
+    Unlike every other cmap format this is not a char->glyph map: it
+    *supplements* the default mapping for ``(base char, variation
+    selector)`` pairs.  Default UVS ranges say "use the regular cmap
+    glyph"; non-default mappings name an explicit variant glyph.  See
+    :meth:`glyph_for_variant` and ``Font.glyph_index_variant``.
+    """
+
+    var_selectors: np.ndarray  # u32[n], ascending
+    # per record: (range_start u32[], range_end u32[] inclusive)
+    default_ranges: tuple[tuple[np.ndarray, np.ndarray], ...]
+    # per record: (unicode u32[] ascending, glyph u16[])
+    nondefault: tuple[tuple[np.ndarray, np.ndarray], ...]
+
+    @classmethod
+    def parse(cls, r: BigEndianReader, subtable_start: int) -> "CmapFormat14":
+        """``r`` positioned after the format u16; ``subtable_start`` is
+        the format field's offset (UVS offsets are relative to it)."""
+        r.pos = subtable_start + 2
+        _length, n_records = r.unpack("II")
+        recs = []
+        for _ in range(n_records):
+            hi = r.u8()
+            lo = r.unpack("H")[0]
+            selector = (hi << 16) | lo
+            def_off, nondef_off = r.unpack("II")
+            recs.append((selector, def_off, nondef_off))
+        selectors = np.array([s for s, _, _ in recs], np.uint32)
+        ensure_mono_increase(selectors, "cmap14 varSelector")
+        defaults = []
+        nondefaults = []
+        for _sel, def_off, nondef_off in recs:
+            if def_off:
+                r.pos = subtable_start + def_off
+                (n,) = r.unpack("I")
+                starts = np.zeros(n, np.uint32)
+                ends = np.zeros(n, np.uint32)
+                for i in range(n):
+                    hi = r.u8()
+                    lo = r.unpack("H")[0]
+                    start = (hi << 16) | lo
+                    extra = r.u8()
+                    starts[i] = start
+                    ends[i] = start + extra
+                ensure_mono_increase(starts, "cmap14 defaultUVS start")
+                defaults.append((starts, ends))
+            else:
+                defaults.append(
+                    (np.empty(0, np.uint32), np.empty(0, np.uint32))
+                )
+            if nondef_off:
+                r.pos = subtable_start + nondef_off
+                (n,) = r.unpack("I")
+                uni = np.zeros(n, np.uint32)
+                gid = np.zeros(n, np.uint16)
+                for i in range(n):
+                    hi = r.u8()
+                    lo = r.unpack("H")[0]
+                    uni[i] = (hi << 16) | lo
+                    gid[i] = r.unpack("H")[0]
+                ensure_mono_increase(uni, "cmap14 nonDefaultUVS unicode")
+                nondefaults.append((uni, gid))
+            else:
+                nondefaults.append(
+                    (np.empty(0, np.uint32), np.empty(0, np.uint16))
+                )
+        return cls(selectors, tuple(defaults), tuple(nondefaults))
+
+    def glyph_for_variant(self, char: int, selector: int, default_lookup):
+        """Resolve ``(base char, variation selector)``.
+
+        Returns the variant glyph index, ``default_lookup(char)`` for
+        default-UVS sequences, or ``None`` when the sequence is not in
+        the table (caller falls back to the base glyph)."""
+        i = int(np.searchsorted(self.var_selectors, selector))
+        if i >= len(self.var_selectors) or self.var_selectors[i] != selector:
+            return None
+        uni, gid = self.nondefault[i]
+        j = int(np.searchsorted(uni, char))
+        if j < len(uni) and uni[j] == char:
+            return int(gid[j])
+        starts, ends = self.default_ranges[i]
+        j = int(np.searchsorted(starts, char, side="right")) - 1
+        if j >= 0 and char <= int(ends[j]):
+            return default_lookup(char)
+        return None
+
+
+UNSUPPORTED_CMAP_FORMATS = (2, 8, 10)
 
 
 def parse_cmap_subtable(r: BigEndianReader):
@@ -529,6 +624,12 @@ def parse_cmap_subtable(r: BigEndianReader):
         return CmapFormat12.parse(r)
     if fmt == 13:
         return CmapFormat13.parse(r)
+    if fmt == 14:
+        raise NotImplementedError(
+            "cmap format 14 supplements the default mapping with "
+            "variation sequences rather than providing a charmap; it is "
+            "parsed separately (CmapFormat14 / Font.glyph_index_variant)"
+        )
     if fmt in UNSUPPORTED_CMAP_FORMATS:
         raise NotImplementedError(f"cmap format {fmt} not implemented")
     raise CorruptedFont(f"unknown cmap format {fmt}")

@@ -54,6 +54,8 @@ def _make_v2_kernel(
     seg_chunk: int = SEG_CHUNK,
     tile_w: int = TILE_W,
     guard: bool = True,
+    group_guard: int = 0,
+    _detail: bool = True,
 ):
     """Kernel factory.
 
@@ -63,6 +65,16 @@ def _make_v2_kernel(
     - ``seg_chunk`` / ``tile_w`` / ``guard``: tuning knobs (segment
       chunk height, column-tile width, whether detail compares are
       skipped behind ``@pl.when`` per (chunk, tile)).
+    - ``group_guard`` (guard mode only): additionally skip the
+      per-pixel compare/select/add for *groups* of this many segments
+      when no segment in the group has an in-tile crossing.  Phase B
+      (those per-pixel ops) dominates the kernel (docs/KERNELS.md), and
+      a glyph segment only crosses rows in its own y-span, so group
+      activity per (chunk, tile) is well under 100%.  Exactness is
+      unaffected: skipped groups contribute exactly zero (integer adds
+      commute).
+    - ``_detail=False``: timing-only instrumentation — skips phase B
+      entirely (WRONG results) to measure the phase A / phase B split.
     """
     fdiv = div_cr if exact else (lambda a, b: a / b)
     fsqrt = sqrt_cr if exact else jnp.sqrt
@@ -188,7 +200,20 @@ def _make_v2_kernel(
                         )
                     out_ref[0, :, pl.ds(t * tile_w, tile_w)] = sl + detail
 
-                if not guard:
+                if not _detail:
+                    # timing-only: consume phase A results with one cheap
+                    # carry-style fold so Mosaic cannot DCE the root
+                    # solve; all per-pixel (phase B) work is skipped
+                    s_all = jnp.sum(
+                        jnp.where(xx0m >= cx_end, s0, 0)
+                        + jnp.where(xx1m >= cx_end, s1, 0),
+                        axis=0, keepdims=True,
+                    )
+                    out_ref[0, :, pl.ds(0, tile_w)] = (
+                        out_ref[0, :, pl.ds(0, tile_w)]
+                        + jnp.broadcast_to(s_all.T, (STRIP_ROWS, tile_w))
+                    )
+                elif not guard:
                     # carry-free: every tile compares every crossing at or
                     # right of its left edge (correct per docstring above)
                     zero = jnp.zeros((STRIP_ROWS, tile_w), jnp.int32)
@@ -217,15 +242,60 @@ def _make_v2_kernel(
                         sl = out_ref[0, :, pl.ds(t * tile_w, tile_w)]
                         any_in = jnp.any(in0 | in1)
 
-                        @pl.when(any_in)
-                        def _(t=t, in0=in0, in1=in1, sl=sl, base=base):
-                            tile_detail(
-                                t,
-                                jnp.where(in0, s0, 0).T,
-                                jnp.where(in1, s1, 0).T,
-                                sl,
-                                base,
-                            )
+                        if group_guard:
+                            # base first, then per-group guarded
+                            # accumulate: a segment only crosses rows in
+                            # its y-span, so most groups are dead for a
+                            # given (strip, tile) and skip their
+                            # (R, tile_w) compare/select/adds entirely
+                            @pl.when(any_in)
+                            def _(t=t, in0=in0, in1=in1, sl=sl, base=base):
+                                out_ref[0, :, pl.ds(t * tile_w, tile_w)] = (
+                                    sl + base
+                                )
+                                cxt = cx_tiles[t]
+                                sd0 = jnp.where(in0, s0, 0).T
+                                sd1 = jnp.where(in1, s1, 0).T
+                                for g0 in range(0, seg_chunk, group_guard):
+                                    g1 = min(g0 + group_guard, seg_chunk)
+
+                                    @pl.when(jnp.any(in0[g0:g1]))
+                                    def _(g0=g0, g1=g1, t=t, sd=sd0, xxT=xxT0):
+                                        acc = out_ref[
+                                            0, :, pl.ds(t * tile_w, tile_w)
+                                        ]
+                                        for s in range(g0, g1):
+                                            acc = acc + jnp.where(
+                                                xxT[:, s : s + 1] >= cxt,
+                                                sd[:, s : s + 1], 0,
+                                            )
+                                        out_ref[
+                                            0, :, pl.ds(t * tile_w, tile_w)
+                                        ] = acc
+
+                                    @pl.when(jnp.any(in1[g0:g1]))
+                                    def _(g0=g0, g1=g1, t=t, sd=sd1, xxT=xxT1):
+                                        acc = out_ref[
+                                            0, :, pl.ds(t * tile_w, tile_w)
+                                        ]
+                                        for s in range(g0, g1):
+                                            acc = acc + jnp.where(
+                                                xxT[:, s : s + 1] >= cxt,
+                                                sd[:, s : s + 1], 0,
+                                            )
+                                        out_ref[
+                                            0, :, pl.ds(t * tile_w, tile_w)
+                                        ] = acc
+                        else:
+                            @pl.when(any_in)
+                            def _(t=t, in0=in0, in1=in1, sl=sl, base=base):
+                                tile_detail(
+                                    t,
+                                    jnp.where(in0, s0, 0).T,
+                                    jnp.where(in1, s1, 0).T,
+                                    sl,
+                                    base,
+                                )
 
                         @pl.when(jnp.logical_not(any_in))
                         def _(sl=sl, base=base, t=t):
@@ -251,13 +321,13 @@ def _make_v2_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "interpret", "exact", "seg_chunk", "tile_w",
-        "guard",
+        "guard", "group_guard", "_detail",
     ),
 )
 def winding_pallas_v2_batch(
     segments, min_x, max_y, scale, *, height, width, interpret=False,
     sample_offset=(0.0, 0.0), exact=False, seg_chunk=16,
-    tile_w=TILE_W, guard=True,
+    tile_w=TILE_W, guard=True, group_guard=0, _detail=True,
 ):
     """Batched winding maps, v2 kernel.  height must be a multiple of
     ``STRIP_ROWS`` (128) and width of ``TILE_W`` (128).
@@ -286,7 +356,7 @@ def winding_pallas_v2_batch(
 
     grid = (b, height // STRIP_ROWS, n_super)
     return pl.pallas_call(
-        _make_v2_kernel(exact, seg_chunk, tile_w, guard),
+        _make_v2_kernel(exact, seg_chunk, tile_w, guard, group_guard, _detail),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -68,13 +68,24 @@ def layout_text(
     - ``ligatures=True``: GSUB standard ligatures (fi/ffl/...) applied
       to each line's glyph stream before placement.
     """
-    # text -> per-line glyph-id streams (ligatures never cross newlines)
+    # text -> per-line glyph-id streams (ligatures never cross newlines).
+    # Unicode variation selectors (U+FE00..FE0F, U+E0100..E01EF) modify
+    # the PRECEDING base character via the cmap format-14 table (beyond
+    # the reference) and never occupy a slot themselves.
     lines: list[list[int]] = [[]]
+    prev_cp: int | None = None
     for ch in text:
         if ch == "\n":
             lines.append([])
-        else:
-            lines[-1].append(int(font.charmap.glyph_index(ord(ch))))
+            prev_cp = None
+            continue
+        cp = ord(ch)
+        if (0xFE00 <= cp <= 0xFE0F or 0xE0100 <= cp <= 0xE01EF):
+            if prev_cp is not None and lines[-1]:
+                lines[-1][-1] = int(font.glyph_index_variant(prev_cp, cp))
+            continue  # selector without a base char: ignored
+        lines[-1].append(int(font.charmap.glyph_index(cp)))
+        prev_cp = cp
     lig_table = font.ligatures if ligatures else None
     if lig_table is not None:
         lines = [lig_table.apply(line) for line in lines]

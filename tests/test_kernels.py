@@ -126,7 +126,11 @@ class TestAtlas:
 
 
 class TestSharding:
-    def test_virtual_8_device_mesh(self, dejavu):
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_virtual_8_device_mesh(self, dejavu, use_pallas):
+        """Both the jnp kernel and the REAL pod composition —
+        shard_map wrapping the Pallas kernel (interpret mode on the CPU
+        mesh) — must produce oracle-exact shards."""
         import jax
         import jax.numpy as jnp
 
@@ -148,7 +152,8 @@ class TestSharding:
         )
         out = winding_sharded(
             seg, mx, my, jnp.float32(grids[0].scale),
-            height=64, width=128, mesh=mesh, use_pallas=False,
+            height=64, width=128, mesh=mesh, use_pallas=use_pallas,
+            interpret=use_pallas,
         )
         assert len(out.sharding.device_set) == 8
         out = np.asarray(out)
@@ -182,7 +187,8 @@ class TestGraftEntry:
 
 
 class TestSharding2D:
-    def test_glyph_by_row_mesh(self, dejavu):
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_glyph_by_row_mesh(self, dejavu, use_pallas):
         import jax
         import jax.numpy as jnp
 
@@ -202,7 +208,8 @@ class TestSharding2D:
             jnp.array([g.min_x for g in grids], jnp.int32),
             jnp.array([g.max_y for g in grids], jnp.int32),
             jnp.float32(grids[0].scale),
-            height=128, width=128, mesh=mesh, use_pallas=False,
+            height=128, width=128, mesh=mesh, use_pallas=use_pallas,
+            interpret=use_pallas,
         )
         assert len(out.sharding.device_set) == 8
         for i, g in enumerate(grids):
@@ -309,3 +316,62 @@ class TestOtherFontsParity:
                 oracle.winding_at(segs, xs[None, :], ys[:, None]),
                 err_msg=ch,
             )
+
+
+class TestHighSegmentCounts:
+    """CJK-regime correctness: the v2 kernel's segment streaming and
+    strip y-cull must stay bit-exact at 200+ segments/glyph (the regime
+    they were designed for, ``winding_pallas_v2.py:23-25``)."""
+
+    @pytest.mark.parametrize("guard", [False, True])
+    def test_synthetic_300seg_bitexact(self, guard):
+        import jax.numpy as jnp
+
+        from benchmarks.cjk import UPEM, synthetic_strokes
+        from fontrx.kernels import oracle
+        from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
+
+        rng = np.random.default_rng(5)
+        segs = np.stack([synthetic_strokes(rng, 300) for _ in range(2)])
+        size = 128
+        scale = np.float32(size / UPEM)
+        max_y = np.full(2, size - 1, np.int32)
+        out = np.asarray(winding_pallas_v2_batch(
+            jnp.asarray(segs),
+            jnp.zeros(2, jnp.int32),
+            jnp.asarray(max_y),
+            jnp.float32(scale),
+            height=128, width=128, exact=True, guard=guard, interpret=True,
+        ))
+        for i in range(2):
+            xs = np.arange(size).astype(np.float32) / scale
+            ys = (max_y[i] - np.arange(size)).astype(np.float32) / scale
+            w = oracle.winding_at(segs[i], xs[None, :], ys[:, None])
+            np.testing.assert_array_equal(out[i], w, err_msg=f"glyph {i}")
+
+    def test_winding_invariant_under_segment_order(self):
+        """Winding is a sum of per-segment contributions — shuffling the
+        segment stream (which changes chunk y-coherence and thus which
+        chunks the strip cull skips) must not change a single pixel."""
+        import jax.numpy as jnp
+
+        from benchmarks.cjk import UPEM, synthetic_strokes
+        from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
+
+        rng = np.random.default_rng(6)
+        sorted_segs = synthetic_strokes(rng, 256, y_sorted=True)
+        shuffled = sorted_segs[rng.permutation(len(sorted_segs))]
+        size = 256
+        scale = np.float32(size / UPEM)
+
+        def run(s):
+            return np.asarray(winding_pallas_v2_batch(
+                jnp.asarray(s)[None],
+                jnp.zeros(1, jnp.int32),
+                jnp.asarray(np.full(1, size - 1, np.int32)),
+                jnp.float32(scale),
+                height=256, width=256, exact=True, guard=True,
+                interpret=True,
+            ))[0]
+
+        np.testing.assert_array_equal(run(sorted_segs), run(shuffled))

@@ -419,3 +419,52 @@ class TestParserHardening:
         cm = ttf.CmapFormat4.parse(BigEndianReader(sub, 2))
         assert cm.glyph_index(65) == 1
         assert cm.glyph_index(66) == 2
+
+
+class TestCmapFormat14:
+    """Unicode Variation Sequences (beyond the reference, which stubs
+    format 14 at ttf.zig:349-360)."""
+
+    VS15, VS16 = 0xFE0E, 0xFE0F
+
+    def _font(self):
+        # base map: 'A'(65)->1, 'B'(66)->2; VS16 on 'A' -> glyph 2
+        # (non-default); VS15 on 'A' -> default glyph (default range)
+        f4 = tb.build_cmap_format4([(65, 66, -64, None)])
+        f14 = tb.build_cmap_format14([
+            (self.VS15, [(65, 0)], []),
+            (self.VS16, [], [(65, 2)]),
+        ])
+        cmap = tb.build_cmap([(3, 1, f4), (0, 5, f14)])
+        glyphs = [b"", square_glyph(), square_glyph(200)]
+        return Font(tb.build_font(glyphs, cmap))
+
+    def test_parse_and_lookup(self):
+        font = self._font()
+        assert font.uvs is not None
+        # non-default sequence: explicit variant glyph
+        assert font.glyph_index_variant("A", self.VS16) == 2
+        # default sequence: the regular cmap glyph
+        assert font.glyph_index_variant("A", self.VS15) == 1
+        # sequence not in the table: base glyph fallback
+        assert font.glyph_index_variant("B", self.VS16) == 2
+        assert font.glyph_index_variant("A", 0xFE00) == 1
+
+    def test_layout_applies_selector(self):
+        from fontrx.scene.layout import layout_text
+
+        font = self._font()
+        base = layout_text(font, "AB")
+        seq = layout_text(font, "A" + chr(self.VS16) + "B")
+        # the selector occupies no slot and modifies the preceding glyph
+        assert len(seq.instances) == len(base.instances) == 2
+        a_var = seq.instances[0]
+        assert seq.batch.boxes[a_var.glyph_slot][2] == 200  # glyph 2 box
+        # dangling selector is ignored
+        dangling = layout_text(font, chr(self.VS16) + "A")
+        assert len(dangling.instances) == 1
+
+    def test_font_without_uvs(self):
+        font = Font(minimal_font())
+        assert font.uvs is None
+        assert font.glyph_index_variant("A", self.VS16) == font.glyph_index("A")

@@ -292,3 +292,40 @@ def build_font(
         bodies += body
         offset += len(body)
     return directory + bodies
+
+
+def build_cmap_format14(records):
+    """``records``: list of ``(selector, default_ranges, nondefault)``
+    with ``default_ranges = [(start_char, additional_count), ...]`` and
+    ``nondefault = [(char, glyph), ...]`` (both ascending)."""
+    n = len(records)
+    header_len = 10 + 11 * n
+    bodies: list[bytes] = []
+    offsets = []
+    pos = header_len
+    for sel, defaults, nondef in records:
+        if defaults:
+            b = struct.pack(">I", len(defaults)) + b"".join(
+                start.to_bytes(3, "big") + bytes([extra])
+                for start, extra in defaults
+            )
+            d_off = pos
+            bodies.append(b)
+            pos += len(b)
+        else:
+            d_off = 0
+        if nondef:
+            b = struct.pack(">I", len(nondef)) + b"".join(
+                c.to_bytes(3, "big") + struct.pack(">H", g)
+                for c, g in nondef
+            )
+            nd_off = pos
+            bodies.append(b)
+            pos += len(b)
+        else:
+            nd_off = 0
+        offsets.append((sel, d_off, nd_off))
+    out = struct.pack(">HII", 14, pos, n)
+    for sel, d_off, nd_off in offsets:
+        out += sel.to_bytes(3, "big") + struct.pack(">II", d_off, nd_off)
+    return out + b"".join(bodies)
