@@ -190,6 +190,11 @@ def _run_interactive(font, text, cfg, engine) -> int:
 
     sess = InteractiveSession(font, text, 1920, 1080, engine,
                               kern=cfg.kern, ligatures=cfg.ligatures)
+    if cfg.serve:
+        from fontrx.cli.serve import serve
+
+        serve(sess, cfg.serve)
+        return 0
     n = 0
     for line in sys.stdin:
         parts = line.split()

@@ -115,9 +115,17 @@ class RasterEngine:
                     width=pw,
                     interpret=backend == BACKEND_INTERPRET,
                     exact=self.exact,
-                    # carry/guard machinery pays off on wide pages and
-                    # high segment counts (TPU sweep, round 1)
-                    guard=pw > 512 or segments.shape[1] > 256,
+                    # round-2 TPU sweep (tools/tpu_probes/tpu_headline_opt*):
+                    # carry sweep + 8-segment group elision + 32-segment
+                    # chunks wins everywhere measured (82.8k g/s @256px
+                    # vs 61.4k for round 1's carry-free path), and a
+                    # 256-wide column tile removes the carry iteration
+                    # when the raster is exactly one tile wide
+                    # (102.3k g/s) — all bit-identical
+                    guard=True,
+                    group_guard=8,
+                    seg_chunk=32,
+                    tile_w=256 if pw == 256 else TILE_W,
                 )
             elif backend == BACKEND_JNP:
                 out = _winding_jnp_batch(

@@ -274,3 +274,73 @@ class TestPipelinedFrames:
         np.testing.assert_array_equal(f0, f1)
         f2 = sess.frame()          # now the zoomed frame arrives
         assert not np.array_equal(f1, f2)
+
+
+class TestPNG:
+    def test_roundtrip_shapes(self, rng):
+        import io
+        import struct
+        import zlib
+
+        from fontrx.io.png import encode
+
+        for shape in ((5, 7), (5, 7, 3), (5, 7, 4)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            data = encode(img)
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"
+            # parse IHDR + IDAT back out and verify pixel payload
+            w, h = struct.unpack(">II", data[16:24])
+            assert (w, h) == (7, 5)
+            idat_start = data.index(b"IDAT") + 4
+            (idat_len,) = struct.unpack(">I", data[idat_start - 8:idat_start - 4])
+            raw = zlib.decompress(data[idat_start:idat_start + idat_len])
+            ch = 1 if img.ndim == 2 else img.shape[2]
+            rows = np.frombuffer(raw, np.uint8).reshape(5, 1 + 7 * ch)
+            assert (rows[:, 0] == 0).all()  # filter None
+            np.testing.assert_array_equal(
+                rows[:, 1:].reshape(img.shape), img
+            )
+
+
+class TestLiveViewer:
+    def test_http_surface(self, dejavu):
+        import json
+        import threading
+        import urllib.request
+        from http.server import HTTPServer
+
+        from fontrx.cli.serve import make_handler
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            dejavu, "Hi", 128, 96, RasterEngine(backend="jnp")
+        )
+        httpd = HTTPServer(("127.0.0.1", 0), make_handler(sess))
+        port = httpd.server_port
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            def get(path):
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}"
+                ) as r:
+                    return r.status, r.read()
+
+            status, body = get("/")
+            assert status == 200 and b"onwheel" in body
+            status, frame0 = get("/frame?n=0")
+            assert status == 200 and frame0[:8] == b"\x89PNG\r\n\x1a\n"
+            # zoom event -> frame changes
+            status, _ = get("/ev?scroll=2.0&cx=0&cy=0")
+            _, frame1 = get("/frame?n=1")
+            assert frame1 != frame0
+            # transparent toggle reaches the PNG (RGBA color type 6)
+            get("/ev?key=t")
+            _, frame2 = get("/frame?n=2")
+            assert frame2[25] == 6  # IHDR color type byte
+            _, stats = get("/stats")
+            assert json.loads(stats)["frames"] >= 3
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
