@@ -102,19 +102,18 @@ def _bench_elementwise(name, dtype, op, ops_per_elem_iter):
 def bench_hbm():
     n_mb = 256
     elems = n_mb * 1024 * 1024 // 4
-
-    @jax.jit
-    def copy(x):
-        return x * 1  # forced materialized copy
+    base = jnp.arange(elems, dtype=jnp.float32)
 
     def run(dep):
-        x = jnp.full((elems,), dep, jnp.float32)
-        y = copy(x)
-        return y[0]
+        # x + dep forces a full HBM read of `base` and write of the
+        # result (x*1 gets simplified away; a constant fill gets
+        # folded); the middle-element fetch forces materialization
+        y = base + dep
+        return y[elems // 2]
 
     dt = _timed(run, n=8, repeats=3)
     bw = 2 * n_mb / 1024 / dt  # read + write GB
-    print(f"{'HBM copy bandwidth':28s} {dt*1e3:8.3f} ms  -> {bw:7.1f} GB/s",
+    print(f"{'HBM rw bandwidth':28s} {dt*1e3:8.3f} ms  -> {bw:7.1f} GB/s",
           flush=True)
 
 
