@@ -44,9 +44,28 @@ class FontInfo:
 class Font:
     """A parsed TrueType font with lazy glyph loading."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, index: int = 0):
+        """``index`` selects a member font when ``data`` is a TrueType
+        Collection (``ttcf``) — beyond the reference, which only
+        accepts bare TrueType scalers.  TTC table offsets are
+        file-absolute, so a member parses as a normal directory
+        rooted at its collection offset."""
         self._reader = BigEndianReader(data)
-        self.tables = ttf.parse_table_directory(BigEndianReader(data))
+        start = 0
+        if data[:4] == b"ttcf":
+            offsets = ttf.parse_ttc_header(BigEndianReader(data))
+            self.num_collection_fonts = len(offsets)
+            if not 0 <= index < len(offsets):
+                raise CorruptedFont(
+                    f"TTC font index {index} out of range "
+                    f"(collection has {len(offsets)})"
+                )
+            start = offsets[index]
+        else:
+            self.num_collection_fonts = 1
+            if index != 0:
+                raise CorruptedFont("font index given for a non-TTC file")
+        self.tables = ttf.parse_table_directory(BigEndianReader(data, start))
         for tag in ttf.REQUIRED_TABLES:
             if tag not in self.tables:
                 raise CorruptedFont(f"missing required table {tag!r}")
@@ -125,11 +144,12 @@ class Font:
     # -- constructors ------------------------------------------------------
 
     @classmethod
-    def open(cls, path: str | os.PathLike) -> "Font":
-        """Open and parse a ``.ttf`` file (reference ``Font.initTTF``,
-        ``Font.zig:31``)."""
+    def open(cls, path: str | os.PathLike, index: int = 0) -> "Font":
+        """Open and parse a ``.ttf``/``.ttc`` file (reference
+        ``Font.initTTF``, ``Font.zig:31``; ``index`` selects a
+        collection member for ``.ttc``)."""
         with open(path, "rb") as f:
-            return cls(f.read())
+            return cls(f.read(), index=index)
 
     # -- internals ---------------------------------------------------------
 

@@ -67,6 +67,21 @@ class TableEntry:
     length: int
 
 
+def parse_ttc_header(r: BigEndianReader) -> list[int]:
+    """TrueType Collection header: returns the per-font absolute
+    offsets of the member offset subtables.  Beyond the reference
+    (which rejects anything but a bare TrueType scaler); TTC table
+    offsets are file-absolute, so each member parses as a normal
+    directory starting at its offset."""
+    tag = r.tag()
+    if tag != b"ttcf":
+        raise CorruptedFont(f"not a TTC header: {tag!r}")
+    _version, num_fonts = r.unpack("II")
+    if not 0 < num_fonts < 4096:
+        raise CorruptedFont(f"implausible TTC font count {num_fonts}")
+    return [r.unpack("I")[0] for _ in range(num_fonts)]
+
+
 def parse_table_directory(r: BigEndianReader) -> dict[bytes, TableEntry]:
     """Parse offset subtable + directory into a tag -> entry map
     (reference keeps a linear array + ``findIndex``; a dict is the

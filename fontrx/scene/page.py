@@ -65,13 +65,27 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+# direct-page kernel tuning (group_guard, seg_chunk, tile_w or None =
+# width-derived).  Set by the round-2 REAL-page A/B
+# (tools/tpu_probes/tpu_page_real.py): group elision — a big win on
+# per-glyph tile rasters (engine/raster.py defaults) — REGRESSES on
+# dense text pages (4K, 140k live segments: 128 -> 188 ms/frame),
+# because nearly every (chunk, tile) group is active there and the
+# guards only add per-group read-modify-writes; 1080p is a wash.  The
+# synthetic uniform-stroke sweep (tpu_page_gg.py) had suggested
+# otherwise — tuning decisions here must come from real-content A/Bs.
+PAGE_TUNING = (0, 16, 128)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("page_h", "page_w", "exact", "interpret", "mode"),
+    static_argnames=("page_h", "page_w", "exact", "interpret", "mode",
+                     "tuning"),
 )
 def _direct_page_step(
     flat_segments, seg_inst_idx, inst_offsets, s_px, *, page_h, page_w,
     exact=False, interpret=False, sample_offset=(0.0, 0.0), mode="fill",
+    tuning=PAGE_TUNING,
 ):
     """One direct-raster frame: map pre-compacted instance segments from
     em to page pixels (y up) and raster the whole page with the v2
@@ -108,13 +122,10 @@ def _direct_page_step(
                 exact=exact,
                 interpret=interpret,
                 sample_offset=sample_offset,
-                # round-2 page-scale sweep (tools/tpu_probes/tpu_page_gg.py):
-                # 8-segment group elision + 32-chunks cut 1080p frames
-                # 15.0 -> 11.8 ms; 256-wide column tiles cut 4K frames
-                # 93 -> 79.6 ms (bit-identical either way)
-                group_guard=8,
-                seg_chunk=32,
-                tile_w=256 if pw % 256 == 0 else 128,
+                group_guard=tuning[0],
+                seg_chunk=tuning[1],
+                tile_w=tuning[2] if tuning[2] else
+                (256 if pw % 256 == 0 else 128),
             )
         )
     winding = jnp.concatenate(bands, axis=1)[0, :page_h, :page_w]
@@ -140,6 +151,7 @@ class PageRenderer:
     width: int
     height: int
     engine: RasterEngine | None = None
+    kernel_tuning: tuple = PAGE_TUNING  # (group_guard, seg_chunk, tile_w)
     _cached_scale: float | None = None
     _cached_tiles: object = None
     _cached_grids: object = None
@@ -253,6 +265,7 @@ class PageRenderer:
                     flat_segments, seg_inst_idx, jnp.asarray(xs), s_px,
                     page_h=self.height, page_w=self.width, interpret=interp,
                     sample_offset=(float(ox), float(oy)),
+                    tuning=self.kernel_tuning,
                 ).astype(jnp.uint16)
                 acc = f if acc is None else acc + f
             return (acc // 4).astype(jnp.uint8)
@@ -265,6 +278,7 @@ class PageRenderer:
             page_w=self.width,
             interpret=interp,
             mode="winding" if debug else "fill",
+            tuning=self.kernel_tuning,
         )
 
     def _compact_instances(self, slots):

@@ -468,3 +468,42 @@ class TestCmapFormat14:
         font = Font(minimal_font())
         assert font.uvs is None
         assert font.glyph_index_variant("A", self.VS16) == font.glyph_index("A")
+
+
+class TestTTC:
+    """TrueType Collections (beyond the reference: its scaler check
+    rejects 'ttcf' outright, ttf.zig offset-subtable validation)."""
+
+    def _collection(self):
+        f1 = minimal_font(units_per_em=1000)
+        f2 = minimal_font(units_per_em=2048)
+        return tb.build_ttc([f1, f2])
+
+    def test_members_parse_independently(self):
+        data = self._collection()
+        a = Font(data, index=0)
+        b = Font(data, index=1)
+        assert a.num_collection_fonts == 2
+        assert a.info.units_per_em == 1000
+        assert b.info.units_per_em == 2048
+        # glyphs load identically from both members
+        ga = a.load_glyph(1)
+        gb = b.load_glyph(1)
+        np.testing.assert_array_equal(
+            ga.contours[0].points, gb.contours[0].points
+        )
+
+    def test_default_index_and_range(self):
+        data = self._collection()
+        assert Font(data).info.units_per_em == 1000
+        with pytest.raises(CorruptedFont, match="out of range"):
+            Font(data, index=2)
+
+    def test_index_on_plain_ttf_rejected(self):
+        with pytest.raises(CorruptedFont, match="non-TTC"):
+            Font(minimal_font(), index=1)
+
+    def test_truncated_ttc_rejected(self):
+        data = self._collection()[:8]
+        with pytest.raises(Exception):
+            Font(data)

@@ -329,3 +329,28 @@ def build_cmap_format14(records):
     for sel, d_off, nd_off in offsets:
         out += sel.to_bytes(3, "big") + struct.pack(">II", d_off, nd_off)
     return out + b"".join(bodies)
+
+
+def build_ttc(fonts: list[bytes]) -> bytes:
+    """Wrap member .ttf blobs into a TrueType Collection.  TTC table
+    offsets are file-absolute, so each member's directory offsets are
+    rebased onto its position in the collection."""
+    header_len = 12 + 4 * len(fonts)
+    blobs: list[bytes] = []
+    offs: list[int] = []
+    pos = header_len
+    for f in fonts:
+        num = struct.unpack(">H", f[4:6])[0]
+        fb = bytearray(f)
+        for i in range(num):
+            rec = 12 + 16 * i
+            off = struct.unpack(">I", f[rec + 8 : rec + 12])[0]
+            fb[rec + 8 : rec + 12] = struct.pack(">I", off + pos)
+        offs.append(pos)
+        blobs.append(bytes(fb))
+        pos += len(f)
+    return (
+        struct.pack(">4sII", b"ttcf", 0x00010000, len(fonts))
+        + b"".join(struct.pack(">I", o) for o in offs)
+        + b"".join(blobs)
+    )
