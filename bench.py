@@ -158,7 +158,11 @@ def main() -> None:
             out = engine.winding_batch(
                 segs, mx, my, scale, height=TILE, width=TILE
             )
-            return out[0, 0, 0] + dep % 1009
+            # sum one element per glyph (not a single scalar): if the
+            # batch ever exceeds MAX_KERNEL_BATCH and splits, a single
+            # [0,0,0] read lets XLA dead-code-eliminate the other
+            # sub-launches (this bit the full-font stress numbers)
+            return jnp.sum(out[:, 0, 0]) + dep % 1009
 
         return jax.lax.fori_loop(0, n, body, seed)
 

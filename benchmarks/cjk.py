@@ -81,7 +81,11 @@ def _chained_timer(fn, d_var, n_iter=24, repeats=4):
             bump = jax.lax.convert_element_type(
                 jnp.floor(jnp.abs(dep)), jnp.int32) >> 30
             out = fn(d_var[i % 4] + bump)
-            return out[0, 0, 0].astype(jnp.float32) + jnp.float32(dep % 7.0)
+            # sum over one element per glyph: robust against XLA DCE of
+            # concatenated sub-launches if a batch ever splits
+            return jnp.sum(out[:, 0, 0]).astype(jnp.float32) + jnp.float32(
+                dep % 7.0
+            )
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(seed))
 

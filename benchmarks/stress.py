@@ -50,8 +50,13 @@ def full_font_atlas(size: int = 64):
             # dep%1009 threads the seed through every step so no step's
             # inputs ever repeat across chains — repeated identical
             # executions are memoized upstream of the device and read
-            # as fake throughput (see bench.py)
-            return out[0, 0, 0] + dep % 1009
+            # as fake throughput (see bench.py).
+            # sum over [:, 0, 0], NOT [0, 0, 0]: batches above
+            # MAX_KERNEL_BATCH split into concatenated sub-launches and
+            # a single-scalar read lets XLA dead-code-eliminate every
+            # launch but the first (observed round 2: a fake 688k g/s
+            # full-font figure — and round 1's 319k had the same hole)
+            return jnp.sum(out[:, 0, 0]) + dep % 1009
 
         variants = [jnp.asarray(mx0 + i) for i in range(4)]
 

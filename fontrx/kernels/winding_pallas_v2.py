@@ -49,6 +49,14 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _pad_lanes(a, lanes: int):
+    """Zero-pad the last dim to ``lanes`` (SMEM anchor blocks must be
+    128-wide windows)."""
+    if a.shape[-1] == lanes:
+        return a
+    return jnp.pad(a, ((0, 0), (0, lanes - a.shape[-1])))
+
+
 def _make_v2_kernel(
     exact: bool,
     seg_chunk: int = SEG_CHUNK,
@@ -56,6 +64,7 @@ def _make_v2_kernel(
     guard: bool = True,
     group_guard: int = 0,
     _detail: bool = True,
+    row_bands: int = 1,
 ):
     """Kernel factory.
 
@@ -75,6 +84,15 @@ def _make_v2_kernel(
       commute).
     - ``_detail=False``: timing-only instrumentation — skips phase B
       entirely (WRONG results) to measure the phase A / phase B split.
+    - ``row_bands``: pack this many glyphs per 128-row strip, each
+      owning a ``128/row_bands``-row band with its OWN (min_x, max_y)
+      anchor — the small-tile atlas optimization (a 64px tile alone
+      wastes half a strip; 32px three quarters).  Anchors become
+      per-row vectors (one select per band), ``cx`` becomes per-row,
+      and each segment carries its owner band in SoA lane 6, masked
+      into the existing sign mask — so a glyph's rows compute exactly
+      the per-glyph float program, and foreign segments contribute
+      integer zeros.  Requires a single-strip launch (height == 128).
     """
     fdiv = div_cr if exact else (lambda a, b: a / b)
     fsqrt = sqrt_cr if exact else jnp.sqrt
@@ -82,14 +100,16 @@ def _make_v2_kernel(
     def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
+        # anchors arrive in per-instance (row_bands, 128) SMEM blocks
+        # (Mosaic needs 128-divisible block lanes); this instance's
+        # scalars sit at lane b % 128
+        lane = jax.lax.rem(b, 128)
         # segment super-chunk index: the segment axis streams through
         # the grid so VMEM holds one (SEG_SUPER, 8) window at a time
         # (the (.., 8) lane dim pads to 128 in VMEM — holding ALL
         # segments resident costs 64 bytes/segment and breaks at
         # page-scale segment counts)
         s_sup = pl.program_id(2)
-        min_x = min_x_ref[0, b]
-        max_y = max_y_ref[0, b]
         scale = scale_ref[0, 0]
         ox = off_ref[0, 0]
         oy = off_ref[0, 1]
@@ -99,22 +119,72 @@ def _make_v2_kernel(
         s_cap = seg_ref.shape[1]
         n_chunks = s_cap // seg_chunk
 
-        # per-row em y: (1, R), rows on lanes, descending
         row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
-        cy = fdiv((max_y - (i * STRIP_ROWS + row)).astype(jnp.float32) + oy, scale)
-        cy_hi = cy[0, 0]                   # strip's largest em y
-        cy_lo = cy[0, STRIP_ROWS - 1]
-
-        # per-tile em x row vectors and their left-edge values; tiles are
-        # indexed left-to-right, plus the one-past-the-end left edge
         col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
-        cx_tiles = []
-        for t in range(n_tiles):
-            cx_tiles.append(
-                fdiv((min_x + t * tile_w + col).astype(jnp.float32) + ox, scale)
+        # blocked anchors: each grid step DMAs a 128-wide SMEM window
+        # instead of the whole (row_bands, B) array — whole-array SMEM
+        # staging made per-instance cost grow linearly in B (quadratic
+        # total; measured 5x on 6k-glyph atlases,
+        # tools/tpu_probes/tpu_banded*)
+        if row_bands == 1:
+            min_x = min_x_ref[0, lane]
+            max_y = max_y_ref[0, lane]
+            # per-row em y: (1, R), rows on lanes, descending
+            cy = fdiv(
+                (max_y - (i * STRIP_ROWS + row)).astype(jnp.float32) + oy,
+                scale,
             )
-        cx_end = fdiv((min_x + width).astype(jnp.float32) + ox, scale)
-        tile_lo = [cxt[0, 0] for cxt in cx_tiles] + [cx_end]
+            cy_hi = cy[0, 0]                   # strip's largest em y
+            cy_lo = cy[0, STRIP_ROWS - 1]
+
+            # per-tile em x row vectors and their left-edge values; tiles
+            # are indexed left-to-right, plus the one-past-the-end left
+            # edge
+            cx_tiles = []
+            for t in range(n_tiles):
+                cx_tiles.append(
+                    fdiv(
+                        (min_x + t * tile_w + col).astype(jnp.float32) + ox,
+                        scale,
+                    )
+                )
+            cx_end = fdiv((min_x + width).astype(jnp.float32) + ox, scale)
+            tile_lo = [cxt[0, 0] for cxt in cx_tiles] + [cx_end]
+            band_f = None
+        else:
+            # banded anchors: band k owns rows [k*band_h, (k+1)*band_h)
+            # with its own (min_x, max_y); each row computes exactly the
+            # per-glyph float program (same int adds, same f32 divides)
+            band_h = STRIP_ROWS // row_bands
+            band = row // band_h                      # (1, R)
+            row_in = row - band * band_h
+            myv = jnp.zeros((1, STRIP_ROWS), jnp.int32)
+            mxv = jnp.zeros((1, STRIP_ROWS), jnp.int32)
+            for k in range(row_bands):
+                myv = jnp.where(band == k, max_y_ref[k, lane], myv)
+                mxv = jnp.where(band == k, min_x_ref[k, lane], mxv)
+            cy = fdiv((myv - row_in).astype(jnp.float32) + oy, scale)
+            cy_hi = jnp.max(cy)
+            cy_lo = jnp.min(cy)
+            cx_tiles = []
+            for t in range(n_tiles):
+                cx_tiles.append(
+                    fdiv(
+                        (mxv.reshape(STRIP_ROWS, 1) + (t * tile_w + col))
+                        .astype(jnp.float32) + ox,
+                        scale,
+                    )
+                )  # (R, tile_w)
+            cx_end = fdiv((mxv + width).astype(jnp.float32) + ox, scale)
+            # per-row left edges: (1, R) vectors (broadcast against the
+            # (C, R) crossing tensors exactly like the scalar case),
+            # computed in row layout directly — same float program as
+            # each tile's column 0
+            tile_lo = [
+                fdiv((mxv + t * tile_w).astype(jnp.float32) + ox, scale)
+                for t in range(n_tiles)
+            ] + [cx_end]
+            band_f = band.astype(jnp.float32)
 
         @pl.when(s_sup == 0)
         def _():
@@ -170,6 +240,13 @@ def _make_v2_kernel(
                 ).astype(jnp.int32)
                 dy1 = a * t1 + (p1y - p0y)
                 s1 = jnp.where(v1, jnp.where(dy1 > 0, -1, 1), 0).astype(jnp.int32)
+                if row_bands > 1:
+                    # a segment only exists on its owner band's rows;
+                    # foreign rows contribute integer zeros (exactness
+                    # preserved: sums of zero)
+                    owner_ok = chunk[:, 6:7] == band_f    # (C, R)
+                    s0 = jnp.where(owner_ok, s0, 0)
+                    s1 = jnp.where(owner_ok, s1, 0)
                 # neutralize xx of dead crossings so tile classification
                 # never selects them (NaNs compare false anyway; this makes
                 # the "in tile" scalar any() cheap and well-defined)
@@ -320,6 +397,79 @@ def _make_v2_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "width", "row_bands", "interpret", "exact", "seg_chunk", "tile_w",
+        "guard", "group_guard",
+    ),
+)
+def winding_pallas_banded_batch(
+    segments, owners, min_x, max_y, scale, *, width, row_bands,
+    interpret=False, sample_offset=(0.0, 0.0), exact=False, seg_chunk=32,
+    tile_w=TILE_W, guard=True, group_guard=8,
+):
+    """Row-banded winding maps: ``row_bands`` glyphs share each 128-row
+    strip (the small-tile atlas optimization — see ``_make_v2_kernel``'s
+    ``row_bands`` doc).
+
+    - ``segments``: float32 ``[B, S, 3, 2]`` — each element holds all of
+      its bands' glyphs' segments (any order, zero-padded)
+    - ``owners``: int ``[B, S]`` — owning band (0..row_bands-1) per
+      segment
+    - ``min_x``/``max_y``: int32 ``[row_bands, B]`` per-band anchors
+    -> int32 ``[B, 128, width]``; band k of element b is rows
+    ``[k*128/row_bands, (k+1)*128/row_bands)``, bit-identical to the
+    per-glyph kernel at the same anchors.
+    """
+    b = segments.shape[0]
+    assert STRIP_ROWS % row_bands == 0, row_bands
+    assert width % tile_w == 0, (width, tile_w)
+    soa = segments_to_soa(segments, chunk=seg_chunk)
+    soa = soa.at[:, : owners.shape[1], 6].set(owners.astype(jnp.float32))
+    s8 = soa.shape[1]
+
+    b128 = _round_up(b, 128)
+    min_x = _pad_lanes(min_x.reshape(row_bands, b).astype(jnp.int32), b128)
+    max_y = _pad_lanes(max_y.reshape(row_bands, b).astype(jnp.int32), b128)
+    scale_arr = jnp.full((1, 1), scale, jnp.float32)
+    off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
+
+    seg_super = min(s8, 4096)
+    if s8 % seg_super:
+        pad = seg_super - (s8 % seg_super)
+        soa = jnp.pad(soa, ((0, 0), (0, pad), (0, 0)))
+        s8 = soa.shape[1]
+    n_super = s8 // seg_super
+
+    grid = (b, 1, n_super)
+    return pl.pallas_call(
+        _make_v2_kernel(
+            exact, seg_chunk, tile_w, guard, group_guard,
+            row_bands=row_bands,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row_bands, 128), lambda b_, i, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((row_bands, 128), lambda b_, i, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, seg_super, 8), lambda b_, i, s: (b_, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, STRIP_ROWS, width), lambda b_, i, s: (b_, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, STRIP_ROWS, width), jnp.int32),
+        interpret=interpret,
+    )(min_x, max_y, scale_arr, off_arr, soa)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "height", "width", "interpret", "exact", "seg_chunk", "tile_w",
         "guard", "group_guard", "_detail",
     ),
@@ -339,8 +489,9 @@ def winding_pallas_v2_batch(
     soa = segments_to_soa(segments, chunk=seg_chunk)
     s8 = soa.shape[1]
 
-    min_x = min_x.reshape(1, b).astype(jnp.int32)
-    max_y = max_y.reshape(1, b).astype(jnp.int32)
+    b128 = _round_up(b, 128)
+    min_x = _pad_lanes(min_x.reshape(1, b).astype(jnp.int32), b128)
+    max_y = _pad_lanes(max_y.reshape(1, b).astype(jnp.int32), b128)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
     off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
 
@@ -359,8 +510,10 @@ def winding_pallas_v2_batch(
         _make_v2_kernel(exact, seg_chunk, tile_w, guard, group_guard, _detail),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(

@@ -375,3 +375,37 @@ class TestHighSegmentCounts:
             ))[0]
 
         np.testing.assert_array_equal(run(sorted_segs), run(shuffled))
+
+
+class TestBandedAtlas:
+    """Row-banded strip packing (128/tile glyphs per kernel strip with
+    per-band anchors + owner-masked segments) must be bit-identical to
+    the per-glyph kernel."""
+
+    @pytest.mark.parametrize("tile,chars", [(64, "AgWo8@e!"), (32, "Hi,fj")])
+    def test_matches_per_glyph(self, dejavu, tile, chars):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.pack.segments import pack_glyphs
+
+        glyphs = [dejavu.get_glyph(c)[0] for c in chars]
+        eng = RasterEngine(backend="interpret")
+        ref, ref_grids = eng.winding_packed(
+            pack_glyphs(glyphs), tile, 2048, tile
+        )
+        banded, grids = eng.winding_packed_banded(glyphs, tile, 2048, tile)
+        assert banded.shape == (len(glyphs), tile, tile)
+        for i in range(len(glyphs)):
+            assert (grids[i].min_x, grids[i].max_y) == (
+                ref_grids[i].min_x, ref_grids[i].max_y)
+            np.testing.assert_array_equal(
+                np.asarray(banded[i]), np.asarray(ref[i]),
+                err_msg=f"glyph {chars[i]}",
+            )
+
+    def test_jnp_backend_falls_back(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+
+        glyphs = [dejavu.get_glyph(c)[0] for c in "AB"]
+        eng = RasterEngine(backend="jnp")
+        out, grids = eng.winding_packed_banded(glyphs, 64, 2048, 64)
+        assert np.asarray(out).shape[1:] == (64, 64)
