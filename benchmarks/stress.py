@@ -70,15 +70,21 @@ def full_font_atlas(size: int = 64):
             return time.perf_counter() - t0
 
         chained(2)  # compile + warm
-        n = 4
+        # tiny buckets run in ~tens of us — chain enough steps that the
+        # measured delta clears host-timer + RTT-subtraction noise
+        # (round-2 runs printed impossible 9e9 g/s for 3-glyph buckets)
+        n = max(4, min(64, 4096 // max(len(batch), 1)))
         rtt = min(chained(1) for _ in range(2))
         t_chain = min(chained(n) for _ in range(2))
         dt = max(t_chain - rtt, 1e-9) / (n - 1)
+        floored = dt < 20e-6
+        dt = max(dt, 20e-6)
         t_total += dt
         total += len(batch)
         emit("stress-bucket", f"cap={batch.capacity} glyphs/s {size}px",
              len(batch) / dt, "glyphs/s", batch=len(batch),
-             ms=round(dt * 1e3, 2))
+             ms=round(dt * 1e3, 3),
+             **({"floored_at_20us": True} if floored else {}))
     emit("stress-full-font", f"glyphs/s {size}px full-font atlas",
          total / t_total, "glyphs/s", glyphs=total,
          ms_total=round(t_total * 1e3, 1))

@@ -65,6 +65,7 @@ def _make_v2_kernel(
     group_guard: int = 0,
     _detail: bool = True,
     row_bands: int = 1,
+    glyphs_per_step: int = 1,
 ):
     """Kernel factory.
 
@@ -93,6 +94,11 @@ def _make_v2_kernel(
       into the existing sign mask — so a glyph's rows compute exactly
       the per-glyph float program, and foreign segments contribute
       integer zeros.  Requires a single-strip launch (height == 128).
+    - ``glyphs_per_step``: process this many batch elements per grid
+      step (static inner loop; out/segment blocks grow a leading dim).
+      Amortizes the measured ~1.2-2.4 us per-grid-step fixed cost that
+      dominates small-tile atlases (36% of the full-font frame).  Must
+      divide 128 so a step's anchors share one SMEM window.
     """
     fdiv = div_cr if exact else (lambda a, b: a / b)
     fsqrt = sqrt_cr if exact else jnp.sqrt
@@ -100,10 +106,6 @@ def _make_v2_kernel(
     def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
-        # anchors arrive in per-instance (row_bands, 128) SMEM blocks
-        # (Mosaic needs 128-divisible block lanes); this instance's
-        # scalars sit at lane b % 128
-        lane = jax.lax.rem(b, 128)
         # segment super-chunk index: the segment axis streams through
         # the grid so VMEM holds one (SEG_SUPER, 8) window at a time
         # (the (.., 8) lane dim pads to 128 in VMEM — holding ALL
@@ -121,273 +123,280 @@ def _make_v2_kernel(
 
         row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
-        # blocked anchors: each grid step DMAs a 128-wide SMEM window
-        # instead of the whole (row_bands, B) array — whole-array SMEM
-        # staging made per-instance cost grow linearly in B (quadratic
-        # total; measured 5x on 6k-glyph atlases,
-        # tools/tpu_probes/tpu_banded*)
-        if row_bands == 1:
-            min_x = min_x_ref[0, lane]
-            max_y = max_y_ref[0, lane]
-            # per-row em y: (1, R), rows on lanes, descending
-            cy = fdiv(
-                (max_y - (i * STRIP_ROWS + row)).astype(jnp.float32) + oy,
-                scale,
-            )
-            cy_hi = cy[0, 0]                   # strip's largest em y
-            cy_lo = cy[0, STRIP_ROWS - 1]
-
-            # per-tile em x row vectors and their left-edge values; tiles
-            # are indexed left-to-right, plus the one-past-the-end left
-            # edge
-            cx_tiles = []
-            for t in range(n_tiles):
-                cx_tiles.append(
-                    fdiv(
-                        (min_x + t * tile_w + col).astype(jnp.float32) + ox,
-                        scale,
-                    )
+        def one_glyph(g):
+            # anchors arrive in (row_bands, 128) SMEM windows; this
+            # glyph's scalars sit at lane (b*G + g) % 128
+            lane = jax.lax.rem(b * glyphs_per_step + g, 128)
+            # blocked anchors: each grid step DMAs a 128-wide SMEM window
+            # instead of the whole (row_bands, B) array — whole-array SMEM
+            # staging made per-instance cost grow linearly in B (quadratic
+            # total; measured 5x on 6k-glyph atlases,
+            # tools/tpu_probes/tpu_banded*)
+            if row_bands == 1:
+                min_x = min_x_ref[0, lane]
+                max_y = max_y_ref[0, lane]
+                # per-row em y: (1, R), rows on lanes, descending
+                cy = fdiv(
+                    (max_y - (i * STRIP_ROWS + row)).astype(jnp.float32) + oy,
+                    scale,
                 )
-            cx_end = fdiv((min_x + width).astype(jnp.float32) + ox, scale)
-            tile_lo = [cxt[0, 0] for cxt in cx_tiles] + [cx_end]
-            band_f = None
-        else:
-            # banded anchors: band k owns rows [k*band_h, (k+1)*band_h)
-            # with its own (min_x, max_y); each row computes exactly the
-            # per-glyph float program (same int adds, same f32 divides)
-            band_h = STRIP_ROWS // row_bands
-            band = row // band_h                      # (1, R)
-            row_in = row - band * band_h
-            myv = jnp.zeros((1, STRIP_ROWS), jnp.int32)
-            mxv = jnp.zeros((1, STRIP_ROWS), jnp.int32)
-            for k in range(row_bands):
-                myv = jnp.where(band == k, max_y_ref[k, lane], myv)
-                mxv = jnp.where(band == k, min_x_ref[k, lane], mxv)
-            cy = fdiv((myv - row_in).astype(jnp.float32) + oy, scale)
-            cy_hi = jnp.max(cy)
-            cy_lo = jnp.min(cy)
-            cx_tiles = []
-            for t in range(n_tiles):
-                cx_tiles.append(
-                    fdiv(
-                        (mxv.reshape(STRIP_ROWS, 1) + (t * tile_w + col))
-                        .astype(jnp.float32) + ox,
-                        scale,
+                cy_hi = cy[0, 0]                   # strip's largest em y
+                cy_lo = cy[0, STRIP_ROWS - 1]
+
+                # per-tile em x row vectors and their left-edge values; tiles
+                # are indexed left-to-right, plus the one-past-the-end left
+                # edge
+                cx_tiles = []
+                for t in range(n_tiles):
+                    cx_tiles.append(
+                        fdiv(
+                            (min_x + t * tile_w + col).astype(jnp.float32) + ox,
+                            scale,
+                        )
                     )
-                )  # (R, tile_w)
-            cx_end = fdiv((mxv + width).astype(jnp.float32) + ox, scale)
-            # per-row left edges: (1, R) vectors (broadcast against the
-            # (C, R) crossing tensors exactly like the scalar case),
-            # computed in row layout directly — same float program as
-            # each tile's column 0
-            tile_lo = [
-                fdiv((mxv + t * tile_w).astype(jnp.float32) + ox, scale)
-                for t in range(n_tiles)
-            ] + [cx_end]
-            band_f = band.astype(jnp.float32)
+                cx_end = fdiv((min_x + width).astype(jnp.float32) + ox, scale)
+                tile_lo = [cxt[0, 0] for cxt in cx_tiles] + [cx_end]
+                band_f = None
+            else:
+                # banded anchors: band k owns rows [k*band_h, (k+1)*band_h)
+                # with its own (min_x, max_y); each row computes exactly the
+                # per-glyph float program (same int adds, same f32 divides)
+                band_h = STRIP_ROWS // row_bands
+                band = row // band_h                      # (1, R)
+                row_in = row - band * band_h
+                myv = jnp.zeros((1, STRIP_ROWS), jnp.int32)
+                mxv = jnp.zeros((1, STRIP_ROWS), jnp.int32)
+                for k in range(row_bands):
+                    myv = jnp.where(band == k, max_y_ref[k, lane], myv)
+                    mxv = jnp.where(band == k, min_x_ref[k, lane], mxv)
+                cy = fdiv((myv - row_in).astype(jnp.float32) + oy, scale)
+                cy_hi = jnp.max(cy)
+                cy_lo = jnp.min(cy)
+                cx_tiles = []
+                for t in range(n_tiles):
+                    cx_tiles.append(
+                        fdiv(
+                            (mxv.reshape(STRIP_ROWS, 1) + (t * tile_w + col))
+                            .astype(jnp.float32) + ox,
+                            scale,
+                        )
+                    )  # (R, tile_w)
+                cx_end = fdiv((mxv + width).astype(jnp.float32) + ox, scale)
+                # per-row left edges: (1, R) vectors (broadcast against the
+                # (C, R) crossing tensors exactly like the scalar case),
+                # computed in row layout directly — same float program as
+                # each tile's column 0
+                tile_lo = [
+                    fdiv((mxv + t * tile_w).astype(jnp.float32) + ox, scale)
+                    for t in range(n_tiles)
+                ] + [cx_end]
+                band_f = band.astype(jnp.float32)
 
-        @pl.when(s_sup == 0)
-        def _():
-            out_ref[0] = jnp.zeros((STRIP_ROWS, width), jnp.int32)
-
-        def chunk_body(c, _):
-            chunk = seg_ref[0, pl.ds(c * seg_chunk, seg_chunk), :]  # (C, 8)
-            p0x = chunk[:, 0:1]
-            p0y = chunk[:, 1:2]
-            p1x = chunk[:, 2:3]
-            p1y = chunk[:, 3:4]
-            p2x = chunk[:, 4:5]
-            p2y = chunk[:, 5:6]
-
-            hull_min = jnp.min(jnp.minimum(jnp.minimum(p0y, p1y), p2y))
-            hull_max = jnp.max(jnp.maximum(jnp.maximum(p0y, p1y), p2y))
-
-            @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi))
+            @pl.when(s_sup == 0)
             def _():
-                a = p0y - 2 * p1y + p2y      # (C, 1)
-                ax = p0x - 2 * p1x + p2x
-                bx = 2 * (p1x - p0x)
-                lin = a == 0
-                denom = p2y - p0y
-                py01 = p0y - p1y
+                out_ref[g] = jnp.zeros((STRIP_ROWS, width), jnp.int32)
 
-                # phase A on (C, R): roots + crossings for the whole strip
-                delta = cy * a + p1y * p1y - p0y * p2y       # (C, R)
-                has = jnp.logical_not(lin) & (delta >= 0)
-                sq = fsqrt(jnp.maximum(delta, 0.0))
+            def chunk_body(c, _):
+                chunk = seg_ref[g, pl.ds(c * seg_chunk, seg_chunk), :]  # (C, 8)
+                p0x = chunk[:, 0:1]
+                p0y = chunk[:, 1:2]
+                p1x = chunk[:, 2:3]
+                p1y = chunk[:, 3:4]
+                p2x = chunk[:, 4:5]
+                p2y = chunk[:, 5:6]
 
-                t_lin = fdiv(cy - p0y, denom)
-                t_pos = fdiv(py01 + sq, a)
-                t_neg = fdiv(py01 - sq, a)
+                hull_min = jnp.min(jnp.minimum(jnp.minimum(p0y, p1y), p2y))
+                hull_max = jnp.max(jnp.maximum(jnp.maximum(p0y, p1y), p2y))
 
-                # slot 0: linear crossing or +root; slot 1: -root
-                t0 = jnp.where(lin, t_lin, t_pos)
-                # (boolean select via logic ops — Mosaic cannot truncate
-                # i8 selects to i1)
-                v0_base = (lin & (denom != 0)) | (jnp.logical_not(lin) & has)
-                v0 = v0_base & (t0 >= 0) & (t0 < 1)
-                t1 = t_neg
-                v1 = has & (t1 >= 0) & (t1 < 1)
+                @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi))
+                def _():
+                    a = p0y - 2 * p1y + p2y      # (C, 1)
+                    ax = p0x - 2 * p1x + p2x
+                    bx = 2 * (p1x - p0x)
+                    lin = a == 0
+                    denom = p2y - p0y
+                    py01 = p0y - p1y
 
-                xx0 = (ax * t0 + bx) * t0 + p0x
-                xx1 = (ax * t1 + bx) * t1 + p0x
-                dy0 = a * t0 + (p1y - p0y)
-                sgn_lin = jnp.where(p0y < p2y, -1, 1)
-                s0 = jnp.where(
-                    v0,
-                    jnp.where(lin, sgn_lin, jnp.where(dy0 > 0, -1, 1)),
-                    0,
-                ).astype(jnp.int32)
-                dy1 = a * t1 + (p1y - p0y)
-                s1 = jnp.where(v1, jnp.where(dy1 > 0, -1, 1), 0).astype(jnp.int32)
-                if row_bands > 1:
-                    # a segment only exists on its owner band's rows;
-                    # foreign rows contribute integer zeros (exactness
-                    # preserved: sums of zero)
-                    owner_ok = chunk[:, 6:7] == band_f    # (C, R)
-                    s0 = jnp.where(owner_ok, s0, 0)
-                    s1 = jnp.where(owner_ok, s1, 0)
-                # neutralize xx of dead crossings so tile classification
-                # never selects them (NaNs compare false anyway; this makes
-                # the "in tile" scalar any() cheap and well-defined)
-                neg_inf = jnp.float32(-jnp.inf)
-                xx0m = jnp.where(s0 != 0, xx0, neg_inf)
-                xx1m = jnp.where(s1 != 0, xx1, neg_inf)
+                    # phase A on (C, R): roots + crossings for the whole strip
+                    delta = cy * a + p1y * p1y - p0y * p2y       # (C, R)
+                    has = jnp.logical_not(lin) & (delta >= 0)
+                    sq = fsqrt(jnp.maximum(delta, 0.0))
 
-                # crossing positions/signs in pixel-major layout, hoisted
-                # out of the tile loop (one relayout per chunk)
-                xxT0 = xx0m.T          # (R, C)
-                xxT1 = xx1m.T
-                sT0 = s0.T
-                sT1 = s1.T
+                    t_lin = fdiv(cy - p0y, denom)
+                    t_pos = fdiv(py01 + sq, a)
+                    t_neg = fdiv(py01 - sq, a)
 
-                def tile_detail(t, sd_t0, sd_t1, sl, base):
-                    """Per-pixel compares for tile t.  A crossing with
-                    ``xx >= tile_hi`` compares true on every column, so
-                    unmasked inputs yield the *complete* winding for all
-                    crossings at/right of the tile's left edge."""
-                    cxt = cx_tiles[t]      # (1, tile_w)
-                    detail = base
-                    for s in range(seg_chunk):
-                        detail = detail + jnp.where(
-                            xxT0[:, s : s + 1] >= cxt, sd_t0[:, s : s + 1], 0
+                    # slot 0: linear crossing or +root; slot 1: -root
+                    t0 = jnp.where(lin, t_lin, t_pos)
+                    # (boolean select via logic ops — Mosaic cannot truncate
+                    # i8 selects to i1)
+                    v0_base = (lin & (denom != 0)) | (jnp.logical_not(lin) & has)
+                    v0 = v0_base & (t0 >= 0) & (t0 < 1)
+                    t1 = t_neg
+                    v1 = has & (t1 >= 0) & (t1 < 1)
+
+                    xx0 = (ax * t0 + bx) * t0 + p0x
+                    xx1 = (ax * t1 + bx) * t1 + p0x
+                    dy0 = a * t0 + (p1y - p0y)
+                    sgn_lin = jnp.where(p0y < p2y, -1, 1)
+                    s0 = jnp.where(
+                        v0,
+                        jnp.where(lin, sgn_lin, jnp.where(dy0 > 0, -1, 1)),
+                        0,
+                    ).astype(jnp.int32)
+                    dy1 = a * t1 + (p1y - p0y)
+                    s1 = jnp.where(v1, jnp.where(dy1 > 0, -1, 1), 0).astype(jnp.int32)
+                    if row_bands > 1:
+                        # a segment only exists on its owner band's rows;
+                        # foreign rows contribute integer zeros (exactness
+                        # preserved: sums of zero)
+                        owner_ok = chunk[:, 6:7] == band_f    # (C, R)
+                        s0 = jnp.where(owner_ok, s0, 0)
+                        s1 = jnp.where(owner_ok, s1, 0)
+                    # neutralize xx of dead crossings so tile classification
+                    # never selects them (NaNs compare false anyway; this makes
+                    # the "in tile" scalar any() cheap and well-defined)
+                    neg_inf = jnp.float32(-jnp.inf)
+                    xx0m = jnp.where(s0 != 0, xx0, neg_inf)
+                    xx1m = jnp.where(s1 != 0, xx1, neg_inf)
+
+                    # crossing positions/signs in pixel-major layout, hoisted
+                    # out of the tile loop (one relayout per chunk)
+                    xxT0 = xx0m.T          # (R, C)
+                    xxT1 = xx1m.T
+                    sT0 = s0.T
+                    sT1 = s1.T
+
+                    def tile_detail(t, sd_t0, sd_t1, sl, base):
+                        """Per-pixel compares for tile t.  A crossing with
+                        ``xx >= tile_hi`` compares true on every column, so
+                        unmasked inputs yield the *complete* winding for all
+                        crossings at/right of the tile's left edge."""
+                        cxt = cx_tiles[t]      # (1, tile_w)
+                        detail = base
+                        for s in range(seg_chunk):
+                            detail = detail + jnp.where(
+                                xxT0[:, s : s + 1] >= cxt, sd_t0[:, s : s + 1], 0
+                            )
+                            detail = detail + jnp.where(
+                                xxT1[:, s : s + 1] >= cxt, sd_t1[:, s : s + 1], 0
+                            )
+                        out_ref[g, :, pl.ds(t * tile_w, tile_w)] = sl + detail
+
+                    if not _detail:
+                        # timing-only: consume phase A results with one cheap
+                        # carry-style fold so Mosaic cannot DCE the root
+                        # solve; all per-pixel (phase B) work is skipped
+                        s_all = jnp.sum(
+                            jnp.where(xx0m >= cx_end, s0, 0)
+                            + jnp.where(xx1m >= cx_end, s1, 0),
+                            axis=0, keepdims=True,
                         )
-                        detail = detail + jnp.where(
-                            xxT1[:, s : s + 1] >= cxt, sd_t1[:, s : s + 1], 0
+                        out_ref[g, :, pl.ds(0, tile_w)] = (
+                            out_ref[g, :, pl.ds(0, tile_w)]
+                            + jnp.broadcast_to(s_all.T, (STRIP_ROWS, tile_w))
                         )
-                    out_ref[0, :, pl.ds(t * tile_w, tile_w)] = sl + detail
-
-                if not _detail:
-                    # timing-only: consume phase A results with one cheap
-                    # carry-style fold so Mosaic cannot DCE the root
-                    # solve; all per-pixel (phase B) work is skipped
-                    s_all = jnp.sum(
-                        jnp.where(xx0m >= cx_end, s0, 0)
-                        + jnp.where(xx1m >= cx_end, s1, 0),
-                        axis=0, keepdims=True,
-                    )
-                    out_ref[0, :, pl.ds(0, tile_w)] = (
-                        out_ref[0, :, pl.ds(0, tile_w)]
-                        + jnp.broadcast_to(s_all.T, (STRIP_ROWS, tile_w))
-                    )
-                elif not guard:
-                    # carry-free: every tile compares every crossing at or
-                    # right of its left edge (correct per docstring above)
-                    zero = jnp.zeros((STRIP_ROWS, tile_w), jnp.int32)
-                    for t in range(n_tiles):
-                        sl = out_ref[0, :, pl.ds(t * tile_w, tile_w)]
-                        tile_detail(t, sT0, sT1, sl, zero)
-                else:
-                    # carry sweep: far-right crossings fold into a per-row
-                    # base; per-pixel compares (and their stores) are
-                    # skipped for tiles with no in-tile crossing
-                    carry = jnp.zeros((1, STRIP_ROWS), jnp.int32)
-                    carry = carry + jnp.sum(
-                        jnp.where(xx0m >= cx_end, s0, 0), axis=0, keepdims=True
-                    )
-                    carry = carry + jnp.sum(
-                        jnp.where(xx1m >= cx_end, s1, 0), axis=0, keepdims=True
-                    )
-                    for t in range(n_tiles - 1, -1, -1):
-                        lo = tile_lo[t]
-                        hi = tile_lo[t + 1]
-                        in0 = (xx0m >= lo) & (xx0m < hi)
-                        in1 = (xx1m >= lo) & (xx1m < hi)
-                        base = jnp.broadcast_to(
-                            carry.T, (STRIP_ROWS, tile_w)
-                        )
-                        sl = out_ref[0, :, pl.ds(t * tile_w, tile_w)]
-                        any_in = jnp.any(in0 | in1)
-
-                        if group_guard:
-                            # base first, then per-group guarded
-                            # accumulate: a segment only crosses rows in
-                            # its y-span, so most groups are dead for a
-                            # given (strip, tile) and skip their
-                            # (R, tile_w) compare/select/adds entirely
-                            @pl.when(any_in)
-                            def _(t=t, in0=in0, in1=in1, sl=sl, base=base):
-                                out_ref[0, :, pl.ds(t * tile_w, tile_w)] = (
-                                    sl + base
-                                )
-                                cxt = cx_tiles[t]
-                                sd0 = jnp.where(in0, s0, 0).T
-                                sd1 = jnp.where(in1, s1, 0).T
-                                for g0 in range(0, seg_chunk, group_guard):
-                                    g1 = min(g0 + group_guard, seg_chunk)
-
-                                    @pl.when(jnp.any(in0[g0:g1]))
-                                    def _(g0=g0, g1=g1, t=t, sd=sd0, xxT=xxT0):
-                                        acc = out_ref[
-                                            0, :, pl.ds(t * tile_w, tile_w)
-                                        ]
-                                        for s in range(g0, g1):
-                                            acc = acc + jnp.where(
-                                                xxT[:, s : s + 1] >= cxt,
-                                                sd[:, s : s + 1], 0,
-                                            )
-                                        out_ref[
-                                            0, :, pl.ds(t * tile_w, tile_w)
-                                        ] = acc
-
-                                    @pl.when(jnp.any(in1[g0:g1]))
-                                    def _(g0=g0, g1=g1, t=t, sd=sd1, xxT=xxT1):
-                                        acc = out_ref[
-                                            0, :, pl.ds(t * tile_w, tile_w)
-                                        ]
-                                        for s in range(g0, g1):
-                                            acc = acc + jnp.where(
-                                                xxT[:, s : s + 1] >= cxt,
-                                                sd[:, s : s + 1], 0,
-                                            )
-                                        out_ref[
-                                            0, :, pl.ds(t * tile_w, tile_w)
-                                        ] = acc
-                        else:
-                            @pl.when(any_in)
-                            def _(t=t, in0=in0, in1=in1, sl=sl, base=base):
-                                tile_detail(
-                                    t,
-                                    jnp.where(in0, s0, 0).T,
-                                    jnp.where(in1, s1, 0).T,
-                                    sl,
-                                    base,
-                                )
-
-                        @pl.when(jnp.logical_not(any_in))
-                        def _(sl=sl, base=base, t=t):
-                            out_ref[0, :, pl.ds(t * tile_w, tile_w)] = sl + base
-
+                    elif not guard:
+                        # carry-free: every tile compares every crossing at or
+                        # right of its left edge (correct per docstring above)
+                        zero = jnp.zeros((STRIP_ROWS, tile_w), jnp.int32)
+                        for t in range(n_tiles):
+                            sl = out_ref[g, :, pl.ds(t * tile_w, tile_w)]
+                            tile_detail(t, sT0, sT1, sl, zero)
+                    else:
+                        # carry sweep: far-right crossings fold into a per-row
+                        # base; per-pixel compares (and their stores) are
+                        # skipped for tiles with no in-tile crossing
+                        carry = jnp.zeros((1, STRIP_ROWS), jnp.int32)
                         carry = carry + jnp.sum(
-                            jnp.where(in0, s0, 0), axis=0, keepdims=True
+                            jnp.where(xx0m >= cx_end, s0, 0), axis=0, keepdims=True
                         )
                         carry = carry + jnp.sum(
-                            jnp.where(in1, s1, 0), axis=0, keepdims=True
+                            jnp.where(xx1m >= cx_end, s1, 0), axis=0, keepdims=True
                         )
+                        for t in range(n_tiles - 1, -1, -1):
+                            lo = tile_lo[t]
+                            hi = tile_lo[t + 1]
+                            in0 = (xx0m >= lo) & (xx0m < hi)
+                            in1 = (xx1m >= lo) & (xx1m < hi)
+                            base = jnp.broadcast_to(
+                                carry.T, (STRIP_ROWS, tile_w)
+                            )
+                            sl = out_ref[g, :, pl.ds(t * tile_w, tile_w)]
+                            any_in = jnp.any(in0 | in1)
 
-            return 0
+                            if group_guard:
+                                # base first, then per-group guarded
+                                # accumulate: a segment only crosses rows in
+                                # its y-span, so most groups are dead for a
+                                # given (strip, tile) and skip their
+                                # (R, tile_w) compare/select/adds entirely
+                                @pl.when(any_in)
+                                def _(t=t, in0=in0, in1=in1, sl=sl, base=base):
+                                    out_ref[g, :, pl.ds(t * tile_w, tile_w)] = (
+                                        sl + base
+                                    )
+                                    cxt = cx_tiles[t]
+                                    sd0 = jnp.where(in0, s0, 0).T
+                                    sd1 = jnp.where(in1, s1, 0).T
+                                    for g0 in range(0, seg_chunk, group_guard):
+                                        g1 = min(g0 + group_guard, seg_chunk)
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+                                        @pl.when(jnp.any(in0[g0:g1]))
+                                        def _(g0=g0, g1=g1, t=t, sd=sd0, xxT=xxT0):
+                                            acc = out_ref[
+                                                g, :, pl.ds(t * tile_w, tile_w)
+                                            ]
+                                            for s in range(g0, g1):
+                                                acc = acc + jnp.where(
+                                                    xxT[:, s : s + 1] >= cxt,
+                                                    sd[:, s : s + 1], 0,
+                                                )
+                                            out_ref[
+                                                g, :, pl.ds(t * tile_w, tile_w)
+                                            ] = acc
+
+                                        @pl.when(jnp.any(in1[g0:g1]))
+                                        def _(g0=g0, g1=g1, t=t, sd=sd1, xxT=xxT1):
+                                            acc = out_ref[
+                                                g, :, pl.ds(t * tile_w, tile_w)
+                                            ]
+                                            for s in range(g0, g1):
+                                                acc = acc + jnp.where(
+                                                    xxT[:, s : s + 1] >= cxt,
+                                                    sd[:, s : s + 1], 0,
+                                                )
+                                            out_ref[
+                                                g, :, pl.ds(t * tile_w, tile_w)
+                                            ] = acc
+                            else:
+                                @pl.when(any_in)
+                                def _(t=t, in0=in0, in1=in1, sl=sl, base=base):
+                                    tile_detail(
+                                        t,
+                                        jnp.where(in0, s0, 0).T,
+                                        jnp.where(in1, s1, 0).T,
+                                        sl,
+                                        base,
+                                    )
+
+                            @pl.when(jnp.logical_not(any_in))
+                            def _(sl=sl, base=base, t=t):
+                                out_ref[g, :, pl.ds(t * tile_w, tile_w)] = sl + base
+
+                            carry = carry + jnp.sum(
+                                jnp.where(in0, s0, 0), axis=0, keepdims=True
+                            )
+                            carry = carry + jnp.sum(
+                                jnp.where(in1, s1, 0), axis=0, keepdims=True
+                            )
+
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        for g in range(glyphs_per_step):
+            one_glyph(g)
 
 
 
@@ -471,27 +480,38 @@ def winding_pallas_banded_batch(
     jax.jit,
     static_argnames=(
         "height", "width", "interpret", "exact", "seg_chunk", "tile_w",
-        "guard", "group_guard", "_detail",
+        "guard", "group_guard", "_detail", "glyphs_per_step",
     ),
 )
 def winding_pallas_v2_batch(
     segments, min_x, max_y, scale, *, height, width, interpret=False,
     sample_offset=(0.0, 0.0), exact=False, seg_chunk=16,
     tile_w=TILE_W, guard=True, group_guard=0, _detail=True,
+    glyphs_per_step=1,
 ):
     """Batched winding maps, v2 kernel.  height must be a multiple of
     ``STRIP_ROWS`` (128) and width of ``TILE_W`` (128).
 
     ``exact=True``: correctly-rounded div/sqrt in the root solve —
-    bit-parity with the CPU oracle even on TPU tie pixels."""
+    bit-parity with the CPU oracle even on TPU tie pixels.
+    ``glyphs_per_step``: amortize the per-grid-step fixed cost by
+    rastering this many glyphs per step (must divide 128; the batch
+    pads with empty glyphs)."""
     b = segments.shape[0]
+    gps = glyphs_per_step
     assert height % STRIP_ROWS == 0 and width % tile_w == 0, (height, width)
+    assert gps >= 1 and 128 % gps == 0, gps
     soa = segments_to_soa(segments, chunk=seg_chunk)
     s8 = soa.shape[1]
 
-    b128 = _round_up(b, 128)
-    min_x = _pad_lanes(min_x.reshape(1, b).astype(jnp.int32), b128)
-    max_y = _pad_lanes(max_y.reshape(1, b).astype(jnp.int32), b128)
+    bp = _round_up(b, gps)
+    if bp != b:
+        soa = jnp.pad(soa, ((0, bp - b), (0, 0), (0, 0)))
+        min_x = jnp.pad(jnp.asarray(min_x), (0, bp - b))
+        max_y = jnp.pad(jnp.asarray(max_y), (0, bp - b))
+    b128 = _round_up(bp, 128)
+    min_x = _pad_lanes(min_x.reshape(1, bp).astype(jnp.int32), b128)
+    max_y = _pad_lanes(max_y.reshape(1, bp).astype(jnp.int32), b128)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
     off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
 
@@ -505,26 +525,28 @@ def winding_pallas_v2_batch(
         s8 = soa.shape[1]
     n_super = s8 // seg_super
 
-    grid = (b, height // STRIP_ROWS, n_super)
-    return pl.pallas_call(
-        _make_v2_kernel(exact, seg_chunk, tile_w, guard, group_guard, _detail),
+    grid = (bp // gps, height // STRIP_ROWS, n_super)
+    out = pl.pallas_call(
+        _make_v2_kernel(exact, seg_chunk, tile_w, guard, group_guard, _detail,
+                        glyphs_per_step=gps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ // 128),
+            pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ * gps // 128),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ // 128),
+            pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ * gps // 128),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, seg_super, 8), lambda b_, i, s: (b_, s, 0),
+                (gps, seg_super, 8), lambda b_, i, s: (b_, s, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, STRIP_ROWS, width), lambda b_, i, s: (b_, i, 0),
+            (gps, STRIP_ROWS, width), lambda b_, i, s: (b_, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((bp, height, width), jnp.int32),
         interpret=interpret,
     )(min_x, max_y, scale_arr, off_arr, soa)
+    return out[:b] if bp != b else out
