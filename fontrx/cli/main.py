@@ -76,7 +76,7 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.scene.transform import ViewTransform
 
         layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures)
+                             ligatures=cfg.ligatures, marks=cfg.marks)
         upem = font.info.units_per_em
         px_per_unit = cfg.size / upem
         margin = max(cfg.size // 8, 4)
@@ -189,7 +189,8 @@ def _run_interactive(font, text, cfg, engine) -> int:
     from fontrx.scene.interactive import InteractiveSession
 
     sess = InteractiveSession(font, text, 1920, 1080, engine,
-                              kern=cfg.kern, ligatures=cfg.ligatures)
+                              kern=cfg.kern, ligatures=cfg.ligatures,
+                              marks=cfg.marks)
     if cfg.serve:
         from fontrx.cli.serve import serve
 

@@ -215,6 +215,22 @@ class Font:
         return self.charmap.glyph_index(char)
 
     @property
+    def mark_positioning(self):
+        """GPOS MarkToBase attachment (combining diacritics), or
+        ``None`` — an extension beyond the reference (which has no
+        positioning at all)."""
+        if not hasattr(self, "_markpos"):
+            self._markpos = None
+            if b"GPOS" in self.tables:
+                try:
+                    from fontrx.font.gpos import MarkBaseTable
+
+                    self._markpos = MarkBaseTable.parse(self._at(b"GPOS"))
+                except Exception as e:  # malformed tables degrade to none
+                    log.warning("GPOS mark tables unusable: %s", e)
+        return self._markpos
+
+    @property
     def uvs(self) -> "ttf.CmapFormat14 | None":
         """The variation-sequences subtable, or ``None``."""
         if not hasattr(self, "_uvs"):

@@ -148,55 +148,11 @@ class GposKernTable:
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "GposKernTable | None":
-        gpos_base = r.pos
-        major, minor = r.unpack("HH")
-        if major != 1:
-            return None
-        _script_off, feature_off, lookup_off = r.unpack("HHH")
-        # minor 1 adds featureVariationsOffset; irrelevant here
-
-        # feature list: collect lookup indices of features tagged 'kern'
-        fr = BigEndianReader(r.data, gpos_base + feature_off)
-        f_base = fr.pos
-        n_feat = fr.u16()
-        lookup_indices: list[int] = []
-        for _ in range(n_feat):
-            tag = fr.tag()
-            off = fr.u16()
-            if tag == b"kern":
-                tr = BigEndianReader(r.data, f_base + off)
-                tr.skip(2)  # featureParamsOffset
-                n_lk = tr.u16()
-                lookup_indices.extend(tr.u16_array(n_lk).tolist())
-        if not lookup_indices:
-            return None
-
-        lr = BigEndianReader(r.data, gpos_base + lookup_off)
-        l_base = lr.pos
-        n_lookups = lr.u16()
-        lookup_offsets = lr.u16_array(n_lookups)
-
         subtables = []
-        for li in sorted(set(lookup_indices)):
-            if li >= n_lookups:
-                continue
-            tb = BigEndianReader(r.data, l_base + int(lookup_offsets[li]))
-            t_base = tb.pos
-            lookup_type, _flags, n_sub = tb.unpack("HHH")
-            sub_offsets = tb.u16_array(n_sub)
-            for so in sub_offsets:
-                s_pos = t_base + int(so)
-                s_type = lookup_type
-                if s_type == 9:  # extension positioning
-                    er = BigEndianReader(r.data, s_pos)
-                    _fmt, ext_type = er.unpack("HH")
-                    ext_off = er.u32()
-                    s_pos, s_type = s_pos + ext_off, ext_type
-                if s_type != 2:
-                    continue
-                sub = cls._parse_pairpos(BigEndianReader(r.data, s_pos))
-                if sub is not None:
-                    subtables.append(sub)
+        for s_pos in _feature_subtables(r, b"kern", 2):
+            sub = cls._parse_pairpos(BigEndianReader(r.data, s_pos))
+            if sub is not None:
+                subtables.append(sub)
         return cls(tuple(subtables)) if subtables else None
 
     @staticmethod
@@ -287,3 +243,151 @@ class GposKernTable:
             out = np.where(take, val, out)
             decided |= covered
         return out
+
+
+def _feature_subtables(r: BigEndianReader, tag: bytes, want_type: int):
+    """Walk a GPOS/GSUB-shaped table: yield absolute byte positions of
+    every ``want_type`` subtable reachable through features tagged
+    ``tag``, following extension lookups (type 9)."""
+    base = r.pos
+    major, _minor = r.unpack("HH")
+    if major != 1:
+        return
+    _script_off, feature_off, lookup_off = r.unpack("HHH")
+    fr = BigEndianReader(r.data, base + feature_off)
+    f_base = fr.pos
+    n_feat = fr.u16()
+    lookup_indices: list[int] = []
+    for _ in range(n_feat):
+        t = fr.tag()
+        off = fr.u16()
+        if t == tag:
+            tr = BigEndianReader(r.data, f_base + off)
+            tr.skip(2)  # featureParamsOffset
+            n_lk = tr.u16()
+            lookup_indices.extend(tr.u16_array(n_lk).tolist())
+    if not lookup_indices:
+        return
+    lr = BigEndianReader(r.data, base + lookup_off)
+    l_base = lr.pos
+    n_lookups = lr.u16()
+    lookup_offsets = lr.u16_array(n_lookups)
+    for li in sorted(set(lookup_indices)):
+        if li >= n_lookups:
+            continue
+        tb = BigEndianReader(r.data, l_base + int(lookup_offsets[li]))
+        t_base = tb.pos
+        lookup_type, _flags, n_sub = tb.unpack("HHH")
+        for so in tb.u16_array(n_sub):
+            s_pos = t_base + int(so)
+            s_type = lookup_type
+            if s_type == 9:  # extension positioning
+                er = BigEndianReader(r.data, s_pos)
+                _fmt, ext_type = er.unpack("HH")
+                ext_off = er.u32()
+                s_pos, s_type = s_pos + ext_off, ext_type
+            if s_type == want_type:
+                yield s_pos
+
+
+def _parse_anchor(r: BigEndianReader) -> tuple[int, int]:
+    """Anchor table: (x, y) design units.  Formats 2 (contour point)
+    and 3 (device tables) degrade to the bare coordinates — hinting is
+    out of scope throughout fontrx."""
+    _fmt, x, y = r.unpack("Hhh")
+    return int(x), int(y)
+
+
+@dataclass(frozen=True, slots=True)
+class _MarkBaseSub:
+    mark_cov: Coverage
+    base_cov: Coverage
+    mark_class: np.ndarray   # int64[n_marks] per mark coverage index
+    mark_anchor: np.ndarray  # int64[n_marks, 2]
+    base_anchor: np.ndarray  # int64[n_bases, n_classes, 2]
+    base_valid: np.ndarray   # bool[n_bases, n_classes]
+
+
+@dataclass(frozen=True, slots=True)
+class MarkBaseTable:
+    """GPOS lookup type 4 (MarkToBase attachment) — combining
+    diacritics.  A further capability extension (the reference has no
+    positioning at all): a mark glyph following a base glyph is placed
+    so the mark's anchor coincides with the base's anchor for the
+    mark's class:
+
+        mark_offset = base_pen + (base_anchor - mark_anchor)
+
+    and the pen does not advance for the mark.  Subtables from every
+    ``mark``-tagged lookup apply first-match, like PairPos."""
+
+    subtables: tuple
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "MarkBaseTable | None":
+        data = r.data
+        subs = []
+        for s_pos in _feature_subtables(r, b"mark", 4):
+            sr = BigEndianReader(data, s_pos)
+            fmt, mark_cov_off, base_cov_off, n_classes, mark_arr_off, \
+                base_arr_off = sr.unpack("HHHHHH")
+            if fmt != 1:
+                continue
+            mark_cov = Coverage.parse(
+                BigEndianReader(data, s_pos + mark_cov_off))
+            base_cov = Coverage.parse(
+                BigEndianReader(data, s_pos + base_cov_off))
+            ma = BigEndianReader(data, s_pos + mark_arr_off)
+            ma_base = ma.pos
+            n_marks = ma.u16()
+            mark_class = np.zeros(n_marks, np.int64)
+            mark_anchor = np.zeros((n_marks, 2), np.int64)
+            for i in range(n_marks):
+                mcls, a_off = ma.unpack("HH")
+                mark_class[i] = mcls
+                if a_off:
+                    mark_anchor[i] = _parse_anchor(
+                        BigEndianReader(data, ma_base + a_off))
+            ba = BigEndianReader(data, s_pos + base_arr_off)
+            ba_base = ba.pos
+            n_bases = ba.u16()
+            base_anchor = np.zeros((n_bases, n_classes, 2), np.int64)
+            base_valid = np.zeros((n_bases, n_classes), bool)
+            for i in range(n_bases):
+                for c in range(n_classes):
+                    a_off = ba.u16()
+                    if a_off:
+                        base_anchor[i, c] = _parse_anchor(
+                            BigEndianReader(data, ba_base + a_off))
+                        base_valid[i, c] = True
+            subs.append(_MarkBaseSub(
+                mark_cov, base_cov, mark_class, mark_anchor,
+                base_anchor, base_valid,
+            ))
+        return cls(tuple(subs)) if subs else None
+
+    def attach(self, base_gid: int, mark_gid: int) -> tuple[int, int] | None:
+        """``(dx, dy)`` to add to the base's pen position to place the
+        mark, or ``None`` when this pair does not attach."""
+        for sub in self.subtables:
+            mi = int(sub.mark_cov.rank(np.array([mark_gid]))[0])
+            if mi < 0 or mi >= len(sub.mark_class):
+                continue
+            bi = int(sub.base_cov.rank(np.array([base_gid]))[0])
+            if bi < 0 or bi >= len(sub.base_anchor):
+                continue
+            c = int(sub.mark_class[mi])
+            if not sub.base_valid[bi, c]:
+                continue
+            bx, by = sub.base_anchor[bi, c]
+            mx, my = sub.mark_anchor[mi]
+            return int(bx - mx), int(by - my)
+        return None
+
+    def is_mark(self, gid: int) -> bool:
+        """Covered by any mark coverage — the layout's cue that the
+        glyph is a combining mark (zero pen advance when attached)."""
+        return any(
+            int(sub.mark_cov.rank(np.array([gid]))[0]) >= 0
+            for sub in self.subtables
+        )

@@ -68,11 +68,13 @@ class InteractiveSession:
     transparent: bool = False
     kern: bool = False
     ligatures: bool = False
+    marks: bool = False
 
     def __post_init__(self):
         self.layout: TextLayout = layout_text(self.font, self.text,
                                               kern=self.kern,
-                                              ligatures=self.ligatures)
+                                              ligatures=self.ligatures,
+                                              marks=self.marks)
         self.view = ViewTransform.init(
             self.font.info.units_per_em, self.width, self.height
         )
@@ -113,7 +115,8 @@ class InteractiveSession:
         (``CallbackContext.zig:80-88``, README TODO 'user text input')."""
         self.text += text
         self.layout = layout_text(self.font, self.text, kern=self.kern,
-                                  ligatures=self.ligatures)
+                                  ligatures=self.ligatures,
+                                  marks=self.marks)
         self.renderer = PageRenderer(
             self.font, self.layout, self.width, self.height, self.engine
         )

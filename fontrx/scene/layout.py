@@ -55,6 +55,7 @@ def layout_text(
     pad_batch_to: int | None = None,
     kern: bool = False,
     ligatures: bool = False,
+    marks: bool = False,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -66,7 +67,10 @@ def layout_text(
 
     - ``kern=True``: pair kerning (``kern`` table, GPOS fallback);
     - ``ligatures=True``: GSUB standard ligatures (fi/ffl/...) applied
-      to each line's glyph stream before placement.
+      to each line's glyph stream before placement;
+    - ``marks=True``: GPOS MarkToBase attachment — a combining mark
+      (e.g. U+0301) is anchor-aligned onto the preceding base glyph and
+      consumes no pen advance; kerning pairs skip over marks.
     """
     # text -> per-line glyph-id streams (ligatures never cross newlines).
     # Unicode variation selectors (U+FE00..FE0F, U+E0100..E01EF) modify
@@ -106,6 +110,7 @@ def layout_text(
 
     line_height = font.info.ascent - font.info.descent + font.info.line_gap
     kern_table = font.kerning if kern else None
+    mark_table = font.mark_positioning if marks else None
 
     instances: list[Instance] = []
     max_x = 0.0
@@ -113,11 +118,22 @@ def layout_text(
         pen_x = 0.0
         pen_y = -line_no * float(line_height)
         prev_gid: int | None = None
+        prev_x = 0.0  # pen position of the previous BASE glyph
         for gid in line:
             slot = slot_of[gid]
+            if mark_table is not None and prev_gid is not None:
+                d = mark_table.attach(prev_gid, gid)
+                if d is not None:
+                    # anchor-aligned onto the base; no pen advance, and
+                    # the base stays "previous" for kerning/attachment
+                    instances.append(
+                        Instance(slot, prev_x + d[0], pen_y + d[1])
+                    )
+                    continue
             if kern_table is not None and prev_gid is not None:
                 pen_x += float(kern_table.lookup(prev_gid, gid))
             instances.append(Instance(slot, pen_x, pen_y))
+            prev_x = pen_x
             pen_x += widths[slot]
             max_x = max(max_x, pen_x)
             prev_gid = gid

@@ -78,3 +78,82 @@ class TestRealFonts:
         assert out[0] == dejavu.kerning.lookup(
             np.array([a]), np.array([v])
         )[0]
+
+
+class TestMarkToBase:
+    """GPOS lookup 4 (combining diacritics) — validated against
+    DejaVu's own precomposed composites."""
+
+    def test_attach_known_pair(self, dejavu):
+        mt = dejavu.mark_positioning
+        assert mt is not None and len(mt.subtables) > 0
+        e = dejavu.glyph_index("e")
+        acute = dejavu.glyph_index(chr(0x0301))
+        assert mt.is_mark(acute)
+        assert not mt.is_mark(e)
+        d = mt.attach(e, acute)
+        assert d is not None
+        dx, dy = d
+        # lands horizontally inside the base's advance, vertically sane
+        assert 0 < dx < int(dejavu.advance_widths[e]) + 600
+        assert abs(dy) < 1000
+        # non-mark pair does not attach
+        assert mt.attach(e, dejavu.glyph_index("x")) is None
+
+    def test_composed_matches_precomposed_ink(self, dejavu):
+        import numpy as np
+
+        from fontrx.kernels import oracle
+        from fontrx.pack.segments import glyph_segments
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(dejavu, "e" + chr(0x0301), marks=True)
+        assert len(lt.instances) == 2
+        scale = np.float32(96 / dejavu.info.units_per_em)
+        W, H = 96, 128
+        xs = np.arange(W).astype(np.float32) / scale
+        ys = ((H - 32) - np.arange(H)).astype(np.float32) / scale
+        comp = np.zeros((H, W), bool)
+        gids = [dejavu.glyph_index("e"), dejavu.glyph_index(chr(0x0301))]
+        for inst, gid in zip(lt.instances, gids):
+            segs = glyph_segments(dejavu.load_glyph(gid)) + np.float32(
+                [inst.x, inst.y]
+            )
+            comp |= oracle.winding_at(
+                segs.astype(np.float32), xs[None, :], ys[:, None]
+            ) != 0
+        pre = oracle.winding_at(
+            glyph_segments(dejavu.load_glyph(dejavu.glyph_index(chr(0xE9)))),
+            xs[None, :], ys[:, None],
+        ) != 0
+        iou = (comp & pre).sum() / (comp | pre).sum()
+        assert iou > 0.95, iou
+
+    def test_mark_consumes_no_advance(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        plain = layout_text(dejavu, "ex", marks=True)
+        marked = layout_text(dejavu, "e" + chr(0x0301) + "x", marks=True)
+        # the x lands at the same pen position with or without the mark
+        assert marked.instances[2].x == plain.instances[1].x
+        assert marked.width == plain.width
+
+    def test_kerning_skips_marks(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        kerned = layout_text(dejavu, "AV", kern=True, marks=True)
+        # A + combining-ring + V: the AV kern still applies because the
+        # base stays "previous" across the attached mark
+        with_mark = layout_text(
+            dejavu, "A" + chr(0x030A) + "V", kern=True, marks=True
+        )
+        assert with_mark.instances[2].x == kerned.instances[1].x
+
+    def test_marks_off_by_default(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(dejavu, "e" + chr(0x0301))
+        # reference-exact default: the mark advances like any glyph
+        assert lt.instances[1].x == float(
+            dejavu.advance_widths[dejavu.glyph_index("e")]
+        )
