@@ -229,6 +229,27 @@ def run_full_gate(verbose: bool = True) -> dict:
     total_mismatch += m
     log(f"  split64: {m}/{exp_split.size}")
 
+    # ---- 5. row-banded atlas path @64 and @32 ----------------------------
+    log("gate 5: row-banded strips (2x @64px, 4x @32px) vs per-glyph oracle")
+    for tile in (64, 32):
+        out_b, bgrids = engine.winding_packed_banded(
+            glyphs, tile, font.info.units_per_em, tile
+        )
+        exp_b = np.zeros((len(glyphs), tile, tile), np.int32)
+        for i, (g, grid) in enumerate(zip(glyphs, bgrids)):
+            xs, ys = grid.sample_coords()
+            exp_b[i] = oracle.winding_at(
+                glyph_segments(g), xs[None, :], ys[:, None],
+                contract=canonical_contract,
+            )
+        m = _device_mismatch(out_b, exp_b)
+        results[f"banded{tile}"] = {
+            "checked": exp_b.size, "mismatch_canonical": m,
+        }
+        total_checked += exp_b.size
+        total_mismatch += m
+        log(f"  banded{tile}: {m}/{exp_b.size}")
+
     results["total_checked"] = total_checked
     results["total_mismatch_canonical"] = total_mismatch
     return results

@@ -231,6 +231,23 @@ class Font:
         return self._markpos
 
     @property
+    def mark_to_mark(self):
+        """GPOS MarkToMark attachment (stacked diacritics, ``mkmk``
+        features), or ``None``."""
+        if not hasattr(self, "_markmark"):
+            self._markmark = None
+            if b"GPOS" in self.tables:
+                try:
+                    from fontrx.font.gpos import MarkBaseTable
+
+                    self._markmark = MarkBaseTable.parse(
+                        self._at(b"GPOS"), tag=b"mkmk", lookup_type=6
+                    )
+                except Exception as e:
+                    log.warning("GPOS mkmk tables unusable: %s", e)
+        return self._markmark
+
+    @property
     def uvs(self) -> "ttf.CmapFormat14 | None":
         """The variation-sequences subtable, or ``None``."""
         if not hasattr(self, "_uvs"):

@@ -319,15 +319,22 @@ class MarkBaseTable:
         mark_offset = base_pen + (base_anchor - mark_anchor)
 
     and the pen does not advance for the mark.  Subtables from every
-    ``mark``-tagged lookup apply first-match, like PairPos."""
+    ``mark``-tagged lookup apply first-match, like PairPos.
+
+    The same class also carries MarkToMark (lookup type 6, ``mkmk``
+    features — stacked diacritics): the wire layout of MarkMarkPos
+    format 1 is field-for-field identical with "base" meaning the
+    earlier mark; parse with ``tag=b"mkmk", lookup_type=6``."""
 
     subtables: tuple
 
     @classmethod
-    def parse(cls, r: BigEndianReader) -> "MarkBaseTable | None":
+    def parse(
+        cls, r: BigEndianReader, tag: bytes = b"mark", lookup_type: int = 4
+    ) -> "MarkBaseTable | None":
         data = r.data
         subs = []
-        for s_pos in _feature_subtables(r, b"mark", 4):
+        for s_pos in _feature_subtables(r, tag, lookup_type):
             sr = BigEndianReader(data, s_pos)
             fmt, mark_cov_off, base_cov_off, n_classes, mark_arr_off, \
                 base_arr_off = sr.unpack("HHHHHH")

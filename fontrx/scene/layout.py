@@ -111,6 +111,7 @@ def layout_text(
     line_height = font.info.ascent - font.info.descent + font.info.line_gap
     kern_table = font.kerning if kern else None
     mark_table = font.mark_positioning if marks else None
+    mkmk_table = font.mark_to_mark if marks else None
 
     instances: list[Instance] = []
     max_x = 0.0
@@ -119,16 +120,25 @@ def layout_text(
         pen_y = -line_no * float(line_height)
         prev_gid: int | None = None
         prev_x = 0.0  # pen position of the previous BASE glyph
+        last_mark: tuple[int, float, float] | None = None  # (gid, x, y)
         for gid in line:
             slot = slot_of[gid]
-            if mark_table is not None and prev_gid is not None:
-                d = mark_table.attach(prev_gid, gid)
+            if marks and prev_gid is not None:
+                # stacked diacritics first: attach to the previous MARK
+                # (mkmk), else to the base (mark); neither advances the
+                # pen, and the base stays "previous" for kerning
+                d = None
+                if mkmk_table is not None and last_mark is not None:
+                    d = mkmk_table.attach(last_mark[0], gid)
+                    if d is not None:
+                        mx, my = last_mark[1] + d[0], last_mark[2] + d[1]
+                if d is None and mark_table is not None:
+                    d = mark_table.attach(prev_gid, gid)
+                    if d is not None:
+                        mx, my = prev_x + d[0], pen_y + d[1]
                 if d is not None:
-                    # anchor-aligned onto the base; no pen advance, and
-                    # the base stays "previous" for kerning/attachment
-                    instances.append(
-                        Instance(slot, prev_x + d[0], pen_y + d[1])
-                    )
+                    instances.append(Instance(slot, mx, my))
+                    last_mark = (gid, mx, my)
                     continue
             if kern_table is not None and prev_gid is not None:
                 pen_x += float(kern_table.lookup(prev_gid, gid))
@@ -137,6 +147,7 @@ def layout_text(
             pen_x += widths[slot]
             max_x = max(max_x, pen_x)
             prev_gid = gid
+            last_mark = None
 
     batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
     return TextLayout(

@@ -157,3 +157,44 @@ class TestMarkToBase:
         assert lt.instances[1].x == float(
             dejavu.advance_widths[dejavu.glyph_index("e")]
         )
+
+
+class TestMarkToMark:
+    """GPOS lookup 6 (mkmk): stacked diacritics attach to the previous
+    mark, not the base."""
+
+    def test_stacking(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        mm = dejavu.mark_to_mark
+        assert mm is not None and len(mm.subtables) > 0
+        dot = dejavu.glyph_index(chr(0x0307))    # combining dot above
+        acute = dejavu.glyph_index(chr(0x0301))  # combining acute
+        d = mm.attach(dot, acute)
+        assert d is not None and d[1] > 0  # stacks upward
+
+        lt = layout_text(dejavu, "e" + chr(0x0307) + chr(0x0301), marks=True)
+        assert len(lt.instances) == 3
+        base, first, second = lt.instances
+        assert first.y >= base.y
+        assert second.y > first.y      # second mark rides above the first
+        assert second.x == first.x + d[0]
+        # neither mark advanced the pen
+        assert lt.width == float(
+            dejavu.advance_widths[dejavu.glyph_index("e")]
+        )
+
+    def test_base_resets_stack(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        # mark after a NEW base attaches to that base, not the old stack
+        lt = layout_text(
+            dejavu, "e" + chr(0x0301) + "o" + chr(0x0301), marks=True
+        )
+        m1, m2 = lt.instances[1], lt.instances[3]
+        assert m2.x > m1.x             # second accent moved to the 'o'
+        assert m2.y == lt.instances[2].y + (
+            dejavu.mark_positioning.attach(
+                dejavu.glyph_index("o"), dejavu.glyph_index(chr(0x0301))
+            )[1]
+        )
