@@ -291,9 +291,15 @@ def config5_interactive_page():
 
 
 def config4_both_sizes():
-    """BASELINE config 4 calls for 32px and 64px SDF atlases."""
+    """BASELINE config 4 calls for 1000 CJK glyphs at 32px and 64px.
+    DejaVu has no CJK, so this runs twice: DejaVu stand-ins (same
+    shapes, 10-60 segs/glyph) and the synthetic CJK-regime batch
+    (288 segs/glyph, ``benchmarks/cjk.py``)."""
     config4_sdf_atlas(n_glyphs=1000, size=32)
     config4_sdf_atlas(n_glyphs=1000, size=64)
+    from benchmarks.cjk import sdf_atlas as cjk_sdf
+
+    cjk_sdf(b=1000, n_segments=288)
 
 
 ALL = {

@@ -214,6 +214,28 @@ class Font:
             char = ord(char)
         return self.charmap.glyph_index(char)
 
+    def ligature_table(self, tags: tuple[bytes, ...]):
+        """LigatureSubst collected from arbitrary GSUB feature tags —
+        e.g. ``(b"liga", b"rlig", b"dlig", b"hlig")`` to opt into
+        discretionary/historical ligatures beyond the default set, or
+        ``(b"ccmp",)`` for composition ligatures.  Cached per tag
+        tuple; ``None`` when the font lacks them."""
+        cache = getattr(self, "_lig_tables", None)
+        if cache is None:
+            cache = self._lig_tables = {}
+        if tags not in cache:
+            cache[tags] = None
+            if b"GSUB" in self.tables:
+                try:
+                    from fontrx.font.gsub import LigatureTable
+
+                    cache[tags] = LigatureTable.parse(
+                        self._at(b"GSUB"), tags=tags
+                    )
+                except Exception as e:
+                    log.warning("GSUB %s tables unusable: %s", tags, e)
+        return cache[tags]
+
     @property
     def mark_positioning(self):
         """GPOS MarkToBase attachment (combining diacritics), or

@@ -222,3 +222,36 @@ class TestSelfIntersection:
 
         out = cli_main._render(FakeFont(), "X", Cfg(), RasterEngine(backend="jnp"))
         np.testing.assert_array_equal(out[:, :, 0], want)
+
+
+class TestLoopBlinnBoundaryConvention:
+    """The triangle-mesh fill and the winding fill use different tie
+    conventions on rows/columns sampled EXACTLY on outline coordinates:
+    the winding oracle's half-open root interval (t in [0,1),
+    render_glyph.zig:63-68) vs edge-function rasterization's >=0
+    inclusion.  Off tie samples the two fills agree; on tie samples the
+    difference is confined to the glyph-box boundary.  (Found on
+    DejaVuSerif 'A', whose bottom edge lands exactly on a sample row.)
+    The reference has the same split — its GPU triangles and its CPU
+    oracle never agreed on ties either."""
+
+    def test_serif_A_mismatch_confined_to_boundary_rows(self):
+        import numpy as np
+
+        from fontrx.font.font import Font
+        from fontrx.kernels import oracle
+        from fontrx.kernels.loopblinn import loopblinn_fill
+        from fontrx.pack.segments import glyph_segments
+
+        font = Font.open("/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf")
+        g, _ = font.get_glyph("A")
+        grid = RasterGrid.for_glyph_box(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
+            64, font.info.units_per_em,
+        )
+        tg = TriangulatedGlyph.from_glyph(g)
+        mesh = loopblinn_fill(tg, grid)
+        w = np.where(oracle.winding_map(glyph_segments(g), grid) != 0, 255, 0)
+        diff_rows = np.unique(np.nonzero(mesh != w)[0])
+        # all disagreement on the first/last sample row (the tie rows)
+        assert set(diff_rows.tolist()) <= {0, grid.height - 1}, diff_rows

@@ -94,3 +94,28 @@ class TestCLILigaFlag:
         assert ip.shape == il.shape
         assert (ip != il).any()
         assert il.any()  # and the ligature actually rendered ink
+
+
+class TestLigatureTags:
+    def test_dlig_beyond_default(self, dejavu):
+        """Discretionary ligatures parse via the tags parameter and
+        differ from the default liga+rlig set."""
+        default = dejavu.ligatures
+        dlig = dejavu.ligature_table((b"dlig",))
+        assert dlig is not None and dlig.sets
+        # DejaVu's dlig set is disjoint from its liga set's coverage
+        # for at least one first-glyph
+        assert any(k not in default.sets or dlig.sets[k] != default.sets[k]
+                   for k in dlig.sets)
+        # applying dlig substitutes something liga does not
+        ext = dejavu.ligature_table((b"liga", b"rlig", b"dlig"))
+        assert ext is not None
+        assert sum(len(v) for v in ext.sets.values()) > sum(
+            len(v) for v in default.sets.values()
+        )
+
+    def test_cache_and_missing(self, dejavu):
+        assert dejavu.ligature_table((b"dlig",)) is dejavu.ligature_table(
+            (b"dlig",)
+        )
+        assert dejavu.ligature_table((b"zzzz",)) is None

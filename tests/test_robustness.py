@@ -148,3 +148,77 @@ class TestTransformEquivariance:
             np.testing.assert_array_equal(
                 wc[posc[y]][ix_c], wf[posf[y]][ix_f], err_msg=str(y)
             )
+
+
+class TestFormat14Fuzz:
+    """The round-2 UVS/TTC/kern parsers must fail as cleanly as the
+    rest under truncation and bit flips."""
+
+    def _uvs_font(self):
+        f4 = tb.build_cmap_format4([(65, 66, -64, None)])
+        f14 = tb.build_cmap_format14([
+            (0xFE0E, [(65, 1)], []),
+            (0xFE0F, [], [(65, 2), (66, 2)]),
+        ])
+        cmap = tb.build_cmap([(3, 1, f4), (0, 5, f14)])
+        glyphs = [b"", tb.build_simple_glyph(
+            [[(0, 0, True), (50, 100, False), (100, 0, True)]]
+        ), tb.build_simple_glyph(
+            [[(0, 0, True), (80, 80, False), (160, 0, True)]]
+        )]
+        return tb.build_font(glyphs, cmap)
+
+    def test_uvs_bit_flips(self, rng):
+        import struct
+
+        blob = self._uvs_font()
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        for _ in range(80):
+            b2 = bytearray(blob)
+            pos = int(rng.integers(0, len(b2)))
+            b2[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                f = Font(bytes(b2))
+                f.glyph_index_variant("A", 0xFE0F)
+                f.glyph_index_variant("A", 0xFE0E)
+                f.glyph_index_variant("B", 0xFE00)
+            except acceptable:
+                pass
+
+    def test_uvs_truncations(self):
+        import struct
+
+        blob = self._uvs_font()
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        for cut in range(1, len(blob), 7):
+            try:
+                f = Font(blob[:cut])
+                f.glyph_index_variant("A", 0xFE0F)
+            except acceptable:
+                pass
+
+    def test_ttc_bit_flips(self, rng):
+        import struct
+
+        f1 = tb.build_font(
+            [b"", tb.build_simple_glyph(
+                [[(0, 0, True), (50, 100, False), (100, 0, True)]]
+            )],
+            tb.build_cmap([(3, 1, tb.build_cmap_format4([(65, 65, -64, None)]))]),
+        )
+        blob = tb.build_ttc([f1, f1])
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        for _ in range(80):
+            b2 = bytearray(blob)
+            pos = int(rng.integers(0, len(b2)))
+            b2[pos] ^= 1 << int(rng.integers(0, 8))
+            for idx in (0, 1):
+                try:
+                    f = Font(bytes(b2), index=idx)
+                    for gi in range(f.num_glyphs):
+                        f.load_glyph_safe(gi)
+                except acceptable:
+                    pass
