@@ -60,6 +60,7 @@ class Config:
     interactive: bool = option("i", default=False, help="interactive zoom/pan session")
     kern: bool = option("k", default=False, help="apply pair kerning (kern table or GPOS)")
     ligatures: bool = option("l", default=False, help="apply GSUB standard ligatures")
+    features: Optional[str] = option(None, default=None, help="comma-separated GSUB feature tags (e.g. ccmp,dlig,smcp) shaped with the full lookup engine")
     marks: bool = option(None, default=False, help="attach combining marks (GPOS MarkToBase)")
     serve: int = option(None, default=0, help="serve a live browser viewer on this port (with -i)")
 

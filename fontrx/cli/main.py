@@ -65,6 +65,17 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _feature_tags(cfg) -> tuple[bytes, ...] | None:
+    """``--features ccmp,dlig`` -> 4-byte OpenType tags (space-padded)."""
+    if not cfg.features:
+        return None
+    return tuple(
+        t.strip().encode("ascii")[:4].ljust(4)
+        for t in cfg.features.split(",")
+        if t.strip()
+    ) or None
+
+
 def _render(font, text, cfg, engine) -> np.ndarray:
     import jax.numpy as jnp
 
@@ -76,7 +87,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.scene.transform import ViewTransform
 
         layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures, marks=cfg.marks)
+                             ligatures=cfg.ligatures, marks=cfg.marks,
+                             features=_feature_tags(cfg))
         upem = font.info.units_per_em
         px_per_unit = cfg.size / upem
         margin = max(cfg.size // 8, 4)
@@ -108,7 +120,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.scene.layout import layout_text
 
         layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures)
+                             ligatures=cfg.ligatures,
+                             features=_feature_tags(cfg))
         grids = [
             RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
             for b in np.asarray(layout.batch.boxes)
@@ -130,7 +143,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.scene.layout import layout_text
 
         layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures)
+                             ligatures=cfg.ligatures,
+                             features=_feature_tags(cfg))
         grids = [
             RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
             for b in np.asarray(layout.batch.boxes)
@@ -190,7 +204,8 @@ def _run_interactive(font, text, cfg, engine) -> int:
 
     sess = InteractiveSession(font, text, 1920, 1080, engine,
                               kern=cfg.kern, ligatures=cfg.ligatures,
-                              marks=cfg.marks)
+                              marks=cfg.marks,
+                              features=_feature_tags(cfg))
     if cfg.serve:
         from fontrx.cli.serve import serve
 

@@ -270,6 +270,43 @@ class Font:
         return self._markmark
 
     @property
+    def gdef(self):
+        """GDEF glyph definitions (glyph classes, mark filtering) used
+        by GSUB/GPOS lookup skipping, or ``None``."""
+        if not hasattr(self, "_gdef"):
+            self._gdef = None
+            if b"GDEF" in self.tables:
+                try:
+                    from fontrx.font.gdef import GdefTable
+
+                    self._gdef = GdefTable.parse(self._at(b"GDEF"))
+                except Exception as e:  # malformed table degrades to none
+                    log.warning("GDEF table unusable: %s", e)
+        return self._gdef
+
+    def shaper(self, tags: tuple[bytes, ...]):
+        """Full GSUB shaping engine (:class:`fontrx.font.shape.GsubShaper`)
+        over the features tagged ``tags`` — lookup types 1-7 including
+        contextual/chained-contextual, with GDEF lookup-flag skipping.
+        Cached per tag tuple; ``None`` when the font has no matching
+        features."""
+        cache = getattr(self, "_shapers", None)
+        if cache is None:
+            cache = self._shapers = {}
+        if tags not in cache:
+            cache[tags] = None
+            if b"GSUB" in self.tables:
+                try:
+                    from fontrx.font.shape import GsubShaper
+
+                    cache[tags] = GsubShaper.parse(
+                        self._at(b"GSUB"), tags=tags, gdef=self.gdef
+                    )
+                except Exception as e:
+                    log.warning("GSUB shaper %s unusable: %s", tags, e)
+        return cache[tags]
+
+    @property
     def uvs(self) -> "ttf.CmapFormat14 | None":
         """The variation-sequences subtable, or ``None``."""
         if not hasattr(self, "_uvs"):

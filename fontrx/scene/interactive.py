@@ -69,12 +69,14 @@ class InteractiveSession:
     kern: bool = False
     ligatures: bool = False
     marks: bool = False
+    features: tuple[bytes, ...] | None = None
 
     def __post_init__(self):
         self.layout: TextLayout = layout_text(self.font, self.text,
                                               kern=self.kern,
                                               ligatures=self.ligatures,
-                                              marks=self.marks)
+                                              marks=self.marks,
+                                              features=self.features)
         self.view = ViewTransform.init(
             self.font.info.units_per_em, self.width, self.height
         )
@@ -116,7 +118,8 @@ class InteractiveSession:
         self.text += text
         self.layout = layout_text(self.font, self.text, kern=self.kern,
                                   ligatures=self.ligatures,
-                                  marks=self.marks)
+                                  marks=self.marks,
+                                  features=self.features)
         self.renderer = PageRenderer(
             self.font, self.layout, self.width, self.height, self.engine
         )

@@ -56,6 +56,7 @@ def layout_text(
     kern: bool = False,
     ligatures: bool = False,
     marks: bool = False,
+    features: tuple[bytes, ...] | None = None,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -70,7 +71,11 @@ def layout_text(
       to each line's glyph stream before placement;
     - ``marks=True``: GPOS MarkToBase attachment — a combining mark
       (e.g. U+0301) is anchor-aligned onto the preceding base glyph and
-      consumes no pen advance; kerning pairs skip over marks.
+      consumes no pen advance; kerning pairs skip over marks;
+    - ``features=(b"ccmp", b"dlig", ...)``: arbitrary GSUB feature tags
+      shaped with the full lookup engine (:mod:`fontrx.font.shape` —
+      contextual/chained lookups, GDEF flag skipping); combines with
+      ``ligatures=True``, which contributes ``liga``+``rlig``.
     """
     # text -> per-line glyph-id streams (ligatures never cross newlines).
     # Unicode variation selectors (U+FE00..FE0F, U+E0100..E01EF) modify
@@ -90,9 +95,21 @@ def layout_text(
             continue  # selector without a base char: ignored
         lines[-1].append(int(font.charmap.glyph_index(cp)))
         prev_cp = cp
-    lig_table = font.ligatures if ligatures else None
-    if lig_table is not None:
-        lines = [lig_table.apply(line) for line in lines]
+    # substitution pass: the full GSUB engine over the selected feature
+    # tags (ligatures=True contributes liga+rlig); falls back to the
+    # flattened LigatureTable when the engine can't parse the font's
+    # GSUB but the simple path can
+    tags: tuple[bytes, ...] = ()
+    if ligatures:
+        tags += (b"liga", b"rlig")
+    if features:
+        tags += tuple(t for t in features if t not in tags)
+    if tags:
+        shaper = font.shaper(tags)
+        if shaper is not None:
+            lines = [shaper.apply(line) for line in lines]
+        elif ligatures and font.ligatures is not None:
+            lines = [font.ligatures.apply(line) for line in lines]
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
     slot_of: dict[int, int] = {}

@@ -255,8 +255,10 @@ def build_font(
     units_per_em=1000,
     loca_format=0,
     metrics: list[tuple[int, int]] | None = None,
+    extra_tables: dict[bytes, bytes] | None = None,
 ) -> bytes:
-    """Assemble a complete minimal TTF from glyf entries + a cmap."""
+    """Assemble a complete minimal TTF from glyf entries + a cmap.
+    ``extra_tables`` adds arbitrary tagged tables (GSUB/GDEF/...)."""
     num_glyphs = len(glyphs)
     if metrics is None:
         metrics = [(500, 0)] * num_glyphs
@@ -281,6 +283,8 @@ def build_font(
         b"loca": loca,
         b"glyf": glyf,
     }
+    if extra_tables:
+        tables.update(extra_tables)
     tags = sorted(tables)
     num = len(tags)
     offset = 12 + 16 * num
@@ -354,3 +358,347 @@ def build_ttc(fonts: list[bytes]) -> bytes:
         + b"".join(struct.pack(">I", o) for o in offs)
         + b"".join(blobs)
     )
+
+
+# ---------------------------------------------------------------------------
+# OpenType layout builders (GSUB / GDEF) — written from the public
+# OpenType spec, for exercising the shaping engine's parser branches.
+
+def build_coverage(glyphs: list[int]) -> bytes:
+    """Coverage format 1 (sorted glyph list)."""
+    glyphs = sorted(glyphs)
+    return struct.pack(f">HH{len(glyphs)}H", 1, len(glyphs), *glyphs)
+
+
+def build_classdef(classes: dict[int, int]) -> bytes:
+    """ClassDef format 2: one range record per glyph (simple, valid)."""
+    items = sorted(classes.items())
+    out = struct.pack(">HH", 2, len(items))
+    for g, c in items:
+        out += struct.pack(">HHH", g, g, c)
+    return out
+
+
+def gsub_single(mapping: dict[int, int], fmt: int = 2) -> bytes:
+    """SingleSubst subtable.  fmt 1 requires a constant delta."""
+    glyphs = sorted(mapping)
+    cov = build_coverage(glyphs)
+    if fmt == 1:
+        deltas = {(mapping[g] - g) & 0xFFFF for g in glyphs}
+        assert len(deltas) == 1, "fmt-1 single subst needs one delta"
+        head = struct.pack(">HHh", 1, 6, list(deltas)[0] - (0x10000 if list(deltas)[0] >= 0x8000 else 0))
+        return head + cov
+    subs = [mapping[g] for g in glyphs]
+    head_len = 6 + 2 * len(subs)
+    return (
+        struct.pack(">HHH", 2, head_len, len(subs))
+        + struct.pack(f">{len(subs)}H", *subs)
+        + cov
+    )
+
+
+def gsub_multiple(mapping: dict[int, list[int]]) -> bytes:
+    """MultipleSubst subtable (format 1)."""
+    glyphs = sorted(mapping)
+    cov = build_coverage(glyphs)
+    n = len(glyphs)
+    head_len = 6 + 2 * n
+    seq_tables = []
+    seq_offsets = []
+    pos = head_len
+    for g in glyphs:
+        seq = mapping[g]
+        b = struct.pack(f">H{len(seq)}H", len(seq), *seq)
+        seq_offsets.append(pos)
+        seq_tables.append(b)
+        pos += len(b)
+    return (
+        struct.pack(">HHH", 1, pos, n)
+        + struct.pack(f">{n}H", *seq_offsets)
+        + b"".join(seq_tables)
+        + cov
+    )  # coverage after sequences: cov offset = pos
+
+
+def gsub_alternate(mapping: dict[int, list[int]]) -> bytes:
+    """AlternateSubst subtable (format 1): identical wire shape to
+    MultipleSubst format 1 (coverage + per-index glyph lists)."""
+    return gsub_multiple(mapping)
+
+
+def gsub_ligature(sets: dict[int, list[tuple[list[int], int]]]) -> bytes:
+    """LigatureSubst subtable: first glyph -> [(components, lig_glyph)]."""
+    firsts = sorted(sets)
+    cov = build_coverage(firsts)
+    n = len(firsts)
+    head_len = 6 + 2 * n
+    set_tables = []
+    set_offsets = []
+    pos = head_len
+    for g in firsts:
+        ligs = sets[g]
+        lig_blobs = []
+        lig_offsets = []
+        lpos = 2 + 2 * len(ligs)
+        for comps, lig_glyph in ligs:
+            b = struct.pack(
+                f">HH{len(comps)}H", lig_glyph, len(comps) + 1, *comps
+            )
+            lig_offsets.append(lpos)
+            lig_blobs.append(b)
+            lpos += len(b)
+        tbl = (
+            struct.pack(f">H{len(ligs)}H", len(ligs), *lig_offsets)
+            + b"".join(lig_blobs)
+        )
+        set_offsets.append(pos)
+        set_tables.append(tbl)
+        pos += len(tbl)
+    return (
+        struct.pack(">HHH", 1, pos, n)
+        + struct.pack(f">{n}H", *set_offsets)
+        + b"".join(set_tables)
+        + cov
+    )
+
+
+def gsub_context3(input_covs: list[list[int]],
+                  records: list[tuple[int, int]]) -> bytes:
+    """ContextSubst format 3: input coverage sequence + records."""
+    n_in = len(input_covs)
+    covs = [build_coverage(c) for c in input_covs]
+    head_len = 6 + 2 * n_in + 4 * len(records)
+    out = struct.pack(">HHH", 3, n_in, len(records))
+    pos = head_len
+    offs = []
+    for c in covs:
+        offs.append(pos)
+        pos += len(c)
+    out += struct.pack(f">{n_in}H", *offs)
+    for si, li in records:
+        out += struct.pack(">HH", si, li)
+    return out + b"".join(covs)
+
+
+def gsub_chain3(backtrack: list[list[int]], input_covs: list[list[int]],
+                lookahead: list[list[int]],
+                records: list[tuple[int, int]]) -> bytes:
+    """ChainContextSubst format 3."""
+    all_covs = [build_coverage(c) for c in backtrack + input_covs + lookahead]
+    nb, ni, nl = len(backtrack), len(input_covs), len(lookahead)
+    head_len = 2 + 2 + 2 * nb + 2 + 2 * ni + 2 + 2 * nl + 2 + 4 * len(records)
+    pos = head_len
+    offs = []
+    for c in all_covs:
+        offs.append(pos)
+        pos += len(c)
+    bo, io, lo = offs[:nb], offs[nb:nb + ni], offs[nb + ni:]
+    out = struct.pack(">HH", 3, nb) + struct.pack(f">{nb}H", *bo)
+    out += struct.pack(">H", ni) + struct.pack(f">{ni}H", *io)
+    out += struct.pack(">H", nl) + struct.pack(f">{nl}H", *lo)
+    out += struct.pack(">H", len(records))
+    for si, li in records:
+        out += struct.pack(">HH", si, li)
+    return out + b"".join(all_covs)
+
+
+def gsub_context1(rules: dict[int, list[tuple[list[int], list[tuple[int, int]]]]]) -> bytes:
+    """ContextSubst format 1: first glyph -> [(rest_of_input_glyphs,
+    records)]."""
+    firsts = sorted(rules)
+    cov = build_coverage(firsts)
+    n = len(firsts)
+    head_len = 6 + 2 * n
+    set_tables = []
+    set_offsets = []
+    pos = head_len
+    for g in firsts:
+        rs = rules[g]
+        rule_blobs = []
+        rule_offsets = []
+        rpos = 2 + 2 * len(rs)
+        for rest, recs in rs:
+            b = struct.pack(f">HH{len(rest)}H", len(rest) + 1, len(recs), *rest)
+            for si, li in recs:
+                b += struct.pack(">HH", si, li)
+            rule_offsets.append(rpos)
+            rule_blobs.append(b)
+            rpos += len(b)
+        tbl = (
+            struct.pack(f">H{len(rs)}H", len(rs), *rule_offsets)
+            + b"".join(rule_blobs)
+        )
+        set_offsets.append(pos)
+        set_tables.append(tbl)
+        pos += len(tbl)
+    return (
+        struct.pack(">HHH", 1, pos, n)
+        + struct.pack(f">{n}H", *set_offsets)
+        + b"".join(set_tables)
+        + cov
+    )
+
+
+def gsub_chain2(
+    coverage_glyphs: list[int],
+    bt_classes: dict[int, int],
+    in_classes: dict[int, int],
+    la_classes: dict[int, int],
+    rule_sets: dict[int, list[tuple[list[int], list[int], list[int],
+                                    list[tuple[int, int]]]]],
+    n_sets: int,
+) -> bytes:
+    """ChainContextSubst format 2: class-based rules.  ``rule_sets``
+    maps the first glyph's input class to rules of (backtrack_classes,
+    rest_input_classes, lookahead_classes, records)."""
+    cov = build_coverage(coverage_glyphs)
+    bt_cd = build_classdef(bt_classes)
+    in_cd = build_classdef(in_classes)
+    la_cd = build_classdef(la_classes)
+    head_len = 12 + 2 * n_sets
+    blobs: list[bytes] = []
+    pos = head_len
+
+    def place(b: bytes) -> int:
+        nonlocal pos
+        blobs.append(b)
+        p = pos
+        pos += len(b)
+        return p
+
+    cov_off = place(cov)
+    bt_off = place(bt_cd)
+    in_off = place(in_cd)
+    la_off = place(la_cd)
+    set_offsets = []
+    for ci in range(n_sets):
+        rs = rule_sets.get(ci)
+        if not rs:
+            set_offsets.append(0)
+            continue
+        rule_blobs = []
+        rule_offsets = []
+        rpos = 2 + 2 * len(rs)
+        for bt, rest, la, recs in rs:
+            b = struct.pack(f">H{len(bt)}H", len(bt), *bt)
+            b += struct.pack(f">H{len(rest)}H", len(rest) + 1, *rest)
+            b += struct.pack(f">H{len(la)}H", len(la), *la)
+            b += struct.pack(">H", len(recs))
+            for si, li in recs:
+                b += struct.pack(">HH", si, li)
+            rule_offsets.append(rpos)
+            rule_blobs.append(b)
+            rpos += len(b)
+        tbl = (
+            struct.pack(f">H{len(rs)}H", len(rs), *rule_offsets)
+            + b"".join(rule_blobs)
+        )
+        set_offsets.append(place(tbl))
+    head = struct.pack(
+        ">HHHHHH", 2, cov_off, bt_off, in_off, la_off, n_sets
+    ) + struct.pack(f">{n_sets}H", *set_offsets)
+    assert len(head) == head_len
+    return head + b"".join(blobs)
+
+
+def gsub_extension(ext_type: int, subtable: bytes) -> bytes:
+    """Extension substitution (type 7) wrapping ``subtable``."""
+    return struct.pack(">HHI", 1, ext_type, 8) + subtable
+
+
+def build_gsub(
+    features: list[tuple[bytes, list[int]]],
+    lookups: list[tuple[int, int, list[bytes]]],
+    mark_filter_sets: dict[int, int] | None = None,
+) -> bytes:
+    """Assemble a GSUB table.  ``lookups``: (type, flags, subtables);
+    ``mark_filter_sets``: lookup index -> markFilteringSet value (sets
+    flag 0x10 implicitly expected in flags)."""
+    mark_filter_sets = mark_filter_sets or {}
+    # script list: empty (fontrx ignores it)
+    script_list = struct.pack(">H", 0)
+    # feature list
+    n_feat = len(features)
+    feat_tables = []
+    feat_offsets = []
+    pos = 2 + 6 * n_feat
+    for _tag, idx in features:
+        b = struct.pack(f">HH{len(idx)}H", 0, len(idx), *idx)
+        feat_offsets.append(pos)
+        feat_tables.append(b)
+        pos += len(b)
+    feature_list = struct.pack(">H", n_feat)
+    for (tag, _idx), off in zip(features, feat_offsets):
+        feature_list += struct.pack(">4sH", tag, off)
+    feature_list += b"".join(feat_tables)
+    # lookup list
+    n_lk = len(lookups)
+    lk_tables = []
+    lk_offsets = []
+    pos = 2 + 2 * n_lk
+    for li, (ltype, flags, subs) in enumerate(lookups):
+        extra = 2 if li in mark_filter_sets else 0
+        sub_base = 6 + 2 * len(subs) + extra
+        sub_offs = []
+        sp = sub_base
+        for s in subs:
+            sub_offs.append(sp)
+            sp += len(s)
+        b = struct.pack(f">HHH{len(subs)}H", ltype, flags, len(subs), *sub_offs)
+        if li in mark_filter_sets:
+            b += struct.pack(">H", mark_filter_sets[li])
+        b += b"".join(subs)
+        lk_offsets.append(pos)
+        lk_tables.append(b)
+        pos += len(b)
+    lookup_list = struct.pack(f">H{n_lk}H", n_lk, *lk_offsets) + b"".join(lk_tables)
+
+    header_len = 10
+    script_off = header_len
+    feature_off = script_off + len(script_list)
+    lookup_off = feature_off + len(feature_list)
+    return (
+        struct.pack(">HHHHH", 1, 0, script_off, feature_off, lookup_off)
+        + script_list
+        + feature_list
+        + lookup_list
+    )
+
+
+def build_gdef(
+    glyph_classes: dict[int, int] | None = None,
+    mark_attach: dict[int, int] | None = None,
+    mark_sets: list[list[int]] | None = None,
+) -> bytes:
+    """Assemble a GDEF table (version 1.0, or 1.2 when mark_sets)."""
+    minor = 2 if mark_sets else 0
+    header_len = 12 + (2 if minor else 0)
+    blobs: list[bytes] = []
+    pos = header_len
+
+    def place(b: bytes | None) -> int:
+        nonlocal pos
+        if not b:
+            return 0
+        blobs.append(b)
+        p = pos
+        pos += len(b)
+        return p
+
+    gc_off = place(build_classdef(glyph_classes) if glyph_classes else None)
+    ma_off = place(build_classdef(mark_attach) if mark_attach else None)
+    ms_off = 0
+    if mark_sets:
+        covs = [build_coverage(s) for s in mark_sets]
+        mpos = 4 + 4 * len(covs)
+        offs = []
+        for c in covs:
+            offs.append(mpos)
+            mpos += len(c)
+        b = struct.pack(f">HH{len(covs)}I", 1, len(covs), *offs) + b"".join(covs)
+        ms_off = place(b)
+    head = struct.pack(">HHHHHH", 1, minor, gc_off, 0, 0, ma_off)
+    if minor:
+        head += struct.pack(">H", ms_off)
+    assert len(head) == header_len
+    return head + b"".join(blobs)
