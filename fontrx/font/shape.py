@@ -238,23 +238,31 @@ class GsubShaper:
         if not (0 <= li < len(self._lookup_offsets)):
             return None
         self.lookups[li] = None  # cycle guard while parsing
-        tb = BigEndianReader(self._data, self._l_base + self._lookup_offsets[li])
-        t_base = tb.pos
-        lookup_type, flags, n_sub = tb.unpack("HHH")
-        sub_offs = [t_base + int(o) for o in tb.u16_array(n_sub)]
-        mark_filter = None
-        if flags & 0x0010:  # useMarkFilteringSet: trailing u16
-            mark_filter = tb.u16()
-        subtables = []
-        for s_pos in sub_offs:
-            s_type = lookup_type
-            if s_type == _GSUB_EXTENSION:
-                er = BigEndianReader(self._data, s_pos)
-                _fmt, ext_type = er.unpack("HH")
-                s_pos, s_type = s_pos + er.u32(), ext_type
-            sub = self._parse_subtable(s_type, s_pos)
-            if sub is not None:
-                subtables.append((s_type, sub))
+        try:
+            tb = BigEndianReader(
+                self._data, self._l_base + self._lookup_offsets[li]
+            )
+            t_base = tb.pos
+            lookup_type, flags, n_sub = tb.unpack("HHH")
+            sub_offs = [t_base + int(o) for o in tb.u16_array(n_sub)]
+            mark_filter = None
+            if flags & 0x0010:  # useMarkFilteringSet: trailing u16
+                mark_filter = tb.u16()
+            subtables = []
+            for s_pos in sub_offs:
+                s_type = lookup_type
+                if s_type == _GSUB_EXTENSION:
+                    er = BigEndianReader(self._data, s_pos)
+                    _fmt, ext_type = er.unpack("HH")
+                    s_pos, s_type = s_pos + er.u32(), ext_type
+                sub = self._parse_subtable(s_type, s_pos)
+                if sub is not None:
+                    subtables.append((s_type, sub))
+        except Exception:
+            # a nested lookup reached lazily from a contextual rule may
+            # sit in a corrupt region: degrade that lookup to absent
+            # (the font-level parse errors are handled by Font.shaper)
+            return None
         lk = Lookup(lookup_type, flags, mark_filter, tuple(subtables))
         self.lookups[li] = lk
         return lk

@@ -222,3 +222,111 @@ class TestFormat14Fuzz:
                         f.load_glyph_safe(gi)
                 except acceptable:
                     pass
+
+
+class TestShapeFuzz:
+    """The GSUB shaping engine + GDEF parser (capability extension)
+    must degrade cleanly under corruption: ``Font.shaper`` returns a
+    shaper or None, and ``apply`` never hangs or crashes deep in numpy
+    on a font whose top-level parse succeeded."""
+
+    def _gsub_gdef(self):
+        ctx = tb.gsub_context3([[10], [11]], [(0, 1), (1, 2)])
+        chain = tb.gsub_chain3([[9]], [[10]], [[11]], [(0, 1)])
+        gsub = tb.build_gsub(
+            [(b"test", [0, 3]), (b"liga", [4])],
+            [
+                (5, 0, [ctx]),
+                (1, 0, [tb.gsub_single({10: 20})]),
+                (2, 0, [tb.gsub_multiple({11: [21, 22]})]),
+                (6, 0x0008, [chain]),
+                (4, 0x0010, [tb.gsub_ligature({10: [([11], 40)]})]),
+            ],
+            mark_filter_sets={4: 0},
+        )
+        gdef = tb.build_gdef(
+            glyph_classes={10: 1, 11: 1, 50: 3},
+            mark_attach={50: 1},
+            mark_sets=[[50]],
+        )
+        return gsub, gdef
+
+    def test_gsub_bit_flips(self, rng):
+        import struct
+
+        from fontrx.font.gdef import GdefTable
+        from fontrx.font.shape import GsubShaper
+        from fontrx.utils.reader import BigEndianReader
+
+        gsub, gdef = self._gsub_gdef()
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        stream = [9, 10, 11, 50, 10, 11]
+        for _ in range(200):
+            g2 = bytearray(gsub)
+            pos = int(rng.integers(0, len(g2)))
+            g2[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                sh = GsubShaper.parse(
+                    BigEndianReader(bytes(g2), 0),
+                    tags=(b"test", b"liga"),
+                    gdef=GdefTable.parse(BigEndianReader(gdef, 0)),
+                )
+                if sh is not None:
+                    out = sh.apply(stream)
+                    assert isinstance(out, list)
+            except acceptable:
+                pass
+
+    def test_gdef_bit_flips(self, rng):
+        import struct
+
+        from fontrx.font.gdef import GdefTable
+        from fontrx.font.shape import GsubShaper
+        from fontrx.utils.reader import BigEndianReader
+
+        gsub, gdef = self._gsub_gdef()
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        for _ in range(150):
+            d2 = bytearray(gdef)
+            pos = int(rng.integers(0, len(d2)))
+            d2[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                g = GdefTable.parse(BigEndianReader(bytes(d2), 0))
+                g.glyph_class(10)
+                g.skips(50, 0x0208, 0)
+                sh = GsubShaper.parse(
+                    BigEndianReader(gsub, 0), tags=(b"test",), gdef=g
+                )
+                if sh is not None:
+                    sh.apply([9, 10, 11, 50, 10, 11])
+            except acceptable:
+                pass
+
+    def test_font_level_degradation(self, rng):
+        """A full font blob with corrupted GSUB/GDEF: Font.shaper must
+        return None or a working shaper — never raise — and layout_text
+        with features must survive."""
+        from fontrx.scene.layout import layout_text
+
+        gsub, gdef = self._gsub_gdef()
+        cmap = tb.build_cmap(
+            [(3, 1, tb.build_cmap_format4([(65, 70, -55, None)]))]
+        )
+        tri = tb.build_simple_glyph(
+            [[(0, 0, True), (50, 100, False), (100, 0, True)]]
+        )
+        glyphs = [b""] + [tri] * 45
+        for _ in range(60):
+            g2 = bytearray(gsub)
+            pos = int(rng.integers(0, len(g2)))
+            g2[pos] ^= 1 << int(rng.integers(0, 8))
+            blob = tb.build_font(
+                glyphs, cmap,
+                extra_tables={b"GSUB": bytes(g2), b"GDEF": gdef},
+            )
+            f = Font(blob)
+            sh = f.shaper((b"test", b"liga"))  # never raises
+            lay = layout_text(f, "ABC", features=(b"test",))
+            assert len(lay.instances) >= 1
