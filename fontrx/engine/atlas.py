@@ -92,6 +92,15 @@ def _pack_charset_native(font, idx, widths, pad_batch_to):
         segments[i, : len(seg)] = seg
         counts[i] = len(seg)
         boxes[i] = (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max)
+    # y-sort each row in place — same ordering as pack_glyphs, so the
+    # native and pure paths stay array-equal (and the kernel's y-cull /
+    # group elision see coherent chunks)
+    from fontrx.pack.segments import ysort_segments
+
+    for i in range(len(idx)):
+        n = int(counts[i])
+        if n > 1:
+            segments[i, :n] = ysort_segments(segments[i, :n])
 
     b = len(idx)
     if pad_batch_to is not None:

@@ -186,7 +186,7 @@ class RasterEngine:
         from fontrx.kernels.winding_pallas_v2 import (
             winding_pallas_banded_batch,
         )
-        from fontrx.pack.segments import glyph_segments
+        from fontrx.pack.segments import glyph_segments, ysort_segments
 
         backend = self._resolve()
         assert 128 % tile == 0, tile
@@ -206,7 +206,7 @@ class RasterEngine:
         ]
         n = len(glyphs)
         b = (n + bands - 1) // bands
-        seg_arrays = [glyph_segments(g) for g in glyphs]
+        seg_arrays = [ysort_segments(glyph_segments(g)) for g in glyphs]
         elem_counts = [
             sum(len(seg_arrays[e * bands + k])
                 for k in range(bands) if e * bands + k < n)
