@@ -62,6 +62,7 @@ class Config:
     ligatures: bool = option("l", default=False, help="apply GSUB standard ligatures")
     features: Optional[str] = option(None, default=None, help="comma-separated GSUB feature tags (e.g. ccmp,dlig,smcp) shaped with the full lookup engine")
     marks: bool = option(None, default=False, help="attach combining marks (GPOS MarkToBase)")
+    vertical: bool = option(None, default=False, help="vertical layout: top-to-bottom columns, right-to-left (vhea/vmtx + GSUB vert)")
     serve: int = option(None, default=0, help="serve a live browser viewer on this port (with -i)")
 
 

@@ -88,7 +88,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
 
         layout = layout_text(font, text, kern=cfg.kern,
                              ligatures=cfg.ligatures, marks=cfg.marks,
-                             features=_feature_tags(cfg))
+                             features=_feature_tags(cfg),
+                             vertical=cfg.vertical)
         upem = font.info.units_per_em
         px_per_unit = cfg.size / upem
         margin = max(cfg.size // 8, 4)
@@ -100,10 +101,16 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         s = 2.0 * px_per_unit / width
         sy = 2.0 * px_per_unit / height
         ox = -1.0 + 2.0 * margin / width
-        descent_px = -font.info.descent * px_per_unit
-        oy = -1.0 + 2.0 * (margin + descent_px + layout.height * px_per_unit
-                           - (font.info.ascent + font.info.line_gap
-                              - font.info.descent) * px_per_unit) / height
+        if cfg.vertical:
+            # vertical layout: content hangs from em y=0 down to
+            # -layout.height (no baseline/ascent bookkeeping)
+            oy = -1.0 + 2.0 * (margin + layout.height * px_per_unit) / height
+        else:
+            descent_px = -font.info.descent * px_per_unit
+            oy = -1.0 + 2.0 * (margin + descent_px
+                               + layout.height * px_per_unit
+                               - (font.info.ascent + font.info.line_gap
+                                  - font.info.descent) * px_per_unit) / height
         # ViewTransform.apply multiplies y by aspect; pre-divide so the
         # net y scale is sy
         view = ViewTransform(

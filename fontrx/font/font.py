@@ -270,6 +270,27 @@ class Font:
         return self._markmark
 
     @property
+    def vertical_metrics(self):
+        """``(vhea, advance_heights uint16[n], top_side_bearings
+        int16[n])`` from the ``vhea``/``vmtx`` tables, or ``None`` when
+        the font has no vertical layout data — a capability extension
+        (the reference's pen is horizontal-only, ``Appli.zig:343-351``)."""
+        if not hasattr(self, "_vmetrics"):
+            self._vmetrics = None
+            if b"vhea" in self.tables and b"vmtx" in self.tables:
+                try:
+                    vhea = ttf.Vhea.parse(self._at(b"vhea"))
+                    heights, tsbs = ttf.parse_vmtx(
+                        self._at(b"vmtx"),
+                        vhea.num_of_long_ver_metrics,
+                        self.maxp.num_glyphs,
+                    )
+                    self._vmetrics = (vhea, heights, tsbs)
+                except Exception as e:  # malformed tables degrade to none
+                    log.warning("vhea/vmtx tables unusable: %s", e)
+        return self._vmetrics
+
+    @property
     def gdef(self):
         """GDEF glyph definitions (glyph classes, mark filtering) used
         by GSUB/GPOS lookup skipping, or ``None``."""

@@ -194,6 +194,57 @@ def parse_hmtx(r: BigEndianReader, num_metrics: int, num_glyphs: int) -> np.ndar
     return out
 
 
+@dataclass(frozen=True, slots=True)
+class Vhea:
+    """``vhea`` table — vertical layout metrics, a capability extension
+    (the reference has no vertical text; its pen only advances
+    horizontally, ``src/Appli.zig:343-351``).  Same wire shape as
+    ``hhea`` with vertical semantics."""
+
+    ascent: int          # vertTypoAscender: half the column pitch, + right
+    descent: int         # vertTypoDescender (negative, - left)
+    line_gap: int        # vertTypoLineGap: extra column spacing
+    advance_height_max: int
+    num_of_long_ver_metrics: int
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "Vhea":
+        _version = r.u32()
+        ascent, descent, line_gap, advance_height_max = r.unpack("hhhH")
+        r.skip(2 * 3 + 2 * 8)  # minTSB..metricDataFormat (incl. reserved)
+        num_metrics = r.u16()
+        return cls(ascent, descent, line_gap, advance_height_max, num_metrics)
+
+
+def parse_vmtx(
+    r: BigEndianReader, num_metrics: int, num_glyphs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """``(advance_heights uint16[n], top_side_bearings int16[n])`` per
+    glyph.  Trailing glyphs reuse the last long metric's advance and
+    read their top side bearing from the run-out i16 array (mirror of
+    the ``hmtx`` run-out rule the reference implements at
+    ``Font.zig:123-139``)."""
+    if num_metrics == 0:
+        raise CorruptedFont("vmtx: zero long metrics")
+    pairs = np.frombuffer(r.data, dtype=">u2", count=2 * num_metrics, offset=r.pos)
+    advances = pairs[0::2].astype(np.uint16)
+    tsbs = pairs[1::2].astype(np.int16)
+    n = min(num_metrics, num_glyphs)
+    adv_out = np.empty(num_glyphs, dtype=np.uint16)
+    adv_out[:n] = advances[:n]
+    adv_out[n:] = advances[n - 1]
+    tsb_out = np.zeros(num_glyphs, dtype=np.int16)
+    tsb_out[:n] = tsbs[:n]
+    if num_glyphs > num_metrics:
+        extra = num_glyphs - num_metrics
+        run_out = np.frombuffer(
+            r.data, dtype=">i2", count=extra,
+            offset=r.pos + 4 * num_metrics,
+        ).astype(np.int16)
+        tsb_out[num_metrics:] = run_out
+    return adv_out, tsb_out
+
+
 # --------------------------------------------------------------------------
 # cmap
 # --------------------------------------------------------------------------

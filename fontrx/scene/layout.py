@@ -57,6 +57,7 @@ def layout_text(
     ligatures: bool = False,
     marks: bool = False,
     features: tuple[bytes, ...] | None = None,
+    vertical: bool = False,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -75,7 +76,17 @@ def layout_text(
     - ``features=(b"ccmp", b"dlig", ...)``: arbitrary GSUB feature tags
       shaped with the full lookup engine (:mod:`fontrx.font.shape` —
       contextual/chained lookups, GDEF flag skipping); combines with
-      ``ligatures=True``, which contributes ``liga``+``rlig``.
+      ``ligatures=True``, which contributes ``liga``+``rlig``;
+    - ``vertical=True``: top-to-bottom columns, right-to-left (CJK
+      convention).  Per glyph the pen drops by the ``vmtx`` advance
+      height and the glyph hangs with its bbox top at
+      ``pen - top_side_bearing``, centered on the column axis
+      (``x -= advance_width/2``); the GSUB ``vert`` feature is applied
+      automatically when the font has it (rotated punctuation forms).
+      Fonts without ``vhea``/``vmtx`` fall back to one em of advance
+      and the hhea ascent as the hanging origin.  Kerning and mark
+      attachment are horizontal-only and ignored in this mode (no
+      ``vkrn`` support).
     """
     # text -> per-line glyph-id streams (ligatures never cross newlines).
     # Unicode variation selectors (U+FE00..FE0F, U+E0100..E01EF) modify
@@ -104,6 +115,8 @@ def layout_text(
         tags += (b"liga", b"rlig")
     if features:
         tags += tuple(t for t in features if t not in tags)
+    if vertical:
+        tags += tuple(t for t in (b"vert",) if t not in tags)
     if tags:
         shaper = font.shaper(tags)
         if shaper is not None:
@@ -115,15 +128,24 @@ def layout_text(
     slot_of: dict[int, int] = {}
     glyphs = []
     widths = []
+    slot_ymax: list[int] = []
     slot_chars: list[int] = []
     for line in lines:
         for gid in line:
             if gid not in slot_of:
                 slot_of[gid] = len(glyphs)
-                glyphs.append(font.load_glyph(gid))
+                g = font.load_glyph(gid)
+                glyphs.append(g)
                 widths.append(int(font.advance_widths[gid]))
+                slot_ymax.append(int(g.box.y_max))
                 c = font.charmap.char_for_glyph(gid)
                 slot_chars.append(int(c) if c is not None else -1)
+
+    if vertical:
+        return _layout_vertical(
+            font, lines, slot_of, glyphs, widths, slot_ymax, slot_chars,
+            pad_batch_to,
+        )
 
     line_height = font.info.ascent - font.info.descent + font.info.line_gap
     kern_table = font.kerning if kern else None
@@ -173,4 +195,55 @@ def layout_text(
         instances=instances,
         width=max_x,
         height=len(lines) * line_height,
+    )
+
+
+def _layout_vertical(
+    font, lines, slot_of, glyphs, widths, slot_ymax, slot_chars,
+    pad_batch_to,
+):
+    """Vertical (top-to-bottom, columns right-to-left) placement — see
+    ``layout_text(vertical=True)``.  The pen drop and hanging origin
+    come from ``vhea``/``vmtx``; fonts without them fall back to one em
+    of advance with the hhea ascent as the hanging origin."""
+    vm = font.vertical_metrics
+    upem = font.info.units_per_em
+    if vm is not None:
+        vhea, adv_h, tsb = vm
+        pitch = float(vhea.ascent - vhea.descent + vhea.line_gap)
+        if pitch <= 0:
+            pitch = float(upem)
+    else:
+        adv_h = tsb = None
+        pitch = float(upem)
+
+    n_cols = max(len(lines), 1)
+    width = n_cols * pitch
+    instances: list[Instance] = []
+    max_drop = 0.0
+    for col_no, line in enumerate(lines):
+        x_axis = width - (col_no + 0.5) * pitch  # columns right-to-left
+        pen_y = 0.0
+        for gid in line:
+            slot = slot_of[gid]
+            if adv_h is not None:
+                ah = float(adv_h[gid])
+                # glyph bbox top hangs at pen - topSideBearing
+                y_off = pen_y - float(tsb[gid]) - float(slot_ymax[slot])
+            else:
+                ah = float(upem)
+                y_off = pen_y - float(font.info.ascent)
+            instances.append(
+                Instance(slot, x_axis - widths[slot] / 2.0, y_off)
+            )
+            pen_y -= ah
+        max_drop = max(max_drop, -pen_y)
+
+    batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
+    return TextLayout(
+        batch=batch,
+        slot_chars=slot_chars,
+        instances=instances,
+        width=width,
+        height=max_drop,
     )

@@ -1,0 +1,117 @@
+"""Vertical text layout (vhea/vmtx + GSUB vert) — a capability
+extension (the reference's pen is horizontal-only,
+``src/Appli.zig:343-351``)."""
+
+import numpy as np
+import pytest
+
+from fontrx.font.font import Font
+from tests import ttf_builder as tb
+
+
+def _vfont(num_metrics=3, run_out=(), with_vert_gsub=False):
+    """Three glyphs mapped to A/B/C with full vertical metrics."""
+    cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4([(65, 67, 0, [1, 2, 3])]))])
+    tri = tb.build_simple_glyph(
+        [[(0, 0, True), (50, 100, False), (100, 0, True)]],
+        box=(0, 0, 100, 100),
+    )
+    glyphs = [b"", tri, tri, tri]
+    metrics = [(1000, 50), (800, 20), (900, 10), (700, 5)][:num_metrics]
+    extra = {
+        b"vhea": tb.build_vhea(ascent=500, descent=-500, line_gap=100,
+                               num_metrics=num_metrics),
+        b"vmtx": tb.build_vmtx(metrics, run_out_tsb=list(run_out)),
+    }
+    if with_vert_gsub:
+        extra[b"GSUB"] = tb.build_gsub(
+            [(b"vert", [0])], [(1, 0, [tb.gsub_single({1: 3})])]
+        )
+    return Font(tb.build_font(glyphs, cmap, extra_tables=extra))
+
+
+class TestVmtxParse:
+    def test_fields_and_runout(self):
+        f = _vfont(num_metrics=2, run_out=[7, 9])
+        vhea, ah, tsb = f.vertical_metrics
+        assert (vhea.ascent, vhea.descent, vhea.line_gap) == (500, -500, 100)
+        # 4 glyphs, 2 long metrics: advances run out with the last
+        np.testing.assert_array_equal(ah, [1000, 800, 800, 800])
+        np.testing.assert_array_equal(tsb, [50, 20, 7, 9])
+
+    def test_absent_tables(self, dejavu):
+        assert dejavu.vertical_metrics is None
+
+    def test_cached(self):
+        f = _vfont()
+        assert f.vertical_metrics is f.vertical_metrics
+
+
+class TestVerticalLayout:
+    def test_positions_from_vmtx(self):
+        from fontrx.scene.layout import layout_text
+
+        f = _vfont(num_metrics=4)
+        lt = layout_text(f, "AB", vertical=True)
+        # pitch = 500 - (-500) + 100 = 1100; one column
+        assert lt.width == 1100.0
+        a, b = lt.instances
+        # glyph 1 (A): aw=500 -> x = 1100/2 - 250; tsb=20? no: glyph 1
+        # has vmtx metric index 1 (glyph id 1): (800, 20)
+        assert a.x == 1100 / 2 - 250
+        assert a.y == 0 - 20 - 100     # pen 0 - A's tsb (20) - ymax
+        # pen dropped by A's advance height 800; B (glyph 2) hangs with
+        # its own tsb (10)
+        assert b.y == -800 - 10 - 100
+        assert lt.height == 800 + 900  # A's then B's advance heights
+
+    def test_columns_right_to_left(self):
+        from fontrx.scene.layout import layout_text
+
+        f = _vfont(num_metrics=4)
+        lt = layout_text(f, "A\nB", vertical=True)
+        assert lt.width == 2200.0
+        a, b = lt.instances
+        assert a.x > b.x  # first line is the rightmost column
+
+    def test_vert_feature_applied(self):
+        from fontrx.scene.layout import layout_text
+
+        f = _vfont(num_metrics=4, with_vert_gsub=True)
+        lt = layout_text(f, "A", vertical=True)
+        # GSUB vert maps glyph 1 -> 3; slot must be the substituted one
+        assert len(lt.batch) == 1
+        horizontal = layout_text(f, "A")
+        # vertical form hangs with glyph 3's metrics (700, 5)
+        assert lt.instances[0].y == -5 - 100
+        assert horizontal.instances[0].y == 0
+
+    def test_fallback_without_vmtx(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(dejavu, "AB", vertical=True)
+        upem = dejavu.info.units_per_em
+        assert lt.width == float(upem)
+        a, b = lt.instances
+        assert a.y == -float(dejavu.info.ascent)
+        assert b.y == a.y - upem
+        assert lt.height == 2.0 * upem
+
+
+class TestCLIVertical:
+    FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+    def test_vertical_flag_renders(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "v.qoi"
+        assert main(["-f", self.FONT, "-t", "AB", "-m", "fill",
+                     "-s", "32", "--vertical", "-o", str(out)]) == 0
+        img = np.asarray(decode(out.read_bytes()))
+        # one column, two glyphs stacked: page taller than wide
+        assert img.shape[0] > img.shape[1]
+        assert img.any()
+        # ink in both the top and bottom halves
+        h = img.shape[0] // 2
+        assert img[:h].any() and img[h:].any()

@@ -702,3 +702,23 @@ def build_gdef(
         head += struct.pack(">H", ms_off)
     assert len(head) == header_len
     return head + b"".join(blobs)
+
+
+def build_vhea(ascent=500, descent=-500, line_gap=0, num_metrics=1) -> bytes:
+    """``vhea`` table — same wire shape as hhea, vertical semantics."""
+    return struct.pack(
+        ">I hhhH hhhhhh hhhh h H",
+        0x00011000,
+        ascent, descent, line_gap, 1000,
+        0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0,
+        0,
+        num_metrics,
+    )
+
+
+def build_vmtx(metrics: list[tuple[int, int]], run_out_tsb: list[int] = ()) -> bytes:
+    """``(advance_height, top_side_bearing)`` long metrics + optional
+    run-out topSideBearing i16 array."""
+    out = b"".join(struct.pack(">Hh", ah, tsb) for ah, tsb in metrics)
+    return out + b"".join(struct.pack(">h", t) for t in run_out_tsb)
