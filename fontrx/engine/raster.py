@@ -277,6 +277,46 @@ class RasterEngine:
         first = np.searchsorted(split.row_owner, np.arange(split.num_glyphs))
         return summed, [grids[i] for i in first]
 
+    def winding_hybrid(
+        self, hb, font_size: int, units_per_em: int, tile: int
+    ) -> tuple[jax.Array, list[RasterGrid]]:
+        """Raster a :class:`~fontrx.pack.segments.HybridBatch`: one
+        small-capacity launch over all rows; single-row glyphs (the
+        common case) pass through with NO fold, and ``r``-row glyphs
+        fold with one dense ``reshape(n, r, T, T).sum(axis=1)`` per
+        distinct ``r`` — scatter-free, unlike :meth:`winding_split`'s
+        whole-atlas ``segment_sum`` (measured 76 ms vs sub-ms on a
+        6k-glyph set).  Returns ``([G, T, T] winding in hb.order, and
+        per-glyph grids)``; exact because winding contributions commute
+        across segment subsets."""
+        grids = [
+            RasterGrid.fixed_tile(tuple(box), font_size, units_per_em, tile)
+            for box in np.asarray(hb.boxes)
+        ]
+        rows = self.winding_batch(
+            hb.segments,
+            np.array([g.min_x for g in grids], np.int32),
+            np.array([g.max_y for g in grids], np.int32),
+            grids[0].scale if grids else 1.0,
+            height=tile,
+            width=tile,
+        )
+        parts = []
+        glyph_grids: list[RasterGrid] = []
+        row = 0
+        for r, n in hb.groups:
+            block = rows[row : row + r * n]
+            if r == 1:
+                parts.append(block)
+            else:
+                parts.append(
+                    block.reshape(n, r, tile, tile).sum(axis=1)
+                )
+            glyph_grids.extend(grids[row + k * r] for k in range(n))
+            row += r * n
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return out, glyph_grids
+
     def coverage_batch(
         self,
         segments,

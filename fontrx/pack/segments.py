@@ -278,3 +278,85 @@ def pack_glyphs_bucketed(
         )
         out.append((batch, idxs))
     return out
+
+
+@dataclass(frozen=True, slots=True)
+class HybridBatch:
+    """Split-pack with rows grouped by per-glyph row count.
+
+    The tail-bucket economics fix (docs/RESULTS.md "Stress"): capacity
+    bucketing pays one kernel launch per bucket, and the plain split
+    packing pays a ``segment_sum`` over EVERY row (measured 76 ms on a
+    6k-glyph atlas — XLA lowers it as scatter-add).  Here single-row
+    glyphs — the overwhelming majority — pass through the raster with
+    no fold at all, and glyphs needing ``r`` rows fold with one dense
+    ``reshape(n, r, T, T).sum(axis=1)`` per distinct ``r`` (a handful
+    of fast, scatter-free reductions).  Exact, because winding
+    contributions are integer adds that commute across segment subsets.
+
+    - ``segments``: float32 ``[R, capacity, 3, 2]``, group-major: all
+      1-row glyphs' rows, then 2-row glyphs (2 consecutive rows each),
+      then 3-row, ...
+    - ``groups``: ``((rows_per_glyph, n_glyphs), ...)`` in row order
+    - ``order``: int32 ``[G]`` original glyph index per OUTPUT slot
+      (group-major)
+    """
+
+    segments: np.ndarray
+    boxes: np.ndarray           # int32 [R, 4] glyph box per row
+    groups: tuple[tuple[int, int], ...]
+    order: np.ndarray
+    advance_widths: np.ndarray  # int32 [G] in output (group-major) order
+
+    def __len__(self) -> int:
+        return self.segments.shape[0]
+
+    @property
+    def num_glyphs(self) -> int:
+        return len(self.order)
+
+    @property
+    def capacity(self) -> int:
+        return self.segments.shape[1]
+
+
+def pack_glyphs_hybrid(
+    glyphs: Sequence[Glyph],
+    advance_widths: Iterable[int] | None = None,
+    capacity: int = 64,
+) -> HybridBatch:
+    """Pack ``glyphs`` into one ``capacity``-segment batch with rows
+    grouped by per-glyph row count (see :class:`HybridBatch`)."""
+    aw = list(advance_widths) if advance_widths is not None else [0] * len(glyphs)
+    seg_arrays = [ysort_segments(glyph_segments(g)) for g in glyphs]
+    n_rows = [max((len(s) + capacity - 1) // capacity, 1) for s in seg_arrays]
+
+    by_r: dict[int, list[int]] = {}
+    for gi, r in enumerate(n_rows):
+        by_r.setdefault(r, []).append(gi)
+
+    total = sum(n_rows)
+    segments = np.zeros((total, capacity, 3, 2), dtype=np.float32)
+    boxes = np.zeros((total, 4), dtype=np.int32)
+    order: list[int] = []
+    groups: list[tuple[int, int]] = []
+    row = 0
+    for r in sorted(by_r):
+        idxs = by_r[r]
+        groups.append((r, len(idxs)))
+        for gi in idxs:
+            g = glyphs[gi]
+            seg = seg_arrays[gi]
+            boxes[row : row + r] = (
+                g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max,
+            )
+            for k in range(r):
+                part = seg[k * capacity : (k + 1) * capacity]
+                segments[row + k, : len(part)] = part
+            order.append(gi)
+            row += r
+    return HybridBatch(
+        segments, boxes, tuple(groups),
+        np.asarray(order, np.int32),
+        np.asarray([aw[i] for i in order], np.int32),
+    )

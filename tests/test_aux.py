@@ -400,3 +400,51 @@ class TestYSortPacking:
         seg = batch.segments[0, :n]
         ymid = seg[:, :, 1].min(axis=1) + seg[:, :, 1].max(axis=1)
         assert (np.diff(ymid) >= 0).all()
+
+
+class TestHybridPacking:
+    """Hybrid split packing: single-row glyphs unfolded, multi-row
+    glyphs folded by dense per-row-count reshape sums — must be
+    bit-identical to the flat per-glyph raster."""
+
+    def test_matches_flat_bitexact(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.pack.segments import pack_glyphs, pack_glyphs_hybrid
+
+        # mix: mostly small glyphs + '@' (and 'B') to force multi-row
+        chars = list("Hello@Big, Wrld!#&")
+        glyphs = [dejavu.get_glyph(c)[0] for c in chars]
+        eng = RasterEngine(backend="jnp")
+        hb = pack_glyphs_hybrid(glyphs, capacity=16)
+        assert any(r > 1 for r, _ in hb.groups)  # the point of the test
+        out, grids = eng.winding_hybrid(hb, 48, dejavu.info.units_per_em, 48)
+        out = np.asarray(out)
+        # flat reference, glyph by glyph
+        flat = pack_glyphs(glyphs)
+        ref, ref_grids = eng.winding_packed(
+            flat, 48, dejavu.info.units_per_em, 48
+        )
+        ref = np.asarray(ref)
+        for slot, gi in enumerate(np.asarray(hb.order)):
+            np.testing.assert_array_equal(out[slot], ref[gi], err_msg=chars[gi])
+            assert grids[slot].min_x == ref_grids[gi].min_x
+            assert grids[slot].max_y == ref_grids[gi].max_y
+
+    def test_group_structure(self, dejavu):
+        from fontrx.pack.segments import pack_glyphs_hybrid
+
+        glyphs = [dejavu.get_glyph(c)[0] for c in "il@"]
+        hb = pack_glyphs_hybrid(glyphs, capacity=16)
+        rs = [r for r, _ in hb.groups]
+        assert rs == sorted(rs)  # group-major ascending
+        assert sum(r * n for r, n in hb.groups) == len(hb)
+        assert hb.num_glyphs == 3
+        # every original glyph appears exactly once in order
+        assert sorted(np.asarray(hb.order).tolist()) == [0, 1, 2]
+
+    def test_empty_glyph_single_row(self, dejavu):
+        from fontrx.pack.segments import pack_glyphs_hybrid
+
+        space = dejavu.get_glyph(" ")[0]
+        hb = pack_glyphs_hybrid([space], capacity=16)
+        assert hb.groups == ((1, 1),)
