@@ -146,6 +146,14 @@ def run_full_gate(verbose: bool = True) -> dict:
             interpret=backend != "tpu",
         )
         gate(f"ascii256_guard{guard}", out, grids, batch)
+    # the ENGINE path: qualifies whatever production knobs
+    # RasterEngine.winding_batch currently picks (capacity-adaptive
+    # group_guard, tile_w, seg_chunk) — gates 1/3's direct kernel calls
+    # cover the guard modes, this covers the shipped parameterization
+    out = engine.winding_batch(
+        seg, mx, my, float(scale), height=256, width=256,
+    )
+    gate("ascii256_engine", out, grids, batch)
 
     # ---- 2. ASCII @64 4x MSAA coverage, both strategies, every offset ---
     log("gate 2: ASCII 94 @64px 2x2 coverage, fused + multipass")
@@ -207,6 +215,10 @@ def run_full_gate(verbose: bool = True) -> dict:
             interpret=backend != "tpu",
         )
         gate(f"random256_guard{guard}", out, rgrids, rbatch)
+    out = engine.winding_batch(
+        rseg, rmx, rmy, float(rscale), height=256, width=256,
+    )
+    gate("random256_engine", out, rgrids, rbatch)
 
     # ---- 4. split-packing path @64 --------------------------------------
     log("gate 4: split packing + on-device segment_sum fold @64px")

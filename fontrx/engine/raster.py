@@ -115,15 +115,23 @@ class RasterEngine:
                     width=pw,
                     interpret=backend == BACKEND_INTERPRET,
                     exact=self.exact,
-                    # round-2 TPU sweep (tools/tpu_probes/tpu_headline_opt*):
-                    # carry sweep + 8-segment group elision + 32-segment
-                    # chunks wins everywhere measured (82.8k g/s @256px
-                    # vs 61.4k for round 1's carry-free path), and a
+                    # round-2 TPU sweeps (tools/tpu_probes/
+                    # tpu_headline_opt*, tpu_postsort_sweep,
+                    # tpu_gg16_confirm, /tmp/cjk_gg2 re-run recorded in
+                    # docs/RESULTS.md): carry sweep + group elision +
+                    # 32-segment chunks win on real-font tiles, and a
                     # 256-wide column tile removes the carry iteration
-                    # when the raster is exactly one tile wide
-                    # (102.3k g/s) — all bit-identical
+                    # when the raster is exactly one tile wide — all
+                    # bit-identical.  Group size is capacity-adaptive:
+                    # y-sorted sparse glyphs (cap <= 128) elide best at
+                    # 16-segment groups (+9.7% headline, +4.6% 64px
+                    # atlas vs gg=8), while dense high-segment content
+                    # has ~100% group activity and guards only add
+                    # read-modify-writes (CJK 288-seg @64px: gg=0
+                    # 45.5 ms, gg=8 58.7 ms) — the same lesson as the
+                    # page path (scene/page.py PAGE_TUNING)
                     guard=True,
-                    group_guard=8,
+                    group_guard=16 if segments.shape[1] <= 128 else 0,
                     seg_chunk=32,
                     tile_w=256 if pw == 256 else TILE_W,
                 )
