@@ -76,6 +76,18 @@ def _feature_tags(cfg) -> tuple[bytes, ...] | None:
     ) or None
 
 
+def _positioning_tags(cfg) -> tuple[bytes, ...] | None:
+    """``--positioning kern,cswh`` -> GPOS tags for the full
+    positioning engine (``None`` disables the engine)."""
+    if cfg.positioning is None:
+        return None
+    return tuple(
+        t.strip().encode("ascii")[:4].ljust(4)
+        for t in cfg.positioning.split(",")
+        if t.strip()
+    )
+
+
 def _render(font, text, cfg, engine) -> np.ndarray:
     import jax.numpy as jnp
 
@@ -89,7 +101,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         layout = layout_text(font, text, kern=cfg.kern,
                              ligatures=cfg.ligatures, marks=cfg.marks,
                              features=_feature_tags(cfg),
-                             vertical=cfg.vertical)
+                             vertical=cfg.vertical,
+                             positioning=_positioning_tags(cfg))
         upem = font.info.units_per_em
         px_per_unit = cfg.size / upem
         margin = max(cfg.size // 8, 4)
@@ -212,7 +225,8 @@ def _run_interactive(font, text, cfg, engine) -> int:
     sess = InteractiveSession(font, text, 1920, 1080, engine,
                               kern=cfg.kern, ligatures=cfg.ligatures,
                               marks=cfg.marks,
-                              features=_feature_tags(cfg))
+                              features=_feature_tags(cfg),
+                              positioning=_positioning_tags(cfg))
     if cfg.serve:
         from fontrx.cli.serve import serve
 

@@ -327,6 +327,29 @@ class Font:
                     log.warning("GSUB shaper %s unusable: %s", tags, e)
         return cache[tags]
 
+    def positioner(self, tags: tuple[bytes, ...]):
+        """Full GPOS positioning engine
+        (:class:`fontrx.font.gpos_shape.GposShaper`) over the features
+        tagged ``tags`` — lookup types 1-9 including cursive
+        attachment, mark-to-ligature and (chained) contextual
+        positioning, with GDEF lookup-flag skipping.  Cached per tag
+        tuple; ``None`` when the font has no matching features."""
+        cache = getattr(self, "_positioners", None)
+        if cache is None:
+            cache = self._positioners = {}
+        if tags not in cache:
+            cache[tags] = None
+            if b"GPOS" in self.tables:
+                try:
+                    from fontrx.font.gpos_shape import GposShaper
+
+                    cache[tags] = GposShaper.parse(
+                        self._at(b"GPOS"), tags=tags, gdef=self.gdef
+                    )
+                except Exception as e:
+                    log.warning("GPOS positioner %s unusable: %s", tags, e)
+        return cache[tags]
+
     @property
     def uvs(self) -> "ttf.CmapFormat14 | None":
         """The variation-sequences subtable, or ``None``."""

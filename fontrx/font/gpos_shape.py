@@ -1,0 +1,637 @@
+"""General GPOS positioning engine — lookup types 1–9.
+
+A capability extension (the reference has no positioning at all; its
+pen only adds ``advance_width``, ``src/Appli.zig:343-351``).  Where
+:mod:`fontrx.font.gpos` flattens PairPos into one kerning lookup and
+Mark(ToBase|ToMark) into ad-hoc attachment tables, this module
+implements the full OpenType GPOS application model:
+
+- lookups selected by feature tag are applied **in LookupList order**
+  over the (already GSUB-shaped) glyph-id stream;
+- lookup types: 1 single adjustment, 2 pair adjustment (formats 1+2),
+  3 cursive attachment, 4 mark-to-base, 5 mark-to-ligature, 6
+  mark-to-mark, 7 contextual, 8 chained contextual (all formats, via
+  the shared :func:`fontrx.font.shape.parse_context_subtable` — the
+  wire format is byte-identical to GSUB types 5/6), 9 extension
+  (unwrapped at parse);
+- ``lookupFlag`` glyph skipping via :mod:`fontrx.font.gdef`, shared
+  with the GSUB engine (:class:`GsubShaper`'s match machinery);
+- positioning state is (x_placement, y_placement, x_advance,
+  y_advance) per glyph; mark/cursive attachments are recorded as
+  parent links and resolved after all lookups run, so a later lookup
+  adjusting a base's advance still moves its attached marks.
+
+Deliberate simplifications (documented divergences from a full
+shaper): the ScriptList is ignored (features selected by tag across
+all scripts, like the GSUB engine); the ``rightToLeft`` cursive flag
+is treated as LTR (fontrx lays out LTR only); device/variation tables
+in ValueRecords and contour-point anchors are skipped (hinting is out
+of scope throughout fontrx); mark-to-ligature attaches to the LAST
+ligature component (fontrx does not thread GSUB component indices
+into GPOS).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from fontrx.font.gdef import GdefTable
+from fontrx.font.gpos import ClassDef, Coverage, _parse_anchor
+from fontrx.font.shape import (
+    Lookup,
+    _ContextSubst,
+    _MAX_NESTING,
+    GsubShaper,
+    parse_context_subtable,
+    parse_layout_header,
+)
+from fontrx.utils.reader import BigEndianReader
+
+_GPOS_EXTENSION = 9
+
+# ValueRecord format bits (OpenType GPOS §valueFormat)
+_VF_X_PLACEMENT = 0x0001
+_VF_Y_PLACEMENT = 0x0002
+_VF_X_ADVANCE = 0x0004
+_VF_Y_ADVANCE = 0x0008
+
+ZERO_VALUE = (0, 0, 0, 0)
+
+
+def _parse_value(r: BigEndianReader, fmt: int) -> tuple[int, int, int, int]:
+    """(x_placement, y_placement, x_advance, y_advance) design units;
+    device-table offsets are consumed and dropped."""
+    xp = r.i16() if fmt & _VF_X_PLACEMENT else 0
+    yp = r.i16() if fmt & _VF_Y_PLACEMENT else 0
+    xa = r.i16() if fmt & _VF_X_ADVANCE else 0
+    ya = r.i16() if fmt & _VF_Y_ADVANCE else 0
+    for bit in (0x10, 0x20, 0x40, 0x80):
+        if fmt & bit:
+            r.skip(2)
+    return xp, yp, xa, ya
+
+
+def _anchor_at(data: bytes, base: int, off: int) -> tuple[int, int] | None:
+    if not off:
+        return None
+    return _parse_anchor(BigEndianReader(data, base + off))
+
+
+# -- subtable models -------------------------------------------------------
+
+
+@dataclass(frozen=True, slots=True)
+class _SinglePos:
+    """Type 1: one value (fmt 1) or per-coverage-index values (fmt 2)."""
+
+    coverage: Coverage
+    values: tuple[tuple[int, int, int, int], ...]
+    shared: bool
+
+    def value_for(self, gid: int):
+        ci = int(self.coverage.rank([gid])[0])
+        if ci < 0:
+            return None
+        if self.shared:
+            return self.values[0]
+        return self.values[ci] if ci < len(self.values) else None
+
+
+@dataclass(frozen=True, slots=True)
+class _PairPosGlyphs:
+    """Type 2 format 1: per-first-glyph (second_gid, v1, v2) lists."""
+
+    coverage: Coverage
+    pair_sets: tuple[tuple[tuple[int, tuple, tuple], ...], ...]
+
+    def values_for(self, first: int, second: int):
+        ci = int(self.coverage.rank([first])[0])
+        if not (0 <= ci < len(self.pair_sets)):
+            return None
+        for gid2, v1, v2 in self.pair_sets[ci]:
+            if gid2 == second:
+                return v1, v2
+        return None
+
+
+@dataclass(frozen=True, slots=True)
+class _PairPosClasses:
+    """Type 2 format 2: class matrix of (v1, v2)."""
+
+    coverage: Coverage
+    cd1: ClassDef
+    cd2: ClassDef
+    n_c2: int
+    matrix: tuple  # flat [c1 * n_c2 + c2] -> (v1, v2)
+
+    def values_for(self, first: int, second: int):
+        if int(self.coverage.rank([first])[0]) < 0:
+            return None
+        c1 = int(self.cd1.class_of([first])[0])
+        c2 = int(self.cd2.class_of([second])[0])
+        idx = c1 * self.n_c2 + c2
+        if 0 <= idx < len(self.matrix):
+            return self.matrix[idx]
+        return None
+
+
+@dataclass(frozen=True, slots=True)
+class _CursivePos:
+    """Type 3: per-covered-glyph (entry, exit) anchors."""
+
+    coverage: Coverage
+    entry_exit: tuple  # [(entry|None, exit|None), ...]
+
+    def anchors_for(self, gid: int):
+        ci = int(self.coverage.rank([gid])[0])
+        if 0 <= ci < len(self.entry_exit):
+            return self.entry_exit[ci]
+        return None
+
+
+@dataclass(frozen=True, slots=True)
+class _MarkAttach:
+    """Types 4/6: MarkArray + per-base per-class anchors.  For type 6
+    the "base" coverage is the Mark2 coverage."""
+
+    mark_cov: Coverage
+    mark_classes: tuple[int, ...]
+    mark_anchors: tuple  # (x, y) per covered mark
+    base_cov: Coverage
+    base_anchors: tuple  # [base_ci][class] -> (x, y) | None
+
+    def delta(self, base_gid: int, mark_gid: int):
+        """(dx, dy) placing the mark's anchor onto the base's, or
+        ``None``."""
+        mi = int(self.mark_cov.rank([mark_gid])[0])
+        bi = int(self.base_cov.rank([base_gid])[0])
+        if mi < 0 or bi < 0 or mi >= len(self.mark_classes):
+            return None
+        klass = self.mark_classes[mi]
+        row = self.base_anchors[bi]
+        if not (0 <= klass < len(row)) or row[klass] is None:
+            return None
+        bx, by = row[klass]
+        mx, my = self.mark_anchors[mi]
+        return bx - mx, by - my
+
+
+@dataclass(frozen=True, slots=True)
+class _MarkLigAttach:
+    """Type 5: MarkArray + per-ligature per-component per-class
+    anchors.  fontrx attaches to the last component (see module doc)."""
+
+    mark_cov: Coverage
+    mark_classes: tuple[int, ...]
+    mark_anchors: tuple
+    lig_cov: Coverage
+    lig_attach: tuple  # [lig_ci][component][class] -> (x, y) | None
+
+    def delta(self, lig_gid: int, mark_gid: int):
+        mi = int(self.mark_cov.rank([mark_gid])[0])
+        li = int(self.lig_cov.rank([lig_gid])[0])
+        if mi < 0 or li < 0 or mi >= len(self.mark_classes):
+            return None
+        klass = self.mark_classes[mi]
+        comps = self.lig_attach[li]
+        for row in reversed(comps):  # last component with a usable anchor
+            if 0 <= klass < len(row) and row[klass] is not None:
+                bx, by = row[klass]
+                mx, my = self.mark_anchors[mi]
+                return bx - mx, by - my
+        return None
+
+
+# -- positions output ------------------------------------------------------
+
+
+@dataclass(slots=True)
+class GlyphPositions:
+    """Resolved per-glyph placement for one glyph run.
+
+    - ``x_offset`` / ``y_offset``: design-unit displacement of the
+      glyph from its pen position (includes mark/cursive attachment);
+    - ``x_advance``: final pen advance per glyph (``hmtx`` width plus
+      GPOS adjustments);
+    - ``y_advance``: GPOS vertical-advance *delta* (for ``vkrn``-style
+      features; base vertical advances live in ``vmtx``).
+    """
+
+    x_offset: np.ndarray
+    y_offset: np.ndarray
+    x_advance: np.ndarray
+    y_advance: np.ndarray
+
+
+@dataclass(slots=True)
+class GposShaper(GsubShaper):
+    """Feature-selected GPOS lookups, applied in LookupList order.
+
+    Inherits the GSUB engine's lookup-walk machinery (GDEF flag
+    skipping, sequence matching, shared contextual-rule model); only
+    the subtable parser and the application semantics differ.
+    """
+
+    # -- parsing -----------------------------------------------------------
+
+    @classmethod
+    def parse(
+        cls,
+        r: BigEndianReader,
+        tags: tuple[bytes, ...],
+        gdef: GdefTable | None = None,
+    ) -> "GposShaper | None":
+        hdr = parse_layout_header(r, tags)
+        if hdr is None:
+            return None
+        features, selected, lookup_offsets, l_base = hdr
+        if not selected:
+            return None
+        shaper = cls(
+            lookups={},
+            order=tuple(sorted(selected)),
+            gdef=gdef,
+            features=features,
+        )
+        shaper._data = r.data
+        shaper._l_base = l_base
+        shaper._lookup_offsets = lookup_offsets
+        for li in shaper.order:
+            shaper._lookup(li)
+        return shaper if shaper.order else None
+
+    def _lookup(self, li: int) -> Lookup | None:
+        if li in self.lookups:
+            return self.lookups[li]
+        if not (0 <= li < len(self._lookup_offsets)):
+            return None
+        self.lookups[li] = None  # cycle guard while parsing
+        try:
+            tb = BigEndianReader(
+                self._data, self._l_base + self._lookup_offsets[li]
+            )
+            t_base = tb.pos
+            lookup_type, flags, n_sub = tb.unpack("HHH")
+            sub_offs = [t_base + int(o) for o in tb.u16_array(n_sub)]
+            mark_filter = None
+            if flags & 0x0010:
+                mark_filter = tb.u16()
+            subtables = []
+            for s_pos in sub_offs:
+                s_type = lookup_type
+                if s_type == _GPOS_EXTENSION:
+                    er = BigEndianReader(self._data, s_pos)
+                    _fmt, ext_type = er.unpack("HH")
+                    s_pos, s_type = s_pos + er.u32(), ext_type
+                sub = self._parse_subtable(s_type, s_pos)
+                if sub is not None:
+                    subtables.append((s_type, sub))
+        except Exception:
+            return None  # corrupt lookup degrades to absent
+        lk = Lookup(lookup_type, flags, mark_filter, tuple(subtables))
+        self.lookups[li] = lk
+        return lk
+
+    def _parse_subtable(self, s_type: int, s_pos: int):
+        r = BigEndianReader(self._data, s_pos)
+        base = r.pos
+        data = r.data
+        if s_type == 1:
+            fmt, cov_off, vfmt = r.unpack("HHH")
+            cov = Coverage.parse(BigEndianReader(data, base + cov_off))
+            if fmt == 1:
+                return _SinglePos(cov, (_parse_value(r, vfmt),), True)
+            if fmt == 2:
+                n = r.u16()
+                vals = tuple(_parse_value(r, vfmt) for _ in range(n))
+                return _SinglePos(cov, vals, False)
+            return None
+        if s_type == 2:
+            fmt, cov_off, vf1, vf2 = r.unpack("HHHH")
+            cov = Coverage.parse(BigEndianReader(data, base + cov_off))
+            if fmt == 1:
+                n_sets = r.u16()
+                sets = []
+                for so in r.u16_array(n_sets):
+                    sr = BigEndianReader(data, base + int(so))
+                    n_pairs = sr.u16()
+                    pairs = []
+                    for _ in range(n_pairs):
+                        gid2 = sr.u16()
+                        v1 = _parse_value(sr, vf1)
+                        v2 = _parse_value(sr, vf2)
+                        pairs.append((gid2, v1, v2))
+                    sets.append(tuple(pairs))
+                return _PairPosGlyphs(cov, tuple(sets))
+            if fmt == 2:
+                cd1_off, cd2_off, n_c1, n_c2 = r.unpack("HHHH")
+                cd1 = ClassDef.parse(BigEndianReader(data, base + cd1_off))
+                cd2 = ClassDef.parse(BigEndianReader(data, base + cd2_off))
+                matrix = []
+                for _ in range(n_c1 * n_c2):
+                    v1 = _parse_value(r, vf1)
+                    v2 = _parse_value(r, vf2)
+                    matrix.append((v1, v2))
+                return _PairPosClasses(cov, cd1, cd2, n_c2, tuple(matrix))
+            return None
+        if s_type == 3:
+            fmt, cov_off, n = r.unpack("HHH")
+            if fmt != 1:
+                return None
+            cov = Coverage.parse(BigEndianReader(data, base + cov_off))
+            ee = []
+            for _ in range(n):
+                e_off, x_off = r.unpack("HH")
+                ee.append((
+                    _anchor_at(data, base, e_off),
+                    _anchor_at(data, base, x_off),
+                ))
+            return _CursivePos(cov, tuple(ee))
+        if s_type in (4, 6):
+            fmt, m_cov_off, b_cov_off, n_classes, m_arr_off, b_arr_off = (
+                r.unpack("HHHHHH")
+            )
+            if fmt != 1:
+                return None
+            m_cov = Coverage.parse(BigEndianReader(data, base + m_cov_off))
+            b_cov = Coverage.parse(BigEndianReader(data, base + b_cov_off))
+            classes, anchors = self._parse_mark_array(base + m_arr_off)
+            br = BigEndianReader(data, base + b_arr_off)
+            b_base = br.pos
+            n_base = br.u16()
+            offs = br.u16_array(n_base * n_classes)
+            rows = tuple(
+                tuple(
+                    _anchor_at(data, b_base, int(offs[b * n_classes + k]))
+                    for k in range(n_classes)
+                )
+                for b in range(n_base)
+            )
+            return _MarkAttach(m_cov, classes, anchors, b_cov, rows)
+        if s_type == 5:
+            fmt, m_cov_off, l_cov_off, n_classes, m_arr_off, l_arr_off = (
+                r.unpack("HHHHHH")
+            )
+            if fmt != 1:
+                return None
+            m_cov = Coverage.parse(BigEndianReader(data, base + m_cov_off))
+            l_cov = Coverage.parse(BigEndianReader(data, base + l_cov_off))
+            classes, anchors = self._parse_mark_array(base + m_arr_off)
+            lr = BigEndianReader(data, base + l_arr_off)
+            l_base = lr.pos
+            n_ligs = lr.u16()
+            ligs = []
+            for lo in lr.u16_array(n_ligs):
+                ar = BigEndianReader(data, l_base + int(lo))
+                a_base = ar.pos
+                n_comp = ar.u16()
+                offs = ar.u16_array(n_comp * n_classes)
+                ligs.append(tuple(
+                    tuple(
+                        _anchor_at(data, a_base, int(offs[c * n_classes + k]))
+                        for k in range(n_classes)
+                    )
+                    for c in range(n_comp)
+                ))
+            return _MarkLigAttach(m_cov, classes, anchors, l_cov, tuple(ligs))
+        if s_type == 7:
+            return parse_context_subtable(r, base, chained=False)
+        if s_type == 8:
+            return parse_context_subtable(r, base, chained=True)
+        return None
+
+    def _parse_mark_array(self, pos: int):
+        mr = BigEndianReader(self._data, pos)
+        m_base = mr.pos
+        n_marks = mr.u16()
+        classes = []
+        anchors = []
+        for _ in range(n_marks):
+            klass, a_off = mr.unpack("HH")
+            classes.append(int(klass))
+            anchors.append(
+                _anchor_at(self._data, m_base, a_off) or (0, 0)
+            )
+        return tuple(classes), tuple(anchors)
+
+    # -- application -------------------------------------------------------
+
+    def positions(
+        self, glyphs: list[int], advance_widths: list[int] | np.ndarray
+    ) -> GlyphPositions:
+        """Apply every selected lookup over the glyph run and resolve
+        attachments into final placements (see :class:`GlyphPositions`)."""
+        n = len(glyphs)
+        st = _PosState(
+            xp=[0] * n, yp=[0] * n,
+            xa=[int(a) for a in advance_widths], ya=[0] * n,
+            attach=[None] * n, cursive=[None] * n,
+        )
+        for li in self.order:
+            lk = self.lookups.get(li)
+            if lk:
+                self._apply_lookup(glyphs, lk, st, depth=0)
+        return st.resolve()
+
+    def positions_features(
+        self,
+        glyphs: list[int],
+        advance_widths,
+        tags: tuple[bytes, ...],
+    ) -> GlyphPositions:
+        """Like :meth:`positions` but over an ad-hoc feature-tag subset
+        (tags outside the parsed table are ignored)."""
+        n = len(glyphs)
+        st = _PosState(
+            xp=[0] * n, yp=[0] * n,
+            xa=[int(a) for a in advance_widths], ya=[0] * n,
+            attach=[None] * n, cursive=[None] * n,
+        )
+        order = sorted({li for t in tags for li in self.features.get(t, ())})
+        for li in order:
+            lk = self._lookup(li)
+            if lk:
+                self._apply_lookup(glyphs, lk, st, depth=0)
+        return st.resolve()
+
+    def _apply_lookup(self, buf, lookup: Lookup, st: "_PosState", depth: int):
+        i = 0
+        while i < len(buf):
+            if self._skips(buf[i], lookup):
+                i += 1
+                continue
+            nxt = self._apply_at(buf, i, lookup, st, depth)
+            i = nxt if nxt is not None else i + 1
+
+    def _apply_at(
+        self, buf, i: int, lookup: Lookup, st: "_PosState", depth: int
+    ) -> int | None:
+        gid = buf[i]
+        for s_type, sub in lookup.subtables:
+            if s_type == 1:
+                v = sub.value_for(gid)
+                if v is not None:
+                    st.add(i, v)
+                    return i + 1
+            elif s_type == 2:
+                j = self._next(buf, i, lookup)
+                if j is None:
+                    continue
+                vv = sub.values_for(gid, buf[j])
+                if vv is not None and vv != (ZERO_VALUE, ZERO_VALUE):
+                    st.add(i, vv[0])
+                    st.add(j, vv[1])
+                    # scanning resumes at the second glyph (it may
+                    # start the next pair), per the OpenType model
+                    return j
+            elif s_type == 3:
+                j = self._next(buf, i, lookup)
+                if j is None:
+                    continue
+                a_i = sub.anchors_for(gid)
+                a_j = sub.anchors_for(buf[j])
+                if a_i and a_j and a_i[1] and a_j[0]:
+                    st.cursive[j] = (i, a_i[1], a_j[0])
+                    return j
+            elif s_type == 4:
+                p = self._prev_base(buf, i)
+                if p is not None:
+                    d = sub.delta(buf[p], gid)
+                    if d is not None:
+                        st.attach[i] = (p, d[0], d[1])
+                        return i + 1
+            elif s_type == 5:
+                p = self._prev_base(buf, i)
+                if p is not None:
+                    d = sub.delta(buf[p], gid)
+                    if d is not None:
+                        st.attach[i] = (p, d[0], d[1])
+                        return i + 1
+            elif s_type == 6:
+                # mark2 must be the immediately preceding mark glyph
+                if i > 0:
+                    d = sub.delta(buf[i - 1], gid)
+                    if d is not None:
+                        st.attach[i] = (i - 1, d[0], d[1])
+                        return i + 1
+            elif s_type in (7, 8):
+                nxt = self._apply_context(buf, i, lookup, sub, st, depth)
+                if nxt is not None:
+                    return nxt
+        return None
+
+    def _prev_base(self, buf, i: int) -> int | None:
+        """Nearest preceding non-mark glyph (the base search ignores
+        marks regardless of lookup flags, per spec)."""
+        j = i - 1
+        while j >= 0:
+            if self.gdef is None or not self.gdef.is_mark(buf[j]):
+                return j
+            j -= 1
+        return None
+
+    def _apply_context(
+        self, buf, i: int, lookup: Lookup, sub: _ContextSubst,
+        st: "_PosState", depth: int,
+    ) -> int | None:
+        if depth >= _MAX_NESTING:
+            return None
+        rules, bt_cd, in_cd, la_cd = self._context_rules(sub, buf[i])
+        for rule in rules:
+            items = rule.input_[1:] if sub.fmt == 3 else rule.input_
+            pos = self._match_forward(buf, i, items, lookup, in_cd)
+            if pos is None:
+                continue
+            all_pos = [i] + pos
+            if rule.lookahead and self._match_forward(
+                buf, all_pos[-1], rule.lookahead, lookup, la_cd
+            ) is None:
+                continue
+            if rule.backtrack and not self._match_backward(
+                buf, i, rule.backtrack, lookup, bt_cd
+            ):
+                continue
+            # matched: positioning never changes buffer length, so no
+            # position bookkeeping is needed (unlike the GSUB engine)
+            for seq_idx, lk_idx in rule.records:
+                if not (0 <= seq_idx < len(all_pos)):
+                    continue
+                nested = self._lookup(lk_idx)
+                if nested is None:
+                    continue
+                self._apply_at(buf, all_pos[seq_idx], nested, st, depth + 1)
+            return all_pos[-1] + 1
+        return None
+
+    # GSUB-only entry points are not meaningful on a GPOS table
+    def apply(self, glyphs):  # pragma: no cover - misuse guard
+        raise TypeError("GposShaper positions glyphs; use .positions()")
+
+
+@dataclass(slots=True)
+class _PosState:
+    """Mutable positioning accumulator during lookup application."""
+
+    xp: list[int]
+    yp: list[int]
+    xa: list[int]
+    ya: list[int]
+    # mark attachment: glyph i -> (parent index, dx, dy) anchor delta
+    attach: list[tuple[int, int, int] | None]
+    # cursive: glyph j -> (parent i, exit anchor of i, entry anchor of j)
+    cursive: list[tuple[int, tuple, tuple] | None]
+
+    def add(self, i: int, v: tuple[int, int, int, int]) -> None:
+        self.xp[i] += v[0]
+        self.yp[i] += v[1]
+        self.xa[i] += v[2]
+        self.ya[i] += v[3]
+
+    def resolve(self) -> GlyphPositions:
+        n = len(self.xp)
+        xo = np.array(self.xp, np.float64)
+        yo = np.array(self.yp, np.float64)
+        xa = np.array(self.xa, np.float64)
+        ya = np.array(self.ya, np.float64)
+
+        # cursive attachment (LTR): the exit anchor of the parent meets
+        # the entry anchor of the child; the parent's advance shrinks
+        # or grows to land the pen on its exit, the child shifts back
+        # by its entry, and the child's baseline offset chains from the
+        # parent's
+        for j in range(n):
+            link = self.cursive[j]
+            if link is None:
+                continue
+            i, exit_a, entry_a = link
+            xa[i] = exit_a[0] + xo[i]
+            d = entry_a[0] + xo[j]
+            xa[j] -= d
+            xo[j] -= d
+            yo[j] = yo[i] + (exit_a[1] - entry_a[1])
+
+        # pen positions from final advances, then mark attachment in
+        # buffer order (a mark's parent always precedes it, so parents
+        # resolve first — mkmk chains accumulate correctly)
+        pen = np.zeros(n + 1, np.float64)
+        np.cumsum(xa, out=pen[1:])
+        for i in range(n):
+            link = self.attach[i]
+            if link is None:
+                continue
+            p, dx, dy = link
+            # attachment replaces the mark's own placement: final
+            # absolute position = parent absolute position + anchor
+            # delta (parents precede children in the buffer, so xo[p]
+            # is already final — mkmk chains accumulate correctly)
+            xo[i] = (pen[p] + xo[p] + dx) - pen[i]
+            yo[i] = yo[p] + dy
+            # attached glyphs consume no pen advance beyond their own
+            # hmtx width (typically 0 for marks); fonts that rely on
+            # mark widths keep them — fontrx does not zero advances
+
+        return GlyphPositions(
+            x_offset=xo, y_offset=yo, x_advance=xa, y_advance=ya,
+        )

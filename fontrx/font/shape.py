@@ -40,6 +40,48 @@ _MAX_NESTING = 6          # contextual recursion cap (malicious fonts)
 _GSUB_EXTENSION = 7
 
 
+def parse_layout_header(
+    r: BigEndianReader, tags: tuple[bytes, ...]
+) -> tuple[dict[bytes, tuple[int, ...]], set[int], list[int], int] | None:
+    """Parse the shared GSUB/GPOS header + FeatureList + LookupList
+    index (the two tables have byte-identical framing; only subtable
+    contents differ).  Returns ``(features, selected_lookup_indices,
+    lookup_offsets, lookup_list_base)`` or ``None`` for an unsupported
+    major version."""
+    base = r.pos
+    major, _minor = r.unpack("HH")
+    if major != 1:
+        return None
+    _script_off, feature_off, lookup_off = r.unpack("HHH")
+
+    fr = BigEndianReader(r.data, base + feature_off)
+    f_base = fr.pos
+    n_feat = fr.u16()
+    features: dict[bytes, list[int]] = {}
+    selected: set[int] = set()
+    for _ in range(n_feat):
+        tag = fr.tag()
+        off = fr.u16()
+        tr = BigEndianReader(r.data, f_base + off)
+        tr.skip(2)  # featureParamsOffset
+        n_lk = tr.u16()
+        idx = tr.u16_array(n_lk).tolist()
+        features.setdefault(tag, []).extend(int(i) for i in idx)
+        if tag in tags:
+            selected.update(int(i) for i in idx)
+
+    lr = BigEndianReader(r.data, base + lookup_off)
+    l_base = lr.pos
+    n_lookups = lr.u16()
+    lookup_offsets = [int(o) for o in lr.u16_array(n_lookups)]
+    return (
+        {k: tuple(v) for k, v in features.items()},
+        {i for i in selected if i < n_lookups},
+        lookup_offsets,
+        l_base,
+    )
+
+
 @dataclass(frozen=True, slots=True)
 class _Single:
     """Type 1: format 1 is a delta over the coverage, format 2 an
@@ -185,40 +227,18 @@ class GsubShaper:
         """Parse the GSUB table, selecting lookups from features whose
         tag is in ``tags``.  Nested lookups referenced by contextual
         rules are parsed on demand during :meth:`apply`."""
-        base = r.pos
-        major, _minor = r.unpack("HH")
-        if major != 1:
+        hdr = parse_layout_header(r, tags)
+        if hdr is None:
             return None
-        _script_off, feature_off, lookup_off = r.unpack("HHH")
-
-        fr = BigEndianReader(r.data, base + feature_off)
-        f_base = fr.pos
-        n_feat = fr.u16()
-        features: dict[bytes, list[int]] = {}
-        selected: set[int] = set()
-        for _ in range(n_feat):
-            tag = fr.tag()
-            off = fr.u16()
-            tr = BigEndianReader(r.data, f_base + off)
-            tr.skip(2)  # featureParamsOffset
-            n_lk = tr.u16()
-            idx = tr.u16_array(n_lk).tolist()
-            features.setdefault(tag, []).extend(int(i) for i in idx)
-            if tag in tags:
-                selected.update(int(i) for i in idx)
+        features, selected, lookup_offsets, l_base = hdr
         if not selected:
             return None
 
-        lr = BigEndianReader(r.data, base + lookup_off)
-        l_base = lr.pos
-        n_lookups = lr.u16()
-        lookup_offsets = [int(o) for o in lr.u16_array(n_lookups)]
-
         shaper = cls(
             lookups={},
-            order=tuple(sorted(i for i in selected if i < n_lookups)),
+            order=tuple(sorted(selected)),
             gdef=gdef,
-            features={k: tuple(v) for k, v in features.items()},
+            features=features,
         )
         shaper._data = r.data
         shaper._l_base = l_base
@@ -324,95 +344,9 @@ class GsubShaper:
                 sets.append(tuple(ligs))
             return _LigatureSubst(cov, tuple(sets))
         if s_type == 5:
-            return self._parse_context(r, base, chained=False)
+            return parse_context_subtable(r, base, chained=False)
         if s_type == 6:
-            return self._parse_context(r, base, chained=True)
-        return None
-
-    def _parse_context(self, r: BigEndianReader, base: int, chained: bool):
-        fmt = r.u16()
-        data = r.data
-
-        def records(rr: BigEndianReader, n: int):
-            return tuple(
-                (int(a), int(b))
-                for a, b in zip(*[iter(rr.u16_array(2 * n).tolist())] * 2)
-            )
-
-        if fmt in (1, 2):
-            cov_off = r.u16()
-            cov = Coverage.parse(BigEndianReader(data, base + cov_off))
-            class_defs: tuple = ()
-            if fmt == 2:
-                if chained:
-                    bt_off, in_off, la_off = r.unpack("HHH")
-                    class_defs = tuple(
-                        ClassDef.parse(BigEndianReader(data, base + off))
-                        if off else ClassDef.parse(
-                            BigEndianReader(b"\x00\x02\x00\x00", 0))
-                        for off in (bt_off, in_off, la_off)
-                    )
-                else:
-                    cd_off = r.u16()
-                    class_defs = (
-                        ClassDef.parse(BigEndianReader(data, base + cd_off)),
-                    )
-            n_sets = r.u16()
-            rule_sets = []
-            for so in r.u16_array(n_sets):
-                if not so:
-                    rule_sets.append(())
-                    continue
-                sr = BigEndianReader(data, base + int(so))
-                set_base = sr.pos
-                n_rules = sr.u16()
-                rules = []
-                for ro in sr.u16_array(n_rules):
-                    rr = BigEndianReader(data, set_base + int(ro))
-                    if chained:
-                        n_bt = rr.u16()
-                        bt = tuple(int(x) for x in rr.u16_array(n_bt))
-                        n_in = rr.u16()
-                        inp = tuple(
-                            int(x) for x in rr.u16_array(max(n_in - 1, 0))
-                        )
-                        n_la = rr.u16()
-                        la = tuple(int(x) for x in rr.u16_array(n_la))
-                        n_rec = rr.u16()
-                    else:
-                        n_in, n_rec = rr.unpack("HH")
-                        bt, la = (), ()
-                        inp = tuple(
-                            int(x) for x in rr.u16_array(max(n_in - 1, 0))
-                        )
-                    rules.append(_Rule(bt, inp, la, records(rr, n_rec)))
-                rule_sets.append(tuple(rules))
-            return _ContextSubst(fmt, cov, tuple(rule_sets), class_defs)
-
-        if fmt == 3:
-            def covs(n: int) -> tuple[Coverage, ...]:
-                offs = r.u16_array(n)
-                return tuple(
-                    Coverage.parse(BigEndianReader(data, base + int(o)))
-                    for o in offs
-                )
-
-            if chained:
-                n_bt = r.u16()
-                bt = covs(n_bt)
-                n_in = r.u16()
-                inp = covs(n_in)
-                n_la = r.u16()
-                la = covs(n_la)
-                n_rec = r.u16()
-            else:
-                n_in, n_rec = r.unpack("HH")
-                inp = covs(n_in)
-                bt, la = (), ()
-            if not inp:
-                return None
-            rule = _Rule(bt, inp, la, records(r, n_rec))
-            return _ContextSubst(3, inp[0], ((rule,),), ())
+            return parse_context_subtable(r, base, chained=True)
         return None
 
     # -- application -------------------------------------------------------
@@ -467,6 +401,18 @@ class GsubShaper:
             if j is None or not self._item_matches(buf[j], item, class_def):
                 return False
         return True
+
+    def _context_rules(self, sub: _ContextSubst, gid: int):
+        """(rules, class_def triple) applicable at a first glyph —
+        shared by the GSUB and GPOS contextual appliers."""
+        in_cd = la_cd = bt_cd = None
+        if sub.fmt == 2:
+            if len(sub.class_defs) == 3:
+                bt_cd, in_cd, la_cd = sub.class_defs
+            else:
+                in_cd = la_cd = bt_cd = sub.class_defs[0]
+        return sub.rules_for(gid), bt_cd, in_cd, la_cd
+
 
     def apply(self, glyphs: list[int]) -> list[int]:
         """Run every selected lookup, in LookupList order, over a copy
@@ -604,3 +550,94 @@ class GsubShaper:
                     end += delta
             return max(end, i + 1)
         return None
+
+
+def parse_context_subtable(r: BigEndianReader, base: int, chained: bool):
+    """Parse a (Chain)Context subtable — identical wire format in GSUB
+    (types 5/6) and GPOS (types 7/8); the nested records are
+    ``(sequence_index, lookup_index)`` pairs in both."""
+    fmt = r.u16()
+    data = r.data
+
+    def records(rr: BigEndianReader, n: int):
+        return tuple(
+            (int(a), int(b))
+            for a, b in zip(*[iter(rr.u16_array(2 * n).tolist())] * 2)
+        )
+
+    if fmt in (1, 2):
+        cov_off = r.u16()
+        cov = Coverage.parse(BigEndianReader(data, base + cov_off))
+        class_defs: tuple = ()
+        if fmt == 2:
+            if chained:
+                bt_off, in_off, la_off = r.unpack("HHH")
+                class_defs = tuple(
+                    ClassDef.parse(BigEndianReader(data, base + off))
+                    if off else ClassDef.parse(
+                        BigEndianReader(b"\x00\x02\x00\x00", 0))
+                    for off in (bt_off, in_off, la_off)
+                )
+            else:
+                cd_off = r.u16()
+                class_defs = (
+                    ClassDef.parse(BigEndianReader(data, base + cd_off)),
+                )
+        n_sets = r.u16()
+        rule_sets = []
+        for so in r.u16_array(n_sets):
+            if not so:
+                rule_sets.append(())
+                continue
+            sr = BigEndianReader(data, base + int(so))
+            set_base = sr.pos
+            n_rules = sr.u16()
+            rules = []
+            for ro in sr.u16_array(n_rules):
+                rr = BigEndianReader(data, set_base + int(ro))
+                if chained:
+                    n_bt = rr.u16()
+                    bt = tuple(int(x) for x in rr.u16_array(n_bt))
+                    n_in = rr.u16()
+                    inp = tuple(
+                        int(x) for x in rr.u16_array(max(n_in - 1, 0))
+                    )
+                    n_la = rr.u16()
+                    la = tuple(int(x) for x in rr.u16_array(n_la))
+                    n_rec = rr.u16()
+                else:
+                    n_in, n_rec = rr.unpack("HH")
+                    bt, la = (), ()
+                    inp = tuple(
+                        int(x) for x in rr.u16_array(max(n_in - 1, 0))
+                    )
+                rules.append(_Rule(bt, inp, la, records(rr, n_rec)))
+            rule_sets.append(tuple(rules))
+        return _ContextSubst(fmt, cov, tuple(rule_sets), class_defs)
+
+    if fmt == 3:
+        def covs(n: int) -> tuple[Coverage, ...]:
+            offs = r.u16_array(n)
+            return tuple(
+                Coverage.parse(BigEndianReader(data, base + int(o)))
+                for o in offs
+            )
+
+        if chained:
+            n_bt = r.u16()
+            bt = covs(n_bt)
+            n_in = r.u16()
+            inp = covs(n_in)
+            n_la = r.u16()
+            la = covs(n_la)
+            n_rec = r.u16()
+        else:
+            n_in, n_rec = r.unpack("HH")
+            inp = covs(n_in)
+            bt, la = (), ()
+        if not inp:
+            return None
+        rule = _Rule(bt, inp, la, records(r, n_rec))
+        return _ContextSubst(3, inp[0], ((rule,),), ())
+    return None
+

@@ -70,13 +70,15 @@ class InteractiveSession:
     ligatures: bool = False
     marks: bool = False
     features: tuple[bytes, ...] | None = None
+    positioning: tuple[bytes, ...] | None = None
 
     def __post_init__(self):
         self.layout: TextLayout = layout_text(self.font, self.text,
                                               kern=self.kern,
                                               ligatures=self.ligatures,
                                               marks=self.marks,
-                                              features=self.features)
+                                              features=self.features,
+                                              positioning=self.positioning)
         self.view = ViewTransform.init(
             self.font.info.units_per_em, self.width, self.height
         )
@@ -119,7 +121,8 @@ class InteractiveSession:
         self.layout = layout_text(self.font, self.text, kern=self.kern,
                                   ligatures=self.ligatures,
                                   marks=self.marks,
-                                  features=self.features)
+                                  features=self.features,
+                                  positioning=self.positioning)
         self.renderer = PageRenderer(
             self.font, self.layout, self.width, self.height, self.engine
         )

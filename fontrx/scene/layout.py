@@ -58,6 +58,7 @@ def layout_text(
     marks: bool = False,
     features: tuple[bytes, ...] | None = None,
     vertical: bool = False,
+    positioning: tuple[bytes, ...] | None = None,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -84,9 +85,18 @@ def layout_text(
       (``x -= advance_width/2``); the GSUB ``vert`` feature is applied
       automatically when the font has it (rotated punctuation forms).
       Fonts without ``vhea``/``vmtx`` fall back to one em of advance
-      and the hhea ascent as the hanging origin.  Kerning and mark
-      attachment are horizontal-only and ignored in this mode (no
-      ``vkrn`` support).
+      and the hhea ascent as the hanging origin.  The legacy kern/marks
+      flags are horizontal-only and ignored in this mode; vertical pair
+      kerning comes from ``positioning=(b"vkrn",)``;
+    - ``positioning=(b"kern", b"cswh", ...)``: GPOS feature tags
+      applied through the full positioning engine
+      (:mod:`fontrx.font.gpos_shape` — all 9 lookup types including
+      cursive attachment and contextual positioning).  When active it
+      REPLACES the legacy kern/marks paths for placement: ``kern=True``
+      folds into the tag set as ``kern`` (``vkrn`` when vertical) and
+      ``marks=True`` as ``mark``+``mkmk``, so the engine is the single
+      positioning source and nothing double-applies.  Fonts whose GPOS
+      lacks every requested tag fall back to the legacy paths.
     """
     # text -> per-line glyph-id streams (ligatures never cross newlines).
     # Unicode variation selectors (U+FE00..FE0F, U+E0100..E01EF) modify
@@ -141,19 +151,59 @@ def layout_text(
                 c = font.charmap.char_for_glyph(gid)
                 slot_chars.append(int(c) if c is not None else -1)
 
+    # GPOS positioning engine: resolves to a GposShaper when requested
+    # (or when kern/marks flags fold in) and the font has the features
+    positioner = None
+    if positioning is not None:
+        ptags = tuple(positioning)
+        if kern:
+            vk = b"vkrn" if vertical else b"kern"
+            if vk not in ptags:
+                ptags += (vk,)
+        if marks and not vertical:
+            ptags += tuple(
+                t for t in (b"mark", b"mkmk") if t not in ptags
+            )
+        positioner = font.positioner(ptags) if ptags else None
+
     if vertical:
         return _layout_vertical(
             font, lines, slot_of, glyphs, widths, slot_ymax, slot_chars,
-            pad_batch_to,
+            pad_batch_to, positioner,
         )
 
     line_height = font.info.ascent - font.info.descent + font.info.line_gap
-    kern_table = font.kerning if kern else None
-    mark_table = font.mark_positioning if marks else None
-    mkmk_table = font.mark_to_mark if marks else None
+    kern_table = font.kerning if kern and positioner is None else None
+    mark_table = (
+        font.mark_positioning if marks and positioner is None else None
+    )
+    mkmk_table = font.mark_to_mark if marks and positioner is None else None
 
     instances: list[Instance] = []
     max_x = 0.0
+    if positioner is not None:
+        for line_no, line in enumerate(lines):
+            pen_y = -line_no * float(line_height)
+            pos = positioner.positions(
+                line, [widths[slot_of[g]] for g in line]
+            )
+            pen_x = 0.0
+            for idx, gid in enumerate(line):
+                instances.append(Instance(
+                    slot_of[gid],
+                    pen_x + float(pos.x_offset[idx]),
+                    pen_y + float(pos.y_offset[idx]),
+                ))
+                pen_x += float(pos.x_advance[idx])
+                max_x = max(max_x, pen_x)
+        batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
+        return TextLayout(
+            batch=batch,
+            slot_chars=slot_chars,
+            instances=instances,
+            width=max_x,
+            height=len(lines) * line_height,
+        )
     for line_no, line in enumerate(lines):
         pen_x = 0.0
         pen_y = -line_no * float(line_height)
@@ -200,7 +250,7 @@ def layout_text(
 
 def _layout_vertical(
     font, lines, slot_of, glyphs, widths, slot_ymax, slot_chars,
-    pad_batch_to,
+    pad_batch_to, positioner=None,
 ):
     """Vertical (top-to-bottom, columns right-to-left) placement — see
     ``layout_text(vertical=True)``.  The pen drop and hanging origin
@@ -224,7 +274,14 @@ def _layout_vertical(
     for col_no, line in enumerate(lines):
         x_axis = width - (col_no + 0.5) * pitch  # columns right-to-left
         pen_y = 0.0
-        for gid in line:
+        # GPOS vertical positioning (vkrn): y_advance deltas tighten
+        # the pen drop; placement offsets shift the glyph in-cell
+        pos = None
+        if positioner is not None:
+            pos = positioner.positions(
+                line, [widths[slot_of[g]] for g in line]
+            )
+        for idx, gid in enumerate(line):
             slot = slot_of[gid]
             if adv_h is not None:
                 ah = float(adv_h[gid])
@@ -233,9 +290,12 @@ def _layout_vertical(
             else:
                 ah = float(upem)
                 y_off = pen_y - float(font.info.ascent)
-            instances.append(
-                Instance(slot, x_axis - widths[slot] / 2.0, y_off)
-            )
+            x_off = x_axis - widths[slot] / 2.0
+            if pos is not None:
+                ah += float(pos.y_advance[idx])
+                x_off += float(pos.x_offset[idx])
+                y_off += float(pos.y_offset[idx])
+            instances.append(Instance(slot, x_off, y_off))
             pen_y -= ah
         max_drop = max(max_drop, -pen_y)
 

@@ -1,0 +1,368 @@
+"""GPOS positioning-engine tests (capability extension — the
+reference has no positioning at all; its pen only adds advance widths,
+``src/Appli.zig:343-351``).
+
+Two tiers, mirroring ``test_shape.py``:
+
+- synthetic GPOS/GDEF tables from ``ttf_builder`` exercising every
+  lookup type (1-9): single/pair value records, cursive chains,
+  mark-to-base/ligature/mark anchors, contextual + chained positioning
+  and the extension wrapper, plus lookup-flag skipping;
+- real-font differentials on DejaVu: the engine's ``kern`` must agree
+  with the flattened ``GposKernTable`` on every kerned pair, and
+  engine-driven layout must reproduce the legacy kern/mark layout
+  paths exactly.
+"""
+
+import numpy as np
+import pytest
+
+from fontrx.font.gdef import GdefTable
+from fontrx.font.gpos_shape import GposShaper
+from fontrx.utils.reader import BigEndianReader
+from tests.ttf_builder import (
+    build_gdef,
+    build_gpos,
+    gpos_chain3,
+    gpos_context1,
+    gpos_context3,
+    gpos_cursive,
+    gpos_extension,
+    gpos_markbase,
+    gpos_marklig,
+    gpos_pair1,
+    gpos_pair2,
+    gpos_single,
+)
+
+Z = (0, 0, 0, 0)
+
+
+def shaper(gpos: bytes, tags=(b"test",), gdef: bytes | None = None):
+    g = GdefTable.parse(BigEndianReader(gdef, 0)) if gdef else None
+    return GposShaper.parse(BigEndianReader(gpos, 0), tags=tags, gdef=g)
+
+
+def pens(pos):
+    """Per-glyph absolute positions implied by advances + offsets."""
+    pen = np.concatenate([[0.0], np.cumsum(pos.x_advance)[:-1]])
+    return pen + pos.x_offset
+
+
+class TestSinglePos:
+    def test_format1_shared_value(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(1, 0, [gpos_single({10: (5, -3, 40, 0)}, fmt=1)])],
+        )
+        sh = shaper(gpos)
+        pos = sh.positions([10, 11], [100, 100])
+        assert pos.x_offset[0] == 5 and pos.y_offset[0] == -3
+        assert pos.x_advance[0] == 140
+        assert pos.x_offset[1] == 0 and pos.x_advance[1] == 100
+
+    def test_format2_per_index(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(1, 0, [gpos_single(
+                {10: (1, 0, 10, 0), 12: (2, 0, 20, 0)}, fmt=2
+            )])],
+        )
+        pos = shaper(gpos).positions([10, 12], [100, 100])
+        assert pos.x_offset.tolist() == [1, 2]
+        assert pos.x_advance.tolist() == [110, 120]
+
+    def test_partial_value_format(self):
+        # xAdvance-only records (vfmt 0x4)
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(1, 0, [gpos_single({10: (0, 0, -7, 0)}, fmt=1, vfmt=0x4)])],
+        )
+        pos = shaper(gpos).positions([10], [100])
+        assert pos.x_advance[0] == 93 and pos.x_offset[0] == 0
+
+
+class TestPairPos:
+    def test_format1_adjusts_first(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(2, 0, [gpos_pair1({10: [(11, (0, 0, -15, 0), Z)]})])],
+        )
+        pos = shaper(gpos).positions([10, 11], [100, 100])
+        assert pos.x_advance.tolist() == [85, 100]
+        assert pens(pos).tolist() == [0, 85]
+
+    def test_format1_value2_applies_to_second(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(2, 0, [gpos_pair1(
+                {10: [(11, Z, (3, 0, -10, 0))]}, vf1=0, vf2=0xF,
+            )])],
+        )
+        pos = shaper(gpos).positions([10, 11], [100, 100])
+        assert pos.x_offset.tolist() == [0, 3]
+        assert pos.x_advance.tolist() == [100, 90]
+
+    def test_format2_class_matrix(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(2, 0, [gpos_pair2(
+                coverage=[10, 11],
+                cd1={10: 1, 11: 2}, cd2={10: 1, 11: 2},
+                n_c1=3, n_c2=3,
+                matrix={(1, 2): ((0, 0, -25, 0), Z)},
+            )])],
+        )
+        sh = shaper(gpos)
+        pos = sh.positions([10, 11], [100, 100])
+        assert pos.x_advance.tolist() == [75, 100]
+        # unkerned class pair: zero adjustment
+        pos2 = sh.positions([11, 10], [100, 100])
+        assert pos2.x_advance.tolist() == [100, 100]
+
+    def test_pair_chain_resumes_at_second(self):
+        # A-B kern and B-C kern both apply (scan resumes at B)
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(2, 0, [gpos_pair1({
+                10: [(11, (0, 0, -5, 0), Z)],
+                11: [(12, (0, 0, -7, 0), Z)],
+            })])],
+        )
+        pos = shaper(gpos).positions([10, 11, 12], [100, 100, 100])
+        assert pos.x_advance.tolist() == [95, 93, 100]
+
+
+class TestCursive:
+    def test_exit_meets_entry(self):
+        # glyph 10 exit (80, 10); glyph 11 entry (5, -20)
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(3, 0, [gpos_cursive({
+                10: (None, (80, 10)),
+                11: ((5, -20), (90, 0)),
+            })])],
+        )
+        pos = shaper(gpos).positions([10, 11], [100, 100])
+        # parent's advance lands the pen on its exit x
+        assert pos.x_advance[0] == 80
+        # child shifts back by its entry x
+        assert pos.x_offset[1] == -5 and pos.x_advance[1] == 95
+        # child baseline rises by exit.y - entry.y
+        assert pos.y_offset[1] == 30
+        # entry point of 11 in absolute space == exit point of 10
+        assert pens(pos)[1] + 5 == 80
+
+    def test_chain_accumulates_y(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(3, 0, [gpos_cursive({
+                10: (None, (80, 10)),
+                11: ((0, 0), (80, 10)),
+                12: ((0, 0), None),
+            })])],
+        )
+        pos = shaper(gpos).positions([10, 11, 12], [100, 100, 100])
+        assert pos.y_offset.tolist() == [0, 10, 20]
+
+    def test_missing_anchor_no_op(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(3, 0, [gpos_cursive({10: (None, (80, 10))})])],
+        )
+        pos = shaper(gpos).positions([10, 10], [100, 100])
+        # second 10 has no entry anchor: nothing applies
+        assert pos.x_advance.tolist() == [100, 100]
+
+
+class TestMarkAttach:
+    GDEF = build_gdef(glyph_classes={10: 1, 11: 1, 20: 3, 21: 3})
+
+    def test_mark_to_base(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(4, 0, [gpos_markbase(
+                marks={20: (0, (10, 5))},
+                bases={10: [(60, 90)]},
+                n_classes=1,
+            )])],
+        )
+        pos = shaper(gpos, gdef=self.GDEF).positions([10, 20], [100, 0])
+        # mark lands at base origin + (anchor delta); its own pen is at 100
+        assert pos.x_offset[1] == (60 - 10) - 100
+        assert pos.y_offset[1] == 90 - 5
+
+    def test_mark_skips_intervening_mark(self):
+        # base 10, mark 20, mark 21: both attach to 10 (base search
+        # ignores marks)
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(4, 0, [gpos_markbase(
+                marks={20: (0, (0, 0)), 21: (0, (0, 0))},
+                bases={10: [(50, 70)]},
+                n_classes=1,
+            )])],
+        )
+        pos = shaper(gpos, gdef=self.GDEF).positions(
+            [10, 20, 21], [100, 0, 0]
+        )
+        assert pos.x_offset.tolist() == [0, -50, -50]
+        assert pos.y_offset.tolist() == [0, 70, 70]
+
+    def test_mark_to_mark_stacks(self):
+        base = gpos_markbase(
+            marks={20: (0, (0, 0)), 21: (0, (0, 0))},
+            bases={10: [(50, 70)]},
+            n_classes=1,
+        )
+        mkmk = gpos_markbase(
+            marks={21: (0, (0, 0))},
+            bases={20: [(0, 30)]},  # mark2 coverage = glyph 20
+            n_classes=1,
+        )
+        gpos = build_gpos(
+            [(b"test", [0, 1])], [(4, 0, [base]), (6, 0, [mkmk])]
+        )
+        pos = shaper(gpos, gdef=self.GDEF).positions(
+            [10, 20, 21], [100, 0, 0]
+        )
+        # 21 stacks on 20's final position + (0, 30)
+        assert pos.y_offset.tolist() == [0, 70, 100]
+        assert pos.x_offset.tolist() == [0, -50, -50]
+
+    def test_mark_to_ligature_last_component(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(5, 0, [gpos_marklig(
+                marks={20: (0, (0, 0))},
+                ligs={10: [[(10, 10)], [(80, 95)]]},  # two components
+                n_classes=1,
+            )])],
+        )
+        pos = shaper(gpos, gdef=self.GDEF).positions([10, 20], [200, 0])
+        # attaches to the LAST component's anchor
+        assert pos.x_offset[1] == 80 - 200
+        assert pos.y_offset[1] == 95
+
+
+class TestContextual:
+    def _nested_single(self):
+        """lookup 1: move glyph 11 up by 50 (not feature-selected)."""
+        return (1, 0, [gpos_single({11: (0, 50, 0, 0)}, fmt=1)])
+
+    def test_context3_applies_nested(self):
+        ctx = gpos_context3([[10], [11]], [(1, 1)])
+        gpos = build_gpos(
+            [(b"test", [0])], [(7, 0, [ctx]), self._nested_single()]
+        )
+        sh = shaper(gpos)
+        pos = sh.positions([10, 11], [100, 100])
+        assert pos.y_offset.tolist() == [0, 50]
+        # without the context (11 alone) nothing applies
+        pos2 = sh.positions([9, 11], [100, 100])
+        assert pos2.y_offset.tolist() == [0, 0]
+
+    def test_chain3_backtrack_lookahead(self):
+        ctx = gpos_chain3([[9]], [[10], [11]], [[12]], [(0, 1)])
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(8, 0, [ctx]), (1, 0, [gpos_single({10: (0, -9, 0, 0)})])],
+        )
+        sh = shaper(gpos)
+        ok = sh.positions([9, 10, 11, 12], [100] * 4)
+        assert ok.y_offset.tolist() == [0, -9, 0, 0]
+        # missing lookahead: no match
+        no = sh.positions([9, 10, 11, 13], [100] * 4)
+        assert no.y_offset.tolist() == [0, 0, 0, 0]
+
+    def test_context1_glyph_rules(self):
+        ctx = gpos_context1({10: [([11], [(1, 1)])]})
+        gpos = build_gpos(
+            [(b"test", [0])], [(7, 0, [ctx]), self._nested_single()]
+        )
+        pos = shaper(gpos).positions([10, 11], [100, 100])
+        assert pos.y_offset.tolist() == [0, 50]
+
+
+class TestExtensionAndFlags:
+    def test_extension_unwraps(self):
+        inner = gpos_single({10: (0, 0, 33, 0)}, fmt=1, vfmt=0x4)
+        gpos = build_gpos(
+            [(b"test", [0])], [(9, 0, [gpos_extension(1, inner)])]
+        )
+        pos = shaper(gpos).positions([10], [100])
+        assert pos.x_advance[0] == 133
+
+    def test_ignore_marks_pair(self):
+        # kern pair 10-11 with a mark (20) in between, flag ignoreMarks
+        gdef = build_gdef(glyph_classes={10: 1, 11: 1, 20: 3})
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(2, 0x0008, [gpos_pair1({10: [(11, (0, 0, -30, 0), Z)]})])],
+        )
+        pos = shaper(gpos, gdef=gdef).positions([10, 20, 11], [100, 0, 100])
+        assert pos.x_advance.tolist() == [70, 0, 100]
+
+
+class TestRealFont:
+    def test_kern_matches_flat_table_on_all_pairs(self, dejavu):
+        """The engine must agree with GposKernTable on every kerned
+        pair in DejaVu (both read the same PairPos lookups)."""
+        flat = dejavu.gpos_kerning
+        sh = dejavu.positioner((b"kern",))
+        assert flat is not None and sh is not None
+        # the legacy `kern` table's explicit pairs enumerate every
+        # kerned pair in the font (test_gpos.py proves the flattened
+        # GPOS lookup agrees with it on all of them)
+        keys = dejavu.kerning.keys
+        assert len(keys) > 1000
+        lefts = (keys >> 16).astype(np.int64)
+        rights = (keys & 0xFFFF).astype(np.int64)
+        flat_vals = flat.lookup(lefts, rights)
+        for l, r, fv in zip(
+            lefts[::7], rights[::7], flat_vals[::7]
+        ):
+            pos = sh.positions([int(l), int(r)], [0, 0])
+            assert pos.x_advance[0] == fv, (l, r)
+
+    def test_layout_engine_matches_legacy_kern(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        text = "AVATAR To Wavy L.T.\nYet f)"
+        a = layout_text(dejavu, text, kern=True)
+        b = layout_text(dejavu, text, kern=True, positioning=())
+        pa = np.array([[i.x, i.y] for i in a.instances])
+        pb = np.array([[i.x, i.y] for i in b.instances])
+        assert pa.shape == pb.shape
+        assert np.abs(pa - pb).max() == 0
+
+    def test_layout_engine_matches_legacy_marks(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        text = "éa̖x À̖"
+        a = layout_text(dejavu, text, marks=True, kern=True)
+        b = layout_text(dejavu, text, marks=True, kern=True,
+                        positioning=())
+        pa = np.array([[i.x, i.y] for i in a.instances])
+        pb = np.array([[i.x, i.y] for i in b.instances])
+        assert pa.shape == pb.shape
+        assert np.abs(pa - pb).max() == 0
+
+    def test_positioning_tags_without_gpos_fall_back(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        # a tag DejaVu doesn't define: positioner is None, layout falls
+        # back to the legacy path and still kerns
+        a = layout_text(dejavu, "AV", kern=True,
+                        positioning=(b"zzzz",))
+        b = layout_text(dejavu, "AV", kern=True)
+        assert [(i.x, i.y) for i in a.instances] == \
+               [(i.x, i.y) for i in b.instances]
+
+    def test_vertical_vkrn_requested_no_crash(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        # DejaVu has no vkrn; the request degrades to plain vertical
+        v = layout_text(dejavu, "AB", vertical=True, kern=True,
+                        positioning=())
+        assert len(v.instances) == 2

@@ -722,3 +722,239 @@ def build_vmtx(metrics: list[tuple[int, int]], run_out_tsb: list[int] = ()) -> b
     run-out topSideBearing i16 array."""
     out = b"".join(struct.pack(">Hh", ah, tsb) for ah, tsb in metrics)
     return out + b"".join(struct.pack(">h", t) for t in run_out_tsb)
+
+
+# ---------------------------------------------------------------------------
+# GPOS builders — the table framing is byte-identical to GSUB, so
+# ``build_gpos`` reuses ``build_gsub``; only subtable wire formats
+# differ.  Written from the public OpenType spec.
+
+build_gpos = build_gsub
+gpos_context3 = gsub_context3        # GPOS type 7 fmt 3 == GSUB 5 fmt 3
+gpos_chain3 = gsub_chain3            # GPOS type 8 fmt 3 == GSUB 6 fmt 3
+gpos_context1 = gsub_context1
+gpos_extension = gsub_extension      # GPOS type 9 == GSUB 7 wire shape
+
+_VF_BITS = ((0x1, 0), (0x2, 1), (0x4, 2), (0x8, 3))
+
+
+def gpos_value(v: tuple[int, int, int, int], vfmt: int) -> bytes:
+    """Pack a ValueRecord ``(xp, yp, xa, ya)`` under ``vfmt``."""
+    out = b""
+    for bit, idx in _VF_BITS:
+        if vfmt & bit:
+            out += struct.pack(">h", v[idx])
+    return out
+
+
+def gpos_anchor(x: int, y: int) -> bytes:
+    return struct.pack(">Hhh", 1, x, y)
+
+
+def gpos_single(
+    mapping: dict[int, tuple[int, int, int, int]], fmt: int = 2,
+    vfmt: int = 0xF,
+) -> bytes:
+    """SinglePos subtable.  fmt 1 requires one shared value."""
+    glyphs = sorted(mapping)
+    cov = build_coverage(glyphs)
+    if fmt == 1:
+        vals = {mapping[g] for g in glyphs}
+        assert len(vals) == 1, "fmt-1 single pos needs one value"
+        vrec = gpos_value(next(iter(vals)), vfmt)
+        return struct.pack(">HHH", 1, 6 + len(vrec), vfmt) + vrec + cov
+    recs = b"".join(gpos_value(mapping[g], vfmt) for g in glyphs)
+    head_len = 8 + len(recs)
+    return (
+        struct.pack(">HHHH", 2, head_len, vfmt, len(glyphs)) + recs + cov
+    )
+
+
+def gpos_pair1(
+    pairs: dict[int, list[tuple[int, tuple, tuple]]],
+    vf1: int = 0x4, vf2: int = 0,
+) -> bytes:
+    """PairPos format 1: first glyph -> [(second, v1, v2)]."""
+    firsts = sorted(pairs)
+    n = len(firsts)
+    head_len = 10 + 2 * n
+    sets, offs = [], []
+    pos = head_len
+    for g in firsts:
+        recs = b""
+        for gid2, v1, v2 in pairs[g]:
+            recs += struct.pack(">H", gid2)
+            recs += gpos_value(v1, vf1) + gpos_value(v2, vf2)
+        tbl = struct.pack(">H", len(pairs[g])) + recs
+        offs.append(pos)
+        sets.append(tbl)
+        pos += len(tbl)
+    cov_off = pos
+    return (
+        struct.pack(f">HHHHH{n}H", 1, cov_off, vf1, vf2, n, *offs)
+        + b"".join(sets)
+        + build_coverage(firsts)
+    )
+
+
+def gpos_pair2(
+    coverage: list[int],
+    cd1: dict[int, int], cd2: dict[int, int],
+    n_c1: int, n_c2: int,
+    matrix: dict[tuple[int, int], tuple[tuple, tuple]],
+    vf1: int = 0x4, vf2: int = 0,
+) -> bytes:
+    """PairPos format 2: class matrix; absent cells are zeros."""
+    zero = (0, 0, 0, 0)
+    recs = b""
+    for c1 in range(n_c1):
+        for c2 in range(n_c2):
+            v1, v2 = matrix.get((c1, c2), (zero, zero))
+            recs += gpos_value(v1, vf1) + gpos_value(v2, vf2)
+    head_len = 16 + len(recs)
+    cd1_b = build_classdef(cd1)
+    cov_off = head_len
+    cd1_off = cov_off + len(build_coverage(coverage))
+    cd2_off = cd1_off + len(cd1_b)
+    return (
+        struct.pack(
+            ">HHHHHHHH", 2, cov_off, vf1, vf2, cd1_off, cd2_off, n_c1, n_c2
+        )
+        + recs
+        + build_coverage(coverage)
+        + cd1_b
+        + build_classdef(cd2)
+    )
+
+
+def gpos_cursive(
+    anchors: dict[int, tuple[tuple[int, int] | None, tuple[int, int] | None]],
+) -> bytes:
+    """CursivePos format 1: glyph -> (entry, exit) anchors."""
+    glyphs = sorted(anchors)
+    n = len(glyphs)
+    head_len = 6 + 4 * n
+    blob = b""
+    offs = []
+    pos = head_len
+    for g in glyphs:
+        rec = []
+        for a in anchors[g]:
+            if a is None:
+                rec.append(0)
+            else:
+                rec.append(pos)
+                blob += gpos_anchor(*a)
+                pos += 6
+        offs.append(tuple(rec))
+    cov_off = pos
+    out = struct.pack(">HHH", 1, cov_off, n)
+    for e, x in offs:
+        out += struct.pack(">HH", e, x)
+    return out + blob + build_coverage(glyphs)
+
+
+def _gpos_mark_array(
+    marks: dict[int, tuple[int, tuple[int, int]]],
+) -> tuple[bytes, list[int]]:
+    """(MarkArray bytes, covered mark glyph order)."""
+    order = sorted(marks)
+    n = len(order)
+    head_len = 2 + 4 * n
+    out = struct.pack(">H", n)
+    blob = b""
+    pos = head_len
+    for g in order:
+        klass, (x, y) = marks[g]
+        out += struct.pack(">HH", klass, pos)
+        blob += gpos_anchor(x, y)
+        pos += 6
+    return out + blob, order
+
+
+def gpos_markbase(
+    marks: dict[int, tuple[int, tuple[int, int]]],
+    bases: dict[int, list[tuple[int, int] | None]],
+    n_classes: int,
+) -> bytes:
+    """MarkBasePos format 1 (also MarkMarkPos — same wire shape):
+    ``marks``: gid -> (class, anchor); ``bases``: gid -> per-class
+    anchors."""
+    mark_arr, mark_order = _gpos_mark_array(marks)
+    base_order = sorted(bases)
+    nb = len(base_order)
+    ba_head = 2 + 2 * nb * n_classes
+    ba = struct.pack(">H", nb)
+    blob = b""
+    pos = ba_head
+    for g in base_order:
+        for a in bases[g]:
+            if a is None:
+                ba += struct.pack(">H", 0)
+            else:
+                ba += struct.pack(">H", pos)
+                blob += gpos_anchor(*a)
+                pos += 6
+    base_arr = ba + blob
+    m_cov = build_coverage(mark_order)
+    b_cov = build_coverage(base_order)
+    head = 12
+    m_cov_off = head
+    b_cov_off = m_cov_off + len(m_cov)
+    m_arr_off = b_cov_off + len(b_cov)
+    b_arr_off = m_arr_off + len(mark_arr)
+    return (
+        struct.pack(
+            ">HHHHHH", 1, m_cov_off, b_cov_off, n_classes, m_arr_off,
+            b_arr_off,
+        )
+        + m_cov + b_cov + mark_arr + base_arr
+    )
+
+
+def gpos_marklig(
+    marks: dict[int, tuple[int, tuple[int, int]]],
+    ligs: dict[int, list[list[tuple[int, int] | None]]],
+    n_classes: int,
+) -> bytes:
+    """MarkLigPos format 1: ``ligs``: gid -> per-component per-class
+    anchors."""
+    mark_arr, mark_order = _gpos_mark_array(marks)
+    lig_order = sorted(ligs)
+    nl = len(lig_order)
+    att_tables = []
+    for g in lig_order:
+        comps = ligs[g]
+        at_head = 2 + 2 * len(comps) * n_classes
+        at = struct.pack(">H", len(comps))
+        blob = b""
+        pos = at_head
+        for comp in comps:
+            for a in comp:
+                if a is None:
+                    at += struct.pack(">H", 0)
+                else:
+                    at += struct.pack(">H", pos)
+                    blob += gpos_anchor(*a)
+                    pos += 6
+        att_tables.append(at + blob)
+    la_head = 2 + 2 * nl
+    offs, pos = [], la_head
+    for t in att_tables:
+        offs.append(pos)
+        pos += len(t)
+    lig_arr = struct.pack(f">H{nl}H", nl, *offs) + b"".join(att_tables)
+    m_cov = build_coverage(mark_order)
+    l_cov = build_coverage(lig_order)
+    head = 12
+    m_cov_off = head
+    l_cov_off = m_cov_off + len(m_cov)
+    m_arr_off = l_cov_off + len(l_cov)
+    l_arr_off = m_arr_off + len(mark_arr)
+    return (
+        struct.pack(
+            ">HHHHHH", 1, m_cov_off, l_cov_off, n_classes, m_arr_off,
+            l_arr_off,
+        )
+        + m_cov + l_cov + mark_arr + lig_arr
+    )
