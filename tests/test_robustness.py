@@ -330,3 +330,78 @@ class TestShapeFuzz:
             sh = f.shaper((b"test", b"liga"))  # never raises
             lay = layout_text(f, "ABC", features=(b"test",))
             assert len(lay.instances) >= 1
+
+
+class TestGposShapeFuzz:
+    """The GPOS positioning engine must degrade cleanly under
+    corruption: parse returns an engine or None, and ``positions``
+    never hangs or crashes deep in numpy."""
+
+    def _gpos(self):
+        Z = (0, 0, 0, 0)
+        ctx = tb.gpos_context3([[10], [11]], [(1, 1)])
+        chain = tb.gpos_chain3([[9]], [[10]], [[11]], [(0, 2)])
+        return tb.build_gpos(
+            [(b"test", [0, 3, 4, 5, 6])],
+            [
+                (7, 0, [ctx]),
+                (1, 0, [tb.gpos_single({11: (0, 50, 0, 0)}, fmt=1)]),
+                (1, 0, [tb.gpos_single({10: (0, 0, -9, 0)}, fmt=2)]),
+                (2, 0, [tb.gpos_pair1({10: [(11, (0, 0, -5, 0), Z)]})]),
+                (3, 0, [tb.gpos_cursive({10: (None, (80, 10)),
+                                         11: ((5, -20), None)})]),
+                (8, 0, [chain]),
+                (9, 0, [tb.gpos_extension(4, tb.gpos_markbase(
+                    marks={50: (0, (10, 5))}, bases={10: [(60, 90)]},
+                    n_classes=1,
+                ))]),
+            ],
+        )
+
+    def test_gpos_bit_flips(self, rng):
+        import struct
+
+        from fontrx.font.gdef import GdefTable
+        from fontrx.font.gpos_shape import GposShaper
+        from fontrx.utils.reader import BigEndianReader
+
+        gpos = self._gpos()
+        gdef = tb.build_gdef(glyph_classes={10: 1, 11: 1, 50: 3})
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        stream = [9, 10, 11, 50, 10, 11]
+        widths = [100] * len(stream)
+        for _ in range(250):
+            g2 = bytearray(gpos)
+            pos = int(rng.integers(0, len(g2)))
+            g2[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                sh = GposShaper.parse(
+                    BigEndianReader(bytes(g2), 0),
+                    tags=(b"test",),
+                    gdef=GdefTable.parse(BigEndianReader(gdef, 0)),
+                )
+                if sh is not None:
+                    out = sh.positions(stream, widths)
+                    assert len(out.x_offset) == len(stream)
+            except acceptable:
+                pass
+
+    def test_gpos_truncations(self):
+        import struct
+
+        from fontrx.font.gpos_shape import GposShaper
+        from fontrx.utils.reader import BigEndianReader
+
+        gpos = self._gpos()
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        for cut in range(0, len(gpos), 3):
+            try:
+                sh = GposShaper.parse(
+                    BigEndianReader(gpos[:cut], 0), tags=(b"test",)
+                )
+                if sh is not None:
+                    sh.positions([9, 10, 11], [100, 100, 100])
+            except acceptable:
+                pass
