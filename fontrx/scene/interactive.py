@@ -27,7 +27,7 @@ import numpy as np
 from fontrx.engine.raster import RasterEngine
 from fontrx.font.font import Font
 from fontrx.scene.layout import TextLayout, layout_text
-from fontrx.scene.page import PageRenderer
+from fontrx.scene.page import GlyphTileCache, PageRenderer
 from fontrx.scene.transform import ViewTransform
 from fontrx.utils.log import get_logger
 from fontrx.utils.timer import PhaseTimer
@@ -83,8 +83,12 @@ class InteractiveSession:
             self.font.info.units_per_em, self.width, self.height
         )
         self.events = EventState()
+        # glyph-tile LRU shared across re-layouts/resizes: zoom-return
+        # and text edits re-raster only never-seen (glyph, zoom) tiles
+        self.tile_cache = GlyphTileCache()
         self.renderer = PageRenderer(
-            self.font, self.layout, self.width, self.height, self.engine
+            self.font, self.layout, self.width, self.height, self.engine,
+            tile_cache=self.tile_cache,
         )
         self.timer = PhaseTimer()
         self.frame_count = 0
@@ -124,7 +128,8 @@ class InteractiveSession:
                                   features=self.features,
                                   positioning=self.positioning)
         self.renderer = PageRenderer(
-            self.font, self.layout, self.width, self.height, self.engine
+            self.font, self.layout, self.width, self.height, self.engine,
+            tile_cache=self.tile_cache,
         )
 
     # -- frame loop --------------------------------------------------------
@@ -139,7 +144,8 @@ class InteractiveSession:
             self.width, self.height = ev.resized
             self.view = self.view.with_aspect(self.width, self.height)
             self.renderer = PageRenderer(
-                self.font, self.layout, self.width, self.height, self.engine
+                self.font, self.layout, self.width, self.height, self.engine,
+                tile_cache=self.tile_cache,
             )
             ev.resized = None
         if ev.toggle_msaa:
@@ -205,4 +211,5 @@ class InteractiveSession:
             # raster-only time (excludes the page host fetch)
             "compute_ms": float(np.mean(cms)) if cms else 0.0,
             "compute_fps": 1000.0 / float(np.mean(cms)) if cms else 0.0,
+            "tile_cache": self.tile_cache.stats(),
         }

@@ -38,6 +38,7 @@ class TextLayout:
 
     batch: PackedBatch
     slot_chars: list[int]  # codepoint per unique-glyph slot
+    slot_gids: list[int]   # font glyph index per slot (tile-cache key)
     instances: list[Instance]
     width: float  # pen extent in font units
     height: float
@@ -200,6 +201,7 @@ def layout_text(
         return TextLayout(
             batch=batch,
             slot_chars=slot_chars,
+            slot_gids=list(slot_of),
             instances=instances,
             width=max_x,
             height=len(lines) * line_height,
@@ -242,6 +244,7 @@ def layout_text(
     return TextLayout(
         batch=batch,
         slot_chars=slot_chars,
+        slot_gids=list(slot_of),
         instances=instances,
         width=max_x,
         height=len(lines) * line_height,
@@ -303,6 +306,7 @@ def _layout_vertical(
     return TextLayout(
         batch=batch,
         slot_chars=slot_chars,
+        slot_gids=list(slot_of),
         instances=instances,
         width=width,
         height=max_drop,

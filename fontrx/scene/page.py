@@ -65,6 +65,70 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+class GlyphTileCache:
+    """Device-resident LRU of rastered glyph tiles, keyed by
+    ``(glyph id, zoom, mode, tile size)``.
+
+    The reference keeps *meshes* GPU-resident, so pans are free but
+    every zoom re-tessellates nothing (vector data).  fontrx's
+    composite tiles are rasters, so they are zoom-dependent; this cache
+    makes the two interactive hot paths free:
+
+    - **zoom-return**: scroll steps are reversible (1.15^n), so zooming
+      in and back out revisits exact scales — every revisited level is
+      a full hit and re-rasters nothing;
+    - **text edit** (``char_input``): a new layout re-uses every glyph
+      already on screen; only genuinely new glyphs raster.
+
+    Eviction is byte-bounded LRU (device tiles; a 512px uint8 tile is
+    256 KB).  The cache outlives PageRenderer rebuilds — sessions pass
+    one cache into every renderer they create.
+    """
+
+    def __init__(self, capacity_bytes: int = 128 * 1024 * 1024):
+        from collections import OrderedDict
+
+        self.capacity_bytes = capacity_bytes
+        self._tiles: "OrderedDict[tuple, jax.Array]" = OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def __len__(self) -> int:
+        return len(self._tiles)
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
+
+    def get(self, key):
+        t = self._tiles.get(key)
+        if t is not None:
+            self._tiles.move_to_end(key)
+            self.hits += 1
+        else:
+            self.misses += 1
+        return t
+
+    def put(self, key, tile) -> None:
+        if key in self._tiles:
+            self._tiles.move_to_end(key)
+            return
+        self._tiles[key] = tile
+        self._bytes += int(np.prod(tile.shape))  # uint8
+        while self._bytes > self.capacity_bytes and len(self._tiles) > 1:
+            _, old = self._tiles.popitem(last=False)
+            self._bytes -= int(np.prod(old.shape))
+
+    def stats(self) -> dict:
+        return {
+            "tiles": len(self._tiles),
+            "bytes": self._bytes,
+            "hits": self.hits,
+            "misses": self.misses,
+        }
+
+
 # direct-page kernel tuning (group_guard, seg_chunk, tile_w or None =
 # width-derived).  Set by the round-2 REAL-page A/B
 # (tools/tpu_probes/tpu_page_real.py): group elision — a big win on
@@ -152,6 +216,7 @@ class PageRenderer:
     height: int
     engine: RasterEngine | None = None
     kernel_tuning: tuple = PAGE_TUNING  # (group_guard, seg_chunk, tile_w)
+    tile_cache: GlyphTileCache | None = None  # shared LRU (survives re-layout)
     _cached_scale: float | None = None
     _cached_tiles: object = None
     _cached_grids: object = None
@@ -197,29 +262,59 @@ class PageRenderer:
             )
             for b in boxes
         ]
-        args = (
-            jnp.asarray(self.layout.batch.segments),
-            np.array([g.min_x for g in grids], np.int32),
-            np.array([g.max_y for g in grids], np.int32),
-            np.float32(px_per_unit),
-        )
-        if msaa and not debug:
-            cov = self.engine.coverage_batch(
-                *args, height=tile, width=tile, samples=2
+        gids = self.layout.slot_gids
+        cache = self.tile_cache
+        if cache is not None and len(gids) == len(grids):
+            mode = "msaa" if msaa and not debug else (
+                "debug" if debug else "fill"
             )
-            tiles = jnp.clip(jnp.round(cov * 255.0), 0, 255).astype(jnp.uint8)
+            keys = [
+                (gid, float(np.float32(px_per_unit)), mode, tile)
+                for gid in gids
+            ]
+            got = [cache.get(k) for k in keys]
+            missing = [i for i, t in enumerate(got) if t is None]
+            if missing:
+                sub = self._raster_tiles(
+                    self.layout.batch.segments[missing],
+                    np.array([grids[i].min_x for i in missing], np.int32),
+                    np.array([grids[i].max_y for i in missing], np.int32),
+                    px_per_unit, tile, msaa, debug,
+                )
+                for m, i in enumerate(missing):
+                    got[i] = sub[m]
+                    cache.put(keys[i], got[i])
+            tiles = jnp.stack(got) if got else jnp.zeros(
+                (0, tile, tile), jnp.uint8
+            )
         else:
-            winding = self.engine.winding_batch(
-                *args, height=tile, width=tile
-            )
-            # debug: winding visualization; else binary fill [B, T, T] u8
-            tiles = (
-                self.engine.gray(winding) if debug else self.engine.fill(winding)
+            tiles = self._raster_tiles(
+                self.layout.batch.segments,
+                np.array([g.min_x for g in grids], np.int32),
+                np.array([g.max_y for g in grids], np.int32),
+                px_per_unit, tile, msaa, debug,
             )
         self._cached_scale = key
         self._cached_tiles = tiles
         self._cached_grids = grids
         return tiles, grids, tile
+
+    def _raster_tiles(
+        self, segments, min_x, max_y, px_per_unit, tile, msaa, debug
+    ):
+        """Raster a batch of glyph tiles in the selected mode: uint8
+        ``[B, tile, tile]``."""
+        args = (jnp.asarray(segments), min_x, max_y, np.float32(px_per_unit))
+        if msaa and not debug:
+            cov = self.engine.coverage_batch(
+                *args, height=tile, width=tile, samples=2
+            )
+            return jnp.clip(jnp.round(cov * 255.0), 0, 255).astype(jnp.uint8)
+        winding = self.engine.winding_batch(*args, height=tile, width=tile)
+        # debug: winding visualization; else binary fill [B, T, T] u8
+        return (
+            self.engine.gray(winding) if debug else self.engine.fill(winding)
+        )
 
     # -- direct path -------------------------------------------------------
 

@@ -334,6 +334,82 @@ class TestInteractive:
         assert stats["mean_ms"] > 0
 
 
+class TestTileCache:
+    """Composite-path glyph-tile LRU (`scene/page.py::GlyphTileCache`):
+    zoom-return and text edits must re-raster nothing already seen, the
+    cached pages must be byte-identical to uncached rendering, and
+    eviction must respect the byte budget."""
+
+    def _session(self, dejavu, **kw):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        return InteractiveSession(
+            dejavu, "Hello", 256, 192, RasterEngine(backend="jnp"),
+            mode="composite", **kw,
+        )
+
+    def test_zoom_return_hits(self, dejavu):
+        s = self._session(dejavu)
+        f1 = s.frame()
+        s.scroll(1.0)
+        s.frame()
+        m1 = s.tile_cache.stats()
+        s.scroll(-1.0)
+        f3 = s.frame()
+        m2 = s.tile_cache.stats()
+        assert m2["misses"] == m1["misses"]  # revisited zoom: no raster
+        assert m2["hits"] > m1["hits"]
+        np.testing.assert_array_equal(f1, f3)
+
+    def test_char_input_reuses_seen_glyphs(self, dejavu):
+        s = self._session(dejavu)
+        s.frame()
+        m0 = s.tile_cache.stats()
+        s.char_input(" olleH")  # same glyph set + space (empty glyph)
+        s.frame()
+        m1 = s.tile_cache.stats()
+        # only the space is new (and it has an empty tile slot)
+        assert m1["misses"] <= m0["misses"] + 1
+
+    def test_cached_page_matches_uncached(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.layout import layout_text
+        from fontrx.scene.page import GlyphTileCache, PageRenderer
+        from fontrx.scene.transform import ViewTransform
+
+        eng = RasterEngine(backend="jnp")
+        layout = layout_text(dejavu, "Wavy")
+        view = ViewTransform.init(dejavu.info.units_per_em, 256, 192)
+        plain = PageRenderer(dejavu, layout, 256, 192, eng)
+        cached = PageRenderer(
+            dejavu, layout, 256, 192, eng, tile_cache=GlyphTileCache()
+        )
+        np.testing.assert_array_equal(
+            plain.render(view), cached.render(view)
+        )
+        # second renderer sharing the warm cache: full hit, same bytes
+        warm = PageRenderer(
+            dejavu, layout, 256, 192, eng, tile_cache=cached.tile_cache
+        )
+        misses_before = cached.tile_cache.misses
+        np.testing.assert_array_equal(plain.render(view), warm.render(view))
+        assert cached.tile_cache.misses == misses_before
+
+    def test_eviction_respects_budget(self, dejavu):
+        from fontrx.scene.page import GlyphTileCache
+
+        import jax.numpy as jnp
+
+        c = GlyphTileCache(capacity_bytes=3 * 64 * 64)
+        for i in range(5):
+            c.put((i, 1.0, "fill", 64), jnp.zeros((64, 64), jnp.uint8))
+        assert c.nbytes <= 3 * 64 * 64
+        assert len(c) == 3
+        assert c.get((0, 1.0, "fill", 64)) is None   # evicted (LRU)
+        assert c.get((4, 1.0, "fill", 64)) is not None
+
+
 class TestToggles:
     """The m/d/t keybinds must have *observable* frame effects in both
     render modes (reference behavior: Ctrl+M/T/D,
