@@ -302,6 +302,99 @@ class TestPNG:
             )
 
 
+class TestWebSocketViewer:
+    """The /ws push channel: RFC 6455 handshake + framing, one binary
+    PNG frame pushed after the handshake and after every applied
+    event."""
+
+    def test_codec_roundtrip(self):
+        import io
+
+        from fontrx.cli.serve import ws_accept_key, ws_read_frame, ws_send_frame
+
+        # the RFC 6455 §1.3 worked example
+        assert ws_accept_key("dGhlIHNhbXBsZSBub25jZQ==") == \
+            "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+        buf = io.BytesIO()
+        ws_send_frame(buf, b"x" * 200, opcode=2)   # 126-length path
+        buf.seek(0)
+        op, payload = ws_read_frame(buf)
+        assert op == 2 and payload == b"x" * 200
+        # masked client frame decodes
+        masked = bytes([0x81, 0x80 | 3, 1, 2, 3, 4,
+                        ord("a") ^ 1, ord("b") ^ 2, ord("c") ^ 3])
+        op, payload = ws_read_frame(io.BytesIO(masked))
+        assert op == 1 and payload == b"abc"
+
+    def test_push_channel(self, dejavu):
+        import json
+        import socket
+        import struct
+        import threading
+        from http.server import ThreadingHTTPServer
+
+        from fontrx.cli.serve import make_handler
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            dejavu, "Hi", 128, 96, RasterEngine(backend="jnp")
+        )
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(sess))
+        httpd.daemon_threads = True
+        port = httpd.server_port
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=20)
+            s.sendall(
+                b"GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                b"Connection: Upgrade\r\nSec-WebSocket-Key: "
+                b"dGhlIHNhbXBsZSBub25jZQ==\r\nSec-WebSocket-Version: 13"
+                b"\r\n\r\n"
+            )
+            f = s.makefile("rb")
+            status = f.readline()
+            assert b"101" in status
+            while f.readline() not in (b"\r\n", b""):
+                pass
+
+            def read_frame():
+                hdr = f.read(2)
+                op = hdr[0] & 0x0F
+                n = hdr[1] & 0x7F
+                if n == 126:
+                    n = struct.unpack(">H", f.read(2))[0]
+                elif n == 127:
+                    n = struct.unpack(">Q", f.read(8))[0]
+                return op, f.read(n)
+
+            def send_text(obj):
+                payload = json.dumps(obj).encode()
+                mask = b"\x07\x03\x05\x01"
+                body = bytes(
+                    b ^ mask[i % 4] for i, b in enumerate(payload)
+                )
+                assert len(payload) < 126
+                s.sendall(bytes([0x81, 0x80 | len(payload)]) + mask + body)
+
+            op, frame0 = read_frame()     # initial push
+            assert op == 2 and frame0[:8] == b"\x89PNG\r\n\x1a\n"
+            send_text({"scroll": 2.0, "cx": 0.0, "cy": 0.0})
+            op, frame1 = read_frame()     # event-triggered push
+            assert op == 2 and frame1 != frame0
+            send_text({"op": "stats"})
+            op, stats = read_frame()
+            assert op == 1 and json.loads(stats)["frames"] >= 2
+            # clean close handshake
+            s.sendall(bytes([0x88, 0x80]) + b"\x00" * 4)
+            op, _ = read_frame()
+            assert op == 8
+            s.close()
+        finally:
+            httpd.shutdown()
+
+
 class TestLiveViewer:
     def test_http_surface(self, dejavu):
         import json
