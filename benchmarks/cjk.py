@@ -164,10 +164,12 @@ def sdf_atlas(b=1000, n_segments=288):
         w128 = ((size + 127) // 128) * 128
 
         if on_tpu:
-            def fn(mx, size=size, scale=scale, d_my=d_my, w128=w128):
+            # flat-pixel mode (zero lane waste at 32/64px; see
+            # tools/tpu_probes/tpu_sdf_flat.py)
+            def fn(mx, size=size, scale=scale, d_my=d_my):
                 return sdf_to_u8(sdf_pallas_batch(
                     d_segs, mx, d_my, jnp.float32(scale),
-                    height=size, width=w128,
+                    height=size, width=size, flat=True,
                 ))
         else:
             def fn(mx, size=size, scale=scale, d_my=d_my):

@@ -221,13 +221,20 @@ def config4_sdf_atlas(n_glyphs: int = 1000, size: int = 32):
 
     use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        w128 = ((size + 127) // 128) * 128
+        # flat-pixel mode: row-major pixel flattening fills every lane
+        # (a 32px tile padded to 128 lanes would otherwise compute 4x
+        # dead columns); bit-identical to the tiled kernel, measured
+        # 2.2x @32px / 1.7x @64px (tools/tpu_probes/tpu_sdf_flat.py)
+        flat = size & (size - 1) == 0 and (size * size) % 1024 == 0
+        w = size if flat else ((size + 127) // 128) * 128
 
         def step(i=0):
             a = (args[0], jnp.asarray(np.asarray(args[1]) + (i % 4)),
                  args[2], args[3])
             s = sdf_to_u8(
-                sdf_pallas_batch(*a, height=size, width=w128)[:, :, :size]
+                sdf_pallas_batch(
+                    *a, height=size, width=w, flat=flat
+                )[:, :, :size]
             )
             float(s[0, 0, 0])
             return s

@@ -169,14 +169,22 @@ def _render(font, text, cfg, engine) -> np.ndarray:
             RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
             for b in np.asarray(layout.batch.boxes)
         ]
-        sdf = sdf_batch(
+        sargs = (
             jnp.asarray(layout.batch.segments),
             jnp.array([g.min_x for g in grids], jnp.int32),
             jnp.array([g.max_y for g in grids], jnp.int32),
             jnp.float32(grids[0].scale),
-            height=cfg.size,
-            width=cfg.size,
         )
+        flat = (cfg.size & (cfg.size - 1) == 0
+                and (cfg.size * cfg.size) % 1024 == 0)
+        if engine._resolve() == "pallas" and flat:
+            from fontrx.kernels.sdf_pallas import sdf_pallas_batch
+
+            sdf = sdf_pallas_batch(
+                *sargs, height=cfg.size, width=cfg.size, flat=True
+            )
+        else:
+            sdf = sdf_batch(*sargs, height=cfg.size, width=cfg.size)
         sheet = np.concatenate(list(np.asarray(sdf_to_u8(sdf))), axis=1)
         return np.repeat(sheet[:, :, None], 3, axis=2)
 

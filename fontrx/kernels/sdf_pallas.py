@@ -37,11 +37,18 @@ NEWTON_STARTS = 4
 NEWTON_ITERS = 4
 
 
-def _make_sdf_kernel(spread_px: float):
+def _make_sdf_kernel(spread_px: float, glyph_w: int | None = None):
+    """``glyph_w=None``: one (8, 128) out tile covers an 8x128 pixel
+    rectangle — correct for wide rasters, but a 32px atlas padded to
+    128 lanes computes 4x dead columns.  ``glyph_w=W``: FLAT mode — the
+    glyph's pixels are flattened row-major onto full (8, 128) register
+    tiles (1024 real pixels per grid step, zero lane waste); the
+    per-(chunk, tile) hull cull tests the tile's covered row span x the
+    glyph's full width.  Distance math is identical either way."""
+
     def kernel(min_x_ref, max_y_ref, scale_ref, seg_ref, out_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
-        j = pl.program_id(2)
         min_x = min_x_ref[0, b]
         max_y = max_y_ref[0, b]
         scale = scale_ref[0, 0]
@@ -49,15 +56,32 @@ def _make_sdf_kernel(spread_px: float):
         s_cap = seg_ref.shape[1]
         n_chunks = s_cap // SEG_CHUNK
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2)
-        px = (min_x + j * TILE_W + col).astype(jnp.float32) / scale
-        py = (max_y - (i * TILE_H + row)).astype(jnp.float32) / scale
-        # tile bounds in em space (px increases with col, py decreases)
-        tx0 = px[0, 0, 0]
-        tx1 = tx0 + jnp.float32(TILE_W) / scale
-        ty1 = py[0, 0, 0]
-        ty0 = ty1 - jnp.float32(TILE_H) / scale
+        if glyph_w is None:
+            j = pl.program_id(2)
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2)
+            px = (min_x + j * TILE_W + col).astype(jnp.float32) / scale
+            py = (max_y - (i * TILE_H + row)).astype(jnp.float32) / scale
+            # tile bounds in em space (px increases with col, py decreases)
+            tx0 = px[0, 0, 0]
+            tx1 = tx0 + jnp.float32(TILE_W) / scale
+            ty1 = py[0, 0, 0]
+            ty0 = ty1 - jnp.float32(TILE_H) / scale
+        else:
+            # flat mode: global pixel index = i*1024 + sublane*128 + lane
+            sub = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2)
+            gflat = i * (TILE_H * TILE_W) + sub * TILE_W + lane
+            r = gflat // glyph_w           # W is a power of two (shift)
+            cc = gflat - r * glyph_w
+            px = (min_x + cc).astype(jnp.float32) / scale
+            py = (max_y - r).astype(jnp.float32) / scale
+            r0 = i * (TILE_H * TILE_W) // glyph_w
+            r1 = ((i + 1) * (TILE_H * TILE_W) - 1) // glyph_w
+            tx0 = min_x.astype(jnp.float32) / scale
+            tx1 = (min_x + glyph_w).astype(jnp.float32) / scale
+            ty0 = (max_y - r1).astype(jnp.float32) / scale
+            ty1 = (max_y - r0).astype(jnp.float32) / scale
 
         out_ref[0] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
 
@@ -137,16 +161,24 @@ def _make_sdf_kernel(spread_px: float):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "spread_px", "interpret", "exact"),
+    static_argnames=(
+        "height", "width", "spread_px", "interpret", "exact", "flat",
+    ),
 )
 def sdf_pallas_batch(
     segments, min_x, max_y, scale, *, height, width, spread_px=8.0,
-    interpret=False, exact=True,
+    interpret=False, exact=True, flat=False,
 ):
     """Batched SDF via winding sign + banded Pallas distance.
 
     Same conventions as ``sdf_batch``: float32 ``[B, H, W]`` distances in
     pixel units, positive inside, magnitudes clamped at ``spread_px``.
+
+    ``flat=True``: flattened-pixel mode for small atlas tiles — pixels
+    map row-major onto full (8, 128) register tiles, so a 32px tile
+    computes zero dead lanes instead of 4x column padding (2x at 64px).
+    Requires ``width`` a power of two and ``height*width`` a multiple
+    of 1024.
     """
     from fontrx.kernels.winding_pallas_v2 import (
         STRIP_ROWS,
@@ -154,40 +186,56 @@ def sdf_pallas_batch(
     )
 
     b = segments.shape[0]
-    assert height % TILE_H == 0 and width % TILE_W == 0
     soa = segments_to_soa(segments)
     s8 = soa.shape[1]
     min_x = min_x.reshape(1, b).astype(jnp.int32)
     max_y = max_y.reshape(1, b).astype(jnp.int32)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
 
-    grid = (b, height // TILE_H, width // TILE_W)
-    d2 = pl.pallas_call(
-        _make_sdf_kernel(float(spread_px)),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, s8, 8), lambda b_, i, j: (b_, 0, 0),
+    seg_spec = pl.BlockSpec(
+        (1, s8, 8), lambda b_, *ij: (b_, 0, 0), memory_space=pltpu.VMEM,
+    )
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+    if flat:
+        assert width & (width - 1) == 0, width
+        assert (height * width) % (TILE_H * TILE_W) == 0, (height, width)
+        n_flat = (height * width) // (TILE_H * TILE_W)
+        d2 = pl.pallas_call(
+            _make_sdf_kernel(float(spread_px), glyph_w=width),
+            grid=(b, n_flat),
+            in_specs=smem + [seg_spec],
+            out_specs=pl.BlockSpec(
+                (1, TILE_H, TILE_W), lambda b_, i: (b_, i, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, TILE_H, TILE_W), lambda b_, i, j: (b_, i, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.float32),
-        interpret=interpret,
-    )(min_x, max_y, scale_arr, soa)
+            out_shape=jax.ShapeDtypeStruct(
+                (b, n_flat * TILE_H, TILE_W), jnp.float32
+            ),
+            interpret=interpret,
+        )(min_x, max_y, scale_arr, soa)
+        d2 = d2.reshape(b, height, width)
+    else:
+        assert height % TILE_H == 0 and width % TILE_W == 0
+        grid = (b, height // TILE_H, width // TILE_W)
+        d2 = pl.pallas_call(
+            _make_sdf_kernel(float(spread_px)),
+            grid=grid,
+            in_specs=smem + [seg_spec],
+            out_specs=pl.BlockSpec(
+                (1, TILE_H, TILE_W), lambda b_, i, j: (b_, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.float32),
+            interpret=interpret,
+        )(min_x, max_y, scale_arr, soa)
 
     dist_px = jnp.minimum(jnp.sqrt(d2) * scale, jnp.float32(spread_px))
 
     wh = ((height + STRIP_ROWS - 1) // STRIP_ROWS) * STRIP_ROWS
+    ww = ((width + 127) // 128) * 128
     winding = winding_pallas_v2_batch(
         segments, min_x[0, :], max_y[0, :], scale,
-        height=wh, width=width, interpret=interpret, exact=exact,
-    )[:, :height, :]
+        height=wh, width=ww, interpret=interpret, exact=exact,
+    )[:, :height, :width]
     sign = jnp.where(winding != 0, 1.0, -1.0)
     return sign * dist_px

@@ -556,6 +556,42 @@ class TestSDFPallas:
             sdf_pallas_batch(*args, height=32, width=128, interpret=True)
         )[:, :, :32]
         assert np.abs(ref - fast).max() < 8.0 / 127  # sub-quantization
+        # flat mode (full-lane pixel flattening for small tiles) is
+        # bit-identical to the tiled kernel: same float program per
+        # (segment, pixel), only the pixel->lane mapping differs
+        flat = np.asarray(
+            sdf_pallas_batch(
+                *args, height=32, width=32, interpret=True, flat=True
+            )
+        )
+        np.testing.assert_array_equal(flat, fast)
+
+    def test_flat_mode_64px(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.kernels.sdf_pallas import sdf_pallas_batch
+        from fontrx.pack.segments import pack_glyphs
+
+        glyphs = [dejavu.get_glyph(c)[0] for c in "W&o"]
+        batch = pack_glyphs(glyphs)
+        grids = [RasterGrid.fixed_tile(tuple(b), 64, 2048, 64)
+                 for b in batch.boxes]
+        args = (
+            jnp.asarray(batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+        )
+        tiled = np.asarray(
+            sdf_pallas_batch(*args, height=64, width=128, interpret=True)
+        )[:, :, :64]
+        flat = np.asarray(
+            sdf_pallas_batch(
+                *args, height=64, width=64, interpret=True, flat=True
+            )
+        )
+        np.testing.assert_array_equal(flat, tiled)
 
 
 class TestCLIHelp:
