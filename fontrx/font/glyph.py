@@ -186,7 +186,14 @@ def from_component(
     detection, ``Font.zig:204-220``).
     """
     if data.metrics_index is not None:
-        log.warning("USE_MY_METRICS unsupported; using compound glyph's own metrics")
+        # once per process: full-font loads would otherwise emit
+        # hundreds of identical lines
+        if not getattr(from_component, "_warned_metrics", False):
+            from_component._warned_metrics = True
+            log.warning(
+                "USE_MY_METRICS unsupported; using compound glyph's own "
+                "metrics (warning suppressed for further glyphs)"
+            )
     contours: list[Contour] = []
     for part in data.parts:
         if not part.args_are_xy_values:

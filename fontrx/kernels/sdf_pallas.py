@@ -33,11 +33,19 @@ from fontrx.kernels.winding_pallas import segments_to_soa
 TILE_H = 8
 TILE_W = 128
 SEG_CHUNK = 8
-NEWTON_STARTS = 4
-NEWTON_ITERS = 4
+# 3 starts x 3 Newton iterations: measured max deviation vs the 4x4
+# lattice is 0.015 px over 400 random DejaVu glyphs @32px — a 4x margin
+# under the 8-bit atlas quantization step (8/127 = 0.063 px) — and 8-17%
+# faster on TPU atlases (tools/tpu_probes/tpu_sdf_flat.py); raise via
+# sdf_pallas_batch(starts=, iters=) for tighter tolerances
+NEWTON_STARTS = 3
+NEWTON_ITERS = 3
 
 
-def _make_sdf_kernel(spread_px: float, glyph_w: int | None = None):
+def _make_sdf_kernel(
+    spread_px: float, glyph_w: int | None = None,
+    starts: int = NEWTON_STARTS, iters: int = NEWTON_ITERS,
+):
     """``glyph_w=None``: one (8, 128) out tile covers an 8x128 pixel
     rectangle — correct for wide rasters, but a 32px atlas padded to
     128 lanes computes 4x dead columns.  ``glyph_w=W``: FLAT mode — the
@@ -130,7 +138,7 @@ def _make_sdf_kernel(spread_px: float, glyph_w: int | None = None):
                     return dx * dx + dy * dy
 
                 def refine(t):
-                    for _ in range(NEWTON_ITERS):
+                    for _ in range(iters):
                         f = ((k3 * t + k2) * t + k1b) * t + qa
                         df = (3 * k3 * t + 2 * k2) * t + k1b
                         df = jnp.where(df == 0, jnp.float32(1), df)
@@ -139,8 +147,8 @@ def _make_sdf_kernel(spread_px: float, glyph_w: int | None = None):
 
                 best = dist_sq(jnp.zeros_like(qx))
                 best = jnp.minimum(best, dist_sq(jnp.ones_like(qx)))
-                for s in range(NEWTON_STARTS):
-                    t0 = jnp.full_like(qx, (2 * s + 1) / (2 * NEWTON_STARTS))
+                for s in range(starts):
+                    t0 = jnp.full_like(qx, (2 * s + 1) / (2 * starts))
                     best = jnp.minimum(best, dist_sq(refine(t0)))
                 # padded all-zero segments inside a live chunk would
                 # report distance-to-origin; neutralize them
@@ -163,11 +171,13 @@ def _make_sdf_kernel(spread_px: float, glyph_w: int | None = None):
     jax.jit,
     static_argnames=(
         "height", "width", "spread_px", "interpret", "exact", "flat",
+        "starts", "iters",
     ),
 )
 def sdf_pallas_batch(
     segments, min_x, max_y, scale, *, height, width, spread_px=8.0,
     interpret=False, exact=True, flat=False,
+    starts=NEWTON_STARTS, iters=NEWTON_ITERS,
 ):
     """Batched SDF via winding sign + banded Pallas distance.
 
@@ -201,7 +211,8 @@ def sdf_pallas_batch(
         assert (height * width) % (TILE_H * TILE_W) == 0, (height, width)
         n_flat = (height * width) // (TILE_H * TILE_W)
         d2 = pl.pallas_call(
-            _make_sdf_kernel(float(spread_px), glyph_w=width),
+            _make_sdf_kernel(float(spread_px), glyph_w=width,
+                             starts=starts, iters=iters),
             grid=(b, n_flat),
             in_specs=smem + [seg_spec],
             out_specs=pl.BlockSpec(
@@ -218,7 +229,7 @@ def sdf_pallas_batch(
         assert height % TILE_H == 0 and width % TILE_W == 0
         grid = (b, height // TILE_H, width // TILE_W)
         d2 = pl.pallas_call(
-            _make_sdf_kernel(float(spread_px)),
+            _make_sdf_kernel(float(spread_px), starts=starts, iters=iters),
             grid=grid,
             in_specs=smem + [seg_spec],
             out_specs=pl.BlockSpec(

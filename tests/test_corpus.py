@@ -125,3 +125,29 @@ class TestCorpus:
         f.kerning
         f.mark_positioning
         f.vertical_metrics
+
+    def test_gpos_engine_matches_legacy_layout(self, corpus_font):
+        """Engine-driven positioning must reproduce the legacy
+        flattened kern path on every corpus font that has GPOS kern
+        (both read the same PairPos lookups); fonts without one must
+        fall back to identical legacy placement either way."""
+        from fontrx.scene.layout import layout_text
+
+        text = "AVATAR To.\nWavy f."
+        a = layout_text(corpus_font, text, kern=True)
+        b = layout_text(corpus_font, text, kern=True, positioning=())
+        pa = np.array([[i.x, i.y] for i in a.instances])
+        pb = np.array([[i.x, i.y] for i in b.instances])
+        assert pa.shape == pb.shape
+        # identical unless the font's kern table and GPOS disagree —
+        # which test_gpos.py rules out for fonts carrying both
+        if corpus_font.gpos_kerning is not None or \
+                corpus_font.positioner((b"kern",)) is None:
+            np.testing.assert_array_equal(pa, pb)
+
+    def test_positioner_degrades_not_raise(self, corpus_font):
+        sh = corpus_font.positioner((b"kern", b"mark", b"mkmk"))
+        if sh is not None:
+            gids = [corpus_font.glyph_index(c) for c in "AVo"]
+            pos = sh.positions(gids, [100, 100, 100])
+            assert len(pos.x_advance) == 3

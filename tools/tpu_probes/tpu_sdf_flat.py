@@ -79,6 +79,10 @@ def main():
         print(f"{size}px flat        {dt_f*1e3:8.2f} ms/atlas "
               f"-> {len(glyphs)/dt_f:8.0f} g/s  ({dt_t/dt_f:.2f}x)",
               flush=True)
+        dt_n = timed(dict(flat=True, starts=3, iters=3), size)
+        print(f"{size}px flat s3 i3  {dt_n*1e3:8.2f} ms/atlas "
+              f"-> {len(glyphs)/dt_n:8.0f} g/s  ({dt_t/dt_n:.2f}x)",
+              flush=True)
 
         # device-side equality check (same float program)
         a = sdf_pallas_batch(d_segs, d_var[0], d_my, scale,
