@@ -64,6 +64,7 @@ class Config:
     positioning: Optional[str] = option(None, default=None, help="comma-separated GPOS feature tags (e.g. kern,cswh) applied with the full positioning engine; replaces the flattened -k/marks paths")
     marks: bool = option(None, default=False, help="attach combining marks (GPOS MarkToBase)")
     vertical: bool = option(None, default=False, help="vertical layout: top-to-bottom columns, right-to-left (vhea/vmtx + GSUB vert)")
+    wrap: int = option(None, default=0, help="greedy word wrap at this pixel width (0 = no wrap)")
     serve: int = option(None, default=0, help="serve a live browser viewer on this port (with -i)")
 
 

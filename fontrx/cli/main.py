@@ -98,11 +98,15 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.scene.page import PageRenderer
         from fontrx.scene.transform import ViewTransform
 
+        wrap_units = (
+            cfg.wrap * font.info.units_per_em / cfg.size if cfg.wrap else None
+        )
         layout = layout_text(font, text, kern=cfg.kern,
                              ligatures=cfg.ligatures, marks=cfg.marks,
                              features=_feature_tags(cfg),
                              vertical=cfg.vertical,
-                             positioning=_positioning_tags(cfg))
+                             positioning=_positioning_tags(cfg),
+                             wrap_width=wrap_units)
         upem = font.info.units_per_em
         px_per_unit = cfg.size / upem
         margin = max(cfg.size // 8, 4)

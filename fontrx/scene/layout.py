@@ -60,6 +60,7 @@ def layout_text(
     features: tuple[bytes, ...] | None = None,
     vertical: bool = False,
     positioning: tuple[bytes, ...] | None = None,
+    wrap_width: float | None = None,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -97,7 +98,14 @@ def layout_text(
       folds into the tag set as ``kern`` (``vkrn`` when vertical) and
       ``marks=True`` as ``mark``+``mkmk``, so the engine is the single
       positioning source and nothing double-applies.  Fonts whose GPOS
-      lacks every requested tag fall back to the legacy paths.
+      lacks every requested tag fall back to the legacy paths;
+    - ``wrap_width`` (font units): greedy word wrap — each shaped line
+      breaks at the last space glyph that keeps the advance-width sum
+      within the budget (the breaking space is consumed); a word wider
+      than the budget gets a line of its own rather than overflowing
+      forever.  Wrap measurement uses plain advances; kerning and GPOS
+      placement apply after the break decisions (like most greedy
+      layout engines).  Horizontal modes only.
     """
     # text -> per-line glyph-id streams (ligatures never cross newlines).
     # Unicode variation selectors (U+FE00..FE0F, U+E0100..E01EF) modify
@@ -134,6 +142,13 @@ def layout_text(
             lines = [shaper.apply(line) for line in lines]
         elif ligatures and font.ligatures is not None:
             lines = [font.ligatures.apply(line) for line in lines]
+
+    if wrap_width is not None and not vertical:
+        space = int(font.charmap.glyph_index(0x20))
+        lines = _wrap_lines(
+            lines, wrap_width, space,
+            lambda gid: int(font.advance_widths[gid]),
+        )
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
     slot_of: dict[int, int] = {}
@@ -249,6 +264,50 @@ def layout_text(
         width=max_x,
         height=len(lines) * line_height,
     )
+
+
+def _wrap_lines(lines, wrap_width, space_gid, advance_of):
+    """Greedy word wrap over shaped glyph streams: break each line at
+    the last ``space_gid`` that keeps the advance sum within
+    ``wrap_width`` (the breaking space is consumed); an over-budget
+    word breaks after itself rather than mid-glyph."""
+    out: list[list[int]] = []
+    for line in lines:
+        cur: list[int] = []
+        cur_w = 0.0
+        last_space = -1       # index in cur of the last space glyph
+        for gid in line:
+            w = advance_of(gid)
+            if (cur and cur_w + w > wrap_width and gid != space_gid
+                    and last_space >= 0):
+                # break at the space; the remainder restarts the line.
+                # With no space to break at (one over-budget word) the
+                # line overflows until the next space — words never
+                # split mid-glyph.
+                rest = cur[last_space + 1:]
+                out.append(cur[:last_space])
+                cur = rest
+                last_space = -1
+                cur_w = float(sum(advance_of(g) for g in cur))
+            if gid == space_gid:
+                last_space = len(cur)
+            cur.append(gid)
+            cur_w += w
+        out.append(cur)
+    # drop trailing spaces left hanging at line ends by the breaks
+    return [
+        l[: len(l) - _trailing_spaces(l, space_gid)] if l else l
+        for l in out
+    ]
+
+
+def _trailing_spaces(line, space_gid) -> int:
+    n = 0
+    for g in reversed(line):
+        if g != space_gid:
+            break
+        n += 1
+    return n
 
 
 def _layout_vertical(

@@ -631,3 +631,79 @@ class TestKerning:
 
         kerned = layout_text(dejavu, "A\nV", kern=True)
         assert kerned.instances[1].x == 0  # new line: no kern carryover
+
+
+class TestWordWrap:
+    """Greedy word wrap (`layout_text(wrap_width=...)`), a layout
+    capability beyond the reference (whose pen never breaks lines,
+    `Appli.zig:343-351`)."""
+
+    def test_wraps_at_spaces_within_budget(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        text = "the quick brown fox jumps over the lazy dog"
+        lt = layout_text(dejavu, text, wrap_width=12000)
+        rows = {}
+        for i in lt.instances:
+            rows.setdefault(i.y, []).append(i.x)
+        assert len(rows) > 1
+        space_w = int(dejavu.advance_widths[dejavu.glyph_index(" ")])
+        # every line's glyph-start extent stays within budget (starts
+        # are < budget by construction; only an over-budget single
+        # word may overflow, and this text has none)
+        for xs in rows.values():
+            assert max(xs) < 12000
+
+    def test_over_budget_word_gets_own_line(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(
+            dejavu, "hi supercalifragilistic yes", wrap_width=3000
+        )
+        assert len({i.y for i in lt.instances}) == 3
+
+    def test_no_wrap_is_single_line(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(dejavu, "abc def ghi")
+        assert len({i.y for i in lt.instances}) == 1
+
+    def test_wrap_composes_with_newlines_and_shaping(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(
+            dejavu, "waffle fish\nsecond line here",
+            wrap_width=6000, ligatures=True, kern=True,
+        )
+        assert len({i.y for i in lt.instances}) >= 3
+
+    def test_wrapped_equals_manual_breaks(self, dejavu):
+        """Wrapping must place glyphs exactly like the same text with
+        newlines inserted at the breaks wrapping chose."""
+        from fontrx.scene.layout import layout_text
+
+        text = "one two three four"
+        a = layout_text(dejavu, text, wrap_width=6000)
+        # reconstruct the chosen breaks: glyphs per line, then re-split
+        # the word stream manually at those counts
+        lines_a = {}
+        for inst in a.instances:
+            lines_a.setdefault(round(inst.y), []).append(inst)
+        counts = [
+            len(v) for _, v in sorted(lines_a.items(), reverse=True)
+        ]
+        words = text.split(" ")
+        manual, k = [], 0
+        for n in counts:
+            taken, consumed = [], 0
+            while k < len(words) and consumed + len(words[k]) <= n:
+                consumed += len(words[k]) + 1  # word + inner space
+                taken.append(words[k])
+                k += 1
+                if consumed - 1 == n:
+                    break
+            manual.append(" ".join(taken))
+        b = layout_text(dejavu, "\n".join(manual))
+        pa = sorted((round(i.y), round(i.x)) for i in a.instances)
+        pb = sorted((round(i.y), round(i.x)) for i in b.instances)
+        assert pa == pb
