@@ -33,4 +33,5 @@ ride ICI.  This is a new architecture, not a port.
 __version__ = "0.1.0"
 
 from fontrx.font.font import Font  # noqa: F401
+from fontrx.font.stack import FontStack  # noqa: F401
 from fontrx.pack.segments import pack_glyph, pack_glyphs  # noqa: F401

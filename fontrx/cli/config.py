@@ -65,6 +65,7 @@ class Config:
     marks: bool = option(None, default=False, help="attach combining marks (GPOS MarkToBase)")
     vertical: bool = option(None, default=False, help="vertical layout: top-to-bottom columns, right-to-left (vhea/vmtx + GSUB vert)")
     wrap: int = option(None, default=0, help="greedy word wrap at this pixel width (0 = no wrap)")
+    fallback: Optional[str] = option(None, default=None, help="comma-separated fallback font paths: characters the primary font lacks resolve through these in order")
     serve: int = option(None, default=0, help="serve a live browser viewer on this port (with -i)")
 
 

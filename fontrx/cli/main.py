@@ -46,7 +46,15 @@ def main(argv: list[str] | None = None) -> int:
     from fontrx.font.font import Font
     from fontrx.io.qoi import encode_rgb
 
-    font = Font.open(cfg.font_file)
+    if cfg.fallback:
+        from fontrx.font.stack import FontStack
+
+        font = FontStack.open(
+            [cfg.font_file]
+            + [p.strip() for p in cfg.fallback.split(",") if p.strip()]
+        )
+    else:
+        font = Font.open(cfg.font_file)
     engine = RasterEngine(backend=cfg.backend)
     text = cfg.text if cfg.text is not None else "A"
 
