@@ -220,38 +220,38 @@ def config4_sdf_atlas(n_glyphs: int = 1000, size: int = 32):
     )
 
     use_pallas = jax.default_backend() == "tpu"
+    d_var = jnp.stack([args[1] + i for i in range(4)])
     if use_pallas:
         # flat-pixel mode: row-major pixel flattening fills every lane
         # (a 32px tile padded to 128 lanes would otherwise compute 4x
         # dead columns); bit-identical to the tiled kernel, measured
-        # 2.2x @32px / 1.7x @64px (tools/tpu_probes/tpu_sdf_flat.py)
+        # 2.35x @32px / 1.9x @64px (tools/tpu_probes/tpu_sdf_flat.py)
         flat = size & (size - 1) == 0 and (size * size) % 1024 == 0
         w = size if flat else ((size + 127) // 128) * 128
 
-        def step(i=0):
-            a = (args[0], jnp.asarray(np.asarray(args[1]) + (i % 4)),
-                 args[2], args[3])
-            s = sdf_to_u8(
-                sdf_pallas_batch(
-                    *a, height=size, width=w, flat=flat
-                )[:, :, :size]
-            )
-            float(s[0, 0, 0])
-            return s
+        def fn(mx):
+            return sdf_to_u8(sdf_pallas_batch(
+                args[0], mx, args[2], args[3],
+                height=size, width=w, flat=flat,
+            )[:, :, :size])
     else:
 
-        def step(i=0):
-            a = (args[0], jnp.asarray(np.asarray(args[1]) + (i % 4)),
-                 args[2], args[3])
-            s = sdf_to_u8(sdf_batch(*a, height=size, width=size))
-            float(s[0, 0, 0])
-            return s
+        def fn(mx):
+            return sdf_to_u8(sdf_batch(
+                args[0], mx, args[2], args[3], height=size, width=size,
+            ))
 
-    dt = timeit(step, n=3)
+    # chained-unique-seed, RTT-corrected device time (bench.py protocol;
+    # the earlier per-step host-fetch timing charged every atlas a
+    # ~33 ms tunnel round trip)
+    from benchmarks.cjk import _chained_timer
+
+    dt = _chained_timer(fn, d_var, n_iter=12 if use_pallas else 2,
+                        repeats=4 if use_pallas else 1)
     emit("4-sdf-atlas", f"glyphs/s {size}px SDF", len(glyphs) / dt,
          "glyphs/s", ms_per_atlas=round(dt * 1e3, 2),
          batch=len(glyphs), seg_capacity=batch.capacity,
-         kernel="pallas-banded" if use_pallas else "jnp")
+         kernel="pallas-flat" if use_pallas else "jnp")
 
 
 def config5_interactive_page():
