@@ -143,6 +143,7 @@ def config3_ascii_atlas():
     from fontrx.kernels.loopblinn import (
         _pack_triangle_arrays,
         loopblinn_batch,
+        loopblinn_pallas_batch,
         pad_triangles,
     )
 
@@ -170,21 +171,28 @@ def config3_ascii_atlas():
         jnp.float32(grids[0].scale),
     )
 
-    variants = [
-        (args[0], args[1], jnp.asarray(np.asarray(args[2]) + i), args[3],
-         args[4])
-        for i in range(12)
-    ]
+    import jax
 
-    def step(i=0):
-        a = variants[i]  # every timed call sees a NEVER-repeated input
-        out = loopblinn_batch(*a, height=128, width=128)
-        float(out[0, 0, 0])
-        return out
+    d_var = jnp.stack([args[2] + i for i in range(4)])
+    use_pallas = jax.default_backend() == "tpu"
 
-    dt = timeit(step)
+    # Pallas kernel with per-(chunk, tile) bbox culling on TPU
+    # (coverage-identical to the jnp kernel: test_modes.py); chained
+    # unique-seed RTT-corrected timing (the earlier per-step host fetch
+    # charged every atlas a ~33 ms tunnel round trip)
+    def fn(mx):
+        kern = loopblinn_pallas_batch if use_pallas else loopblinn_batch
+        return kern(
+            args[0], args[1], mx, args[3], args[4], height=128, width=128,
+        ).astype(jnp.int32)
+
+    from benchmarks.cjk import _chained_timer
+
+    dt = _chained_timer(fn, d_var, n_iter=12 if use_pallas else 2,
+                        repeats=4 if use_pallas else 1)
     emit("3-ascii-triangulation", "glyphs/s 128px triangle fill",
-         len(tgs) / dt, "glyphs/s", ms_per_atlas=round(dt * 1e3, 3))
+         len(tgs) / dt, "glyphs/s", ms_per_atlas=round(dt * 1e3, 3),
+         kernel="pallas-bbox-cull" if use_pallas else "jnp")
 
 
 def config4_sdf_atlas(n_glyphs: int = 1000, size: int = 32):

@@ -176,3 +176,164 @@ def debug_render(tri_glyph, grid) -> np.ndarray:
         alpha = np.where(inside, np.where(kept, 0.5, 0.2), 0.0)[..., None]
         img = img * (1 - alpha) + np.array(colors[int(c)]) * alpha
     return np.clip(img * 255, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU version: chunk-bbox culling over (8, 128) pixel tiles.
+# The jnp kernel above evaluates every triangle against every pixel
+# (O(M*H*W)); ear-clipped triangles are local, so most (triangle-chunk,
+# tile) pairs never interact — the same structure as the SDF kernel's
+# hull cull (sdf_pallas.py).
+
+LB_TILE_H = 8
+LB_TILE_W = 128
+LB_CHUNK = 8
+
+
+def _soa_triangles(tris, classes):
+    """[B, M, 3, 4] + [B, M] -> float32 [B, M16, 16] SoA:
+    lanes 0-11 = (x y u v) x 3 corners, lane 12 = class."""
+    import jax.numpy as jnp
+
+    b, m = tris.shape[0], tris.shape[1]
+    m16 = ((m + LB_CHUNK - 1) // LB_CHUNK) * LB_CHUNK
+    soa = jnp.zeros((b, m16, 16), jnp.float32)
+    soa = soa.at[:, :m, :12].set(tris.reshape(b, m, 12))
+    soa = soa.at[:, :, 12].set(3.0)  # padding class (never draws)
+    soa = soa.at[:, :m, 12].set(classes.astype(jnp.float32))
+    return soa
+
+
+def _make_lb_kernel():
+    from jax.experimental import pallas as pl
+
+    def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, tri_ref, out_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        mx = min_x_ref[0, b]
+        my = max_y_ref[0, b]
+        scale = scale_ref[0, 0]
+        ox = off_ref[0, 0]
+        oy = off_ref[0, 1]
+
+        m16 = tri_ref.shape[1]
+        n_chunks = m16 // LB_CHUNK
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, LB_TILE_H, LB_TILE_W), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, LB_TILE_H, LB_TILE_W), 2)
+        px = ((mx + j * LB_TILE_W + col).astype(jnp.float32) + ox) / scale
+        py = ((my - (i * LB_TILE_H + row)).astype(jnp.float32) + oy) / scale
+        tx0 = px[0, 0, 0]
+        tx1 = tx0 + jnp.float32(LB_TILE_W) / scale
+        ty1 = py[0, 0, 0]
+        ty0 = ty1 - jnp.float32(LB_TILE_H) / scale
+
+        out_ref[0] = jnp.zeros((LB_TILE_H, LB_TILE_W), jnp.int32)
+
+        def chunk_body(c, _):
+            chunk = tri_ref[0, pl.ds(c * LB_CHUNK, LB_CHUNK), :]  # (C, 16)
+
+            def lane(k):
+                return chunk[:, k : k + 1].reshape(LB_CHUNK, 1, 1)
+
+            ax, ay = lane(0), lane(1)
+            bx, by = lane(4), lane(5)
+            cx, cy = lane(8), lane(9)
+            cls = lane(12)
+
+            hx0 = jnp.min(jnp.minimum(jnp.minimum(ax, bx), cx))
+            hx1 = jnp.max(jnp.maximum(jnp.maximum(ax, bx), cx))
+            hy0 = jnp.min(jnp.minimum(jnp.minimum(ay, by), cy))
+            hy1 = jnp.max(jnp.maximum(jnp.maximum(ay, by), cy))
+            live = jnp.any(cls != 3.0)
+            overlap = (
+                (hx1 >= tx0) & (hx0 <= tx1) & (hy1 >= ty0) & (hy0 <= ty1)
+            )
+
+            @pl.when(live & overlap)
+            def _():
+                e0 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                e1 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+                e2 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+                area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+                sgn = jnp.sign(area)
+                inside = (
+                    (e0 * sgn >= 0) & (e1 * sgn >= 0) & (e2 * sgn >= 0)
+                    & (area != 0)
+                )
+                inv = jnp.where(
+                    area != 0, 1.0 / jnp.where(area == 0, 1.0, area), 0.0
+                )
+                la = e1 * inv
+                lb = e2 * inv
+                lc = 1.0 - la - lb
+                u = la * lane(2) + lb * lane(6) + lc * lane(10)
+                v = la * lane(3) + lb * lane(7) + lc * lane(11)
+                f = (1 + u - v) * (1 + u - v)
+                # boolean select via logic ops — Mosaic cannot truncate
+                # i8 selects to i1 (same workaround as the winding
+                # kernel, winding_pallas_v2.py)
+                keep = (
+                    ((cls == 0.0) & (f >= 4 * u))
+                    | ((cls == 1.0) & (f <= 4 * u))
+                    | (cls == 2.0)
+                )
+                hit = jnp.max(
+                    jnp.where(inside & keep, 1, 0), axis=0
+                )  # (TH, TW)
+                out_ref[0] = jnp.maximum(out_ref[0], hit)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "interpret")
+)
+def loopblinn_pallas_batch(
+    tris, classes, min_x, max_y, scale, *, height, width,
+    interpret=False, sample_offset=(0.0, 0.0),
+):
+    """Pallas triangle-mesh fill — same contract as
+    :func:`loopblinn_batch` (-> bool ``[B, H, W]``), with per-(chunk,
+    tile) bbox culling.  Same float program per (triangle, pixel), so
+    coverage matches the jnp kernel exactly."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = tris.shape[0]
+    assert height % LB_TILE_H == 0 and width % LB_TILE_W == 0
+    soa = _soa_triangles(jnp.asarray(tris, jnp.float32),
+                         jnp.asarray(classes))
+    m16 = soa.shape[1]
+    min_x = jnp.asarray(min_x, jnp.int32).reshape(1, b)
+    max_y = jnp.asarray(max_y, jnp.int32).reshape(1, b)
+    scale_arr = jnp.full((1, 1), scale, jnp.float32)
+    off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
+
+    grid = (b, height // LB_TILE_H, width // LB_TILE_W)
+    out = pl.pallas_call(
+        _make_lb_kernel(),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, m16, 16), lambda b_, i, j: (b_, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, LB_TILE_H, LB_TILE_W), lambda b_, i, j: (b_, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.int32),
+        interpret=interpret,
+    )(min_x, max_y, scale_arr, off_arr, soa)
+    return out != 0

@@ -707,3 +707,55 @@ class TestWordWrap:
         pa = sorted((round(i.y), round(i.x)) for i in a.instances)
         pb = sorted((round(i.y), round(i.x)) for i in b.instances)
         assert pa == pb
+
+
+class TestLoopBlinnPallas:
+    """The Pallas triangle-fill kernel (per-(chunk, tile) bbox culling)
+    must produce coverage identical to the jnp kernel — same float
+    program per (triangle, pixel) pair."""
+
+    def test_matches_jnp_coverage(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.geometry import TriangulatedGlyph
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.kernels.loopblinn import (
+            _pack_triangle_arrays,
+            loopblinn_batch,
+            loopblinn_pallas_batch,
+            pad_triangles,
+        )
+
+        chars = "ABgo&@"
+        tgs = [
+            TriangulatedGlyph.from_glyph(dejavu.get_glyph(c)[0])
+            for c in chars
+        ]
+        cap = max(len(t.triangles) for t in tgs)
+        tris = np.zeros((len(tgs), cap, 3, 4), np.float32)
+        cls = np.full((len(tgs), cap), 3, np.int32)
+        boxes = []
+        for i, (c, tg) in enumerate(zip(chars, tgs)):
+            p, pc = pad_triangles(
+                _pack_triangle_arrays(tg), tg.classes, cap
+            )
+            tris[i] = p
+            cls[i] = pc
+            g, _ = dejavu.get_glyph(c)
+            boxes.append(
+                (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max)
+            )
+        grids = [
+            RasterGrid.fixed_tile(b, 128, 2048, 128) for b in boxes
+        ]
+        args = (
+            jnp.asarray(tris), jnp.asarray(cls),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+        )
+        a = np.asarray(loopblinn_batch(*args, height=128, width=128))
+        b = np.asarray(loopblinn_pallas_batch(
+            *args, height=128, width=128, interpret=True
+        ))
+        np.testing.assert_array_equal(a, b)
