@@ -85,3 +85,23 @@ def test_shaped_page_hash(tmp_path):
     assert img.shape == (45, 217, 3)
     got = hashlib.sha256(img.tobytes()).hexdigest()[:16]
     assert got == "3636357199ae5572", got
+
+
+def test_round2_features_page_hash(tmp_path):
+    """End-to-end CLI page exercising the round-2 layout features in
+    one run — GPOS-engine positioning + word wrap — pinned by hash
+    (CPU/jnp path is deterministic)."""
+    from fontrx.cli.main import main
+    from fontrx.io.qoi import decode
+
+    out = tmp_path / "r2.qoi"
+    rc = main([
+        "-f", "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "-t", "AVATAR wavy fjord", "-m", "fill", "-s", "32",
+        "-o", str(out), "--positioning", "kern", "--wrap", "130",
+    ])
+    assert rc == 0
+    img = np.asarray(decode(out.read_bytes()))
+    assert img.shape == (119, 128, 3)  # 2 wrapped lines
+    got = hashlib.sha256(img.tobytes()).hexdigest()[:16]
+    assert got == "c01906163e351d1c", got
