@@ -198,3 +198,90 @@ def winding_sharded_2d(
         check_vma=False,
     )
     return fn(segments, min_x, max_y)
+
+
+def sdf_sharded(
+    segments,
+    min_x,
+    max_y,
+    scale,
+    *,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    flat: bool = False,
+):
+    """SDF atlas with the glyph axis sharded over ``mesh`` — the same
+    embarrassing data parallelism as :func:`winding_sharded` (each chip
+    computes its batch slice; no collectives in the hot loop).  Returns
+    float32 ``[B, H, W]`` signed distances, glyph-sharded."""
+    if use_pallas:
+        from fontrx.kernels.sdf_pallas import sdf_pallas_batch
+
+        def local(seg, mx, my):
+            return sdf_pallas_batch(
+                seg, mx, my, scale, height=height, width=width,
+                interpret=interpret, flat=flat,
+            )
+    else:
+        from fontrx.kernels.sdf import sdf_batch
+
+        def local(seg, mx, my):
+            return sdf_batch(
+                seg, mx, my, scale, height=height, width=width
+            )
+
+    spec = P(GLYPH_AXIS)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(segments, min_x, max_y)
+
+
+def loopblinn_sharded(
+    tris,
+    classes,
+    min_x,
+    max_y,
+    scale,
+    *,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Triangle-mesh fill with the glyph axis sharded over ``mesh``.
+    Returns bool ``[B, H, W]`` coverage, glyph-sharded."""
+    from fontrx.kernels.loopblinn import (
+        loopblinn_batch,
+        loopblinn_pallas_batch,
+    )
+
+    if use_pallas:
+        def local(tri, cls, mx, my):
+            return loopblinn_pallas_batch(
+                tri, cls, mx, my, scale, height=height, width=width,
+                interpret=interpret,
+            )
+    else:
+        def local(tri, cls, mx, my):
+            return loopblinn_batch(
+                tri, cls, mx, my, scale, height=height, width=width
+            )
+
+    spec = P(GLYPH_AXIS)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(tris, classes, min_x, max_y)

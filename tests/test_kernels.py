@@ -409,3 +409,104 @@ class TestBandedAtlas:
         eng = RasterEngine(backend="jnp")
         out, grids = eng.winding_packed_banded(glyphs, 64, 2048, 64)
         assert np.asarray(out).shape[1:] == (64, 64)
+
+
+class TestShardedSdfLoopBlinn:
+    """Glyph-axis sharding for the SDF and triangle-fill atlas kernels
+    (`engine/sharding.py::sdf_sharded/loopblinn_sharded`) — each shard
+    must equal the unsharded kernel's slice on the virtual 8-device
+    mesh, through the REAL pod composition (shard_map + Pallas in
+    interpret mode)."""
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_sdf_sharded_matches_unsharded(self, dejavu, use_pallas):
+        import jax
+        import jax.numpy as jnp
+
+        from fontrx.engine.atlas import pack_charset
+        from fontrx.engine.sharding import (
+            make_mesh, sdf_sharded, shard_batch,
+        )
+        from fontrx.kernels.sdf import sdf_batch
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        batch = pack_charset(dejavu, "ABCDEFGH", pad_batch_to=8)
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), 32, 2048, 32)
+            for b in batch.boxes
+        ]
+        mesh = make_mesh()
+        args = (
+            jnp.asarray(batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+        )
+        seg, mx, my = shard_batch(mesh, *args)
+        out = sdf_sharded(
+            seg, mx, my, jnp.float32(grids[0].scale),
+            height=32, width=32, mesh=mesh, use_pallas=use_pallas,
+            interpret=use_pallas, flat=use_pallas,
+        )
+        assert len(out.sharding.device_set) == 8
+        ref = np.clip(
+            np.asarray(sdf_batch(
+                *args, jnp.float32(grids[0].scale), height=32, width=32
+            )), -8.0, 8.0,
+        )
+        got = np.clip(np.asarray(out), -8.0, 8.0)
+        assert np.abs(got - ref).max() < 8.0 / 127
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_loopblinn_sharded_matches_unsharded(self, dejavu, use_pallas):
+        import jax
+        import jax.numpy as jnp
+
+        from fontrx.engine.sharding import loopblinn_sharded, make_mesh
+        from fontrx.geometry import TriangulatedGlyph
+        from fontrx.kernels.loopblinn import (
+            _pack_triangle_arrays,
+            loopblinn_batch,
+            pad_triangles,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        chars = "ABCDEFGH"
+        tgs = [
+            TriangulatedGlyph.from_glyph(dejavu.get_glyph(c)[0])
+            for c in chars
+        ]
+        cap = max(len(t.triangles) for t in tgs)
+        tris = np.zeros((len(tgs), cap, 3, 4), np.float32)
+        cls = np.full((len(tgs), cap), 3, np.int32)
+        boxes = []
+        for i, (c, tg) in enumerate(zip(chars, tgs)):
+            p, pc = pad_triangles(
+                _pack_triangle_arrays(tg), tg.classes, cap
+            )
+            tris[i] = p
+            cls[i] = pc
+            g, _ = dejavu.get_glyph(c)
+            boxes.append(
+                (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max)
+            )
+        grids = [
+            RasterGrid.fixed_tile(b, 128, 2048, 128) for b in boxes
+        ]
+        mesh = make_mesh()
+        args = (
+            jnp.asarray(tris), jnp.asarray(cls),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+        )
+        out = loopblinn_sharded(
+            *args, jnp.float32(grids[0].scale),
+            height=128, width=128, mesh=mesh, use_pallas=use_pallas,
+            interpret=use_pallas,
+        )
+        assert len(out.sharding.device_set) == 8
+        ref = np.asarray(loopblinn_batch(
+            *args, jnp.float32(grids[0].scale), height=128, width=128
+        ))
+        np.testing.assert_array_equal(np.asarray(out), ref)
