@@ -337,12 +337,15 @@ class PageRenderer:
         flat_segments, seg_inst_idx = self._compact_instances(slots)
         s_px = np.float32(view.scale[0] * (self.width / 2.0))
         # em origin of each instance in page pixels, y up
-        # (page row r samples y = page_h-1-r in the kernel's grid)
+        # (page row r samples y = page_h-1-r in the kernel's grid).
+        # Vectorized in f64 (same IEEE results as the scalar
+        # view.apply loop, which cost ~ms/frame at 10k instances)
+        em = offsets_em.astype(np.float64)
+        ndc_x = em[:, 0] * view.scale[0] + view.offset[0]
+        ndc_y = (em[:, 1] * view.scale[1] + view.offset[1]) * view.aspect_ratio
         xs = np.empty((len(slots), 2), np.float32)
-        for i, (ex, ey) in enumerate(offsets_em):
-            ndc_x, ndc_y = view.apply(float(ex), float(ey))
-            xs[i, 0] = (ndc_x + 1.0) / 2.0 * self.width
-            xs[i, 1] = (ndc_y + 1.0) / 2.0 * self.height
+        xs[:, 0] = (ndc_x + 1.0) / 2.0 * self.width
+        xs[:, 1] = (ndc_y + 1.0) / 2.0 * self.height
         # returns the device array; callers fetch at IO boundaries
         interp = self.engine._resolve() != "pallas"
         if msaa:
@@ -437,16 +440,18 @@ class PageRenderer:
         inst_tiles = jnp.asarray(tiles)[slots]
 
         # pen position (em) -> NDC -> page pixels; y flips top-down
-        xs = np.empty(len(slots), np.int32)
-        ys = np.empty(len(slots), np.int32)
-        for i, (slot, (ex, ey)) in enumerate(zip(slots, offsets)):
-            ndc_x, ndc_y = view.apply(float(ex), float(ey))
-            base_px = (ndc_x + 1.0) / 2.0 * self.width
-            base_py = (1.0 - ndc_y) / 2.0 * self.height
-            g = grids[slot]
-            # tile origin: glyph bbox anchor relative to the pen
-            xs[i] = int(round(base_px)) + g.min_x
-            ys[i] = int(round(base_py)) - g.max_y
+        # (vectorized f64, same IEEE results as the scalar loop;
+        # np.round == Python round: both round-half-even)
+        em = offsets.astype(np.float64)
+        ndc_x = em[:, 0] * view.scale[0] + view.offset[0]
+        ndc_y = (em[:, 1] * view.scale[1] + view.offset[1]) * view.aspect_ratio
+        base_px = (ndc_x + 1.0) / 2.0 * self.width
+        base_py = (1.0 - ndc_y) / 2.0 * self.height
+        g_minx = np.array([g.min_x for g in grids], np.int64)[slots]
+        g_maxy = np.array([g.max_y for g in grids], np.int64)[slots]
+        # tile origin: glyph bbox anchor relative to the pen
+        xs = (np.round(base_px).astype(np.int64) + g_minx).astype(np.int32)
+        ys = (np.round(base_py).astype(np.int64) - g_maxy).astype(np.int32)
         page = composite_tiles(
             inst_tiles,
             jnp.asarray(xs),
