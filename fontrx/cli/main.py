@@ -237,7 +237,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
 def _run_interactive(font, text, cfg, engine) -> int:
     """Headless interactive loop: reads events from stdin, one per line:
     ``scroll <amt> [cx cy]`` / ``drag <dx> <dy>`` / ``resize <w> <h>`` /
-    ``key <m|d|t>`` / ``frame`` / ``stats`` / ``quit``.  Writes frames
+    ``key <m|d|t>`` / ``type <text>`` / ``back [n]`` / ``frame`` /
+    ``stats`` / ``quit``.  Writes frames
     to ``--output`` (numbered) when given."""
     from fontrx.io.qoi import encode_rgb
     from fontrx.scene.interactive import InteractiveSession
@@ -286,6 +287,8 @@ def _dispatch(sess, cfg, cmd, args, n) -> int:
         sess.key(args[0])
     elif cmd == "type":
         sess.char_input(" ".join(args))
+    elif cmd == "back":
+        sess.backspace(int(args[0]) if args else 1)
     elif cmd == "frame":
         # display_frame routes through to_rgba so the 't' (transparent
         # background) toggle is observable in the emitted file: RGBA

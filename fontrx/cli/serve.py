@@ -17,7 +17,7 @@ Endpoints (all GET):
 - ``/frame``       current frame as PNG (pull fallback)
 - ``/ev``          apply events: ``scroll=<amt>&cx=&cy=`` /
                    ``dx=&dy=`` (drag, NDC) / ``key=m|d|t`` /
-                   ``w=&h=`` (resize) / ``type=<text>``
+                   ``w=&h=`` (resize) / ``type=<text>`` / ``back=<n>``
 - ``/stats``       session stats JSON
 
 The server is threading (a held-open ``/ws`` must not block ``/stats``)
@@ -124,6 +124,9 @@ window.onmousemove = e => {
 };
 window.onkeydown = e => {
   if ('mdt'.includes(e.key)) ev({key: e.key}, 'key=' + e.key);
+  else if (e.key === 'Backspace') ev({back: 1}, 'back=1');
+  else if (e.key.length === 1) ev({type: e.key},
+                                  'type=' + encodeURIComponent(e.key));
 };
 function fit() {
   ev({w: innerWidth, h: innerHeight}, `w=${innerWidth}&h=${innerHeight}`);
@@ -238,6 +241,8 @@ def make_handler(sess, lock: threading.Lock | None = None):
                 sess.resize(int(q["w"]), int(q["h"]))
             if "type" in q:
                 sess.char_input(q["type"])
+            if "back" in q:
+                sess.backspace(int(float(q["back"])))
 
     return Handler
 

@@ -121,7 +121,17 @@ class InteractiveSession:
         """Append typed characters to the scene and re-layout — the
         feature the reference's char callback stubs out with a print
         (``CallbackContext.zig:80-88``, README TODO 'user text input')."""
-        self.text += text
+        self._set_text(self.text + text)
+
+    def backspace(self, n: int = 1):
+        """Delete the last ``n`` characters and re-layout (the edit
+        half of user text input; glyph tiles for the remaining text
+        stay warm in the tile cache)."""
+        if n > 0 and self.text:
+            self._set_text(self.text[: -n] if n < len(self.text) else "")
+
+    def _set_text(self, text: str):
+        self.text = text
         self.layout = layout_text(self.font, self.text, kern=self.kern,
                                   ligatures=self.ligatures,
                                   marks=self.marks,

@@ -759,3 +759,44 @@ class TestLoopBlinnPallas:
             *args, height=128, width=128, interpret=True
         ))
         np.testing.assert_array_equal(a, b)
+
+
+class TestTextEditing:
+    """char_input + backspace: the edit half of user text input (the
+    reference stubs the char callback, `CallbackContext.zig:80-88`)."""
+
+    def test_backspace_restores_frame(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        s = InteractiveSession(
+            dejavu, "Hi", 128, 96, RasterEngine(backend="jnp")
+        )
+        f0 = s.frame()
+        s.char_input("!")
+        f1 = s.frame()
+        assert not np.array_equal(f0, f1)
+        s.backspace()
+        np.testing.assert_array_equal(s.frame(), f0)
+        s.backspace(99)  # over-deleting empties, never raises
+        assert s.text == ""
+        s.frame()
+
+    def test_stdin_protocol_back(self, dejavu, tmp_path):
+        from fontrx.cli.config import parse_args
+        from fontrx.cli.main import _dispatch
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        cfg = parse_args([
+            "-f", "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        ])
+        s = InteractiveSession(
+            dejavu, "ab", 128, 96, RasterEngine(backend="jnp")
+        )
+        n = _dispatch(s, cfg, "type", ["cd"], 0)
+        assert s.text == "abcd"
+        n = _dispatch(s, cfg, "back", ["2"], n)
+        assert s.text == "ab"
+        _dispatch(s, cfg, "back", [], n)
+        assert s.text == "a"
