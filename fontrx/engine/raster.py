@@ -322,6 +322,8 @@ class RasterEngine:
                 )
             glyph_grids.extend(grids[row + k * r] for k in range(n))
             row += r * n
+        if not parts:  # empty batch: no groups at all
+            return jnp.zeros((0, tile, tile), jnp.int32), glyph_grids
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         return out, glyph_grids
 

@@ -384,6 +384,10 @@ class MarkBaseTable:
             if bi < 0 or bi >= len(sub.base_anchor):
                 continue
             c = int(sub.mark_class[mi])
+            # corrupt fonts may declare a MarkRecord class beyond
+            # markClassCount: degrade to no-attach, don't crash
+            if not (0 <= c < sub.base_valid.shape[1]):
+                continue
             if not sub.base_valid[bi, c]:
                 continue
             bx, by = sub.base_anchor[bi, c]

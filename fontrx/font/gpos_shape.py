@@ -40,12 +40,10 @@ import numpy as np
 from fontrx.font.gdef import GdefTable
 from fontrx.font.gpos import ClassDef, Coverage, _parse_anchor
 from fontrx.font.shape import (
-    Lookup,
     _ContextSubst,
     _MAX_NESTING,
     GsubShaper,
     parse_context_subtable,
-    parse_layout_header,
 )
 from fontrx.utils.reader import BigEndianReader
 
@@ -234,65 +232,7 @@ class GposShaper(GsubShaper):
     the subtable parser and the application semantics differ.
     """
 
-    # -- parsing -----------------------------------------------------------
-
-    @classmethod
-    def parse(
-        cls,
-        r: BigEndianReader,
-        tags: tuple[bytes, ...],
-        gdef: GdefTable | None = None,
-    ) -> "GposShaper | None":
-        hdr = parse_layout_header(r, tags)
-        if hdr is None:
-            return None
-        features, selected, lookup_offsets, l_base = hdr
-        if not selected:
-            return None
-        shaper = cls(
-            lookups={},
-            order=tuple(sorted(selected)),
-            gdef=gdef,
-            features=features,
-        )
-        shaper._data = r.data
-        shaper._l_base = l_base
-        shaper._lookup_offsets = lookup_offsets
-        for li in shaper.order:
-            shaper._lookup(li)
-        return shaper if shaper.order else None
-
-    def _lookup(self, li: int) -> Lookup | None:
-        if li in self.lookups:
-            return self.lookups[li]
-        if not (0 <= li < len(self._lookup_offsets)):
-            return None
-        self.lookups[li] = None  # cycle guard while parsing
-        try:
-            tb = BigEndianReader(
-                self._data, self._l_base + self._lookup_offsets[li]
-            )
-            t_base = tb.pos
-            lookup_type, flags, n_sub = tb.unpack("HHH")
-            sub_offs = [t_base + int(o) for o in tb.u16_array(n_sub)]
-            mark_filter = None
-            if flags & 0x0010:
-                mark_filter = tb.u16()
-            subtables = []
-            for s_pos in sub_offs:
-                s_type = lookup_type
-                if s_type == _GPOS_EXTENSION:
-                    er = BigEndianReader(self._data, s_pos)
-                    _fmt, ext_type = er.unpack("HH")
-                    s_pos, s_type = s_pos + er.u32(), ext_type
-                sub = self._parse_subtable(s_type, s_pos)
-                if sub is not None:
-                    subtables.append((s_type, sub))
-        except Exception:
-            return None  # corrupt lookup degrades to absent
-        lk = Lookup(lookup_type, flags, mark_filter, tuple(subtables))
-        self.lookups[li] = lk
-        return lk
+    _EXTENSION_TYPE = _GPOS_EXTENSION
 
     def _parse_subtable(self, s_type: int, s_pos: int):
         r = BigEndianReader(self._data, s_pos)
@@ -483,9 +423,10 @@ class GposShaper(GsubShaper):
                 if vv is not None and vv != (ZERO_VALUE, ZERO_VALUE):
                     st.add(i, vv[0])
                     st.add(j, vv[1])
-                    # scanning resumes at the second glyph (it may
-                    # start the next pair), per the OpenType model
-                    return j
+                    # per the OpenType model, an empty second value
+                    # record lets the second glyph start the next pair;
+                    # a non-empty one consumes it
+                    return j + 1 if vv[1] != ZERO_VALUE else j
             elif s_type == 3:
                 j = self._next(buf, i, lookup)
                 if j is None:
@@ -510,11 +451,14 @@ class GposShaper(GsubShaper):
                         st.attach[i] = (p, d[0], d[1])
                         return i + 1
             elif s_type == 6:
-                # mark2 must be the immediately preceding mark glyph
-                if i > 0:
-                    d = sub.delta(buf[i - 1], gid)
+                # mark2 = the nearest preceding glyph not skipped by
+                # the lookup's flags (markAttachmentType / filtering
+                # sets select which mark chain this lookup stacks on)
+                p = self._prev(buf, i, lookup)
+                if p is not None:
+                    d = sub.delta(buf[p], gid)
                     if d is not None:
-                        st.attach[i] = (i - 1, d[0], d[1])
+                        st.attach[i] = (p, d[0], d[1])
                         return i + 1
             elif s_type in (7, 8):
                 nxt = self._apply_context(buf, i, lookup, sub, st, depth)

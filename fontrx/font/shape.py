@@ -247,6 +247,10 @@ class GsubShaper:
             shaper._lookup(li)
         return shaper if shaper.order else None
 
+    # extension-lookup type: 7 in GSUB, 9 in GPOS (the one wire-format
+    # difference in the otherwise-shared LookupList walk)
+    _EXTENSION_TYPE = _GSUB_EXTENSION
+
     # lazily-parsed lookup storage (nested contextual targets)
     _data: bytes = b""
     _l_base: int = 0
@@ -271,7 +275,7 @@ class GsubShaper:
             subtables = []
             for s_pos in sub_offs:
                 s_type = lookup_type
-                if s_type == _GSUB_EXTENSION:
+                if s_type == self._EXTENSION_TYPE:
                     er = BigEndianReader(self._data, s_pos)
                     _fmt, ext_type = er.unpack("HH")
                     s_pos, s_type = s_pos + er.u32(), ext_type
@@ -505,13 +509,8 @@ class GsubShaper:
     ) -> int | None:
         if depth >= _MAX_NESTING:
             return None
-        in_cd = la_cd = bt_cd = None
-        if sub.fmt == 2:
-            if len(sub.class_defs) == 3:
-                bt_cd, in_cd, la_cd = sub.class_defs
-            else:
-                in_cd = la_cd = bt_cd = sub.class_defs[0]
-        for rule in sub.rules_for(buf[i]):
+        rules, bt_cd, in_cd, la_cd = self._context_rules(sub, buf[i])
+        for rule in rules:
             if sub.fmt == 3:
                 # input items include the first glyph (already known to
                 # be covered through rules_for); match the rest

@@ -145,10 +145,14 @@ def layout_text(
 
     if wrap_width is not None and not vertical:
         space = int(font.charmap.glyph_index(0x20))
-        lines = _wrap_lines(
-            lines, wrap_width, space,
-            lambda gid: int(font.advance_widths[gid]),
-        )
+        # a font that doesn't map U+0020 gives space==0 (.notdef); every
+        # unmapped char would then become a break point — disable wrap
+        # instead (nothing to break at)
+        if space != 0:
+            lines = _wrap_lines(
+                lines, wrap_width, space,
+                lambda gid: int(font.advance_widths[gid]),
+            )
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
     slot_of: dict[int, int] = {}

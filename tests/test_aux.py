@@ -229,36 +229,6 @@ class TestBucketedPacking:
                 )
 
 
-class TestPNG:
-    def test_encode_shapes(self):
-        from fontrx.io.png import decode_header, encode
-
-        gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
-        rgb = np.zeros((4, 6, 3), np.uint8)
-        rgba = np.zeros((4, 6, 4), np.uint8)
-        assert decode_header(encode(gray)) == (8, 8, 0)
-        assert decode_header(encode(rgb)) == (6, 4, 2)
-        assert decode_header(encode(rgba)) == (6, 4, 6)
-
-    def test_zlib_roundtrip(self):
-        import struct
-        import zlib
-
-        from fontrx.io.png import encode
-
-        rng = np.random.default_rng(5)
-        img = rng.integers(0, 256, (16, 16), np.uint8).astype(np.uint8)
-        data = encode(img)
-        # extract IDAT and verify scanlines decode back to the image
-        i = data.find(b"IDAT") - 4
-        (length,) = struct.unpack(">I", data[i : i + 4])
-        idat = data[i + 8 : i + 8 + length]
-        raw = zlib.decompress(idat)
-        rows = np.frombuffer(raw, np.uint8).reshape(16, 17)
-        assert (rows[:, 0] == 0).all()  # filter None
-        np.testing.assert_array_equal(rows[:, 1:], img)
-
-
 class TestPipelinedFrames:
     def test_frames_in_flight(self, dejavu):
         from fontrx.engine.raster import RasterEngine

@@ -366,3 +366,56 @@ class TestRealFont:
         v = layout_text(dejavu, "AB", vertical=True, kern=True,
                         positioning=())
         assert len(v.instances) == 2
+
+
+class TestPairConsumption:
+    def test_nonempty_value2_consumes_second_glyph(self):
+        """Per OpenType, a pair whose second ValueRecord is non-empty
+        consumes both glyphs: B must NOT also start a (B, C) pair."""
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(2, 0, [gpos_pair1({
+                10: [(11, Z, (0, 0, -50, 0))],
+                11: [(12, (0, 0, -30, 0), Z)],
+            }, vf1=0xF, vf2=0xF)])],
+        )
+        pos = shaper(gpos).positions([10, 11, 12], [100, 100, 100])
+        # 11 gets only the v2 of (10, 11); (11, 12) is not formed
+        assert pos.x_advance.tolist() == [100, 50, 100]
+
+    def test_empty_value2_lets_second_start_next_pair(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(2, 0, [gpos_pair1({
+                10: [(11, (0, 0, -5, 0), Z)],
+                11: [(12, (0, 0, -7, 0), Z)],
+            })])],
+        )
+        pos = shaper(gpos).positions([10, 11, 12], [100, 100, 100])
+        assert pos.x_advance.tolist() == [95, 93, 100]
+
+
+class TestMkmkFlagSkipping:
+    def test_mark2_search_skips_filtered_marks(self):
+        """A mkmk lookup with a markAttachmentType filter must find the
+        nearest preceding NON-skipped glyph as mark2 — an intervening
+        below-mark of another attachment class is skipped, so the
+        second above-mark still stacks on the first."""
+        # glyphs: 10 base; 20/21 above-marks (attach class 1); 30
+        # below-mark (attach class 2)
+        gdef = build_gdef(
+            glyph_classes={10: 1, 20: 3, 21: 3, 30: 3},
+            mark_attach={20: 1, 21: 1, 30: 2},
+        )
+        mkmk = gpos_markbase(
+            marks={21: (0, (0, 0))},
+            bases={20: [(0, 30)]},     # mark2 coverage = glyph 20
+            n_classes=1,
+        )
+        # lookup flag 0x0100: markAttachmentType filter = class 1
+        gpos = build_gpos([(b"test", [0])], [(6, 0x0100, [mkmk])])
+        pos = shaper(gpos, gdef=gdef).positions(
+            [10, 20, 30, 21], [100, 0, 0, 0]
+        )
+        # 21 stacks on 20 (the 30 below-mark is skipped by the filter)
+        assert pos.y_offset[3] == 30
