@@ -124,19 +124,28 @@ def loopblinn_batch(
 
 
 def loopblinn_fill(tri_glyph, grid) -> np.ndarray:
-    """Single-glyph convenience: uint8 ``[H, W]`` 0/255 fill."""
+    """Single-glyph convenience: uint8 ``[H, W]`` 0/255 fill.  On TPU
+    the bbox-cull Pallas kernel runs on tile-padded dims (cropped back);
+    elsewhere the jnp kernel rasters the exact grid."""
+    import jax
+
     tris = _pack_triangle_arrays(tri_glyph)
     classes = tri_glyph.classes
     padded, cls = pad_triangles(tris, classes, max(len(tris), 1))
-    out = loopblinn_batch(
+    args = (
         jnp.asarray(padded)[None],
         jnp.asarray(cls)[None],
         jnp.array([grid.min_x], jnp.int32),
         jnp.array([grid.max_y], jnp.int32),
         jnp.float32(grid.scale),
-        height=grid.height,
-        width=grid.width,
     )
+    if jax.default_backend() == "tpu":
+        ph = ((grid.height + LB_TILE_H - 1) // LB_TILE_H) * LB_TILE_H
+        pw = ((grid.width + LB_TILE_W - 1) // LB_TILE_W) * LB_TILE_W
+        out = loopblinn_pallas_batch(*args, height=ph, width=pw)
+        out = out[:, : grid.height, : grid.width]
+    else:
+        out = loopblinn_batch(*args, height=grid.height, width=grid.width)
     return np.where(np.asarray(out[0]), 255, 0).astype(np.uint8)
 
 
