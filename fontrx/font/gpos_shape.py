@@ -267,6 +267,15 @@ class GposShaper(GsubShaper):
                 return _PairPosGlyphs(cov, tuple(sets))
             if fmt == 2:
                 cd1_off, cd2_off, n_c1, n_c2 = r.unpack("HHHH")
+                # a corrupt font can declare u16 x u16 classes (4.3e9
+                # cells); with empty value formats each cell consumes no
+                # bytes, so the loop would spin for minutes instead of
+                # running off the data end — bound it (1M cells ≈ 515
+                # fonts' worth of the largest real matrices seen)
+                if n_c1 * n_c2 > 1_000_000:
+                    raise ValueError(
+                        f"implausible PairPos class matrix {n_c1}x{n_c2}"
+                    )
                 cd1 = ClassDef.parse(BigEndianReader(data, base + cd1_off))
                 cd2 = ClassDef.parse(BigEndianReader(data, base + cd2_off))
                 matrix = []

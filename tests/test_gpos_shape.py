@@ -419,3 +419,31 @@ class TestMkmkFlagSkipping:
         )
         # 21 stacks on 20 (the 30 below-mark is skipped by the filter)
         assert pos.y_offset[3] == 30
+
+
+class TestParseBounds:
+    def test_implausible_class_matrix_degrades(self):
+        """A corrupt PairPos fmt-2 declaring a u16 x u16 class matrix
+        with empty value formats must not spin the parser for minutes —
+        the lookup degrades to absent and positioning is a no-op."""
+        import struct
+
+        # hand-build: fmt=2, cov_off -> tiny coverage, vf1=vf2=0,
+        # cd offsets -> minimal classdefs, 65535 x 65535 classes
+        cov = build_coverage([10])
+        cd = struct.pack(">HH", 2, 0)  # classdef fmt 2, 0 ranges
+        head = struct.pack(
+            ">HHHHHHHH", 2, 16, 0, 0, 16 + len(cov), 16 + len(cov) + len(cd),
+            0xFFFF, 0xFFFF,
+        )
+        sub = head + cov + cd + cd
+        gpos = build_gpos([(b"test", [0])], [(2, 0, [sub])])
+        import time
+
+        t0 = time.perf_counter()
+        sh = shaper(gpos)
+        took = time.perf_counter() - t0
+        assert took < 5.0
+        if sh is not None:
+            pos = sh.positions([10, 11], [100, 100])
+            assert pos.x_advance.tolist() == [100, 100]
