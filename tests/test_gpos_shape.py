@@ -21,6 +21,7 @@ from fontrx.font.gdef import GdefTable
 from fontrx.font.gpos_shape import GposShaper
 from fontrx.utils.reader import BigEndianReader
 from tests.ttf_builder import (
+    build_coverage,
     build_gdef,
     build_gpos,
     gpos_chain3,
