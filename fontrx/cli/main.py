@@ -170,6 +170,46 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         sheet = np.concatenate(list(np.asarray(coverage_to_gray(cov))), axis=1)
         return np.repeat(sheet[:, :, None], 3, axis=2)
 
+    if cfg.mode == "outline":
+        # stroked outlines from the distance field: coverage =
+        # clamp(stroke/2 + 0.5 - |d|, 0, 1) — one-pixel antialiased
+        # edges on both sides, any stroke width, no new kernel
+        from fontrx.kernels.sdf import sdf_batch
+        from fontrx.scene.layout import layout_text
+
+        layout = layout_text(font, text, kern=cfg.kern,
+                             ligatures=cfg.ligatures,
+                             features=_feature_tags(cfg),
+                             positioning=_positioning_tags(cfg))
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
+            for b in np.asarray(layout.batch.boxes)
+        ]
+        sargs = (
+            jnp.asarray(layout.batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+        )
+        flat = (cfg.size & (cfg.size - 1) == 0
+                and (cfg.size * cfg.size) % 1024 == 0)
+        if engine._resolve() == "pallas" and flat:
+            from fontrx.kernels.sdf_pallas import sdf_pallas_batch
+
+            half = max(cfg.stroke / 2.0, 0.5)
+            sdf = sdf_pallas_batch(
+                *sargs, height=cfg.size, width=cfg.size, flat=True,
+                spread_px=half + 1.0,
+            )
+        else:
+            half = max(cfg.stroke / 2.0, 0.5)
+            sdf = sdf_batch(*sargs, height=cfg.size, width=cfg.size)
+        cov = jnp.clip(half + 0.5 - jnp.abs(sdf), 0.0, 1.0)
+        sheet = np.concatenate(
+            list(np.asarray(jnp.round(cov * 255).astype(jnp.uint8))), axis=1
+        )
+        return np.repeat(sheet[:, :, None], 3, axis=2)
+
     if cfg.mode == "sdf":
         from fontrx.kernels.sdf import sdf_batch, sdf_to_u8
         from fontrx.scene.layout import layout_text

@@ -800,3 +800,42 @@ class TestTextEditing:
         assert s.text == "ab"
         _dispatch(s, cfg, "back", [], n)
         assert s.text == "a"
+
+
+class TestOutlineMode:
+    """Stroked outlines from the distance field (`-m outline`): ink
+    hugs the contour, glyph interiors stay empty."""
+
+    def test_ring_not_fill(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "o.qoi"
+        rc = main([
+            "-f", "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+            "-t", "O", "-m", "outline", "-s", "64", "--stroke", "3",
+            "-o", str(out),
+        ])
+        assert rc == 0
+        img = np.asarray(decode(out.read_bytes()))[:, :, 0]
+        assert (img > 128).sum() > 100          # the stroke has ink
+        # the counter (center of O) is empty, unlike fill mode
+        h, w = img.shape
+        assert img[h // 2 - 4 : h // 2 + 4, w // 2 - 2 : w // 2 + 2].max() == 0
+
+    def test_wider_stroke_more_ink(self, dejavu, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        inks = []
+        for sw in ("2", "6"):
+            out = tmp_path / f"s{sw}.qoi"
+            main([
+                "-f", "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                "-t", "X", "-m", "outline", "-s", "64", "--stroke", sw,
+                "-o", str(out),
+            ])
+            inks.append(
+                (np.asarray(decode(out.read_bytes()))[:, :, 0] > 128).sum()
+            )
+        assert inks[1] > inks[0] * 1.5
