@@ -54,7 +54,7 @@ class Config:
     # raster extensions
     size: int = option("s", default=256, help="font size in pixels")
     samples: int = option(None, default=1, help="MSAA supersample factor k (k*k samples)")
-    mode: str = option("m", default="fill", help="fill|gray|coverage|sdf|outline|triangulation")
+    mode: str = option("m", default="fill", help="fill|gray|coverage|sdf|outline|lcd|triangulation")
     stroke: float = option(None, default=2.0, help="outline mode: stroke width in pixels")
     output: Optional[str] = option("o", default=None, help="output .qoi path")
     backend: str = option(None, default="auto", help="auto|pallas|jnp|interpret")

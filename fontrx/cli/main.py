@@ -170,6 +170,38 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         sheet = np.concatenate(list(np.asarray(coverage_to_gray(cov))), axis=1)
         return np.repeat(sheet[:, :, None], 3, axis=2)
 
+    if cfg.mode == "lcd":
+        # LCD subpixel antialiasing: per-channel coverage at the RGB
+        # stripe centers (R -1/3 px, G 0, B +1/3) — a capability
+        # extension (no subpixel rendering in the reference)
+        from fontrx.kernels.coverage import coverage_to_gray, lcd_coverage_batch
+        from fontrx.scene.layout import layout_text
+
+        layout = layout_text(font, text, kern=cfg.kern,
+                             ligatures=cfg.ligatures,
+                             features=_feature_tags(cfg),
+                             positioning=_positioning_tags(cfg))
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
+            for b in np.asarray(layout.batch.boxes)
+        ]
+        pallas = engine._resolve() == "pallas"
+        h = ((cfg.size + 127) // 128) * 128 if pallas else cfg.size
+        w = ((cfg.size + 127) // 128) * 128 if pallas else cfg.size
+        cov = lcd_coverage_batch(
+            jnp.asarray(layout.batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+            height=h, width=w,
+            samples=max(cfg.samples, 2),
+            use_pallas=pallas,
+            interpret=engine._resolve() == "interpret",
+        )[:, : cfg.size, : cfg.size, :]
+        return np.concatenate(
+            list(np.asarray(coverage_to_gray(cov))), axis=1
+        )
+
     if cfg.mode == "outline":
         # stroked outlines from the distance field: coverage =
         # clamp(stroke/2 + 0.5 - |d|, 0, 1) — one-pixel antialiased

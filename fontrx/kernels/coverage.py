@@ -125,3 +125,50 @@ def coverage_batch_v2(
 def coverage_to_gray(coverage) -> jnp.ndarray:
     """Antialiased 8-bit alpha from coverage."""
     return jnp.clip(jnp.round(coverage * 255.0), 0, 255).astype(jnp.uint8)
+
+
+def lcd_coverage_batch(
+    segments,
+    min_x,
+    max_y,
+    scale,
+    *,
+    height,
+    width,
+    samples: int = 2,
+    exact: bool = True,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """LCD subpixel coverage: float32 ``[B, H, W, 3]`` — per RGB
+    channel, the k x k coverage lattice shifted to that channel's
+    horizontal subpixel center (R -1/3 px, G 0, B +1/3 px), the classic
+    3x1 striped-panel filter.  A capability extension (the reference
+    has no subpixel rendering); pairs with ``coverage_to_gray`` per
+    channel for an sRGB-naive LCD raster."""
+    from fontrx.kernels.winding_jnp import winding_batch as _jnp_batch
+    from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
+
+    lattice = sample_offsets(samples)
+    chans = []
+    for cx in (-1.0 / 3.0, 0.0, 1.0 / 3.0):
+        offs = jnp.asarray(lattice + np.array([cx, 0.0], np.float32))
+
+        def one(off):
+            if use_pallas:
+                w = winding_pallas_v2_batch(
+                    segments, min_x, max_y, scale,
+                    height=height, width=width,
+                    interpret=interpret,
+                    sample_offset=(off[0], off[1]), exact=exact,
+                )
+            else:
+                w = _jnp_batch(
+                    segments, min_x, max_y, scale,
+                    height=height, width=width,
+                    sample_offset=(off[0], off[1]),
+                )
+            return (w != 0).astype(jnp.float32)
+
+        chans.append(jax.lax.map(one, offs).mean(axis=0))
+    return jnp.stack(chans, axis=-1)

@@ -839,3 +839,56 @@ class TestOutlineMode:
                 (np.asarray(decode(out.read_bytes()))[:, :, 0] > 128).sum()
             )
         assert inks[1] > inks[0] * 1.5
+
+
+class TestLCDMode:
+    """LCD subpixel coverage (3x1 RGB stripes): channels are coverage
+    at shifted sample lattices, so the G channel must equal the plain
+    coverage kernel and R/B must differ at vertical stems."""
+
+    def test_channel_semantics(self, dejavu):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.coverage import (
+            coverage_batch,
+            lcd_coverage_batch,
+        )
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import pack_glyphs
+
+        g, _ = dejavu.get_glyph("H")
+        batch = pack_glyphs([g])
+        grid = RasterGrid.fixed_tile(
+            tuple(batch.boxes[0]), 48, 2048, 48
+        )
+        args = (
+            jnp.asarray(batch.segments),
+            jnp.array([grid.min_x], jnp.int32),
+            jnp.array([grid.max_y], jnp.int32),
+            jnp.float32(grid.scale),
+        )
+        lcd = np.asarray(lcd_coverage_batch(
+            *args, height=48, width=48, samples=2, use_pallas=False
+        ))[0]
+        plain = np.asarray(coverage_batch(
+            *args, height=48, width=48, samples=2
+        ))[0]
+        np.testing.assert_array_equal(lcd[:, :, 1], plain)
+        assert not np.array_equal(lcd[:, :, 0], lcd[:, :, 2])
+        # channel means are near-identical (same ink, shifted 1/3 px)
+        assert abs(lcd[:, :, 0].mean() - lcd[:, :, 2].mean()) < 0.01
+
+    def test_cli_lcd_page(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "lcd.qoi"
+        rc = main([
+            "-f", "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+            "-t", "Hi", "-m", "lcd", "-s", "32", "-o", str(out),
+        ])
+        assert rc == 0
+        img = np.asarray(decode(out.read_bytes()))
+        assert img.shape == (32, 64, 3)
+        # subpixel fringes: R and B differ somewhere
+        assert (img[:, :, 0] != img[:, :, 2]).any()
