@@ -114,7 +114,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
                              features=_feature_tags(cfg),
                              vertical=cfg.vertical,
                              positioning=_positioning_tags(cfg),
-                             wrap_width=wrap_units)
+                             wrap_width=wrap_units,
+                             oblique=cfg.oblique)
         upem = font.info.units_per_em
         px_per_unit = cfg.size / upem
         margin = max(cfg.size // 8, 4)

@@ -215,3 +215,29 @@ def from_component(
             contours.append(Contour(pts))
     box = Box(desc.x_min, desc.y_min, desc.x_max, desc.y_max)
     return Glyph(box, tuple(contours))
+
+
+def shear_glyph(glyph: Glyph, slant: float) -> Glyph:
+    """Synthetic oblique: ``x' = x + slant * y`` on every control point
+    (rounded to integer font units, like any native outline).  Affine
+    images of quadratics are the quadratics through the mapped control
+    points, so winding/SDF/triangulation all stay exact.  A capability
+    extension (the reference renders upright outlines only)."""
+    if slant == 0.0 or not glyph.contours:
+        return glyph
+    contours = []
+    xs = []
+    ys = []
+    for c in glyph.contours:
+        p = c.points.astype(np.float64)
+        q = np.empty_like(p)
+        q[:, 0] = p[:, 0] + slant * p[:, 1]
+        q[:, 1] = p[:, 1]
+        qi = np.round(q).astype(np.int32)
+        contours.append(Contour(qi))
+        xs.append(qi[:, 0])
+        ys.append(qi[:, 1])
+    ax = np.concatenate(xs)
+    ay = np.concatenate(ys)
+    box = Box(int(ax.min()), int(ay.min()), int(ax.max()), int(ay.max()))
+    return Glyph(box, tuple(contours))

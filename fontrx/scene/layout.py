@@ -61,6 +61,7 @@ def layout_text(
     vertical: bool = False,
     positioning: tuple[bytes, ...] | None = None,
     wrap_width: float | None = None,
+    oblique: float = 0.0,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -105,7 +106,11 @@ def layout_text(
       than the budget gets a line of its own rather than overflowing
       forever.  Wrap measurement uses plain advances; kerning and GPOS
       placement apply after the break decisions (like most greedy
-      layout engines).  Horizontal modes only.
+      layout engines).  Horizontal modes only;
+    - ``oblique`` (slant ratio, e.g. 0.21 for ~12 deg): synthetic
+      italic — every glyph outline shears ``x' = x + oblique * y``
+      before packing (exact: affine images of quadratics).  Advances
+      are unchanged, matching how synthetic-oblique engines behave.
     """
     # text -> per-line glyph-id streams (ligatures never cross newlines).
     # Unicode variation selectors (U+FE00..FE0F, U+E0100..E01EF) modify
@@ -165,6 +170,10 @@ def layout_text(
             if gid not in slot_of:
                 slot_of[gid] = len(glyphs)
                 g = font.load_glyph(gid)
+                if oblique:
+                    from fontrx.font.glyph import shear_glyph
+
+                    g = shear_glyph(g, oblique)
                 glyphs.append(g)
                 widths.append(int(font.advance_widths[gid]))
                 slot_ymax.append(int(g.box.y_max))

@@ -892,3 +892,33 @@ class TestLCDMode:
         assert img.shape == (32, 64, 3)
         # subpixel fringes: R and B differ somewhere
         assert (img[:, :, 0] != img[:, :, 2]).any()
+
+
+class TestOblique:
+    """Synthetic italic (`layout_text(oblique=)` / `--oblique`)."""
+
+    def test_shear_preserves_segments_and_y(self, dejavu):
+        from fontrx.font.glyph import shear_glyph
+
+        g, _ = dejavu.get_glyph("H")
+        s = shear_glyph(g, 0.25)
+        assert s.num_segments == g.num_segments
+        assert (s.box.y_min, s.box.y_max) == (g.box.y_min, g.box.y_max)
+        assert s.box.x_max > g.box.x_max  # top leans right
+
+    def test_layout_oblique_changes_ink_not_advances(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        a = layout_text(dejavu, "Hi", kern=True)
+        b = layout_text(dejavu, "Hi", kern=True, oblique=0.21)
+        assert [(i.x, i.y) for i in a.instances] == \
+               [(i.x, i.y) for i in b.instances]  # advances unchanged
+        assert not np.array_equal(
+            a.batch.segments, b.batch.segments
+        )
+
+    def test_zero_slant_is_identity(self, dejavu):
+        from fontrx.font.glyph import shear_glyph
+
+        g, _ = dejavu.get_glyph("x")
+        assert shear_glyph(g, 0.0) is g
