@@ -54,9 +54,10 @@ class Config:
     # raster extensions
     size: int = option("s", default=256, help="font size in pixels")
     samples: int = option(None, default=1, help="MSAA supersample factor k (k*k samples)")
-    mode: str = option("m", default="fill", help="fill|gray|coverage|sdf|outline|lcd|triangulation")
+    mode: str = option("m", default="fill", help="fill|gray|coverage|sdf|outline|smooth|lcd|triangulation")
     stroke: float = option(None, default=2.0, help="outline mode: stroke width in pixels")
     oblique: float = option(None, default=0.0, help="synthetic italic slant ratio (e.g. 0.21)")
+    embolden: float = option(None, default=0.0, help="smooth mode: dilate (+) / thin (-) the outline by this many pixels (synthetic bold)")
     output: Optional[str] = option("o", default=None, help="output .qoi path")
     backend: str = option(None, default="auto", help="auto|pallas|jnp|interpret")
     interactive: bool = option("i", default=False, help="interactive zoom/pan session")

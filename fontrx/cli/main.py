@@ -171,6 +171,46 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         sheet = np.concatenate(list(np.asarray(coverage_to_gray(cov))), axis=1)
         return np.repeat(sheet[:, :, None], 3, axis=2)
 
+    if cfg.mode == "smooth":
+        # antialiased fill from the distance field: coverage =
+        # clamp(d + 0.5 + embolden, 0, 1) — one-pixel soft edges
+        # without MSAA, and --embolden E dilates (E>0) or thins (E<0)
+        # the outline by E pixels (synthetic bold/light)
+        from fontrx.kernels.sdf import sdf_batch
+        from fontrx.scene.layout import layout_text
+
+        layout = layout_text(font, text, kern=cfg.kern,
+                             ligatures=cfg.ligatures,
+                             features=_feature_tags(cfg),
+                             positioning=_positioning_tags(cfg),
+                             oblique=cfg.oblique)
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
+            for b in np.asarray(layout.batch.boxes)
+        ]
+        sargs = (
+            jnp.asarray(layout.batch.segments),
+            jnp.array([g.min_x for g in grids], jnp.int32),
+            jnp.array([g.max_y for g in grids], jnp.int32),
+            jnp.float32(grids[0].scale),
+        )
+        flat = (cfg.size & (cfg.size - 1) == 0
+                and (cfg.size * cfg.size) % 1024 == 0)
+        if engine._resolve() == "pallas" and flat:
+            from fontrx.kernels.sdf_pallas import sdf_pallas_batch
+
+            sdf = sdf_pallas_batch(
+                *sargs, height=cfg.size, width=cfg.size, flat=True,
+                spread_px=abs(cfg.embolden) + 2.0,
+            )
+        else:
+            sdf = sdf_batch(*sargs, height=cfg.size, width=cfg.size)
+        cov = jnp.clip(sdf + 0.5 + cfg.embolden, 0.0, 1.0)
+        sheet = np.concatenate(
+            list(np.asarray(jnp.round(cov * 255).astype(jnp.uint8))), axis=1
+        )
+        return np.repeat(sheet[:, :, None], 3, axis=2)
+
     if cfg.mode == "lcd":
         # LCD subpixel antialiasing: per-channel coverage at the RGB
         # stripe centers (R -1/3 px, G 0, B +1/3) — a capability

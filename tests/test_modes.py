@@ -922,3 +922,45 @@ class TestOblique:
 
         g, _ = dejavu.get_glyph("x")
         assert shear_glyph(g, 0.0) is g
+
+
+class TestSmoothMode:
+    """Antialiased SDF fill (`-m smooth`) with synthetic embolden."""
+
+    def test_smooth_matches_fill_shape(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        outs = {}
+        for mode in ("fill", "smooth"):
+            p = tmp_path / f"{mode}.qoi"
+            main([
+                "-f", "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                "-t", "G", "-m", mode, "-s", "64", "-o", str(p),
+            ])
+            outs[mode] = np.asarray(decode(p.read_bytes()))[:, :, 0]
+        # hard thresholds agree away from the 1px soft edge: compare
+        # confidently-inside pixels
+        smooth_in = outs["smooth"] > 250
+        # fill page has margins; smooth is a raw tile sheet — just check
+        # the smooth render has interior ink and graded edges
+        assert smooth_in.sum() > 200
+        edge = (outs["smooth"] > 20) & (outs["smooth"] < 235)
+        assert edge.sum() > 50  # antialiased rim exists
+
+    def test_embolden_grows_ink(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        inks = []
+        for e in ("0", "2"):
+            p = tmp_path / f"e{e}.qoi"
+            main([
+                "-f", "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                "-t", "l", "-m", "smooth", "-s", "64",
+                "--embolden", e, "-o", str(p),
+            ])
+            inks.append(
+                (np.asarray(decode(p.read_bytes()))[:, :, 0] > 128).sum()
+            )
+        assert inks[1] > inks[0] * 1.3
