@@ -24,6 +24,7 @@ from tests.ttf_builder import (
     build_coverage,
     build_gdef,
     build_gpos,
+    gpos_chain2,
     gpos_chain3,
     gpos_context1,
     gpos_context3,
@@ -275,6 +276,30 @@ class TestContextual:
         # missing lookahead: no match
         no = sh.positions([9, 10, 11, 13], [100] * 4)
         assert no.y_offset.tolist() == [0, 0, 0, 0]
+
+    def test_chain2_class_rules(self):
+        # class-based chained positioning (GPOS 8 fmt 2): in the
+        # context "digit digit", raise the second digit (class 1)
+        ctx = gpos_chain2(
+            coverage_glyphs=[10, 11],
+            bt_classes={10: 1, 11: 1},
+            in_classes={10: 1, 11: 1},
+            la_classes={},
+            rule_sets={1: [([], [1], [], [(1, 1)])]},
+            n_sets=2,
+        )
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(8, 0, [ctx]), (1, 0, [gpos_single(
+                {10: (0, 40, 0, 0), 11: (0, 40, 0, 0)}, fmt=1
+            )])],
+        )
+        sh = shaper(gpos)
+        pos = sh.positions([10, 11], [100, 100])
+        assert pos.y_offset.tolist() == [0, 40]
+        # a lone covered glyph (no class-1 input pair): no-op
+        pos2 = sh.positions([9, 10], [100, 100])
+        assert pos2.y_offset.tolist() == [0, 0]
 
     def test_context1_glyph_rules(self):
         ctx = gpos_context1({10: [([11], [(1, 1)])]})

@@ -733,6 +733,7 @@ build_gpos = build_gsub
 gpos_context3 = gsub_context3        # GPOS type 7 fmt 3 == GSUB 5 fmt 3
 gpos_chain3 = gsub_chain3            # GPOS type 8 fmt 3 == GSUB 6 fmt 3
 gpos_context1 = gsub_context1
+gpos_chain2 = gsub_chain2            # GPOS type 8 fmt 2 == GSUB 6 fmt 2
 gpos_extension = gsub_extension      # GPOS type 9 == GSUB 7 wire shape
 
 _VF_BITS = ((0x1, 0), (0x2, 1), (0x4, 2), (0x8, 3))
