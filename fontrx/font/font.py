@@ -89,16 +89,35 @@ class Font:
         # (``Font.loadTTFCharGlyphMapping``, ``Font.zig:87-121``)
         self.charmap = self._load_charmap()
 
-        # loca: glyph byte offsets into glyf (short offsets are *2,
-        # ``Font.zig:173-192``)
-        r = self._at(b"loca")
-        n = maxp.num_glyphs + 1
-        if head.index_to_loc_format == 0:
-            self._loca = r.u16_array(n).astype(np.uint32) * 2
+        # outline source: TrueType glyf/loca, or CFF for 'OTTO' fonts
+        # (a capability extension; the reference rejects OTTO at the
+        # scaler check, ``ttf.zig:24-31``)
+        self._cff = None
+        if b"glyf" in self.tables:
+            for tag in ttf.GLYF_TABLES:
+                if tag not in self.tables:
+                    raise CorruptedFont(f"missing required table {tag!r}")
+            # loca: glyph byte offsets into glyf (short offsets are *2,
+            # ``Font.zig:173-192``)
+            r = self._at(b"loca")
+            n = maxp.num_glyphs + 1
+            if head.index_to_loc_format == 0:
+                self._loca = r.u16_array(n).astype(np.uint32) * 2
+            else:
+                self._loca = r.u32_array(n)
+            ensure_mono_increase(self._loca, "loca")
+            self._glyf_offset = self.tables[b"glyf"].offset
+        elif b"CFF " in self.tables:
+            from fontrx.font.cff import CffFont
+
+            self._cff = CffFont.parse(self._at(b"CFF "))
+            if self._cff.num_glyphs < maxp.num_glyphs:
+                raise CorruptedFont(
+                    f"CFF has {self._cff.num_glyphs} charstrings for "
+                    f"{maxp.num_glyphs} glyphs"
+                )
         else:
-            self._loca = r.u32_array(n)
-        ensure_mono_increase(self._loca, "loca")
-        self._glyf_offset = self.tables[b"glyf"].offset
+            raise CorruptedFont("no outline table (glyf or CFF )")
 
         # advance widths (``Font.loadAdvanceWidths``, ``Font.zig:123-139``)
         self.advance_widths = ttf.parse_hmtx(
@@ -389,6 +408,10 @@ class Font:
         if index in _track:
             raise CorruptedFont(f"compound glyph cycle at index {index}")
 
+        if self._cff is not None:
+            glyph = self._cff.glyph(index)
+            self._glyphs[index] = glyph
+            return glyph
         start, end = int(self._loca[index]), int(self._loca[index + 1])
         if start == end:  # empty glyph (``Font.zig:186-192``)
             glyph = Glyph.empty()

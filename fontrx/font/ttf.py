@@ -38,7 +38,9 @@ log = get_logger("ttf")
 
 # Required tables for a renderable TrueType font (reference required set,
 # ``ttf.zig:94-95``).
-REQUIRED_TABLES = (b"cmap", b"glyf", b"head", b"hhea", b"hmtx", b"loca", b"maxp")
+REQUIRED_TABLES = (b"cmap", b"head", b"hhea", b"hmtx", b"maxp")
+# glyf fonts additionally need loca; CFF ('OTTO') fonts need neither
+GLYF_TABLES = (b"glyf", b"loca")
 
 
 # --------------------------------------------------------------------------
@@ -87,7 +89,9 @@ def parse_table_directory(r: BigEndianReader) -> dict[bytes, TableEntry]:
     (reference keeps a linear array + ``findIndex``; a dict is the
     idiomatic equivalent)."""
     sub = OffsetSubtable.parse(r)
-    if sub.scaler_type not in (0x00010000, 0x74727565):  # 'true'
+    # 'OTTO' (OpenType-CFF) accepted beyond the reference, which
+    # rejects it (``ttf.zig:24-31``); outlines then come from `CFF `
+    if sub.scaler_type not in (0x00010000, 0x74727565, 0x4F54544F):
         raise CorruptedFont(f"not a TrueType scaler type: {sub.scaler_type:#x}")
     tables: dict[bytes, TableEntry] = {}
     for _ in range(sub.num_tables):
