@@ -45,6 +45,15 @@ def _corpus() -> list[str]:
                 paths.append(p)
     except ImportError:
         pass
+    # OpenType-CFF fixtures (the CFF frontend rides the same corpus
+    # checks: parse, oracle-exact raster, layout, degradation)
+    pygame_fix = (
+        "/opt/venv/lib/python3.12/site-packages/pygame/tests/fixtures/fonts"
+    )
+    for f in ("test_fixed.otf", "PyGameMono.otf"):
+        p = os.path.join(pygame_fix, f)
+        if os.path.exists(p):
+            paths.append(p)
     return paths
 
 
