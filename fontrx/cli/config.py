@@ -57,6 +57,7 @@ class Config:
     mode: str = option("m", default="fill", help="fill|gray|coverage|sdf|outline|smooth|lcd|triangulation")
     stroke: float = option(None, default=2.0, help="outline mode: stroke width in pixels")
     oblique: float = option(None, default=0.0, help="synthetic italic slant ratio (e.g. 0.21)")
+    rtl: bool = option(None, default=False, help="right-to-left lines (logical-to-visual reversal; pure-RTL runs)")
     embolden: float = option(None, default=0.0, help="smooth mode: dilate (+) / thin (-) the outline by this many pixels (synthetic bold)")
     output: Optional[str] = option("o", default=None, help="output .qoi path")
     backend: str = option(None, default="auto", help="auto|pallas|jnp|interpret")

@@ -115,7 +115,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
                              vertical=cfg.vertical,
                              positioning=_positioning_tags(cfg),
                              wrap_width=wrap_units,
-                             oblique=cfg.oblique)
+                             oblique=cfg.oblique,
+                             rtl=cfg.rtl)
         upem = font.info.units_per_em
         px_per_unit = cfg.size / upem
         margin = max(cfg.size // 8, 4)

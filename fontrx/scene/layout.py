@@ -62,6 +62,7 @@ def layout_text(
     positioning: tuple[bytes, ...] | None = None,
     wrap_width: float | None = None,
     oblique: float = 0.0,
+    rtl: bool = False,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -110,7 +111,13 @@ def layout_text(
     - ``oblique`` (slant ratio, e.g. 0.21 for ~12 deg): synthetic
       italic — every glyph outline shears ``x' = x + oblique * y``
       before packing (exact: affine images of quadratics).  Advances
-      are unchanged, matching how synthetic-oblique engines behave.
+      are unchanged, matching how synthetic-oblique engines behave;
+    - ``rtl=True``: right-to-left lines — each shaped line's glyph
+      order reverses from logical to visual before placement (after
+      shaping and wrapping, so ligatures/contexts match in logical
+      order and wrap still breaks at logical line ends).  Pure-RTL
+      runs only (Hebrew; full UAX#9 bidi with mixed-direction runs is
+      out of scope, as is Arabic joining).
     """
     # text -> per-line glyph-id streams (ligatures never cross newlines).
     # Unicode variation selectors (U+FE00..FE0F, U+E0100..E01EF) modify
@@ -158,6 +165,11 @@ def layout_text(
                 lines, wrap_width, space,
                 lambda gid: int(font.advance_widths[gid]),
             )
+
+    if rtl:
+        # logical -> visual order: shaping and wrapping ran on the
+        # logical stream; placement walks the visual one
+        lines = [list(reversed(line)) for line in lines]
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
     slot_of: dict[int, int] = {}

@@ -964,3 +964,32 @@ class TestSmoothMode:
                 (np.asarray(decode(p.read_bytes()))[:, :, 0] > 128).sum()
             )
         assert inks[1] > inks[0] * 1.3
+
+
+class TestRTL:
+    """Right-to-left layout (`rtl=True`): logical-to-visual reversal
+    after shaping/wrapping (pure-RTL runs; Hebrew in DejaVu)."""
+
+    def test_reversal_mirrors_pen_order(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        heb = "שלום"  # shalom, 4 distinct glyphs
+        ltr = layout_text(dejavu, heb)
+        rtl = layout_text(dejavu, heb, rtl=True)
+        # same glyph set; the first logical glyph (shin) lands at the
+        # largest pen x in the RTL layout (slot ids are per-layout, so
+        # compare through glyph ids)
+        gids_l = [ltr.slot_gids[i.glyph_slot] for i in ltr.instances]
+        gids_r = [rtl.slot_gids[i.glyph_slot] for i in rtl.instances]
+        assert sorted(gids_l) == sorted(gids_r)
+        assert gids_r == list(reversed(gids_l))
+        first_logical = gids_l[0]
+        xs = {rtl.slot_gids[i.glyph_slot]: i.x for i in rtl.instances}
+        assert xs[first_logical] == max(xs.values())
+
+    def test_rtl_composes_with_wrap(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        heb = "שלום שלום"
+        lt = layout_text(dejavu, heb, rtl=True, wrap_width=4000)
+        assert len({i.y for i in lt.instances}) == 2
