@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         font = Font.open(cfg.font_file)
+    if cfg.variation and hasattr(font, "set_variation"):
+        loc = {}
+        for part in cfg.variation.split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                loc[k.strip()] = float(v)
+        font.set_variation(loc)
     engine = RasterEngine(backend=cfg.backend)
     text = cfg.text if cfg.text is not None else "A"
 

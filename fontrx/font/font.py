@@ -420,9 +420,11 @@ class Font:
             desc = ttf.GlyphDescription.parse(r)
             if desc.number_of_contours >= 0:
                 simple = ttf.SimpleGlyph.parse(r, desc.number_of_contours)
+                simple = self._apply_variation_simple(index, simple)
                 glyph = from_simple(desc, simple)
             else:
                 comp = ttf.ComponentGlyph.parse(r)
+                comp = self._apply_variation_composite(index, comp)
                 resolve = {
                     part.glyph_index: self.load_glyph(
                         part.glyph_index, _track + (index,)
@@ -430,6 +432,17 @@ class Font:
                     for part in comp.parts
                 }
                 glyph = from_component(desc, comp, resolve)
+        if getattr(self, "_var_coords", None) is not None and glyph.contours:
+            # the glyf-header bbox is the STATIC box; varied outlines
+            # need a recomputed one or raster grids would clip them
+            from fontrx.font.glyph import Box
+
+            allp = np.concatenate([c.points for c in glyph.contours])
+            glyph = Glyph(
+                Box(int(allp[:, 0].min()), int(allp[:, 1].min()),
+                    int(allp[:, 0].max()), int(allp[:, 1].max())),
+                glyph.contours,
+            )
         log.debug("loaded glyph %d (%d segments)", index, glyph.num_segments)
         self._glyphs[index] = glyph
         return glyph
@@ -453,6 +466,126 @@ class Font:
         if len(self.charmap) > limit:
             lines.append(f"  ... {len(self.charmap) - limit} more ranges")
         return "\n".join(lines)
+
+    # -- variable fonts (fvar/gvar; capability extension) ------------------
+
+    @property
+    def fvar(self):
+        """Parsed ``fvar`` axes, or ``None`` for a static font."""
+        if not hasattr(self, "_fvar"):
+            self._fvar = None
+            if b"fvar" in self.tables:
+                try:
+                    from fontrx.font.variations import Fvar
+
+                    self._fvar = Fvar.parse(self._at(b"fvar"))
+                except Exception as e:
+                    log.warning("fvar unusable: %s", e)
+        return self._fvar
+
+    @property
+    def gvar(self):
+        if not hasattr(self, "_gvar"):
+            self._gvar = None
+            if b"gvar" in self.tables:
+                try:
+                    from fontrx.font.variations import Gvar
+
+                    self._gvar = Gvar.parse(
+                        self._at(b"gvar"), self.maxp.num_glyphs
+                    )
+                except Exception as e:
+                    log.warning("gvar unusable: %s", e)
+        return self._gvar
+
+    def set_variation(self, axes: dict | None = None, **kw) -> None:
+        """Select a variable-font design location, e.g.
+        ``font.set_variation(wght=700)`` — user-space coordinates,
+        clamped to the axis ranges, remapped through ``avar`` when
+        present.  Clears the glyph cache; subsequent glyph loads apply
+        the interpolated ``gvar`` deltas.  A no-op (with a warning) on
+        static fonts."""
+        user: dict[bytes, float] = {}
+        for k, v in {**(axes or {}), **kw}.items():
+            tag = k if isinstance(k, bytes) else k.encode("ascii")
+            user[tag[:4].ljust(4)] = float(v)
+        fv = self.fvar
+        if fv is None:
+            log.warning("set_variation on a non-variable font: ignored")
+            return
+        norm = fv.normalize(user)
+        if b"avar" in self.tables:
+            try:
+                from fontrx.font.variations import Avar
+
+                norm = Avar.parse(
+                    self._at(b"avar"), len(fv.axes)
+                ).apply(norm)
+            except Exception as e:
+                log.warning("avar unusable: %s", e)
+        self._var_coords = None if not norm.any() else norm
+        self._glyphs = [None] * self.maxp.num_glyphs
+        self._var_adv = {}
+
+    def _apply_variation_simple(self, index, simple):
+        coords = getattr(self, "_var_coords", None)
+        if coords is None or self.gvar is None:
+            return simple
+        n = len(simple.coordinates)
+        d = self.gvar.deltas(
+            index, coords, n, simple.end_pts_of_contours,
+            simple.coordinates,
+        )
+        if d is None:
+            return simple
+        dx, dy = d
+        moved = simple.coordinates.astype(np.float64)
+        moved[:, 0] += dx[:n]
+        moved[:, 1] += dy[:n]
+        # otRound (round half up), matching fontTools' instancer
+        moved = np.floor(moved + 0.5).astype(np.int32)
+        # phantom points 0/1 carry the varied advance width
+        self._var_adv = getattr(self, "_var_adv", {})
+        self._var_adv[index] = int(
+            np.floor((dx[n + 1] - dx[n]) + 0.5)
+        )
+        import dataclasses as _dc
+
+        return _dc.replace(simple, coordinates=moved)
+
+    def _apply_variation_composite(self, index, comp):
+        coords = getattr(self, "_var_coords", None)
+        if coords is None or self.gvar is None:
+            return comp
+        n = len(comp.parts)
+        d = self.gvar.deltas(index, coords, n, None, None)
+        if d is None:
+            return comp
+        dx, dy = d
+        import dataclasses as _dc
+
+        parts = []
+        for i, p in enumerate(comp.parts):
+            if p.args_are_xy_values and (dx[i] or dy[i]):
+                parts.append(_dc.replace(
+                    p,
+                    argument1=int(np.floor(p.argument1 + dx[i] + 0.5)),
+                    argument2=int(np.floor(p.argument2 + dy[i] + 0.5)),
+                ))
+            else:
+                parts.append(p)
+        self._var_adv = getattr(self, "_var_adv", {})
+        self._var_adv[index] = int(np.floor((dx[n + 1] - dx[n]) + 0.5))
+        return _dc.replace(comp, parts=tuple(parts))
+
+    def varied_advance(self, index: int) -> int:
+        """Advance width at the current variation location (phantom-
+        point deltas; the base width when unvaried)."""
+        base = int(self.advance_widths[index])
+        adv = getattr(self, "_var_adv", {})
+        if index not in adv:
+            self.load_glyph(index)  # populates the phantom delta
+        return base + adv.get(index, 0)
 
     def load_glyph_safe(self, index: int) -> Glyph:
         """Fallible per-glyph loading for batch pipelines: structural

@@ -119,6 +119,14 @@ def layout_text(
       runs only (Hebrew; full UAX#9 bidi with mixed-direction runs is
       out of scope, as is Arabic joining).
     """
+    # variable fonts: advances come from the current design location
+    # (phantom-point deltas); static fonts/stacks fall through to hmtx
+    if hasattr(font, "varied_advance"):
+        _adv = font.varied_advance
+    else:
+        def _adv(gid):
+            return int(font.advance_widths[gid])
+
     # text -> per-line glyph-id streams (ligatures never cross newlines).
     # Unicode variation selectors (U+FE00..FE0F, U+E0100..E01EF) modify
     # the PRECEDING base character via the cmap format-14 table (beyond
@@ -161,10 +169,7 @@ def layout_text(
         # unmapped char would then become a break point — disable wrap
         # instead (nothing to break at)
         if space != 0:
-            lines = _wrap_lines(
-                lines, wrap_width, space,
-                lambda gid: int(font.advance_widths[gid]),
-            )
+            lines = _wrap_lines(lines, wrap_width, space, _adv)
 
     if rtl:
         # logical -> visual order: shaping and wrapping ran on the
@@ -187,7 +192,7 @@ def layout_text(
 
                     g = shear_glyph(g, oblique)
                 glyphs.append(g)
-                widths.append(int(font.advance_widths[gid]))
+                widths.append(int(_adv(gid)))
                 slot_ymax.append(int(g.box.y_max))
                 c = font.charmap.char_for_glyph(gid)
                 slot_chars.append(int(c) if c is not None else -1)

@@ -1,0 +1,148 @@
+"""Variable-font tests (`fontrx/font/variations.py`) — fvar axis
+normalization, avar remapping, gvar tuple-variation deltas with IUP and
+phantom-point advances, on fixtures built with fontTools varLib
+(tests/data/vartest*.ttf; vartest2 adds an avar map and a composite
+glyph).  The definitive check is a raster differential against
+fontTools' varLib.instancer at several design locations."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from fontrx.font.font import Font
+from fontrx.kernels import oracle
+from fontrx.kernels.grid import RasterGrid
+from fontrx.pack.segments import glyph_segments
+
+VF1 = os.path.join(os.path.dirname(__file__), "data", "vartest.ttf")
+VF2 = os.path.join(os.path.dirname(__file__), "data", "vartest2.ttf")
+
+
+def _instancer_font(path, wght):
+    from fontTools.ttLib import TTFont
+    from fontTools.varLib.instancer import instantiateVariableFont
+
+    inst = instantiateVariableFont(TTFont(path), {"wght": wght})
+    buf = io.BytesIO()
+    inst.save(buf)
+    return Font(buf.getvalue())
+
+
+def _raster_equal(a, b, size=48):
+    box = (
+        min(a.box.x_min, b.box.x_min), min(a.box.y_min, b.box.y_min),
+        max(a.box.x_max, b.box.x_max), max(a.box.y_max, b.box.y_max),
+    )
+    grid = RasterGrid.for_glyph_box(box, size, 1000)
+    wa = oracle.winding_map(glyph_segments(a), grid)
+    wb = oracle.winding_map(glyph_segments(b), grid)
+    np.testing.assert_array_equal(wa, wb)
+
+
+class TestAxes:
+    def test_fvar_parse_and_normalize(self):
+        f = Font.open(VF1)
+        (ax,) = f.fvar.axes
+        assert (ax.tag, ax.min_value, ax.default_value, ax.max_value) == (
+            b"wght", 100.0, 100.0, 900.0,
+        )
+        n = f.fvar.normalize({b"wght": 500.0})
+        assert n[0] == pytest.approx(0.5)
+        assert f.fvar.normalize({b"wght": 50.0})[0] == 0.0   # clamped
+        assert f.fvar.normalize({b"wght": 2000.0})[0] == 1.0
+
+    def test_static_font_ignores_variation(self, dejavu):
+        dejavu.set_variation(wght=700)  # warns, no-op
+        g, _ = dejavu.get_glyph("A")
+        assert g.num_segments > 0
+
+
+class TestInstancerDifferential:
+    @pytest.mark.parametrize("wght", [100, 250, 400, 650, 900])
+    def test_vf1_rasters_match(self, wght):
+        ref = _instancer_font(VF1, wght)
+        vf = Font.open(VF1)
+        vf.set_variation(wght=wght)
+        for ch in "ABO":  # B and O carry IUP-implied deltas
+            _raster_equal(
+                ref.load_glyph(ref.glyph_index(ch)),
+                vf.load_glyph(vf.glyph_index(ch)),
+            )
+
+    @pytest.mark.parametrize("wght", [100, 300, 650, 900])
+    def test_vf2_avar_and_composite_match(self, wght):
+        ref = _instancer_font(VF2, wght)
+        vf = Font.open(VF2)
+        vf.set_variation(wght=wght)
+        for cp in (ord("A"), 0xB4, 0xC1):  # 0xC1 = composite Aacute
+            _raster_equal(
+                ref.load_glyph(ref.glyph_index(cp)),
+                vf.load_glyph(vf.glyph_index(cp)),
+            )
+
+    def test_varied_advance_matches_instancer(self):
+        for wght in (100, 650, 900):
+            ref = _instancer_font(VF1, wght)
+            vf = Font.open(VF1)
+            vf.set_variation(wght=wght)
+            for ch in "ABO":
+                gid = vf.glyph_index(ch)
+                assert vf.varied_advance(gid) == int(
+                    ref.advance_widths[ref.glyph_index(ch)]
+                )
+
+
+class TestLayoutIntegration:
+    def test_layout_uses_varied_advances(self):
+        from fontrx.scene.layout import layout_text
+
+        vf = Font.open(VF1)
+        vf.set_variation(wght=900)
+        heavy = layout_text(vf, "AA")
+        vf2 = Font.open(VF1)
+        light = layout_text(vf2, "AA")
+        # this fixture keeps hmtx advances constant across weights;
+        # both must lay out, and the glyph OUTLINES must differ
+        assert len(heavy.instances) == len(light.instances) == 2
+        assert not np.array_equal(
+            heavy.batch.segments, light.batch.segments
+        )
+
+    def test_set_variation_invalidates_cache(self):
+        vf = Font.open(VF1)
+        g1 = vf.load_glyph(vf.glyph_index("A"))
+        vf.set_variation(wght=900)
+        g2 = vf.load_glyph(vf.glyph_index("A"))
+        assert g1.box != g2.box
+
+    def test_default_location_is_identity(self):
+        vf = Font.open(VF1)
+        base = vf.load_glyph(vf.glyph_index("O"))
+        vf.set_variation(wght=100)  # the default: no deltas applied
+        same = vf.load_glyph(vf.glyph_index("O"))
+        for c1, c2 in zip(base.contours, same.contours):
+            np.testing.assert_array_equal(c1.points, c2.points)
+
+
+class TestVarFuzz:
+    def test_gvar_bit_flips_degrade(self, rng):
+        import struct
+
+        from fontrx.utils.reader import CorruptedFont
+
+        blob = open(VF1, "rb").read()
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        for _ in range(120):
+            b2 = bytearray(blob)
+            pos = int(rng.integers(0, len(b2)))
+            b2[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                f = Font(bytes(b2))
+                f.set_variation(wght=700)
+                for gid in range(min(f.num_glyphs, 4)):
+                    f.load_glyph_safe(gid)
+            except acceptable:
+                pass
