@@ -42,6 +42,8 @@ class VarAxis:
 @dataclass(frozen=True, slots=True)
 class Fvar:
     axes: tuple[VarAxis, ...]
+    # named instances: (subfamilyNameID, {axis tag: user coordinate})
+    instances: tuple[tuple[int, dict[bytes, float]], ...] = ()
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "Fvar":
@@ -49,6 +51,7 @@ class Fvar:
         major, _minor, axes_off, _pairs, axis_count, axis_size = r.unpack(
             "HHHHHH"
         )
+        inst_count, inst_size = r.unpack("HH")
         if major != 1:
             raise CorruptedFont(f"fvar version {major}")
         axes = []
@@ -57,7 +60,16 @@ class Fvar:
             tag = ar.tag()
             mn, de, mx = (v / 65536.0 for v in ar.unpack("iii"))
             axes.append(VarAxis(tag, mn, de, mx))
-        return cls(tuple(axes))
+        instances = []
+        inst_base = base + axes_off + axis_count * axis_size
+        for i in range(inst_count):
+            ir = BigEndianReader(r.data, inst_base + i * inst_size)
+            name_id, _flags = ir.unpack("HH")
+            loc = {
+                ax.tag: ir.unpack("i")[0] / 65536.0 for ax in axes
+            }
+            instances.append((name_id, loc))
+        return cls(tuple(axes), tuple(instances))
 
     def normalize(self, user: dict[bytes, float]) -> np.ndarray:
         """User coords -> normalized [-1, 1] per axis (spec §7.1)."""

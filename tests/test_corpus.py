@@ -54,6 +54,12 @@ def _corpus() -> list[str]:
         p = os.path.join(pygame_fix, f)
         if os.path.exists(p):
             paths.append(p)
+    # synthetic variable-font fixtures (fvar/gvar path)
+    here = os.path.dirname(__file__)
+    for f in ("vartest.ttf", "vartest2.ttf"):
+        p = os.path.join(here, "data", f)
+        if os.path.exists(p):
+            paths.append(p)
     return paths
 
 

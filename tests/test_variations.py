@@ -146,3 +146,13 @@ class TestVarFuzz:
                     f.load_glyph_safe(gid)
             except acceptable:
                 pass
+
+
+class TestNamedInstances:
+    def test_instances_parse(self):
+        f = Font.open(VF1)
+        # varLib writes one instance per axis extreme mapping point;
+        # every instance must carry a wght user coordinate in range
+        for _name_id, loc in f.fvar.instances:
+            assert b"wght" in loc
+            assert 100.0 <= loc[b"wght"] <= 900.0
