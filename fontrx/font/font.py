@@ -578,10 +578,33 @@ class Font:
         self._var_adv[index] = int(np.floor((dx[n + 1] - dx[n]) + 0.5))
         return _dc.replace(comp, parts=tuple(parts))
 
+    @property
+    def hvar(self):
+        """Parsed ``HVAR`` advance-variation table, or ``None``."""
+        if not hasattr(self, "_hvar"):
+            self._hvar = None
+            if b"HVAR" in self.tables:
+                try:
+                    from fontrx.font.variations import Hvar
+
+                    self._hvar = Hvar.parse(self._at(b"HVAR"))
+                except Exception as e:
+                    log.warning("HVAR unusable: %s", e)
+        return self._hvar
+
     def varied_advance(self, index: int) -> int:
-        """Advance width at the current variation location (phantom-
-        point deltas; the base width when unvaried)."""
+        """Advance width at the current variation location.  ``HVAR``
+        deltas when the font has them (the spec-preferred source —
+        optimized fonts strip gvar phantom deltas); otherwise the
+        phantom-point deltas from gvar.  The base width when
+        unvaried."""
         base = int(self.advance_widths[index])
+        coords = getattr(self, "_var_coords", None)
+        if coords is None:
+            return base
+        hv = self.hvar
+        if hv is not None:
+            return base + int(np.floor(hv.advance_delta(index, coords) + 0.5))
         adv = getattr(self, "_var_adv", {})
         if index not in adv:
             self.load_glyph(index)  # populates the phantom delta

@@ -387,3 +387,146 @@ class Gvar:
             dx += scalar * tdx
             dy += scalar * tdy
         return dx, dy
+
+
+# -- ItemVariationStore + HVAR --------------------------------------------
+
+
+@dataclass
+class ItemVariationStore:
+    """OpenType ItemVariationStore (the delta machinery behind HVAR,
+    MVAR and GDEF variations): regions of normalized axis space +
+    per-item delta sets."""
+
+    regions: list  # [(start, peak, end)] per axis, per region
+    var_data: list  # (region_indexes, deltas [item][region]) per subtable
+
+    @classmethod
+    def parse(cls, data: bytes, base: int, axis_count_hint: int | None = None):
+        fmt, region_off, data_count = struct.unpack_from(">HIH", data, base)
+        if fmt != 1:
+            raise CorruptedFont(f"IVS format {fmt}")
+        offs = [
+            struct.unpack_from(">I", data, base + 8 + 4 * i)[0]
+            for i in range(data_count)
+        ]
+        # region list
+        rp = base + region_off
+        axis_count, region_count = struct.unpack_from(">HH", data, rp)
+        rp += 4
+        regions = []
+        for _ in range(region_count):
+            axes = []
+            for _ in range(axis_count):
+                s, p, e = struct.unpack_from(">hhh", data, rp)
+                axes.append((s / 16384.0, p / 16384.0, e / 16384.0))
+                rp += 6
+            regions.append(axes)
+        var_data = []
+        for off in offs:
+            vp = base + off
+            item_count, word_count, reg_count = struct.unpack_from(
+                ">HHH", data, vp
+            )
+            vp += 6
+            long_words = bool(word_count & 0x8000)
+            word_count &= 0x7FFF
+            reg_idx = [
+                struct.unpack_from(">H", data, vp + 2 * i)[0]
+                for i in range(reg_count)
+            ]
+            vp += 2 * reg_count
+            items = []
+            for _ in range(item_count):
+                deltas = []
+                for _ in range(word_count):
+                    if long_words:
+                        deltas.append(struct.unpack_from(">i", data, vp)[0])
+                        vp += 4
+                    else:
+                        deltas.append(struct.unpack_from(">h", data, vp)[0])
+                        vp += 2
+                for _ in range(reg_count - word_count):
+                    if long_words:
+                        deltas.append(struct.unpack_from(">h", data, vp)[0])
+                        vp += 2
+                    else:
+                        deltas.append(struct.unpack_from(">b", data, vp)[0])
+                        vp += 1
+                items.append(deltas)
+            var_data.append((reg_idx, items))
+        return cls(regions, var_data)
+
+    def delta(self, outer: int, inner: int, coords: np.ndarray) -> float:
+        if not 0 <= outer < len(self.var_data):
+            return 0.0
+        reg_idx, items = self.var_data[outer]
+        if not 0 <= inner < len(items):
+            return 0.0
+        total = 0.0
+        for ri, d in zip(reg_idx, items[inner]):
+            axes = self.regions[ri]
+            s = 1.0
+            for ai, (lo, p, hi) in enumerate(axes):
+                s *= _region_scalar(
+                    coords[ai : ai + 1], [p], [lo], [hi]
+                ) if p != 0.0 else 1.0
+                if s == 0.0:
+                    break
+            total += s * d
+        return total
+
+
+def _read_index_map(data: bytes, base: int) -> list[tuple[int, int]]:
+    """DeltaSetIndexMap -> [(outer, inner)] per mapped index."""
+    fmt = data[base]
+    entry_format = data[base + 1]
+    if fmt == 0:
+        (count,) = struct.unpack_from(">H", data, base + 2)
+        pos = base + 4
+    elif fmt == 1:
+        (count,) = struct.unpack_from(">I", data, base + 2)
+        pos = base + 6
+    else:
+        raise CorruptedFont(f"DeltaSetIndexMap format {fmt}")
+    entry_size = ((entry_format & 0x30) >> 4) + 1
+    inner_bits = (entry_format & 0x0F) + 1
+    out = []
+    for i in range(count):
+        v = int.from_bytes(
+            data[pos + i * entry_size : pos + (i + 1) * entry_size], "big"
+        )
+        out.append((v >> inner_bits, v & ((1 << inner_bits) - 1)))
+    return out
+
+
+@dataclass
+class Hvar:
+    """``HVAR``: advance-width variation deltas (preferred over gvar
+    phantom points when present — optimized fonts strip phantom deltas
+    and carry widths only here)."""
+
+    ivs: ItemVariationStore
+    adv_map: list[tuple[int, int]] | None  # None: gid -> (0, gid)
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "Hvar":
+        data = r.data
+        base = r.pos
+        major, _minor, ivs_off, adv_off, _lsb, _rsb = struct.unpack_from(
+            ">HHIIII", data, base
+        )
+        if major != 1:
+            raise CorruptedFont(f"HVAR version {major}")
+        ivs = ItemVariationStore.parse(data, base + ivs_off)
+        adv_map = _read_index_map(data, base + adv_off) if adv_off else None
+        return cls(ivs, adv_map)
+
+    def advance_delta(self, gid: int, coords: np.ndarray) -> float:
+        if self.adv_map is None:
+            outer, inner = 0, gid
+        elif gid < len(self.adv_map):
+            outer, inner = self.adv_map[gid]
+        else:  # spec: out-of-range gids use the last entry
+            outer, inner = self.adv_map[-1] if self.adv_map else (0, gid)
+        return self.ivs.delta(outer, inner, coords)

@@ -156,3 +156,40 @@ class TestNamedInstances:
         for _name_id, loc in f.fvar.instances:
             assert b"wght" in loc
             assert 100.0 <= loc[b"wght"] <= 900.0
+
+
+class TestHvar:
+    """HVAR advance deltas (ItemVariationStore), preferred over gvar
+    phantom points; fixture vartest3 varies advances 400->720."""
+
+    VF3 = os.path.join(os.path.dirname(__file__), "data", "vartest3.ttf")
+
+    @pytest.mark.parametrize("wght", [100, 300, 500, 700, 900])
+    def test_advances_match_instancer(self, wght):
+        ref = _instancer_font(self.VF3, wght)
+        vf = Font.open(self.VF3)
+        vf.set_variation(wght=wght)
+        assert vf.hvar is not None
+        for ch in "AB":
+            assert vf.varied_advance(vf.glyph_index(ch)) == int(
+                ref.advance_widths[ref.glyph_index(ch)]
+            )
+
+    def test_layout_pen_uses_hvar_advances(self):
+        from fontrx.scene.layout import layout_text
+
+        vf = Font.open(self.VF3)
+        vf.set_variation(wght=900)
+        lt = layout_text(vf, "AA")
+        assert lt.instances[1].x == 720.0  # varied advance, not 400
+
+    @pytest.mark.parametrize("wght", [250, 800])
+    def test_vf3_outlines_still_match(self, wght):
+        ref = _instancer_font(self.VF3, wght)
+        vf = Font.open(self.VF3)
+        vf.set_variation(wght=wght)
+        for ch in "AB":
+            _raster_equal(
+                ref.load_glyph(ref.glyph_index(ch)),
+                vf.load_glyph(vf.glyph_index(ch)),
+            )
