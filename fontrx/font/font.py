@@ -592,6 +592,30 @@ class Font:
                     log.warning("HVAR unusable: %s", e)
         return self._hvar
 
+    @property
+    def mvar(self):
+        """Parsed ``MVAR`` metric-variation table, or ``None``."""
+        if not hasattr(self, "_mvar"):
+            self._mvar = None
+            if b"MVAR" in self.tables:
+                try:
+                    from fontrx.font.variations import Mvar
+
+                    self._mvar = Mvar.parse(self._at(b"MVAR"))
+                except Exception as e:
+                    log.warning("MVAR unusable: %s", e)
+        return self._mvar
+
+    def varied_metric(self, tag: bytes, base: int) -> int:
+        """A font-wide metric at the current variation location:
+        ``base`` plus the MVAR delta for ``tag`` (``b"hasc"`` hhea
+        ascent, ``b"hdsc"`` descent, ``b"hlgp"`` line gap, ...)."""
+        coords = getattr(self, "_var_coords", None)
+        mv = self.mvar
+        if coords is None or mv is None:
+            return base
+        return base + int(np.floor(mv.delta(tag, coords) + 0.5))
+
     def varied_advance(self, index: int) -> int:
         """Advance width at the current variation location.  ``HVAR``
         deltas when the font has them (the spec-preferred source —

@@ -530,3 +530,37 @@ class Hvar:
         else:  # spec: out-of-range gids use the last entry
             outer, inner = self.adv_map[-1] if self.adv_map else (0, gid)
         return self.ivs.delta(outer, inner, coords)
+
+
+@dataclass
+class Mvar:
+    """``MVAR``: font-wide metric variations (hhea ascent/descent/line
+    gap and friends) over the shared ItemVariationStore."""
+
+    ivs: ItemVariationStore
+    records: dict[bytes, tuple[int, int]]  # tag -> (outer, inner)
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "Mvar":
+        data = r.data
+        base = r.pos
+        major, _minor, _res, rec_size, rec_count, ivs_off = (
+            struct.unpack_from(">HHHHHH", data, base)
+        )
+        if major != 1:
+            raise CorruptedFont(f"MVAR version {major}")
+        recs: dict[bytes, tuple[int, int]] = {}
+        pos = base + 12
+        for _ in range(rec_count):
+            tag = data[pos : pos + 4]
+            (var_idx,) = struct.unpack_from(">I", data, pos + 4)
+            recs[tag] = (var_idx >> 16, var_idx & 0xFFFF)
+            pos += rec_size
+        ivs = ItemVariationStore.parse(data, base + ivs_off)
+        return cls(ivs, recs)
+
+    def delta(self, tag: bytes, coords: np.ndarray) -> float:
+        rec = self.records.get(tag)
+        if rec is None:
+            return 0.0
+        return self.ivs.delta(rec[0], rec[1], coords)

@@ -218,7 +218,16 @@ def layout_text(
             pad_batch_to, positioner,
         )
 
-    line_height = font.info.ascent - font.info.descent + font.info.line_gap
+    if hasattr(font, "varied_metric"):
+        line_height = (
+            font.varied_metric(b"hasc", font.info.ascent)
+            - font.varied_metric(b"hdsc", font.info.descent)
+            + font.varied_metric(b"hlgp", font.info.line_gap)
+        )
+    else:
+        line_height = (
+            font.info.ascent - font.info.descent + font.info.line_gap
+        )
     kern_table = font.kerning if kern and positioner is None else None
     mark_table = (
         font.mark_positioning if marks and positioner is None else None

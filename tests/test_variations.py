@@ -193,3 +193,32 @@ class TestHvar:
                 ref.load_glyph(ref.glyph_index(ch)),
                 vf.load_glyph(vf.glyph_index(ch)),
             )
+
+
+class TestMvar:
+    """MVAR font-wide metric deltas (same ItemVariationStore);
+    vartest4 varies hhea ascent 760->920, descent -240->-320."""
+
+    VF4 = os.path.join(os.path.dirname(__file__), "data", "vartest4.ttf")
+
+    def test_metric_interpolation(self):
+        vf = Font.open(self.VF4)
+        assert vf.mvar is not None
+        vf.set_variation(wght=500)
+        assert vf.varied_metric(b"hasc", vf.info.ascent) == 840
+        assert vf.varied_metric(b"hdsc", vf.info.descent) == -280
+        vf.set_variation(wght=900)
+        assert vf.varied_metric(b"hasc", vf.info.ascent) == 920
+        # unmapped tag: identity
+        assert vf.varied_metric(b"zzzz", 123) == 123
+
+    def test_layout_line_height_varies(self):
+        from fontrx.scene.layout import layout_text
+
+        vf = Font.open(self.VF4)
+        a = layout_text(vf, "A\nA")
+        vf.set_variation(wght=900)
+        b = layout_text(vf, "A\nA")
+        gap_a = a.instances[0].y - a.instances[1].y
+        gap_b = b.instances[0].y - b.instances[1].y
+        assert gap_a == 1000 and gap_b == 1240
