@@ -79,7 +79,7 @@ def _parse_dict(blob: bytes) -> dict[int, list[float]]:
     n = len(blob)
     while i < n:
         b0 = blob[i]
-        if b0 <= 21:  # operator
+        if b0 <= 24:  # operator (22 vsindex / 23 blend / 24 vstore are CFF2)
             if b0 == 12:
                 i += 1
                 if i >= n:
@@ -402,6 +402,42 @@ def _run_charstring(
                 gsubrs[idx], gsubrs, lsubrs, builder, state, depth + 1
             ):
                 return True
+        elif b0 == 15 and state.get("cff2"):  # vsindex
+            if st:
+                state["vsindex"] = int(st.pop())
+                state["scalars"] = None
+        elif b0 == 16 and state.get("cff2"):  # blend
+            if state["scalars"] is None:
+                ivs = state.get("ivs")
+                coords = state.get("coords")
+                if ivs is not None:
+                    if coords is None:
+                        # default instance: zero scalars, but the REAL
+                        # region count — the deltas still occupy the
+                        # stack and must be consumed
+                        n_ax = len(ivs.regions[0]) if ivs.regions else 0
+                        coords = np.zeros(n_ax)
+                    state["scalars"] = ivs.region_scalars(
+                        state["vsindex"], coords
+                    )
+                else:
+                    state["scalars"] = []
+            scalars = state["scalars"]
+            k = len(scalars)
+            if not st:
+                raise CorruptedFont("CFF2: blend with empty stack")
+            n_vals = int(st.pop())
+            need = n_vals * (k + 1)
+            if n_vals < 0 or len(st) < need:
+                raise CorruptedFont("CFF2: blend stack underflow")
+            args = st[len(st) - need:]
+            del st[len(st) - need:]
+            bases = args[:n_vals]
+            for vi in range(n_vals):  # NB: never shadow the cursor `i`
+                v = bases[vi]
+                for j in range(k):
+                    v += args[n_vals + vi * k + j] * scalars[j]
+                st.append(v)
         elif b0 == 11:  # return
             return False
         elif b0 == 14:  # endchar
@@ -553,9 +589,11 @@ class CffFont:
     def num_glyphs(self) -> int:
         return len(self.charstrings)
 
-    def glyph(self, gid: int) -> Glyph:
+    def glyph(self, gid: int, coords=None) -> Glyph:
         """Interpret the charstring and build a normalized quadratic
-        :class:`Glyph` (integer font units)."""
+        :class:`Glyph` (integer font units).  ``coords`` is accepted
+        for interface parity with :class:`Cff2Font` and ignored (plain
+        CFF is static)."""
         if not 0 <= gid < len(self.charstrings):
             raise CorruptedFont(f"CFF: glyph {gid} out of range")
         builder = _PathBuilder()
@@ -574,6 +612,162 @@ class CffFont:
         for pts in builder.contours:
             arr = np.round(np.asarray(pts)).astype(np.int32)
             # enforce closure exactly after rounding
+            arr[-1] = arr[0]
+            contours.append(Contour(arr))
+            xs.append(arr[:, 0])
+            ys.append(arr[:, 1])
+        ax = np.concatenate(xs)
+        ay = np.concatenate(ys)
+        box = Box(int(ax.min()), int(ay.min()), int(ax.max()), int(ay.max()))
+        return Glyph(box, tuple(contours))
+
+
+# -- CFF2 (variable CFF) ---------------------------------------------------
+
+
+def _read_index2(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """CFF2 INDEX: like CFF but with a 32-bit count."""
+    if pos + 4 > len(data):
+        raise CorruptedFont("CFF2: INDEX header past end")
+    (count,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    if count == 0:
+        return [], pos
+    off_size = data[pos]
+    pos += 1
+    if not 1 <= off_size <= 4:
+        raise CorruptedFont(f"CFF2: bad INDEX offSize {off_size}")
+    n_off = count + 1
+    raw = data[pos : pos + n_off * off_size]
+    if len(raw) < n_off * off_size:
+        raise CorruptedFont("CFF2: INDEX offsets past end")
+    offs = [
+        int.from_bytes(raw[i * off_size : (i + 1) * off_size], "big")
+        for i in range(n_off)
+    ]
+    pos += n_off * off_size
+    base = pos - 1
+    end = base + offs[-1]
+    if end > len(data):
+        raise CorruptedFont("CFF2: INDEX data past end")
+    items = [data[base + offs[i] : base + offs[i + 1]] for i in range(count)]
+    return items, end
+
+
+@dataclass
+class Cff2Font:
+    """Parsed ``CFF2`` table: charstrings + subrs + the variation
+    store driving ``blend``.  Outlines interpolate at the normalized
+    design coordinates passed to :meth:`glyph` — the CFF flavor of the
+    glyf path's gvar support (``fontrx/font/variations.py``)."""
+
+    charstrings: list[bytes]
+    gsubrs: list[bytes]
+    fd_select: list[int] | None          # gid -> FD index (None: all 0)
+    fd_subrs: list[list[bytes]]          # local subrs per FD
+    fd_vsindex: list[int]                # default vsindex per FD
+    ivs: object | None                   # ItemVariationStore
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "Cff2Font":
+        data = r.data
+        base = r.pos
+        if base + 5 > len(data):
+            raise CorruptedFont("CFF2: header past end")
+        major = data[base]
+        hdr_size = data[base + 2]
+        (top_len,) = struct.unpack_from(">H", data, base + 3)
+        if major != 2:
+            raise NotImplementedError(f"CFF2 major version {major}")
+        top = _parse_dict(data[base + hdr_size : base + hdr_size + top_len])
+        gsubrs, _ = _read_index2(data, base + hdr_size + top_len)
+        if 17 not in top:
+            raise CorruptedFont("CFF2: Top DICT missing CharStrings")
+        charstrings, _ = _read_index2(data, base + int(top[17][0]))
+
+        ivs = None
+        if 24 in top:  # vstore: u16 length + ItemVariationStore
+            from fontrx.font.variations import ItemVariationStore
+
+            ivs = ItemVariationStore.parse(data, base + int(top[24][0]) + 2)
+
+        fd_subrs: list[list[bytes]] = []
+        fd_vsindex: list[int] = []
+        if 0x0C24 in top:
+            fd_dicts, _ = _read_index2(data, base + int(top[0x0C24][0]))
+        else:
+            fd_dicts = [b""]
+        for fd_blob in fd_dicts:
+            fd = _parse_dict(fd_blob)
+            subrs: list[bytes] = []
+            vsidx = 0
+            if 18 in fd and len(fd[18]) >= 2:
+                p_size, p_off = int(fd[18][0]), int(fd[18][1])
+                priv = _parse_dict(data[base + p_off : base + p_off + p_size])
+                if 19 in priv:
+                    subrs, _ = _read_index2(
+                        data, base + p_off + int(priv[19][0])
+                    )
+                if 22 in priv:  # vsindex
+                    vsidx = int(priv[22][0])
+            fd_subrs.append(subrs)
+            fd_vsindex.append(vsidx)
+
+        fd_select = None
+        if 0x0C25 in top:
+            fd_select = cls._parse_fdselect(
+                data, base + int(top[0x0C25][0]), len(charstrings)
+            )
+        return cls(charstrings, gsubrs, fd_select, fd_subrs, fd_vsindex, ivs)
+
+    @staticmethod
+    def _parse_fdselect(data: bytes, pos: int, n_glyphs: int) -> list[int]:
+        fmt = data[pos]
+        if fmt == 0:
+            return [data[pos + 1 + i] for i in range(n_glyphs)]
+        if fmt == 3:
+            (n_ranges,) = struct.unpack_from(">H", data, pos + 1)
+            out = [0] * n_glyphs
+            rp = pos + 3
+            for _ in range(n_ranges):
+                first, fd = struct.unpack_from(">HB", data, rp)
+                (nxt,) = struct.unpack_from(">H", data, rp + 3)
+                for g in range(first, min(nxt, n_glyphs)):
+                    out[g] = fd
+                rp += 3
+            return out
+        raise CorruptedFont(f"CFF2: FDSelect format {fmt}")
+
+    @property
+    def num_glyphs(self) -> int:
+        return len(self.charstrings)
+
+    def glyph(self, gid: int, coords=None) -> Glyph:
+        """Interpret the CFF2 charstring at normalized design
+        ``coords`` (None = the default instance: all blends collapse to
+        their base values)."""
+        if not 0 <= gid < len(self.charstrings):
+            raise CorruptedFont(f"CFF2: glyph {gid} out of range")
+        fd = self.fd_select[gid] if self.fd_select else 0
+        fd = min(fd, len(self.fd_subrs) - 1)
+        builder = _PathBuilder()
+        state = {
+            "stack": [], "hints": 0, "width_done": True, "ops": 0,
+            "expect": 0, "cff2": True, "ivs": self.ivs,
+            "coords": coords, "vsindex": self.fd_vsindex[fd],
+            "scalars": None,
+        }
+        _run_charstring(
+            self.charstrings[gid], self.gsubrs, self.fd_subrs[fd],
+            builder, state,
+        )
+        builder.close()
+        if not builder.contours:
+            return Glyph.empty()
+        contours = []
+        xs, ys = [], []
+        for pts in builder.contours:
+            arr = np.round(np.asarray(pts)).astype(np.int32)
             arr[-1] = arr[0]
             contours.append(Contour(arr))
             xs.append(arr[:, 0])

@@ -107,6 +107,15 @@ class Font:
                 self._loca = r.u32_array(n)
             ensure_mono_increase(self._loca, "loca")
             self._glyf_offset = self.tables[b"glyf"].offset
+        elif b"CFF2" in self.tables:
+            from fontrx.font.cff import Cff2Font
+
+            self._cff = Cff2Font.parse(self._at(b"CFF2"))
+            if self._cff.num_glyphs < maxp.num_glyphs:
+                raise CorruptedFont(
+                    f"CFF2 has {self._cff.num_glyphs} charstrings for "
+                    f"{maxp.num_glyphs} glyphs"
+                )
         elif b"CFF " in self.tables:
             from fontrx.font.cff import CffFont
 
@@ -117,7 +126,7 @@ class Font:
                     f"{maxp.num_glyphs} glyphs"
                 )
         else:
-            raise CorruptedFont("no outline table (glyf or CFF )")
+            raise CorruptedFont("no outline table (glyf, CFF  or CFF2)")
 
         # advance widths (``Font.loadAdvanceWidths``, ``Font.zig:123-139``)
         self.advance_widths = ttf.parse_hmtx(
@@ -409,7 +418,9 @@ class Font:
             raise CorruptedFont(f"compound glyph cycle at index {index}")
 
         if self._cff is not None:
-            glyph = self._cff.glyph(index)
+            glyph = self._cff.glyph(
+                index, getattr(self, "_var_coords", None)
+            )
             self._glyphs[index] = glyph
             return glyph
         start, end = int(self._loca[index]), int(self._loca[index + 1])

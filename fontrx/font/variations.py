@@ -457,6 +457,25 @@ class ItemVariationStore:
             var_data.append((reg_idx, items))
         return cls(regions, var_data)
 
+    def region_scalars(self, outer: int, coords: np.ndarray) -> list[float]:
+        """Scalars of subtable ``outer``'s regions at ``coords`` — the
+        blend weights CFF2 charstrings apply per delta (one per region,
+        in the subtable's region order)."""
+        if not 0 <= outer < len(self.var_data):
+            return []
+        reg_idx, _items = self.var_data[outer]
+        out = []
+        for ri in reg_idx:
+            s = 1.0
+            for ai, (lo, p, hi) in enumerate(self.regions[ri]):
+                if p == 0.0:
+                    continue
+                s *= _region_scalar(coords[ai : ai + 1], [p], [lo], [hi])
+                if s == 0.0:
+                    break
+            out.append(s)
+        return out
+
     def delta(self, outer: int, inner: int, coords: np.ndarray) -> float:
         if not 0 <= outer < len(self.var_data):
             return 0.0

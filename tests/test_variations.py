@@ -222,3 +222,53 @@ class TestMvar:
         gap_a = a.instances[0].y - a.instances[1].y
         gap_b = b.instances[0].y - b.instances[1].y
         assert gap_a == 1000 and gap_b == 1240
+
+
+class TestCff2:
+    """CFF2 (variable CFF): blend/vsindex charstrings over the
+    ItemVariationStore; instancer raster differential like the glyf
+    path."""
+
+    VFC = os.path.join(
+        os.path.dirname(__file__), "data", "vartest_cff2.otf"
+    )
+
+    @pytest.mark.parametrize("wght", [100, 300, 500, 700, 900])
+    def test_rasters_and_advances_match_instancer(self, wght):
+        ref = _instancer_font(self.VFC, wght)
+        vf = Font.open(self.VFC)
+        vf.set_variation(wght=wght)
+        for ch in "AB":
+            _raster_equal(
+                ref.load_glyph(ref.glyph_index(ch)),
+                vf.load_glyph(vf.glyph_index(ch)),
+            )
+            assert vf.varied_advance(vf.glyph_index(ch)) == int(
+                ref.advance_widths[ref.glyph_index(ch)]
+            )
+
+    def test_default_instance_needs_no_set_variation(self):
+        vf = Font.open(self.VFC)
+        g = vf.load_glyph(vf.glyph_index("A"))
+        assert (g.box.x_max - g.box.x_min) == 60  # light stem
+
+    def test_cff2_fuzz_degrades(self, rng):
+        import struct
+
+        from fontrx.font.cff import Cff2Font
+        from fontrx.utils.reader import BigEndianReader, CorruptedFont
+        from fontTools.ttLib import TTFont
+
+        blob = bytes(TTFont(self.VFC).reader["CFF2"])
+        acceptable = (CorruptedFont, NotImplementedError, ValueError,
+                      IndexError, KeyError, struct.error, OverflowError)
+        for _ in range(120):
+            b2 = bytearray(blob)
+            pos = int(rng.integers(0, len(b2)))
+            b2[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                cf = Cff2Font.parse(BigEndianReader(bytes(b2), 0))
+                for gid in range(cf.num_glyphs):
+                    cf.glyph(gid, np.array([0.7]))
+            except acceptable:
+                pass
