@@ -103,6 +103,56 @@ def _positioning_tags(cfg) -> tuple[bytes, ...] | None:
     )
 
 
+def _layout_for(font, text, cfg, vertical_ok: bool = False):
+    """One layout for any render mode — all CLI layout flags (kern,
+    ligatures, marks, features, positioning, wrap, oblique, rtl, and
+    vertical where the mode supports it) apply uniformly."""
+    from fontrx.scene.layout import layout_text
+
+    wrap_units = (
+        cfg.wrap * font.info.units_per_em / cfg.size if cfg.wrap else None
+    )
+    return layout_text(
+        font, text, kern=cfg.kern, ligatures=cfg.ligatures,
+        marks=cfg.marks, features=_feature_tags(cfg),
+        vertical=cfg.vertical if vertical_ok else False,
+        positioning=_positioning_tags(cfg), wrap_width=wrap_units,
+        oblique=cfg.oblique, rtl=cfg.rtl,
+    )
+
+
+def _sdf_for_layout(layout, font, cfg, engine, spread_px: float):
+    """Shared SDF scaffolding for the sdf/smooth/outline modes: fixed
+    per-glyph tiles, flat-pixel Pallas on TPU, jnp elsewhere."""
+    import jax.numpy as jnp
+
+    from fontrx.kernels.grid import RasterGrid
+    from fontrx.kernels.sdf import sdf_batch
+
+    grids = [
+        RasterGrid.fixed_tile(
+            tuple(b), cfg.size, font.info.units_per_em, cfg.size
+        )
+        for b in np.asarray(layout.batch.boxes)
+    ]
+    sargs = (
+        jnp.asarray(layout.batch.segments),
+        jnp.array([g.min_x for g in grids], jnp.int32),
+        jnp.array([g.max_y for g in grids], jnp.int32),
+        jnp.float32(grids[0].scale),
+    )
+    flat = (cfg.size & (cfg.size - 1) == 0
+            and (cfg.size * cfg.size) % 1024 == 0)
+    if engine._resolve() == "pallas" and flat:
+        from fontrx.kernels.sdf_pallas import sdf_pallas_batch
+
+        return sdf_pallas_batch(
+            *sargs, height=cfg.size, width=cfg.size, flat=True,
+            spread_px=spread_px,
+        )
+    return sdf_batch(*sargs, height=cfg.size, width=cfg.size)
+
+
 def _render(font, text, cfg, engine) -> np.ndarray:
     import jax.numpy as jnp
 
@@ -113,17 +163,7 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.scene.page import PageRenderer
         from fontrx.scene.transform import ViewTransform
 
-        wrap_units = (
-            cfg.wrap * font.info.units_per_em / cfg.size if cfg.wrap else None
-        )
-        layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures, marks=cfg.marks,
-                             features=_feature_tags(cfg),
-                             vertical=cfg.vertical,
-                             positioning=_positioning_tags(cfg),
-                             wrap_width=wrap_units,
-                             oblique=cfg.oblique,
-                             rtl=cfg.rtl)
+        layout = _layout_for(font, text, cfg, vertical_ok=True)
         upem = font.info.units_per_em
         px_per_unit = cfg.size / upem
         margin = max(cfg.size // 8, 4)
@@ -160,9 +200,7 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         from fontrx.kernels.coverage import coverage_to_gray
         from fontrx.scene.layout import layout_text
 
-        layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures,
-                             features=_feature_tags(cfg))
+        layout = _layout_for(font, text, cfg)
         grids = [
             RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
             for b in np.asarray(layout.batch.boxes)
@@ -184,35 +222,10 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         # clamp(d + 0.5 + embolden, 0, 1) — one-pixel soft edges
         # without MSAA, and --embolden E dilates (E>0) or thins (E<0)
         # the outline by E pixels (synthetic bold/light)
-        from fontrx.kernels.sdf import sdf_batch
-        from fontrx.scene.layout import layout_text
-
-        layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures,
-                             features=_feature_tags(cfg),
-                             positioning=_positioning_tags(cfg),
-                             oblique=cfg.oblique)
-        grids = [
-            RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
-            for b in np.asarray(layout.batch.boxes)
-        ]
-        sargs = (
-            jnp.asarray(layout.batch.segments),
-            jnp.array([g.min_x for g in grids], jnp.int32),
-            jnp.array([g.max_y for g in grids], jnp.int32),
-            jnp.float32(grids[0].scale),
+        layout = _layout_for(font, text, cfg)
+        sdf = _sdf_for_layout(
+            layout, font, cfg, engine, abs(cfg.embolden) + 2.0
         )
-        flat = (cfg.size & (cfg.size - 1) == 0
-                and (cfg.size * cfg.size) % 1024 == 0)
-        if engine._resolve() == "pallas" and flat:
-            from fontrx.kernels.sdf_pallas import sdf_pallas_batch
-
-            sdf = sdf_pallas_batch(
-                *sargs, height=cfg.size, width=cfg.size, flat=True,
-                spread_px=abs(cfg.embolden) + 2.0,
-            )
-        else:
-            sdf = sdf_batch(*sargs, height=cfg.size, width=cfg.size)
         cov = jnp.clip(sdf + 0.5 + cfg.embolden, 0.0, 1.0)
         sheet = np.concatenate(
             list(np.asarray(jnp.round(cov * 255).astype(jnp.uint8))), axis=1
@@ -224,19 +237,16 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         # stripe centers (R -1/3 px, G 0, B +1/3) — a capability
         # extension (no subpixel rendering in the reference)
         from fontrx.kernels.coverage import coverage_to_gray, lcd_coverage_batch
-        from fontrx.scene.layout import layout_text
 
-        layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures,
-                             features=_feature_tags(cfg),
-                             positioning=_positioning_tags(cfg))
+        layout = _layout_for(font, text, cfg)
         grids = [
             RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
             for b in np.asarray(layout.batch.boxes)
         ]
-        pallas = engine._resolve() == "pallas"
-        h = ((cfg.size + 127) // 128) * 128 if pallas else cfg.size
-        w = ((cfg.size + 127) // 128) * 128 if pallas else cfg.size
+        backend = engine._resolve()
+        use_pallas = backend in ("pallas", "interpret")
+        h = ((cfg.size + 127) // 128) * 128 if use_pallas else cfg.size
+        w = h if use_pallas else cfg.size
         cov = lcd_coverage_batch(
             jnp.asarray(layout.batch.segments),
             jnp.array([g.min_x for g in grids], jnp.int32),
@@ -244,8 +254,8 @@ def _render(font, text, cfg, engine) -> np.ndarray:
             jnp.float32(grids[0].scale),
             height=h, width=w,
             samples=max(cfg.samples, 2),
-            use_pallas=pallas,
-            interpret=engine._resolve() == "interpret",
+            use_pallas=use_pallas,
+            interpret=backend == "interpret",
         )[:, : cfg.size, : cfg.size, :]
         return np.concatenate(
             list(np.asarray(coverage_to_gray(cov))), axis=1
@@ -255,36 +265,9 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         # stroked outlines from the distance field: coverage =
         # clamp(stroke/2 + 0.5 - |d|, 0, 1) — one-pixel antialiased
         # edges on both sides, any stroke width, no new kernel
-        from fontrx.kernels.sdf import sdf_batch
-        from fontrx.scene.layout import layout_text
-
-        layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures,
-                             features=_feature_tags(cfg),
-                             positioning=_positioning_tags(cfg))
-        grids = [
-            RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
-            for b in np.asarray(layout.batch.boxes)
-        ]
-        sargs = (
-            jnp.asarray(layout.batch.segments),
-            jnp.array([g.min_x for g in grids], jnp.int32),
-            jnp.array([g.max_y for g in grids], jnp.int32),
-            jnp.float32(grids[0].scale),
-        )
-        flat = (cfg.size & (cfg.size - 1) == 0
-                and (cfg.size * cfg.size) % 1024 == 0)
-        if engine._resolve() == "pallas" and flat:
-            from fontrx.kernels.sdf_pallas import sdf_pallas_batch
-
-            half = max(cfg.stroke / 2.0, 0.5)
-            sdf = sdf_pallas_batch(
-                *sargs, height=cfg.size, width=cfg.size, flat=True,
-                spread_px=half + 1.0,
-            )
-        else:
-            half = max(cfg.stroke / 2.0, 0.5)
-            sdf = sdf_batch(*sargs, height=cfg.size, width=cfg.size)
+        layout = _layout_for(font, text, cfg)
+        half = max(cfg.stroke / 2.0, 0.5)
+        sdf = _sdf_for_layout(layout, font, cfg, engine, half + 1.0)
         cov = jnp.clip(half + 0.5 - jnp.abs(sdf), 0.0, 1.0)
         sheet = np.concatenate(
             list(np.asarray(jnp.round(cov * 255).astype(jnp.uint8))), axis=1
@@ -292,32 +275,10 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         return np.repeat(sheet[:, :, None], 3, axis=2)
 
     if cfg.mode == "sdf":
-        from fontrx.kernels.sdf import sdf_batch, sdf_to_u8
-        from fontrx.scene.layout import layout_text
+        from fontrx.kernels.sdf import sdf_to_u8
 
-        layout = layout_text(font, text, kern=cfg.kern,
-                             ligatures=cfg.ligatures,
-                             features=_feature_tags(cfg))
-        grids = [
-            RasterGrid.fixed_tile(tuple(b), cfg.size, font.info.units_per_em, cfg.size)
-            for b in np.asarray(layout.batch.boxes)
-        ]
-        sargs = (
-            jnp.asarray(layout.batch.segments),
-            jnp.array([g.min_x for g in grids], jnp.int32),
-            jnp.array([g.max_y for g in grids], jnp.int32),
-            jnp.float32(grids[0].scale),
-        )
-        flat = (cfg.size & (cfg.size - 1) == 0
-                and (cfg.size * cfg.size) % 1024 == 0)
-        if engine._resolve() == "pallas" and flat:
-            from fontrx.kernels.sdf_pallas import sdf_pallas_batch
-
-            sdf = sdf_pallas_batch(
-                *sargs, height=cfg.size, width=cfg.size, flat=True
-            )
-        else:
-            sdf = sdf_batch(*sargs, height=cfg.size, width=cfg.size)
+        layout = _layout_for(font, text, cfg)
+        sdf = _sdf_for_layout(layout, font, cfg, engine, 8.0)
         sheet = np.concatenate(list(np.asarray(sdf_to_u8(sdf))), axis=1)
         return np.repeat(sheet[:, :, None], 3, axis=2)
 
@@ -349,7 +310,7 @@ def _render(font, text, cfg, engine) -> np.ndarray:
             w = engine.winding_glyph(glyph_segments(glyph), grid)
             fill = np.where(np.asarray(w) != 0, 255, 0).astype(np.uint8)
             return np.repeat(fill[:, :, None], 3, axis=2)
-        fill = loopblinn_fill(tg, grid)
+        fill = loopblinn_fill(tg, grid, backend=engine._resolve())
         return np.repeat(fill[:, :, None], 3, axis=2)
 
     raise SystemExit(f"unknown mode {cfg.mode!r}")

@@ -42,12 +42,17 @@ _T2_MAX_OPS = 65536    # runaway-charstring bound (corrupt fonts)
 # -- INDEX / DICT primitives ----------------------------------------------
 
 
-def _read_index(data: bytes, pos: int) -> tuple[list[bytes], int]:
-    """CFF INDEX at ``pos`` -> (items, position past the INDEX)."""
-    if pos + 2 > len(data):
+def _read_index(
+    data: bytes, pos: int, count32: bool = False
+) -> tuple[list[bytes], int]:
+    """CFF INDEX at ``pos`` -> (items, position past the INDEX).
+    ``count32``: CFF2 INDEXes carry a 32-bit count (the only wire
+    difference)."""
+    cw = 4 if count32 else 2
+    if pos + cw > len(data):
         raise CorruptedFont("CFF: INDEX header past end")
-    (count,) = struct.unpack_from(">H", data, pos)
-    pos += 2
+    (count,) = struct.unpack_from(">I" if count32 else ">H", data, pos)
+    pos += cw
     if count == 0:
         return [], pos
     off_size = data[pos]
@@ -537,6 +542,25 @@ def _run_charstring(
     return False
 
 
+def _finalize_contours(builder: _PathBuilder) -> Glyph:
+    """Round a builder's contours to integer font units, re-close
+    exactly, and compute the outline box (shared by CFF and CFF2)."""
+    if not builder.contours:
+        return Glyph.empty()
+    contours = []
+    xs, ys = [], []
+    for pts in builder.contours:
+        arr = np.round(np.asarray(pts)).astype(np.int32)
+        arr[-1] = arr[0]
+        contours.append(Contour(arr))
+        xs.append(arr[:, 0])
+        ys.append(arr[:, 1])
+    ax = np.concatenate(xs)
+    ay = np.concatenate(ys)
+    box = Box(int(ax.min()), int(ay.min()), int(ax.max()), int(ay.max()))
+    return Glyph(box, tuple(contours))
+
+
 # -- font-level object -----------------------------------------------------
 
 
@@ -605,53 +629,15 @@ class CffFont:
             self.charstrings[gid], self.gsubrs, self.lsubrs, builder, state
         )
         builder.close()
-        if not builder.contours:
-            return Glyph.empty()
-        contours = []
-        xs, ys = [], []
-        for pts in builder.contours:
-            arr = np.round(np.asarray(pts)).astype(np.int32)
-            # enforce closure exactly after rounding
-            arr[-1] = arr[0]
-            contours.append(Contour(arr))
-            xs.append(arr[:, 0])
-            ys.append(arr[:, 1])
-        ax = np.concatenate(xs)
-        ay = np.concatenate(ys)
-        box = Box(int(ax.min()), int(ay.min()), int(ax.max()), int(ay.max()))
-        return Glyph(box, tuple(contours))
+        return _finalize_contours(builder)
 
 
 # -- CFF2 (variable CFF) ---------------------------------------------------
 
 
 def _read_index2(data: bytes, pos: int) -> tuple[list[bytes], int]:
-    """CFF2 INDEX: like CFF but with a 32-bit count."""
-    if pos + 4 > len(data):
-        raise CorruptedFont("CFF2: INDEX header past end")
-    (count,) = struct.unpack_from(">I", data, pos)
-    pos += 4
-    if count == 0:
-        return [], pos
-    off_size = data[pos]
-    pos += 1
-    if not 1 <= off_size <= 4:
-        raise CorruptedFont(f"CFF2: bad INDEX offSize {off_size}")
-    n_off = count + 1
-    raw = data[pos : pos + n_off * off_size]
-    if len(raw) < n_off * off_size:
-        raise CorruptedFont("CFF2: INDEX offsets past end")
-    offs = [
-        int.from_bytes(raw[i * off_size : (i + 1) * off_size], "big")
-        for i in range(n_off)
-    ]
-    pos += n_off * off_size
-    base = pos - 1
-    end = base + offs[-1]
-    if end > len(data):
-        raise CorruptedFont("CFF2: INDEX data past end")
-    items = [data[base + offs[i] : base + offs[i + 1]] for i in range(count)]
-    return items, end
+    """CFF2 INDEX (32-bit count)."""
+    return _read_index(data, pos, count32=True)
 
 
 @dataclass
@@ -762,17 +748,4 @@ class Cff2Font:
             builder, state,
         )
         builder.close()
-        if not builder.contours:
-            return Glyph.empty()
-        contours = []
-        xs, ys = [], []
-        for pts in builder.contours:
-            arr = np.round(np.asarray(pts)).astype(np.int32)
-            arr[-1] = arr[0]
-            contours.append(Contour(arr))
-            xs.append(arr[:, 0])
-            ys.append(arr[:, 1])
-        ax = np.concatenate(xs)
-        ay = np.concatenate(ys)
-        box = Box(int(ax.min()), int(ay.min()), int(ax.max()), int(ay.max()))
-        return Glyph(box, tuple(contours))
+        return _finalize_contours(builder)

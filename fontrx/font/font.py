@@ -401,9 +401,11 @@ class Font:
 
     def get_glyph(self, char: int | str) -> tuple[Glyph, int]:
         """Resolve a character to ``(glyph, advance_width)``
-        (reference ``Font.getGlyph``, ``Font.zig:161-169``)."""
+        (reference ``Font.getGlyph``, ``Font.zig:161-169``).  At a
+        variation location the advance is the varied one, consistent
+        with layout."""
         idx = self.glyph_index(char)
-        return self.load_glyph(idx), int(self.advance_widths[idx])
+        return self.load_glyph(idx), self.varied_advance(idx)
 
     def load_glyph(self, index: int, _track: tuple[int, ...] = ()) -> Glyph:
         """Load (and cache) glyph by index, recursing into compound
@@ -426,6 +428,17 @@ class Font:
         start, end = int(self._loca[index]), int(self._loca[index + 1])
         if start == end:  # empty glyph (``Font.zig:186-192``)
             glyph = Glyph.empty()
+            # outline-less glyphs (space) still carry gvar phantom
+            # deltas that vary their advance on HVAR-less fonts
+            coords = getattr(self, "_var_coords", None)
+            if coords is not None and self.gvar is not None:
+                d = self.gvar.deltas(index, coords, 0, None, None)
+                self._var_adv = getattr(self, "_var_adv", {})
+                if d is not None:
+                    dx, _dy = d
+                    self._var_adv[index] = int(np.floor(dx[1] - dx[0] + 0.5))
+                else:
+                    self._var_adv[index] = 0
         else:
             r = BigEndianReader(self._reader.data, self._glyf_offset + start)
             desc = ttf.GlyphDescription.parse(r)

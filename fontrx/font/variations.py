@@ -83,7 +83,10 @@ class Fvar:
             elif v > ax.default_value:
                 den = ax.max_value - ax.default_value
                 out[i] = (v - ax.default_value) / den if den else 0.0
-        return out
+        # quantize to F2DOT14 like conforming implementations (the
+        # instancer/FreeType round before computing scalars; without
+        # this, non-representable locations drift by an otRound ulp)
+        return np.round(out * 16384.0) / 16384.0
 
 
 # -- avar ------------------------------------------------------------------

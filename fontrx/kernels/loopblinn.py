@@ -123,10 +123,12 @@ def loopblinn_batch(
     return jax.vmap(one)(tris, classes, min_x, max_y)
 
 
-def loopblinn_fill(tri_glyph, grid) -> np.ndarray:
-    """Single-glyph convenience: uint8 ``[H, W]`` 0/255 fill.  On TPU
-    the bbox-cull Pallas kernel runs on tile-padded dims (cropped back);
-    elsewhere the jnp kernel rasters the exact grid."""
+def loopblinn_fill(tri_glyph, grid, backend: str | None = None) -> np.ndarray:
+    """Single-glyph convenience: uint8 ``[H, W]`` 0/255 fill.  On the
+    pallas backend the bbox-cull kernel runs on tile-padded dims
+    (cropped back); elsewhere the jnp kernel rasters the exact grid.
+    ``backend`` defaults to pallas-on-TPU (pass the engine's resolved
+    backend to honor a --backend override)."""
     import jax
 
     tris = _pack_triangle_arrays(tri_glyph)
@@ -139,7 +141,9 @@ def loopblinn_fill(tri_glyph, grid) -> np.ndarray:
         jnp.array([grid.max_y], jnp.int32),
         jnp.float32(grid.scale),
     )
-    if jax.default_backend() == "tpu":
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
         ph = ((grid.height + LB_TILE_H - 1) // LB_TILE_H) * LB_TILE_H
         pw = ((grid.width + LB_TILE_W - 1) // LB_TILE_W) * LB_TILE_W
         out = loopblinn_pallas_batch(*args, height=ph, width=pw)

@@ -112,12 +112,14 @@ def layout_text(
       italic — every glyph outline shears ``x' = x + oblique * y``
       before packing (exact: affine images of quadratics).  Advances
       are unchanged, matching how synthetic-oblique engines behave;
-    - ``rtl=True``: right-to-left lines — each shaped line's glyph
-      order reverses from logical to visual before placement (after
-      shaping and wrapping, so ligatures/contexts match in logical
-      order and wrap still breaks at logical line ends).  Pure-RTL
-      runs only (Hebrew; full UAX#9 bidi with mixed-direction runs is
-      out of scope, as is Arabic joining).
+    - ``rtl=True``: right-to-left lines.  Shaping, kerning, GPOS
+      positioning and mark attachment all run on the LOGICAL stream
+      (so directional kern pairs and attachments stay correct), then
+      each line mirrors to visual order by reversing its sequence of
+      advance boxes — glyph outlines stay unmirrored, pair gaps stay
+      between the same pairs, marks travel with their base's box.
+      Pure-RTL runs only (Hebrew; full UAX#9 bidi with mixed-direction
+      runs is out of scope, as is Arabic joining).
     """
     # variable fonts: advances come from the current design location
     # (phantom-point deltas); static fonts/stacks fall through to hmtx
@@ -170,11 +172,6 @@ def layout_text(
         # instead (nothing to break at)
         if space != 0:
             lines = _wrap_lines(lines, wrap_width, space, _adv)
-
-    if rtl:
-        # logical -> visual order: shaping and wrapping ran on the
-        # logical stream; placement walks the visual one
-        lines = [list(reversed(line)) for line in lines]
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
     slot_of: dict[int, int] = {}
@@ -243,13 +240,23 @@ def layout_text(
                 line, [widths[slot_of[g]] for g in line]
             )
             pen_x = 0.0
+            line_start = len(instances)
+            boxes: list = []
             for idx, gid in enumerate(line):
                 instances.append(Instance(
                     slot_of[gid],
                     pen_x + float(pos.x_offset[idx]),
                     pen_y + float(pos.y_offset[idx]),
                 ))
+                boxes.append(float(pos.x_advance[idx]))
                 pen_x += float(pos.x_advance[idx])
+                max_x = max(max_x, pen_x)
+            if rtl:
+                # box mirror (GPOS ran on the logical stream); zero-
+                # advance attached glyphs mirror inside the line only
+                # approximately — mark attachment under RTL needs a
+                # full bidi shaper and stays out of scope
+                _mirror_line(instances, line_start, boxes, pen_x)
                 max_x = max(max_x, pen_x)
         batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
         return TextLayout(
@@ -265,7 +272,12 @@ def layout_text(
         pen_y = -line_no * float(line_height)
         prev_gid: int | None = None
         prev_x = 0.0  # pen position of the previous BASE glyph
+        prev_w = 0.0
         last_mark: tuple[int, float, float] | None = None  # (gid, x, y)
+        line_start = len(instances)
+        # per instance: advance-box width, or (base_x, base_w) for
+        # attached marks — the bookkeeping RTL mirroring needs
+        boxes: list = []
         for gid in line:
             slot = slot_of[gid]
             if marks and prev_gid is not None:
@@ -283,16 +295,22 @@ def layout_text(
                         mx, my = prev_x + d[0], pen_y + d[1]
                 if d is not None:
                     instances.append(Instance(slot, mx, my))
+                    boxes.append((prev_x, prev_w))
                     last_mark = (gid, mx, my)
                     continue
             if kern_table is not None and prev_gid is not None:
                 pen_x += float(kern_table.lookup(prev_gid, gid))
             instances.append(Instance(slot, pen_x, pen_y))
+            boxes.append(float(widths[slot]))
             prev_x = pen_x
+            prev_w = float(widths[slot])
             pen_x += widths[slot]
             max_x = max(max_x, pen_x)
             prev_gid = gid
             last_mark = None
+        if rtl:
+            _mirror_line(instances, line_start, boxes, pen_x)
+            max_x = max(max_x, pen_x)
 
     batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
     return TextLayout(
@@ -303,6 +321,25 @@ def layout_text(
         width=max_x,
         height=len(lines) * line_height,
     )
+
+
+def _mirror_line(instances, start, boxes, width):
+    """Mirror one line's instances from logical (LTR pen) to RTL
+    visual order by reversing the sequence of ADVANCE BOXES: box
+    ``[x, x+a]`` lands at ``[W-x-a, W-x]`` with the glyph content
+    unmirrored inside it.  Kerning/positioning already ran on the
+    logical stream, so pair gaps stay between the same glyph pairs.
+    Attached marks (recorded as ``(base_x, base_w)``) travel with
+    their base's box, preserving their offset within it."""
+    for k, box in enumerate(boxes):
+        inst = instances[start + k]
+        if isinstance(box, tuple):  # mark: ride the base's box
+            base_x, base_w = box
+            new_base = width - base_x - base_w
+            x = new_base + (inst.x - base_x)
+        else:
+            x = width - inst.x - box
+        instances[start + k] = Instance(inst.glyph_slot, x, inst.y)
 
 
 def _wrap_lines(lines, wrap_width, space_gid, advance_of):

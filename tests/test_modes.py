@@ -976,16 +976,37 @@ class TestRTL:
         heb = "שלום"  # shalom, 4 distinct glyphs
         ltr = layout_text(dejavu, heb)
         rtl = layout_text(dejavu, heb, rtl=True)
-        # same glyph set; the first logical glyph (shin) lands at the
-        # largest pen x in the RTL layout (slot ids are per-layout, so
-        # compare through glyph ids)
+        # same glyph set; instances stay in LOGICAL order (positioning
+        # ran on the logical stream) but the first logical glyph (shin)
+        # lands at the rightmost advance box
         gids_l = [ltr.slot_gids[i.glyph_slot] for i in ltr.instances]
         gids_r = [rtl.slot_gids[i.glyph_slot] for i in rtl.instances]
-        assert sorted(gids_l) == sorted(gids_r)
-        assert gids_r == list(reversed(gids_l))
-        first_logical = gids_l[0]
+        assert gids_l == gids_r
         xs = {rtl.slot_gids[i.glyph_slot]: i.x for i in rtl.instances}
-        assert xs[first_logical] == max(xs.values())
+        assert xs[gids_l[0]] == max(xs.values())
+        # the visual x order is exactly reversed vs the LTR layout
+        order_ltr = sorted(range(len(gids_l)),
+                           key=lambda k: ltr.instances[k].x)
+        order_rtl = sorted(range(len(gids_l)),
+                           key=lambda k: rtl.instances[k].x)
+        assert order_rtl == list(reversed(order_ltr))
+
+    def test_kern_pairs_stay_logical(self, dejavu):
+        """Directional kern pairs must be looked up in LOGICAL order:
+        the gap between two glyphs is identical in LTR and RTL layouts
+        of the same text."""
+        from fontrx.scene.layout import layout_text
+
+        text = "AV"  # kerned pair in DejaVu
+        ltr = layout_text(dejavu, text, kern=True)
+        rtl = layout_text(dejavu, text, kern=True, rtl=True)
+        a_w = int(dejavu.advance_widths[dejavu.glyph_index("A")])
+        # LTR: gap = V.x - (A.x + A.advance)
+        gap_ltr = ltr.instances[1].x - (ltr.instances[0].x + a_w)
+        # RTL: A sits right of V; gap = A.x - (V.x + V.advance)
+        v_w = int(dejavu.advance_widths[dejavu.glyph_index("V")])
+        gap_rtl = rtl.instances[0].x - (rtl.instances[1].x + v_w)
+        assert gap_ltr == gap_rtl != 0
 
     def test_rtl_composes_with_wrap(self, dejavu):
         from fontrx.scene.layout import layout_text

@@ -272,3 +272,19 @@ class TestCff2:
                     cf.glyph(gid, np.array([0.7]))
             except acceptable:
                 pass
+
+
+class TestNonRepresentableLocations:
+    @pytest.mark.parametrize("wght", [433, 617])
+    def test_f2dot14_quantization_matches_instancer(self, wght):
+        """Locations not representable in F2DOT14 must quantize the
+        normalized coordinate like conforming implementations do, or
+        scaled deltas drift by an otRound ulp."""
+        ref = _instancer_font(VF1, wght)
+        vf = Font.open(VF1)
+        vf.set_variation(wght=wght)
+        for ch in "ABO":
+            _raster_equal(
+                ref.load_glyph(ref.glyph_index(ch)),
+                vf.load_glyph(vf.glyph_index(ch)),
+            )
