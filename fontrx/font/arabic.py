@@ -1,0 +1,149 @@
+"""Arabic positional shaping: per-position ``init``/``medi``/``fina``
+form selection and application.
+
+A capability extension (the reference maps codepoints straight to
+glyphs).  The Unicode joining algorithm needs per-character joining
+classes (ArabicShaping.txt), which this environment does not ship —
+instead the classes are DERIVED FROM THE FONT's own positional
+coverage, which encodes the same typographic facts:
+
+- **D** (dual-joining, e.g. beh/seen): the glyph is covered by the
+  ``init`` feature's substitutions (only dual-joining letters have
+  initial forms);
+- **R** (right-joining, e.g. alef/dal/reh/waw): covered by ``fina``
+  but not ``init`` (they join only with the preceding letter);
+- **T** (transparent): GDEF mark glyphs — skipped when determining
+  neighbors;
+- **U** (non-joining): everything else (includes non-Arabic text,
+  which therefore never triggers forms).
+
+The joining rule then runs in LOGICAL order over each line: letter x
+links backward iff ``class(x) in (D, R)`` and its previous
+non-transparent neighbor has class D; it links forward iff
+``class(x) == D`` and its next non-transparent neighbor is D or R.
+``medi`` = both links, ``fina`` = backward only, ``init`` = forward
+only, isolated = neither (no substitution; the cmap glyph IS the
+isolated form).  Substitutions apply per position through the GSUB
+engine's lookups, so contextual/extension subtables work; lam-alef
+ligatures then form in the ordinary ``rlig``/``liga`` pass.
+
+Limitation (documented): a font whose ``init``/``fina`` coverage is
+incomplete for some letter degrades to fewer form changes — never to
+wrong glyphs.
+"""
+
+from __future__ import annotations
+
+from fontrx.utils.log import get_logger
+
+log = get_logger("Arabic")
+
+# Arabic blocks that participate in joining (presentation forms are
+# already shaped and excluded on purpose)
+_ARABIC_RANGES = (
+    (0x0600, 0x06FF),
+    (0x0750, 0x077F),
+    (0x08A0, 0x08FF),
+)
+
+
+def is_arabic(cp: int) -> bool:
+    return any(lo <= cp <= hi for lo, hi in _ARABIC_RANGES)
+
+
+class ArabicShaper:
+    """Font-derived positional shaping for one font."""
+
+    def __init__(self, font):
+        self.font = font
+        self.shaper = font.shaper((b"init", b"medi", b"fina"))
+        self.gdef = font.gdef
+        self._class_cache: dict[int, str] = {}
+
+    @property
+    def available(self) -> bool:
+        s = self.shaper
+        return s is not None and all(
+            s.features.get(t) for t in (b"init", b"medi", b"fina")
+        )
+
+    def _covered(self, gid: int, tag: bytes) -> bool:
+        s = self.shaper
+        for li in s.features.get(tag, ()):
+            lk = s._lookup(li)
+            if lk is None:
+                continue
+            for s_type, sub in lk.subtables:
+                if s_type == 1 and sub.sub_for(gid) is not None:
+                    return True
+        return False
+
+    def joining_class(self, gid: int) -> str:
+        """'D' / 'R' / 'T' / 'U' — derived from the font (module doc)."""
+        c = self._class_cache.get(gid)
+        if c is not None:
+            return c
+        if self.gdef is not None and self.gdef.is_mark(gid):
+            c = "T"
+        elif self._covered(gid, b"init"):
+            c = "D"
+        elif self._covered(gid, b"fina"):
+            c = "R"
+        else:
+            c = "U"
+        self._class_cache[gid] = c
+        return c
+
+    def forms(self, cps: list[int], gids: list[int]) -> list[bytes | None]:
+        """Per-position feature tag (or None) for one logical line."""
+        n = len(gids)
+        cls = [
+            self.joining_class(g) if is_arabic(cp) else "U"
+            for cp, g in zip(cps, gids)
+        ]
+
+        def prev_solid(i):
+            j = i - 1
+            while j >= 0 and cls[j] == "T":
+                j -= 1
+            return j
+
+        def next_solid(i):
+            j = i + 1
+            while j < n and cls[j] == "T":
+                j += 1
+            return j if j < n else -1
+
+        out: list[bytes | None] = [None] * n
+        for i in range(n):
+            if cls[i] not in ("D", "R"):
+                continue
+            p = prev_solid(i)
+            nx = next_solid(i)
+            link_prev = p >= 0 and cls[p] == "D"
+            link_next = (
+                cls[i] == "D" and nx >= 0 and cls[nx] in ("D", "R")
+            )
+            if link_prev and link_next:
+                out[i] = b"medi"
+            elif link_prev:
+                out[i] = b"fina"
+            elif link_next:
+                out[i] = b"init"
+        return out
+
+    def apply(self, cps: list[int], gids: list[int]) -> list[int]:
+        """Substitute positional forms in place (returns a new list)."""
+        forms = self.forms(cps, gids)
+        out = list(gids)
+        s = self.shaper
+        for i, tag in enumerate(forms):
+            if tag is None:
+                continue
+            for li in s.features.get(tag, ()):
+                lk = s._lookup(li)
+                if lk is None:
+                    continue
+                if s._apply_at(out, i, lk, depth=0) is not None:
+                    break
+        return out

@@ -333,6 +333,23 @@ class Font:
                     log.warning("GDEF table unusable: %s", e)
         return self._gdef
 
+    @property
+    def arabic_shaper(self):
+        """Font-derived Arabic positional shaping
+        (:class:`fontrx.font.arabic.ArabicShaper`), or ``None`` when
+        the font lacks init/medi/fina features."""
+        if not hasattr(self, "_arabic"):
+            self._arabic = None
+            try:
+                from fontrx.font.arabic import ArabicShaper
+
+                sh = ArabicShaper(self)
+                if sh.available:
+                    self._arabic = sh
+            except Exception as e:
+                log.warning("arabic shaper unusable: %s", e)
+        return self._arabic
+
     def shaper(self, tags: tuple[bytes, ...]):
         """Full GSUB shaping engine (:class:`fontrx.font.shape.GsubShaper`)
         over the features tagged ``tags`` — lookup types 1-7 including

@@ -134,10 +134,12 @@ def layout_text(
     # the PRECEDING base character via the cmap format-14 table (beyond
     # the reference) and never occupy a slot themselves.
     lines: list[list[int]] = [[]]
+    cp_lines: list[list[int]] = [[]]
     prev_cp: int | None = None
     for ch in text:
         if ch == "\n":
             lines.append([])
+            cp_lines.append([])
             prev_cp = None
             continue
         cp = ord(ch)
@@ -146,7 +148,21 @@ def layout_text(
                 lines[-1][-1] = int(font.glyph_index_variant(prev_cp, cp))
             continue  # selector without a base char: ignored
         lines[-1].append(int(font.charmap.glyph_index(cp)))
+        cp_lines[-1].append(cp)
         prev_cp = cp
+
+    # Arabic positional forms (init/medi/fina), selected per position
+    # by the font-derived joining algorithm (fontrx/font/arabic.py) —
+    # runs before the feature pass so lam-alef rlig sees form glyphs
+    if any(
+        _is_arabic_cp(cp) for line in cp_lines for cp in line
+    ) and getattr(font, "arabic_shaper", None) is not None:
+        ar = font.arabic_shaper
+        lines = [
+            ar.apply(cps, line) if any(_is_arabic_cp(c) for c in cps)
+            else line
+            for cps, line in zip(cp_lines, lines)
+        ]
     # substitution pass: the full GSUB engine over the selected feature
     # tags (ligatures=True contributes liga+rlig); falls back to the
     # flattened LigatureTable when the engine can't parse the font's
@@ -321,6 +337,12 @@ def layout_text(
         width=max_x,
         height=len(lines) * line_height,
     )
+
+
+def _is_arabic_cp(cp: int) -> bool:
+    from fontrx.font.arabic import is_arabic
+
+    return is_arabic(cp)
 
 
 def _mirror_line(instances, start, boxes, width):
