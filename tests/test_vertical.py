@@ -115,3 +115,50 @@ class TestCLIVertical:
         # ink in both the top and bottom halves
         h = img.shape[0] // 2
         assert img[:h].any() and img[h:].any()
+
+
+class TestVkrn:
+    """Vertical pair kerning through the GPOS engine
+    (``positioning`` + ``kern=True`` in vertical mode): a ``vkrn``
+    PairPos with yAdvance deltas must tighten the pen drop."""
+
+    def test_vkrn_adjusts_pen_drop(self):
+        import tests.ttf_builder as tb
+        from fontrx.font.font import Font
+        from fontrx.scene.layout import layout_text
+
+        Z = (0, 0, 0, 0)
+        # glyphs 1('A') and 2('B'); pair (1, 2) pulls B 150 units up
+        gpos = tb.build_gpos(
+            [(b"vkrn", [0])],
+            [(2, 0, [tb.gpos_pair1(
+                {1: [(2, (0, 0, 0, -150), Z)]}, vf1=0x8, vf2=0,
+            )])],
+        )
+        glyphs = [
+            tb.build_simple_glyph(
+                [[(50, 0, True), (450, 0, True), (250, 600, True)]]
+            ),
+        ] * 3
+        cmap = tb.build_cmap(
+            [(0, 3, tb.build_cmap_format4(
+                [(65, 66, 1 - 65, None), (0xFFFF, 0xFFFF, 1, None)]
+            ))]
+        )
+        font = Font(tb.build_font(
+            glyphs, cmap,
+            extra_tables={
+                b"GPOS": gpos,
+                b"vhea": tb.build_vhea(ascent=500, descent=-500,
+                                       num_metrics=3),
+                b"vmtx": tb.build_vmtx([(1000, 100)] * 3),
+            },
+        ))
+        base = layout_text(font, "AB", vertical=True)
+        kerned = layout_text(
+            font, "AB", vertical=True, kern=True, positioning=(),
+        )
+        # the second glyph hangs 150 units higher (pen drop tightened)
+        dy_base = base.instances[0].y - base.instances[1].y
+        dy_kern = kerned.instances[0].y - kerned.instances[1].y
+        assert dy_base - dy_kern == 150
