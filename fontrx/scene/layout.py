@@ -315,7 +315,12 @@ def layout_text(
                     last_mark = (gid, mx, my)
                     continue
             if kern_table is not None and prev_gid is not None:
-                pen_x += float(kern_table.lookup(prev_gid, gid))
+                # .reshape(-1)[0]: the flattened GPOS lookup returns a
+                # length-1 array for scalar inputs (NumPy deprecates
+                # float() on ndim>0)
+                pen_x += float(np.asarray(
+                    kern_table.lookup(prev_gid, gid)
+                ).reshape(-1)[0])
             instances.append(Instance(slot, pen_x, pen_y))
             boxes.append(float(widths[slot]))
             prev_x = pen_x
