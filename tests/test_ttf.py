@@ -507,3 +507,28 @@ class TestTTC:
         data = self._collection()[:8]
         with pytest.raises(Exception):
             Font(data)
+
+
+class TestTtcWithCffMembers:
+    def test_collection_of_otf_members_parses(self):
+        """TTC containers may hold OpenType-CFF members; the scaler
+        check accepts OTTO and outlines come from the CFF frontend."""
+        import os
+
+        import tests.ttf_builder as tb
+        from fontrx.font.font import Font
+
+        otf = ("/opt/venv/lib/python3.12/site-packages/pygame/tests/"
+               "fixtures/fonts/PyGameMono.otf")
+        if not os.path.exists(otf):
+            import pytest
+
+            pytest.skip("pygame CFF fixture unavailable")
+        blob = open(otf, "rb").read()
+        ttc = tb.build_ttc([blob, blob])
+        f0 = Font(ttc, index=0)
+        f1 = Font(ttc, index=1)
+        assert f0.num_collection_fonts == 2
+        g = f0.load_glyph(1)
+        assert g.num_segments > 0
+        assert f1.load_glyph(1).box == g.box
