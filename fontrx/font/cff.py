@@ -542,6 +542,26 @@ def _run_charstring(
     return False
 
 
+def _finalize_flat(points: np.ndarray, ends: np.ndarray) -> Glyph:
+    """Native-interpreter output (flat f64 points + contour ends) ->
+    rounded, re-closed Glyph — the same quantization as
+    :func:`_finalize_contours`."""
+    if len(ends) == 0:
+        return Glyph.empty()
+    arr_all = np.round(points).astype(np.int32)
+    contours = []
+    start = 0
+    for e in ends:
+        c = arr_all[start:int(e)].copy()
+        c[-1] = c[0]
+        contours.append(Contour(c))
+        start = int(e)
+    allp = np.concatenate([c.points for c in contours])
+    box = Box(int(allp[:, 0].min()), int(allp[:, 1].min()),
+              int(allp[:, 0].max()), int(allp[:, 1].max()))
+    return Glyph(box, tuple(contours))
+
+
 def _finalize_contours(builder: _PathBuilder) -> Glyph:
     """Round a builder's contours to integer font units, re-close
     exactly, and compute the outline box (shared by CFF and CFF2)."""
@@ -613,13 +633,36 @@ class CffFont:
     def num_glyphs(self) -> int:
         return len(self.charstrings)
 
+    def _native_blobs(self):
+        if not hasattr(self, "_nb"):
+            from fontrx import native
+
+            gb, go = native._subr_blob(self.gsubrs)
+            lb, lo = native._subr_blob(self.lsubrs)
+            self._nb = (gb, go, lb, lo)
+        return self._nb
+
     def glyph(self, gid: int, coords=None) -> Glyph:
         """Interpret the charstring and build a normalized quadratic
         :class:`Glyph` (integer font units).  ``coords`` is accepted
         for interface parity with :class:`Cff2Font` and ignored (plain
-        CFF is static)."""
+        CFF is static).
+
+        The native interpreter (``native/src/cff_interp.cc``,
+        bit-identical double math) runs when built; Python otherwise.
+        """
         if not 0 <= gid < len(self.charstrings):
             raise CorruptedFont(f"CFF: glyph {gid} out of range")
+        from fontrx import native
+
+        if native.available():
+            gb, go, lb, lo = self._native_blobs()
+            out = native.cff_outline_native(
+                self.charstrings[gid], gb, go, len(self.gsubrs),
+                lb, lo, len(self.lsubrs), False, None, None, 0,
+            )
+            if out is not None:
+                return _finalize_flat(*out)
         builder = _PathBuilder()
         state = {
             "stack": [], "hints": 0, "width_done": False, "ops": 0,
@@ -728,14 +771,54 @@ class Cff2Font:
     def num_glyphs(self) -> int:
         return len(self.charstrings)
 
+    def _native_blobs(self, fd: int):
+        cache = getattr(self, "_nb", None)
+        if cache is None:
+            cache = self._nb = {}
+        if fd not in cache:
+            from fontrx import native
+
+            gb, go = native._subr_blob(self.gsubrs)
+            lb, lo = native._subr_blob(self.fd_subrs[fd])
+            cache[fd] = (gb, go, lb, lo)
+        return cache[fd]
+
+    def _scalar_arrays(self, coords):
+        """Per-VarData region scalars at ``coords`` (flat + offsets),
+        for the native blend."""
+        if self.ivs is None:
+            return None, None
+        if coords is None:
+            n_ax = len(self.ivs.regions[0]) if self.ivs.regions else 0
+            coords = np.zeros(n_ax)
+        flat: list[float] = []
+        offs = [0]
+        for outer in range(len(self.ivs.var_data)):
+            flat.extend(self.ivs.region_scalars(outer, coords))
+            offs.append(len(flat))
+        return (np.asarray(flat, np.float64),
+                np.asarray(offs, np.int64))
+
     def glyph(self, gid: int, coords=None) -> Glyph:
         """Interpret the CFF2 charstring at normalized design
         ``coords`` (None = the default instance: all blends collapse to
-        their base values)."""
+        their base values).  Native interpreter when built."""
         if not 0 <= gid < len(self.charstrings):
             raise CorruptedFont(f"CFF2: glyph {gid} out of range")
         fd = self.fd_select[gid] if self.fd_select else 0
         fd = min(fd, len(self.fd_subrs) - 1)
+        from fontrx import native
+
+        if native.available():
+            gb, go, lb, lo = self._native_blobs(fd)
+            scalars, soffs = self._scalar_arrays(coords)
+            out = native.cff_outline_native(
+                self.charstrings[gid], gb, go, len(self.gsubrs),
+                lb, lo, len(self.fd_subrs[fd]), True,
+                scalars, soffs, self.fd_vsindex[fd],
+            )
+            if out is not None:
+                return _finalize_flat(*out)
         builder = _PathBuilder()
         state = {
             "stack": [], "hints": 0, "width_done": True, "ops": 0,

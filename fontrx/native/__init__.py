@@ -51,6 +51,17 @@ def _load():
         ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.cff_glyph_outline.restype = ctypes.c_long
+    lib.cff_glyph_outline.argtypes = [
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -124,3 +135,50 @@ def pack_glyphs_native(
         boxes.ctypes.data, flags.ctypes.data,
     )
     return segments, counts, boxes, flags
+
+
+def _subr_blob(subrs: list[bytes]):
+    """(blob bytes, int64 offsets[n+1]) for a subr list."""
+    offs = np.zeros(len(subrs) + 1, np.int64)
+    for i, s in enumerate(subrs):
+        offs[i + 1] = offs[i] + len(s)
+    return b"".join(subrs), offs
+
+
+def cff_outline_native(
+    code: bytes,
+    gsub_blob: bytes, gsub_offs: np.ndarray, n_gsub: int,
+    lsub_blob: bytes, lsub_offs: np.ndarray, n_lsub: int,
+    cff2: bool,
+    scalars: np.ndarray | None, scalar_offs: np.ndarray | None,
+    vsindex0: int,
+):
+    """Run one Type 2 charstring natively.
+
+    Returns ``(points float64 [n, 2], contour_ends int64 [c])`` or
+    ``None`` when the library is unavailable or the charstring failed
+    (caller falls back to the Python interpreter).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    cap_pts = 65536
+    cap_contours = 1024
+    out_pts = np.empty((cap_pts, 2), np.float64)
+    out_ends = np.empty(cap_contours, np.int64)
+    n_pts = ctypes.c_long(0)
+    n_vardata = 0 if scalar_offs is None else len(scalar_offs) - 1
+    rc = lib.cff_glyph_outline(
+        code, len(code),
+        gsub_blob, gsub_offs.ctypes.data, n_gsub,
+        lsub_blob, lsub_offs.ctypes.data, n_lsub,
+        1 if cff2 else 0,
+        None if scalars is None else scalars.ctypes.data,
+        None if scalar_offs is None else scalar_offs.ctypes.data,
+        n_vardata, vsindex0,
+        out_pts.ctypes.data, out_ends.ctypes.data, cap_pts, cap_contours,
+        ctypes.byref(n_pts),
+    )
+    if rc < 0:
+        return None
+    return out_pts[: n_pts.value].copy(), out_ends[:rc].copy()
