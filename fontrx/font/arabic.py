@@ -97,10 +97,17 @@ class ArabicShaper:
     def forms(self, cps: list[int], gids: list[int]) -> list[bytes | None]:
         """Per-position feature tag (or None) for one logical line."""
         n = len(gids)
-        cls = [
-            self.joining_class(g) if is_arabic(cp) else "U"
-            for cp, g in zip(cps, gids)
-        ]
+        cls = []
+        for cp, g in zip(cps, gids):
+            if cp == 0x0640 or cp == 0x200D:
+                # tatweel (kashida) and ZWJ are JOIN-CAUSING: they have
+                # no positional forms themselves but make neighbors
+                # join (Unicode joining types C / join-causing)
+                cls.append("D")
+            elif is_arabic(cp):
+                cls.append(self.joining_class(g))
+            else:
+                cls.append("U")
 
         def prev_solid(i):
             j = i - 1
@@ -133,7 +140,11 @@ class ArabicShaper:
         return out
 
     def apply(self, cps: list[int], gids: list[int]) -> list[int]:
-        """Substitute positional forms in place (returns a new list)."""
+        """Substitute positional forms (returns a new list).  Only
+        SINGLE substitutions apply per position — positional forms are
+        1:1 by construction, and buffer-length-changing lookup types
+        would invalidate the precomputed positions (ligatures belong to
+        the ordinary rlig/liga pass that follows)."""
         forms = self.forms(cps, gids)
         out = list(gids)
         s = self.shaper
@@ -144,6 +155,15 @@ class ArabicShaper:
                 lk = s._lookup(li)
                 if lk is None:
                     continue
-                if s._apply_at(out, i, lk, depth=0) is not None:
+                done = False
+                for s_type, sub in lk.subtables:
+                    if s_type != 1:
+                        continue
+                    new_gid = sub.sub_for(out[i])
+                    if new_gid is not None:
+                        out[i] = new_gid
+                        done = True
+                        break
+                if done:
                     break
         return out

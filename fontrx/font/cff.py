@@ -785,9 +785,18 @@ class Cff2Font:
 
     def _scalar_arrays(self, coords):
         """Per-VarData region scalars at ``coords`` (flat + offsets),
-        for the native blend."""
+        for the native blend.  Cached per location (they depend only on
+        coords; recomputing per glyph would erode the native win)."""
         if self.ivs is None:
             return None, None
+        key = None if coords is None else bytes(
+            np.asarray(coords, np.float64).tobytes()
+        )
+        cache = getattr(self, "_scalar_cache", None)
+        if cache is None:
+            cache = self._scalar_cache = {}
+        if key in cache:
+            return cache[key]
         if coords is None:
             n_ax = len(self.ivs.regions[0]) if self.ivs.regions else 0
             coords = np.zeros(n_ax)
@@ -796,8 +805,9 @@ class Cff2Font:
         for outer in range(len(self.ivs.var_data)):
             flat.extend(self.ivs.region_scalars(outer, coords))
             offs.append(len(flat))
-        return (np.asarray(flat, np.float64),
-                np.asarray(offs, np.int64))
+        out = (np.asarray(flat, np.float64), np.asarray(offs, np.int64))
+        cache[key] = out
+        return out
 
     def glyph(self, gid: int, coords=None) -> Glyph:
         """Interpret the CFF2 charstring at normalized design

@@ -36,8 +36,16 @@ def _load():
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
+        if not hasattr(lib, "cff_glyph_outline"):
+            # stale library from before the CFF interpreter: rebuild
+            log.info("native library stale; rebuilding")
+            build(quiet=True)
+            lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError as e:
         log.warning("failed to load native library: %s", e)
+        return None
+    if not hasattr(lib, "cff_glyph_outline"):
+        log.warning("native library lacks cff_glyph_outline; disabled")
         return None
     lib.qoi_encode_rgb.restype = ctypes.c_long
     lib.qoi_encode_rgb.argtypes = [
@@ -164,8 +172,15 @@ def cff_outline_native(
         return None
     cap_pts = 65536
     cap_contours = 1024
-    out_pts = np.empty((cap_pts, 2), np.float64)
-    out_ends = np.empty(cap_contours, np.int64)
+    # reusable scratch (1 MB): per-call np.empty would mmap/munmap in
+    # the hot loop; calls are synchronous so one buffer suffices
+    global _cff_scratch
+    try:
+        out_pts, out_ends = _cff_scratch
+    except NameError:
+        out_pts = np.empty((cap_pts, 2), np.float64)
+        out_ends = np.empty(cap_contours, np.int64)
+        _cff_scratch = (out_pts, out_ends)
     n_pts = ctypes.c_long(0)
     n_vardata = 0 if scalar_offs is None else len(scalar_offs) - 1
     rc = lib.cff_glyph_outline(

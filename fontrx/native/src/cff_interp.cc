@@ -78,7 +78,10 @@ struct Builder {
   void emit_quads(Pt p0, Pt c1, Pt c2, Pt p3, int depth) {
     double ex = p3.x - 3.0 * c2.x + 3.0 * c1.x - p0.x;
     double ey = p3.y - 3.0 * c2.y + 3.0 * c1.y - p0.y;
-    double err = std::hypot(ex, ey) * (std::sqrt(3.0) / 36.0);
+    // same float grouping as the Python interpreter (hypot, then
+    // * sqrt(3), then / 36) — a fused constant differs by 1 ulp on
+    // ~35% of inputs, flipping subdivision decisions at the threshold
+    double err = std::hypot(ex, ey) * std::sqrt(3.0) / 36.0;
     if (err <= kQuadTol || depth >= kMaxSplitDepth) {
       Pt ctrl{(3.0 * (c1.x + c2.x) - p0.x - p3.x) / 4.0,
               (3.0 * (c1.y + c2.y) - p0.y - p3.y) / 4.0};
@@ -153,8 +156,10 @@ int run(const uint8_t* code, long n, const Subrs& gs, const Subrs& ls,
         i += 2;
       } else {
         if (i + 4 >= n) return -4;
-        int32_t v = (int32_t)((code[i + 1] << 24) | (code[i + 2] << 16) |
-                              (code[i + 3] << 8) | code[i + 4]);
+        int32_t v = (int32_t)(((uint32_t)code[i + 1] << 24) |
+                              ((uint32_t)code[i + 2] << 16) |
+                              ((uint32_t)code[i + 3] << 8) |
+                              (uint32_t)code[i + 4]);
         stk.push_back((double)v / 65536.0);
         i += 5;
       }
@@ -396,8 +401,9 @@ int run(const uint8_t* code, long n, const Subrs& gs, const Subrs& ls,
         auto& a = stk;
         Pt p = b.pos;
         switch (b1) {
-          case 35: {  // flex
-            if (a.size() < 13) { a.clear(); break; }
+          case 35: {  // flex (reads 12 args; the 13th, fd, is unused
+                      // — matching the Python slice a[0:12])
+            if (a.size() < 12) { a.clear(); break; }
             Pt c1{p.x + a[0], p.y + a[1]};
             Pt c2{c1.x + a[2], c1.y + a[3]};
             Pt j1{c2.x + a[4], c2.y + a[5]};

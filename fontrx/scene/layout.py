@@ -118,8 +118,9 @@ def layout_text(
       each line mirrors to visual order by reversing its sequence of
       advance boxes — glyph outlines stay unmirrored, pair gaps stay
       between the same pairs, marks travel with their base's box.
-      Pure-RTL runs only (Hebrew; full UAX#9 bidi with mixed-direction
-      runs is out of scope, as is Arabic joining).
+      Pure-RTL runs only (Hebrew and Arabic — Arabic positional forms
+      engage automatically via :mod:`fontrx.font.arabic`; full UAX#9
+      bidi with mixed-direction runs stays out of scope).
     """
     # variable fonts: advances come from the current design location
     # (phantom-point deltas); static fonts/stacks fall through to hmtx

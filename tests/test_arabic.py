@@ -83,3 +83,27 @@ class TestLayoutIntegration:
         a = layout_text(dejavu, "AV", kern=True)
         gids = [a.slot_gids[i.glyph_slot] for i in a.instances]
         assert gids == [dejavu.glyph_index(c) for c in "AV"]
+
+
+class TestJoinCausers:
+    def test_tatweel_joins_neighbors(self, dejavu, ar):
+        # beh + tatweel + beh: kashida elongation — both behs join
+        # across it (tatweel is join-causing)
+        cps = [U["beh"], 0x0640, U["beh"]]
+        gids = [dejavu.glyph_index(c) for c in cps]
+        forms = ar.forms(cps, gids)
+        assert forms[0] == b"init" and forms[2] == b"fina"
+
+    def test_zwj_causes_joining(self, dejavu, ar):
+        # beh + ZWJ: the beh takes its initial form
+        cps = [U["beh"], 0x200D]
+        gids = [dejavu.glyph_index(U["beh"]), 0]
+        assert ar.forms(cps, gids)[0] == b"init"
+
+    def test_single_sub_only_length_stable(self, dejavu, ar):
+        # apply() never changes the buffer length, whatever the
+        # features contain
+        cps = [U["beh"], U["seen"], U["meem"], 0x0640]
+        gids = [dejavu.glyph_index(c) for c in cps]
+        out = ar.apply(cps, gids)
+        assert len(out) == len(gids)
