@@ -123,7 +123,7 @@ window.onmousemove = e => {
   ev({dx, dy}, `dx=${dx}&dy=${dy}`);
 };
 window.onkeydown = e => {
-  if ('mdt'.includes(e.key)) ev({key: e.key}, 'key=' + e.key);
+  if ('mdt[]'.includes(e.key)) ev({key: e.key}, 'key=' + e.key);
   else if (e.key === 'Backspace') ev({back: 1}, 'back=1');
   else if (e.key.length === 1) ev({type: e.key},
                                   'type=' + encodeURIComponent(e.key));

