@@ -7,10 +7,10 @@ table instead of ``glyf``/``loca``; everything else (cmap, hmtx, head,
 maxp, GSUB/GPOS/GDEF, kern) is the same OpenType plumbing and flows
 through the existing :class:`~fontrx.font.font.Font` paths unchanged.
 
-Scope: plain (non-CID) CFF with Type 2 charstrings — the overwhelming
-majority of ``.otf`` text fonts.  CID-keyed fonts (FDArray/FDSelect)
-raise ``NotImplementedError`` at parse.  Hinting operators are counted
-and skipped (fontrx never grid-fits; same policy as the glyf path).
+Scope: Type 2 charstrings, plain AND CID-keyed (FDArray/FDSelect
+route per-glyph private subrs; the gid->CID charset naming is
+irrelevant to rendering).  Hinting operators are counted and skipped
+(fontrx never grid-fits; same policy as the glyf path).
 
 Cubic outlines are converted to the quadratic segment form the raster
 kernels consume by adaptive midpoint subdivision: each cubic splits
@@ -586,11 +586,36 @@ def _finalize_contours(builder: _PathBuilder) -> Glyph:
 
 @dataclass
 class CffFont:
-    """Parsed plain (non-CID) CFF table: charstrings + subrs."""
+    """Parsed CFF table: charstrings + subrs.  Plain AND CID-keyed
+    fonts (CID: FDArray of Font DICTs with per-FD Private/Subrs,
+    routed per glyph by FDSelect — the charset's gid->CID naming is
+    irrelevant to rendering and skipped)."""
 
     charstrings: list[bytes]
     gsubrs: list[bytes]
-    lsubrs: list[bytes]
+    fd_subrs: list[list[bytes]]          # local subrs per FD
+    fd_select: list[int] | None = None   # gid -> FD (None: all FD 0)
+
+    @property
+    def lsubrs(self) -> list[bytes]:
+        """FD-0 local subrs (the whole font's for non-CID fonts)."""
+        return self.fd_subrs[0]
+
+    @staticmethod
+    def _private_subrs(data: bytes, base: int, d: dict) -> list[bytes]:
+        """Local subrs reachable from a DICT's Private entry."""
+        if 18 not in d or len(d[18]) < 2:
+            return []
+        priv_size, priv_off = int(d[18][0]), int(d[18][1])
+        priv = _parse_dict(
+            data[base + priv_off : base + priv_off + priv_size]
+        )
+        if 19 in priv:  # Subrs, offset relative to Private DICT
+            subrs, _ = _read_index(
+                data, base + priv_off + int(priv[19][0])
+            )
+            return subrs
+        return []
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "CffFont":
@@ -610,37 +635,43 @@ class CffFont:
         if not top_dicts:
             raise CorruptedFont("CFF: no Top DICT")
         top = _parse_dict(top_dicts[0])
-        if 0x0C24 in top or 0x0C25 in top:  # FDArray / FDSelect
-            raise NotImplementedError("CID-keyed CFF not supported")
         if 17 not in top:
             raise CorruptedFont("CFF: Top DICT missing CharStrings")
         cs_off = int(top[17][0])
         charstrings, _ = _read_index(data, base + cs_off)
 
-        lsubrs: list[bytes] = []
-        if 18 in top and len(top[18]) >= 2:
-            priv_size, priv_off = int(top[18][0]), int(top[18][1])
-            priv = _parse_dict(
-                data[base + priv_off : base + priv_off + priv_size]
-            )
-            if 19 in priv:  # Subrs, offset relative to Private DICT
-                lsubrs, _ = _read_index(
-                    data, base + priv_off + int(priv[19][0])
+        fd_select = None
+        if 0x0C24 in top:  # CID-keyed: FDArray (+ FDSelect)
+            fd_dicts, _ = _read_index(data, base + int(top[0x0C24][0]))
+            if not fd_dicts:
+                raise CorruptedFont("CFF: empty FDArray")
+            fd_subrs = [
+                cls._private_subrs(data, base, _parse_dict(fd))
+                for fd in fd_dicts
+            ]
+            if 0x0C25 in top:
+                fd_select = Cff2Font._parse_fdselect(
+                    data, base + int(top[0x0C25][0]), len(charstrings)
                 )
-        return cls(charstrings, gsubrs, lsubrs)
+        else:
+            fd_subrs = [cls._private_subrs(data, base, top)]
+        return cls(charstrings, gsubrs, fd_subrs, fd_select)
 
     @property
     def num_glyphs(self) -> int:
         return len(self.charstrings)
 
-    def _native_blobs(self):
-        if not hasattr(self, "_nb"):
+    def _native_blobs(self, fd: int = 0):
+        cache = getattr(self, "_nb", None)
+        if cache is None:
+            cache = self._nb = {}
+        if fd not in cache:
             from fontrx import native
 
             gb, go = native._subr_blob(self.gsubrs)
-            lb, lo = native._subr_blob(self.lsubrs)
-            self._nb = (gb, go, lb, lo)
-        return self._nb
+            lb, lo = native._subr_blob(self.fd_subrs[fd])
+            cache[fd] = (gb, go, lb, lo)
+        return cache[fd]
 
     def glyph(self, gid: int, coords=None) -> Glyph:
         """Interpret the charstring and build a normalized quadratic
@@ -653,13 +684,16 @@ class CffFont:
         """
         if not 0 <= gid < len(self.charstrings):
             raise CorruptedFont(f"CFF: glyph {gid} out of range")
+        fd = self.fd_select[gid] if self.fd_select else 0
+        fd = min(fd, len(self.fd_subrs) - 1)
+        lsubrs = self.fd_subrs[fd]
         from fontrx import native
 
         if native.available():
-            gb, go, lb, lo = self._native_blobs()
+            gb, go, lb, lo = self._native_blobs(fd)
             out = native.cff_outline_native(
                 self.charstrings[gid], gb, go, len(self.gsubrs),
-                lb, lo, len(self.lsubrs), False, None, None, 0,
+                lb, lo, len(lsubrs), False, None, None, 0,
             )
             if out is not None:
                 return _finalize_flat(*out)
@@ -669,7 +703,7 @@ class CffFont:
             "expect": 0,
         }
         _run_charstring(
-            self.charstrings[gid], self.gsubrs, self.lsubrs, builder, state
+            self.charstrings[gid], self.gsubrs, lsubrs, builder, state
         )
         builder.close()
         return _finalize_contours(builder)

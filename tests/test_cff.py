@@ -137,27 +137,38 @@ class TestCharstringMachinery:
         assert len(out) == 1
         np.testing.assert_allclose(out[0][0], q, atol=1e-9)
 
-    def test_cid_rejected(self):
-        # minimal header + a Top DICT carrying FDArray (0x0c24)
-        import struct
+    def test_cid_keyed_font_renders(self):
+        """CID-keyed CFF (FDArray/FDSelect): per-glyph FD routing —
+        fixture converted from PyGameMono via fontTools, raster-checked
+        against fontTools' interpretation."""
+        cid = os.path.join(
+            os.path.dirname(__file__), "data", "cidtest.otf"
+        )
+        if not os.path.exists(cid):
+            pytest.skip("CID fixture unavailable")
+        from fontTools.ttLib import TTFont
 
-        def index(items):
-            if not items:
-                return struct.pack(">H", 0)
-            offs = [1]
-            for it in items:
-                offs.append(offs[-1] + len(it))
-            return (
-                struct.pack(">HB", len(items), 1)
-                + bytes(offs)
-                + b"".join(items)
+        f = Font.open(cid)
+        assert f._cff.fd_select is not None
+        ft = TTFont(cid)
+        cs = ft["CFF "].cff[0].CharStrings
+        names = list(cs.keys())
+        for gid in range(f.num_glyphs):
+            gt = _fonttools_glyph(cs[names[gid]])
+            mine = f.load_glyph(gid)
+            if gt is None:
+                assert mine.num_segments == 0
+                continue
+            box = (
+                min(gt.box.x_min, mine.box.x_min),
+                min(gt.box.y_min, mine.box.y_min),
+                max(gt.box.x_max, mine.box.x_max),
+                max(gt.box.y_max, mine.box.y_max),
             )
-
-        top = bytes([28, 0, 1, 12, 0x24])  # FDArray 1
-        blob = bytes([1, 0, 4, 1]) + index([b"x"]) + index([top]) \
-            + index([]) + index([])
-        with pytest.raises(NotImplementedError):
-            C.CffFont.parse(BigEndianReader(blob, 0))
+            grid = RasterGrid.for_glyph_box(box, 32, 1000)
+            wa = oracle.winding_map(glyph_segments(gt), grid)
+            wb = oracle.winding_map(glyph_segments(mine), grid)
+            np.testing.assert_array_equal(wa != 0, wb != 0)
 
 
 class TestCffFuzz:
