@@ -428,8 +428,10 @@ class TestWholeFontFuzz:
             open("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
                  "rb").read(),
             open(os.path.join(here, "data", "vartest.ttf"), "rb").read(),
+            open(os.path.join(here, "data", "vartest3.ttf"), "rb").read(),
             open(os.path.join(here, "data", "vartest_cff2.otf"),
                  "rb").read(),
+            open(os.path.join(here, "data", "cidtest.otf"), "rb").read(),
         ]
         otf = ("/opt/venv/lib/python3.12/site-packages/pygame/tests/"
                "fixtures/fonts/test_fixed.otf")
