@@ -57,7 +57,8 @@ class Config:
     mode: str = option("m", default="fill", help="fill|gray|coverage|sdf|outline|smooth|lcd|triangulation")
     stroke: float = option(None, default=2.0, help="outline mode: stroke width in pixels")
     oblique: float = option(None, default=0.0, help="synthetic italic slant ratio (e.g. 0.21)")
-    rtl: bool = option(None, default=False, help="right-to-left lines (logical-to-visual reversal; pure-RTL runs)")
+    rtl: bool = option(None, default=False, help="right-to-left lines (paragraph base direction)")
+    bidi: bool = option(None, default=False, help="mixed-direction lines (bidi-lite run itemization; rtl selects the base direction)")
     variation: Optional[str] = option(None, default=None, help="variable-font design location, e.g. wght=700,wdth=80 (fvar/gvar)")
     embolden: float = option(None, default=0.0, help="smooth mode: dilate (+) / thin (-) the outline by this many pixels (synthetic bold)")
     output: Optional[str] = option("o", default=None, help="output .qoi path")

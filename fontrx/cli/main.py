@@ -117,7 +117,7 @@ def _layout_for(font, text, cfg, vertical_ok: bool = False):
         marks=cfg.marks, features=_feature_tags(cfg),
         vertical=cfg.vertical if vertical_ok else False,
         positioning=_positioning_tags(cfg), wrap_width=wrap_units,
-        oblique=cfg.oblique, rtl=cfg.rtl,
+        oblique=cfg.oblique, rtl=cfg.rtl, bidi=cfg.bidi,
     )
 
 

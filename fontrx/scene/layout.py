@@ -63,6 +63,7 @@ def layout_text(
     wrap_width: float | None = None,
     oblique: float = 0.0,
     rtl: bool = False,
+    bidi: bool = False,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -119,8 +120,16 @@ def layout_text(
       advance boxes — glyph outlines stay unmirrored, pair gaps stay
       between the same pairs, marks travel with their base's box.
       Pure-RTL runs only (Hebrew and Arabic — Arabic positional forms
-      engage automatically via :mod:`fontrx.font.arabic`; full UAX#9
-      bidi with mixed-direction runs stays out of scope).
+      engage automatically via :mod:`fontrx.font.arabic`); for MIXED
+      direction text use ``bidi=True``;
+    - ``bidi=True``: mixed-direction lines (bidi-lite, the strong-types
+      subset of UAX#9 — :mod:`fontrx.font.bidi`).  Each line itemizes
+      into direction runs (neutrals resolve per N1/N2), runs shape
+      INDEPENDENTLY (ligatures/joining never cross direction
+      boundaries), placement runs in logical order, and then each
+      counter-directional run's advance-box span mirrors in place.
+      ``rtl`` selects the paragraph base direction.  Incompatible with
+      ``wrap_width`` (ignored with a warning) and ``vertical``.
     """
     # variable fonts: advances come from the current design location
     # (phantom-point deltas); static fonts/stacks fall through to hmtx
@@ -175,12 +184,43 @@ def layout_text(
         tags += tuple(t for t in features if t not in tags)
     if vertical:
         tags += tuple(t for t in (b"vert",) if t not in tags)
-    if tags:
-        shaper = font.shaper(tags)
-        if shaper is not None:
-            lines = [shaper.apply(line) for line in lines]
-        elif ligatures and font.ligatures is not None:
-            lines = [font.ligatures.apply(line) for line in lines]
+    def _shape_stream(seq):
+        if tags:
+            shaper = font.shaper(tags)
+            if shaper is not None:
+                return shaper.apply(seq)
+            if ligatures and font.ligatures is not None:
+                return font.ligatures.apply(seq)
+        return seq
+
+    line_runs = None
+    if bidi and not vertical:
+        from fontrx.font.bidi import split_runs
+
+        line_runs = []
+        shaped_lines = []
+        for line, cps in zip(lines, cp_lines):
+            parts: list[int] = []
+            extents: list[tuple[int, int, bool]] = []
+            for s, e, is_r in split_runs(cps, rtl):
+                shaped = _shape_stream(line[s:e])
+                extents.append(
+                    (len(parts), len(parts) + len(shaped), is_r)
+                )
+                parts.extend(shaped)
+            shaped_lines.append(parts)
+            line_runs.append(extents)
+        lines = shaped_lines
+        if wrap_width is not None:
+            from fontrx.utils.log import get_logger
+
+            get_logger("Layout").warning(
+                "wrap_width is ignored with bidi=True (line breaks "
+                "inside direction runs are unsupported)"
+            )
+            wrap_width = None
+    elif tags:
+        lines = [_shape_stream(line) for line in lines]
 
     if wrap_width is not None and not vertical:
         space = int(font.charmap.glyph_index(0x20))
@@ -268,12 +308,16 @@ def layout_text(
                 boxes.append(float(pos.x_advance[idx]))
                 pen_x += float(pos.x_advance[idx])
                 max_x = max(max_x, pen_x)
-            if rtl:
+            if rtl or line_runs is not None:
                 # box mirror (GPOS ran on the logical stream); zero-
                 # advance attached glyphs mirror inside the line only
                 # approximately — mark attachment under RTL needs a
                 # full bidi shaper and stays out of scope
-                _mirror_line(instances, line_start, boxes, pen_x)
+                _apply_line_direction(
+                    instances, line_start, boxes, pen_x, rtl,
+                    line_runs[line_no] if line_runs is not None
+                    else None,
+                )
                 max_x = max(max_x, pen_x)
         batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
         return TextLayout(
@@ -330,8 +374,11 @@ def layout_text(
             max_x = max(max_x, pen_x)
             prev_gid = gid
             last_mark = None
-        if rtl:
-            _mirror_line(instances, line_start, boxes, pen_x)
+        if rtl or line_runs is not None:
+            _apply_line_direction(
+                instances, line_start, boxes, pen_x, rtl,
+                line_runs[line_no] if line_runs is not None else None,
+            )
             max_x = max(max_x, pen_x)
 
     batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
@@ -351,23 +398,76 @@ def _is_arabic_cp(cp: int) -> bool:
     return is_arabic(cp)
 
 
-def _mirror_line(instances, start, boxes, width):
-    """Mirror one line's instances from logical (LTR pen) to RTL
-    visual order by reversing the sequence of ADVANCE BOXES: box
-    ``[x, x+a]`` lands at ``[W-x-a, W-x]`` with the glyph content
-    unmirrored inside it.  Kerning/positioning already ran on the
-    logical stream, so pair gaps stay between the same glyph pairs.
-    Attached marks (recorded as ``(base_x, base_w)``) travel with
-    their base's box, preserving their offset within it."""
+def _mirror_line(instances, start, boxes, width, origin: float = 0.0):
+    """Mirror a span of instances in place by reversing its sequence
+    of ADVANCE BOXES within ``[origin, origin + width)``: box
+    ``[x, x+a]`` lands at ``[2*origin + W - x - a, ...]`` with the
+    glyph content unmirrored inside it.  Kerning/positioning already
+    ran on the logical stream, so pair gaps stay between the same
+    glyph pairs.  Attached marks (recorded as ``(base_x, base_w)``)
+    travel with their base's box, preserving their offset within it."""
+    m = 2.0 * origin + width
     for k, box in enumerate(boxes):
         inst = instances[start + k]
         if isinstance(box, tuple):  # mark: ride the base's box
             base_x, base_w = box
-            new_base = width - base_x - base_w
+            new_base = m - base_x - base_w
             x = new_base + (inst.x - base_x)
         else:
-            x = width - inst.x - box
+            x = m - inst.x - box
         instances[start + k] = Instance(inst.glyph_slot, x, inst.y)
+
+
+def _span_extent(instances, start, boxes, s, e):
+    """(origin, width) of the advance-box span covering glyph indices
+    ``[s, e)`` of one placed line."""
+    origin = None
+    end = None
+    for k in range(s, e):
+        box = boxes[k]
+        if isinstance(box, tuple):
+            lo, hi = box[0], box[0] + box[1]
+        else:
+            x = instances[start + k].x
+            lo, hi = x, x + box
+        origin = lo if origin is None else min(origin, lo)
+        end = hi if end is None else max(end, hi)
+    if origin is None:
+        return 0.0, 0.0
+    return origin, end - origin
+
+
+def _apply_line_direction(
+    instances, start, boxes, pen_x, rtl, runs
+):
+    """Post-placement direction handling for one line: whole-line
+    mirror for plain RTL; per-run mirroring for bidi (counter-base
+    runs reverse their own advance-box span)."""
+    if runs is None:
+        if rtl:
+            _mirror_line(instances, start, boxes, pen_x)
+        return
+    if not rtl:
+        # LTR base: RTL runs mirror in place
+        for s, e, is_r in runs:
+            if is_r:
+                o, w = _span_extent(instances, start, boxes, s, e)
+                _mirror_line(
+                    instances, start + s, boxes[s:e], w, origin=o
+                )
+    else:
+        # RTL base: pre-compute LTR spans, mirror the whole line, then
+        # mirror each LTR run back within its mirrored extent
+        spans = [
+            (s, e, _span_extent(instances, start, boxes, s, e))
+            for s, e, is_r in runs if not is_r
+        ]
+        _mirror_line(instances, start, boxes, pen_x)
+        for s, e, (o, w) in spans:
+            new_o = pen_x - o - w
+            _mirror_line(
+                instances, start + s, boxes[s:e], w, origin=new_o
+            )
 
 
 def _wrap_lines(lines, wrap_width, space_gid, advance_of):

@@ -1,0 +1,122 @@
+"""Bidi-lite tests (`fontrx/font/bidi.py` + `layout_text(bidi=True)`):
+strong-types run itemization with N1/N2 neutral resolution, per-run
+shaping, and per-run visual mirroring."""
+
+import numpy as np
+import pytest
+
+from fontrx.font.bidi import char_direction, split_runs
+
+
+class TestClassification:
+    def test_directions(self):
+        assert char_direction(ord("A")) == "L"
+        assert char_direction(0x05E9) == "R"   # shin
+        assert char_direction(0x0628) == "R"   # beh
+        assert char_direction(0xFB50) == "R"   # presentation form
+        assert char_direction(ord(" ")) == "N"
+        assert char_direction(ord(".")) == "N"
+        assert char_direction(0x200E) == "L"   # LRM
+        assert char_direction(0x200F) == "R"   # RLM
+
+
+class TestRuns:
+    def test_pure_runs(self):
+        assert split_runs([ord(c) for c in "abc"], False) == [(0, 3, False)]
+        assert split_runs([0x5E9, 0x5DC], False) == [(0, 2, True)]
+
+    def test_mixed_with_neutrals(self):
+        cps = [ord(c) for c in "ab "] + [0x5E9, 0x5DC] + [ord(c) for c in " cd"]
+        runs = split_runs(cps, False)
+        # the spaces split per N1: between L and R they take the base
+        assert runs == [(0, 3, False), (3, 5, True), (5, 8, False)]
+
+    def test_neutral_between_same_direction_joins(self):
+        cps = [0x5E9, ord(" "), 0x5DC]
+        assert split_runs(cps, False) == [(0, 3, True)]
+
+    def test_base_direction_decides_boundary_neutrals(self):
+        cps = [ord(" "), 0x5E9]
+        assert split_runs(cps, True) == [(0, 2, True)]
+        assert split_runs(cps, False) == [(0, 1, False), (1, 2, True)]
+
+    def test_empty(self):
+        assert split_runs([], False) == []
+
+
+class TestLayoutBidi:
+    def _positions(self, lt, font):
+        return [
+            (font.charmap.char_for_glyph(lt.slot_gids[i.glyph_slot]), i.x)
+            for i in lt.instances
+        ]
+
+    def test_mixed_line_visual_order(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        text = "abc שלום xyz"
+        lt = layout_text(dejavu, text, bidi=True)
+        pos = {cp: x for cp, x in self._positions(lt, dejavu)}
+        # LTR segments keep order; Hebrew run reverses internally
+        assert pos[ord("a")] < pos[ord("b")] < pos[ord("c")]
+        assert pos[ord("x")] < pos[ord("y")] < pos[ord("z")]
+        shin, mem = 0x05E9, 0x05DD
+        assert pos[shin] > pos[mem]       # first logical letter rightmost
+        # run order on the line: abc < hebrew-span < xyz
+        assert pos[ord("c")] < pos[mem]
+        assert pos[shin] < pos[ord("x")]
+
+    def test_rtl_base_mixed(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        text = "שלום abc"
+        lt = layout_text(dejavu, text, bidi=True, rtl=True)
+        pos = {cp: x for cp, x in self._positions(lt, dejavu)}
+        shin = 0x05E9
+        # RTL base: the Hebrew (first logical) run sits at the RIGHT,
+        # the Latin run at the left — with Latin internally LTR
+        assert pos[shin] > pos[ord("c")]
+        assert pos[ord("a")] < pos[ord("b")] < pos[ord("c")]
+
+    def test_pure_rtl_line_matches_rtl_flag(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        text = "שלום"
+        a = layout_text(dejavu, text, rtl=True)
+        b = layout_text(dejavu, text, rtl=True, bidi=True)
+        pa = sorted((i.glyph_slot, round(i.x)) for i in a.instances)
+        pb = sorted((i.glyph_slot, round(i.x)) for i in b.instances)
+        assert pa == pb
+
+    def test_pure_ltr_is_identity(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        a = layout_text(dejavu, "hello", kern=True)
+        b = layout_text(dejavu, "hello", kern=True, bidi=True)
+        assert [(i.x, i.y) for i in a.instances] == \
+               [(i.x, i.y) for i in b.instances]
+
+    def test_arabic_joins_inside_bidi_runs(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        text = "id: بسم"
+        base = [dejavu.glyph_index(c) for c in "بسم"]
+        lt = layout_text(dejavu, text, bidi=True)
+        gids = {lt.slot_gids[i.glyph_slot] for i in lt.instances}
+        # the Arabic letters took positional forms (not the base gids)
+        assert not (set(base) & gids)
+
+    def test_ligatures_shape_per_run(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(dejavu, "fi שלום", bidi=True, ligatures=True)
+        # the fi ligature formed inside its LTR run: 1 lig + space + 4
+        assert len(lt.instances) == 6
+
+    def test_wrap_ignored_with_warning(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(
+            dejavu, "abc שלום abc", bidi=True, wrap_width=2000
+        )
+        assert len({i.y for i in lt.instances}) == 1  # no wrapping
