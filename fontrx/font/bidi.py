@@ -96,3 +96,25 @@ def split_runs(
             runs.append((start, i, resolved[start] == "R"))
             start = i
     return runs
+
+
+# UAX#9 rule L4: characters with the Bidi_Mirrored property render as
+# their mirrored pair inside RTL runs.  The full table is
+# BidiMirroring.txt; this covers the common pairs (ASCII brackets,
+# guillemets, and the frequent mathematical angles).
+_MIRROR_PAIRS = {
+    0x0028: 0x0029, 0x0029: 0x0028,   # ( )
+    0x005B: 0x005D, 0x005D: 0x005B,   # [ ]
+    0x007B: 0x007D, 0x007D: 0x007B,   # { }
+    0x003C: 0x003E, 0x003E: 0x003C,   # < >
+    0x00AB: 0x00BB, 0x00BB: 0x00AB,   # « »
+    0x2039: 0x203A, 0x203A: 0x2039,   # ‹ ›
+    0x2045: 0x2046, 0x2046: 0x2045,
+    0x2329: 0x232A, 0x232A: 0x2329,
+    0x27E8: 0x27E9, 0x27E9: 0x27E8,
+}
+
+
+def mirror_cp(cp: int) -> int:
+    """The L4 mirrored counterpart of ``cp`` (itself when unpaired)."""
+    return _MIRROR_PAIRS.get(cp, cp)

@@ -197,13 +197,23 @@ def layout_text(
     if bidi and not vertical:
         from fontrx.font.bidi import split_runs
 
+        from fontrx.font.bidi import mirror_cp
+
         line_runs = []
         shaped_lines = []
         for line, cps in zip(lines, cp_lines):
             parts: list[int] = []
             extents: list[tuple[int, int, bool]] = []
             for s, e, is_r in split_runs(cps, rtl):
-                shaped = _shape_stream(line[s:e])
+                seg = line[s:e]
+                if is_r:
+                    # UAX#9 L4: mirrored forms (brackets) in RTL runs
+                    seg = [
+                        int(font.charmap.glyph_index(mirror_cp(cp)))
+                        if mirror_cp(cp) != cp else g
+                        for cp, g in zip(cps[s:e], seg)
+                    ]
+                shaped = _shape_stream(seg)
                 extents.append(
                     (len(parts), len(parts) + len(shaped), is_r)
                 )

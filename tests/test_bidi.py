@@ -120,3 +120,30 @@ class TestLayoutBidi:
             dejavu, "abc שלום abc", bidi=True, wrap_width=2000
         )
         assert len({i.y for i in lt.instances}) == 1  # no wrapping
+
+
+class TestMirroredForms:
+    def test_l4_brackets_mirror_in_rtl_runs(self, dejavu):
+        """UAX#9 L4: a '(' inside an RTL run renders as ')'."""
+        from fontrx.scene.layout import layout_text
+
+        # paren attached to the Hebrew run under an RTL base
+        text = "(שלום)"
+        lt = layout_text(dejavu, text, bidi=True, rtl=True)
+        open_gid = dejavu.glyph_index("(")
+        close_gid = dejavu.glyph_index(")")
+        gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        # logical '(' became ')' and vice versa
+        assert gids[0] == close_gid and gids[-1] == open_gid
+        # visually: the line starts (leftmost) with a '(' shape again
+        xs = {gid: x for gid, x in zip(
+            gids, (i.x for i in lt.instances))}
+        assert xs[open_gid] < xs[close_gid]
+
+    def test_ltr_runs_unmirrored(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(dejavu, "(ab)", bidi=True)
+        gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        assert gids[0] == dejavu.glyph_index("(")
+        assert gids[-1] == dejavu.glyph_index(")")
