@@ -329,7 +329,8 @@ def _run_interactive(font, text, cfg, engine) -> int:
                               kern=cfg.kern, ligatures=cfg.ligatures,
                               marks=cfg.marks,
                               features=_feature_tags(cfg),
-                              positioning=_positioning_tags(cfg))
+                              positioning=_positioning_tags(cfg),
+                              rtl=cfg.rtl, bidi=cfg.bidi)
     if cfg.serve:
         from fontrx.cli.serve import serve
 

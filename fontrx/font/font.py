@@ -565,6 +565,7 @@ class Font:
             except Exception as e:
                 log.warning("avar unusable: %s", e)
         self._var_coords = None if not norm.any() else norm
+        self._var_user = dict(user)  # user-space location (for UIs)
         self._glyphs = [None] * self.maxp.num_glyphs
         self._var_adv = {}
 

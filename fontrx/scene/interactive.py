@@ -71,6 +71,8 @@ class InteractiveSession:
     marks: bool = False
     features: tuple[bytes, ...] | None = None
     positioning: tuple[bytes, ...] | None = None
+    rtl: bool = False
+    bidi: bool = False
 
     def __post_init__(self):
         self.layout: TextLayout = layout_text(self.font, self.text,
@@ -78,7 +80,9 @@ class InteractiveSession:
                                               ligatures=self.ligatures,
                                               marks=self.marks,
                                               features=self.features,
-                                              positioning=self.positioning)
+                                              positioning=self.positioning,
+                                              rtl=self.rtl,
+                                              bidi=self.bidi)
         self.view = ViewTransform.init(
             self.font.info.units_per_em, self.width, self.height
         )
@@ -130,13 +134,15 @@ class InteractiveSession:
         ax = next((a for a in fv.axes if a.tag == axis), None)
         if ax is None:
             return
-        cur = getattr(self, "_var_loc", {}).get(
-            axis, ax.default_value
-        )
+        # start from the font's CURRENT user-space location (set via
+        # --variation or earlier steps) so other axes are preserved
+        loc = dict(getattr(self.font, "_var_user", {}))
+        cur = loc.get(axis, ax.default_value)
         step = (ax.max_value - ax.min_value) / 8.0
-        new = min(max(cur + direction * step, ax.min_value), ax.max_value)
-        self._var_loc = {**getattr(self, "_var_loc", {}), axis: new}
-        self.font.set_variation(self._var_loc)
+        loc[axis] = min(
+            max(cur + direction * step, ax.min_value), ax.max_value
+        )
+        self.font.set_variation(loc)
         self._set_text(self.text)  # re-layout + renderer rebuild
 
     def char_input(self, text: str):
@@ -158,7 +164,9 @@ class InteractiveSession:
                                   ligatures=self.ligatures,
                                   marks=self.marks,
                                   features=self.features,
-                                  positioning=self.positioning)
+                                  positioning=self.positioning,
+                                  rtl=self.rtl,
+                                  bidi=self.bidi)
         self.renderer = PageRenderer(
             self.font, self.layout, self.width, self.height, self.engine,
             tile_cache=self.tile_cache,

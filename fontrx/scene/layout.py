@@ -195,9 +195,7 @@ def layout_text(
 
     line_runs = None
     if bidi and not vertical:
-        from fontrx.font.bidi import split_runs
-
-        from fontrx.font.bidi import mirror_cp
+        from fontrx.font.bidi import mirror_cp, split_runs
 
         line_runs = []
         shaped_lines = []
@@ -207,9 +205,12 @@ def layout_text(
             for s, e, is_r in split_runs(cps, rtl):
                 seg = line[s:e]
                 if is_r:
-                    # UAX#9 L4: mirrored forms (brackets) in RTL runs
+                    # UAX#9 L4: mirrored forms (brackets) in RTL runs;
+                    # fonts missing the mirrored pair keep the original
+                    # glyph rather than degrading to .notdef
                     seg = [
-                        int(font.charmap.glyph_index(mirror_cp(cp)))
+                        (int(font.charmap.glyph_index(mirror_cp(cp)))
+                         or g)
                         if mirror_cp(cp) != cp else g
                         for cp, g in zip(cps[s:e], seg)
                     ]
@@ -467,16 +468,23 @@ def _apply_line_direction(
                 )
     else:
         # RTL base: pre-compute LTR spans, mirror the whole line, then
-        # mirror each LTR run back within its mirrored extent
+        # mirror each LTR run back within its mirrored extent.  Mark
+        # box tuples hold LOGICAL base coordinates — rewrite them to
+        # the mirrored frame before the second mirror, or attached
+        # marks fly off the line
         spans = [
             (s, e, _span_extent(instances, start, boxes, s, e))
             for s, e, is_r in runs if not is_r
         ]
         _mirror_line(instances, start, boxes, pen_x)
+        mboxes = [
+            (pen_x - b[0] - b[1], b[1]) if isinstance(b, tuple) else b
+            for b in boxes
+        ]
         for s, e, (o, w) in spans:
             new_o = pen_x - o - w
             _mirror_line(
-                instances, start + s, boxes[s:e], w, origin=new_o
+                instances, start + s, mboxes[s:e], w, origin=new_o
             )
 
 

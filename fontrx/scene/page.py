@@ -67,7 +67,7 @@ def _next_pow2(n: int) -> int:
 
 class GlyphTileCache:
     """Device-resident LRU of rastered glyph tiles, keyed by
-    ``(glyph id, zoom, mode, tile size)``.
+    ``(glyph id, zoom, mode, tile size, variation location)``.
 
     The reference keeps *meshes* GPU-resident, so pans are free but
     every zoom re-tessellates nothing (vector data).  fontrx's
@@ -268,8 +268,12 @@ class PageRenderer:
             mode = "msaa" if msaa and not debug else (
                 "debug" if debug else "fill"
             )
+            # variable fonts: the design location is part of glyph
+            # identity (stale-weight tiles otherwise survive axis steps)
+            coords = getattr(self.font, "_var_coords", None)
+            var_key = None if coords is None else coords.tobytes()
             keys = [
-                (gid, float(np.float32(px_per_unit)), mode, tile)
+                (gid, float(np.float32(px_per_unit)), mode, tile, var_key)
                 for gid in gids
             ]
             got = [cache.get(k) for k in keys]

@@ -52,14 +52,6 @@ def _vf(doc_axes, masters, out):
     print("wrote", out)
 
 
-def _ttf_base(order, cmap_map, metrics, ascent=800, descent=-200,
-              family="VarTest"):
-    fb = FontBuilder(1000, isTTF=True)
-    fb.setupGlyphOrder(order)
-    fb.setupCharacterMap(cmap_map)
-    return fb
-
-
 def make_vartest():
     def master(w):
         fb = FontBuilder(1000, isTTF=True)
@@ -259,15 +251,18 @@ def make_cidtest():
     td.ROS = ("Adobe", "Identity", 0)
     td.rawDict["CIDCount"] = n
     td.CIDCount = n
-    fd = cffLib.FontDict()
-    fd.rawDict = {}
-    fd.Private = td.Private
+    # TWO FDs sharing the Private, glyphs alternating between them —
+    # exercises per-FD subr routing (fd >= 1) and format-3 ranges
     fda = cffLib.FDArrayIndex()
-    fda.append(fd)
+    for _ in range(2):
+        fd = cffLib.FontDict()
+        fd.rawDict = {}
+        fd.Private = td.Private
+        fda.append(fd)
     td.FDArray = fda
     sel = cffLib.FDSelect()
     sel.format = 3
-    sel.gidArray = [0] * n
+    sel.gidArray = [gid % 2 for gid in range(n)]
     td.FDSelect = sel
     if "Private" in td.rawDict:
         del td.rawDict["Private"]

@@ -147,3 +147,22 @@ class TestMirroredForms:
         gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
         assert gids[0] == dejavu.glyph_index("(")
         assert gids[-1] == dejavu.glyph_index(")")
+
+
+class TestBidiMarksRegression:
+    def test_rtl_base_double_mirror_keeps_marks_on_base(self, dejavu):
+        """Marks in an LTR run under an RTL base survive the double
+        mirror: the mark stays within one advance-width of its base
+        (a stale-box bug once threw it ~3000 units off the line)."""
+        from fontrx.scene.layout import layout_text
+
+        text = "של éx"
+        lt = layout_text(dejavu, text, bidi=True, rtl=True, marks=True)
+        gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        e_gid = dejavu.glyph_index("e")
+        acc_gid = dejavu.glyph_index(0x0301)
+        xs = dict(zip(gids, (i.x for i in lt.instances)))
+        assert abs(xs[acc_gid] - xs[e_gid]) < 1300  # one advance box
+        # nothing flies off the line
+        for i in lt.instances:
+            assert -100 <= i.x <= lt.width + 100

@@ -150,6 +150,9 @@ class TestCharstringMachinery:
 
         f = Font.open(cid)
         assert f._cff.fd_select is not None
+        # the fixture alternates glyphs between TWO FDs, so per-FD
+        # subr routing (fd >= 1) is actually exercised
+        assert max(f._cff.fd_select) == 1
         ft = TTFont(cid)
         cs = ft["CFF "].cff[0].CharStrings
         names = list(cs.keys())

@@ -319,3 +319,34 @@ class TestInteractiveVariation:
         f0 = s.frame()
         s.key("]")
         np.testing.assert_array_equal(s.frame(), f0)
+
+
+class TestVariationStepRegressions:
+    def test_composite_mode_tiles_follow_axis_steps(self):
+        """Tile-cache keys include the design location: composite-mode
+        frames must change when the weight steps."""
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        vf = Font.open(VF1)
+        s = InteractiveSession(
+            vf, "ABO", 192, 128, RasterEngine(backend="jnp"),
+            mode="composite",
+        )
+        f0 = s.frame()
+        for _ in range(4):
+            s.key("]")
+        f1 = s.frame()
+        assert not np.array_equal(f0, f1)
+
+    def test_step_starts_from_current_location(self):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        vf = Font.open(VF1)
+        vf.set_variation(wght=700)
+        s = InteractiveSession(
+            vf, "A", 128, 96, RasterEngine(backend="jnp")
+        )
+        s.key("]")
+        assert vf._var_user[b"wght"] == 800.0  # 700 + range/8
