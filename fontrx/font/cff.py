@@ -455,9 +455,14 @@ def _run_charstring(
             builder.close()
             return True
         elif b0 == 12:  # escape
+            if i >= len(code):
+                raise CorruptedFont("CFF: truncated escape opcode")
             b1 = code[i]
             i += 1
-            if b1 == 35:  # flex
+            if b1 == 35:  # flex (reads 12 args; the 13th, fd, is unused)
+                if len(st) < 12:  # malformed: clear and continue (native parity)
+                    st.clear()
+                    continue
                 a = st
                 p = builder._pos
                 c1 = p + np.array(a[0:2])
@@ -470,6 +475,9 @@ def _run_charstring(
                 builder.curve_to(c3, c4, e)
                 st.clear()
             elif b1 == 34:  # hflex
+                if len(st) < 7:
+                    st.clear()
+                    continue
                 a = st
                 p = builder._pos
                 y0 = p[1]
@@ -483,6 +491,9 @@ def _run_charstring(
                 builder.curve_to(c3, c4, e)
                 st.clear()
             elif b1 == 36:  # hflex1
+                if len(st) < 9:
+                    st.clear()
+                    continue
                 a = st
                 p = builder._pos
                 y0 = p[1]
@@ -496,6 +507,9 @@ def _run_charstring(
                 builder.curve_to(c3, c4, e)
                 st.clear()
             elif b1 == 37:  # flex1
+                if len(st) < 11:
+                    st.clear()
+                    continue
                 a = st
                 p = builder._pos
                 dsum = np.array(a[0:2]) + np.array(a[2:4]) + \
@@ -798,6 +812,17 @@ class Cff2Font:
                 for g in range(first, min(nxt, n_glyphs)):
                     out[g] = fd
                 rp += 3
+            return out
+        if fmt == 4:  # CFF2: u32 glyph ranges (large fonts)
+            (n_ranges,) = struct.unpack_from(">I", data, pos + 1)
+            out = [0] * n_glyphs
+            rp = pos + 5
+            for _ in range(n_ranges):
+                first, fd = struct.unpack_from(">IH", data, rp)
+                (nxt,) = struct.unpack_from(">I", data, rp + 6)
+                for g in range(first, min(nxt, n_glyphs)):
+                    out[g] = fd
+                rp += 6
             return out
         raise CorruptedFont(f"CFF2: FDSelect format {fmt}")
 

@@ -562,6 +562,9 @@ class Font:
                 norm = Avar.parse(
                     self._at(b"avar"), len(fv.axes)
                 ).apply(norm)
+                # conforming implementations (fontTools instancer,
+                # FreeType) re-quantize avar's output to F2DOT14 too
+                norm = np.round(norm * 16384.0) / 16384.0
             except Exception as e:
                 log.warning("avar unusable: %s", e)
         self._var_coords = None if not norm.any() else norm

@@ -428,8 +428,12 @@ class GposShaper(GsubShaper):
                 j = self._next(buf, i, lookup)
                 if j is None:
                     continue
+                # any found pair is a match — including explicit all-zero
+                # pairs, which fonts use in a format-1 subtable as
+                # exceptions overriding a later class matrix in the same
+                # lookup (first-subtable-match-wins per spec)
                 vv = sub.values_for(gid, buf[j])
-                if vv is not None and vv != (ZERO_VALUE, ZERO_VALUE):
+                if vv is not None:
                     st.add(i, vv[0])
                     st.add(j, vv[1])
                     # per the OpenType model, an empty second value

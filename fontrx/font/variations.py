@@ -195,6 +195,10 @@ def _region_scalar(coords: np.ndarray, peaks, starts, ends) -> float:
             lo, hi = starts[i], ends[i]
             if lo > p or hi < p:  # invalid region: axis ignored
                 continue
+            if lo < 0.0 < hi:  # zero-straddling region: axis ignored
+                # (OpenType ItemVariationStore rule; matches fontTools
+                # supportScalar "if lower < 0 and upper > 0: continue")
+                continue
             if v < lo or v > hi:
                 return 0.0
             if v == p:

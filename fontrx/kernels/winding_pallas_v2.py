@@ -66,6 +66,7 @@ def _make_v2_kernel(
     _detail: bool = True,
     row_bands: int = 1,
     glyphs_per_step: int = 1,
+    row_windows: int = 0,
 ):
     """Kernel factory.
 
@@ -99,7 +100,22 @@ def _make_v2_kernel(
       Amortizes the measured ~1.2-2.4 us per-grid-step fixed cost that
       dominates small-tile atlases (36% of the full-font frame).  Must
       divide 128 so a step's anchors share one SMEM window.
+    - ``row_windows``: the dense-regime optimization — split each
+      strip's per-pixel detail phase into this many static row windows
+      (``128/row_windows`` rows each, register-tile aligned) and gate
+      every (chunk, window) on control-hull overlap with the window's
+      ``cy`` range, exactly like the existing strip-level cull but at
+      sub-strip granularity.  A chunk's segments provably contribute
+      zero winding at rows outside their hull (the hull bounds the
+      curve's y-range), so skipped windows are exact — bit-identical
+      to ``row_windows=0``.  This is what makes a 288-segment CJK
+      glyph in a single 128-row strip cheap: phase B touches only the
+      ~1-2 windows each y-sorted chunk actually crosses instead of the
+      whole strip.
     """
+    if row_windows:
+        assert row_bands == 1 and STRIP_ROWS % row_windows == 0, (
+            row_windows, row_bands)
     fdiv = div_cr if exact else (lambda a, b: a / b)
     fsqrt = sqrt_cr if exact else jnp.sqrt
 
@@ -299,10 +315,48 @@ def _make_v2_kernel(
                     elif not guard:
                         # carry-free: every tile compares every crossing at or
                         # right of its left edge (correct per docstring above)
-                        zero = jnp.zeros((STRIP_ROWS, tile_w), jnp.int32)
-                        for t in range(n_tiles):
-                            sl = out_ref[g, :, pl.ds(t * tile_w, tile_w)]
-                            tile_detail(t, sT0, sT1, sl, zero)
+                        if row_windows:
+                            win_h = STRIP_ROWS // row_windows
+                            for t in range(n_tiles):
+                                cxt = cx_tiles[t]
+                                for w in range(row_windows):
+                                    r0 = w * win_h
+                                    # rows descend in em y: cy[r0] is the
+                                    # window's high edge
+                                    cyw_hi = cy[0, r0]
+                                    cyw_lo = cy[0, r0 + win_h - 1]
+
+                                    @pl.when(
+                                        (hull_max + 1.0 >= cyw_lo)
+                                        & (hull_min - 1.0 <= cyw_hi)
+                                    )
+                                    def _(t=t, r0=r0, cxt=cxt):
+                                        acc = out_ref[
+                                            g, pl.ds(r0, win_h),
+                                            pl.ds(t * tile_w, tile_w),
+                                        ]
+                                        for s in range(seg_chunk):
+                                            acc = acc + jnp.where(
+                                                xxT0[r0 : r0 + win_h, s : s + 1]
+                                                >= cxt,
+                                                sT0[r0 : r0 + win_h, s : s + 1],
+                                                0,
+                                            )
+                                            acc = acc + jnp.where(
+                                                xxT1[r0 : r0 + win_h, s : s + 1]
+                                                >= cxt,
+                                                sT1[r0 : r0 + win_h, s : s + 1],
+                                                0,
+                                            )
+                                        out_ref[
+                                            g, pl.ds(r0, win_h),
+                                            pl.ds(t * tile_w, tile_w),
+                                        ] = acc
+                        else:
+                            zero = jnp.zeros((STRIP_ROWS, tile_w), jnp.int32)
+                            for t in range(n_tiles):
+                                sl = out_ref[g, :, pl.ds(t * tile_w, tile_w)]
+                                tile_detail(t, sT0, sT1, sl, zero)
                     else:
                         # carry sweep: far-right crossings fold into a per-row
                         # base; per-pixel compares (and their stores) are
@@ -368,6 +422,52 @@ def _make_v2_kernel(
                                                 )
                                             out_ref[
                                                 g, :, pl.ds(t * tile_w, tile_w)
+                                            ] = acc
+                            elif row_windows:
+                                # base everywhere, then details per live
+                                # hull-overlapped row window only
+                                @pl.when(any_in)
+                                def _(t=t, in0=in0, in1=in1, sl=sl, base=base):
+                                    out_ref[g, :, pl.ds(t * tile_w, tile_w)] = (
+                                        sl + base
+                                    )
+                                    cxt = cx_tiles[t]
+                                    sd0 = jnp.where(in0, s0, 0).T
+                                    sd1 = jnp.where(in1, s1, 0).T
+                                    win_h = STRIP_ROWS // row_windows
+                                    for w in range(row_windows):
+                                        r0 = w * win_h
+                                        cyw_hi = cy[0, r0]
+                                        cyw_lo = cy[0, r0 + win_h - 1]
+
+                                        @pl.when(
+                                            (hull_max + 1.0 >= cyw_lo)
+                                            & (hull_min - 1.0 <= cyw_hi)
+                                        )
+                                        def _(t=t, r0=r0, cxt=cxt,
+                                              sd0=sd0, sd1=sd1, win_h=win_h):
+                                            acc = out_ref[
+                                                g, pl.ds(r0, win_h),
+                                                pl.ds(t * tile_w, tile_w),
+                                            ]
+                                            for s in range(seg_chunk):
+                                                acc = acc + jnp.where(
+                                                    xxT0[r0 : r0 + win_h,
+                                                         s : s + 1] >= cxt,
+                                                    sd0[r0 : r0 + win_h,
+                                                        s : s + 1],
+                                                    0,
+                                                )
+                                                acc = acc + jnp.where(
+                                                    xxT1[r0 : r0 + win_h,
+                                                         s : s + 1] >= cxt,
+                                                    sd1[r0 : r0 + win_h,
+                                                        s : s + 1],
+                                                    0,
+                                                )
+                                            out_ref[
+                                                g, pl.ds(r0, win_h),
+                                                pl.ds(t * tile_w, tile_w),
                                             ] = acc
                             else:
                                 @pl.when(any_in)
@@ -480,14 +580,14 @@ def winding_pallas_banded_batch(
     jax.jit,
     static_argnames=(
         "height", "width", "interpret", "exact", "seg_chunk", "tile_w",
-        "guard", "group_guard", "_detail", "glyphs_per_step",
+        "guard", "group_guard", "_detail", "glyphs_per_step", "row_windows",
     ),
 )
 def winding_pallas_v2_batch(
     segments, min_x, max_y, scale, *, height, width, interpret=False,
     sample_offset=(0.0, 0.0), exact=False, seg_chunk=16,
     tile_w=TILE_W, guard=True, group_guard=0, _detail=True,
-    glyphs_per_step=1,
+    glyphs_per_step=1, row_windows=0,
 ):
     """Batched winding maps, v2 kernel.  height must be a multiple of
     ``STRIP_ROWS`` (128) and width of ``TILE_W`` (128).
@@ -528,7 +628,7 @@ def winding_pallas_v2_batch(
     grid = (bp // gps, height // STRIP_ROWS, n_super)
     out = pl.pallas_call(
         _make_v2_kernel(exact, seg_chunk, tile_w, guard, group_guard, _detail,
-                        glyphs_per_step=gps),
+                        glyphs_per_step=gps, row_windows=row_windows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ * gps // 128),

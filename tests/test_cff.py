@@ -211,3 +211,35 @@ class TestCffFuzz:
                 cf.glyph(0)
             except acceptable:
                 pass
+
+
+class TestMalformedCharstrings:
+    """Interpreter hardening: short flex stacks clear-and-continue
+    (native `cff_interp.cc` parity) and a truncated escape opcode is a
+    typed CorruptedFont, never an IndexError."""
+
+    def _run(self, code: bytes):
+        builder = C._PathBuilder()
+        state = {"stack": [], "hints": 0, "width_done": True, "ops": 0,
+                 "expect": 0}
+        C._run_charstring(code, [], [], builder, state)
+        return builder
+
+    @pytest.mark.parametrize("esc", [35, 34, 36, 37])
+    def test_short_flex_stack_clears_and_continues(self, esc):
+        # three operands — below every flex variant's arity
+        code = bytes([142, 142, 142, 12, esc, 14])  # flex-ish, endchar
+        self._run(code)  # must not raise
+
+    def test_truncated_escape_is_typed(self):
+        with pytest.raises(CorruptedFont):
+            self._run(bytes([142, 12]))  # escape byte past end
+
+    def test_fdselect_format4(self):
+        import struct
+
+        data = (bytes([4]) + struct.pack(">I", 2)
+                + struct.pack(">IH", 0, 1) + struct.pack(">IH", 3, 2)
+                + struct.pack(">I", 6))
+        out = C.Cff2Font._parse_fdselect(data, 0, 6)
+        assert out == [1, 1, 1, 2, 2, 2]

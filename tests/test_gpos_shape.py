@@ -122,6 +122,24 @@ class TestPairPos:
         pos2 = sh.positions([11, 10], [100, 100])
         assert pos2.x_advance.tolist() == [100, 100]
 
+    def test_format1_zero_pair_overrides_class_kern(self):
+        # fonts use explicit all-zero format-1 pairs as exceptions that
+        # defeat a following class matrix in the same lookup; any found
+        # pair is a match (first-subtable-match-wins per spec)
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(2, 0, [
+                gpos_pair1({10: [(11, Z, Z)]}, vf1=0xF, vf2=0xF),
+                gpos_pair2(
+                    coverage=[10], cd1={10: 1}, cd2={11: 2},
+                    n_c1=2, n_c2=3,
+                    matrix={(1, 2): ((0, 0, -25, 0), Z)},
+                ),
+            ])],
+        )
+        pos = shaper(gpos).positions([10, 11], [100, 100])
+        assert pos.x_advance.tolist() == [100, 100]
+
     def test_pair_chain_resumes_at_second(self):
         # A-B kern and B-C kern both apply (scan resumes at B)
         gpos = build_gpos(

@@ -350,3 +350,103 @@ class TestVariationStepRegressions:
         )
         s.key("]")
         assert vf._var_user[b"wght"] == 800.0  # 700 + range/8
+
+
+class TestRegionScalars:
+    """Differentials for the OpenType per-axis region scalar rules
+    (`variations._region_scalar`), fontTools `supportScalar(ot=True)`
+    as the oracle — notably the zero-straddling rule: a region with
+    start < 0 < end and a nonzero peak ignores that axis."""
+
+    def test_matches_fonttools_supportscalar(self):
+        from fontTools.varLib.models import supportScalar
+
+        from fontrx.font.variations import _region_scalar
+
+        regions = [
+            (0.0, 0.5, 1.0), (-1.0, -0.5, 0.0), (0.0, 1.0, 1.0),
+            (-1.0, 0.5, 1.0),     # zero-straddling: axis ignored
+            (-0.5, 0.25, 0.75),   # also straddling
+            (0.5, 0.25, 0.75),    # invalid (start > peak): ignored
+            (0.0, 0.0, 0.0),      # peak 0: ignored
+            (0.25, 0.25, 0.25),   # point region
+            (0.25, 0.25, 0.75),   # peak == start
+            (0.25, 0.75, 0.75),   # peak == end
+        ]
+        for lo, p, hi in regions:
+            for v in np.linspace(-1.0, 1.0, 17):
+                ours = _region_scalar(
+                    np.array([v]), [p], [lo], [hi])
+                ft = supportScalar(
+                    {"a": float(v)}, {"a": (lo, p, hi)}, ot=True)
+                assert ours == pytest.approx(ft), (lo, p, hi, v)
+
+    def test_two_axis_product_with_straddling_axis(self):
+        from fontTools.varLib.models import supportScalar
+
+        from fontrx.font.variations import _region_scalar
+
+        peaks, starts, ends = [0.5, 0.5], [-1.0, 0.0], [1.0, 1.0]
+        for v0 in (-0.5, 0.25, 0.9):
+            for v1 in (0.0, 0.25, 0.8):
+                ours = _region_scalar(
+                    np.array([v0, v1]), peaks, starts, ends)
+                ft = supportScalar(
+                    {"a": v0, "b": v1},
+                    {"a": (-1.0, 0.5, 1.0), "b": (0.0, 0.5, 1.0)},
+                    ot=True)
+                assert ours == pytest.approx(ft), (v0, v1)
+
+    def test_gvar_straddling_tuple_applies_at_scalar_one(self, tmp_path):
+        """A gvar tuple with a zero-straddling intermediate region has
+        per-axis scalar 1 at every location (the axis is ignored) — the
+        spec renderer algorithm and fontTools' direct rendering
+        (``getGlyphSet(location=...)``) agree on this; the instancer
+        instead drops such ill-formed tents entirely, so the pin here
+        is the exact scalar: the poisoned glyph must equal the clean
+        glyph shifted by exactly 1.0x the poison delta."""
+        from fontTools.ttLib import TTFont
+        from fontTools.ttLib.tables.TupleVariation import TupleVariation
+
+        ft = TTFont(VF1)
+        var_a = ft["gvar"].variations["A"]
+        npts = len(var_a[0].coordinates)
+        var_a.append(TupleVariation(
+            {"wght": (-1.0, 0.5, 1.0)},   # start < 0 < end, peak != 0
+            [(0, 60)] * npts,
+        ))
+        buf = io.BytesIO()
+        ft.save(buf)
+        # wght=300 -> v=0.25 != peak: the pre-rule code scaled by
+        # (v-lo)/(p-lo) = 0.833 instead of 1.0
+        vf = Font(buf.getvalue())
+        vf.set_variation(wght=300)
+        clean = Font.open(VF1)
+        clean.set_variation(wght=300)
+        gp = vf.load_glyph(vf.glyph_index("A"))
+        gc = clean.load_glyph(clean.glyph_index("A"))
+        for cp, cc in zip(gp.contours, gc.contours, strict=True):
+            np.testing.assert_array_equal(
+                cp.points, cc.points + np.array([0, 60]))
+
+class TestAvarRequantization:
+    def test_avar_coords_on_f2dot14_grid(self):
+        """avar output must re-quantize to F2DOT14 (fontTools/FreeType
+        parity), not just the pre-avar normalized coordinate."""
+        vf = Font.open(VF2)
+        vf.set_variation(wght=433)
+        c = vf._var_coords
+        assert c is not None
+        np.testing.assert_array_equal(c * 16384.0,
+                                      np.round(c * 16384.0))
+
+    @pytest.mark.parametrize("wght", [433, 617])
+    def test_avar_font_matches_instancer(self, wght):
+        ref = _instancer_font(VF2, wght)
+        vf = Font.open(VF2)
+        vf.set_variation(wght=wght)
+        for ch in "A":
+            _raster_equal(
+                ref.load_glyph(ref.glyph_index(ch)),
+                vf.load_glyph(vf.glyph_index(ch)),
+            )
