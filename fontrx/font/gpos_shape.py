@@ -368,18 +368,29 @@ class GposShaper(GsubShaper):
     # -- application -------------------------------------------------------
 
     def positions(
-        self, glyphs: list[int], advance_widths: list[int] | np.ndarray
+        self,
+        glyphs: list[int],
+        advance_widths: list[int] | np.ndarray,
+        script: bytes | None = None,
+        lang: bytes | None = None,
     ) -> GlyphPositions:
-        """Apply every selected lookup over the glyph run and resolve
-        attachments into final placements (see :class:`GlyphPositions`)."""
+        """Apply the selected lookups over the glyph run and resolve
+        attachments into final placements (see :class:`GlyphPositions`).
+        With ``script`` given, lookups come from that script's language
+        system (plus its required feature) instead of the tag-global
+        scan."""
         n = len(glyphs)
         st = _PosState(
             xp=[0] * n, yp=[0] * n,
             xa=[int(a) for a in advance_widths], ya=[0] * n,
             attach=[None] * n, cursive=[None] * n,
         )
-        for li in self.order:
-            lk = self.lookups.get(li)
+        if script is not None:
+            order = self.lookup_indices_for(self.tags, script, lang)
+        else:
+            order = self.order
+        for li in order:
+            lk = self._lookup(li)
             if lk:
                 self._apply_lookup(glyphs, lk, st, depth=0)
         return st.resolve()

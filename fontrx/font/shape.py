@@ -42,33 +42,78 @@ _GSUB_EXTENSION = 7
 
 def parse_layout_header(
     r: BigEndianReader, tags: tuple[bytes, ...]
-) -> tuple[dict[bytes, tuple[int, ...]], set[int], list[int], int] | None:
-    """Parse the shared GSUB/GPOS header + FeatureList + LookupList
-    index (the two tables have byte-identical framing; only subtable
-    contents differ).  Returns ``(features, selected_lookup_indices,
-    lookup_offsets, lookup_list_base)`` or ``None`` for an unsupported
-    major version."""
+) -> tuple[
+    dict[bytes, tuple[int, ...]], set[int], list[int], int,
+    tuple[tuple[bytes, tuple[int, ...]], ...],
+    dict[bytes, dict[bytes, tuple[int | None, tuple[int, ...]]]],
+] | None:
+    """Parse the shared GSUB/GPOS header + ScriptList + FeatureList +
+    LookupList index (the two tables have byte-identical framing; only
+    subtable contents differ).  Returns ``(features,
+    selected_lookup_indices, lookup_offsets, lookup_list_base,
+    feature_records, scripts)`` or ``None`` for an unsupported major
+    version:
+
+    - ``features``: tag -> merged lookup indices (the tag-global view);
+    - ``feature_records``: the ordered FeatureList — ``(tag, lookup
+      indices)`` per feature index, as LangSys tables reference them;
+    - ``scripts``: script tag -> {langsys tag (b"dflt" for the default
+      LangSys) -> (required feature index or None, feature indices)}.
+    """
     base = r.pos
     major, _minor = r.unpack("HH")
     if major != 1:
         return None
-    _script_off, feature_off, lookup_off = r.unpack("HHH")
+    script_off, feature_off, lookup_off = r.unpack("HHH")
 
     fr = BigEndianReader(r.data, base + feature_off)
     f_base = fr.pos
     n_feat = fr.u16()
     features: dict[bytes, list[int]] = {}
     selected: set[int] = set()
-    for _ in range(n_feat):
-        tag = fr.tag()
-        off = fr.u16()
+    records: list[tuple[bytes, tuple[int, ...]]] = []
+    heads = [(fr.tag(), fr.u16()) for _ in range(n_feat)]
+    for tag, off in heads:
         tr = BigEndianReader(r.data, f_base + off)
         tr.skip(2)  # featureParamsOffset
         n_lk = tr.u16()
-        idx = tr.u16_array(n_lk).tolist()
-        features.setdefault(tag, []).extend(int(i) for i in idx)
+        idx = tuple(int(i) for i in tr.u16_array(n_lk))
+        records.append((tag, idx))
+        features.setdefault(tag, []).extend(idx)
         if tag in tags:
-            selected.update(int(i) for i in idx)
+            selected.update(idx)
+
+    # ScriptList -> per-script/per-langsys feature selection (the
+    # reference has no shaping; harfbuzz semantics: default LangSys
+    # under b"dflt")
+    scripts: dict[bytes, dict[bytes, tuple[int | None, tuple[int, ...]]]]
+    scripts = {}
+    sr = BigEndianReader(r.data, base + script_off)
+    s_base = sr.pos
+    n_scripts = sr.u16()
+    s_heads = [(sr.tag(), sr.u16()) for _ in range(n_scripts)]
+
+    def parse_langsys(pos: int):
+        lsr = BigEndianReader(r.data, pos)
+        lsr.skip(2)  # lookupOrderOffset (reserved)
+        req = lsr.u16()
+        n_fi = lsr.u16()
+        fi = tuple(int(i) for i in lsr.u16_array(n_fi))
+        return (None if req == 0xFFFF else req, fi)
+
+    for s_tag, s_off in s_heads:
+        tr = BigEndianReader(r.data, s_base + s_off)
+        t_base = tr.pos
+        dflt_off = tr.u16()
+        n_ls = tr.u16()
+        entry: dict[bytes, tuple[int | None, tuple[int, ...]]] = {}
+        if dflt_off:
+            entry[b"dflt"] = parse_langsys(t_base + dflt_off)
+        for _ in range(n_ls):
+            ls_tag = tr.tag()
+            ls_off = tr.u16()
+            entry[ls_tag] = parse_langsys(t_base + ls_off)
+        scripts[s_tag] = entry
 
     lr = BigEndianReader(r.data, base + lookup_off)
     l_base = lr.pos
@@ -79,6 +124,8 @@ def parse_layout_header(
         {i for i in selected if i < n_lookups},
         lookup_offsets,
         l_base,
+        tuple(records),
+        scripts,
     )
 
 
@@ -214,6 +261,12 @@ class GsubShaper:
     order: tuple[int, ...]              # feature-selected, ascending
     gdef: GdefTable | None
     features: dict[bytes, tuple[int, ...]] = field(default_factory=dict)
+    # ordered FeatureList (tag, lookup indices) — LangSys tables
+    # reference features by index into this
+    feature_records: tuple = ()
+    # script tag -> {langsys tag | b"dflt" -> (required?, feat indices)}
+    scripts: dict = field(default_factory=dict)
+    tags: tuple[bytes, ...] = ()
 
     # -- parsing -----------------------------------------------------------
 
@@ -230,7 +283,7 @@ class GsubShaper:
         hdr = parse_layout_header(r, tags)
         if hdr is None:
             return None
-        features, selected, lookup_offsets, l_base = hdr
+        features, selected, lookup_offsets, l_base, records, scripts = hdr
         if not selected:
             return None
 
@@ -239,6 +292,9 @@ class GsubShaper:
             order=tuple(sorted(selected)),
             gdef=gdef,
             features=features,
+            feature_records=records,
+            scripts=scripts,
+            tags=tuple(tags),
         )
         shaper._data = r.data
         shaper._l_base = l_base
@@ -418,12 +474,80 @@ class GsubShaper:
         return sub.rules_for(gid), bt_cd, in_cd, la_cd
 
 
-    def apply(self, glyphs: list[int]) -> list[int]:
-        """Run every selected lookup, in LookupList order, over a copy
-        of the glyph-id stream."""
+    # -- script/language-system selection (VERDICT r2 item 3) --------------
+
+    def langsys_features(
+        self, script: bytes | None, lang: bytes | None = None
+    ) -> tuple[int | None, tuple[int, ...]] | None:
+        """The (required feature index, feature indices) of the given
+        script+langsys, with OpenType fallbacks: explicit langsys ->
+        script's default LangSys; explicit script -> DFLT -> latn.
+        ``None`` when the ScriptList offers nothing for the script
+        (callers then fall back to the tag-global scan)."""
+        if not self.scripts:
+            return None
+        entry = None
+        for s in (script, b"DFLT", b"latn"):
+            if s is not None and s in self.scripts:
+                entry = self.scripts[s]
+                break
+        if entry is None:
+            return None
+        ls = None
+        if lang is not None and lang in entry:
+            ls = entry[lang]
+        elif b"dflt" in entry:
+            ls = entry[b"dflt"]
+        elif entry:
+            ls = next(iter(entry.values()))
+        return ls
+
+    def lookup_indices_for(
+        self,
+        tags: tuple[bytes, ...],
+        script: bytes | None = None,
+        lang: bytes | None = None,
+    ) -> list[int]:
+        """Lookup indices (ascending) for the feature tags as selected
+        by the script/language system: only features the LangSys
+        references participate, and its required feature (whatever its
+        tag) always does.  Falls back to the tag-global scan when the
+        font's ScriptList has no entry to consult (or ``script`` is
+        None, preserving the round-2 behavior)."""
+        ls = self.langsys_features(script, lang) if script else None
+        if ls is None:
+            return sorted({
+                li for t in tags for li in self.features.get(t, ())
+            })
+        req, fis = ls
+        out: set[int] = set()
+        n = len(self.feature_records)
+        if req is not None and req < n:
+            out.update(self.feature_records[req][1])
+        for fi in fis:
+            if fi < n:
+                tag, lks = self.feature_records[fi]
+                if tag in tags:
+                    out.update(lks)
+        return sorted(out)
+
+    def apply(
+        self,
+        glyphs: list[int],
+        script: bytes | None = None,
+        lang: bytes | None = None,
+    ) -> list[int]:
+        """Run the selected lookups, in LookupList order, over a copy
+        of the glyph-id stream.  With ``script`` given, the lookup set
+        comes from that script's language system (plus its required
+        feature) instead of the tag-global scan."""
+        if script is not None:
+            order = self.lookup_indices_for(self.tags, script, lang)
+        else:
+            order = self.order
         buf = list(glyphs)
-        for li in self.order:
-            lk = self.lookups.get(li)
+        for li in order:
+            lk = self._lookup(li)
             if lk:
                 self._apply_lookup(buf, lk, depth=0)
         return buf

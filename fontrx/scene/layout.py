@@ -184,41 +184,72 @@ def layout_text(
         tags += tuple(t for t in features if t not in tags)
     if vertical:
         tags += tuple(t for t in (b"vert",) if t not in tags)
-    def _shape_stream(seq):
-        if tags:
-            shaper = font.shaper(tags)
-            if shaper is not None:
-                return shaper.apply(seq)
+    def _shape_stream(seq, seg_cps=None):
+        """GSUB over one glyph stream.  With codepoints available the
+        stream itemizes into script runs and each run's lookups come
+        from its ScriptList entry (script/language-system selection —
+        ``locl`` and per-script feature registration resolve correctly
+        on multi-script fonts); fonts without a usable ScriptList keep
+        the tag-global behavior."""
+        if not tags:
+            return seq
+        shaper = font.shaper(tags)
+        if shaper is None:
             if ligatures and font.ligatures is not None:
                 return font.ligatures.apply(seq)
-        return seq
+            return seq
+        if (seg_cps is None or len(seg_cps) != len(seq)
+                or not getattr(shaper, "scripts", None)):
+            return shaper.apply(seq)
+        from fontrx.font.script import itemize
+
+        out: list[int] = []
+        for s, e, stag in itemize(seg_cps):
+            out.extend(shaper.apply(seq[s:e], script=stag or b"DFLT"))
+        return out
 
     line_runs = None
     if bidi and not vertical:
-        from fontrx.font.bidi import mirror_cp, split_runs
+        from fontrx.font.uax9 import mirror_cp
+        from fontrx.font.uax9 import resolve as _bidi_resolve
 
+        # explicit directional formatting characters are removed from
+        # display (UAX#9 X9); ZWJ/ZWNJ and the rest of class BN stay in
+        # the stream so the Arabic joiner still sees them
+        controls = frozenset(range(0x202A, 0x202F)) | frozenset(
+            range(0x2066, 0x206A))
         line_runs = []
         shaped_lines = []
         for line, cps in zip(lines, cp_lines):
+            bl = _bidi_resolve(list(cps), rtl)
             parts: list[int] = []
-            extents: list[tuple[int, int, bool]] = []
-            for s, e, is_r in split_runs(cps, rtl):
-                seg = line[s:e]
-                if is_r:
-                    # UAX#9 L4: mirrored forms (brackets) in RTL runs;
-                    # fonts missing the mirrored pair keep the original
-                    # glyph rather than degrading to .notdef
-                    seg = [
-                        (int(font.charmap.glyph_index(mirror_cp(cp)))
-                         or g)
-                        if mirror_cp(cp) != cp else g
-                        for cp, g in zip(cps[s:e], seg)
-                    ]
-                shaped = _shape_stream(seg)
+            extents: list[tuple[int, int, int]] = []
+            idx = [i for i in range(len(cps))
+                   if cps[i] not in controls]
+            k = 0
+            while k < len(idx):
+                lvl = bl.levels[idx[k]]
+                j = k
+                while j < len(idx) and bl.levels[idx[j]] == lvl:
+                    j += 1
+                # UAX#9 L4: mirrored forms at odd levels; fonts missing
+                # the mirrored pair keep the original glyph rather than
+                # degrading to .notdef
+                seg = []
+                for i in idx[k:j]:
+                    g = line[i]
+                    cp = cps[i]
+                    if lvl % 2 and mirror_cp(cp) != cp:
+                        g = (int(font.charmap.glyph_index(
+                            mirror_cp(cp))) or g)
+                    seg.append(g)
+                shaped = _shape_stream(
+                    seg, [cps[i] for i in idx[k:j]])
                 extents.append(
-                    (len(parts), len(parts) + len(shaped), is_r)
+                    (len(parts), len(parts) + len(shaped), lvl)
                 )
                 parts.extend(shaped)
+                k = j
             shaped_lines.append(parts)
             line_runs.append(extents)
         lines = shaped_lines
@@ -231,7 +262,10 @@ def layout_text(
             )
             wrap_width = None
     elif tags:
-        lines = [_shape_stream(line) for line in lines]
+        lines = [
+            _shape_stream(line, cps)
+            for line, cps in zip(lines, cp_lines)
+        ]
 
     if wrap_width is not None and not vertical:
         space = int(font.charmap.glyph_index(0x20))
@@ -452,40 +486,47 @@ def _apply_line_direction(
     instances, start, boxes, pen_x, rtl, runs
 ):
     """Post-placement direction handling for one line: whole-line
-    mirror for plain RTL; per-run mirroring for bidi (counter-base
-    runs reverse their own advance-box span)."""
+    mirror for plain RTL; UAX#9 L2 for bidi.
+
+    ``runs`` is ``None`` (plain path) or ``[(s, e, level)]`` per-glyph
+    level runs from the full bidi resolution.  L2 is applied
+    geometrically: from the highest level down to the lowest odd
+    level, every maximal glyph span at >= that level reverses its own
+    advance-box extent.  Reversal preserves intra-pair gaps (kerning
+    ran on the logical stream), and mark box tuples are rewritten into
+    each mirrored frame so nested reversals compose — this handles
+    arbitrary level nesting (embeddings/isolates), not just the
+    two-level base/counter-base case."""
     if runs is None:
         if rtl:
             _mirror_line(instances, start, boxes, pen_x)
         return
-    if not rtl:
-        # LTR base: RTL runs mirror in place
-        for s, e, is_r in runs:
-            if is_r:
-                o, w = _span_extent(instances, start, boxes, s, e)
-                _mirror_line(
-                    instances, start + s, boxes[s:e], w, origin=o
-                )
-    else:
-        # RTL base: pre-compute LTR spans, mirror the whole line, then
-        # mirror each LTR run back within its mirrored extent.  Mark
-        # box tuples hold LOGICAL base coordinates — rewrite them to
-        # the mirrored frame before the second mirror, or attached
-        # marks fly off the line
-        spans = [
-            (s, e, _span_extent(instances, start, boxes, s, e))
-            for s, e, is_r in runs if not is_r
-        ]
-        _mirror_line(instances, start, boxes, pen_x)
-        mboxes = [
-            (pen_x - b[0] - b[1], b[1]) if isinstance(b, tuple) else b
-            for b in boxes
-        ]
-        for s, e, (o, w) in spans:
-            new_o = pen_x - o - w
-            _mirror_line(
-                instances, start + s, mboxes[s:e], w, origin=new_o
-            )
+    levels = [0] * len(boxes)
+    for s, e, lvl in runs:
+        for k in range(s, e):
+            levels[k] = lvl
+    if not levels:
+        return
+    boxes = list(boxes)  # local copy: mark tuples get rewritten
+    hi = max(levels)
+    lo_odd = min(lv | 1 for lv in levels)
+    for lvl in range(hi, lo_odd - 1, -1):
+        k = 0
+        while k < len(levels):
+            if levels[k] < lvl:
+                k += 1
+                continue
+            j = k
+            while j < len(levels) and levels[j] >= lvl:
+                j += 1
+            o, w = _span_extent(instances, start, boxes, k, j)
+            _mirror_line(instances, start + k, boxes[k:j], w, origin=o)
+            m = 2.0 * o + w
+            for t in range(k, j):
+                b = boxes[t]
+                if isinstance(b, tuple):
+                    boxes[t] = (m - b[0] - b[1], b[1])
+            k = j
 
 
 def _wrap_lines(lines, wrap_width, space_gid, advance_of):

