@@ -380,3 +380,90 @@ class TestCLIFeaturesFlag:
         assert il.any() and (
             ip.shape != il.shape or (ip != il).any()
         )
+
+
+class TestScriptSelection:
+    """Script/language-system-aware lookup selection (VERDICT r2 item
+    3): the same feature tag registered under different scripts selects
+    different lookups, required features always apply, and fonts with
+    no consultable ScriptList keep the tag-global behavior."""
+
+    def _two_script(self):
+        # feature 0: 'locl' for latn (10->20); feature 1: 'locl' for
+        # grek (10->30); feature 2: 'salt' required by grek (11->31)
+        return build_gsub(
+            [(b"locl", [0]), (b"locl", [1]), (b"salt", [2])],
+            [
+                (1, 0, [gsub_single({10: 20})]),
+                (1, 0, [gsub_single({10: 30})]),
+                (1, 0, [gsub_single({11: 31})]),
+            ],
+            scripts=[
+                (b"latn", {None: (None, [0])}),
+                (b"grek", {None: (2, [1])}),
+            ],
+        )
+
+    def test_same_tag_selects_per_script(self):
+        sh = shaper(self._two_script(), tags=(b"locl",))
+        assert sh.apply([10, 11], script=b"latn") == [20, 11]
+        assert sh.apply([10, 11], script=b"grek") == [30, 31]
+
+    def test_required_feature_applies_regardless_of_tag(self):
+        # 'salt' is grek's REQUIRED feature: it applies even though the
+        # requested tag set is only ('locl',)
+        sh = shaper(self._two_script(), tags=(b"locl",))
+        assert sh.apply([11], script=b"grek") == [31]
+        assert sh.apply([11], script=b"latn") == [11]
+
+    def test_unknown_script_falls_back_dflt_then_latn(self):
+        sh = shaper(self._two_script(), tags=(b"locl",))
+        # no DFLT entry -> latn fallback
+        assert sh.apply([10], script=b"cyrl") == [20]
+
+    def test_no_script_argument_keeps_tag_global(self):
+        sh = shaper(self._two_script(), tags=(b"locl",))
+        # tag-global: BOTH locl features' lookups apply in order
+        # (lookup 0 first: 10->20; lookup 1 no longer matches)
+        assert sh.apply([10]) == [20]
+
+    def test_langsys_selection(self):
+        gsub = build_gsub(
+            [(b"locl", [0]), (b"locl", [1])],
+            [
+                (1, 0, [gsub_single({10: 20})]),
+                (1, 0, [gsub_single({10: 30})]),
+            ],
+            scripts=[
+                (b"latn", {None: (None, [0]), b"TRK ": (None, [1])}),
+            ],
+        )
+        sh = shaper(gsub, tags=(b"locl",))
+        assert sh.apply([10], script=b"latn") == [20]
+        assert sh.apply([10], script=b"latn", lang=b"TRK ") == [30]
+
+    def test_empty_scriptlist_fallback(self):
+        gsub = build_gsub(
+            [(b"locl", [0])], [(1, 0, [gsub_single({10: 20})])],
+        )
+        sh = shaper(gsub, tags=(b"locl",))
+        assert sh.apply([10], script=b"grek") == [20]
+
+
+class TestScriptItemize:
+    def test_itemize_runs(self):
+        from fontrx.font.script import itemize, script_of
+
+        assert script_of(ord("a")) == b"latn"
+        assert script_of(0x05D0) == b"hebr"
+        assert script_of(0x0627) == b"arab"
+        assert script_of(0x4E2D) == b"hani"
+        assert script_of(ord(" ")) is None
+        runs = itemize([ord(c) for c in "ab "] + [0x5D0, 0x5D1])
+        assert runs == [(0, 3, b"latn"), (3, 5, b"hebr")]
+
+    def test_leading_common_joins_first_script(self):
+        from fontrx.font.script import itemize
+
+        runs = itemize([ord(" "), 0x5D0])
+        assert runs == [(0, 2, b"hebr")]

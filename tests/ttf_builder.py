@@ -606,17 +606,64 @@ def gsub_extension(ext_type: int, subtable: bytes) -> bytes:
     return struct.pack(">HHI", 1, ext_type, 8) + subtable
 
 
+def build_script_list(
+    scripts: list[tuple[bytes, dict[bytes | None, tuple[int | None, list[int]]]]],
+) -> bytes:
+    """Assemble a ScriptList: ``[(script_tag, {langsys_tag_or_None:
+    (required_feature_index_or_None, feature_indices)})]`` — the None
+    langsys key is the script's default LangSys."""
+    def langsys(req, idx):
+        return struct.pack(
+            f">HHH{len(idx)}H", 0,
+            0xFFFF if req is None else req, len(idx), *idx)
+
+    n = len(scripts)
+    head = struct.pack(">H", n)
+    script_tables = []
+    pos = 2 + 6 * n
+    offs = []
+    for _tag, langs in scripts:
+        named = [(t, v) for t, v in langs.items() if t is not None]
+        t_head_len = 4 + 6 * len(named)
+        ls_blobs, ls_offs = [], []
+        p = t_head_len
+        dflt_off = 0
+        if None in langs:
+            b = langsys(*langs[None])
+            dflt_off = p
+            ls_blobs.append(b)
+            p += len(b)
+        for _lt, v in named:
+            b = langsys(*v)
+            ls_offs.append(p)
+            ls_blobs.append(b)
+            p += len(b)
+        tbl = struct.pack(">HH", dflt_off, len(named))
+        for (lt, _v), off in zip(named, ls_offs):
+            tbl += struct.pack(">4sH", lt, off)
+        tbl += b"".join(ls_blobs)
+        offs.append(pos)
+        script_tables.append(tbl)
+        pos += len(tbl)
+    for (tag, _), off in zip(scripts, offs):
+        head += struct.pack(">4sH", tag, off)
+    return head + b"".join(script_tables)
+
+
 def build_gsub(
     features: list[tuple[bytes, list[int]]],
     lookups: list[tuple[int, int, list[bytes]]],
     mark_filter_sets: dict[int, int] | None = None,
+    scripts: list | None = None,
 ) -> bytes:
     """Assemble a GSUB table.  ``lookups``: (type, flags, subtables);
     ``mark_filter_sets``: lookup index -> markFilteringSet value (sets
-    flag 0x10 implicitly expected in flags)."""
+    flag 0x10 implicitly expected in flags); ``scripts``: optional
+    ScriptList spec (see :func:`build_script_list`; empty when
+    omitted)."""
     mark_filter_sets = mark_filter_sets or {}
-    # script list: empty (fontrx ignores it)
-    script_list = struct.pack(">H", 0)
+    script_list = (build_script_list(scripts) if scripts
+                   else struct.pack(">H", 0))
     # feature list
     n_feat = len(features)
     feat_tables = []
