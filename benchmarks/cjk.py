@@ -107,25 +107,31 @@ def atlas(b=1000, n_segments=288):
     import jax
     import jax.numpy as jnp
 
+    from fontrx.engine.raster import RasterEngine
     from fontrx.kernels import oracle
-    from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
+    from fontrx.pack.segments import xsort_segments
 
     segs = make_batch(b, n_segments)
-    d_segs = jnp.asarray(segs)
+    # x-sorted packing: the dense column-major kernel's per-chunk
+    # crossing x-windows get narrow (pack-time order is free — winding
+    # sums commute; tools/tpu_probes/tpu_dense.py: 10.5 -> 8.2 ms)
+    d_segs = jnp.asarray(np.stack([xsort_segments(s) for s in segs]))
     on_tpu = jax.default_backend() == "tpu"
+    engine = RasterEngine(
+        exact=True, backend="auto" if on_tpu else "interpret")
 
     for size in (64, 32):
         scale = np.float32(size / UPEM)
         max_y = np.full(b, size - 1, np.int32)
         d_var = jnp.stack([jnp.full(b, i, jnp.int32) for i in range(4)])
         d_my = jnp.asarray(max_y)
-        h = ((size + 127) // 128) * 128
 
-        def fn(mx, h=h, scale=scale, d_my=d_my):
-            return winding_pallas_v2_batch(
-                d_segs, mx, d_my, jnp.float32(scale), height=h, width=128,
-                exact=True, guard=n_segments > 256,
-                interpret=not on_tpu,
+        def fn(mx, size=size, scale=scale, d_my=d_my):
+            # the SHIPPED engine path (picks the dense column-major
+            # kernel for this capacity/tile shape)
+            return engine.winding_batch(
+                d_segs, mx, d_my, jnp.float32(scale),
+                height=size, width=size,
             )
 
         dt = _chained_timer(fn, d_var, n_iter=12 if on_tpu else 2,

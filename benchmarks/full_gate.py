@@ -262,6 +262,37 @@ def run_full_gate(verbose: bool = True) -> dict:
         total_mismatch += m
         log(f"  banded{tile}: {m}/{exp_b.size}")
 
+    # ---- 6. dense-regime engine path (column-major kernel) ---------------
+    log("gate 6: dense 288-seg atlas @64px/@32px (column-major kernel)")
+    from benchmarks.cjk import UPEM as CJK_UPEM
+    from benchmarks.cjk import make_batch
+    from fontrx.pack.segments import xsort_segments
+
+    dsegs = make_batch(150, 288, seed=20260817)
+    dx = jnp.asarray(np.stack([xsort_segments(s) for s in dsegs]))
+    for tile in (64, 32):
+        dscale = np.float32(tile / CJK_UPEM)
+        dmx = jnp.zeros(150, jnp.int32)
+        dmy = jnp.full(150, tile - 1, jnp.int32)
+        out_d = engine.winding_batch(
+            dx, dmx, dmy, dscale, height=tile, width=tile,
+        )
+        exp_d = np.zeros((150, tile, tile), np.int32)
+        xs = np.arange(tile).astype(np.float32) / dscale
+        ys = (tile - 1 - np.arange(tile)).astype(np.float32) / dscale
+        for i in range(150):
+            exp_d[i] = oracle.winding_at(
+                dsegs[i], xs[None, :], ys[:, None],
+                contract=canonical_contract,
+            )
+        m = _device_mismatch(out_d, exp_d)
+        results[f"dense{tile}"] = {
+            "checked": exp_d.size, "mismatch_canonical": m,
+        }
+        total_checked += exp_d.size
+        total_mismatch += m
+        log(f"  dense{tile}: {m}/{exp_d.size}")
+
     results["total_checked"] = total_checked
     results["total_mismatch_canonical"] = total_mismatch
     return results

@@ -100,6 +100,35 @@ class RasterEngine:
                     for i in range(0, segments.shape[0], MAX_KERNEL_BATCH)
                 ]
                 return jnp.concatenate(parts, axis=0)
+            if backend in (BACKEND_PALLAS, BACKEND_INTERPRET) and (
+                segments.shape[1] > 128
+                and height <= STRIP_ROWS
+                and width <= 128
+            ):
+                # dense single-tile regime (CJK atlas shape): the
+                # column-major kernel — phase B compares whole (C, R)
+                # crossing tensors against per-column scalars (no
+                # lane-broadcasts/transposes), rasters the TRUE width
+                # (no 128-lane padding), and culls per-chunk crossing
+                # x-windows.  Bit-identical to the row-major kernel
+                # (shared phase_a_roots float program; device-checked
+                # 0 mismatches).  tools/tpu_probes/tpu_dense.py:
+                # 288-seg @64px atlas 43.6 -> 8.2 ms (x-sorted packs),
+                # @32px similar — v2+row-windows measured 23.7
+                from fontrx.kernels.winding_dense import (
+                    winding_dense_batch,
+                )
+
+                pw8 = _round_up(width, 8)
+                out = winding_dense_batch(
+                    segments, min_x, max_y, jnp.float32(scale),
+                    height=height, width=pw8,
+                    interpret=backend == BACKEND_INTERPRET,
+                    exact=self.exact, seg_chunk=64, col_block=8,
+                )
+                if (STRIP_ROWS, pw8) != (height, width):
+                    out = out[:, :height, :width]
+                return out
             if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
                 # v2 always: its 128-row strips overpad small tiles, but
                 # per-pixel it is ~5x cheaper than v1, hull culls skip
@@ -130,9 +159,19 @@ class RasterEngine:
                     # read-modify-writes (CJK 288-seg @64px: gg=0
                     # 45.5 ms, gg=8 58.7 ms) — the same lesson as the
                     # page path (scene/page.py PAGE_TUNING)
-                    guard=True,
+                    # Round-3 dense regime (cap > 128, the CJK shape):
+                    # carry-free sweep + 64-segment chunks + 16-row
+                    # sub-strip windows (row_windows=8) — phase B only
+                    # touches the windows a chunk's hull crosses
+                    # (tools/tpu_probes/tpu_rowwin*.py: 288-seg @64px
+                    # atlas 43.6 -> 23.7 ms, @32px 43.9 -> 18.8 ms,
+                    # bit-identical; sparse tiles LOSE with windows —
+                    # 0.65 -> 1.27 ms on the headline — so group
+                    # elision stays their path)
+                    guard=segments.shape[1] <= 128,
                     group_guard=16 if segments.shape[1] <= 128 else 0,
-                    seg_chunk=32,
+                    seg_chunk=32 if segments.shape[1] <= 128 else 64,
+                    row_windows=0 if segments.shape[1] <= 128 else 8,
                     tile_w=256 if pw == 256 else TILE_W,
                 )
             elif backend == BACKEND_JNP:

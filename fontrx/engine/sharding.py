@@ -285,3 +285,176 @@ def loopblinn_sharded(
         check_vma=False,
     )
     return fn(tris, classes, min_x, max_y)
+
+
+def coverage_sharded(
+    segments,
+    min_x,
+    max_y,
+    scale,
+    *,
+    height: int,
+    width: int,
+    samples: int = 2,
+    mesh: Mesh,
+    fused: bool = True,
+    use_pallas: bool = True,
+    exact: bool = True,
+    interpret: bool = False,
+):
+    """k x k supersampled coverage with the glyph axis sharded over
+    ``mesh`` — completes the sharded kernel-family set (winding, SDF,
+    Loop-Blinn, coverage).  Both single-device strategies compose with
+    ``shard_map`` unchanged: ``fused=True`` runs the single-launch
+    fused kernel per shard, ``fused=False`` the k^2-offset multipass of
+    the v2 winding kernel; ``use_pallas=False`` is the jnp multipass
+    reference (the bit-exactness anchor).  Returns float32
+    ``[B, H, W]`` coverage, glyph-sharded."""
+    if use_pallas and fused:
+        from fontrx.kernels.coverage_pallas import coverage_pallas_batch
+
+        def local(seg, mx, my):
+            return coverage_pallas_batch(
+                seg, mx, my, scale, height=height, width=width,
+                samples=samples, exact=exact, interpret=interpret,
+            )
+    elif use_pallas:
+        from fontrx.kernels.coverage import coverage_batch_v2
+
+        def local(seg, mx, my):
+            return coverage_batch_v2(
+                seg, mx, my, scale, height=height, width=width,
+                samples=samples, exact=exact, interpret=interpret,
+            )
+    else:
+        from fontrx.kernels.coverage import coverage_batch
+
+        def local(seg, mx, my):
+            return coverage_batch(
+                seg, mx, my, scale, height=height, width=width,
+                samples=samples,
+            )
+
+    spec = P(GLYPH_AXIS)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(segments, min_x, max_y)
+
+
+def dense_sharded(
+    segments,
+    min_x,
+    max_y,
+    scale,
+    *,
+    height: int,
+    width: int,
+    mesh: Mesh,
+    use_pallas: bool = True,
+    exact: bool = True,
+    interpret: bool = False,
+):
+    """The column-major dense-regime kernel
+    (``kernels/winding_dense.py``), glyph-sharded — the CJK-atlas
+    scale-out path.  Returns int32 ``[B, 128, width]`` like the
+    single-device kernel (callers slice to ``height``)."""
+    if use_pallas:
+        from fontrx.kernels.winding_dense import winding_dense_batch
+
+        def local(seg, mx, my):
+            return winding_dense_batch(
+                seg, mx, my, scale, height=height, width=width,
+                exact=exact, interpret=interpret,
+            )
+    else:
+        def local(seg, mx, my):
+            return _winding_jnp_batch(
+                seg, mx, my, scale, height=128, width=width
+            )
+
+    spec = P(GLYPH_AXIS)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(segments, min_x, max_y)
+
+
+def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over page pixel-row bands (spatial parallelism for one
+    large page — the multi-chip interactive/page path)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[: n_devices]
+    return Mesh(np.array(devices), (ROW_AXIS,))
+
+
+def page_rows_sharded(
+    flat_segments,
+    page_h: int,
+    page_w: int,
+    *,
+    mesh: Mesh,
+    exact: bool = True,
+    interpret: bool = False,
+    use_pallas: bool = True,
+    tuning=(0, 16, 128),
+):
+    """Direct-page raster with pixel-row BANDS sharded over ``mesh``:
+    every device holds the full (replicated) page-space segment set and
+    rasters its contiguous band of rows — winding is per-row, so bands
+    are independent and the result is bit-identical to the
+    single-device banded page (each row's ``cy`` equals
+    ``page_h - 1 - row`` regardless of the band split; see
+    ``scene/page.py::_direct_page_step``).
+
+    ``flat_segments``: float32 ``[1, S, 3, 2]`` page-pixel-space
+    segments.  Returns uint8-fill-convertible int32
+    ``[page_h_padded, page_w_padded]`` winding, row-sharded; callers
+    crop to ``page_h`` x ``page_w``."""
+    n = mesh.devices.size
+    ph = _round_up_mult(page_h, 128 * n)
+    pw = _round_up_mult(page_w, 128)
+    rows_per = ph // n
+
+    if use_pallas:
+        def local(seg):
+            k = jax.lax.axis_index(ROW_AXIS)
+            my = jnp.full(1, page_h - 1 - k * rows_per, jnp.int32)
+            return winding_pallas_v2_batch(
+                seg, jnp.zeros(1, jnp.int32), my, jnp.float32(1.0),
+                height=rows_per, width=pw, exact=exact,
+                interpret=interpret, group_guard=tuning[0],
+                seg_chunk=tuning[1],
+                tile_w=tuning[2] or (256 if pw % 256 == 0 else 128),
+            )[0]
+    else:
+        def local(seg):
+            k = jax.lax.axis_index(ROW_AXIS)
+            my = jnp.full(1, page_h - 1 - k * rows_per, jnp.int32)
+            return _winding_jnp_batch(
+                seg, jnp.zeros(1, jnp.int32), my, jnp.float32(1.0),
+                height=rows_per, width=pw,
+            )[0]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(ROW_AXIS, None),
+        check_vma=False,
+    )
+    return fn(flat_segments)
+
+
+def _round_up_mult(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -594,6 +594,23 @@ class Font:
         self._var_adv[index] = int(
             np.floor((dx[n + 1] - dx[n]) + 0.5)
         )
+        # phantom points 2/3 (top/bottom origins) carry the vertical
+        # metrics: advance height = top - bottom; the varied tsb =
+        # (varied top origin) - (varied yMax) — fonts whose VVAR lacks
+        # a tsbMapping compute tsb this way per spec
+        if n >= 1 and len(dy) >= n + 4:
+            self._var_vadv = getattr(self, "_var_vadv", {})
+            self._var_vadv[index] = int(
+                np.floor((dy[n + 2] - dy[n + 3]) + 0.5)
+            )
+            self._var_vtsb = getattr(self, "_var_vtsb", {})
+            ymax_pre = (
+                int(simple.coordinates[:, 1].max()) if n else 0
+            )
+            ymax_post = int(moved[:, 1].max()) if n else 0
+            self._var_vtsb[index] = (
+                int(np.floor(dy[n + 2] + 0.5)) + ymax_pre - ymax_post
+            )
         import dataclasses as _dc
 
         return _dc.replace(simple, coordinates=moved)
@@ -636,6 +653,57 @@ class Font:
                 except Exception as e:
                     log.warning("HVAR unusable: %s", e)
         return self._hvar
+
+    @property
+    def vvar(self):
+        """Parsed ``VVAR`` vertical-metric-variation table, or
+        ``None``."""
+        if not hasattr(self, "_vvar"):
+            self._vvar = None
+            if b"VVAR" in self.tables:
+                try:
+                    from fontrx.font.variations import Vvar
+
+                    self._vvar = Vvar.parse(self._at(b"VVAR"))
+                except Exception as e:
+                    log.warning("VVAR unusable: %s", e)
+        return self._vvar
+
+    def varied_advance_height(self, index: int, base: int) -> int:
+        """Vertical advance height at the current variation location:
+        ``base`` (the ``vmtx`` value) plus the VVAR delta, or the gvar
+        vertical-phantom delta (top - bottom origin) on VVAR-less
+        fonts."""
+        coords = getattr(self, "_var_coords", None)
+        if coords is None:
+            return base
+        vv = self.vvar
+        if vv is not None:
+            return base + int(
+                np.floor(vv.advance_delta(index, coords) + 0.5))
+        vadv = getattr(self, "_var_vadv", {})
+        if index not in vadv:
+            self.load_glyph(index)  # populates the phantom deltas
+            vadv = getattr(self, "_var_vadv", {})
+        return base + vadv.get(index, 0)
+
+    def varied_tsb(self, index: int, base: int) -> int:
+        """Top side bearing at the current variation location: the
+        VVAR tsbMapping when present; otherwise computed from the gvar
+        top-origin phantom and the varied outline's yMax (the spec
+        fallback — fontTools' instancer recalculates vmtx the same
+        way)."""
+        coords = getattr(self, "_var_coords", None)
+        if coords is None:
+            return base
+        vv = self.vvar
+        if vv is not None and vv.tsb_map is not None:
+            return base + int(np.floor(vv.tsb_delta(index, coords) + 0.5))
+        vtsb = getattr(self, "_var_vtsb", {})
+        if index not in vtsb:
+            self.load_glyph(index)
+            vtsb = getattr(self, "_var_vtsb", {})
+        return base + vtsb.get(index, 0)
 
     @property
     def mvar(self):

@@ -22,9 +22,7 @@ implements the full OpenType GPOS application model:
   adjusting a base's advance still moves its attached marks.
 
 Deliberate simplifications (documented divergences from a full
-shaper): the ScriptList is ignored (features selected by tag across
-all scripts, like the GSUB engine); the ``rightToLeft`` cursive flag
-is treated as LTR (fontrx lays out LTR only); device/variation tables
+shaper): device/variation tables
 in ValueRecords and contour-point anchors are skipped (hinting is out
 of scope throughout fontrx); mark-to-ligature attaches to the LAST
 ligature component (fontrx does not thread GSUB component indices
@@ -458,7 +456,15 @@ class GposShaper(GsubShaper):
                 a_i = sub.anchors_for(gid)
                 a_j = sub.anchors_for(buf[j])
                 if a_i and a_j and a_i[1] and a_j[0]:
-                    st.cursive[j] = (i, a_i[1], a_j[0])
+                    # OpenType RIGHT_TO_LEFT lookup flag (0x0001): the
+                    # flag swaps which glyph of the pair moves
+                    # vertically — LTR cursive keeps the FIRST glyph on
+                    # the baseline (the second chains from it); RTL
+                    # cursive (Nastaliq-style fonts) keeps the LAST
+                    # (the first chains backward from the second)
+                    st.cursive[j] = (
+                        i, a_i[1], a_j[0], bool(lookup.flags & 0x0001)
+                    )
                     return j
             elif s_type == 4:
                 p = self._prev_base(buf, i)
@@ -548,8 +554,9 @@ class _PosState:
     ya: list[int]
     # mark attachment: glyph i -> (parent index, dx, dy) anchor delta
     attach: list[tuple[int, int, int] | None]
-    # cursive: glyph j -> (parent i, exit anchor of i, entry anchor of j)
-    cursive: list[tuple[int, tuple, tuple] | None]
+    # cursive: second glyph j -> (first glyph i, exit anchor of i,
+    # entry anchor of j, rtl flag)
+    cursive: list[tuple[int, tuple, tuple, bool] | None]
 
     def add(self, i: int, v: tuple[int, int, int, int]) -> None:
         self.xp[i] += v[0]
@@ -564,21 +571,35 @@ class _PosState:
         xa = np.array(self.xa, np.float64)
         ya = np.array(self.ya, np.float64)
 
-        # cursive attachment (LTR): the exit anchor of the parent meets
-        # the entry anchor of the child; the parent's advance shrinks
-        # or grows to land the pen on its exit, the child shifts back
-        # by its entry, and the child's baseline offset chains from the
-        # parent's
+        # cursive attachment: the exit anchor of glyph i meets the
+        # entry anchor of the following glyph j; i's advance shrinks
+        # or grows to land the pen on its exit and j shifts back by
+        # its entry (pen math runs on the logical stream in both
+        # directions).  The VERTICAL chain depends on the lookup's
+        # RIGHT_TO_LEFT flag: unset, j's baseline offset chains
+        # forward from i's; set, i's chains BACKWARD from j's (so the
+        # last glyph of an RTL cascade stays on the baseline) — the
+        # same geometric constraint yo[i]+exit_y == yo[j]+entry_y,
+        # solved for the other free variable
         for j in range(n):
             link = self.cursive[j]
             if link is None:
                 continue
-            i, exit_a, entry_a = link
+            i, exit_a, entry_a, rtl = link
             xa[i] = exit_a[0] + xo[i]
             d = entry_a[0] + xo[j]
             xa[j] -= d
             xo[j] -= d
-            yo[j] = yo[i] + (exit_a[1] - entry_a[1])
+            if not rtl:
+                yo[j] = yo[i] + (exit_a[1] - entry_a[1])
+        # RTL chains resolve back-to-front so each earlier glyph reads
+        # its successor's FINAL baseline offset
+        for j in range(n - 1, -1, -1):
+            link = self.cursive[j]
+            if link is None or not link[3]:
+                continue
+            i, exit_a, entry_a, _rtl = link
+            yo[i] = yo[j] + (entry_a[1] - exit_a[1])
 
         # pen positions from final advances, then mark attachment in
         # buffer order (a mark's parent always precedes it, so parents

@@ -20,12 +20,13 @@ GSUB application model:
   positions, with position bookkeeping across length changes and a
   recursion depth cap against cyclic fonts.
 
-Deliberate simplifications (documented divergences from a full shaper):
-the ScriptList is ignored — features are selected by tag across all
-scripts, matching the rest of fontrx's layout (and the common case of
-DFLT/latn-only fonts); the ``rightToLeft`` flag is a no-op (it only
-affects GPOS cursive attachment); alternate substitution always picks
-alternate 0 (there is no user-selection UI).
+Script/language-system selection (round 3): the ScriptList parses
+into per-script/per-LangSys feature sets; ``apply(script=...)``
+selects lookups through the script entry (required feature included,
+DFLT/latn fallbacks) and the layout engine itemizes text into script
+runs, while plain ``apply()`` keeps the tag-global scan for
+ScriptList-less fonts.  Remaining deliberate simplification:
+alternate substitution always picks alternate 0 (no selection UI).
 """
 
 from __future__ import annotations

@@ -1,0 +1,235 @@
+"""Column-major dense-regime winding kernel.
+
+The row-major carry-sweep kernel (``winding_pallas_v2``) spends its
+phase B on per-segment ``(R, 1)``-slice lane-broadcasts against column
+vectors — measured ~5x above the op-count bound on dense (CJK) atlas
+tiles even after sub-strip row windows.  This kernel flips the loop
+structure for the single-strip, single-tile regime (tile sizes
+<= 128 x 128, hundreds of segments — the CJK atlas shape):
+
+- phase A is THE shared float program
+  (``winding_pallas_v2.phase_a_roots``), unchanged;
+- phase B iterates **columns** (true raster width — no padding to the
+  128-lane tile, a 2x saving at 64px and 4x at 32px): per column a
+  scalar ``cx`` compares against the whole ``(C, R)`` crossing tensor
+  — full-lane VPU ops with **zero broadcasts or transposes** — and a
+  sublane reduction accumulates the column's ``(1, R)`` winding;
+- per-chunk **x-window culling**: a column left of every live
+  crossing takes the precomputed full-chunk row total (all compares
+  true), a column right of all of them adds nothing (all compares
+  false) — both exact by monotonicity of ``cx`` in the column index,
+  so only columns inside the chunk's crossing x-window pay per-column
+  compares.  Pack segments x-sorted (``xsort_segments``) to make
+  chunk x-windows narrow; like the y-sort, reordering is free because
+  integer winding sums commute.
+
+The output is computed transposed — ``(B, W, R)``, rows on lanes —
+and swapped to ``(B, R, W)`` outside the kernel (an exact int32
+relayout).  Per (segment, pixel) the float compare ``xx >= cx`` uses
+bit-identical values to the row-major kernel (same ``phase_a_roots``
+xx, same ``cx = (min_x + c + ox) / scale``), so rasters are
+BIT-IDENTICAL to ``winding_pallas_v2_batch`` and to the CPU oracle.
+
+Reference semantics anchor: ``/root/reference/src/tools/
+render_glyph.zig:35-73`` (the analytic winding oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fontrx.kernels.exactmath import div_cr, sqrt_cr
+from fontrx.kernels.winding_pallas import segments_to_soa
+from fontrx.kernels.winding_pallas_v2 import (
+    _pad_lanes,
+    _round_up,
+    phase_a_roots,
+)
+
+STRIP_ROWS = 128
+
+
+def _make_dense_kernel(
+    exact: bool,
+    width: int,
+    seg_chunk: int,
+    col_block: int,
+    x_cull: bool,
+):
+    fdiv = div_cr if exact else (lambda a, b: a / b)
+    fsqrt = sqrt_cr if exact else jnp.sqrt
+
+    def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
+        b = pl.program_id(0)
+        s_sup = pl.program_id(1)
+        scale = scale_ref[0, 0]
+        ox = off_ref[0, 0]
+        oy = off_ref[0, 1]
+        lane = jax.lax.rem(b, 128)
+        min_x = min_x_ref[0, lane]
+        max_y = max_y_ref[0, lane]
+
+        s_cap = seg_ref.shape[1]
+        n_chunks = s_cap // seg_chunk
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
+        cy = fdiv(
+            (max_y - row).astype(jnp.float32) + oy,
+            scale,
+        )
+        cy_hi = cy[0, 0]
+        cy_lo = cy[0, STRIP_ROWS - 1]
+        # per-column em x — the same float program as the row-major
+        # kernel's cx ((min_x + t*tile_w + col) + ox) / scale
+        cx = [
+            fdiv((min_x + c).astype(jnp.float32) + ox, scale)
+            for c in range(width)
+        ]
+
+        @pl.when(s_sup == 0)
+        def _():
+            out_ref[0] = jnp.zeros((width, STRIP_ROWS), jnp.int32)
+
+        def chunk_body(c, _):
+            chunk = seg_ref[0, pl.ds(c * seg_chunk, seg_chunk), :]
+            p0y = chunk[:, 1:2]
+            p1y = chunk[:, 3:4]
+            p2y = chunk[:, 5:6]
+            hull_min = jnp.min(jnp.minimum(jnp.minimum(p0y, p1y), p2y))
+            hull_max = jnp.max(jnp.maximum(jnp.maximum(p0y, p1y), p2y))
+
+            @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi))
+            def _():
+                xx0m, xx1m, s0, s1 = phase_a_roots(chunk, cy, fdiv, fsqrt)
+                # full-chunk row totals: what a column left of every
+                # live crossing accumulates (every compare true; dead
+                # slots carry sign 0)
+                tot = jnp.sum(s0 + s1, axis=0, keepdims=True)   # (1, R)
+                if x_cull:
+                    pos_inf = jnp.float32(jnp.inf)
+                    max_xx = jnp.maximum(jnp.max(xx0m), jnp.max(xx1m))
+                    xx0p = jnp.where(s0 != 0, xx0m, pos_inf)
+                    xx1p = jnp.where(s1 != 0, xx1m, pos_inf)
+                    min_xx = jnp.minimum(jnp.min(xx0p), jnp.min(xx1p))
+
+                for cb in range(width // col_block):
+                    c0 = cb * col_block
+                    cx_first = cx[c0]                    # smallest in block
+                    cx_last = cx[c0 + col_block - 1]     # largest
+
+                    def detail(c0=c0):
+                        blk = out_ref[0, pl.ds(c0, col_block), :]
+                        cols = []
+                        for k in range(col_block):
+                            cxc = cx[c0 + k]
+                            v = jnp.sum(
+                                jnp.where(xx0m >= cxc, s0, 0)
+                                + jnp.where(xx1m >= cxc, s1, 0),
+                                axis=0, keepdims=True,
+                            )                              # (1, R)
+                            cols.append(v)
+                        out_ref[0, pl.ds(c0, col_block), :] = (
+                            blk + jnp.concatenate(cols, axis=0)
+                        )
+
+                    if not x_cull:
+                        detail()
+                    else:
+                        # whole block left of every live crossing:
+                        # every compare true -> add the row totals
+                        @pl.when(cx_last <= min_xx)
+                        def _(c0=c0):
+                            blk = out_ref[0, pl.ds(c0, col_block), :]
+                            out_ref[0, pl.ds(c0, col_block), :] = (
+                                blk + jnp.broadcast_to(
+                                    tot, (col_block, STRIP_ROWS))
+                            )
+
+                        # block straddles the crossing x-window:
+                        # per-column compares (exactly complementary
+                        # to the branch above; a block right of every
+                        # crossing adds nothing)
+                        @pl.when(
+                            jnp.logical_not(cx_last <= min_xx)
+                            & (cx_first <= max_xx)
+                        )
+                        def _(c0=c0):
+                            detail(c0)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "interpret", "exact", "seg_chunk",
+        "col_block", "x_cull",
+    ),
+)
+def winding_dense_batch(
+    segments, min_x, max_y, scale, *, height, width, interpret=False,
+    sample_offset=(0.0, 0.0), exact=False, seg_chunk=64,
+    col_block=8, x_cull=True,
+):
+    """Batched winding maps for the dense single-tile regime.
+
+    ``height`` <= 128, ``width`` <= 128 (mult of ``col_block``).
+    Returns int32 ``[B, 128, width]`` (strip rows; callers slice to
+    ``height``) — bit-identical to ``winding_pallas_v2_batch`` at the
+    same anchors over the shared columns.
+    """
+    b = segments.shape[0]
+    assert height <= STRIP_ROWS, height
+    assert width <= 128 and width % col_block == 0, (width, col_block)
+    soa = segments_to_soa(segments, chunk=seg_chunk)
+    s8 = soa.shape[1]
+
+    b128 = _round_up(b, 128)
+    min_x = _pad_lanes(
+        jnp.asarray(min_x).reshape(1, b).astype(jnp.int32), b128)
+    max_y = _pad_lanes(
+        jnp.asarray(max_y).reshape(1, b).astype(jnp.int32), b128)
+    scale_arr = jnp.full((1, 1), scale, jnp.float32)
+    off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
+
+    seg_super = min(s8, 4096)
+    if s8 % seg_super:
+        pad = seg_super - (s8 % seg_super)
+        soa = jnp.pad(soa, ((0, 0), (0, pad), (0, 0)))
+        s8 = soa.shape[1]
+    n_super = s8 // seg_super
+
+    grid = (b, n_super)
+    out_t = pl.pallas_call(
+        _make_dense_kernel(exact, width, seg_chunk, col_block, x_cull),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda b_, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda b_, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, seg_super, 8), lambda b_, s: (b_, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, width, STRIP_ROWS), lambda b_, s: (b_, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, width, STRIP_ROWS), jnp.int32),
+        interpret=interpret,
+    )(min_x, max_y, scale_arr, off_arr, soa)
+    # exact int32 relayout: (B, W, R) -> (B, R, W)
+    return jnp.swapaxes(out_t, 1, 2)

@@ -57,6 +57,63 @@ def _pad_lanes(a, lanes: int):
     return jnp.pad(a, ((0, 0), (0, lanes - a.shape[-1])))
 
 
+def phase_a_roots(chunk, cy, fdiv, fsqrt):
+    """The shared per-(segment, row) root solve — THE float program
+    whose per-crossing semantics match ``oracle.winding_at`` op for op
+    (and therefore must never change silently; see CLAUDE.md).
+
+    ``chunk``: (C, >=6) SoA segment window; ``cy``: (1, R) row em-y.
+    Returns ``(xx0m, xx1m, s0, s1)``: crossing x positions per slot
+    with dead crossings at -inf, and their int32 signs (0 when dead).
+    Used by the row-major carry-sweep kernel and the column-major
+    dense kernel — both kernels' phase B consume these identically,
+    which is what makes their rasters bit-identical.
+    """
+    p0x = chunk[:, 0:1]
+    p0y = chunk[:, 1:2]
+    p1x = chunk[:, 2:3]
+    p1y = chunk[:, 3:4]
+    p2x = chunk[:, 4:5]
+    p2y = chunk[:, 5:6]
+
+    a = p0y - 2 * p1y + p2y      # (C, 1)
+    ax = p0x - 2 * p1x + p2x
+    bx = 2 * (p1x - p0x)
+    lin = a == 0
+    denom = p2y - p0y
+    py01 = p0y - p1y
+
+    delta = cy * a + p1y * p1y - p0y * p2y       # (C, R)
+    has = jnp.logical_not(lin) & (delta >= 0)
+    sq = fsqrt(jnp.maximum(delta, 0.0))
+
+    t_lin = fdiv(cy - p0y, denom)
+    t_pos = fdiv(py01 + sq, a)
+    t_neg = fdiv(py01 - sq, a)
+
+    t0 = jnp.where(lin, t_lin, t_pos)
+    v0_base = (lin & (denom != 0)) | (jnp.logical_not(lin) & has)
+    v0 = v0_base & (t0 >= 0) & (t0 < 1)
+    t1 = t_neg
+    v1 = has & (t1 >= 0) & (t1 < 1)
+
+    xx0 = (ax * t0 + bx) * t0 + p0x
+    xx1 = (ax * t1 + bx) * t1 + p0x
+    dy0 = a * t0 + (p1y - p0y)
+    sgn_lin = jnp.where(p0y < p2y, -1, 1)
+    s0 = jnp.where(
+        v0,
+        jnp.where(lin, sgn_lin, jnp.where(dy0 > 0, -1, 1)),
+        0,
+    ).astype(jnp.int32)
+    dy1 = a * t1 + (p1y - p0y)
+    s1 = jnp.where(v1, jnp.where(dy1 > 0, -1, 1), 0).astype(jnp.int32)
+    neg_inf = jnp.float32(-jnp.inf)
+    xx0m = jnp.where(s0 != 0, xx0, neg_inf)
+    xx1m = jnp.where(s1 != 0, xx1, neg_inf)
+    return xx0m, xx1m, s0, s1
+
+
 def _make_v2_kernel(
     exact: bool,
     seg_chunk: int = SEG_CHUNK,
@@ -226,55 +283,26 @@ def _make_v2_kernel(
 
                 @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi))
                 def _():
-                    a = p0y - 2 * p1y + p2y      # (C, 1)
-                    ax = p0x - 2 * p1x + p2x
-                    bx = 2 * (p1x - p0x)
-                    lin = a == 0
-                    denom = p2y - p0y
-                    py01 = p0y - p1y
-
-                    # phase A on (C, R): roots + crossings for the whole strip
-                    delta = cy * a + p1y * p1y - p0y * p2y       # (C, R)
-                    has = jnp.logical_not(lin) & (delta >= 0)
-                    sq = fsqrt(jnp.maximum(delta, 0.0))
-
-                    t_lin = fdiv(cy - p0y, denom)
-                    t_pos = fdiv(py01 + sq, a)
-                    t_neg = fdiv(py01 - sq, a)
-
-                    # slot 0: linear crossing or +root; slot 1: -root
-                    t0 = jnp.where(lin, t_lin, t_pos)
-                    # (boolean select via logic ops — Mosaic cannot truncate
-                    # i8 selects to i1)
-                    v0_base = (lin & (denom != 0)) | (jnp.logical_not(lin) & has)
-                    v0 = v0_base & (t0 >= 0) & (t0 < 1)
-                    t1 = t_neg
-                    v1 = has & (t1 >= 0) & (t1 < 1)
-
-                    xx0 = (ax * t0 + bx) * t0 + p0x
-                    xx1 = (ax * t1 + bx) * t1 + p0x
-                    dy0 = a * t0 + (p1y - p0y)
-                    sgn_lin = jnp.where(p0y < p2y, -1, 1)
-                    s0 = jnp.where(
-                        v0,
-                        jnp.where(lin, sgn_lin, jnp.where(dy0 > 0, -1, 1)),
-                        0,
-                    ).astype(jnp.int32)
-                    dy1 = a * t1 + (p1y - p0y)
-                    s1 = jnp.where(v1, jnp.where(dy1 > 0, -1, 1), 0).astype(jnp.int32)
+                    # phase A on (C, R): roots + crossings for the whole
+                    # strip (the shared float program — slot 0: linear
+                    # crossing or +root; slot 1: -root; boolean selects
+                    # via logic ops because Mosaic cannot truncate i8
+                    # selects to i1)
+                    xx0m, xx1m, s0, s1 = phase_a_roots(
+                        chunk, cy, fdiv, fsqrt)
                     if row_bands > 1:
                         # a segment only exists on its owner band's rows;
                         # foreign rows contribute integer zeros (exactness
-                        # preserved: sums of zero)
+                        # preserved: sums of zero).  Masking after the
+                        # helper's neutralization is equivalent to the
+                        # pre-neutralization masking: it only zeroes
+                        # MORE slots, and xx re-neutralizes below.
                         owner_ok = chunk[:, 6:7] == band_f    # (C, R)
                         s0 = jnp.where(owner_ok, s0, 0)
                         s1 = jnp.where(owner_ok, s1, 0)
-                    # neutralize xx of dead crossings so tile classification
-                    # never selects them (NaNs compare false anyway; this makes
-                    # the "in tile" scalar any() cheap and well-defined)
-                    neg_inf = jnp.float32(-jnp.inf)
-                    xx0m = jnp.where(s0 != 0, xx0, neg_inf)
-                    xx1m = jnp.where(s1 != 0, xx1, neg_inf)
+                        neg_inf = jnp.float32(-jnp.inf)
+                        xx0m = jnp.where(s0 != 0, xx0m, neg_inf)
+                        xx1m = jnp.where(s1 != 0, xx1m, neg_inf)
 
                     # crossing positions/signs in pixel-major layout, hoisted
                     # out of the tile loop (one relayout per chunk)

@@ -65,6 +65,22 @@ def ysort_segments(seg: np.ndarray) -> np.ndarray:
     return seg[order]
 
 
+def xsort_segments(seg: np.ndarray) -> np.ndarray:
+    """Reorder a ``[n, 3, 2]`` segment array by x-span midpoint
+    (ascending, stable) — the dense single-strip twin of
+    :func:`ysort_segments`.  In a one-strip tile the y-cull has
+    nothing to cull; the column-major dense kernel
+    (``kernels/winding_dense.py``) instead culls per-chunk crossing
+    **x-windows**, which x-coherent order makes narrow.  Bit-exact
+    under reordering for the same reason as the y-sort (integer
+    winding sums commute)."""
+    if len(seg) < 2:
+        return seg
+    xmid = seg[:, :, 0].min(axis=1) + seg[:, :, 0].max(axis=1)
+    order = np.argsort(xmid, kind="stable")
+    return seg[order]
+
+
 def glyph_segments(glyph: Glyph) -> np.ndarray:
     """Flatten a glyph's contours to an un-padded ``[n, 3, 2]`` float32
     segment array, in contour order.  Each contour with points
@@ -130,13 +146,18 @@ def pack_glyphs(
     advance_widths: Iterable[int] | None = None,
     capacity: int | None = None,
     pad_batch_to: int | None = None,
+    sort: str = "y",
 ) -> PackedBatch:
     """Pack many glyphs into one batch tensor (atlas upload).
 
     ``pad_batch_to`` optionally pads the batch dimension with empty
     glyphs — used to make the batch divisible by a device-mesh axis.
+    ``sort``: segment order — ``"y"`` (default; the multi-strip y-cull
+    order) or ``"x"`` (the dense single-strip kernel's x-window order).
+    Bit-identical either way (winding sums commute).
     """
-    seg_arrays = [ysort_segments(glyph_segments(g)) for g in glyphs]
+    sorter = xsort_segments if sort == "x" else ysort_segments
+    seg_arrays = [sorter(glyph_segments(g)) for g in glyphs]
     counts = [len(s) for s in seg_arrays]
     if capacity is None:
         capacity = max(_round_up(max(counts, default=0), SEG_ALIGN), SEG_ALIGN)

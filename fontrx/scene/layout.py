@@ -585,12 +585,33 @@ def _layout_vertical(
     upem = font.info.units_per_em
     if vm is not None:
         vhea, adv_h, tsb = vm
-        pitch = float(vhea.ascent - vhea.descent + vhea.line_gap)
+        # MVAR vertical tags vary the column pitch on variable fonts
+        if hasattr(font, "varied_metric"):
+            pitch = float(
+                font.varied_metric(b"vasc", vhea.ascent)
+                - font.varied_metric(b"vdsc", vhea.descent)
+                + font.varied_metric(b"vlgp", vhea.line_gap)
+            )
+        else:
+            pitch = float(vhea.ascent - vhea.descent + vhea.line_gap)
         if pitch <= 0:
             pitch = float(upem)
     else:
         adv_h = tsb = None
         pitch = float(upem)
+    # VVAR: per-glyph vertical advance/top-side-bearing deltas
+    if hasattr(font, "varied_advance_height"):
+        def _vadv(gid):
+            return float(font.varied_advance_height(gid, int(adv_h[gid])))
+
+        def _vtsb(gid):
+            return float(font.varied_tsb(gid, int(tsb[gid])))
+    else:
+        def _vadv(gid):
+            return float(adv_h[gid])
+
+        def _vtsb(gid):
+            return float(tsb[gid])
 
     n_cols = max(len(lines), 1)
     width = n_cols * pitch
@@ -609,9 +630,9 @@ def _layout_vertical(
         for idx, gid in enumerate(line):
             slot = slot_of[gid]
             if adv_h is not None:
-                ah = float(adv_h[gid])
+                ah = _vadv(gid)
                 # glyph bbox top hangs at pen - topSideBearing
-                y_off = pen_y - float(tsb[gid]) - float(slot_ymax[slot])
+                y_off = pen_y - _vtsb(gid) - float(slot_ymax[slot])
             else:
                 ah = float(upem)
                 y_off = pen_y - float(font.info.ascent)

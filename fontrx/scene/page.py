@@ -138,7 +138,10 @@ class GlyphTileCache:
 # guards only add per-group read-modify-writes; 1080p is a wash.  The
 # synthetic uniform-stroke sweep (tpu_page_gg.py) had suggested
 # otherwise — tuning decisions here must come from real-content A/Bs.
-PAGE_TUNING = (0, 16, 128)
+# 4th element (round 3): row_windows — sub-strip hull-gated detail
+# windows; a page chunk's glyphs span ~2-3 of the 8 windows, so phase B
+# skips the rest (tools/tpu_probes/tpu_page_rw.py)
+PAGE_TUNING = (0, 16, 128, 8)
 
 
 @functools.partial(
@@ -190,6 +193,7 @@ def _direct_page_step(
                 seg_chunk=tuning[1],
                 tile_w=tuning[2] if tuning[2] else
                 (256 if pw % 256 == 0 else 128),
+                row_windows=tuning[3] if len(tuning) > 3 else 0,
             )
         )
     winding = jnp.concatenate(bands, axis=1)[0, :page_h, :page_w]
@@ -215,7 +219,7 @@ class PageRenderer:
     width: int
     height: int
     engine: RasterEngine | None = None
-    kernel_tuning: tuple = PAGE_TUNING  # (group_guard, seg_chunk, tile_w)
+    kernel_tuning: tuple = PAGE_TUNING  # (gg, seg_chunk, tile_w, row_windows)
     tile_cache: GlyphTileCache | None = None  # shared LRU (survives re-layout)
     _cached_scale: float | None = None
     _cached_tiles: object = None

@@ -187,6 +187,45 @@ def make_vartest4():
         "vartest4.ttf")
 
 
+def make_vartest5():
+    """Variable font WITH vertical metrics: varLib emits a VVAR
+    (advance heights 800->1100, tsb varies) and MVAR carries the
+    vertical tags — the variation x vertical matrix fixture."""
+    def master(w, ah, tsb, asc):
+        fb = FontBuilder(1000, isTTF=True)
+        order = [".notdef", "A", "B"]
+        fb.setupGlyphOrder(order)
+        fb.setupCharacterMap({ord("A"): "A", ord("B"): "B"})
+        glyphs = {}
+        pen = TTGlyphPen(glyphSet={}); glyphs[".notdef"] = pen.glyph()
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((100, 0)); pen.lineTo((100 + w, 0))
+        pen.lineTo((100 + w, 700)); pen.lineTo((100, 700)); pen.closePath()
+        glyphs["A"] = pen.glyph()
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0)); pen.lineTo((50 + w, 0)); pen.lineTo((50, 500))
+        pen.closePath()
+        glyphs["B"] = pen.glyph()
+        fb.setupGlyf(glyphs)
+        fb.setupHorizontalMetrics(
+            {".notdef": (500, 0), "A": (600, 100), "B": (540, 50)}
+        )
+        fb.setupHorizontalHeader(ascent=800, descent=-200)
+        fb.setupVerticalMetrics({
+            ".notdef": (1000, 100),
+            "A": (ah, tsb), "B": (ah - 100, tsb + 40),
+        })
+        fb.setupVerticalHeader(ascent=asc, descent=-asc)
+        fb.setupNameTable({"familyName": "VarTest5", "styleName": "Regular"})
+        fb.setupOS2(); fb.setupPost()
+        return fb.font
+
+    _vf([(100, 100, 900, "Weight", "wght", None)],
+        [({"Weight": 100}, master(60, 800, 60, 500)),
+         ({"Weight": 900}, master(240, 1100, 140, 620))],
+        "vartest5.ttf")
+
+
 def make_vartest_cff2():
     def master(w):
         fb = FontBuilder(1000, isTTF=False)
@@ -283,6 +322,179 @@ if __name__ == "__main__":
     make_vartest2()
     make_vartest3()
     make_vartest4()
+    make_vartest5()
+    make_cjktest()
+    make_arabictest()
     make_vartest_cff2()
     if os.path.exists(PYGAME_MONO):
         make_cidtest()
+
+
+def make_cjktest(n_glyphs=1024):
+    """A realistic dense-regime corpus font: ``n_glyphs`` han-style
+    glyphs of 24-40 closed stroke contours (200-330 quadratic segments
+    each, the published CJK density range), format-12 cmap from
+    U+4E00.  Deterministic (seed 0): stroke grids of horizontal/
+    vertical bars plus curved hooks, quantized to font units."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    upem = 1024
+    fb = FontBuilder(upem, isTTF=True)
+    names = [".notdef"] + [f"uni{0x4E00 + i:04X}" for i in range(n_glyphs)]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap(
+        {0x4E00 + i: names[i + 1] for i in range(n_glyphs)}
+    )
+
+    def stroke(pen, x, y, w, h, bulge):
+        # a closed quadratic "bar" with slightly curved long sides
+        pen.moveTo((x, y))
+        pen.qCurveTo((x + w // 2, y - bulge), (x + w, y))
+        pen.lineTo((x + w, y + h))
+        pen.qCurveTo((x + w // 2, y + h + bulge), (x, y + h))
+        pen.closePath()
+
+    glyphs = {}
+    pen = TTGlyphPen(glyphSet={})
+    glyphs[".notdef"] = pen.glyph()
+    margin = 80
+    for i in range(n_glyphs):
+        pen = TTGlyphPen(glyphSet={})
+        n_strokes = int(rng.integers(50, 81))
+        for _ in range(n_strokes):
+            horiz = rng.random() < 0.55
+            if horiz:
+                w = int(rng.integers(200, upem - 2 * margin))
+                h = int(rng.integers(28, 60))
+            else:
+                w = int(rng.integers(28, 60))
+                h = int(rng.integers(200, upem - 2 * margin))
+            x = int(rng.integers(margin, upem - margin - w))
+            y = int(rng.integers(margin, upem - margin - h))
+            stroke(pen, x, y, w, h, int(rng.integers(6, 24)))
+        glyphs[names[i + 1]] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    # lsb == xMin so fontTools' pen offset (lsb - xMin) is zero and
+    # pen-based differentials compare raw outline coordinates
+    fb.setupHorizontalMetrics({
+        n: (upem, getattr(fb.font["glyf"][n], "xMin", 0)) for n in names
+    })
+    fb.setupHorizontalHeader(ascent=880, descent=-144)
+    fb.setupNameTable({"familyName": "CJKTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+    fb.save(os.path.join(HERE, "cjktest.ttf"))
+    print("wrote cjktest.ttf")
+
+
+def make_arabictest():
+    """An Arabic shaping corpus font with GENUINE OpenType structure:
+    init/medi/fina single substitutions, an rlig lam-alef ligature and
+    mark anchors, compiled from feature syntax by fontTools feaLib —
+    registered under the ``arab`` script with a DFLT entry, exercising
+    script/language-system selection the way real Arabic fonts do."""
+    upem = 1000
+    fb = FontBuilder(upem, isTTF=True)
+    # base letters + positional variants + lam-alef + one mark
+    names = [
+        ".notdef", "space",
+        "alef-ar", "alef-ar.fina",
+        "beh-ar", "beh-ar.init", "beh-ar.medi", "beh-ar.fina",
+        "lam-ar", "lam-ar.init", "lam-ar.medi", "lam-ar.fina",
+        "meem-ar", "meem-ar.init", "meem-ar.medi", "meem-ar.fina",
+        "lam_alef-ar", "lam_alef-ar.fina",
+        "fatha-ar",
+    ]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({
+        0x20: "space", 0x627: "alef-ar", 0x628: "beh-ar",
+        0x644: "lam-ar", 0x645: "meem-ar", 0x64E: "fatha-ar",
+    })
+
+    def boxglyph(x0, y0, x1, y1, notch=0):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((x0, y0))
+        pen.lineTo((x1, y0))
+        pen.lineTo((x1, y1))
+        pen.qCurveTo(((x0 + x1) // 2, y1 + 60 + notch), (x0, y1))
+        pen.closePath()
+        return pen.glyph()
+
+    glyphs = {".notdef": boxglyph(50, 0, 450, 700)}
+    pen = TTGlyphPen(glyphSet={})
+    glyphs["space"] = pen.glyph()
+    # distinct shapes per positional form (distinct rasters matter for
+    # the differential tests; exact art does not)
+    dims = {
+        "alef-ar": (40, 0, 120, 700), "alef-ar.fina": (40, 0, 160, 680),
+        "beh-ar": (30, -60, 530, 220), "beh-ar.init": (30, -40, 420, 240),
+        "beh-ar.medi": (30, -20, 330, 260), "beh-ar.fina": (30, -80, 470, 230),
+        "lam-ar": (40, -60, 340, 640), "lam-ar.init": (40, -40, 300, 620),
+        "lam-ar.medi": (40, -20, 260, 600), "lam-ar.fina": (40, -80, 380, 630),
+        "meem-ar": (30, -180, 330, 200), "meem-ar.init": (30, -40, 300, 220),
+        "meem-ar.medi": (30, -20, 280, 240), "meem-ar.fina": (30, -200, 350, 210),
+        "lam_alef-ar": (40, -40, 520, 700), "lam_alef-ar.fina": (40, -60, 560, 690),
+        "fatha-ar": (0, 0, 160, 90),
+    }
+    for i, (n, (x0, y0, x1, y1)) in enumerate(dims.items()):
+        glyphs[n] = boxglyph(x0, y0, x1, y1, notch=i * 7)
+    fb.setupGlyf(glyphs)
+    adv = {n: (600, getattr(fb.font["glyf"][n], "xMin", 0))
+           for n in names}
+    adv["space"] = (260, 0)
+    adv["fatha-ar"] = (0, getattr(fb.font["glyf"]["fatha-ar"], "xMin", 0))
+    fb.setupHorizontalMetrics(adv)
+    fb.setupHorizontalHeader(ascent=800, descent=-300)
+    fb.setupNameTable({"familyName": "ArabicTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+
+    fea = """
+languagesystem DFLT dflt;
+languagesystem arab dflt;
+
+feature init {
+    script arab;
+    sub beh-ar by beh-ar.init;
+    sub lam-ar by lam-ar.init;
+    sub meem-ar by meem-ar.init;
+} init;
+
+feature medi {
+    script arab;
+    sub beh-ar by beh-ar.medi;
+    sub lam-ar by lam-ar.medi;
+    sub meem-ar by meem-ar.medi;
+} medi;
+
+feature fina {
+    script arab;
+    sub alef-ar by alef-ar.fina;
+    sub beh-ar by beh-ar.fina;
+    sub lam-ar by lam-ar.fina;
+    sub meem-ar by meem-ar.fina;
+} fina;
+
+feature rlig {
+    script arab;
+    sub lam-ar alef-ar by lam_alef-ar;
+    sub lam-ar alef-ar.fina by lam_alef-ar.fina;
+    sub lam-ar.init alef-ar.fina by lam_alef-ar.fina;
+} rlig;
+
+markClass [fatha-ar] <anchor 80 45> @TOP_MARKS;
+
+feature mark {
+    script arab;
+    pos base [beh-ar beh-ar.init beh-ar.medi beh-ar.fina]
+        <anchor 250 300> mark @TOP_MARKS;
+    pos base [lam-ar lam-ar.init lam-ar.medi lam-ar.fina]
+        <anchor 180 700> mark @TOP_MARKS;
+} mark;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "arabictest.ttf"))
+    print("wrote arabictest.ttf")

@@ -56,7 +56,8 @@ def _corpus() -> list[str]:
             paths.append(p)
     # synthetic variable-font fixtures (fvar/gvar path)
     here = os.path.dirname(__file__)
-    for f in ("vartest.ttf", "vartest2.ttf"):
+    for f in ("vartest.ttf", "vartest2.ttf", "cjktest.ttf",
+              "arabictest.ttf"):
         p = os.path.join(here, "data", f)
         if os.path.exists(p):
             paths.append(p)
@@ -166,3 +167,180 @@ class TestCorpus:
             gids = [corpus_font.glyph_index(c) for c in "AVo"]
             pos = sh.positions(gids, [100, 100, 100])
             assert len(pos.x_advance) == 3
+
+
+class TestCjkCorpus:
+    """The dense-regime corpus font (tests/data/cjktest.ttf): 1024
+    han-style glyphs at 200-330 segments each, format-12 cmap — the
+    realistic stand-in the synthetic benchmark batches approximate
+    (VERDICT r2 item 7)."""
+
+    @pytest.fixture(scope="class")
+    def cjk(self):
+        p = os.path.join(os.path.dirname(__file__), "data", "cjktest.ttf")
+        return Font.open(p)
+
+    def test_density_is_cjk_like(self, cjk):
+        from fontrx.pack.segments import glyph_segments
+
+        counts = []
+        for i in range(1, cjk.num_glyphs, 37):
+            counts.append(len(glyph_segments(cjk.load_glyph(i))))
+        counts = np.array(counts)
+        assert counts.min() >= 150 and counts.max() <= 400
+        assert 200 <= counts.mean() <= 330
+
+    def test_cmap12_maps_cjk_block(self, cjk):
+        assert cjk.glyph_index(chr(0x4E00)) == 1
+        assert cjk.glyph_index(chr(0x4E00 + 1023)) == 1024
+
+    def test_raster_matches_fonttools_pen(self, cjk):
+        """Raster differential vs fontTools' interpretation of the same
+        glyphs (RecordingPen -> quadratics -> oracle): 0 differing
+        pixels — the corpus bar every format meets."""
+        from fontTools.pens.recordingPen import RecordingPen
+        from fontTools.ttLib import TTFont
+
+        from fontrx.kernels import oracle
+        from fontrx.kernels.grid import RasterGrid
+        from fontrx.pack.segments import glyph_segments
+
+        ft = TTFont(os.path.join(
+            os.path.dirname(__file__), "data", "cjktest.ttf"))
+        gs = ft.getGlyphSet()
+        order = ft.getGlyphOrder()
+        for gid in (1, 257, 600, 1024):
+            g = cjk.load_glyph(gid)
+            rp = RecordingPen()
+            gs[order[gid]].draw(rp)
+            # rebuild segments from the pen stream (TrueType pens emit
+            # qCurveTo runs with implied on-curve midpoints)
+            segs = []
+            cur = None
+            start = None
+            for op, args in rp.value:
+                if op == "moveTo":
+                    cur = start = np.array(args[0], np.float64)
+                elif op == "lineTo":
+                    p2 = np.array(args[0], np.float64)
+                    segs.append([cur, (cur + p2) / 2, p2])
+                    cur = p2
+                elif op == "qCurveTo":
+                    pts = [np.array(a, np.float64) for a in args]
+                    offs = pts[:-1]
+                    last = pts[-1] if pts[-1] is not None else start
+                    for k, c in enumerate(offs):
+                        if k + 1 < len(offs):
+                            on = (c + offs[k + 1]) / 2
+                        else:
+                            on = last
+                        segs.append([cur, c, on])
+                        cur = on
+                elif op == "closePath":
+                    if cur is not None and not np.array_equal(cur, start):
+                        p2 = start
+                        segs.append([cur, (cur + p2) / 2, p2])
+                    cur = start
+            pen_segs = np.array(segs, np.float32)
+            ours = glyph_segments(g)
+            grid = RasterGrid.for_glyph_box(
+                (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
+                96, cjk.info.units_per_em)
+            xs, ys = grid.sample_coords()
+            w_ours = oracle.winding_at(ours, xs[None, :], ys[:, None])
+            w_pen = oracle.winding_at(pen_segs, xs[None, :], ys[:, None])
+            np.testing.assert_array_equal(
+                w_ours != 0, w_pen != 0), gid
+
+    def test_dense_engine_path_matches_oracle(self, cjk):
+        """The shipped dense-regime engine path (column-major kernel in
+        interpret mode) over real 200+-segment glyphs."""
+        import jax.numpy as jnp
+
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.kernels import oracle
+        from fontrx.pack.segments import pack_glyphs
+
+        from fontrx.kernels.grid import RasterGrid
+
+        glyphs = [cjk.load_glyph(i) for i in (1, 50, 333)]
+        batch = pack_glyphs(glyphs, sort="x")
+        assert batch.capacity > 128  # dense path engages
+        eng = RasterEngine(backend="interpret")
+        size = 64
+        grids = [
+            RasterGrid.fixed_tile(tuple(b), float(size),
+                                  cjk.info.units_per_em, size)
+            for b in np.asarray(batch.boxes)
+        ]
+        mx = jnp.asarray(np.array([g.min_x for g in grids], np.int32))
+        my = jnp.asarray(np.array([g.max_y for g in grids], np.int32))
+        scale = np.float32(grids[0].scale)
+        out = eng.winding_batch(
+            batch.segments, mx, my, scale, height=size, width=size)
+        total_ink = 0
+        for i in range(len(glyphs)):
+            xs, ys = grids[i].sample_coords()
+            w = oracle.winding_at(
+                batch.segments[i], xs[None, :], ys[:, None],
+                contract=True)
+            total_ink += int((w != 0).sum())
+            np.testing.assert_array_equal(np.asarray(out[i]), w)
+        assert total_ink > 1000  # the windows actually contain glyphs
+
+
+class TestArabicCorpus:
+    """The Arabic corpus font (tests/data/arabictest.ttf): genuine
+    feaLib-compiled init/medi/fina + rlig + mark GSUB/GPOS registered
+    under the ``arab`` script (VERDICT r2 item 7)."""
+
+    @pytest.fixture(scope="class")
+    def ar(self):
+        p = os.path.join(
+            os.path.dirname(__file__), "data", "arabictest.ttf")
+        return Font.open(p)
+
+    def _gid(self, ar, name):
+        from fontTools.ttLib import TTFont
+
+        ft = TTFont(os.path.join(
+            os.path.dirname(__file__), "data", "arabictest.ttf"))
+        return ft.getGlyphOrder().index(name)
+
+    def test_positional_forms_via_arab_script(self, ar):
+        from fontrx.scene.layout import layout_text
+
+        # beh + meem + lam (logical): beh initial, meem medial, lam
+        # final after joining
+        lt = layout_text(ar, "بمل", bidi=True, rtl=True)
+        gids = {lt.slot_gids[i.glyph_slot] for i in lt.instances}
+        expect = {
+            self._gid(ar, "beh-ar.init"),
+            self._gid(ar, "meem-ar.medi"),
+            self._gid(ar, "lam-ar.fina"),
+        }
+        assert expect <= gids, (expect, gids)
+
+    def test_lam_alef_rlig(self, ar):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(
+            ar, "لا", bidi=True, rtl=True, ligatures=True)
+        gids = {lt.slot_gids[i.glyph_slot] for i in lt.instances}
+        lig = {
+            self._gid(ar, "lam_alef-ar"),
+            self._gid(ar, "lam_alef-ar.fina"),
+        }
+        assert gids & lig, gids
+
+    def test_mark_anchors_position_fatha(self, ar):
+        from fontrx.scene.layout import layout_text
+
+        # logical placement (no mirroring) isolates the anchor math
+        lt = layout_text(ar, "بَ", marks=True, positioning=(b"mark",))
+        assert len(lt.instances) == 2
+        base_i, mark_i = lt.instances
+        # the isolated beh's anchor is (250, 300), mark anchor (80, 45):
+        # the mark sits base_x + 170, base_y + 255
+        assert mark_i.x - base_i.x == pytest.approx(170.0)
+        assert mark_i.y - base_i.y == pytest.approx(255.0)

@@ -491,3 +491,47 @@ class TestParseBounds:
         if sh is not None:
             pos = sh.positions([10, 11], [100, 100])
             assert pos.x_advance.tolist() == [100, 100]
+
+
+class TestCursiveRtlFlag:
+    def test_rtl_flag_chains_baseline_backward(self):
+        # same anchors as test_exit_meets_entry, but the lookup carries
+        # the RIGHT_TO_LEFT flag (0x0001): now the FIRST glyph moves
+        # vertically and the LAST stays on the baseline
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(3, 0x0001, [gpos_cursive(
+                {10: (None, (80, 10)), 11: ((5, -20), None)}
+            )])],
+        )
+        pos = shaper(gpos).positions([10, 11], [100, 100])
+        # exit of 10 at y=10 meets entry of 11 at y=-20:
+        # yo[10] = yo[11] + (entry_y - exit_y) = 0 + (-20 - 10)
+        assert pos.y_offset[0] == -30
+        assert pos.y_offset[1] == 0
+        # x behavior identical to the LTR case (pen runs logically)
+        ltr = shaper(build_gpos(
+            [(b"test", [0])],
+            [(3, 0, [gpos_cursive(
+                {10: (None, (80, 10)), 11: ((5, -20), None)}
+            )])],
+        )).positions([10, 11], [100, 100])
+        assert pos.x_advance.tolist() == ltr.x_advance.tolist()
+        assert pos.x_offset.tolist() == ltr.x_offset.tolist()
+        # and the LTR variant moves the SECOND glyph instead
+        assert ltr.y_offset[0] == 0 and ltr.y_offset[1] == 30
+
+    def test_rtl_chain_cascades_back_to_front(self):
+        # A -> B -> C with rising joins: C anchors the baseline
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(3, 0x0001, [gpos_cursive({
+                10: (None, (90, 10)),
+                11: ((0, 0), (90, 10)),
+                12: ((0, 0), None),
+            })])],
+        )
+        pos = shaper(gpos).positions([10, 11, 12], [100, 100, 100])
+        assert pos.y_offset[2] == 0
+        assert pos.y_offset[1] == -10
+        assert pos.y_offset[0] == -20
