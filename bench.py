@@ -221,9 +221,51 @@ def main() -> None:
                     if full_gate
                     else {}
                 ),
+                # the latest exhaustive-gate pin always rides along, so
+                # every BENCH_r*.json is self-certifying: the in-bench
+                # sampled check above is the smoke test, THIS is the
+                # qualification (re-pinned by FONTRX_FULL_GATE=1 runs)
+                **_gate_pin(full_gate),
             }
         )
     )
+
+
+_PIN_PATH = os.path.join(os.path.dirname(__file__), "benchmarks",
+                         "GATE_PIN.json")
+
+
+def _gate_pin(full_gate: dict | None) -> dict:
+    """Persist a fresh full-gate result; always return the latest pin."""
+    import subprocess
+
+    if full_gate is not None:
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(__file__) or ".",
+            ).stdout.strip()
+        except Exception:
+            sha = "unknown"
+        pin = {
+            "checked": full_gate["total_checked"],
+            "mismatched": full_gate["total_mismatch_canonical"],
+            "date": time.strftime("%Y-%m-%d"),
+            "git_sha": sha,
+            "backend": full_gate.get("backend", "?"),
+        }
+        try:
+            with open(_PIN_PATH, "w") as f:
+                json.dump(pin, f, indent=1)
+        except OSError:
+            pass
+    try:
+        with open(_PIN_PATH) as f:
+            pin = json.load(f)
+        return {"gate_pin": pin}
+    except (OSError, ValueError):
+        return {}
 
 
 if __name__ == "__main__":

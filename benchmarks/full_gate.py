@@ -293,6 +293,81 @@ def run_full_gate(verbose: bool = True) -> dict:
         total_mismatch += m
         log(f"  dense{tile}: {m}/{exp_d.size}")
 
+    # ---- 7. SDF + LCD modes (every shipped CLI mode gate-listed) ---------
+    # SDF is Newton-lattice vs closed-form: tolerance-gated at the u8
+    # quantization step (mismatch = pixels beyond it, expected 0).
+    # LCD subpixel coverage is exact winding math: bit-gated.
+    log("gate 7: SDF flat-mode tolerance + LCD subpixel bit-equality")
+    from fontrx.kernels.coverage import lcd_coverage_batch
+    from fontrx.kernels.sdf import sdf_batch
+
+    sdf_glyphs = glyphs[:40]
+    sbatch = pack_glyphs(sdf_glyphs)
+    sgrids2 = [
+        RasterGrid.fixed_tile(tuple(bx), 32, font.info.units_per_em, 32)
+        for bx in np.asarray(sbatch.boxes)
+    ]
+    smx = jnp.asarray(np.array([g.min_x for g in sgrids2], np.int32))
+    smy = jnp.asarray(np.array([g.max_y for g in sgrids2], np.int32))
+    sscale = jnp.float32(sgrids2[0].scale)
+    if backend == "tpu":
+        from fontrx.kernels.sdf_pallas import sdf_pallas_batch
+
+        sdf_dev = sdf_pallas_batch(
+            sbatch.segments, smx, smy, sscale, height=32, width=32,
+            flat=True,
+        )
+    else:
+        sdf_dev = sdf_batch(
+            jnp.asarray(sbatch.segments), smx, smy, sscale,
+            height=32, width=32,
+        )
+    sdf_ref = sdf_batch(
+        jnp.asarray(sbatch.segments), smx, smy, sscale,
+        height=32, width=32,
+    )
+    spread = 8.0
+    quant = spread / 127.0
+    d = jnp.abs(jnp.clip(sdf_dev, -spread, spread)
+                - jnp.clip(sdf_ref, -spread, spread))
+    m = int(jnp.sum(d > quant))
+    results["sdf32"] = {
+        "checked": int(np.prod(sdf_dev.shape)),
+        "mismatch_canonical": m,
+        "tolerance_px": round(quant, 4),
+        "max_dev_px": round(float(jnp.max(d)), 4),
+    }
+    total_checked += int(np.prod(sdf_dev.shape))
+    total_mismatch += m
+    log(f"  sdf32: {m}/{int(np.prod(sdf_dev.shape))} beyond "
+        f"{quant:.4f}px (max dev {float(jnp.max(d)):.4f})")
+
+    lcd_glyphs = glyphs[:20]
+    lbatch = pack_glyphs(lcd_glyphs)
+    lgrids = [
+        RasterGrid.fixed_tile(tuple(bx), 48, font.info.units_per_em, 48)
+        for bx in np.asarray(lbatch.boxes)
+    ]
+    lmx = jnp.asarray(np.array([g.min_x for g in lgrids], np.int32))
+    lmy = jnp.asarray(np.array([g.max_y for g in lgrids], np.int32))
+    lscale = jnp.float32(lgrids[0].scale)
+    lcd = lcd_coverage_batch(
+        jnp.asarray(lbatch.segments), lmx, lmy, lscale,
+        height=48, width=48, samples=2, exact=True, use_pallas=True,
+        interpret=backend != "tpu",
+    )
+    lcd_ref = lcd_coverage_batch(
+        jnp.asarray(lbatch.segments), lmx, lmy, lscale,
+        height=48, width=48, samples=2, use_pallas=False,
+    )
+    m = int(jnp.sum(lcd != lcd_ref))
+    results["lcd48"] = {
+        "checked": int(np.prod(lcd.shape)), "mismatch_canonical": m,
+    }
+    total_checked += int(np.prod(lcd.shape))
+    total_mismatch += m
+    log(f"  lcd48: {m}/{int(np.prod(lcd.shape))}")
+
     results["total_checked"] = total_checked
     results["total_mismatch_canonical"] = total_mismatch
     return results

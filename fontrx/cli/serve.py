@@ -83,10 +83,38 @@ def ws_send_frame(wfile, payload: bytes, opcode: int = 2) -> None:
 
 _PAGE = """<!doctype html>
 <title>fontrx</title>
-<style>body{margin:0;background:#222;overflow:hidden}img{display:block}</style>
+<style>body{margin:0;background:#222;overflow:hidden}img{display:block}
+#ui{position:fixed;top:8px;right:8px;background:#000a;color:#ddd;
+font:12px monospace;padding:8px;border-radius:6px}
+#ui input{vertical-align:middle;width:140px}
+#ui button{font:inherit;margin-top:4px}</style>
 <img id=v draggable=false>
+<div id=ui></div>
 <script>
 const v = document.getElementById('v');
+const ui = document.getElementById('ui');
+function buildUI(axes, mode) {
+  ui.innerHTML = '';
+  for (const a of axes) {
+    const row = document.createElement('div');
+    const lab = document.createElement('span');
+    lab.textContent = `${a.tag} ${a.value.toFixed(0)} `;
+    const sl = document.createElement('input');
+    sl.type = 'range'; sl.min = a.min; sl.max = a.max;
+    sl.step = (a.max - a.min) / 200; sl.value = a.value;
+    sl.oninput = () => {
+      lab.textContent = `${a.tag} ${(+sl.value).toFixed(0)} `;
+      ev({axis: a.tag, value: +sl.value},
+         `axis=${a.tag}&value=${sl.value}`);
+    };
+    row.appendChild(lab); row.appendChild(sl); ui.appendChild(row);
+  }
+  const b = document.createElement('button');
+  b.textContent = 'mode: ' + mode;
+  b.onclick = () => ev({key: 'c'}, 'key=c');
+  ui.appendChild(b);
+}
+fetch('/ui').then(r => r.json()).then(d => buildUI(d.axes, d.mode));
 let n = 0, drag = null, ws = null, url = null;
 // push channel: frames arrive as binary WS messages; events go out as
 // JSON text frames.  Falls back to fetch-polling if WS is unavailable.
@@ -123,7 +151,7 @@ window.onmousemove = e => {
   ev({dx, dy}, `dx=${dx}&dy=${dy}`);
 };
 window.onkeydown = e => {
-  if ('mdt[]'.includes(e.key)) ev({key: e.key}, 'key=' + e.key);
+  if ('mdtc[]'.includes(e.key)) ev({key: e.key}, 'key=' + e.key);
   else if (e.key === 'Backspace') ev({back: 1}, 'back=1');
   else if (e.key.length === 1) ev({type: e.key},
                                   'type=' + encodeURIComponent(e.key));
@@ -158,6 +186,16 @@ def make_handler(sess, lock: threading.Lock | None = None):
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path.startswith("/ui"):
+                import json as _json
+
+                with (lock or threading.Lock()):
+                    body = _json.dumps({
+                        "axes": sess.axes_info(),
+                        "mode": sess.mode,
+                    }).encode()
+                self._send(200, "application/json", body)
+                return
             url = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             if url.path == "/":
@@ -243,6 +281,8 @@ def make_handler(sess, lock: threading.Lock | None = None):
                 sess.char_input(q["type"])
             if "back" in q:
                 sess.backspace(int(float(q["back"])))
+            if "axis" in q:
+                sess.set_axis(str(q["axis"]), float(q["value"]))
 
     return Handler
 

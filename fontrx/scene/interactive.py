@@ -122,6 +122,8 @@ class InteractiveSession:
             self.events.toggle_transparent = True
         elif k in ("[", "]"):
             self.step_variation(-1 if k == "[" else 1)
+        elif k == "c":
+            self.cycle_mode()
 
     def step_variation(self, direction: int, axis: bytes = b"wght"):
         """Step a variable-font axis live ('[' / ']' keys): moves the
@@ -144,6 +146,47 @@ class InteractiveSession:
         )
         self.font.set_variation(loc)
         self._set_text(self.text)  # re-layout + renderer rebuild
+
+    def axes_info(self) -> list[dict]:
+        """Variable-axis descriptors for UI sliders: tag, range,
+        default and the CURRENT user-space value.  Empty for static
+        fonts."""
+        fv = getattr(self.font, "fvar", None)
+        if fv is None:
+            return []
+        loc = dict(getattr(self.font, "_var_user", {}))
+        return [
+            {
+                "tag": a.tag.decode("latin-1"),
+                "min": float(a.min_value),
+                "default": float(a.default_value),
+                "max": float(a.max_value),
+                "value": float(loc.get(a.tag, a.default_value)),
+            }
+            for a in fv.axes
+        ]
+
+    def set_axis(self, tag: str, value: float):
+        """Set one variable axis to an absolute user-space value
+        (viewer slider backend; other axes keep their location).
+        No-op on static fonts / unknown tags."""
+        fv = getattr(self.font, "fvar", None)
+        if fv is None:
+            return
+        t = tag.encode("latin-1") if isinstance(tag, str) else tag
+        ax = next((a for a in fv.axes if a.tag == t), None)
+        if ax is None:
+            return
+        loc = dict(getattr(self.font, "_var_user", {}))
+        loc[t] = min(max(float(value), ax.min_value), ax.max_value)
+        self.font.set_variation(loc)
+        self._set_text(self.text)
+
+    def cycle_mode(self):
+        """Cycle the render pipeline (direct <-> composite) live — the
+        viewer's 'c' key / mode button."""
+        self.mode = "composite" if self.mode == "direct" else "direct"
+        self._set_text(self.text)  # rebuild the renderer for the mode
 
     def char_input(self, text: str):
         """Append typed characters to the scene and re-layout — the

@@ -511,3 +511,86 @@ class TestHybridPacking:
         space = dejavu.get_glyph(" ")[0]
         hb = pack_glyphs_hybrid([space], capacity=16)
         assert hb.groups == ((1, 1),)
+
+
+class TestViewerAxisUI:
+    """Round-3 viewer polish: axis sliders (absolute set_axis backed by
+    fvar) + mode cycling + the /ui descriptor endpoint."""
+
+    def _vf(self):
+        import os
+
+        from fontrx.font.font import Font
+
+        return Font.open(os.path.join(
+            os.path.dirname(__file__), "data", "vartest.ttf"))
+
+    def test_axes_info_and_set_axis(self):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            self._vf(), "AB", 128, 96, RasterEngine(backend="jnp"))
+        (ax,) = sess.axes_info()
+        assert ax["tag"] == "wght" and ax["value"] == ax["default"]
+        sess.set_axis("wght", 700.0)
+        assert sess.axes_info()[0]["value"] == 700.0
+        sess.set_axis("wght", 99999.0)   # clamps to axis max
+        assert sess.axes_info()[0]["value"] == 900.0
+        sess.set_axis("nope", 5.0)       # unknown tag: no-op
+
+    def test_static_font_has_no_axes(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            dejavu, "A", 128, 96, RasterEngine(backend="jnp"))
+        assert sess.axes_info() == []
+        sess.set_axis("wght", 700)  # no-op, no crash
+
+    def test_cycle_mode_key(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            dejavu, "A", 128, 96, RasterEngine(backend="jnp"))
+        assert sess.mode == "direct"
+        sess.key("c")
+        assert sess.mode == "composite"
+        sess.frame()  # renders in the new mode
+        sess.key("c")
+        assert sess.mode == "direct"
+
+    def test_ui_endpoint(self):
+        import json
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from fontrx.cli.serve import make_handler
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            self._vf(), "A", 96, 64, RasterEngine(backend="jnp"))
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(sess))
+        httpd.daemon_threads = True
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{httpd.server_port}/ui", timeout=20
+            ) as r:
+                d = json.loads(r.read())
+            assert d["mode"] == "direct"
+            assert d["axes"][0]["tag"] == "wght"
+            # slider event applies through the shared /ev surface
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{httpd.server_port}"
+                "/ev?axis=wght&value=500", timeout=20
+            ) as r:
+                r.read()
+            assert sess.axes_info()[0]["value"] == 500.0
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
