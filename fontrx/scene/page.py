@@ -172,6 +172,37 @@ def _direct_page_step(
 
     ph = ((page_h + 127) // 128) * 128
     pw = ((page_w + 127) // 128) * 128
+    if pw >= 2048:
+        # 4K-class pages: the deferred-carry page kernel — per-chunk
+        # x-hull tile windows + bucketed carries, one suffix-sum flush
+        # per strip (kernels/winding_page.py).  Bit-identical to the
+        # banded v2 path (device A/B mismatch=0) and 1.5-1.6x faster at
+        # 3840px wide (tpu_page_defer.py: 168 -> 103-110 ms); 1080p
+        # keeps the v2 path (35.4 vs 38.2 — the flush overhead doesn't
+        # amortize at 15 column tiles).  seg_chunk=32: sc64 is
+        # interpret-exact but MISCOMPILES on device (Mosaic, the
+        # 64-wide unroll inside nested pl.when; docs/RESULTS.md r3).
+        from fontrx.kernels.winding_page import winding_page_batch
+
+        wd = winding_page_batch(
+            flat,
+            jnp.zeros(1, jnp.int32),
+            jnp.full(1, page_h - 1, jnp.int32),
+            jnp.float32(1.0),
+            height=ph,
+            width=pw,
+            exact=exact,
+            interpret=interpret,
+            sample_offset=sample_offset,
+            seg_chunk=32,
+            tile_w=256 if pw % 256 == 0 else 128,
+            row_windows=tuning[3] if len(tuning) > 3 and tuning[3]
+            else 8,
+        )
+        winding = wd[0, :page_h, :page_w]
+        if mode == "winding":
+            return jnp.clip(winding * 20 + 100, 0, 255).astype(jnp.uint8)
+        return jnp.where(winding != 0, 255, 0).astype(jnp.uint8)
     # split very large pages into row bands: XLA stages each kernel
     # output in scoped VMEM (~16 MB), which a 4K int32 page blows past
     target_bytes = 4 * 1024 * 1024

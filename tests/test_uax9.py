@@ -325,3 +325,65 @@ class TestLayoutIntegration:
             dejavu, "a ⁧שם⁩ b", bidi=True)
         pos = self._pos(lt, dejavu)
         assert pos[ord("a")] < pos[0x05DD] < pos[0x05E9] < pos[ord("b")]
+
+
+class TestBidiProperties:
+    """Property fuzz over random strings: structural invariants of the
+    resolution (the published BidiTest vectors are unavailable
+    offline; these catch state-machine corruption the hand cases
+    might miss)."""
+
+    POOL = (
+        [ord(c) for c in "ab1 ,.()"]
+        + [H, H2, ALEF, AD1, 0x05BC]
+        + [LRE, RLE, RLO, PDF, LRI, RLI, FSI, PDI]
+    )
+
+    def test_invariants_hold_on_random_streams(self):
+        import random
+
+        rng = random.Random(20260817)
+        for _ in range(300):
+            n = rng.randrange(0, 24)
+            cps = [rng.choice(self.POOL) for _ in range(n)]
+            for base in (None, False, True):
+                line = resolve(list(cps), base)
+                assert len(line.levels) == n
+                # levels are sane
+                assert all(
+                    line.base_level <= lv <= 127 + 2
+                    for i, lv in enumerate(line.levels)
+                    if not line.removed[i]
+                ), (cps, line.levels)
+                # visual order is a permutation of non-removed indices
+                vo = line.visual_order()
+                keep = [i for i in range(n) if not line.removed[i]]
+                assert sorted(vo) == keep, cps
+                # strong chars keep their side parity — except under
+                # directional OVERRIDES, which legitimately retype them
+                if not ({LRO, RLO} & set(cps)):
+                    for i in keep:
+                        c = line.classes[i]
+                        if c == "L":
+                            assert line.levels[i] % 2 == 0, (cps, i)
+                        elif c in ("R", "AL"):
+                            assert line.levels[i] % 2 == 1, (cps, i)
+
+    def test_strong_only_matches_simple_model(self):
+        """With only strong chars and spaces (no brackets/digits/
+        controls), the full algorithm agrees with the round-2 simple
+        model: maximal direction runs with N1/N2 neutrals."""
+        import random
+
+        rng = random.Random(7)
+        pool = [ord("a"), ord("b"), H, H2, ord(" ")]
+        from fontrx.font.bidi import split_runs
+
+        for _ in range(200):
+            n = rng.randrange(1, 16)
+            cps = [rng.choice(pool) for _ in range(n)]
+            runs = split_runs(list(cps), False)
+            # runs tile the line
+            assert runs[0][0] == 0 and runs[-1][1] == n
+            for (s1, e1, _), (s2, e2, _) in zip(runs, runs[1:]):
+                assert e1 == s2
