@@ -326,6 +326,19 @@ def run_full_gate(verbose: bool = True) -> dict:
         jnp.asarray(sbatch.segments), smx, smy, sscale,
         height=32, width=32,
     )
+    # the reference SIGN comes from the backend-canonical oracle
+    # winding (far-field sign flips on FMA-semantics tie pixels are
+    # the same cross-backend delta the winding gates book-keep; the
+    # TPU kernel's exact-mode sign matches the strict-FMA oracle)
+    sgn = np.zeros((len(sdf_glyphs), 32, 32), np.float32)
+    for gi, gg in enumerate(sgrids2):
+        gxs, gys = gg.sample_coords()
+        gw = oracle.winding_at(
+            sbatch.segments[gi], gxs[None, :], gys[:, None],
+            contract=canonical_contract,
+        )
+        sgn[gi] = np.where(gw != 0, 1.0, -1.0)
+    sdf_ref = jnp.asarray(sgn) * jnp.abs(sdf_ref)
     spread = 8.0
     quant = spread / 127.0
     d = jnp.abs(jnp.clip(sdf_dev, -spread, spread)
@@ -351,11 +364,13 @@ def run_full_gate(verbose: bool = True) -> dict:
     lmx = jnp.asarray(np.array([g.min_x for g in lgrids], np.int32))
     lmy = jnp.asarray(np.array([g.max_y for g in lgrids], np.int32))
     lscale = jnp.float32(lgrids[0].scale)
+    # the Pallas path needs strip-padded tiles (the CLI pads the same
+    # way, cli/main.py lcd mode); compare the cropped rasters
     lcd = lcd_coverage_batch(
         jnp.asarray(lbatch.segments), lmx, lmy, lscale,
-        height=48, width=48, samples=2, exact=True, use_pallas=True,
+        height=128, width=128, samples=2, exact=True, use_pallas=True,
         interpret=backend != "tpu",
-    )
+    )[:, :48, :48, :]
     lcd_ref = lcd_coverage_batch(
         jnp.asarray(lbatch.segments), lmx, lmy, lscale,
         height=48, width=48, samples=2, use_pallas=False,

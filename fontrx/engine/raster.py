@@ -101,20 +101,20 @@ class RasterEngine:
                 ]
                 return jnp.concatenate(parts, axis=0)
             if backend in (BACKEND_PALLAS, BACKEND_INTERPRET) and (
-                segments.shape[1] > 128
-                and height <= STRIP_ROWS
-                and width <= 128
+                height <= STRIP_ROWS and width <= 128
             ):
-                # dense single-tile regime (CJK atlas shape): the
-                # column-major kernel — phase B compares whole (C, R)
-                # crossing tensors against per-column scalars (no
+                # single-tile rasters (any capacity): the column-major
+                # kernel — phase B compares whole (C, R) crossing
+                # tensors against per-column scalars (no
                 # lane-broadcasts/transposes), rasters the TRUE width
                 # (no 128-lane padding), and culls per-chunk crossing
                 # x-windows.  Bit-identical to the row-major kernel
                 # (shared phase_a_roots float program; device-checked
                 # 0 mismatches).  tools/tpu_probes/tpu_dense.py:
-                # 288-seg @64px atlas 43.6 -> 8.2 ms (x-sorted packs),
-                # @32px similar — v2+row-windows measured 23.7
+                # 288-seg @64px atlas 43.6 -> 8.2 ms (x-sorted packs);
+                # tpu_dense_fullfont.py: the SPARSE full-font cap-64
+                # bucket 38.2 -> 15.7 ms @64px and 37.9 -> 11.0 @32px
+                # (2.4-3.5x over the gg16/banded v2 paths)
                 from fontrx.kernels.winding_dense import (
                     winding_dense_batch,
                 )

@@ -56,6 +56,7 @@ def _make_page_kernel(
     tile_w: int,
     n_super: int,
     row_windows: int = 8,
+    dynamic_tiles: bool = False,
 ):
     fdiv = div_cr if exact else (lambda a, b: a / b)
     fsqrt = sqrt_cr if exact else jnp.sqrt
@@ -139,63 +140,103 @@ def _make_page_kernel(
                     bucket_ref[pl.ds(n_tiles, 1), :] = (
                         bucket_ref[pl.ds(n_tiles, 1), :] + r0)
 
-                for t in range(n_tiles):
-                    lo = tile_lo[t]
-                    hi = tile_lo[t + 1]
+                def tile_work(t, lo, hi, cxt):
+                    """Classify + bucket + windowed details for one
+                    column tile.  ``t`` may be traced (dynamic mode);
+                    ``lo``/``hi``/``cxt`` carry the SAME float program
+                    as the static tile tables."""
+                    in0 = (xx0m >= lo) & (xx0m < hi)
+                    in1 = (xx1m >= lo) & (xx1m < hi)
+                    rsum = (
+                        jnp.sum(jnp.where(in0, s0, 0), axis=0,
+                                keepdims=True)
+                        + jnp.sum(jnp.where(in1, s1, 0), axis=0,
+                                  keepdims=True)
+                    )
+                    bucket_ref[pl.ds(t, 1), :] = (
+                        bucket_ref[pl.ds(t, 1), :] + rsum)
+                    t_off = pl.multiple_of(t * tile_w, tile_w)
 
-                    @pl.when((guard_hi >= lo) & (guard_lo < hi))
-                    def _(t=t, lo=lo, hi=hi):
-                        in0 = (xx0m >= lo) & (xx0m < hi)
-                        in1 = (xx1m >= lo) & (xx1m < hi)
-                        rsum = (
-                            jnp.sum(jnp.where(in0, s0, 0), axis=0,
-                                    keepdims=True)
-                            + jnp.sum(jnp.where(in1, s1, 0), axis=0,
-                                      keepdims=True)
-                        )
-                        bucket_ref[pl.ds(t, 1), :] = (
-                            bucket_ref[pl.ds(t, 1), :] + rsum)
+                    @pl.when(jnp.any(in0 | in1))
+                    def _():
+                        sd0 = jnp.where(in0, s0, 0).T
+                        sd1 = jnp.where(in1, s1, 0).T
+                        win_h = STRIP_ROWS // row_windows
+                        for w in range(row_windows):
+                            r0w = w * win_h
+                            cyw_hi = cy[0, r0w]
+                            cyw_lo = cy[0, r0w + win_h - 1]
 
-                        @pl.when(jnp.any(in0 | in1))
-                        def _(t=t, in0=in0, in1=in1):
-                            cxt = cx_tiles[t]
-                            sd0 = jnp.where(in0, s0, 0).T
-                            sd1 = jnp.where(in1, s1, 0).T
-                            win_h = STRIP_ROWS // row_windows
-                            for w in range(row_windows):
-                                r0w = w * win_h
-                                cyw_hi = cy[0, r0w]
-                                cyw_lo = cy[0, r0w + win_h - 1]
+                            @pl.when(
+                                (hull_max + 1.0 >= cyw_lo)
+                                & (hull_min - 1.0 <= cyw_hi)
+                            )
+                            def _(r0w=r0w):
+                                acc = out_ref[
+                                    0, pl.ds(r0w, win_h),
+                                    pl.ds(t_off, tile_w),
+                                ]
+                                for s in range(seg_chunk):
+                                    acc = acc + jnp.where(
+                                        xxT0[r0w : r0w + win_h,
+                                             s : s + 1] >= cxt,
+                                        sd0[r0w : r0w + win_h,
+                                            s : s + 1],
+                                        0,
+                                    )
+                                    acc = acc + jnp.where(
+                                        xxT1[r0w : r0w + win_h,
+                                             s : s + 1] >= cxt,
+                                        sd1[r0w : r0w + win_h,
+                                            s : s + 1],
+                                        0,
+                                    )
+                                out_ref[
+                                    0, pl.ds(r0w, win_h),
+                                    pl.ds(t_off, tile_w),
+                                ] = acc
 
-                                @pl.when(
-                                    (hull_max + 1.0 >= cyw_lo)
-                                    & (hull_min - 1.0 <= cyw_hi)
-                                )
-                                def _(t=t, r0w=r0w, cxt=cxt,
-                                      sd0=sd0, sd1=sd1, win_h=win_h):
-                                    acc = out_ref[
-                                        0, pl.ds(r0w, win_h),
-                                        pl.ds(t * tile_w, tile_w),
-                                    ]
-                                    for s in range(seg_chunk):
-                                        acc = acc + jnp.where(
-                                            xxT0[r0w : r0w + win_h,
-                                                 s : s + 1] >= cxt,
-                                            sd0[r0w : r0w + win_h,
-                                                s : s + 1],
-                                            0,
-                                        )
-                                        acc = acc + jnp.where(
-                                            xxT1[r0w : r0w + win_h,
-                                                 s : s + 1] >= cxt,
-                                            sd1[r0w : r0w + win_h,
-                                                s : s + 1],
-                                            0,
-                                        )
-                                    out_ref[
-                                        0, pl.ds(r0w, win_h),
-                                        pl.ds(t * tile_w, tile_w),
-                                    ] = acc
+                if not dynamic_tiles:
+                    for t in range(n_tiles):
+
+                        @pl.when((guard_hi >= tile_lo[t])
+                                 & (guard_lo < tile_lo[t + 1]))
+                        def _(t=t):
+                            tile_work(t, tile_lo[t], tile_lo[t + 1],
+                                      cx_tiles[t])
+                else:
+                    # dynamic x-hull tile window: loop ONLY the tiles
+                    # the chunk's hull overlaps (typically 1-2 of 30 on
+                    # text pages) — the tile bounds are a conservative
+                    # superset (pixel-space hull with +-2px slack on
+                    # top of the +-1 font-unit guard), so every tile a
+                    # crossing can exactly land in is visited; the
+                    # per-tile float program is unchanged
+                    px_lo = guard_lo * scale - ox - min_x.astype(
+                        jnp.float32)
+                    px_hi = guard_hi * scale - ox - min_x.astype(
+                        jnp.float32)
+                    t_lo = jnp.maximum(
+                        0, jnp.floor((px_lo - 2.0) / tile_w)
+                    ).astype(jnp.int32)
+                    t_hi = jnp.minimum(
+                        n_tiles - 1,
+                        jnp.floor((px_hi + 2.0) / tile_w),
+                    ).astype(jnp.int32)
+
+                    def tile_body(t, _):
+                        base = (min_x + t * tile_w).astype(jnp.float32)
+                        lo = fdiv(base + ox, scale)
+                        hi = fdiv(
+                            (min_x + (t + 1) * tile_w).astype(
+                                jnp.float32) + ox, scale)
+                        cxt = fdiv(
+                            (min_x + t * tile_w + col).astype(
+                                jnp.float32) + ox, scale)
+                        tile_work(t, lo, hi, cxt)
+                        return 0
+
+                    jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, 0)
 
             return 0
 
@@ -220,13 +261,13 @@ def _make_page_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "interpret", "exact", "seg_chunk", "tile_w",
-        "row_windows",
+        "row_windows", "dynamic_tiles",
     ),
 )
 def winding_page_batch(
     segments, min_x, max_y, scale, *, height, width, interpret=False,
     sample_offset=(0.0, 0.0), exact=False, seg_chunk=32, tile_w=128,
-    row_windows=8,
+    row_windows=8, dynamic_tiles=False,
 ):
     """Deferred-carry page winding: int32 ``[B, height, width]``,
     bit-identical to ``winding_pallas_v2_batch`` at the same anchors.
@@ -255,7 +296,8 @@ def winding_page_batch(
     grid = (b, height // STRIP_ROWS, n_super)
     return pl.pallas_call(
         _make_page_kernel(exact, seg_chunk, tile_w, n_super,
-                          row_windows=row_windows),
+                          row_windows=row_windows,
+                          dynamic_tiles=dynamic_tiles),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ // 128),

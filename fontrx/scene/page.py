@@ -172,14 +172,16 @@ def _direct_page_step(
 
     ph = ((page_h + 127) // 128) * 128
     pw = ((page_w + 127) // 128) * 128
-    if pw >= 2048:
-        # 4K-class pages: the deferred-carry page kernel — per-chunk
-        # x-hull tile windows + bucketed carries, one suffix-sum flush
-        # per strip (kernels/winding_page.py).  Bit-identical to the
-        # banded v2 path (device A/B mismatch=0) and 1.5-1.6x faster at
-        # 3840px wide (tpu_page_defer.py: 168 -> 103-110 ms); 1080p
-        # keeps the v2 path (35.4 vs 38.2 — the flush overhead doesn't
-        # amortize at 15 column tiles).  seg_chunk=32: sc64 is
+    if pw >= 1024:
+        # wide pages: the deferred-carry page kernel with DYNAMIC
+        # x-hull tile windows — per chunk, a traced fori_loop visits
+        # only the 1-2 column tiles its hull overlaps (pl.multiple_of
+        # aligns the dynamic lane slices); carries bucket per tile and
+        # flush once per strip (kernels/winding_page.py).  Bit-identical
+        # to the banded v2 path (device A/B mismatch=0 at 4K and
+        # 1080p); real-content timings incl ~33 ms tunnel RTT
+        # (tpu_page_defer.py): 4K 168 -> 52.5 ms (~20 ms device, from
+        # 94-206 in round 2), 1080p 39 -> 33.  seg_chunk=32: sc64 is
         # interpret-exact but MISCOMPILES on device (Mosaic, the
         # 64-wide unroll inside nested pl.when; docs/RESULTS.md r3).
         from fontrx.kernels.winding_page import winding_page_batch
@@ -198,6 +200,7 @@ def _direct_page_step(
             tile_w=256 if pw % 256 == 0 else 128,
             row_windows=tuning[3] if len(tuning) > 3 and tuning[3]
             else 8,
+            dynamic_tiles=True,
         )
         winding = wd[0, :page_h, :page_w]
         if mode == "winding":

@@ -58,15 +58,17 @@ def run(w, h, instances, zoom):
 
     import jax
 
-    @functools.partial(jax.jit, static_argnames=("ph", "pw", "sc", "tw"))
+    @functools.partial(jax.jit,
+                       static_argnames=("ph", "pw", "sc", "tw", "dyn"))
     def defer_step(flat_segments, seg_inst_idx, offs, s_px, ph, pw,
-                   sc, tw):
+                   sc, tw, dyn=False):
         o = offs[seg_inst_idx]
         flat = (flat_segments * s_px + o[:, None, :])[None]
         wd = winding_page_batch(
             flat, jnp.zeros(1, jnp.int32),
             jnp.full(1, h - 1, jnp.int32), jnp.float32(1.0),
             height=ph, width=pw, exact=False, seg_chunk=sc, tile_w=tw,
+            dynamic_tiles=dyn,
         )
         return jnp.where(wd[0, :h, :w] != 0, 255, 0).astype(jnp.uint8)
 
@@ -74,9 +76,13 @@ def run(w, h, instances, zoom):
     ph = ((h + 127) // 128) * 128
     pw = ((w + 127) // 128) * 128
 
-    for name, sc, tw in [("defer sc32 tw128", 32, 128),
-                         ("defer sc64 tw128", 64, 128),
-                         ("defer sc32 tw256", 32, 256)]:
+    variants = [("dyn sc32 tw256", 32, 256, True),
+                ("dyn sc32 tw128", 32, 128, True),
+                ("dyn sc16 tw256", 16, 256, True),
+                ("static sc32 tw256", 32, 256, False)]
+    if pw % 256:
+        variants = [(n_, s_, 128, d_) for n_, s_, _, d_ in variants]
+    for name, sc, tw, dyn in variants:
         view = base_view
         em = np.asarray(layout.instance_arrays()[1]).astype(np.float64)
         ndc_x = em[:, 0] * view.scale[0] + view.offset[0]
@@ -86,7 +92,7 @@ def run(w, h, instances, zoom):
         xs[:, 1] = (ndc_y + 1.0) / 2.0 * h
         s_px = np.float32(view.scale[0] * (w / 2.0))
         p = defer_step(flat_segments, seg_inst_idx, jnp.asarray(xs),
-                       s_px, ph, pw, sc, tw)
+                       s_px, ph, pw, sc, tw, dyn)
         mism = int((np.asarray(p) != ref).sum())
         t0 = time.perf_counter()
         for _ in range(n):
@@ -100,7 +106,7 @@ def run(w, h, instances, zoom):
             xs[:, 1] = (ndc_y + 1.0) / 2.0 * h
             s_px = np.float32(view.scale[0] * (w / 2.0))
             p = defer_step(flat_segments, seg_inst_idx, jnp.asarray(xs),
-                           s_px, ph, pw, sc, tw)
+                           s_px, ph, pw, sc, tw, dyn)
             float(p[0, 0])
         dt = (time.perf_counter() - t0) / n
         print(f"  {name:16s} {dt*1e3:8.2f} ms  mismatch={mism}",
