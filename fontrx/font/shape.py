@@ -10,7 +10,8 @@ GSUB application model:
   each scanning the whole glyph buffer before the next starts;
 - lookup types: 1 single, 2 multiple, 3 alternate (first alternate),
   4 ligature, 5 contextual, 6 chained contextual (all three formats
-  of 5/6), 7 extension (unwrapped at parse);
+  of 5/6), 7 extension (unwrapped at parse), 8 reverse chaining
+  single substitution (applied in reverse buffer order);
 - ``lookupFlag`` glyph skipping (ignoreBase/ignoreLigatures/
   ignoreMarks, markAttachmentType filter, useMarkFilteringSet) via
   :mod:`fontrx.font.gdef` — so e.g. an ``f`` + combining-accent + ``i``
@@ -196,6 +197,19 @@ class _LigatureSubst:
         if 0 <= ci < len(self.sets):
             return self.sets[ci]
         return ()
+
+
+@dataclass(frozen=True, slots=True)
+class _ReverseChain:
+    """Type 8: reverse chaining contextual single substitution
+    (format 1) — the Nastaliq-style lookup.  Applied over the buffer
+    in REVERSE glyph order, one 1:1 substitution per position, with
+    backtrack/lookahead coverage contexts and no nested lookups."""
+
+    coverage: Coverage
+    backtrack: tuple          # Coverage, nearest-first (buf[i-1], ...)
+    lookahead: tuple          # Coverage, nearest-first (buf[i+1], ...)
+    substitutes: tuple[int, ...]
 
 
 @dataclass(frozen=True, slots=True)
@@ -408,6 +422,24 @@ class GsubShaper:
             return parse_context_subtable(r, base, chained=False)
         if s_type == 6:
             return parse_context_subtable(r, base, chained=True)
+        if s_type == 8:
+            fmt, cov_off = r.unpack("HH")
+            if fmt != 1:
+                return None
+            cov = Coverage.parse(BigEndianReader(r.data, base + cov_off))
+            n_bt = r.u16()
+            bt = tuple(
+                Coverage.parse(BigEndianReader(r.data, base + int(o)))
+                for o in r.u16_array(n_bt)
+            )
+            n_la = r.u16()
+            la = tuple(
+                Coverage.parse(BigEndianReader(r.data, base + int(o)))
+                for o in r.u16_array(n_la)
+            )
+            n_sub = r.u16()
+            subs = tuple(int(g) for g in r.u16_array(n_sub))
+            return _ReverseChain(cov, bt, la, subs)
         return None
 
     # -- application -------------------------------------------------------
@@ -569,6 +601,29 @@ class GsubShaper:
         return buf
 
     def _apply_lookup(self, buf: list[int], lookup: Lookup, depth: int) -> None:
+        if any(st == 8 for st, _ in lookup.subtables):
+            # type 8 applies in REVERSE buffer order (spec: the
+            # substitution at each position must see the ALREADY
+            # SUBSTITUTED glyphs to its right, as Nastaliq chains
+            # require); substitutions are 1:1 so positions are stable
+            for i in range(len(buf) - 1, -1, -1):
+                if self._skips(buf[i], lookup):
+                    continue
+                for st, sub in lookup.subtables:
+                    if st != 8:
+                        continue
+                    ci = int(sub.coverage.rank([buf[i]])[0])
+                    if not (0 <= ci < len(sub.substitutes)):
+                        continue
+                    if sub.backtrack and not self._match_backward(
+                            buf, i, sub.backtrack, lookup, None):
+                        continue
+                    if sub.lookahead and self._match_forward(
+                            buf, i, sub.lookahead, lookup, None) is None:
+                        continue
+                    buf[i] = sub.substitutes[ci]
+                    break
+            return
         i = 0
         while i < len(buf):
             if self._skips(buf[i], lookup):

@@ -467,3 +467,107 @@ class TestScriptItemize:
 
         runs = itemize([ord(" "), 0x5D0])
         assert runs == [(0, 2, b"hebr")]
+
+
+class TestReverseChaining:
+    """GSUB lookup type 8 (reverse chaining contextual single
+    substitution) — applied in REVERSE buffer order so each position
+    sees the already-substituted glyphs to its right (the Nastaliq
+    requirement)."""
+
+    def test_simple_lookahead_context(self):
+        from tests.ttf_builder import gsub_reverse_chain
+
+        gsub = build_gsub(
+            [(b"rclt", [0])],
+            [(8, 0, [gsub_reverse_chain(
+                [10, 11, 12], [110, 111, 112],
+                lookahead=[[20]],
+            )])],
+        )
+        sh = shaper(gsub, tags=(b"rclt",))
+        assert sh.apply([10, 20]) == [110, 20]
+        assert sh.apply([11, 20, 12]) == [111, 20, 12]  # 12 lacks 20 after
+        assert sh.apply([10, 30]) == [10, 30]
+
+    def test_reverse_order_chains_right_to_left(self):
+        from tests.ttf_builder import gsub_reverse_chain
+
+        # 10 -> 11 when followed by 11 or 99: only reverse-order
+        # application lets the whole run cascade off the trailing 99
+        gsub = build_gsub(
+            [(b"rclt", [0])],
+            [(8, 0, [gsub_reverse_chain(
+                [10], [11], lookahead=[[11, 99]],
+            )])],
+        )
+        sh = shaper(gsub, tags=(b"rclt",))
+        assert sh.apply([10, 10, 10, 99]) == [11, 11, 11, 99]
+        assert sh.apply([10, 10, 10]) == [10, 10, 10]  # no trigger
+
+    def test_backtrack_context(self):
+        from tests.ttf_builder import gsub_reverse_chain
+
+        gsub = build_gsub(
+            [(b"rclt", [0])],
+            [(8, 0, [gsub_reverse_chain(
+                [10], [99], backtrack=[[5]],
+            )])],
+        )
+        sh = shaper(gsub, tags=(b"rclt",))
+        assert sh.apply([5, 10]) == [5, 99]
+        assert sh.apply([6, 10]) == [6, 10]
+        assert sh.apply([10]) == [10]
+
+    def test_extension_wrapped_type8(self):
+        from tests.ttf_builder import gsub_extension, gsub_reverse_chain
+
+        gsub = build_gsub(
+            [(b"rclt", [0])],
+            [(7, 0, [gsub_extension(8, gsub_reverse_chain(
+                [10], [99], lookahead=[[20]],
+            ))])],
+        )
+        sh = shaper(gsub, tags=(b"rclt",))
+        assert sh.apply([10, 20]) == [99, 20]
+
+    def test_fealib_rsub_wire_format(self):
+        """Real type-8 wire bytes: feaLib-compiled `rsub` feature."""
+        import io
+
+        from fontTools.feaLib.builder import (
+            addOpenTypeFeaturesFromString,
+        )
+        from fontTools.fontBuilder import FontBuilder
+        from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+        from fontrx.font.font import Font
+
+        fb = FontBuilder(1000, isTTF=True)
+        names = [".notdef", "a", "b", "a.fin"]
+        fb.setupGlyphOrder(names)
+        fb.setupCharacterMap({ord("a"): "a", ord("b"): "b"})
+        glyphs = {}
+        for n in names:
+            pen = TTGlyphPen(glyphSet={})
+            pen.moveTo((0, 0)); pen.lineTo((100, 0))
+            pen.lineTo((100, 100)); pen.closePath()
+            glyphs[n] = pen.glyph()
+        fb.setupGlyf(glyphs)
+        fb.setupHorizontalMetrics({n: (500, 0) for n in names})
+        fb.setupHorizontalHeader(ascent=800, descent=-200)
+        fb.setupNameTable({"familyName": "R", "styleName": "R"})
+        fb.setupOS2(); fb.setupPost()
+        addOpenTypeFeaturesFromString(fb.font, """
+languagesystem DFLT dflt;
+feature calt {
+    rsub a' b by a.fin;
+} calt;
+""")
+        buf = io.BytesIO()
+        fb.font.save(buf)
+        f = Font(buf.getvalue())
+        sh = f.shaper((b"calt",))
+        a, b, afin = 1, 2, 3
+        assert sh.apply([a, b]) == [afin, b]
+        assert sh.apply([a, a]) == [a, a]

@@ -1006,3 +1006,40 @@ def gpos_marklig(
         )
         + m_cov + l_cov + mark_arr + lig_arr
     )
+
+
+def gsub_reverse_chain(
+    coverage: list[int],
+    substitutes: list[int],
+    backtrack: list[list[int]] | None = None,
+    lookahead: list[list[int]] | None = None,
+) -> bytes:
+    """GSUB type 8 format 1 (reverse chaining contextual single):
+    ``coverage[i] -> substitutes[i]`` when the backtrack/lookahead
+    coverage sequences (nearest-first) match."""
+    backtrack = backtrack or []
+    lookahead = lookahead or []
+    n_bt, n_la, n_sub = len(backtrack), len(lookahead), len(substitutes)
+    head_len = (2 + 2 + 2 + 2 * n_bt + 2 + 2 * n_la
+                + 2 + 2 * n_sub)
+    covs = [build_coverage(coverage)]
+    offs = [head_len]
+    pos = head_len + len(covs[0])
+    bt_offs, la_offs = [], []
+    for g in backtrack:
+        b = build_coverage(g)
+        bt_offs.append(pos)
+        covs.append(b)
+        pos += len(b)
+    for g in lookahead:
+        b = build_coverage(g)
+        la_offs.append(pos)
+        covs.append(b)
+        pos += len(b)
+    return (
+        struct.pack(">HH", 1, offs[0])
+        + struct.pack(f">H{n_bt}H", n_bt, *bt_offs)
+        + struct.pack(f">H{n_la}H", n_la, *la_offs)
+        + struct.pack(f">H{n_sub}H", n_sub, *substitutes)
+        + b"".join(covs)
+    )
