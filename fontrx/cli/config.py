@@ -67,6 +67,7 @@ class Config:
     kern: bool = option("k", default=False, help="apply pair kerning (kern table or GPOS)")
     ligatures: bool = option("l", default=False, help="apply GSUB standard ligatures")
     features: Optional[str] = option(None, default=None, help="comma-separated GSUB feature tags (e.g. ccmp,dlig,smcp) shaped with the full lookup engine")
+    alternate: int = option(None, default=0, help="which alternate type-3 (salt/aalt) substitution to pick (default 0)")
     positioning: Optional[str] = option(None, default=None, help="comma-separated GPOS feature tags (e.g. kern,cswh) applied with the full positioning engine; replaces the flattened -k/marks paths")
     marks: bool = option(None, default=False, help="attach combining marks (GPOS MarkToBase)")
     vertical: bool = option(None, default=False, help="vertical layout: top-to-bottom columns, right-to-left (vhea/vmtx + GSUB vert)")

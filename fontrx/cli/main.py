@@ -118,6 +118,7 @@ def _layout_for(font, text, cfg, vertical_ok: bool = False):
         vertical=cfg.vertical if vertical_ok else False,
         positioning=_positioning_tags(cfg), wrap_width=wrap_units,
         oblique=cfg.oblique, rtl=cfg.rtl, bidi=cfg.bidi,
+        alternate=cfg.alternate,
     )
 
 

@@ -26,8 +26,9 @@ into per-script/per-LangSys feature sets; ``apply(script=...)``
 selects lookups through the script entry (required feature included,
 DFLT/latn fallbacks) and the layout engine itemizes text into script
 runs, while plain ``apply()`` keeps the tag-global scan for
-ScriptList-less fonts.  Remaining deliberate simplification:
-alternate substitution always picks alternate 0 (no selection UI).
+ScriptList-less fonts.  Alternate substitution (type 3) picks
+``alt_index`` (shaper field, default 0) — the salt/aalt selection
+knob, surfaced as ``layout_text(alternate=)`` / ``--alternate``.
 """
 
 from __future__ import annotations
@@ -167,15 +168,17 @@ class _Multiple:
 
 @dataclass(frozen=True, slots=True)
 class _Alternate:
-    """Type 3: alternate sets; fontrx picks alternate 0."""
+    """Type 3: alternate sets; ``index`` selects which alternate
+    (clamped into the set; default 0 — the common salt/ss01 case)."""
 
     coverage: Coverage
     alternates: tuple[tuple[int, ...], ...]
 
-    def sub_for(self, gid: int) -> int | None:
+    def sub_for(self, gid: int, index: int = 0) -> int | None:
         ci = int(self.coverage.rank([gid])[0])
         if 0 <= ci < len(self.alternates) and self.alternates[ci]:
-            return self.alternates[ci][0]
+            alts = self.alternates[ci]
+            return alts[min(max(index, 0), len(alts) - 1)]
         return None
 
 
@@ -282,6 +285,9 @@ class GsubShaper:
     # script tag -> {langsys tag | b"dflt" -> (required?, feat indices)}
     scripts: dict = field(default_factory=dict)
     tags: tuple[bytes, ...] = ()
+    # which alternate type-3 (AlternateSubst) lookups pick — a
+    # user-selection knob (salt/aalt variants); clamped per set
+    alt_index: int = 0
 
     # -- parsing -----------------------------------------------------------
 
@@ -653,7 +659,7 @@ class GsubShaper:
                     # scanning resumes after the inserted run
                     return i + len(seq) if seq else i
             elif s_type == 3:
-                new = sub.sub_for(gid)
+                new = sub.sub_for(gid, self.alt_index)
                 if new is not None:
                     buf[i] = new
                     return i + 1

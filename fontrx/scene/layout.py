@@ -64,6 +64,7 @@ def layout_text(
     oblique: float = 0.0,
     rtl: bool = False,
     bidi: bool = False,
+    alternate: int = 0,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -122,14 +123,19 @@ def layout_text(
       Pure-RTL runs only (Hebrew and Arabic — Arabic positional forms
       engage automatically via :mod:`fontrx.font.arabic`); for MIXED
       direction text use ``bidi=True``;
-    - ``bidi=True``: mixed-direction lines (bidi-lite, the strong-types
-      subset of UAX#9 — :mod:`fontrx.font.bidi`).  Each line itemizes
-      into direction runs (neutrals resolve per N1/N2), runs shape
-      INDEPENDENTLY (ligatures/joining never cross direction
-      boundaries), placement runs in logical order, and then each
-      counter-directional run's advance-box span mirrors in place.
-      ``rtl`` selects the paragraph base direction.  Incompatible with
-      ``wrap_width`` (ignored with a warning) and ``vertical``.
+    - ``bidi=True``: mixed-direction lines via the FULL UAX#9
+      algorithm (:mod:`fontrx.font.uax9` — explicit embeddings/
+      overrides/isolates, weak-number rules, N0 bracket pairs).  Each
+      line resolves to per-character levels; maximal level runs shape
+      INDEPENDENTLY (ligatures/joining never cross level boundaries)
+      with L4 mirrored forms at odd levels, explicit directional
+      controls drop from display, placement runs in logical order, and
+      L2 reordering applies as geometric span reversals per level
+      (arbitrary nesting).  ``rtl`` selects the paragraph base
+      direction.  Incompatible with ``wrap_width`` (ignored with a
+      warning) and ``vertical``;
+    - ``alternate=N``: which alternate GSUB type-3 substitutions pick
+      (the salt/aalt selection knob; clamped per alternate set).
     """
     # variable fonts: advances come from the current design location
     # (phantom-point deltas); static fonts/stacks fall through to hmtx
@@ -198,6 +204,8 @@ def layout_text(
             if ligatures and font.ligatures is not None:
                 return font.ligatures.apply(seq)
             return seq
+        if hasattr(shaper, "alt_index"):
+            shaper.alt_index = alternate
         if (seg_cps is None or len(seg_cps) != len(seq)
                 or not getattr(shaper, "scripts", None)):
             return shaper.apply(seq)

@@ -571,3 +571,27 @@ feature calt {
         a, b, afin = 1, 2, 3
         assert sh.apply([a, b]) == [afin, b]
         assert sh.apply([a, a]) == [a, a]
+
+
+class TestAlternateSelection:
+    def test_alt_index_picks_nth(self):
+        gsub = build_gsub(
+            [(b"salt", [0])],
+            [(3, 0, [gsub_alternate({10: [100, 101, 102]})])],
+        )
+        sh = shaper(gsub, tags=(b"salt",))
+        assert sh.apply([10]) == [100]       # default: alternate 0
+        sh.alt_index = 1
+        assert sh.apply([10]) == [101]
+        sh.alt_index = 2
+        assert sh.apply([10]) == [102]
+        sh.alt_index = 99                    # clamps into the set
+        assert sh.apply([10]) == [102]
+
+    def test_layout_threads_alternate(self, dejavu):
+        # DejaVu has no salt alternates; the knob must be a no-op there
+        from fontrx.scene.layout import layout_text
+
+        a = layout_text(dejavu, "Ag", ligatures=True, alternate=1)
+        b = layout_text(dejavu, "Ag", ligatures=True)
+        assert [i.x for i in a.instances] == [i.x for i in b.instances]
