@@ -427,9 +427,24 @@ def page_rows_sharded(
     rows_per = ph // n
 
     if use_pallas:
+        # the production wide-page kernel (deferred carries + dynamic
+        # x-hull tile windows) when the band is wide enough, else v2 —
+        # mirrors scene/page.py's dispatch
         def local(seg):
             k = jax.lax.axis_index(ROW_AXIS)
             my = jnp.full(1, page_h - 1 - k * rows_per, jnp.int32)
+            if pw >= 1024:
+                from fontrx.kernels.winding_page import (
+                    winding_page_batch,
+                )
+
+                return winding_page_batch(
+                    seg, jnp.zeros(1, jnp.int32), my, jnp.float32(1.0),
+                    height=rows_per, width=pw, exact=exact,
+                    interpret=interpret, seg_chunk=32,
+                    tile_w=256 if pw % 256 == 0 else 128,
+                    dynamic_tiles=True,
+                )[0]
             return winding_pallas_v2_batch(
                 seg, jnp.zeros(1, jnp.int32), my, jnp.float32(1.0),
                 height=rows_per, width=pw, exact=exact,

@@ -171,13 +171,13 @@ def _make_sdf_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "spread_px", "interpret", "exact", "flat",
-        "starts", "iters",
+        "starts", "iters", "scalar_segments",
     ),
 )
 def sdf_pallas_batch(
     segments, min_x, max_y, scale, *, height, width, spread_px=8.0,
     interpret=False, exact=True, flat=False,
-    starts=NEWTON_STARTS, iters=NEWTON_ITERS,
+    starts=NEWTON_STARTS, iters=NEWTON_ITERS, scalar_segments=False,
 ):
     """Batched SDF via winding sign + banded Pallas distance.
 
@@ -210,9 +210,32 @@ def sdf_pallas_batch(
         assert width & (width - 1) == 0, width
         assert (height * width) % (TILE_H * TILE_W) == 0, (height, width)
         n_flat = (height * width) // (TILE_H * TILE_W)
+        soa_in = soa
+        s8s = s8
+        if scalar_segments:
+            # segments as a flattened 2-D SMEM scalar window.  Mosaic
+            # block constraints: sublane dim divisible by 8 (so blocks
+            # hold 8 glyphs; the kernel picks its row by b % 8) and
+            # lane dim divisible by 128 (pad the segment axis to a
+            # multiple of 16 -> S*8 % 128 == 0)
+            if s8 % 16:
+                soa_in = jnp.pad(soa, ((0, 0), (0, 16 - s8 % 16), (0, 0)))
+                s8s = soa_in.shape[1]
+            bp8 = (b + 7) // 8 * 8
+            if bp8 != b:
+                soa_in = jnp.pad(soa_in, ((0, bp8 - b), (0, 0), (0, 0)))
+            soa_in = soa_in.reshape(bp8, s8s * 8)
+            seg_spec = pl.BlockSpec(
+                (8, s8s * 8), lambda b_, *ij: (b_ // 8, 0),
+                memory_space=pltpu.SMEM,
+            )
+        kern = (_make_sdf_scalar_kernel(float(spread_px), width,
+                                        starts=starts, iters=iters)
+                if scalar_segments else
+                _make_sdf_kernel(float(spread_px), glyph_w=width,
+                                 starts=starts, iters=iters))
         d2 = pl.pallas_call(
-            _make_sdf_kernel(float(spread_px), glyph_w=width,
-                             starts=starts, iters=iters),
+            kern,
             grid=(b, n_flat),
             in_specs=smem + [seg_spec],
             out_specs=pl.BlockSpec(
@@ -223,7 +246,7 @@ def sdf_pallas_batch(
                 (b, n_flat * TILE_H, TILE_W), jnp.float32
             ),
             interpret=interpret,
-        )(min_x, max_y, scale_arr, soa)
+        )(min_x, max_y, scale_arr, soa_in)
         d2 = d2.reshape(b, height, width)
     else:
         assert height % TILE_H == 0 and width % TILE_W == 0
@@ -250,3 +273,103 @@ def sdf_pallas_batch(
     )[:, :height, :width]
     sign = jnp.where(winding != 0, 1.0, -1.0)
     return sign * dist_px
+
+
+def _make_sdf_scalar_kernel(
+    spread_px: float, glyph_w: int,
+    starts: int = NEWTON_STARTS, iters: int = NEWTON_ITERS,
+):
+    """Scalar-segment flat-mode kernel (round 3): segments stream as
+    SMEM scalars through a ``fori_loop`` and every distance op runs on
+    clean 2-D ``(8, 128)`` pixel tiles — no ``(C, TH, TW)`` 3-D
+    intermediates (the shape Mosaic materializes poorly; the round-2
+    winding 3-D reformulation measured 2x slower for the same reason).
+    Same float program per (segment, pixel) as ``_make_sdf_kernel``;
+    sequential ``min`` over segments equals the chunked min (finite
+    floats), so results are bit-identical."""
+
+    def kernel(min_x_ref, max_y_ref, scale_ref, seg_ref, out_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        min_x = min_x_ref[0, b]
+        max_y = max_y_ref[0, b]
+        scale = scale_ref[0, 0]
+        s_cap = seg_ref.shape[1] // 8   # flattened (8, S*8) SMEM window
+        srow = jax.lax.rem(b, 8)        # this glyph's row in the block
+
+        sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+        gflat = i * (TILE_H * TILE_W) + sub * TILE_W + lane
+        r = gflat // glyph_w
+        cc = gflat - r * glyph_w
+        px = (min_x + cc).astype(jnp.float32) / scale
+        py = (max_y - r).astype(jnp.float32) / scale
+        r0 = i * (TILE_H * TILE_W) // glyph_w
+        r1 = ((i + 1) * (TILE_H * TILE_W) - 1) // glyph_w
+        tx0 = min_x.astype(jnp.float32) / scale
+        tx1 = (min_x + glyph_w).astype(jnp.float32) / scale
+        ty0 = (max_y - r1).astype(jnp.float32) / scale
+        ty1 = (max_y - r0).astype(jnp.float32) / scale
+        margin = jnp.float32(spread_px) / scale
+
+        out_ref[0] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+
+        def seg_body(s, _):
+            p0x = seg_ref[srow, s * 8 + 0]
+            p0y = seg_ref[srow, s * 8 + 1]
+            p1x = seg_ref[srow, s * 8 + 2]
+            p1y = seg_ref[srow, s * 8 + 3]
+            p2x = seg_ref[srow, s * 8 + 4]
+            p2y = seg_ref[srow, s * 8 + 5]
+            live = ((p0x != 0) | (p0y != 0) | (p1x != 0) | (p1y != 0)
+                    | (p2x != 0) | (p2y != 0))
+            hx0 = jnp.minimum(jnp.minimum(p0x, p1x), p2x)
+            hx1 = jnp.maximum(jnp.maximum(p0x, p1x), p2x)
+            hy0 = jnp.minimum(jnp.minimum(p0y, p1y), p2y)
+            hy1 = jnp.maximum(jnp.maximum(p0y, p1y), p2y)
+            overlap = (
+                (hx1 + margin >= tx0) & (hx0 - margin <= tx1)
+                & (hy1 + margin >= ty0) & (hy0 - margin <= ty1)
+            )
+
+            @pl.when(live & overlap)
+            def _():
+                ax = p1x - p0x
+                ay = p1y - p0y
+                bx2 = p0x - 2 * p1x + p2x
+                by2 = p0y - 2 * p1y + p2y
+                k3 = bx2 * bx2 + by2 * by2
+                k2 = 3 * (ax * bx2 + ay * by2)
+                k1 = 2 * (ax * ax + ay * ay)
+
+                qx = p0x - px               # (TH, TW)
+                qy = p0y - py
+                qa = qx * ax + qy * ay
+                qb = qx * bx2 + qy * by2
+                k1b = k1 + qb
+
+                def dist_sq(t):
+                    dx = qx + 2 * t * ax + t * t * bx2
+                    dy = qy + 2 * t * ay + t * t * by2
+                    return dx * dx + dy * dy
+
+                def refine(t):
+                    for _ in range(iters):
+                        f = ((k3 * t + k2) * t + k1b) * t + qa
+                        df = (3 * k3 * t + 2 * k2) * t + k1b
+                        df = jnp.where(df == 0, jnp.float32(1), df)
+                        t = jnp.clip(t - f / df, 0.0, 1.0)
+                    return t
+
+                best = dist_sq(jnp.zeros_like(qx))
+                best = jnp.minimum(best, dist_sq(jnp.ones_like(qx)))
+                for st in range(starts):
+                    t0 = jnp.full_like(qx, (2 * st + 1) / (2 * starts))
+                    best = jnp.minimum(best, dist_sq(refine(t0)))
+                out_ref[0] = jnp.minimum(out_ref[0], best)
+
+            return 0
+
+        jax.lax.fori_loop(0, s_cap, seg_body, 0)
+
+    return kernel

@@ -563,3 +563,30 @@ class TestDeferredCarryPageKernel:
         page = np.asarray(wide.render_direct(view))
         assert page.shape == (128, 2048)
         assert int((page != 0).sum()) > 100
+
+
+class TestScalarSegmentSdf:
+    def test_matches_chunk_kernel_within_tolerance(self, rng):
+        """The scalar-segment flat SDF kernel (2-D pixel tiles, SMEM
+        segment scalars) vs the 3-D chunk kernel: same float program
+        per (segment, pixel) — agreement far inside the 0.063 px u8
+        quantization step (tiny fusion-order noise only)."""
+        import jax.numpy as jnp
+
+        from fontrx.kernels.sdf_pallas import sdf_pallas_batch
+
+        n = 96
+        p0 = rng.uniform(100, 1900, (n, 2))
+        p1 = p0 + rng.uniform(-80, 80, (n, 2))
+        p2 = p0 + rng.uniform(-80, 80, (n, 2))
+        seg = np.stack([p0, p1, p2], 1).astype(np.float32)[None]
+        mx = jnp.zeros(1, jnp.int32)
+        my = jnp.full(1, 31, jnp.int32)
+        scale = jnp.float32(32.0 / 2048.0)
+        a = sdf_pallas_batch(
+            jnp.asarray(seg), mx, my, scale, height=32, width=32,
+            flat=True, interpret=True)
+        b = sdf_pallas_batch(
+            jnp.asarray(seg), mx, my, scale, height=32, width=32,
+            flat=True, scalar_segments=True, interpret=True)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
