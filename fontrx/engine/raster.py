@@ -221,29 +221,22 @@ class RasterEngine:
     def winding_packed_banded(
         self, glyphs, font_size: int, units_per_em: int, tile: int
     ) -> tuple[jax.Array, list[RasterGrid]]:
-        """Small-tile atlas raster with row-banded strip packing:
-        ``128/tile`` glyphs share each 128-row kernel strip, each band
-        anchored at its own glyph's bbox — eliminating the strip
-        padding that makes per-glyph small tiles pay for 128 rows
-        (2x waste at 64px, 4x at 32px).  Bit-identical per glyph to
-        :meth:`winding_packed` (``winding_pallas_banded_batch``).
+        """Small-tile atlas raster (per-glyph tiles).
 
-        ``tile`` must divide 128.  Pallas backends only; the jnp
-        backend has no strip padding to save."""
-        from fontrx.kernels.winding_pallas_v2 import (
-            winding_pallas_banded_batch,
-        )
-        from fontrx.pack.segments import glyph_segments, ysort_segments
+        HISTORY: through round 2 this packed ``128/tile`` glyphs per
+        128-row strip (``winding_pallas_banded_batch``) to eliminate
+        strip padding.  The round-3 column-major kernel made banding
+        obsolete: phase B scales with the TRUE tile width and with
+        total segments x strip lanes — a product banding cannot reduce
+        (measured: banded-dense 15.1 ms vs plain 15.6 @64px, and
+        WORSE @32px, 13.2 vs 10.7; the round-2 row-major banded path
+        measures 36.8 ms on the same bucket — tpu_dense_banded.py).
+        This method now delegates to the plain engine path with
+        x-sorted packing; both banded kernels remain available for
+        A/Bs (``winding_pallas_banded_batch``,
+        ``winding_dense_banded_batch``)."""
+        from fontrx.pack.segments import pack_glyphs
 
-        backend = self._resolve()
-        assert 128 % tile == 0, tile
-        bands = 128 // tile
-        if backend == BACKEND_JNP or bands == 1:
-            from fontrx.pack.segments import pack_glyphs
-
-            return self.winding_packed(
-                pack_glyphs(glyphs), font_size, units_per_em, tile
-            )
         grids = [
             RasterGrid.fixed_tile(
                 (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
@@ -251,47 +244,16 @@ class RasterEngine:
             )
             for g in glyphs
         ]
-        n = len(glyphs)
-        b = (n + bands - 1) // bands
-        seg_arrays = [ysort_segments(glyph_segments(g)) for g in glyphs]
-        elem_counts = [
-            sum(len(seg_arrays[e * bands + k])
-                for k in range(bands) if e * bands + k < n)
-            for e in range(b)
-        ]
-        cap = max(8, ((max(elem_counts, default=1) + 7) // 8) * 8)
-        segments = np.zeros((b, cap, 3, 2), np.float32)
-        owners = np.zeros((b, cap), np.int32)
-        min_x = np.zeros((bands, b), np.int32)
-        max_y = np.zeros((bands, b), np.int32)
-        for gi, (seg, grid) in enumerate(zip(seg_arrays, grids)):
-            e, k = divmod(gi, bands)
-            start = sum(
-                len(seg_arrays[e * bands + j]) for j in range(k)
-                if e * bands + j < n
-            )
-            segments[e, start : start + len(seg)] = seg
-            owners[e, start : start + len(seg)] = k
-            min_x[k, e] = grid.min_x
-            max_y[k, e] = grid.max_y
-        pw = _round_up(tile, TILE_W)
-        with jax.profiler.TraceAnnotation(
-            f"fontrx/raster[banded x{bands}] {tile}px"
-        ):
-            out = winding_pallas_banded_batch(
-                jnp.asarray(segments),
-                jnp.asarray(owners),
-                jnp.asarray(min_x),
-                jnp.asarray(max_y),
-                jnp.float32(grids[0].scale if grids else 1.0),
-                width=pw,
-                row_bands=bands,
-                exact=self.exact,
-                interpret=backend == BACKEND_INTERPRET,
-            )
-        # [B, 128, pw] -> per-glyph [n, tile, tile]
-        per_glyph = out.reshape(b * bands, tile, pw)[:n, :, :tile]
-        return per_glyph, grids
+        batch = pack_glyphs(glyphs, sort="x")
+        out = self.winding_batch(
+            batch.segments,
+            np.array([g.min_x for g in grids], np.int32),
+            np.array([g.max_y for g in grids], np.int32),
+            grids[0].scale if grids else 1.0,
+            height=tile,
+            width=tile,
+        )
+        return out, grids
 
     def winding_split(
         self, split, font_size: int, units_per_em: int, tile: int
@@ -400,6 +362,7 @@ class RasterEngine:
         """
         from fontrx.kernels.coverage import (
             coverage_batch as _multipass,
+            coverage_batch_dense,
             coverage_batch_v2,
         )
         from fontrx.kernels.coverage_pallas import coverage_pallas_batch
@@ -409,6 +372,23 @@ class RasterEngine:
         min_x = jnp.asarray(min_x, jnp.int32)
         max_y = jnp.asarray(max_y, jnp.int32)
         if backend in (BACKEND_PALLAS, BACKEND_INTERPRET):
+            if height <= STRIP_ROWS and width <= 128 and fused is None:
+                # round 3: small-tile MSAA rides k^2 offset passes of
+                # the column-major dense kernel — bit-identical to the
+                # fused/multipass strategies (per-offset fills are the
+                # dense kernel's) and 3.2x/4.8x faster on 1000-glyph
+                # 64px/32px coverage atlases (tpu_cov_dense.py: fused
+                # 33.2 -> 10.3 ms @64, 33.9 -> 7.1 @32)
+                pw8 = _round_up(width, 8)
+                cov = coverage_batch_dense(
+                    segments, min_x, max_y, jnp.float32(scale),
+                    height=height, width=pw8, samples=samples,
+                    exact=self.exact,
+                    interpret=backend == BACKEND_INTERPRET,
+                )
+                if (STRIP_ROWS, pw8) != (height, width):
+                    cov = cov[:, :height, :width]
+                return cov
             ph = _round_up(height, STRIP_ROWS)
             pw = _round_up(width, TILE_W)
             if fused is None:

@@ -122,6 +122,45 @@ def coverage_batch_v2(
     return cov.mean(axis=0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "samples", "exact", "interpret"),
+)
+def coverage_batch_dense(
+    segments,
+    min_x,
+    max_y,
+    scale,
+    *,
+    height,
+    width,
+    samples: int = 2,
+    exact: bool = True,
+    interpret: bool = False,
+):
+    """k x k supersampled coverage as k^2 sub-pixel-offset passes of
+    the round-3 column-major dense kernel — the small-tile (<= 128 px)
+    twin of :func:`coverage_batch_v2`.  Bit-identical to the other
+    strategies: each offset's fill is the dense kernel's (itself
+    bit-identical to v2), and the mean of k^2 {0,1} values is exact in
+    f32.  ``height``/``width`` <= 128."""
+    from fontrx.kernels.winding_dense import winding_dense_batch
+
+    offs = jnp.asarray(sample_offsets(samples))
+
+    def one(off):
+        w = winding_dense_batch(
+            segments, min_x, max_y, scale,
+            height=height, width=width,
+            interpret=interpret, sample_offset=(off[0], off[1]),
+            exact=exact,
+        )
+        return (w != 0).astype(jnp.float32)
+
+    cov = jax.lax.map(one, offs)  # [k*k, B, 128, W]
+    return cov.mean(axis=0)
+
+
 def coverage_to_gray(coverage) -> jnp.ndarray:
     """Antialiased 8-bit alpha from coverage."""
     return jnp.clip(jnp.round(coverage * 255.0), 0, 255).astype(jnp.uint8)

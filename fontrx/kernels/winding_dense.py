@@ -60,6 +60,7 @@ def _make_dense_kernel(
     seg_chunk: int,
     col_block: int,
     x_cull: bool,
+    row_bands: int = 1,
 ):
     fdiv = div_cr if exact else (lambda a, b: a / b)
     fsqrt = sqrt_cr if exact else jnp.sqrt
@@ -71,25 +72,51 @@ def _make_dense_kernel(
         ox = off_ref[0, 0]
         oy = off_ref[0, 1]
         lane = jax.lax.rem(b, 128)
-        min_x = min_x_ref[0, lane]
-        max_y = max_y_ref[0, lane]
 
         s_cap = seg_ref.shape[1]
         n_chunks = s_cap // seg_chunk
 
         row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
-        cy = fdiv(
-            (max_y - row).astype(jnp.float32) + oy,
-            scale,
-        )
-        cy_hi = cy[0, 0]
-        cy_lo = cy[0, STRIP_ROWS - 1]
-        # per-column em x — the same float program as the row-major
-        # kernel's cx ((min_x + t*tile_w + col) + ox) / scale
-        cx = [
-            fdiv((min_x + c).astype(jnp.float32) + ox, scale)
-            for c in range(width)
-        ]
+        if row_bands == 1:
+            min_x = min_x_ref[0, lane]
+            max_y = max_y_ref[0, lane]
+            cy = fdiv(
+                (max_y - row).astype(jnp.float32) + oy,
+                scale,
+            )
+            # per-column em x — the same float program as the row-major
+            # kernel's cx ((min_x + t*tile_w + col) + ox) / scale
+            cx = [
+                fdiv((min_x + c).astype(jnp.float32) + ox, scale)
+                for c in range(width)
+            ]
+            band_f = None
+        else:
+            # banded: band k owns rows [k*band_h, (k+1)*band_h) with
+            # its OWN anchors — every lane of the strip is a real
+            # pixel row (the small-tile occupancy fix; same per-row
+            # float program as the per-glyph kernel, like the banded
+            # row-major kernel)
+            band_h = STRIP_ROWS // row_bands
+            band = row // band_h                     # (1, R)
+            row_in = row - band * band_h
+            myv = jnp.zeros((1, STRIP_ROWS), jnp.int32)
+            mxv = jnp.zeros((1, STRIP_ROWS), jnp.int32)
+            for k in range(row_bands):
+                myv = jnp.where(band == k, max_y_ref[k, lane], myv)
+                mxv = jnp.where(band == k, min_x_ref[k, lane], mxv)
+            cy = fdiv((myv - row_in).astype(jnp.float32) + oy, scale)
+            # per-column em x is a per-ROW-LANE vector (each band has
+            # its own min_x); compares broadcast it over sublanes
+            cx = [
+                fdiv((mxv + c).astype(jnp.float32) + ox, scale)
+                for c in range(width)
+            ]
+            band_f = band.astype(jnp.float32)
+        # strip y-range for the hull cull (monotone when unbanded, so
+        # max/min equal the first/last lanes exactly)
+        cy_hi = jnp.max(cy)
+        cy_lo = jnp.min(cy)
 
         @pl.when(s_sup == 0)
         def _():
@@ -106,6 +133,16 @@ def _make_dense_kernel(
             @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi))
             def _():
                 xx0m, xx1m, s0, s1 = phase_a_roots(chunk, cy, fdiv, fsqrt)
+                if row_bands > 1:
+                    # a segment exists only on its owner band's rows;
+                    # foreign rows contribute integer zeros (banded
+                    # row-major kernel's exactness argument)
+                    owner_ok = chunk[:, 6:7] == band_f      # (C, R)
+                    s0 = jnp.where(owner_ok, s0, 0)
+                    s1 = jnp.where(owner_ok, s1, 0)
+                    neg_inf = jnp.float32(-jnp.inf)
+                    xx0m = jnp.where(s0 != 0, xx0m, neg_inf)
+                    xx1m = jnp.where(s1 != 0, xx1m, neg_inf)
                 # full-chunk row totals: what a column left of every
                 # live crossing accumulates (every compare true; dead
                 # slots carry sign 0)
@@ -119,8 +156,12 @@ def _make_dense_kernel(
 
                 for cb in range(width // col_block):
                     c0 = cb * col_block
-                    cx_first = cx[c0]                    # smallest in block
-                    cx_last = cx[c0 + col_block - 1]     # largest
+                    # block edges for the x-window tests; with bands
+                    # cx entries are per-lane vectors, so take the
+                    # conservative extremes over lanes (scalars reduce
+                    # to themselves)
+                    cx_first = jnp.min(cx[c0])           # smallest in block
+                    cx_last = jnp.max(cx[c0 + col_block - 1])
 
                     def detail(c0=c0):
                         blk = out_ref[0, pl.ds(c0, col_block), :]
@@ -232,4 +273,82 @@ def winding_dense_batch(
         interpret=interpret,
     )(min_x, max_y, scale_arr, off_arr, soa)
     # exact int32 relayout: (B, W, R) -> (B, R, W)
+    return jnp.swapaxes(out_t, 1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "row_bands", "interpret", "exact", "seg_chunk",
+        "col_block", "x_cull",
+    ),
+)
+def winding_dense_banded_batch(
+    segments, owners, min_x, max_y, scale, *, width, row_bands,
+    interpret=False, sample_offset=(0.0, 0.0), exact=False,
+    seg_chunk=64, col_block=8, x_cull=True,
+):
+    """Banded column-major winding: ``row_bands`` glyphs share each
+    128-row-lane strip, each owning a ``128/row_bands``-lane band with
+    its own anchors — so at 64px tiles every lane computes a real
+    pixel row (2x the single-band occupancy; 4x at 32px), the
+    small-tile occupancy twin of ``winding_pallas_banded_batch``.
+
+    - ``segments``: float32 ``[B, S, 3, 2]`` — each element holds all
+      of its bands' glyphs' segments (any order; x-sorted recommended
+      for the x-window culls — winding sums commute);
+    - ``owners``: int ``[B, S]`` — owning band per segment;
+    - ``min_x``/``max_y``: int32 ``[row_bands, B]`` per-band anchors.
+
+    Returns int32 ``[B, 128, width]``; band k of element b is rows
+    ``[k*128/row_bands, (k+1)*128/row_bands)`` — bit-identical to the
+    per-glyph kernels at the same anchors (foreign-band segments
+    contribute integer zeros via the owner mask).
+    """
+    b = segments.shape[0]
+    assert STRIP_ROWS % row_bands == 0, row_bands
+    assert width <= 128 and width % col_block == 0, (width, col_block)
+    soa = segments_to_soa(segments, chunk=seg_chunk)
+    soa = soa.at[:, : owners.shape[1], 6].set(owners.astype(jnp.float32))
+    s8 = soa.shape[1]
+
+    b128 = _round_up(b, 128)
+    min_x = _pad_lanes(
+        jnp.asarray(min_x).reshape(row_bands, b).astype(jnp.int32), b128)
+    max_y = _pad_lanes(
+        jnp.asarray(max_y).reshape(row_bands, b).astype(jnp.int32), b128)
+    scale_arr = jnp.full((1, 1), scale, jnp.float32)
+    off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
+
+    seg_super = min(s8, 4096)
+    if s8 % seg_super:
+        pad = seg_super - (s8 % seg_super)
+        soa = jnp.pad(soa, ((0, 0), (0, pad), (0, 0)))
+        s8 = soa.shape[1]
+    n_super = s8 // seg_super
+
+    grid = (b, n_super)
+    out_t = pl.pallas_call(
+        _make_dense_kernel(exact, width, seg_chunk, col_block, x_cull,
+                           row_bands=row_bands),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row_bands, 128), lambda b_, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((row_bands, 128), lambda b_, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, seg_super, 8), lambda b_, s: (b_, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, width, STRIP_ROWS), lambda b_, s: (b_, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, width, STRIP_ROWS), jnp.int32),
+        interpret=interpret,
+    )(min_x, max_y, scale_arr, off_arr, soa)
     return jnp.swapaxes(out_t, 1, 2)
