@@ -127,8 +127,10 @@ def config2_hello_world_msaa(fused: bool | None = None):
          ms_per_line_device=round(dt * 1e3, 3),
          rtt_ms=round(rtt * 1e3, 2),
          # 64px tiles pad to one 128-wide strip -> the engine heuristic
-         # picks the fused kernel when fused is None
-         kernel=("fused" if (fused or fused is None) else "multipass-v2")
+         # engine auto-routing (round 3: dense multipass for small
+         # tiles) when fused is None; explicit strategy otherwise
+         kernel=("engine-auto" if fused is None
+                 else "fused" if fused else "multipass-v2")
          if eng._resolve() == "pallas" else "jnp",
          unique_glyphs=n, instances=len(layout.instances))
 
