@@ -67,7 +67,8 @@ def _make_dense_kernel(
 
     def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref, out_ref):
         b = pl.program_id(0)
-        s_sup = pl.program_id(1)
+        strip = pl.program_id(1)
+        s_sup = pl.program_id(2)
         scale = scale_ref[0, 0]
         ox = off_ref[0, 0]
         oy = off_ref[0, 1]
@@ -81,7 +82,8 @@ def _make_dense_kernel(
             min_x = min_x_ref[0, lane]
             max_y = max_y_ref[0, lane]
             cy = fdiv(
-                (max_y - row).astype(jnp.float32) + oy,
+                (max_y - (strip * STRIP_ROWS + row)).astype(jnp.float32)
+                + oy,
                 scale,
             )
             # per-column em x — the same float program as the row-major
@@ -221,16 +223,19 @@ def winding_dense_batch(
     sample_offset=(0.0, 0.0), exact=False, seg_chunk=64,
     col_block=8, x_cull=True,
 ):
-    """Batched winding maps for the dense single-tile regime.
+    """Batched winding maps, column-major kernel.
 
-    ``height`` <= 128, ``width`` <= 128 (mult of ``col_block``).
-    Returns int32 ``[B, 128, width]`` (strip rows; callers slice to
-    ``height``) — bit-identical to ``winding_pallas_v2_batch`` at the
-    same anchors over the shared columns.
+    ``width`` <= 256 (mult of ``col_block``); ``height`` any (padded
+    to 128-row strips; the grid adds a strip dimension and the hull
+    y-cull works per strip).  Returns int32 ``[B, ph, width]`` with
+    ``ph = ceil(height/128)*128`` (callers slice) — bit-identical to
+    ``winding_pallas_v2_batch`` at the same anchors over the shared
+    columns.
     """
     b = segments.shape[0]
-    assert height <= STRIP_ROWS, height
-    assert width <= 128 and width % col_block == 0, (width, col_block)
+    ph = _round_up(max(height, 1), STRIP_ROWS)
+    n_strips = ph // STRIP_ROWS
+    assert width <= 256 and width % col_block == 0, (width, col_block)
     soa = segments_to_soa(segments, chunk=seg_chunk)
     s8 = soa.shape[1]
 
@@ -249,30 +254,30 @@ def winding_dense_batch(
         s8 = soa.shape[1]
     n_super = s8 // seg_super
 
-    grid = (b, n_super)
+    grid = (b, n_strips, n_super)
     out_t = pl.pallas_call(
         _make_dense_kernel(exact, width, seg_chunk, col_block, x_cull),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 128), lambda b_, s: (0, b_ // 128),
+            pl.BlockSpec((1, 128), lambda b_, st, s: (0, b_ // 128),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 128), lambda b_, s: (0, b_ // 128),
+            pl.BlockSpec((1, 128), lambda b_, st, s: (0, b_ // 128),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, seg_super, 8), lambda b_, s: (b_, s, 0),
+                (1, seg_super, 8), lambda b_, st, s: (b_, s, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, width, STRIP_ROWS), lambda b_, s: (b_, 0, 0),
+            (1, width, STRIP_ROWS), lambda b_, st, s: (b_, 0, st),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, width, STRIP_ROWS), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, width, ph), jnp.int32),
         interpret=interpret,
     )(min_x, max_y, scale_arr, off_arr, soa)
-    # exact int32 relayout: (B, W, R) -> (B, R, W)
+    # exact int32 relayout: (B, W, PH) -> (B, PH, W)
     return jnp.swapaxes(out_t, 1, 2)
 
 
@@ -327,25 +332,27 @@ def winding_dense_banded_batch(
         s8 = soa.shape[1]
     n_super = s8 // seg_super
 
-    grid = (b, n_super)
+    grid = (b, 1, n_super)
     out_t = pl.pallas_call(
         _make_dense_kernel(exact, width, seg_chunk, col_block, x_cull,
                            row_bands=row_bands),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((row_bands, 128), lambda b_, s: (0, b_ // 128),
+            pl.BlockSpec((row_bands, 128),
+                         lambda b_, st, s: (0, b_ // 128),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((row_bands, 128), lambda b_, s: (0, b_ // 128),
+            pl.BlockSpec((row_bands, 128),
+                         lambda b_, st, s: (0, b_ // 128),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, seg_super, 8), lambda b_, s: (b_, s, 0),
+                (1, seg_super, 8), lambda b_, st, s: (b_, s, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, width, STRIP_ROWS), lambda b_, s: (b_, 0, 0),
+            (1, width, STRIP_ROWS), lambda b_, st, s: (b_, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, width, STRIP_ROWS), jnp.int32),
