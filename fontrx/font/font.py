@@ -202,7 +202,9 @@ class Font:
                 sub = ttf.parse_cmap_subtable(
                     BigEndianReader(r.data, base + cand.offset)
                 )
-            except NotImplementedError as e:
+            except (NotImplementedError, CorruptedFont) as e:
+                # unknown/corrupt subtable: degrade to the next
+                # candidate (SURVEY 5.3 graceful-degradation policy)
                 last_err = e
                 continue
             if cand is not best:

@@ -18,14 +18,15 @@ Covered, matching the reference's support matrix:
   below) — the reference stubs all of 0/2/6/8/10/13/14 with
   ``@compileError`` (``ttf.zig:349-360``); format **14** (Unicode
   Variation Sequences) is also implemented beyond the reference as a
-  mapping *supplement* (``CmapFormat14``); formats 2/8/10 remain
-  declared-unsupported (obsolete)
+  mapping *supplement* (``CmapFormat14``); round 3 completes the set
+  with the legacy formats 2 (high-byte CJK), 8 and 10
 - ``glyf`` simple glyphs (RLE flags, short/long deltas) (``ttf.zig:759-817``)
 - ``glyf`` compound glyphs (2.14 transforms)            (``ttf.zig:857-921``)
 """
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -524,6 +525,137 @@ class CmapFormat6:
         return _runs_to_range_rows(chars, self.glyph_ids.astype(np.int64))
 
 
+@dataclass(frozen=True, slots=True)
+class CmapFormat2:
+    """High-byte mapping subtable (legacy CJK encodings: Shift-JIS /
+    Big5 / Wansung era).  Char codes are 8-bit where the high byte's
+    subHeaderKey is 0 and 16-bit otherwise; a subHeader maps the low
+    byte through ``glyphIndexArray`` with the classic idRangeOffset
+    self-relative pointer arithmetic.  Flattened here into a dense
+    ``char -> glyph`` table over the 16-bit code space (the codes map
+    as given, matching how the charmap is queried).  Stubbed by the
+    reference (``ttf.zig:349-360``); capability extension."""
+
+    chars: np.ndarray    # i64[n] mapped char codes (sorted)
+    glyphs: np.ndarray   # i64[n]
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "CmapFormat2":
+        base = r.pos - 2                       # subtable start (format u16 read)
+        length, _language = r.unpack("HH")
+        keys = r.u16_array(256)                # subHeaderKeys (byte offsets)
+        sub_base = r.pos
+        n_sub = (int(keys.max()) // 8) + 1
+        data = r.data
+        chars: list[int] = []
+        glyphs: list[int] = []
+        end = base + length
+        for hi in range(256):
+            k = int(keys[hi]) // 8
+            if k >= n_sub:
+                continue
+            pos = sub_base + k * 8
+            if pos + 8 > end:
+                continue
+            first, count, delta, range_off = struct.unpack_from(
+                ">HHhH", data, pos)
+            # the glyph array starts at the idRangeOffset FIELD address
+            # plus the offset (self-relative, like format 4)
+            arr_pos = pos + 6 + range_off
+            for low in range(first, min(first + count, 256)):
+                gpos = arr_pos + 2 * (low - first)
+                if gpos + 2 > end:
+                    break
+                (g,) = struct.unpack_from(">H", data, gpos)
+                if g != 0:
+                    g = (g + delta) & 0xFFFF
+                if g == 0:
+                    continue
+                if k == 0:
+                    # one-byte codes: only high bytes whose key is 0
+                    # use subHeader 0, and the code IS the byte
+                    if int(keys[low]) // 8 == 0 and low < 256:
+                        chars.append(low)
+                        glyphs.append(g)
+                else:
+                    chars.append((hi << 8) | low)
+                    glyphs.append(g)
+        if not chars:
+            return cls(np.empty(0, np.int64), np.empty(0, np.int64))
+        order = np.argsort(np.asarray(chars))
+        ca = np.asarray(chars, np.int64)[order]
+        ga = np.asarray(glyphs, np.int64)[order]
+        # one-byte codes can be emitted once per qualifying high byte;
+        # dedupe on char
+        keep = np.concatenate(([True], np.diff(ca) != 0))
+        return cls(ca[keep], ga[keep])
+
+    def glyph_index(self, char: int) -> int:
+        i = int(np.searchsorted(self.chars, char))
+        if i < len(self.chars) and self.chars[i] == char:
+            return int(self.glyphs[i])
+        return 0
+
+    def collect_range_mappings(self) -> np.ndarray:
+        return _runs_to_range_rows(self.chars, self.glyphs)
+
+
+@dataclass(frozen=True, slots=True)
+class CmapFormat8:
+    """Mixed 16/32-bit coverage subtable: an ``is32`` bitmap plus
+    sequential map groups — the group structure is format 12's, so
+    lookup and flattening reuse its semantics.  Stubbed by the
+    reference; capability extension."""
+
+    groups: CmapFormat12
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "CmapFormat8":
+        r.skip(2)                               # reserved (format 8.0)
+        _length, _language = r.unpack("II")
+        r.skip(8192)                            # is32 bitmap (unused: the
+        # groups carry full 32-bit codes either way)
+        n_groups = r.u32()
+        raw = np.frombuffer(
+            r.data, dtype=">u4", count=3 * n_groups, offset=r.pos
+        ).astype(np.uint32).reshape(-1, 3)
+        ensure_mono_increase(raw[:, 0], "cmap8 startCharCode")
+        return cls(CmapFormat12(
+            raw[:, 0].copy(), raw[:, 1].copy(), raw[:, 2].copy()))
+
+    def glyph_index(self, char: int) -> int:
+        return self.groups.glyph_index(char)
+
+    def collect_range_mappings(self) -> np.ndarray:
+        return self.groups.collect_range_mappings()
+
+
+@dataclass(frozen=True, slots=True)
+class CmapFormat10:
+    """Trimmed array subtable: format 6's dense table with 32-bit char
+    codes.  Stubbed by the reference; capability extension."""
+
+    first_code: int
+    glyph_ids: np.ndarray  # u16[num_chars]
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "CmapFormat10":
+        r.skip(2)                               # reserved (format 10.0)
+        _length, _language, first_code, num_chars = r.unpack("IIII")
+        return cls(int(first_code), r.u16_array(num_chars))
+
+    def glyph_index(self, char: int) -> int:
+        off = char - self.first_code
+        if not 0 <= off < len(self.glyph_ids):
+            return 0
+        return int(self.glyph_ids[off])
+
+    def collect_range_mappings(self) -> np.ndarray:
+        chars = self.first_code + np.arange(
+            len(self.glyph_ids), dtype=np.int64)
+        return _runs_to_range_rows(chars, self.glyph_ids.astype(np.int64))
+
+
 def _runs_to_range_rows(chars: np.ndarray, glyphs: np.ndarray) -> np.ndarray:
     """Compress a dense ``char -> glyph`` table into
     ``(end_char, char_count, end_glyph)`` rows: maximal runs where the
@@ -674,22 +806,28 @@ class CmapFormat14:
         return None
 
 
-UNSUPPORTED_CMAP_FORMATS = (2, 8, 10)
+UNSUPPORTED_CMAP_FORMATS = ()   # round 3: the set is complete
 
 
 def parse_cmap_subtable(r: BigEndianReader):
     """Dispatch on the format number.  The reference supports only
     formats 4 and 12 and stubs the rest with ``@compileError("not
     impl")`` (``ttf.zig:349-360,497-570,633-670``); fontrx additionally
-    parses formats 0, 6 and 13 (13 via stride-0 constant-glyph ranges).
-    Formats 2/8/10/14 stay unsupported."""
+    parses formats 0, 2, 6, 8, 10 and 13 — the COMPLETE charmap format
+    set (format 14 supplements the mapping and is parsed separately)."""
     fmt = r.u16()
     if fmt == 0:
         return CmapFormat0.parse(r)
+    if fmt == 2:
+        return CmapFormat2.parse(r)
     if fmt == 4:
         return CmapFormat4.parse(r)
     if fmt == 6:
         return CmapFormat6.parse(r)
+    if fmt == 8:
+        return CmapFormat8.parse(r)
+    if fmt == 10:
+        return CmapFormat10.parse(r)
     if fmt == 12:
         return CmapFormat12.parse(r)
     if fmt == 13:

@@ -99,11 +99,13 @@ class TestSelection:
     def test_none_when_no_unicode(self):
         assert ttf.select_best_cmap_subtable([self.r(1, 0)]) is None
 
-    def test_unsupported_format_raises(self):
+    def test_unknown_format_raises(self):
         import struct
 
-        blob = struct.pack(">HHH", 8, 0, 0)  # format 8: still unsupported
-        with pytest.raises(NotImplementedError):
+        from fontrx.utils.reader import CorruptedFont
+
+        blob = struct.pack(">HHH", 99, 0, 0)  # not a cmap format
+        with pytest.raises(CorruptedFont):
             ttf.parse_cmap_subtable(BigEndianReader(blob))
 
 
@@ -122,3 +124,80 @@ class TestBatchLookup:
         batch = dejavu.charmap.glyph_indices(chars)
         singles = [dejavu.glyph_index(int(c)) for c in chars]
         np.testing.assert_array_equal(batch, singles)
+
+
+class TestLegacyCmap2_8_10:
+    """Round 3 completes the charmap format set: 2 (high-byte CJK
+    legacy), 8 (mixed 16/32 groups) and 10 (trimmed u32 array) — the
+    formats the reference @compileErrors (`ttf.zig:349-360`) and
+    rounds 1-2 declared unsupported."""
+
+    def _fmt2_blob(self):
+        import struct
+
+        # high byte 0x81 -> subHeader 1 mapping lows 0x40..0x42;
+        # one-byte codes via subHeader 0 mapping bytes 0x20..0x21
+        keys = [0] * 256
+        keys[0x81] = 8  # subHeader index 1
+        sub_base = 6 + 512
+        # subHeader 0: first=0x20, count=2, delta=0, rangeOffset points
+        # past BOTH subheaders into the glyph array
+        glyph_arr_pos = sub_base + 16
+        sh0_range = glyph_arr_pos - (sub_base + 6)
+        sh1_range = (glyph_arr_pos + 4) - (sub_base + 8 + 6)
+        blob = struct.pack(">HHH", 2, 0, 0)
+        blob += struct.pack(">256H", *keys)
+        blob += struct.pack(">HHhH", 0x20, 2, 0, sh0_range)
+        blob += struct.pack(">HHhH", 0x40, 3, 5, sh1_range)
+        blob += struct.pack(">2H", 100, 101)       # bytes 0x20, 0x21
+        blob += struct.pack(">3H", 10, 0, 12)      # lows 0x40..0x42
+        # fix length field
+        blob = blob[:2] + struct.pack(">H", len(blob)) + blob[4:]
+        return blob
+
+    def test_format2(self):
+        sub = ttf.parse_cmap_subtable(BigEndianReader(self._fmt2_blob()))
+        assert isinstance(sub, ttf.CmapFormat2)
+        assert sub.glyph_index(0x20) == 100
+        assert sub.glyph_index(0x21) == 101
+        assert sub.glyph_index(0x8140) == 15       # 10 + delta 5
+        assert sub.glyph_index(0x8141) == 0        # zero stays unmapped
+        assert sub.glyph_index(0x8142) == 17
+        assert sub.glyph_index(0x8143) == 0
+        assert sub.glyph_index(0x40) == 0          # two-byte-only high
+        rows = sub.collect_range_mappings()
+        assert rows.shape[1] == 3 and len(rows) >= 2
+
+    def test_format8(self):
+        import struct
+
+        blob = struct.pack(">HH", 8, 0)
+        blob += struct.pack(">II", 8216 + 16, 0)
+        blob += bytes(8192)
+        blob += struct.pack(">I", 2)
+        blob += struct.pack(">III", 0x41, 0x43, 7)
+        blob += struct.pack(">III", 0x10400, 0x10401, 50)
+        sub = ttf.parse_cmap_subtable(BigEndianReader(blob))
+        assert isinstance(sub, ttf.CmapFormat8)
+        assert sub.glyph_index(0x41) == 7
+        assert sub.glyph_index(0x43) == 9
+        assert sub.glyph_index(0x44) == 0
+        assert sub.glyph_index(0x10401) == 51
+        rows = sub.collect_range_mappings()
+        assert len(rows) == 2
+
+    def test_format10(self):
+        import struct
+
+        blob = struct.pack(">HH", 10, 0)
+        blob += struct.pack(">II", 20 + 8, 0)
+        blob += struct.pack(">II", 0x10300, 4)
+        blob += struct.pack(">4H", 5, 6, 0, 8)
+        sub = ttf.parse_cmap_subtable(BigEndianReader(blob))
+        assert isinstance(sub, ttf.CmapFormat10)
+        assert sub.glyph_index(0x10300) == 5
+        assert sub.glyph_index(0x10302) == 0
+        assert sub.glyph_index(0x10303) == 8
+        assert sub.glyph_index(0x102FF) == 0
+        rows = sub.collect_range_mappings()
+        assert len(rows) == 2

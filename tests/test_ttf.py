@@ -245,10 +245,12 @@ class TestLegacyCmapFormats:
         # debug dump marks constant ranges
         assert "(constant)" in font.dump_charmap()
 
-    def test_unsupported_only_cmap_raises(self):
+    def test_unusable_only_cmap_raises(self):
         import struct
 
-        body = struct.pack(">HHH", 8, 6, 0)  # format 8 stub
+        # an unknown format (the 2/8/10 legacy formats parse since
+        # round 3, completing the set)
+        body = struct.pack(">HHH", 99, 6, 0)
         cmap = tb.build_cmap([(1, 0, body)])
         with pytest.raises(CorruptedFont, match="no usable"):
             self._font_with_cmap(cmap)
