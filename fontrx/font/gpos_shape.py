@@ -24,9 +24,10 @@ implements the full OpenType GPOS application model:
 Deliberate simplifications (documented divergences from a full
 shaper): device/variation tables
 in ValueRecords and contour-point anchors are skipped (hinting is out
-of scope throughout fontrx); mark-to-ligature attaches to the LAST
-ligature component (fontrx does not thread GSUB component indices
-into GPOS).
+of scope throughout fontrx).  Mark-to-ligature attaches to the GSUB-
+threaded component when the shaping pass recorded one
+(``GsubShaper.last_lig_comps`` -> ``positions(lig_comps=)``), falling
+back to the last component with a usable anchor.
 """
 
 from __future__ import annotations
@@ -185,17 +186,25 @@ class _MarkLigAttach:
     lig_cov: Coverage
     lig_attach: tuple  # [lig_ci][component][class] -> (x, y) | None
 
-    def delta(self, lig_gid: int, mark_gid: int):
+    def delta(self, lig_gid: int, mark_gid: int, component: int = 0):
+        """``component``: 1-based ligature component the mark followed
+        (threaded from GSUB ligature formation); 0 = unknown, which
+        falls back to the last component with a usable anchor."""
         mi = int(self.mark_cov.rank([mark_gid])[0])
         li = int(self.lig_cov.rank([lig_gid])[0])
         if mi < 0 or li < 0 or mi >= len(self.mark_classes):
             return None
         klass = self.mark_classes[mi]
         comps = self.lig_attach[li]
+        mx, my = self.mark_anchors[mi]
+        if 1 <= component <= len(comps):
+            row = comps[component - 1]
+            if 0 <= klass < len(row) and row[klass] is not None:
+                bx, by = row[klass]
+                return bx - mx, by - my
         for row in reversed(comps):  # last component with a usable anchor
             if 0 <= klass < len(row) and row[klass] is not None:
                 bx, by = row[klass]
-                mx, my = self.mark_anchors[mi]
                 return bx - mx, by - my
         return None
 
@@ -371,18 +380,23 @@ class GposShaper(GsubShaper):
         advance_widths: list[int] | np.ndarray,
         script: bytes | None = None,
         lang: bytes | None = None,
+        lig_comps: list[int] | None = None,
     ) -> GlyphPositions:
         """Apply the selected lookups over the glyph run and resolve
         attachments into final placements (see :class:`GlyphPositions`).
         With ``script`` given, lookups come from that script's language
         system (plus its required feature) instead of the tag-global
-        scan."""
+        scan.  ``lig_comps`` (from ``GsubShaper.last_lig_comps``)
+        carries 1-based ligature-component indices for marks that rode
+        inside formed ligatures — mark-to-ligature attaches to the
+        recorded component instead of the last one."""
         n = len(glyphs)
         st = _PosState(
             xp=[0] * n, yp=[0] * n,
             xa=[int(a) for a in advance_widths], ya=[0] * n,
             attach=[None] * n, cursive=[None] * n,
         )
+        st.lig_comps = lig_comps if lig_comps is not None and             len(lig_comps) == n else None
         if script is not None:
             order = self.lookup_indices_for(self.tags, script, lang)
         else:
@@ -476,7 +490,9 @@ class GposShaper(GsubShaper):
             elif s_type == 5:
                 p = self._prev_base(buf, i)
                 if p is not None:
-                    d = sub.delta(buf[p], gid)
+                    lc = getattr(st, "lig_comps", None)
+                    d = sub.delta(
+                        buf[p], gid, lc[i] if lc is not None else 0)
                     if d is not None:
                         st.attach[i] = (p, d[0], d[1])
                         return i + 1
@@ -557,6 +573,8 @@ class _PosState:
     # cursive: second glyph j -> (first glyph i, exit anchor of i,
     # entry anchor of j, rtl flag)
     cursive: list[tuple[int, tuple, tuple, bool] | None]
+    # 1-based ligature component per mark (GSUB-threaded), or None
+    lig_comps: list[int] | None = None
 
     def add(self, i: int, v: tuple[int, int, int, int]) -> None:
         self.xp[i] += v[0]

@@ -332,6 +332,9 @@ class GsubShaper:
     _data: bytes = b""
     _l_base: int = 0
     _lookup_offsets: list[int] = field(default_factory=list)
+    # ligature-component side channel (see apply)
+    _comp: list | None = None
+    last_lig_comps: list | None = None
 
     def _lookup(self, li: int) -> Lookup | None:
         if li in self.lookups:
@@ -585,10 +588,17 @@ class GsubShaper:
         else:
             order = self.order
         buf = list(glyphs)
+        # ligature-component tracking: comp[k] > 0 marks a glyph
+        # (typically a combining mark) that rode INSIDE a formed
+        # ligature, recording which component it followed — consumed
+        # by GPOS mark-to-ligature attachment (type 5)
+        self._comp = [0] * len(buf)
         for li in order:
             lk = self._lookup(li)
             if lk:
                 self._apply_lookup(buf, lk, depth=0)
+        self.last_lig_comps = self._comp
+        self._comp = None
         return buf
 
     def apply_features(
@@ -600,10 +610,13 @@ class GsubShaper:
             li for t in tags for li in self.features.get(t, ())
         })
         buf = list(glyphs)
+        self._comp = [0] * len(buf)
         for li in order:
             lk = self._lookup(li)
             if lk:
                 self._apply_lookup(buf, lk, depth=0)
+        self.last_lig_comps = self._comp
+        self._comp = None
         return buf
 
     def _apply_lookup(self, buf: list[int], lookup: Lookup, depth: int) -> None:
@@ -655,6 +668,8 @@ class GsubShaper:
                 seq = sub.seq_for(gid)
                 if seq is not None:
                     buf[i : i + 1] = list(seq)
+                    if getattr(self, "_comp", None) is not None:
+                        self._comp[i : i + 1] = [0] * len(seq)
                     # an empty sequence deletes the glyph; either way
                     # scanning resumes after the inserted run
                     return i + len(seq) if seq else i
@@ -681,11 +696,24 @@ class GsubShaper:
             if pos is None:
                 continue
             buf[i] = lig.glyph
+            comp = getattr(self, "_comp", None)
+            if comp is not None:
+                # glyphs SKIPPED between matched components (marks
+                # under ignoreMarks) record which component they
+                # followed: positions in (i, pos[0]) followed the
+                # first, (pos[k-1], pos[k]) the (k+1)-th
+                comp[i] = 0
+                bounds = [i] + pos
+                for k in range(len(bounds) - 1):
+                    for q in range(bounds[k] + 1, bounds[k + 1]):
+                        comp[q] = k + 1
             # delete matched components back-to-front; skipped glyphs
             # (e.g. marks under ignoreMarks) remain, ending up after
             # the ligature glyph
             for p in reversed(pos):
                 del buf[p]
+                if comp is not None:
+                    del comp[p]
             return i + 1
         return None
 

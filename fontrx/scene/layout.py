@@ -196,24 +196,42 @@ def layout_text(
         from its ScriptList entry (script/language-system selection —
         ``locl`` and per-script feature registration resolve correctly
         on multi-script fonts); fonts without a usable ScriptList keep
-        the tag-global behavior."""
+        the tag-global behavior.
+
+        Side channel: ``_shape_stream.last_comps`` holds the 1-based
+        ligature-component index per output glyph (marks that rode
+        inside formed ligatures; 0 elsewhere) for GPOS
+        mark-to-ligature attachment."""
+        _shape_stream.last_comps = [0] * len(seq)
         if not tags:
             return seq
         shaper = font.shaper(tags)
         if shaper is None:
             if ligatures and font.ligatures is not None:
-                return font.ligatures.apply(seq)
+                out = font.ligatures.apply(seq)
+                _shape_stream.last_comps = [0] * len(out)
+                return out
             return seq
         if hasattr(shaper, "alt_index"):
             shaper.alt_index = alternate
         if (seg_cps is None or len(seg_cps) != len(seq)
                 or not getattr(shaper, "scripts", None)):
-            return shaper.apply(seq)
+            out = shaper.apply(seq)
+            _shape_stream.last_comps = list(
+                getattr(shaper, "last_lig_comps", None)
+                or [0] * len(out))
+            return out
         from fontrx.font.script import itemize
 
         out: list[int] = []
+        comps: list[int] = []
         for s, e, stag in itemize(seg_cps):
-            out.extend(shaper.apply(seq[s:e], script=stag or b"DFLT"))
+            part = shaper.apply(seq[s:e], script=stag or b"DFLT")
+            out.extend(part)
+            comps.extend(
+                getattr(shaper, "last_lig_comps", None)
+                or [0] * len(part))
+        _shape_stream.last_comps = comps
         return out
 
     line_runs = None
@@ -228,9 +246,11 @@ def layout_text(
             range(0x2066, 0x206A))
         line_runs = []
         shaped_lines = []
+        comp_lines = []
         for line, cps in zip(lines, cp_lines):
             bl = _bidi_resolve(list(cps), rtl)
             parts: list[int] = []
+            line_comps: list[int] = []
             extents: list[tuple[int, int, int]] = []
             idx = [i for i in range(len(cps))
                    if cps[i] not in controls]
@@ -257,8 +277,10 @@ def layout_text(
                     (len(parts), len(parts) + len(shaped), lvl)
                 )
                 parts.extend(shaped)
+                line_comps.extend(_shape_stream.last_comps)
                 k = j
             shaped_lines.append(parts)
+            comp_lines.append(line_comps)
             line_runs.append(extents)
         lines = shaped_lines
         if wrap_width is not None:
@@ -269,11 +291,16 @@ def layout_text(
                 "inside direction runs are unsupported)"
             )
             wrap_width = None
+        comp_lines = comp_lines  # noqa: B018 (bidi path built above)
     elif tags:
-        lines = [
-            _shape_stream(line, cps)
-            for line, cps in zip(lines, cp_lines)
-        ]
+        shaped_lines = []
+        comp_lines = []
+        for line, cps in zip(lines, cp_lines):
+            shaped_lines.append(_shape_stream(line, cps))
+            comp_lines.append(list(_shape_stream.last_comps))
+        lines = shaped_lines
+    else:
+        comp_lines = None
 
     if wrap_width is not None and not vertical:
         space = int(font.charmap.glyph_index(0x20))
@@ -282,6 +309,7 @@ def layout_text(
         # instead (nothing to break at)
         if space != 0:
             lines = _wrap_lines(lines, wrap_width, space, _adv)
+            comp_lines = None  # wrap reshuffles lines; comps are stale
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
     slot_of: dict[int, int] = {}
@@ -347,7 +375,10 @@ def layout_text(
         for line_no, line in enumerate(lines):
             pen_y = -line_no * float(line_height)
             pos = positioner.positions(
-                line, [widths[slot_of[g]] for g in line]
+                line, [widths[slot_of[g]] for g in line],
+                lig_comps=(comp_lines[line_no]
+                           if comp_lines is not None
+                           and line_no < len(comp_lines) else None),
             )
             pen_x = 0.0
             line_start = len(instances)

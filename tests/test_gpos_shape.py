@@ -260,9 +260,30 @@ class TestMarkAttach:
             )])],
         )
         pos = shaper(gpos, gdef=self.GDEF).positions([10, 20], [200, 0])
-        # attaches to the LAST component's anchor
+        # no component info: attaches to the LAST component's anchor
         assert pos.x_offset[1] == 80 - 200
         assert pos.y_offset[1] == 95
+
+    def test_mark_to_ligature_threaded_component(self):
+        # GSUB-threaded component index 1 picks the FIRST component's
+        # anchor (the lam of a lam-alef, not the trailing alef)
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(5, 0, [gpos_marklig(
+                marks={20: (0, (0, 0))},
+                ligs={10: [[(10, 10)], [(80, 95)]]},
+                n_classes=1,
+            )])],
+        )
+        pos = shaper(gpos, gdef=self.GDEF).positions(
+            [10, 20], [200, 0], lig_comps=[0, 1])
+        assert pos.x_offset[1] == 10 - 200
+        assert pos.y_offset[1] == 10
+        # component 2 = the second anchor row
+        pos2 = shaper(gpos, gdef=self.GDEF).positions(
+            [10, 20], [200, 0], lig_comps=[0, 2])
+        assert pos2.x_offset[1] == 80 - 200
+        assert pos2.y_offset[1] == 95
 
 
 class TestContextual:

@@ -595,3 +595,40 @@ class TestAlternateSelection:
         a = layout_text(dejavu, "Ag", ligatures=True, alternate=1)
         b = layout_text(dejavu, "Ag", ligatures=True)
         assert [i.x for i in a.instances] == [i.x for i in b.instances]
+
+
+class TestLigatureComponentTracking:
+    """GSUB ligature formation records which component each skipped
+    mark followed (`GsubShaper.last_lig_comps`), the side channel GPOS
+    mark-to-ligature consumes."""
+
+    def test_marks_between_components_get_indices(self):
+        from tests.ttf_builder import build_gdef
+
+        gdef = build_gdef(glyph_classes={50: 3, 51: 3})
+        # liga [10, 11, 12] -> 30 under ignore-marks (flag 0x8)
+        gsub = build_gsub(
+            [(b"liga", [0])],
+            [(4, 0x0008, [gsub_ligature({10: [([11, 12], 30)]})])],
+        )
+        from fontrx.font.gdef import GdefTable
+        from fontrx.utils.reader import BigEndianReader
+
+        sh = GsubShaper.parse(
+            BigEndianReader(gsub, 0), tags=(b"liga",),
+            gdef=GdefTable.parse(BigEndianReader(gdef, 0)))
+        # 10 [mark50] 11 [mark51] 12 -> lig 30 with both marks kept
+        out = sh.apply([10, 50, 11, 51, 12])
+        assert out == [30, 50, 51]
+        # mark after the first component -> 1; after the second -> 2
+        assert sh.last_lig_comps == [0, 1, 2]
+
+    def test_no_marks_all_zero(self):
+        gsub = build_gsub(
+            [(b"liga", [0])],
+            [(4, 0, [gsub_ligature({10: [([11], 30)]})])],
+        )
+        sh = shaper(gsub, tags=(b"liga",))
+        out = sh.apply([10, 11, 12])
+        assert out == [30, 12]
+        assert sh.last_lig_comps == [0, 0]
