@@ -41,6 +41,9 @@ class GdefTable:
     glyph_classes: ClassDef | None
     mark_attach: ClassDef | None
     mark_sets: tuple[Coverage, ...]
+    # GDEF v1.3 ItemVariationStore: the delta source for GPOS
+    # VariationIndex device tables (variable kerning/placement)
+    item_var_store: "object | None" = None
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "GdefTable":
@@ -52,8 +55,11 @@ class GdefTable:
             r.unpack("HHHH")
         )
         mark_sets_off = 0
+        ivs_off = 0
         if minor >= 2:
             mark_sets_off = r.u16()
+        if minor >= 3:
+            ivs_off = r.u32()
 
         glyph_classes = None
         if glyph_class_off:
@@ -76,7 +82,15 @@ class GdefTable:
                     Coverage.parse(BigEndianReader(r.data, ms_base + int(o)))
                     for o in offs
                 ]
-        return cls(glyph_classes, mark_attach, tuple(mark_sets))
+        ivs = None
+        if ivs_off:
+            try:
+                from fontrx.font.variations import ItemVariationStore
+
+                ivs = ItemVariationStore.parse(r.data, base + ivs_off)
+            except Exception:
+                ivs = None   # malformed IVS degrades to static values
+        return cls(glyph_classes, mark_attach, tuple(mark_sets), ivs)
 
     def glyph_class(self, gid: int) -> int:
         """GDEF class of a glyph (0 = unclassified)."""

@@ -32,6 +32,7 @@ back to the last component with a usable anchor.
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass
 
 import numpy as np
@@ -57,16 +58,50 @@ _VF_Y_ADVANCE = 0x0008
 ZERO_VALUE = (0, 0, 0, 0)
 
 
-def _parse_value(r: BigEndianReader, fmt: int) -> tuple[int, int, int, int]:
-    """(x_placement, y_placement, x_advance, y_advance) design units;
-    device-table offsets are consumed and dropped."""
+class _VarValue(tuple):
+    """A ValueRecord that carries VariationIndex references: indexes
+    like a plain (xp, yp, xa, ya) 4-tuple (and compares equal to one),
+    with ``.var`` = per-field (outer, inner) ItemVariationStore
+    indices or None — resolved against the GDEF store at the current
+    design location when positioning runs (variable kerning)."""
+
+    def __new__(cls, vals, var):
+        self = super().__new__(cls, vals)
+        self.var = var
+        return self
+
+
+def _variation_index(data: bytes, pos: int):
+    """(outer, inner) when the device table at ``pos`` is a
+    VariationIndex (deltaFormat 0x8000); plain hinting device tables
+    return None (hinting is out of scope)."""
+    try:
+        outer, inner, fmt = struct.unpack_from(">HHH", data, pos)
+    except struct.error:
+        return None
+    return (outer, inner) if fmt == 0x8000 else None
+
+
+def _parse_value(
+    r: BigEndianReader, fmt: int, dev_base: int | None = None
+) -> tuple[int, int, int, int]:
+    """(x_placement, y_placement, x_advance, y_advance) design units.
+    With ``dev_base`` (the offset device offsets are relative to),
+    VariationIndex device tables are captured into a :class:`_VarValue`
+    (variable fonts vary their kerning through them); plain device
+    tables (hinting) are dropped either way."""
     xp = r.i16() if fmt & _VF_X_PLACEMENT else 0
     yp = r.i16() if fmt & _VF_Y_PLACEMENT else 0
     xa = r.i16() if fmt & _VF_X_ADVANCE else 0
     ya = r.i16() if fmt & _VF_Y_ADVANCE else 0
-    for bit in (0x10, 0x20, 0x40, 0x80):
+    var = [None, None, None, None]
+    for k, bit in enumerate((0x10, 0x20, 0x40, 0x80)):
         if fmt & bit:
-            r.skip(2)
+            off = r.u16()
+            if off and dev_base is not None:
+                var[k] = _variation_index(r.data, dev_base + off)
+    if any(v is not None for v in var):
+        return _VarValue((xp, yp, xa, ya), tuple(var))
     return xp, yp, xa, ya
 
 
@@ -249,10 +284,13 @@ class GposShaper(GsubShaper):
             fmt, cov_off, vfmt = r.unpack("HHH")
             cov = Coverage.parse(BigEndianReader(data, base + cov_off))
             if fmt == 1:
-                return _SinglePos(cov, (_parse_value(r, vfmt),), True)
+                return _SinglePos(
+                    cov, (_parse_value(r, vfmt, dev_base=base),), True)
             if fmt == 2:
                 n = r.u16()
-                vals = tuple(_parse_value(r, vfmt) for _ in range(n))
+                vals = tuple(
+                    _parse_value(r, vfmt, dev_base=base)
+                    for _ in range(n))
                 return _SinglePos(cov, vals, False)
             return None
         if s_type == 2:
@@ -267,8 +305,9 @@ class GposShaper(GsubShaper):
                     pairs = []
                     for _ in range(n_pairs):
                         gid2 = sr.u16()
-                        v1 = _parse_value(sr, vf1)
-                        v2 = _parse_value(sr, vf2)
+                        # device offsets are from the PairSet table
+                        v1 = _parse_value(sr, vf1, dev_base=base + int(so))
+                        v2 = _parse_value(sr, vf2, dev_base=base + int(so))
                         pairs.append((gid2, v1, v2))
                     sets.append(tuple(pairs))
                 return _PairPosGlyphs(cov, tuple(sets))
@@ -287,8 +326,8 @@ class GposShaper(GsubShaper):
                 cd2 = ClassDef.parse(BigEndianReader(data, base + cd2_off))
                 matrix = []
                 for _ in range(n_c1 * n_c2):
-                    v1 = _parse_value(r, vf1)
-                    v2 = _parse_value(r, vf2)
+                    v1 = _parse_value(r, vf1, dev_base=base)
+                    v2 = _parse_value(r, vf2, dev_base=base)
                     matrix.append((v1, v2))
                 return _PairPosClasses(cov, cd1, cd2, n_c2, tuple(matrix))
             return None
@@ -396,7 +435,16 @@ class GposShaper(GsubShaper):
             xa=[int(a) for a in advance_widths], ya=[0] * n,
             attach=[None] * n, cursive=[None] * n,
         )
-        st.lig_comps = lig_comps if lig_comps is not None and             len(lig_comps) == n else None
+        if lig_comps is not None and len(lig_comps) == n:
+            st.lig_comps = lig_comps
+        # VariationIndex resolution: GDEF's ItemVariationStore at the
+        # font's current normalized design location (set by layout via
+        # ``var_coords``) — variable kerning/placement deltas
+        ivs = (getattr(self.gdef, "item_var_store", None)
+               if self.gdef is not None else None)
+        coords = getattr(self, "var_coords", None)
+        if ivs is not None and coords is not None:
+            st.var_ctx = (ivs, coords)
         if script is not None:
             order = self.lookup_indices_for(self.tags, script, lang)
         else:
@@ -575,8 +623,28 @@ class _PosState:
     cursive: list[tuple[int, tuple, tuple, bool] | None]
     # 1-based ligature component per mark (GSUB-threaded), or None
     lig_comps: list[int] | None = None
+    # (ItemVariationStore, normalized coords) for VariationIndex
+    # resolution, or None for static positioning
+    var_ctx: tuple | None = None
 
-    def add(self, i: int, v: tuple[int, int, int, int]) -> None:
+    def _dv(self, vi) -> int:
+        if vi is None or self.var_ctx is None:
+            return 0
+        ivs, coords = self.var_ctx
+        try:
+            d = ivs.delta(vi[0], vi[1], coords)
+        except Exception:
+            return 0
+        return int(np.floor(d + 0.5))
+
+    def add(self, i: int, v) -> None:
+        var = getattr(v, "var", None)
+        if var is not None:
+            self.xp[i] += v[0] + self._dv(var[0])
+            self.yp[i] += v[1] + self._dv(var[1])
+            self.xa[i] += v[2] + self._dv(var[2])
+            self.ya[i] += v[3] + self._dv(var[3])
+            return
         self.xp[i] += v[0]
         self.yp[i] += v[1]
         self.xa[i] += v[2]

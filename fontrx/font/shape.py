@@ -335,6 +335,9 @@ class GsubShaper:
     # ligature-component side channel (see apply)
     _comp: list | None = None
     last_lig_comps: list | None = None
+    # normalized variation coords for GPOS VariationIndex resolution
+    # (set by layout from the font's current design location)
+    var_coords: "object | None" = None
 
     def _lookup(self, li: int) -> Lookup | None:
         if li in self.lookups:

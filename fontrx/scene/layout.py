@@ -346,6 +346,10 @@ def layout_text(
                 t for t in (b"mark", b"mkmk") if t not in ptags
             )
         positioner = font.positioner(ptags) if ptags else None
+        if positioner is not None:
+            # variable fonts: GPOS VariationIndex deltas resolve at the
+            # current design location
+            positioner.var_coords = getattr(font, "_var_coords", None)
 
     if vertical:
         return _layout_vertical(

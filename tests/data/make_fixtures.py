@@ -226,6 +226,49 @@ def make_vartest5():
         "vartest5.ttf")
 
 
+def make_vartest6():
+    """Variable font with VARYING GPOS kerning: the masters carry
+    different feaLib kern values, so varLib merges them into a GPOS
+    PairPos with VariationIndex device records over a GDEF v1.3
+    ItemVariationStore (A-V kern -40 -> -160)."""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    def master(w, kern):
+        fb = FontBuilder(1000, isTTF=True)
+        order = [".notdef", "A", "V"]
+        fb.setupGlyphOrder(order)
+        fb.setupCharacterMap({ord("A"): "A", ord("V"): "V"})
+        glyphs = {}
+        pen = TTGlyphPen(glyphSet={}); glyphs[".notdef"] = pen.glyph()
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((100, 0)); pen.lineTo((100 + w, 0))
+        pen.lineTo((100 + w // 2, 700)); pen.closePath()
+        glyphs["A"] = pen.glyph()
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((100, 700)); pen.lineTo((100 + w, 700))
+        pen.lineTo((100 + w // 2, 0)); pen.closePath()
+        glyphs["V"] = pen.glyph()
+        fb.setupGlyf(glyphs)
+        fb.setupHorizontalMetrics(
+            {".notdef": (500, 0), "A": (600, 100), "V": (600, 100)})
+        fb.setupHorizontalHeader(ascent=800, descent=-200)
+        fb.setupNameTable({"familyName": "VarTest6",
+                           "styleName": "Regular"})
+        fb.setupOS2(); fb.setupPost()
+        addOpenTypeFeaturesFromString(fb.font, f"""
+languagesystem DFLT dflt;
+feature kern {{
+    pos A V {kern};
+}} kern;
+""")
+        return fb.font
+
+    _vf([(100, 100, 900, "Weight", "wght", None)],
+        [({"Weight": 100}, master(400, -40)),
+         ({"Weight": 900}, master(480, -160))],
+        "vartest6.ttf")
+
+
 def make_vartest_cff2():
     def master(w):
         fb = FontBuilder(1000, isTTF=False)
@@ -323,6 +366,7 @@ if __name__ == "__main__":
     make_vartest3()
     make_vartest4()
     make_vartest5()
+    make_vartest6()
     make_cjktest()
     make_arabictest()
     make_vartest_cff2()

@@ -502,3 +502,56 @@ class TestVvar:
         gid = vf.glyph_index("A")
         assert vf.varied_advance_height(gid, int(ah[gid])) == int(ah[gid])
         assert vf.varied_tsb(gid, int(tsb[gid])) == int(tsb[gid])
+
+
+VF6 = os.path.join(os.path.dirname(__file__), "data", "vartest6.ttf")
+
+
+class TestGposVariations:
+    """GPOS VariationIndex device records over the GDEF v1.3
+    ItemVariationStore: variable fonts vary their kerning/placement
+    with the design location (round 3; previously device offsets were
+    dropped).  Fixture: varLib-merged masters with A-V kern
+    -40 -> -160."""
+
+    @pytest.mark.parametrize("wght,kern", [
+        (100, -40), (300, -70), (500, -100), (760, -139), (900, -160),
+    ])
+    def test_kern_interpolates(self, wght, kern):
+        from fontrx.scene.layout import layout_text
+
+        vf = Font.open(VF6)
+        vf.set_variation(wght=wght)
+        lt = layout_text(vf, "AV", positioning=(b"kern",))
+        assert lt.instances[1].x - lt.instances[0].x == 600 + kern
+
+    def test_matches_instancer_kern(self):
+        """The instancer bakes the delta into a static PairPos — the
+        independent oracle for the resolved value."""
+        from fontTools.ttLib import TTFont
+        from fontTools.varLib.instancer import instantiateVariableFont
+
+        inst = instantiateVariableFont(TTFont(VF6), {"wght": 700})
+        pair = (inst["GPOS"].table.LookupList.Lookup[0]
+                .SubTable[0].PairSet[0].PairValueRecord[0])
+        expected = pair.Value1.XAdvance
+
+        vf = Font.open(VF6)
+        vf.set_variation(wght=700)
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(vf, "AV", positioning=(b"kern",))
+        assert lt.instances[1].x - lt.instances[0].x == 600 + expected
+
+    def test_default_location_static_value(self):
+        from fontrx.scene.layout import layout_text
+
+        vf = Font.open(VF6)   # no set_variation: static -40
+        lt = layout_text(vf, "AV", positioning=(b"kern",))
+        assert lt.instances[1].x - lt.instances[0].x == 560.0
+
+    def test_static_font_unaffected(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        a = layout_text(dejavu, "AV", positioning=(b"kern",))
+        assert len(a.instances) == 2   # no VariationIndex machinery
