@@ -21,10 +21,12 @@ implements the full OpenType GPOS application model:
   parent links and resolved after all lookups run, so a later lookup
   adjusting a base's advance still moves its attached marks.
 
-Deliberate simplifications (documented divergences from a full
-shaper): device/variation tables
-in ValueRecords and contour-point anchors are skipped (hinting is out
-of scope throughout fontrx).  Mark-to-ligature attaches to the GSUB-
+Variable-font positioning (round 3): VariationIndex device records in
+ValueRecords AND anchors resolve against GDEF v1.3's
+ItemVariationStore at the current design location (variable kerning,
+mark and cursive anchors).  Remaining deliberate simplifications:
+plain hinting device tables and contour-point anchors are skipped
+(hinting is out of scope throughout fontrx).  Mark-to-ligature attaches to the GSUB-
 threaded component when the shaping pass recorded one
 (``GsubShaper.last_lig_comps`` -> ``positions(lig_comps=)``), falling
 back to the last component with a usable anchor.
@@ -105,10 +107,38 @@ def _parse_value(
     return xp, yp, xa, ya
 
 
+class _VarAnchor(tuple):
+    """An (x, y) anchor carrying VariationIndex references (``.var`` =
+    ((outer, inner) | None, (outer, inner) | None)) — resolved against
+    the GDEF store at positioning time (variable mark/cursive
+    anchors)."""
+
+    def __new__(cls, xy, var):
+        self = super().__new__(cls, xy)
+        self.var = var
+        return self
+
+
 def _anchor_at(data: bytes, base: int, off: int) -> tuple[int, int] | None:
     if not off:
         return None
-    return _parse_anchor(BigEndianReader(data, base + off))
+    pos = base + off
+    try:
+        fmt, x, y = struct.unpack_from(">Hhh", data, pos)
+    except struct.error:
+        return None
+    if fmt == 3:
+        # format 3: x/y device offsets (from the Anchor table start);
+        # VariationIndex ones vary the anchor with the design location
+        try:
+            xo, yo = struct.unpack_from(">HH", data, pos + 6)
+        except struct.error:
+            xo = yo = 0
+        vx = _variation_index(data, pos + xo) if xo else None
+        vy = _variation_index(data, pos + yo) if yo else None
+        if vx is not None or vy is not None:
+            return _VarAnchor((int(x), int(y)), (vx, vy))
+    return int(x), int(y)
 
 
 # -- subtable models -------------------------------------------------------
@@ -194,9 +224,10 @@ class _MarkAttach:
     base_cov: Coverage
     base_anchors: tuple  # [base_ci][class] -> (x, y) | None
 
-    def delta(self, base_gid: int, mark_gid: int):
+    def delta(self, base_gid: int, mark_gid: int, resolve=None):
         """(dx, dy) placing the mark's anchor onto the base's, or
-        ``None``."""
+        ``None``.  ``resolve`` maps (possibly variable) anchors to
+        concrete coordinates (``_PosState.anchor``)."""
         mi = int(self.mark_cov.rank([mark_gid])[0])
         bi = int(self.base_cov.rank([base_gid])[0])
         if mi < 0 or bi < 0 or mi >= len(self.mark_classes):
@@ -205,8 +236,9 @@ class _MarkAttach:
         row = self.base_anchors[bi]
         if not (0 <= klass < len(row)) or row[klass] is None:
             return None
-        bx, by = row[klass]
-        mx, my = self.mark_anchors[mi]
+        res = resolve or (lambda a: a)
+        bx, by = res(row[klass])
+        mx, my = res(self.mark_anchors[mi])
         return bx - mx, by - my
 
 
@@ -221,7 +253,8 @@ class _MarkLigAttach:
     lig_cov: Coverage
     lig_attach: tuple  # [lig_ci][component][class] -> (x, y) | None
 
-    def delta(self, lig_gid: int, mark_gid: int, component: int = 0):
+    def delta(self, lig_gid: int, mark_gid: int, component: int = 0,
+              resolve=None):
         """``component``: 1-based ligature component the mark followed
         (threaded from GSUB ligature formation); 0 = unknown, which
         falls back to the last component with a usable anchor."""
@@ -231,15 +264,16 @@ class _MarkLigAttach:
             return None
         klass = self.mark_classes[mi]
         comps = self.lig_attach[li]
-        mx, my = self.mark_anchors[mi]
+        res = resolve or (lambda a: a)
+        mx, my = res(self.mark_anchors[mi])
         if 1 <= component <= len(comps):
             row = comps[component - 1]
             if 0 <= klass < len(row) and row[klass] is not None:
-                bx, by = row[klass]
+                bx, by = res(row[klass])
                 return bx - mx, by - my
         for row in reversed(comps):  # last component with a usable anchor
             if 0 <= klass < len(row) and row[klass] is not None:
-                bx, by = row[klass]
+                bx, by = res(row[klass])
                 return bx - mx, by - my
         return None
 
@@ -525,13 +559,14 @@ class GposShaper(GsubShaper):
                     # cursive (Nastaliq-style fonts) keeps the LAST
                     # (the first chains backward from the second)
                     st.cursive[j] = (
-                        i, a_i[1], a_j[0], bool(lookup.flags & 0x0001)
+                        i, st.anchor(a_i[1]), st.anchor(a_j[0]),
+                        bool(lookup.flags & 0x0001),
                     )
                     return j
             elif s_type == 4:
                 p = self._prev_base(buf, i)
                 if p is not None:
-                    d = sub.delta(buf[p], gid)
+                    d = sub.delta(buf[p], gid, resolve=st.anchor)
                     if d is not None:
                         st.attach[i] = (p, d[0], d[1])
                         return i + 1
@@ -540,7 +575,8 @@ class GposShaper(GsubShaper):
                 if p is not None:
                     lc = getattr(st, "lig_comps", None)
                     d = sub.delta(
-                        buf[p], gid, lc[i] if lc is not None else 0)
+                        buf[p], gid, lc[i] if lc is not None else 0,
+                        resolve=st.anchor)
                     if d is not None:
                         st.attach[i] = (p, d[0], d[1])
                         return i + 1
@@ -550,7 +586,7 @@ class GposShaper(GsubShaper):
                 # sets select which mark chain this lookup stacks on)
                 p = self._prev(buf, i, lookup)
                 if p is not None:
-                    d = sub.delta(buf[p], gid)
+                    d = sub.delta(buf[p], gid, resolve=st.anchor)
                     if d is not None:
                         st.attach[i] = (p, d[0], d[1])
                         return i + 1
@@ -626,6 +662,15 @@ class _PosState:
     # (ItemVariationStore, normalized coords) for VariationIndex
     # resolution, or None for static positioning
     var_ctx: tuple | None = None
+
+    def anchor(self, a):
+        """Resolve a (possibly variable) anchor to concrete (x, y)."""
+        if a is None:
+            return None
+        var = getattr(a, "var", None)
+        if var is None:
+            return a
+        return (a[0] + self._dv(var[0]), a[1] + self._dv(var[1]))
 
     def _dv(self, vi) -> int:
         if vi is None or self.var_ctx is None:

@@ -233,11 +233,12 @@ def make_vartest6():
     ItemVariationStore (A-V kern -40 -> -160)."""
     from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
 
-    def master(w, kern):
+    def master(w, kern, anchor_y=500):
         fb = FontBuilder(1000, isTTF=True)
-        order = [".notdef", "A", "V"]
+        order = [".notdef", "A", "V", "acutecomb"]
         fb.setupGlyphOrder(order)
-        fb.setupCharacterMap({ord("A"): "A", ord("V"): "V"})
+        fb.setupCharacterMap({ord("A"): "A", ord("V"): "V",
+                              0x301: "acutecomb"})
         glyphs = {}
         pen = TTGlyphPen(glyphSet={}); glyphs[".notdef"] = pen.glyph()
         pen = TTGlyphPen(glyphSet={})
@@ -249,23 +250,33 @@ def make_vartest6():
         pen.lineTo((100 + w // 2, 0)); pen.closePath()
         glyphs["V"] = pen.glyph()
         fb.setupGlyf(glyphs)
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((0, 0)); pen.lineTo((80, 0)); pen.lineTo((40, 120))
+        pen.closePath()
+        glyphs["acutecomb"] = pen.glyph()
+        fb.setupGlyf(glyphs)
         fb.setupHorizontalMetrics(
-            {".notdef": (500, 0), "A": (600, 100), "V": (600, 100)})
+            {".notdef": (500, 0), "A": (600, 100), "V": (600, 100),
+             "acutecomb": (0, 0)})
         fb.setupHorizontalHeader(ascent=800, descent=-200)
         fb.setupNameTable({"familyName": "VarTest6",
                            "styleName": "Regular"})
         fb.setupOS2(); fb.setupPost()
         addOpenTypeFeaturesFromString(fb.font, f"""
 languagesystem DFLT dflt;
+markClass [acutecomb] <anchor 0 0> @TOP;
 feature kern {{
     pos A V {kern};
 }} kern;
+feature mark {{
+    pos base [A] <anchor 300 {anchor_y}> mark @TOP;
+}} mark;
 """)
         return fb.font
 
     _vf([(100, 100, 900, "Weight", "wght", None)],
-        [({"Weight": 100}, master(400, -40)),
-         ({"Weight": 900}, master(480, -160))],
+        [({"Weight": 100}, master(400, -40, anchor_y=500)),
+         ({"Weight": 900}, master(480, -160, anchor_y=740))],
         "vartest6.ttf")
 
 

@@ -555,3 +555,19 @@ class TestGposVariations:
 
         a = layout_text(dejavu, "AV", positioning=(b"kern",))
         assert len(a.instances) == 2   # no VariationIndex machinery
+
+    @pytest.mark.parametrize("wght,anchor_y", [
+        (100, 500), (500, 620), (900, 740),
+    ])
+    def test_mark_anchor_interpolates(self, wght, anchor_y):
+        """Anchor format 3 with VariationIndex device records: the
+        base mark anchor moves with the design location (masters
+        y=500 -> 740)."""
+        from fontrx.scene.layout import layout_text
+
+        vf = Font.open(VF6)
+        vf.set_variation(wght=wght)
+        lt = layout_text(vf, "A\u0301", marks=True,
+                         positioning=(b"mark",))
+        assert len(lt.instances) == 2
+        assert lt.instances[1].y == float(anchor_y)
