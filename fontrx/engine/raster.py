@@ -116,15 +116,28 @@ class RasterEngine:
                 # bucket 38.2 -> 15.7 ms @64px and 37.9 -> 11.0 @32px
                 # (2.4-3.5x over the gg16/banded v2 paths)
                 from fontrx.kernels.winding_dense import (
+                    dense_tuning,
                     winding_dense_batch,
                 )
 
                 pw8 = _round_up(width, 8)
+                # lane packing: tiles <= 64/32 rows leave 1/2 / 3/4 of
+                # the 128 row lanes idle; packing 2/4 consecutive
+                # segment chunks of the SAME glyph into lane groups
+                # fills them (same columns, same anchors — unlike the
+                # rejected glyph banding, no owner masks), halving/
+                # quartering phase-A AND phase-B element ops.
+                # Bit-identical (same per-(segment, row) float
+                # program; integer lane fold).  Device A/B
+                # (tpu_dense_lanepack.py): CJK @64px 8.2 -> 5.5 ms,
+                # @32px 6.6 -> 3.3 ms, 0 mismatches.
+                lane_pack, seg_chunk = dense_tuning(height)
                 out = winding_dense_batch(
                     segments, min_x, max_y, jnp.float32(scale),
                     height=height, width=pw8,
                     interpret=backend == BACKEND_INTERPRET,
-                    exact=self.exact, seg_chunk=64, col_block=8,
+                    exact=self.exact, seg_chunk=seg_chunk, col_block=8,
+                    lane_pack=lane_pack,
                 )
                 if (STRIP_ROWS, pw8) != (height, width):
                     out = out[:, :height, :width]

@@ -144,16 +144,20 @@ def coverage_batch_dense(
     strategies: each offset's fill is the dense kernel's (itself
     bit-identical to v2), and the mean of k^2 {0,1} values is exact in
     f32.  ``height``/``width`` <= 128."""
-    from fontrx.kernels.winding_dense import winding_dense_batch
+    from fontrx.kernels.winding_dense import (
+        dense_tuning,
+        winding_dense_batch,
+    )
 
     offs = jnp.asarray(sample_offsets(samples))
+    lane_pack, seg_chunk = dense_tuning(height)
 
     def one(off):
         w = winding_dense_batch(
             segments, min_x, max_y, scale,
             height=height, width=width,
             interpret=interpret, sample_offset=(off[0], off[1]),
-            exact=exact,
+            exact=exact, seg_chunk=seg_chunk, lane_pack=lane_pack,
         )
         return (w != 0).astype(jnp.float32)
 

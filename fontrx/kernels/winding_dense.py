@@ -49,9 +49,21 @@ from fontrx.kernels.winding_pallas_v2 import (
     _pad_lanes,
     _round_up,
     phase_a_roots,
+    phase_a_roots_params,
 )
 
 STRIP_ROWS = 128
+
+
+def dense_tuning(height: int) -> tuple[int, int]:
+    """Measured (lane_pack, seg_chunk) for a tile height
+    (tpu_dense_lanepack.py: @64px lp2/sc64 8.2 -> 5.5 ms, @32px
+    lp4/sc32 6.6 -> 3.3 ms, both 0 mismatches on device)."""
+    if height <= 32:
+        return 4, 32
+    if height <= 64:
+        return 2, 64
+    return 1, 64
 
 
 def _make_dense_kernel(
@@ -61,6 +73,7 @@ def _make_dense_kernel(
     col_block: int,
     x_cull: bool,
     row_bands: int = 1,
+    lane_pack: int = 1,
 ):
     fdiv = div_cr if exact else (lambda a, b: a / b)
     fsqrt = sqrt_cr if exact else jnp.sqrt
@@ -78,6 +91,11 @@ def _make_dense_kernel(
         n_chunks = s_cap // seg_chunk
 
         row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
+        if lane_pack > 1:
+            # every lane group sees the same real rows [0, R_real);
+            # the row VALUES (and hence cy, the whole float program)
+            # match the unpacked kernel's rows exactly
+            row = jax.lax.rem(row, STRIP_ROWS // lane_pack)
         if row_bands == 1:
             min_x = min_x_ref[0, lane]
             max_y = max_y_ref[0, lane]
@@ -124,17 +142,60 @@ def _make_dense_kernel(
         def _():
             out_ref[0] = jnp.zeros((width, STRIP_ROWS), jnp.int32)
 
+        if lane_pack > 1:
+            # lane groups: group g of the 128 lanes solves segment
+            # chunk (c*lane_pack + g) against the SAME real rows
+            # [0, R_real) — full lane occupancy for tiles whose height
+            # is <= 128/lane_pack.  Unlike glyph banding (a measured
+            # negative — owner masks, per-lane anchors), every lane
+            # group shares the glyph, its anchors, and its columns, so
+            # phase A and phase B element counts genuinely shrink by
+            # lane_pack; the output is folded across lane groups
+            # outside the kernel (integer winding adds commute).
+            grp = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
+                // (STRIP_ROWS // lane_pack)
+            )                                            # (1, R)
+
         def chunk_body(c, _):
-            chunk = seg_ref[0, pl.ds(c * seg_chunk, seg_chunk), :]
-            p0y = chunk[:, 1:2]
-            p1y = chunk[:, 3:4]
-            p2y = chunk[:, 5:6]
-            hull_min = jnp.min(jnp.minimum(jnp.minimum(p0y, p1y), p2y))
-            hull_max = jnp.max(jnp.maximum(jnp.maximum(p0y, p1y), p2y))
+            if lane_pack == 1:
+                chunks = [seg_ref[0, pl.ds(c * seg_chunk, seg_chunk), :]]
+            else:
+                chunks = [
+                    seg_ref[
+                        0,
+                        pl.ds((c * lane_pack + g) * seg_chunk, seg_chunk),
+                        :,
+                    ]
+                    for g in range(lane_pack)
+                ]
+            hull_min = functools.reduce(jnp.minimum, [
+                jnp.min(jnp.minimum(jnp.minimum(ch[:, 1:2], ch[:, 3:4]),
+                                    ch[:, 5:6]))
+                for ch in chunks
+            ])
+            hull_max = functools.reduce(jnp.maximum, [
+                jnp.max(jnp.maximum(jnp.maximum(ch[:, 1:2], ch[:, 3:4]),
+                                    ch[:, 5:6]))
+                for ch in chunks
+            ])
+            chunk = chunks[0]
 
             @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi))
             def _():
-                xx0m, xx1m, s0, s1 = phase_a_roots(chunk, cy, fdiv, fsqrt)
+                if lane_pack == 1:
+                    xx0m, xx1m, s0, s1 = phase_a_roots(
+                        chunk, cy, fdiv, fsqrt)
+                else:
+                    params = []
+                    for k in range(6):
+                        p = chunks[0][:, k : k + 1]
+                        for g in range(1, lane_pack):
+                            p = jnp.where(
+                                grp == g, chunks[g][:, k : k + 1], p)
+                        params.append(p)
+                    xx0m, xx1m, s0, s1 = phase_a_roots_params(
+                        *params, cy, fdiv, fsqrt)
                 if row_bands > 1:
                     # a segment exists only on its owner band's rows;
                     # foreign rows contribute integer zeros (banded
@@ -206,7 +267,7 @@ def _make_dense_kernel(
 
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        jax.lax.fori_loop(0, n_chunks // lane_pack, chunk_body, 0)
 
     return kernel
 
@@ -215,13 +276,13 @@ def _make_dense_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "interpret", "exact", "seg_chunk",
-        "col_block", "x_cull",
+        "col_block", "x_cull", "lane_pack",
     ),
 )
 def winding_dense_batch(
     segments, min_x, max_y, scale, *, height, width, interpret=False,
     sample_offset=(0.0, 0.0), exact=False, seg_chunk=64,
-    col_block=8, x_cull=True,
+    col_block=8, x_cull=True, lane_pack=1,
 ):
     """Batched winding maps, column-major kernel.
 
@@ -231,13 +292,28 @@ def winding_dense_batch(
     ``ph = ceil(height/128)*128`` (callers slice) — bit-identical to
     ``winding_pallas_v2_batch`` at the same anchors over the shared
     columns.
+
+    ``lane_pack`` (1, 2 or 4; requires ``height <= 128/lane_pack``):
+    pack that many consecutive segment chunks into 128/lane_pack-lane
+    row groups, so small tiles use every lane (2x fewer phase-A/B
+    element ops at 64px, 4x at 32px).  Rows are bit-identical to
+    ``lane_pack=1``: each (segment, row) element runs the same float
+    program, and the cross-group fold is an integer winding add.
     """
     b = segments.shape[0]
     ph = _round_up(max(height, 1), STRIP_ROWS)
     n_strips = ph // STRIP_ROWS
     assert width <= 256 and width % col_block == 0, (width, col_block)
+    if lane_pack > 1:
+        assert lane_pack in (2, 4) and height <= STRIP_ROWS // lane_pack, (
+            lane_pack, height)
+        assert n_strips == 1
     soa = segments_to_soa(segments, chunk=seg_chunk)
     s8 = soa.shape[1]
+    if lane_pack > 1 and s8 % (seg_chunk * lane_pack):
+        pad = seg_chunk * lane_pack - (s8 % (seg_chunk * lane_pack))
+        soa = jnp.pad(soa, ((0, 0), (0, pad), (0, 0)))
+        s8 = soa.shape[1]
 
     b128 = _round_up(b, 128)
     min_x = _pad_lanes(
@@ -256,7 +332,8 @@ def winding_dense_batch(
 
     grid = (b, n_strips, n_super)
     out_t = pl.pallas_call(
-        _make_dense_kernel(exact, width, seg_chunk, col_block, x_cull),
+        _make_dense_kernel(exact, width, seg_chunk, col_block, x_cull,
+                           lane_pack=lane_pack),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 128), lambda b_, st, s: (0, b_ // 128),
@@ -277,6 +354,16 @@ def winding_dense_batch(
         out_shape=jax.ShapeDtypeStruct((b, width, ph), jnp.int32),
         interpret=interpret,
     )(min_x, max_y, scale_arr, off_arr, soa)
+    if lane_pack > 1:
+        # fold lane groups: group g's lanes hold chunk-group-g's
+        # winding contribution for rows [0, R_real) — an integer sum
+        # over groups (winding adds commute, so this is exact), then
+        # zero-pad rows back to the 128-row contract
+        r_real = STRIP_ROWS // lane_pack
+        folded = jnp.sum(
+            out_t.reshape(b, width, lane_pack, r_real), axis=2)
+        out_t = jnp.pad(
+            folded, ((0, 0), (0, 0), (0, STRIP_ROWS - r_real)))
     # exact int32 relayout: (B, W, PH) -> (B, PH, W)
     return jnp.swapaxes(out_t, 1, 2)
 

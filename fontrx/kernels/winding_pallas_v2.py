@@ -69,13 +69,23 @@ def phase_a_roots(chunk, cy, fdiv, fsqrt):
     dense kernel — both kernels' phase B consume these identically,
     which is what makes their rasters bit-identical.
     """
-    p0x = chunk[:, 0:1]
-    p0y = chunk[:, 1:2]
-    p1x = chunk[:, 2:3]
-    p1y = chunk[:, 3:4]
-    p2x = chunk[:, 4:5]
-    p2y = chunk[:, 5:6]
+    return phase_a_roots_params(
+        chunk[:, 0:1], chunk[:, 1:2], chunk[:, 2:3],
+        chunk[:, 3:4], chunk[:, 4:5], chunk[:, 5:6],
+        cy, fdiv, fsqrt,
+    )
 
+
+def phase_a_roots_params(p0x, p0y, p1x, p1y, p2x, p2y, cy, fdiv, fsqrt):
+    """``phase_a_roots`` with the six control-point tensors pre-sliced.
+
+    Params may be ``(C, 1)`` columns (the classic layout) or ``(C, R)``
+    tensors varying along lanes (the lane-packed dense kernel, where
+    different lane groups carry different segment chunks).  Every op is
+    elementwise-after-broadcast, so each (segment, row) element sees
+    exactly the float program of the ``(C, 1)`` form — results are
+    bit-identical per element regardless of lane placement.
+    """
     a = p0y - 2 * p1y + p2y      # (C, 1)
     ax = p0x - 2 * p1x + p2x
     bx = 2 * (p1x - p0x)

@@ -349,6 +349,45 @@ class TestHighSegmentCounts:
             w = oracle.winding_at(segs[i], xs[None, :], ys[:, None])
             np.testing.assert_array_equal(out[i], w, err_msg=f"glyph {i}")
 
+    @pytest.mark.parametrize("size,lane_pack,seg_chunk", [
+        (64, 2, 64), (64, 2, 32), (32, 4, 32), (32, 2, 64),
+    ])
+    def test_dense_lane_pack_bitexact(self, size, lane_pack, seg_chunk):
+        """Lane-packed dense kernel (segment chunk groups sharing the
+        128 row lanes) vs lane_pack=1 and the oracle: every
+        (segment, row) element runs the same float program and the
+        cross-group fold is an integer winding sum, so rasters must be
+        bit-identical (device A/B: tpu_dense_lanepack.py, 0
+        mismatches)."""
+        import jax.numpy as jnp
+
+        from benchmarks.cjk import UPEM, synthetic_strokes
+        from fontrx.kernels import oracle
+        from fontrx.kernels.winding_dense import winding_dense_batch
+        from fontrx.pack.segments import xsort_segments
+
+        rng = np.random.default_rng(7)
+        segs = np.stack(
+            [xsort_segments(synthetic_strokes(rng, 280))
+             for _ in range(3)])
+        scale = np.float32(size / UPEM)
+        max_y = np.full(3, size - 1, np.int32)
+        kw = dict(height=size, width=size, exact=True, interpret=True)
+        ref = np.asarray(winding_dense_batch(
+            jnp.asarray(segs), jnp.zeros(3, jnp.int32),
+            jnp.asarray(max_y), jnp.float32(scale), **kw))
+        out = np.asarray(winding_dense_batch(
+            jnp.asarray(segs), jnp.zeros(3, jnp.int32),
+            jnp.asarray(max_y), jnp.float32(scale),
+            lane_pack=lane_pack, seg_chunk=seg_chunk, **kw))
+        np.testing.assert_array_equal(out, ref)
+        for i in range(3):
+            xs = np.arange(size).astype(np.float32) / scale
+            ys = (max_y[i] - np.arange(size)).astype(np.float32) / scale
+            w = oracle.winding_at(segs[i], xs[None, :], ys[:, None])
+            np.testing.assert_array_equal(
+                out[i, :size, :size], w, err_msg=f"glyph {i}")
+
     def test_winding_invariant_under_segment_order(self):
         """Winding is a sum of per-segment contributions — shuffling the
         segment stream (which changes chunk y-coherence and thus which
