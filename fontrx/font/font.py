@@ -184,6 +184,90 @@ class Font:
     def _at(self, tag: bytes) -> BigEndianReader:
         return BigEndianReader(self._reader.data, self.tables[tag].offset)
 
+    def _table_bytes(self, tag: bytes) -> bytes:
+        """Raw table contents (b'' when absent)."""
+        entry = self.tables.get(tag)
+        if entry is None:
+            return b""
+        return self._reader.data[entry.offset:entry.offset + entry.length]
+
+    def _cvt_values(self) -> "np.ndarray":
+        """``cvt `` control values (FWords), empty when absent."""
+        entry = self.tables.get(b"cvt ")
+        if entry is None:
+            return np.zeros(0, np.int16)
+        r = self._at(b"cvt ")
+        return r.i16_array(entry.length // 2)
+
+    def _lsb(self, index: int) -> int:
+        """Left side bearing from hmtx (long metrics, then the
+        run-out leftSideBearing array)."""
+        if not hasattr(self, "_lsbs"):
+            n_metrics = self.hhea.num_of_long_hor_metrics
+            n = self.maxp.num_glyphs
+            r = self._at(b"hmtx")
+            pairs = np.frombuffer(
+                r.data, dtype=">i2", count=2 * n_metrics, offset=r.pos)
+            lsbs = np.empty(n, np.int16)
+            m = min(n_metrics, n)
+            lsbs[:m] = pairs[1:2 * m:2]
+            if n > n_metrics:
+                r.skip(4 * n_metrics)
+                rest = r.i16_array(n - n_metrics)
+                lsbs[n_metrics:] = rest
+            self._lsbs = lsbs
+        return int(self._lsbs[index])
+
+    def _raw_glyph(self, index: int):
+        """Undecoded glyph data for the hinting path: ``(description,
+        SimpleGlyph | ComponentGlyph)`` or ``(None, None)`` for empty
+        glyphs.  Variations are applied to the raw points so hints run
+        on the varied outline (cvar CVT variations are not consumed —
+        documented limitation)."""
+        if self._cff is not None or not hasattr(self, "_loca"):
+            raise CorruptedFont("hinting requires TrueType glyf outlines")
+        if not 0 <= index < self.maxp.num_glyphs:
+            raise CorruptedFont(f"glyph index {index} out of range")
+        start, end = int(self._loca[index]), int(self._loca[index + 1])
+        if start == end:
+            return None, None
+        r = BigEndianReader(self._reader.data, self._glyf_offset + start)
+        desc = ttf.GlyphDescription.parse(r)
+        if desc.number_of_contours >= 0:
+            simple = ttf.SimpleGlyph.parse(r, desc.number_of_contours)
+            return desc, self._apply_variation_simple(index, simple)
+        comp = ttf.ComponentGlyph.parse(r)
+        return desc, self._apply_variation_composite(index, comp)
+
+    @property
+    def has_hinting(self) -> bool:
+        """True when the font carries hinting programs."""
+        return (b"glyf" in self.tables
+                and (b"fpgm" in self.tables or b"prep" in self.tables
+                     or b"cvt " in self.tables))
+
+    def hinting_engine(self, ppem: int):
+        """Cached per-ppem hinting engine (fpgm run once per engine,
+        prep per ppem — the analog of a size object)."""
+        from fontrx.font.hinting import Engine
+
+        cache = getattr(self, "_hint_engines", None)
+        if cache is None:
+            cache = self._hint_engines = {}
+        eng = cache.get(ppem)
+        if eng is None:
+            eng = cache[ppem] = Engine(self, ppem)
+        return eng
+
+    def hinted_glyph(self, index: int, ppem: int):
+        """Grid-fitted glyph at ``ppem``: ``(Glyph, advance)`` in
+        F26Dot6 pixel units (64 units = one pixel).  The reference
+        panics on instructed glyphs (``Glyph.zig:85``); this is the
+        full interpreter (``fontrx.font.hinting``)."""
+        from fontrx.font.hinting import hinted_glyph
+
+        return hinted_glyph(self, index, ppem)
+
     def _load_charmap(self) -> CharGlyphMapping:
         r = self._at(b"cmap")
         base = r.pos

@@ -154,15 +154,27 @@ class Maxp:
     max_component_contours: int
     max_component_elements: int
     max_component_depth: int
+    # hinting limits (v1.0 fields; zero for CFF maxp v0.5)
+    max_twilight: int = 0
+    max_storage: int = 0
+    max_function_defs: int = 0
+    max_instruction_defs: int = 0
+    max_stack: int = 0
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "Maxp":
-        _version = r.u32()
-        num_glyphs, max_points, max_contours, max_cpoints, max_ccontours = r.unpack("HHHHH")
-        r.skip(2 * 7)  # maxZones .. maxSizeOfInstructions
+        version = r.u32()
+        num_glyphs = r.u16()
+        if version < 0x00010000:
+            # maxp 0.5 (CFF outlines): numGlyphs only
+            return cls(num_glyphs, 0, 0, 0, 0, 0, 0)
+        max_points, max_contours, max_cpoints, max_ccontours = r.unpack("HHHH")
+        _zones, max_twi, max_sto, max_fdef, max_idef, max_stack, _isize = \
+            r.unpack("HHHHHHH")
         max_celems, max_cdepth = r.unpack("HH")
         return cls(num_glyphs, max_points, max_contours, max_cpoints,
-                   max_ccontours, max_celems, max_cdepth)
+                   max_ccontours, max_celems, max_cdepth,
+                   max_twi, max_sto, max_fdef, max_idef, max_stack)
 
 
 @dataclass(frozen=True, slots=True)
