@@ -154,10 +154,124 @@ def _sdf_for_layout(layout, font, cfg, engine, spread_px: float):
     return sdf_batch(*sargs, height=cfg.size, width=cfg.size)
 
 
+def _render_hinted(font, text, cfg, engine) -> np.ndarray:
+    """``--hinting`` render path (fill/gray): every glyph is grid-fitted
+    by the TrueType bytecode interpreter at ``ppem == --size``
+    (:mod:`fontrx.font.hinting`; the reference panics on instructed
+    glyphs, ``src/font/Glyph.zig:85``), positioned on a whole-pixel pen
+    with the HINTED advances, and rastered straight from the F26Dot6
+    outlines — 64 units = 1 px, so the grid scale is exactly 1/64 and
+    the stems the interpreter snapped to the grid land on pixel
+    boundaries."""
+    import jax.numpy as jnp
+
+    from fontrx.kernels.grid import RasterGrid
+    from fontrx.pack.segments import pack_glyphs
+
+    ppem = cfg.size
+    eng26 = font.hinting_engine(ppem)
+    gids = [font.charmap.glyph_index(ord(ch)) for ch in text]
+    glyphs, advs = [], []
+    for gid in gids:
+        g, adv = font.hinted_glyph(gid, ppem)
+        glyphs.append(g)
+        advs.append(int(adv))
+    # pair kerning, scaled then rounded to whole pixels (the classic
+    # hinted-text convention: fractional kerns would undo grid fitting)
+    kerns = [0] * len(gids)
+    if cfg.kern:
+        table = font.kerning or font.gpos_kerning
+        if table is not None and len(gids) > 1:
+            left = np.asarray(gids[:-1], np.uint16)
+            right = np.asarray(gids[1:], np.uint16)
+            vals = np.asarray(table.lookup(left, right), np.int64)
+            for i, v in enumerate(vals):
+                kerns[i + 1] = (eng26.scale(int(v)) + 32) & -64
+
+    # pen positions in F26Dot6 (advances are already grid-rounded by
+    # the font's prep/glyph programs when it wants them to be)
+    pens, pen = [], 0
+    for adv, kern in zip(advs, kerns):
+        pen += kern
+        pens.append(pen)
+        pen += adv
+
+    # page metrics: scaled ascent/descent, whole-pixel margins
+    margin = max(ppem // 8, 2)
+    ascent_px = (eng26.scale(font.info.ascent) + 63) >> 6
+    descent_px = (-eng26.scale(font.info.descent) + 63) >> 6
+    width = ((pen + 63) >> 6) + 2 * margin
+    height = ascent_px + descent_px + 2 * margin
+    base_row = margin + ascent_px
+
+    # one batched raster over fixed tiles sized to the largest hinted
+    # box (26.6 units; RasterGrid scale = 1/64 exactly in float32).
+    # Grid-fitted outlines land EXACTLY on the integer sample lattice
+    # (that is the point of hinting), so sampling at integer pixel
+    # positions hits horizontal/vertical edges dead-on and the
+    # crossing tie rules paint whole phantom rows.  Shift the outline
+    # by (-32, +32) F26Dot6 (half a pixel) so every sample lands at
+    # its cell CENTER — the classic hinted-raster convention.
+    from fontrx.font.glyph import Contour, Glyph
+
+    shifted = [
+        Glyph(g.box, tuple(
+            Contour(c.points + np.array([-32, 32], c.points.dtype))
+            for c in g.contours))
+        for g in glyphs
+    ]
+    batch = pack_glyphs(shifted, sort="x")
+    boxes = np.asarray(batch.boxes)
+    tile = 8
+    for g in glyphs:
+        gr = RasterGrid.for_glyph_box(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max), 1, 64)
+        tile = max(tile, gr.width, gr.height)
+    tile = _round_up_int(tile, 8)
+    grids = [
+        RasterGrid.fixed_tile(tuple(b), 1, 64, tile) for b in boxes
+    ]
+    w = np.asarray(engine.winding_batch(
+        jnp.asarray(batch.segments),
+        jnp.array([g.min_x for g in grids], jnp.int32),
+        jnp.array([g.max_y for g in grids], jnp.int32),
+        jnp.float32(grids[0].scale),
+        height=tile, width=tile,
+    ))
+
+    page = np.zeros((height, width), np.uint8)
+    for i, (grid, pen26) in enumerate(zip(grids, pens)):
+        if not glyphs[i].contours:
+            continue
+        ink = (w[i] != 0)
+        x0 = margin + ((pen26 + 32) >> 6) + grid.min_x
+        y0 = base_row - grid.max_y
+        ys, xs = np.nonzero(ink)
+        ys = ys + y0
+        xs = xs + x0
+        keep = (ys >= 0) & (ys < height) & (xs >= 0) & (xs < width)
+        page[ys[keep], xs[keep]] = 255
+    if cfg.mode == "gray":
+        page = np.where(page > 0, 255, 100).astype(np.uint8)
+    return np.repeat(page[:, :, None], 3, axis=2)
+
+
+def _round_up_int(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def _render(font, text, cfg, engine) -> np.ndarray:
     import jax.numpy as jnp
 
     from fontrx.kernels.grid import RasterGrid
+
+    if cfg.hinting and cfg.mode in ("fill", "gray"):
+        return _render_hinted(font, text, cfg, engine)
+    if cfg.hinting:
+        log.warning(
+            "--hinting applies to the fill/gray modes only; "
+            "rendering %r unhinted", cfg.mode,
+        )
 
     if cfg.mode in ("fill", "gray"):
         from fontrx.scene.layout import layout_text

@@ -514,6 +514,32 @@ class TestCLI:
         img = decode(out.read_bytes())
         assert img.shape == (32, 32, 3)
 
+    def test_hinting_flag(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "h.qoi"
+        rc = main(["-f", self.FONT, "-t", "Hi", "-m", "fill", "-s", "16",
+                   "-k", "--hinting", "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        assert img.any()
+        # grid-fitted fill is hard-edged: every pixel fully on or off
+        assert set(np.unique(img)) <= {0, 255}
+        # the H stem lands on whole pixels: each inked column of the
+        # page is solid through the glyph's vertical extent or empty
+        ink = img[..., 0] == 255
+        cols = ink.any(axis=0)
+        assert cols.sum() > 4
+
+    def test_hinting_warns_unsupported_mode(self, tmp_path, caplog):
+        from fontrx.cli.main import main
+
+        out = tmp_path / "s.qoi"
+        rc = main(["-f", self.FONT, "-t", "A", "-m", "sdf", "-s", "32",
+                   "--hinting", "-o", str(out)])
+        assert rc == 0  # falls back to the unhinted sdf path
+
 
 class TestCompilationCache:
     def test_enable_and_stats(self, tmp_path):
