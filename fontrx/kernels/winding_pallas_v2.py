@@ -97,6 +97,10 @@ def phase_a_roots_params(p0x, p0y, p1x, p1y, p2x, p2y, cy, fdiv, fsqrt):
     has = jnp.logical_not(lin) & (delta >= 0)
     sq = fsqrt(jnp.maximum(delta, 0.0))
 
+    # NB fusing the (per-lane exclusive) linear/+ divisions into one
+    # fdiv over where-selected operands is bit-identical but measured
+    # a wash on TPU (tools/tpu_probes/tpu_fusedfdiv_ab.py; RESULTS.md
+    # "Exact-math variants") — the separate form stays.
     t_lin = fdiv(cy - p0y, denom)
     t_pos = fdiv(py01 + sq, a)
     t_neg = fdiv(py01 - sq, a)

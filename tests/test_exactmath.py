@@ -72,6 +72,30 @@ class TestExactMath:
         s = np.asarray(jax.jit(sqrt_cr)(d))
         np.testing.assert_array_equal(s, np.sqrt(np.asarray(d)))
 
+    def test_recip_variants_match_production(self, rng):
+        """The reciprocal scheme (measured slower in-kernel, kept for
+        A/B re-validation — docs/RESULTS.md) computes the same
+        correctly-rounded results as the production scheme."""
+        import jax
+        import jax.numpy as jnp
+
+        from fontrx.kernels.exactmath import (
+            div_cr, div_cr_recip, sqrt_cr, sqrt_cr_recip)
+
+        a = (rng.random(50000).astype(np.float32) * 4000 - 2000)
+        b = rng.integers(1, 16384, 50000).astype(np.float32)
+        b = np.where(rng.random(50000) < 0.5, b, -b).astype(np.float32)
+        q_prod = np.asarray(jax.jit(div_cr)(jnp.array(a), jnp.array(b)))
+        q_rec = np.asarray(jax.jit(div_cr_recip)(jnp.array(a), jnp.array(b)))
+        np.testing.assert_array_equal(q_prod, q_rec)
+        np.testing.assert_array_equal(q_rec, a / b)
+
+        d = rng.random(50000).astype(np.float32) * 4e6
+        s_prod = np.asarray(jax.jit(sqrt_cr)(jnp.array(d)))
+        s_rec = np.asarray(jax.jit(sqrt_cr_recip)(jnp.array(d)))
+        np.testing.assert_array_equal(s_prod, s_rec)
+        np.testing.assert_array_equal(s_rec, np.sqrt(d))
+
 
 class TestV2ExactMode:
     @pytest.mark.parametrize("exact", [False, True])
