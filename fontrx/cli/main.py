@@ -179,14 +179,28 @@ def _render_hinted(font, text, cfg, engine) -> np.ndarray:
     # pair kerning, scaled then rounded to whole pixels (the classic
     # hinted-text convention: fractional kerns would undo grid fitting)
     kerns = [0] * len(gids)
-    if cfg.kern:
-        table = font.kerning or font.gpos_kerning
-        if table is not None and len(gids) > 1:
-            left = np.asarray(gids[:-1], np.uint16)
-            right = np.asarray(gids[1:], np.uint16)
-            vals = np.asarray(table.lookup(left, right), np.int64)
-            for i, v in enumerate(vals):
-                kerns[i + 1] = (eng26.scale(int(v)) + 32) & -64
+    if cfg.kern and len(gids) > 1:
+        positioner = font.positioner((b"kern",))
+        if positioner is not None:
+            # full GPOS engine with the hint context: per-ppem device
+            # deltas and contour-point anchors resolve against the
+            # grid-fitted outlines (fontrx.font.gpos_shape)
+            adv_du = [int(font.advance_widths[g]) for g in gids]
+            pos = positioner.positions_features(
+                gids, adv_du, (b"kern",), hint=font.hint_context(ppem))
+            adj_du = np.asarray(pos.x_advance, np.float64) - np.asarray(
+                adv_du, np.float64)
+            px26 = adj_du * (64.0 * ppem / font.info.units_per_em)
+            for i in range(len(gids) - 1):
+                kerns[i + 1] = (int(np.floor(px26[i] + 0.5)) + 32) & -64
+        else:
+            table = font.kerning or font.gpos_kerning
+            if table is not None:
+                left = np.asarray(gids[:-1], np.uint16)
+                right = np.asarray(gids[1:], np.uint16)
+                vals = np.asarray(table.lookup(left, right), np.int64)
+                for i, v in enumerate(vals):
+                    kerns[i + 1] = (eng26.scale(int(v)) + 32) & -64
 
     # pen positions in F26Dot6 (advances are already grid-rounded by
     # the font's prep/glyph programs when it wants them to be)
@@ -265,9 +279,10 @@ def _render(font, text, cfg, engine) -> np.ndarray:
 
     from fontrx.kernels.grid import RasterGrid
 
-    if cfg.hinting and cfg.mode in ("fill", "gray"):
+    hinting = getattr(cfg, "hinting", False)
+    if hinting and cfg.mode in ("fill", "gray"):
         return _render_hinted(font, text, cfg, engine)
-    if cfg.hinting:
+    if hinting:
         log.warning(
             "--hinting applies to the fill/gray modes only; "
             "rendering %r unhinted", cfg.mode,

@@ -268,6 +268,39 @@ class Font:
 
         return hinted_glyph(self, index, ppem)
 
+    def hint_context(self, ppem: int):
+        """A :class:`fontrx.font.gpos_shape.HintContext` for hinted
+        GPOS positioning at ``ppem``: plain device tables resolve to
+        their per-size pixel deltas and format-2 contour-point anchors
+        to the grid-fitted outline point (indices past the outline
+        address the four phantom points, per spec).  CFF outlines
+        carry no TrueType point numbering: the point resolver returns
+        None and anchors degrade to their bare coordinates."""
+        from fontrx.font.gpos_shape import HintContext
+        from fontrx.font.hinting import hint_glyph
+
+        cache: dict[int, object] = {}
+
+        def point(gid: int, idx: int):
+            out = cache.get(gid)
+            if out is None:
+                try:
+                    out = hint_glyph(self, gid, ppem)
+                except Exception:
+                    out = False
+                cache[gid] = out
+            if out is False:
+                return None
+            n = len(out.points)
+            if 0 <= idx < n:
+                return int(out.points[idx, 0]), int(out.points[idx, 1])
+            if n <= idx < n + 4:
+                return (int(out.phantoms[idx - n, 0]),
+                        int(out.phantoms[idx - n, 1]))
+            return None
+
+        return HintContext(ppem, self.info.units_per_em, point)
+
     def _load_charmap(self) -> CharGlyphMapping:
         r = self._at(b"cmap")
         base = r.pos

@@ -292,10 +292,61 @@ def _feature_subtables(r: BigEndianReader, tag: bytes, want_type: int):
 
 def _parse_anchor(r: BigEndianReader) -> tuple[int, int]:
     """Anchor table: (x, y) design units.  Formats 2 (contour point)
-    and 3 (device tables) degrade to the bare coordinates — hinting is
-    out of scope throughout fontrx."""
+    and 3 (device tables) degrade to the bare coordinates here — the
+    full positioning engine (:mod:`fontrx.font.gpos_shape`) resolves
+    them against the hinted outline / per-ppem device deltas."""
     _fmt, x, y = r.unpack("Hhh")
     return int(x), int(y)
+
+
+@dataclass(frozen=True, slots=True)
+class DeviceTable:
+    """A plain (hinting) Device table: per-ppem pixel deltas.
+
+    OpenType ``DeviceTable``: ``startSize``/``endSize`` (ppem range,
+    inclusive) and packed signed deltas — deltaFormat 1/2/3 = 2/4/8
+    bits per value, packed big-endian MSB-first into uint16 words.
+    ``delta(ppem)`` is the pixel adjustment at that size (0 outside
+    the range).  The reference has no positioning at all; fontrx pairs
+    these with the TrueType hinting interpreter (the deltas exist to
+    touch up grid-fitted spacing at specific sizes)."""
+
+    start_size: int
+    end_size: int
+    deltas: np.ndarray  # int16 per ppem in [start_size, end_size]
+
+    @classmethod
+    def parse(cls, data: bytes, pos: int) -> "DeviceTable | None":
+        """Parse at ``pos``; None for a VariationIndex (0x8000) or an
+        unknown/corrupt format."""
+        try:
+            r = BigEndianReader(data, pos)
+            start, end, fmt = r.unpack("HHH")
+        except Exception:
+            return None
+        if fmt not in (1, 2, 3) or end < start:
+            return None
+        n = end - start + 1
+        bits = {1: 2, 2: 4, 3: 8}[fmt]
+        per_word = 16 // bits
+        n_words = (n + per_word - 1) // per_word
+        try:
+            words = r.u16_array(n_words).astype(np.uint32)
+        except Exception:
+            return None
+        # unpack MSB-first bit fields, then sign-extend
+        shifts = np.arange(per_word - 1, -1, -1) * bits
+        vals = (words[:, None] >> shifts[None, :]) & ((1 << bits) - 1)
+        vals = vals.reshape(-1)[:n].astype(np.int32)
+        sign_bit = 1 << (bits - 1)
+        vals = np.where(vals >= sign_bit, vals - (1 << bits), vals)
+        return cls(int(start), int(end), vals.astype(np.int16))
+
+    def delta(self, ppem: int) -> int:
+        """Pixel delta at ``ppem`` (0 outside [start_size, end_size])."""
+        if self.start_size <= ppem <= self.end_size:
+            return int(self.deltas[ppem - self.start_size])
+        return 0
 
 
 @dataclass(frozen=True, slots=True)

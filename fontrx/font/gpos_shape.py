@@ -24,10 +24,17 @@ implements the full OpenType GPOS application model:
 Variable-font positioning (round 3): VariationIndex device records in
 ValueRecords AND anchors resolve against GDEF v1.3's
 ItemVariationStore at the current design location (variable kerning,
-mark and cursive anchors).  Remaining deliberate simplifications:
-plain hinting device tables and contour-point anchors are skipped
-(hinting is out of scope throughout fontrx).  Mark-to-ligature attaches to the GSUB-
-threaded component when the shaping pass recorded one
+mark and cursive anchors).
+
+Hinted positioning (round 3, after the TrueType bytecode interpreter
+landed): plain **device tables** in ValueRecords and format-3 anchors
+resolve to per-ppem pixel deltas, and **format-2 contour-point
+anchors** resolve to the grid-fitted outline point's position — both
+through an optional ``hint`` context (:class:`HintContext`) passed to
+:meth:`GposShaper.positions`.  Without a hint context they degrade to
+the bare design-unit coordinates, which is the spec's prescribed
+behavior for unhinted rendering.  Mark-to-ligature attaches to the
+GSUB-threaded component when the shaping pass recorded one
 (``GsubShaper.last_lig_comps`` -> ``positions(lig_comps=)``), falling
 back to the last component with a usable anchor.
 """
@@ -40,7 +47,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from fontrx.font.gdef import GdefTable
-from fontrx.font.gpos import ClassDef, Coverage, _parse_anchor
+from fontrx.font.gpos import ClassDef, Coverage, DeviceTable, _parse_anchor
 from fontrx.font.shape import (
     _ContextSubst,
     _MAX_NESTING,
@@ -61,22 +68,24 @@ ZERO_VALUE = (0, 0, 0, 0)
 
 
 class _VarValue(tuple):
-    """A ValueRecord that carries VariationIndex references: indexes
-    like a plain (xp, yp, xa, ya) 4-tuple (and compares equal to one),
-    with ``.var`` = per-field (outer, inner) ItemVariationStore
-    indices or None — resolved against the GDEF store at the current
-    design location when positioning runs (variable kerning)."""
+    """A ValueRecord that carries VariationIndex references and/or
+    plain device tables: indexes like a plain (xp, yp, xa, ya) 4-tuple
+    (and compares equal to one), with ``.var`` = per-field
+    (outer, inner) ItemVariationStore indices or None — resolved
+    against the GDEF store at the current design location (variable
+    kerning) — and ``.dev`` = per-field :class:`DeviceTable` or None —
+    resolved to per-ppem pixel deltas when a hint context is active."""
 
-    def __new__(cls, vals, var):
+    def __new__(cls, vals, var, dev=None):
         self = super().__new__(cls, vals)
         self.var = var
+        self.dev = dev
         return self
 
 
 def _variation_index(data: bytes, pos: int):
     """(outer, inner) when the device table at ``pos`` is a
-    VariationIndex (deltaFormat 0x8000); plain hinting device tables
-    return None (hinting is out of scope)."""
+    VariationIndex (deltaFormat 0x8000), else None."""
     try:
         outer, inner, fmt = struct.unpack_from(">HHH", data, pos)
     except struct.error:
@@ -90,32 +99,51 @@ def _parse_value(
     """(x_placement, y_placement, x_advance, y_advance) design units.
     With ``dev_base`` (the offset device offsets are relative to),
     VariationIndex device tables are captured into a :class:`_VarValue`
-    (variable fonts vary their kerning through them); plain device
-    tables (hinting) are dropped either way."""
+    (variable fonts vary their kerning through them) and plain device
+    tables are captured as per-ppem pixel deltas (hinted rendering)."""
     xp = r.i16() if fmt & _VF_X_PLACEMENT else 0
     yp = r.i16() if fmt & _VF_Y_PLACEMENT else 0
     xa = r.i16() if fmt & _VF_X_ADVANCE else 0
     ya = r.i16() if fmt & _VF_Y_ADVANCE else 0
     var = [None, None, None, None]
+    dev = [None, None, None, None]
     for k, bit in enumerate((0x10, 0x20, 0x40, 0x80)):
         if fmt & bit:
             off = r.u16()
             if off and dev_base is not None:
                 var[k] = _variation_index(r.data, dev_base + off)
-    if any(v is not None for v in var):
-        return _VarValue((xp, yp, xa, ya), tuple(var))
+                if var[k] is None:
+                    dev[k] = DeviceTable.parse(r.data, dev_base + off)
+    if any(v is not None for v in var) or any(d is not None for d in dev):
+        return _VarValue((xp, yp, xa, ya), tuple(var), tuple(dev))
     return xp, yp, xa, ya
 
 
 class _VarAnchor(tuple):
     """An (x, y) anchor carrying VariationIndex references (``.var`` =
     ((outer, inner) | None, (outer, inner) | None)) — resolved against
-    the GDEF store at positioning time (variable mark/cursive
-    anchors)."""
+    the GDEF store at positioning time (variable mark/cursive anchors)
+    — and/or plain device tables (``.dev``, per-axis
+    :class:`DeviceTable` or None) — per-ppem pixel nudges resolved
+    when a hint context is active."""
 
-    def __new__(cls, xy, var):
+    def __new__(cls, xy, var, dev=None):
         self = super().__new__(cls, xy)
         self.var = var
+        self.dev = dev
+        return self
+
+
+class _PointAnchor(tuple):
+    """A format-2 anchor: (x, y) plus ``.point``, the glyph outline
+    point index whose grid-fitted position overrides the bare
+    coordinates when a hint context is active (TrueType hinting moves
+    outline points; the anchor rides along).  Out-of-range points and
+    unhinted rendering use (x, y), per spec."""
+
+    def __new__(cls, xy, point):
+        self = super().__new__(cls, xy)
+        self.point = point
         return self
 
 
@@ -127,18 +155,54 @@ def _anchor_at(data: bytes, base: int, off: int) -> tuple[int, int] | None:
         fmt, x, y = struct.unpack_from(">Hhh", data, pos)
     except struct.error:
         return None
+    if fmt == 2:
+        # format 2: contour-point anchor — the hinted outline point's
+        # position replaces (x, y) when grid fitting is active
+        try:
+            (point,) = struct.unpack_from(">H", data, pos + 6)
+        except struct.error:
+            return int(x), int(y)
+        return _PointAnchor((int(x), int(y)), int(point))
     if fmt == 3:
         # format 3: x/y device offsets (from the Anchor table start);
-        # VariationIndex ones vary the anchor with the design location
+        # VariationIndex ones vary the anchor with the design
+        # location; plain ones nudge it per ppem (hinting)
         try:
             xo, yo = struct.unpack_from(">HH", data, pos + 6)
         except struct.error:
             xo = yo = 0
         vx = _variation_index(data, pos + xo) if xo else None
         vy = _variation_index(data, pos + yo) if yo else None
-        if vx is not None or vy is not None:
-            return _VarAnchor((int(x), int(y)), (vx, vy))
+        dx = (DeviceTable.parse(data, pos + xo)
+              if xo and vx is None else None)
+        dy = (DeviceTable.parse(data, pos + yo)
+              if yo and vy is None else None)
+        if (vx is not None or vy is not None
+                or dx is not None or dy is not None):
+            return _VarAnchor((int(x), int(y)), (vx, vy), (dx, dy))
     return int(x), int(y)
+
+
+@dataclass(frozen=True, slots=True)
+class HintContext:
+    """Size context for hinted positioning.
+
+    Resolves plain device tables to their per-ppem pixel deltas and
+    format-2 anchors to the grid-fitted outline point's position.
+    Pixel quantities convert to design units at ``upem / ppem`` font
+    units per pixel (float; consumers that re-scale to pixels recover
+    the whole-pixel delta exactly).  Build one with
+    ``Font.hint_context(ppem)``.
+    """
+
+    ppem: int
+    upem: int
+    # (gid, point_index) -> grid-fitted (x, y) in F26Dot6 px, or None
+    point: object
+
+    @property
+    def units_per_px(self) -> float:
+        return self.upem / self.ppem
 
 
 # -- subtable models -------------------------------------------------------
@@ -226,8 +290,10 @@ class _MarkAttach:
 
     def delta(self, base_gid: int, mark_gid: int, resolve=None):
         """(dx, dy) placing the mark's anchor onto the base's, or
-        ``None``.  ``resolve`` maps (possibly variable) anchors to
-        concrete coordinates (``_PosState.anchor``)."""
+        ``None``.  ``resolve`` maps (possibly variable / device /
+        contour-point) anchors to concrete coordinates
+        (``_PosState.anchor``); it receives the owning glyph id so
+        contour-point anchors can look up the hinted outline."""
         mi = int(self.mark_cov.rank([mark_gid])[0])
         bi = int(self.base_cov.rank([base_gid])[0])
         if mi < 0 or bi < 0 or mi >= len(self.mark_classes):
@@ -236,9 +302,9 @@ class _MarkAttach:
         row = self.base_anchors[bi]
         if not (0 <= klass < len(row)) or row[klass] is None:
             return None
-        res = resolve or (lambda a: a)
-        bx, by = res(row[klass])
-        mx, my = res(self.mark_anchors[mi])
+        res = resolve or (lambda a, gid=None: a)
+        bx, by = res(row[klass], base_gid)
+        mx, my = res(self.mark_anchors[mi], mark_gid)
         return bx - mx, by - my
 
 
@@ -264,16 +330,16 @@ class _MarkLigAttach:
             return None
         klass = self.mark_classes[mi]
         comps = self.lig_attach[li]
-        res = resolve or (lambda a: a)
-        mx, my = res(self.mark_anchors[mi])
+        res = resolve or (lambda a, gid=None: a)
+        mx, my = res(self.mark_anchors[mi], mark_gid)
         if 1 <= component <= len(comps):
             row = comps[component - 1]
             if 0 <= klass < len(row) and row[klass] is not None:
-                bx, by = res(row[klass])
+                bx, by = res(row[klass], lig_gid)
                 return bx - mx, by - my
         for row in reversed(comps):  # last component with a usable anchor
             if 0 <= klass < len(row) and row[klass] is not None:
-                bx, by = res(row[klass])
+                bx, by = res(row[klass], lig_gid)
                 return bx - mx, by - my
         return None
 
@@ -454,6 +520,7 @@ class GposShaper(GsubShaper):
         script: bytes | None = None,
         lang: bytes | None = None,
         lig_comps: list[int] | None = None,
+        hint: HintContext | None = None,
     ) -> GlyphPositions:
         """Apply the selected lookups over the glyph run and resolve
         attachments into final placements (see :class:`GlyphPositions`).
@@ -462,13 +529,16 @@ class GposShaper(GsubShaper):
         scan.  ``lig_comps`` (from ``GsubShaper.last_lig_comps``)
         carries 1-based ligature-component indices for marks that rode
         inside formed ligatures — mark-to-ligature attaches to the
-        recorded component instead of the last one."""
+        recorded component instead of the last one.  ``hint`` (a
+        :class:`HintContext`) activates per-ppem device deltas and
+        contour-point anchors for grid-fitted rendering."""
         n = len(glyphs)
         st = _PosState(
             xp=[0] * n, yp=[0] * n,
             xa=[int(a) for a in advance_widths], ya=[0] * n,
             attach=[None] * n, cursive=[None] * n,
         )
+        st.hint_ctx = hint
         if lig_comps is not None and len(lig_comps) == n:
             st.lig_comps = lig_comps
         # VariationIndex resolution: GDEF's ItemVariationStore at the
@@ -494,6 +564,7 @@ class GposShaper(GsubShaper):
         glyphs: list[int],
         advance_widths,
         tags: tuple[bytes, ...],
+        hint: HintContext | None = None,
     ) -> GlyphPositions:
         """Like :meth:`positions` but over an ad-hoc feature-tag subset
         (tags outside the parsed table are ignored)."""
@@ -503,6 +574,7 @@ class GposShaper(GsubShaper):
             xa=[int(a) for a in advance_widths], ya=[0] * n,
             attach=[None] * n, cursive=[None] * n,
         )
+        st.hint_ctx = hint
         order = sorted({li for t in tags for li in self.features.get(t, ())})
         for li in order:
             lk = self._lookup(li)
@@ -559,7 +631,8 @@ class GposShaper(GsubShaper):
                     # cursive (Nastaliq-style fonts) keeps the LAST
                     # (the first chains backward from the second)
                     st.cursive[j] = (
-                        i, st.anchor(a_i[1]), st.anchor(a_j[0]),
+                        i, st.anchor(a_i[1], gid),
+                        st.anchor(a_j[0], buf[j]),
                         bool(lookup.flags & 0x0001),
                     )
                     return j
@@ -662,15 +735,39 @@ class _PosState:
     # (ItemVariationStore, normalized coords) for VariationIndex
     # resolution, or None for static positioning
     var_ctx: tuple | None = None
+    # HintContext for plain device tables / contour-point anchors, or
+    # None (unhinted: both degrade to bare coordinates, per spec)
+    hint_ctx: "HintContext | None" = None
 
-    def anchor(self, a):
-        """Resolve a (possibly variable) anchor to concrete (x, y)."""
+    def anchor(self, a, gid: int | None = None):
+        """Resolve a (possibly variable / device / contour-point)
+        anchor to concrete (x, y) design units.  ``gid`` is the glyph
+        the anchor belongs to (contour-point anchors read its hinted
+        outline)."""
         if a is None:
             return None
+        point = getattr(a, "point", None)
+        if point is not None:
+            hc = self.hint_ctx
+            if hc is not None and gid is not None:
+                pt = hc.point(gid, point)
+                if pt is not None:
+                    # F26Dot6 px -> design units (64 units = 1 px)
+                    s = hc.units_per_px / 64.0
+                    return (pt[0] * s, pt[1] * s)
+            return (a[0], a[1])
         var = getattr(a, "var", None)
-        if var is None:
+        dev = getattr(a, "dev", None)
+        if var is None and dev is None:
             return a
-        return (a[0] + self._dv(var[0]), a[1] + self._dv(var[1]))
+        x, y = a[0], a[1]
+        if var is not None:
+            x += self._dv(var[0])
+            y += self._dv(var[1])
+        if dev is not None:
+            x += self._dd(dev[0])
+            y += self._dd(dev[1])
+        return (x, y)
 
     def _dv(self, vi) -> int:
         if vi is None or self.var_ctx is None:
@@ -682,13 +779,25 @@ class _PosState:
             return 0
         return int(np.floor(d + 0.5))
 
+    def _dd(self, dt) -> float:
+        """Plain device delta in design units (whole pixels scaled by
+        upem/ppem; 0 without a hint context)."""
+        if dt is None or self.hint_ctx is None:
+            return 0
+        d = dt.delta(self.hint_ctx.ppem)
+        return d * self.hint_ctx.units_per_px if d else 0
+
     def add(self, i: int, v) -> None:
         var = getattr(v, "var", None)
-        if var is not None:
-            self.xp[i] += v[0] + self._dv(var[0])
-            self.yp[i] += v[1] + self._dv(var[1])
-            self.xa[i] += v[2] + self._dv(var[2])
-            self.ya[i] += v[3] + self._dv(var[3])
+        dev = getattr(v, "dev", None)
+        if var is not None or dev is not None:
+            for k, acc in enumerate((self.xp, self.yp, self.xa, self.ya)):
+                val = v[k]
+                if var is not None:
+                    val += self._dv(var[k])
+                if dev is not None:
+                    val += self._dd(dev[k])
+                acc[i] += val
             return
         self.xp[i] += v[0]
         self.yp[i] += v[1]

@@ -26,13 +26,16 @@ from tests.ttf_builder import (
     build_gpos,
     gpos_chain2,
     gpos_chain3,
+    gpos_anchor3,
     gpos_context1,
     gpos_context3,
     gpos_cursive,
+    gpos_device,
     gpos_extension,
     gpos_markbase,
     gpos_marklig,
     gpos_pair1,
+    gpos_pair1_dev,
     gpos_pair2,
     gpos_single,
 )
@@ -556,3 +559,148 @@ class TestCursiveRtlFlag:
         assert pos.y_offset[2] == 0
         assert pos.y_offset[1] == -10
         assert pos.y_offset[0] == -20
+
+
+class TestHintedPositioning:
+    """Plain (hinting) device tables and contour-point anchors: both
+    degrade to bare coordinates without a hint context (the spec's
+    unhinted behavior) and resolve against per-ppem deltas / the
+    grid-fitted outline with one (``HintContext``)."""
+
+    GDEF = build_gdef(glyph_classes={10: 1, 20: 3})
+
+    @staticmethod
+    def hint(ppem, upem, point=None):
+        from fontrx.font.gpos_shape import HintContext
+
+        return HintContext(ppem, upem, point or (lambda gid, idx: None))
+
+    def test_device_table_parse_and_delta(self):
+        from fontrx.font.gpos import DeviceTable
+
+        for fmt, deltas in (
+            (1, [0, -1, 1, -2, 0, 1, -1, 0, 1]),     # 2-bit
+            (2, [0, -8, 7, 3, -4]),                  # 4-bit
+            (3, [127, -128, 0, 33]),                 # 8-bit
+        ):
+            blob = gpos_device(9, 9 + len(deltas) - 1, deltas, fmt=fmt)
+            dt = DeviceTable.parse(blob, 0)
+            assert dt is not None
+            assert [dt.delta(9 + i) for i in range(len(deltas))] == deltas
+            # outside [start, end]: zero
+            assert dt.delta(8) == 0 and dt.delta(9 + len(deltas)) == 0
+
+    def test_device_auto_format_roundtrip(self):
+        from fontrx.font.gpos import DeviceTable
+
+        for deltas in ([1, -2, 0], [7, -8, 3], [100, -100, 5]):
+            dt = DeviceTable.parse(gpos_device(12, 14, deltas), 0)
+            assert [dt.delta(12 + i) for i in range(3)] == deltas
+
+    def test_variation_index_is_not_a_device(self):
+        import struct
+
+        from fontrx.font.gpos import DeviceTable
+
+        # deltaFormat 0x8000 = VariationIndex: not a plain device
+        assert DeviceTable.parse(struct.pack(">HHH", 1, 2, 0x8000), 0) is None
+        # unknown format / inverted range: rejected
+        assert DeviceTable.parse(struct.pack(">HHH", 9, 9, 7), 0) is None
+        assert DeviceTable.parse(struct.pack(">HHH", 9, 5, 1), 0) is None
+
+    def test_pair_device_delta(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(2, 0, [gpos_pair1_dev(
+                10, 11, -15, gpos_device(10, 14, [0, -1, 2, 0, 1]),
+            )])],
+        )
+        sh = shaper(gpos)
+        # unhinted: the device table is inert, per spec
+        pos = sh.positions([10, 11], [100, 100])
+        assert pos.x_advance.tolist() == [85, 100]
+        # hinted at ppem 12 (delta +2 px, 100 units/px at upem 1200)
+        pos = sh.positions([10, 11], [100, 100], hint=self.hint(12, 1200))
+        assert pos.x_advance.tolist() == [85 + 200, 100]
+        # ppem outside the device range: bare value again
+        pos = sh.positions([10, 11], [100, 100], hint=self.hint(20, 1200))
+        assert pos.x_advance.tolist() == [85, 100]
+
+    def test_anchor3_device_nudges_mark(self):
+        base_anchor = gpos_anchor3(
+            60, 90,
+            x_dev=gpos_device(12, 12, [-1]),
+            y_dev=gpos_device(12, 12, [3]),
+        )
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(4, 0, [gpos_markbase(
+                marks={20: (0, (10, 5))},
+                bases={10: [base_anchor]},
+                n_classes=1,
+            )])],
+        )
+        sh = shaper(gpos, gdef=self.GDEF)
+        pos = sh.positions([10, 20], [100, 0])
+        assert pos.x_offset[1] == (60 - 10) - 100
+        assert pos.y_offset[1] == 90 - 5
+        # ppem 12, upem 1200: 100 units/px -> anchor (60-100, 90+300)
+        pos = sh.positions([10, 20], [100, 0], hint=self.hint(12, 1200))
+        assert pos.x_offset[1] == (-40 - 10) - 100
+        assert pos.y_offset[1] == 390 - 5
+
+    def test_anchor2_contour_point(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(4, 0, [gpos_markbase(
+                marks={20: (0, (10, 5))},
+                bases={10: [(60, 90, 3)]},   # anchor fmt 2, point 3
+                n_classes=1,
+            )])],
+        )
+        sh = shaper(gpos, gdef=self.GDEF)
+        # unhinted: bare coordinates, per spec
+        pos = sh.positions([10, 20], [100, 0])
+        assert pos.x_offset[1] == (60 - 10) - 100
+        assert pos.y_offset[1] == 90 - 5
+
+        # hinted: the grid-fitted outline point (F26Dot6) wins
+        def point(gid, idx):
+            assert gid == 10
+            return (640, 320) if idx == 3 else None
+
+        # upem 1000, ppem 16: 62.5 units/px; 640/64 px = 10 px = 625 u
+        pos = sh.positions([10, 20], [100, 0],
+                           hint=self.hint(16, 1000, point))
+        assert pos.x_offset[1] == 625.0 - 10 - 100
+        assert pos.y_offset[1] == 312.5 - 5
+        # resolver miss (point out of range): bare coordinates
+        pos = sh.positions([10, 20], [100, 0],
+                           hint=self.hint(16, 1000,
+                                          lambda gid, idx: None))
+        assert pos.x_offset[1] == (60 - 10) - 100
+
+    def test_cursive_contour_point_exit(self):
+        gpos = build_gpos(
+            [(b"test", [0])],
+            [(3, 0, [gpos_cursive({
+                10: (None, (80, 10, 5)),     # exit: fmt-2, point 5
+                11: ((5, -20), (90, 0)),
+            })])],
+        )
+        sh = shaper(gpos)
+        # unhinted: behaves exactly like a fmt-1 (80, 10) exit
+        pos = sh.positions([10, 11], [100, 100])
+        assert pos.x_advance[0] == 80
+        assert pos.y_offset[1] == 30
+
+        # hinted with upem 2048 @ 32 ppem: 64 units/px, so F26Dot6
+        # values map 1:1 to design units — point 5 sits at (100, 30)
+        def point(gid, idx):
+            return (100, 30) if (gid, idx) == (10, 5) else None
+
+        pos = sh.positions([10, 11], [100, 100],
+                           hint=self.hint(32, 2048, point))
+        assert pos.x_advance[0] == 100
+        assert pos.x_offset[1] == -5
+        assert pos.y_offset[1] == 30 - (-20)

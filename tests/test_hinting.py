@@ -637,3 +637,65 @@ class TestMulDiv:
         assert muldiv(5, 64, 128) == 3       # 2.5 -> 3
         with pytest.raises(HintingError):
             muldiv(1, 1, 0)
+
+
+class TestHintContext:
+    """``Font.hint_context``: the bridge from the bytecode interpreter
+    to hinted GPOS positioning (device tables / contour-point anchors,
+    ``fontrx/font/gpos_shape.py``)."""
+
+    @pytest.fixture(scope="class")
+    def font(self):
+        return Font.open(DEJAVU)
+
+    def test_point_matches_hinted_outline(self, font):
+        idx = font.glyph_index("A")
+        hc = font.hint_context(16)
+        out = hint_glyph(font, idx, 16)
+        for pi in (0, len(out.points) - 1):
+            assert hc.point(idx, pi) == (
+                int(out.points[pi, 0]), int(out.points[pi, 1]))
+
+    def test_phantom_points_addressable(self, font):
+        """Indices past the outline address the four phantoms, per
+        spec (anchor points may reference them)."""
+        idx = font.glyph_index("A")
+        hc = font.hint_context(16)
+        out = hint_glyph(font, idx, 16)
+        n = len(out.points)
+        for k in range(4):
+            assert hc.point(idx, n + k) == (
+                int(out.phantoms[k, 0]), int(out.phantoms[k, 1]))
+        assert hc.point(idx, n + 4) is None
+
+    def test_units_per_px(self, font):
+        hc = font.hint_context(16)
+        assert hc.ppem == 16
+        assert hc.units_per_px == font.info.units_per_em / 16
+
+    def test_cff_font_degrades(self):
+        """CFF outlines carry no TrueType point numbering: the
+        resolver returns None and anchors keep bare coordinates."""
+        f = Font.open("tests/data/cidtest.otf")
+        assert f.hint_context(16).point(1, 0) is None
+
+    def test_hinted_kern_cli_narrows_av(self, tmp_path):
+        """End-to-end: the hinted CLI path routes kerning through the
+        full GPOS engine (with the hint context) — 'AV' must come out
+        narrower than unkerned at the same ppem."""
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        plain = tmp_path / "p.qoi"
+        kerned = tmp_path / "k.qoi"
+        assert main(["-f", DEJAVU, "-t", "AVAVAV", "-m", "fill",
+                     "-s", "24", "--hinting", "-o", str(plain)]) == 0
+        assert main(["-f", DEJAVU, "-t", "AVAVAV", "-m", "fill",
+                     "-s", "24", "--hinting", "-k",
+                     "-o", str(kerned)]) == 0
+        wp = decode(plain.read_bytes()).shape[1]
+        wk = decode(kerned.read_bytes()).shape[1]
+        assert wk < wp
+        # grid fitting holds: kerned hinted fill stays hard-edged
+        img = decode(kerned.read_bytes())
+        assert set(np.unique(img)) <= {0, 255}

@@ -799,6 +799,63 @@ def gpos_anchor(x: int, y: int) -> bytes:
     return struct.pack(">Hhh", 1, x, y)
 
 
+def gpos_anchor2(x: int, y: int, point: int) -> bytes:
+    """Anchor format 2: contour-point anchor."""
+    return struct.pack(">HhhH", 2, x, y, point)
+
+
+def gpos_device(start: int, end: int, deltas: list[int],
+                fmt: int | None = None) -> bytes:
+    """Plain Device table: per-ppem deltas for sizes [start, end],
+    packed at 2/4/8 bits (deltaFormat 1/2/3; auto-picked by range)."""
+    assert len(deltas) == end - start + 1
+    if fmt is None:
+        m_lo, m_hi = min(deltas), max(deltas)
+        if -2 <= m_lo and m_hi <= 1:
+            fmt = 1
+        elif -8 <= m_lo and m_hi <= 7:
+            fmt = 2
+        else:
+            fmt = 3
+    bits = {1: 2, 2: 4, 3: 8}[fmt]
+    per = 16 // bits
+    words = []
+    cur = n_in = 0
+    for d in deltas:
+        cur = (cur << bits) | (d & ((1 << bits) - 1))
+        n_in += 1
+        if n_in == per:
+            words.append(cur)
+            cur = n_in = 0
+    if n_in:
+        words.append(cur << (bits * (per - n_in)))
+    return struct.pack(f">HHH{len(words)}H", start, end, fmt, *words)
+
+
+def gpos_anchor3(x: int, y: int, x_dev: bytes | None = None,
+                 y_dev: bytes | None = None) -> bytes:
+    """Anchor format 3 with optional plain device tables (offsets are
+    from the Anchor table start)."""
+    head = 10
+    xo = head if x_dev else 0
+    yo = (head + (len(x_dev) if x_dev else 0)) if y_dev else 0
+    return (struct.pack(">HhhHH", 3, x, y, xo, yo)
+            + (x_dev or b"") + (y_dev or b""))
+
+
+def gpos_pair1_dev(first: int, second: int, xadv: int,
+                   dev: bytes) -> bytes:
+    """PairPos format 1 with one pair whose first-glyph value carries
+    xAdvance + an xAdvance Device table (vf1 = 0x0044; device offsets
+    are from the PairSet table start, per spec)."""
+    vf1 = 0x0044
+    head = struct.pack(">HHHHHH", 1, 0, vf1, 0, 1, 12)  # covOff patched
+    pairset = struct.pack(">HHhH", 1, second, xadv, 8)  # dev at +8
+    cov_off = 12 + len(pairset) + len(dev)
+    head = struct.pack(">HHHHHH", 1, cov_off, vf1, 0, 1, 12)
+    return head + pairset + dev + build_coverage([first])
+
+
 def gpos_single(
     mapping: dict[int, tuple[int, int, int, int]], fmt: int = 2,
     vfmt: int = 0xF,
@@ -875,6 +932,16 @@ def gpos_pair2(
     )
 
 
+
+def _anchor_bytes(a) -> bytes:
+    """Anchor spec -> wire bytes: (x, y) fmt 1, (x, y, point) fmt 2,
+    raw bytes pass through (pre-built fmt-3 with devices)."""
+    if isinstance(a, bytes):
+        return a
+    if len(a) == 3:
+        return gpos_anchor2(*a)
+    return gpos_anchor(*a)
+
 def gpos_cursive(
     anchors: dict[int, tuple[tuple[int, int] | None, tuple[int, int] | None]],
 ) -> bytes:
@@ -892,8 +959,9 @@ def gpos_cursive(
                 rec.append(0)
             else:
                 rec.append(pos)
-                blob += gpos_anchor(*a)
-                pos += 6
+                ab = _anchor_bytes(a)
+                blob += ab
+                pos += len(ab)
         offs.append(tuple(rec))
     cov_off = pos
     out = struct.pack(">HHH", 1, cov_off, n)
@@ -913,10 +981,11 @@ def _gpos_mark_array(
     blob = b""
     pos = head_len
     for g in order:
-        klass, (x, y) = marks[g]
+        klass, anchor = marks[g]
         out += struct.pack(">HH", klass, pos)
-        blob += gpos_anchor(x, y)
-        pos += 6
+        ab = _anchor_bytes(anchor)
+        blob += ab
+        pos += len(ab)
     return out + blob, order
 
 
@@ -941,8 +1010,9 @@ def gpos_markbase(
                 ba += struct.pack(">H", 0)
             else:
                 ba += struct.pack(">H", pos)
-                blob += gpos_anchor(*a)
-                pos += 6
+                ab = _anchor_bytes(a)
+                blob += ab
+                pos += len(ab)
     base_arr = ba + blob
     m_cov = build_coverage(mark_order)
     b_cov = build_coverage(base_order)
