@@ -321,3 +321,275 @@ def winding_page_batch(
         ],
         interpret=interpret,
     )(min_x, max_y, scale_arr, off_arr, soa)
+
+
+# -- fused x-pair MSAA variant ---------------------------------------------
+
+
+def _make_page_msaa_kernel(
+    exact: bool,
+    seg_chunk: int,
+    tile_w: int,
+    n_super: int,
+    row_windows: int = 8,
+):
+    """Two x-sample offsets per launch, sharing phase A.
+
+    2x2 MSAA needs 4 sub-pixel sample lattices but only 2 distinct row
+    offsets ``oy`` — and the root solve (phase A) depends on rows only.
+    One launch therefore computes BOTH x samples of one ``oy``: the
+    per-chunk stream cost (segment loads, hull tests, branch setup) and
+    the root solve are paid once, while classification/buckets/details
+    run per sample against its own ``cx`` tables.  Every per-(crossing,
+    pixel, sample) indicator uses the float program of the
+    single-sample kernel verbatim (same ``fdiv`` tile edges, same
+    compares), and winding is an order-independent integer sum — so
+    each output plane is BIT-IDENTICAL to ``winding_page_batch`` at
+    ``(ox_s, oy)`` (device-validated, tools/tpu_probes/tpu_page_msaa.py).
+
+    Dynamic-tile mode only (the shipped page configuration): the tile
+    window is the union of both samples' hull windows — visiting a tile
+    the other sample's window wouldn't is harmless because
+    classification is exact (it adds zeros).
+    """
+    fdiv = div_cr if exact else (lambda a, b: a / b)
+    fsqrt = sqrt_cr if exact else jnp.sqrt
+
+    def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref,
+               out_ref, bucket_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        s_sup = pl.program_id(2)
+        scale = scale_ref[0, 0]
+        oy = off_ref[0, 0]
+        oxs = (off_ref[0, 1], off_ref[0, 2])
+        lane = jax.lax.rem(b, 128)
+        min_x = min_x_ref[0, lane]
+        max_y = max_y_ref[0, lane]
+
+        width = out_ref.shape[3]
+        n_tiles = width // tile_w
+        s_cap = seg_ref.shape[1]
+        n_chunks = s_cap // seg_chunk
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+        cy = fdiv(
+            (max_y - (i * STRIP_ROWS + row)).astype(jnp.float32) + oy,
+            scale,
+        )
+        cy_hi = cy[0, 0]
+        cy_lo = cy[0, STRIP_ROWS - 1]
+        cx_end = [fdiv((min_x + width).astype(jnp.float32) + ox, scale)
+                  for ox in oxs]
+        cx_first = [fdiv(min_x.astype(jnp.float32) + ox, scale)
+                    for ox in oxs]
+        cx_first_min = jnp.minimum(cx_first[0], cx_first[1])
+
+        @pl.when(s_sup == 0)
+        def _():
+            out_ref[0] = jnp.zeros((2, STRIP_ROWS, width), jnp.int32)
+            bucket_ref[...] = jnp.zeros(
+                (2, n_tiles + 1, STRIP_ROWS), jnp.int32)
+
+        def chunk_body(c, _):
+            chunk = seg_ref[0, pl.ds(c * seg_chunk, seg_chunk), :]
+            p0x = chunk[:, 0:1]
+            p0y = chunk[:, 1:2]
+            p1x = chunk[:, 2:3]
+            p1y = chunk[:, 3:4]
+            p2x = chunk[:, 4:5]
+            p2y = chunk[:, 5:6]
+            hull_min = jnp.min(jnp.minimum(jnp.minimum(p0y, p1y), p2y))
+            hull_max = jnp.max(jnp.maximum(jnp.maximum(p0y, p1y), p2y))
+            hx_min = jnp.min(jnp.minimum(jnp.minimum(p0x, p1x), p2x))
+            hx_max = jnp.max(jnp.maximum(jnp.maximum(p0x, p1x), p2x))
+
+            @pl.when((hull_max + 1.0 >= cy_lo) & (hull_min - 1.0 <= cy_hi)
+                     & (hx_max + 1.0 >= cx_first_min))
+            def _():
+                xx0m, xx1m, s0, s1 = phase_a_roots(chunk, cy, fdiv, fsqrt)
+                xxT0 = xx0m.T
+                xxT1 = xx1m.T
+                guard_lo = hx_min - 1.0
+                guard_hi = hx_max + 1.0
+
+                for s in range(2):
+
+                    @pl.when(guard_hi >= cx_end[s])
+                    def _(s=s):
+                        r0 = (jnp.sum(jnp.where(xx0m >= cx_end[s], s0, 0),
+                                      axis=0, keepdims=True)
+                              + jnp.sum(jnp.where(xx1m >= cx_end[s], s1, 0),
+                                        axis=0, keepdims=True))
+                        bucket_ref[s, pl.ds(n_tiles, 1), :] = (
+                            bucket_ref[s, pl.ds(n_tiles, 1), :] + r0)
+
+                def tile_work(s, t, lo, hi, cxt):
+                    in0 = (xx0m >= lo) & (xx0m < hi)
+                    in1 = (xx1m >= lo) & (xx1m < hi)
+                    rsum = (
+                        jnp.sum(jnp.where(in0, s0, 0), axis=0,
+                                keepdims=True)
+                        + jnp.sum(jnp.where(in1, s1, 0), axis=0,
+                                  keepdims=True)
+                    )
+                    bucket_ref[s, pl.ds(t, 1), :] = (
+                        bucket_ref[s, pl.ds(t, 1), :] + rsum)
+                    t_off = pl.multiple_of(t * tile_w, tile_w)
+
+                    @pl.when(jnp.any(in0 | in1))
+                    def _():
+                        sd0 = jnp.where(in0, s0, 0).T
+                        sd1 = jnp.where(in1, s1, 0).T
+                        win_h = STRIP_ROWS // row_windows
+                        for w in range(row_windows):
+                            r0w = w * win_h
+                            cyw_hi = cy[0, r0w]
+                            cyw_lo = cy[0, r0w + win_h - 1]
+
+                            @pl.when(
+                                (hull_max + 1.0 >= cyw_lo)
+                                & (hull_min - 1.0 <= cyw_hi)
+                            )
+                            def _(r0w=r0w):
+                                acc = out_ref[
+                                    0, s, pl.ds(r0w, win_h),
+                                    pl.ds(t_off, tile_w),
+                                ]
+                                for sg in range(seg_chunk):
+                                    acc = acc + jnp.where(
+                                        xxT0[r0w : r0w + win_h,
+                                             sg : sg + 1] >= cxt,
+                                        sd0[r0w : r0w + win_h,
+                                            sg : sg + 1],
+                                        0,
+                                    )
+                                    acc = acc + jnp.where(
+                                        xxT1[r0w : r0w + win_h,
+                                             sg : sg + 1] >= cxt,
+                                        sd1[r0w : r0w + win_h,
+                                            sg : sg + 1],
+                                        0,
+                                    )
+                                out_ref[
+                                    0, s, pl.ds(r0w, win_h),
+                                    pl.ds(t_off, tile_w),
+                                ] = acc
+
+                # union dynamic x-hull window across both samples
+                px_lo = jnp.minimum(
+                    guard_lo * scale - oxs[0],
+                    guard_lo * scale - oxs[1],
+                ) - min_x.astype(jnp.float32)
+                px_hi = jnp.maximum(
+                    guard_hi * scale - oxs[0],
+                    guard_hi * scale - oxs[1],
+                ) - min_x.astype(jnp.float32)
+                t_lo = jnp.maximum(
+                    0, jnp.floor((px_lo - 2.0) / tile_w)
+                ).astype(jnp.int32)
+                t_hi = jnp.minimum(
+                    n_tiles - 1,
+                    jnp.floor((px_hi + 2.0) / tile_w),
+                ).astype(jnp.int32)
+
+                def tile_body(t, _):
+                    for s in range(2):
+                        base = (min_x + t * tile_w).astype(jnp.float32)
+                        lo = fdiv(base + oxs[s], scale)
+                        hi = fdiv(
+                            (min_x + (t + 1) * tile_w).astype(
+                                jnp.float32) + oxs[s], scale)
+                        cxt = fdiv(
+                            (min_x + t * tile_w + col).astype(
+                                jnp.float32) + oxs[s], scale)
+                        tile_work(s, t, lo, hi, cxt)
+                    return 0
+
+                jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        @pl.when(s_sup == n_super - 1)
+        def _():
+            for s in range(2):
+                carry = bucket_ref[s, pl.ds(n_tiles, 1), :]
+                for t in range(n_tiles - 1, -1, -1):
+                    out_ref[0, s, :, pl.ds(t * tile_w, tile_w)] = (
+                        out_ref[0, s, :, pl.ds(t * tile_w, tile_w)]
+                        + jnp.broadcast_to(carry.T, (STRIP_ROWS, tile_w))
+                    )
+                    carry = carry + bucket_ref[s, pl.ds(t, 1), :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "interpret", "exact", "seg_chunk", "tile_w",
+        "row_windows",
+    ),
+)
+def winding_page_msaa_batch(
+    segments, min_x, max_y, scale, *, height, width, interpret=False,
+    sample_oy=0.0, sample_oxs=(0.0, 0.0), exact=False, seg_chunk=32,
+    tile_w=128, row_windows=8,
+):
+    """Fused x-pair page winding for MSAA: int32 ``[B, 2, height,
+    width]`` — plane ``s`` bit-identical to ``winding_page_batch`` with
+    ``sample_offset=(sample_oxs[s], sample_oy)``.  One launch per
+    distinct row offset => a 2x2-MSAA page costs 2 launches, not 4."""
+    b = segments.shape[0]
+    assert height % STRIP_ROWS == 0 and width % tile_w == 0
+    assert STRIP_ROWS % row_windows == 0
+    soa = segments_to_soa(segments, chunk=seg_chunk)
+    s8 = soa.shape[1]
+
+    b128 = _round_up(b, 128)
+    min_x = _pad_lanes(
+        jnp.asarray(min_x).reshape(1, b).astype(jnp.int32), b128)
+    max_y = _pad_lanes(
+        jnp.asarray(max_y).reshape(1, b).astype(jnp.int32), b128)
+    scale_arr = jnp.full((1, 1), scale, jnp.float32)
+    off_arr = jnp.asarray(
+        [sample_oy, sample_oxs[0], sample_oxs[1]], jnp.float32
+    ).reshape(1, 3)
+
+    seg_super = min(s8, 4096)
+    if s8 % seg_super:
+        pad = seg_super - (s8 % seg_super)
+        soa = jnp.pad(soa, ((0, 0), (0, pad), (0, 0)))
+        s8 = soa.shape[1]
+    n_super = s8 // seg_super
+
+    grid = (b, height // STRIP_ROWS, n_super)
+    return pl.pallas_call(
+        _make_page_msaa_kernel(exact, seg_chunk, tile_w, n_super,
+                               row_windows=row_windows),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda b_, i, s: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, seg_super, 8), lambda b_, i, s: (b_, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, STRIP_ROWS, width), lambda b_, i, s: (b_, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2, height, width), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, width // tile_w + 1, STRIP_ROWS), jnp.int32),
+        ],
+        interpret=interpret,
+    )(min_x, max_y, scale_arr, off_arr, soa)

@@ -238,6 +238,46 @@ def _direct_page_step(
     return jnp.where(winding != 0, 255, 0).astype(jnp.uint8)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_h", "page_w", "exact", "interpret", "tuning"),
+)
+def _direct_page_msaa_pair(
+    flat_segments, seg_inst_idx, inst_offsets, s_px, *, page_h, page_w,
+    sample_oy, sample_oxs, exact=False, interpret=False,
+    tuning=PAGE_TUNING,
+):
+    """Per-sample fill counts (uint16 [page_h, page_w], values 0..2)
+    for the two x samples sharing row offset ``sample_oy`` — ONE fused
+    launch of ``winding_page_msaa_batch`` (phase A shared across the
+    pair; each plane bit-identical to the single-sample kernel, so the
+    2x2-MSAA page equals the 4-pass sum exactly).  Wide pages only
+    (``page_w`` rounds to >= 1024)."""
+    from fontrx.kernels.winding_page import winding_page_msaa_batch
+
+    offs = inst_offsets[seg_inst_idx]
+    flat = (flat_segments * s_px + offs[:, None, :])[None]
+    ph = ((page_h + 127) // 128) * 128
+    pw = ((page_w + 127) // 128) * 128
+    wd = winding_page_msaa_batch(
+        flat,
+        jnp.zeros(1, jnp.int32),
+        jnp.full(1, page_h - 1, jnp.int32),
+        jnp.float32(1.0),
+        height=ph,
+        width=pw,
+        exact=exact,
+        interpret=interpret,
+        sample_oy=sample_oy,
+        sample_oxs=sample_oxs,
+        seg_chunk=32,
+        tile_w=256 if pw % 256 == 0 else 128,
+        row_windows=tuning[3] if len(tuning) > 3 and tuning[3] else 8,
+    )
+    fills = jnp.where(wd[0, :, :page_h, :page_w] != 0, 255, 0)
+    return fills.astype(jnp.uint16).sum(axis=0)
+
+
 @dataclass
 class PageRenderer:
     """Renders a ``TextLayout`` under a ``ViewTransform`` to a page.
@@ -391,16 +431,39 @@ class PageRenderer:
         # returns the device array; callers fetch at IO boundaries
         interp = self.engine._resolve() != "pallas"
         if msaa:
-            # page-level MSAA as four sub-pixel-offset fills of the
-            # streamed winding kernel.  (Measured on TPU: the fused
-            # coverage kernel loses badly at page widths — its
-            # per-(chunk, sample, tile) guard branches dominate — while
-            # four passes of the tuned winding kernel cost ~4 x 13 ms
-            # at 1080p.)
             from fontrx.kernels.coverage import sample_offsets
 
+            offsets = np.asarray(sample_offsets(2))
+            pw = ((self.width + 127) // 128) * 128
+            if pw >= 1024:
+                # wide pages: 2x2 MSAA as TWO fused x-pair launches of
+                # the deferred-carry kernel — phase A and the chunk
+                # stream are shared per row offset (the 4-pass cost was
+                # chunk-fixed-cost-bound, not detail-bound).  Each
+                # sample plane is bit-identical to the single-sample
+                # kernel, so this equals the 4-pass page exactly
+                # (device A/B: tools/tpu_probes/tpu_page_msaa.py).
+                acc = None
+                for oy in sorted(set(float(o[1]) for o in offsets)):
+                    oxs = tuple(sorted(
+                        float(o[0]) for o in offsets
+                        if float(o[1]) == oy))
+                    f = _direct_page_msaa_pair(
+                        flat_segments, seg_inst_idx, jnp.asarray(xs),
+                        s_px, page_h=self.height, page_w=self.width,
+                        sample_oy=oy, sample_oxs=oxs,
+                        interpret=interp, tuning=self.kernel_tuning,
+                    )
+                    acc = f if acc is None else acc + f
+                return (acc // 4).astype(jnp.uint8)
+            # narrow pages ride the banded v2 path: four sub-pixel
+            # passes of the streamed winding kernel.  (Measured on TPU:
+            # the fused coverage kernel loses badly at page widths —
+            # its per-(chunk, sample, tile) guard branches dominate —
+            # while four passes of the tuned winding kernel cost
+            # ~4 x 13 ms at 1080p.)
             acc = None
-            for ox, oy in sample_offsets(2):
+            for ox, oy in offsets:
                 f = _direct_page_step(
                     flat_segments, seg_inst_idx, jnp.asarray(xs), s_px,
                     page_h=self.height, page_w=self.width, interpret=interp,

@@ -603,6 +603,84 @@ class TestDeferredCarryPageKernel:
         assert page.shape == (128, 2048)
         assert int((page != 0).sum()) > 100
 
+    def test_msaa_fused_pair_matches_single_sample(self, rng):
+        """The fused x-pair MSAA kernel: each output plane is
+        bit-identical to winding_page_batch at (ox_s, oy) — phase A is
+        shared across the pair, classification/details per sample."""
+        import jax.numpy as jnp
+
+        from fontrx.kernels.coverage import sample_offsets
+        from fontrx.kernels.winding_page import (
+            winding_page_batch,
+            winding_page_msaa_batch,
+        )
+
+        n = 300
+        p0 = rng.uniform(0, [2048, 128], (n, 2))
+        p1 = p0 + rng.uniform(-60, 60, (n, 2))
+        p2 = p0 + rng.uniform(-60, 60, (n, 2))
+        seg = np.stack([p0, p1, p2], 1).astype(np.float32)[None]
+        mx = jnp.zeros(1, jnp.int32)
+        my = jnp.full(1, 127, jnp.int32)
+        offs = sample_offsets(2)
+        for oy in sorted(set(float(o[1]) for o in offs)):
+            oxs = tuple(sorted(
+                float(o[0]) for o in offs if float(o[1]) == oy))
+            fused = winding_page_msaa_batch(
+                jnp.asarray(seg), mx, my, jnp.float32(1.0),
+                height=128, width=2048, exact=True, seg_chunk=32,
+                sample_oy=oy, sample_oxs=oxs, interpret=True,
+            )
+            for s, ox in enumerate(oxs):
+                ref = winding_page_batch(
+                    jnp.asarray(seg), mx, my, jnp.float32(1.0),
+                    height=128, width=2048, exact=True, seg_chunk=32,
+                    sample_offset=(ox, oy), dynamic_tiles=True,
+                    interpret=True,
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(fused[0, s]), np.asarray(ref[0]))
+            assert int((np.asarray(fused) != 0).sum()) > 1000
+
+    def test_render_direct_msaa_fused_equals_four_pass(self, dejavu):
+        """Wide-page MSAA routes through the fused x-pair kernel; the
+        result equals the 4-pass single-sample sum exactly."""
+        import jax.numpy as jnp
+
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.kernels.coverage import sample_offsets
+        from fontrx.scene.layout import layout_text
+        from fontrx.scene.page import PageRenderer, _direct_page_step
+        from fontrx.scene.transform import ViewTransform
+
+        layout = layout_text(dejavu, "MSAA page pair")
+        pr = PageRenderer(
+            dejavu, layout, 1024, 128, RasterEngine(backend="interpret"))
+        view = ViewTransform.init(dejavu.info.units_per_em, 1024, 128)
+        page = np.asarray(pr.render_direct(view, msaa=True))
+        assert page.shape == (128, 1024)
+        assert len(np.unique(page)) > 2  # actually antialiased
+
+        slots, _ = layout.instance_arrays()
+        flat_segments, seg_inst_idx = pr._compact_instances(slots)
+        em = layout.instance_arrays()[1].astype(np.float64)
+        ndc_x = em[:, 0] * view.scale[0] + view.offset[0]
+        ndc_y = (em[:, 1] * view.scale[1] + view.offset[1]) \
+            * view.aspect_ratio
+        xs = np.empty((len(slots), 2), np.float32)
+        xs[:, 0] = (ndc_x + 1.0) / 2.0 * 1024
+        xs[:, 1] = (ndc_y + 1.0) / 2.0 * 128
+        s_px = np.float32(view.scale[0] * 512.0)
+        acc = None
+        for ox, oy in sample_offsets(2):
+            f = np.asarray(_direct_page_step(
+                flat_segments, seg_inst_idx, jnp.asarray(xs), s_px,
+                page_h=128, page_w=1024, interpret=True,
+                sample_offset=(float(ox), float(oy)),
+            )).astype(np.uint16)
+            acc = f if acc is None else acc + f
+        np.testing.assert_array_equal(page, (acc // 4).astype(np.uint8))
+
 
 class TestScalarSegmentSdf:
     def test_matches_chunk_kernel_within_tolerance(self, rng):
