@@ -326,6 +326,31 @@ def _render(font, text, cfg, engine) -> np.ndarray:
             page = np.where(page > 0, 255, 100).astype(np.uint8)
         return np.repeat(page[:, :, None], 3, axis=2)
 
+    if cfg.mode == "color":
+        # COLR/CPAL layered color glyphs (capability extension — the
+        # reference is monochrome end to end): one tile per unique
+        # glyph, every (glyph, layer) coverage in one batched launch,
+        # src-over fold in paint order (engine/colorglyphs.py).
+        # Monochrome glyphs render as a single foreground layer.
+        from fontrx.engine.colorglyphs import color_tiles
+
+        layout = _layout_for(font, text, cfg)
+        if font.colr is None or font.cpal is None:
+            log.warning(
+                "font has no COLR/CPAL tables; color mode renders "
+                "the monochrome outlines")
+        palette = getattr(cfg, "palette", 0)
+        if font.cpal is not None and not (
+                0 <= palette < font.cpal.num_palettes):
+            log.warning("palette %d out of range (%d palettes); using 0",
+                        palette, font.cpal.num_palettes)
+            palette = 0
+        tiles = color_tiles(
+            font, [int(g) for g in layout.slot_gids], cfg.size, engine,
+            palette=palette, samples=max(cfg.samples, 2),
+        )
+        return np.concatenate(list(tiles), axis=1)
+
     if cfg.mode == "coverage":
         from fontrx.kernels.coverage import coverage_to_gray
         from fontrx.scene.layout import layout_text

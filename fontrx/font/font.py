@@ -521,6 +521,56 @@ class Font:
             self._uvs = self._load_uvs()
         return self._uvs
 
+    @property
+    def colr(self):
+        """COLR layer table (:class:`fontrx.font.colr.ColrTable`) or
+        ``None`` (monochrome font / unusable table)."""
+        if not hasattr(self, "_colr"):
+            self._colr = None
+            if b"COLR" in self.tables:
+                try:
+                    from fontrx.font.colr import ColrTable
+
+                    self._colr = ColrTable.parse(self._at(b"COLR"))
+                except Exception as e:
+                    log.warning("COLR unusable: %s", e)
+        return self._colr
+
+    @property
+    def cpal(self):
+        """CPAL palette table (:class:`fontrx.font.colr.CpalTable`) or
+        ``None``."""
+        if not hasattr(self, "_cpal"):
+            self._cpal = None
+            if b"CPAL" in self.tables:
+                try:
+                    from fontrx.font.colr import CpalTable
+
+                    self._cpal = CpalTable.parse(self._at(b"CPAL"))
+                except Exception as e:
+                    log.warning("CPAL unusable: %s", e)
+        return self._cpal
+
+    def color_layers(
+        self, gid: int, palette: int = 0,
+        foreground: tuple[int, int, int, int] = (0, 0, 0, 255),
+    ) -> list[tuple[int, tuple[int, int, int, int]]] | None:
+        """Ordered ``[(layer_gid, rgba), ...]`` painting bottom-to-top
+        for a color glyph, or ``None`` when ``gid`` has no COLR v0
+        layers (callers render the monochrome outline).  Needs both
+        COLR and CPAL; the 0xFFFF palette sentinel resolves to
+        ``foreground``, per spec."""
+        colr, cpal = self.colr, self.cpal
+        if colr is None or cpal is None:
+            return None
+        layers = colr.layers(gid)
+        if layers is None:
+            return None
+        return [
+            (lg, cpal.color(palette, pe, foreground))
+            for lg, pe in layers
+        ]
+
     def glyph_index_variant(self, char: int | str, selector: int) -> int:
         """Char->glyph resolution honoring a Unicode variation selector
         (U+FE00..FE0F, U+E0100..E01EF).  Sequences absent from the

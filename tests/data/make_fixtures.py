@@ -371,20 +371,6 @@ def make_cidtest():
     print("wrote cidtest.otf")
 
 
-if __name__ == "__main__":
-    make_vartest()
-    make_vartest2()
-    make_vartest3()
-    make_vartest4()
-    make_vartest5()
-    make_vartest6()
-    make_cjktest()
-    make_arabictest()
-    make_vartest_cff2()
-    if os.path.exists(PYGAME_MONO):
-        make_cidtest()
-
-
 def make_cjktest(n_glyphs=1024):
     """A realistic dense-regime corpus font: ``n_glyphs`` han-style
     glyphs of 24-40 closed stroke contours (200-330 quadratic segments
@@ -553,3 +539,98 @@ feature mark {
     addOpenTypeFeaturesFromString(fb.font, fea)
     fb.save(os.path.join(HERE, "arabictest.ttf"))
     print("wrote arabictest.ttf")
+
+
+def make_colrtest():
+    """COLR v0 + CPAL color-layer font: three base color glyphs
+    (square-on-square, overlapping discs, a glyph using the 0xFFFF
+    foreground sentinel) over geometric layer glyphs; two palettes so
+    palette selection is testable."""
+    upem = 1000
+    fb = FontBuilder(upem, isTTF=True)
+    names = [".notdef", "sq", "disc", "fg", "l_bigsq", "l_smallsq",
+             "l_disc1", "l_disc2", "l_bar"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord("A"): "sq", ord("B"): "disc",
+                          ord("C"): "fg"})
+
+    def rect(pen, x0, y0, x1, y1):
+        pen.moveTo((x0, y0))
+        pen.lineTo((x1, y0))
+        pen.lineTo((x1, y1))
+        pen.lineTo((x0, y1))
+        pen.closePath()
+
+    def disc(pen, cx, cy, r):
+        # quadratic approximation of a circle (8 arcs)
+        import math
+        k = r * math.tan(math.pi / 8)
+        pts = []
+        for i in range(8):
+            a = math.pi * i / 4
+            pts.append((cx + r * math.cos(a), cy + r * math.sin(a)))
+        pen.moveTo(tuple(map(round, pts[0])))
+        for i in range(8):
+            a_mid = math.pi * (2 * i + 1) / 8
+            nxt = pts[(i + 1) % 8]
+            ctrl = (cx + math.hypot(r, k) * math.cos(a_mid),
+                    cy + math.hypot(r, k) * math.sin(a_mid))
+            pen.qCurveTo(tuple(map(round, ctrl)), tuple(map(round, nxt)))
+        pen.closePath()
+
+    glyphs = {}
+    for n in (".notdef", "sq", "disc", "fg"):
+        pen = TTGlyphPen(glyphSet={})
+        if n != ".notdef":
+            rect(pen, 0, 0, 10, 10)  # tiny monochrome fallback outline
+        glyphs[n] = pen.glyph()
+    pen = TTGlyphPen(glyphSet={}); rect(pen, 100, 100, 900, 900)
+    glyphs["l_bigsq"] = pen.glyph()
+    pen = TTGlyphPen(glyphSet={}); rect(pen, 300, 300, 700, 700)
+    glyphs["l_smallsq"] = pen.glyph()
+    pen = TTGlyphPen(glyphSet={}); disc(pen, 400, 500, 300)
+    glyphs["l_disc1"] = pen.glyph()
+    pen = TTGlyphPen(glyphSet={}); disc(pen, 600, 500, 300)
+    glyphs["l_disc2"] = pen.glyph()
+    pen = TTGlyphPen(glyphSet={}); rect(pen, 200, 450, 800, 550)
+    glyphs["l_bar"] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({
+        n: (upem, getattr(fb.font["glyf"][n], "xMin", 0)) for n in names
+    })
+    fb.setupHorizontalHeader(ascent=900, descent=-100)
+    fb.setupNameTable({"familyName": "ColrTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+
+    from fontTools.colorLib.builder import buildCOLR, buildCPAL
+    fb.font["COLR"] = buildCOLR({
+        "sq": [("l_bigsq", 0), ("l_smallsq", 1)],
+        "disc": [("l_disc1", 0), ("l_disc2", 2)],
+        "fg": [("l_bigsq", 3), ("l_bar", 0xFFFF)],
+    })
+    # palette 0: red, blue, semi-transparent green, yellow
+    # palette 1: the same slots re-colored (palette switch test)
+    fb.font["CPAL"], _ = buildCPAL([
+        [(1.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 1.0),
+         (0.0, 0.8, 0.0, 0.5), (1.0, 0.9, 0.0, 1.0)],
+        [(0.0, 0.0, 0.0, 1.0), (1.0, 1.0, 1.0, 1.0),
+         (1.0, 0.0, 1.0, 0.75), (0.0, 0.5, 0.5, 1.0)],
+    ]), None
+    fb.save(os.path.join(HERE, "colrtest.ttf"))
+    print("wrote colrtest.ttf")
+
+
+if __name__ == "__main__":
+    make_vartest()
+    make_vartest2()
+    make_vartest3()
+    make_vartest4()
+    make_vartest5()
+    make_vartest6()
+    make_cjktest()
+    make_arabictest()
+    make_colrtest()
+    make_vartest_cff2()
+    if os.path.exists(PYGAME_MONO):
+        make_cidtest()

@@ -1,0 +1,188 @@
+"""COLR/CPAL color-glyph tests (capability extension — the reference
+renders monochrome only, ``src/tools/render_glyph.zig:20-33``).
+
+Fixture ``colrtest.ttf`` (tests/data/make_fixtures.py::make_colrtest,
+fontTools-built): three color base glyphs over geometric layers —
+'A' = red big square + blue small square, 'B' = red disc + semi-
+transparent green disc (overlap blend), 'C' = yellow square + a bar
+painted with the 0xFFFF foreground sentinel; two CPAL palettes.
+
+Oracle: fontTools' table model for structure; closed-form src-over
+arithmetic for rendering.
+"""
+
+import numpy as np
+import pytest
+
+from fontrx.font.font import Font
+
+COLRTEST = "tests/data/colrtest.ttf"
+
+
+@pytest.fixture(scope="module")
+def cfont():
+    return Font.open(COLRTEST)
+
+
+class TestColrParse:
+    def test_differential_vs_fonttools(self, cfont):
+        from fontTools.ttLib import TTFont
+
+        tt = TTFont(COLRTEST)
+        order = tt.getGlyphOrder()
+        colr = tt["COLR"]
+        for ch in "ABC":
+            gid = cfont.glyph_index(ch)
+            ft = [(order.index(l.name), l.colorID)
+                  for l in colr[order[gid]]]
+            assert cfont.colr.layers(gid) == ft
+
+    def test_cpal_differential_vs_fonttools(self, cfont):
+        from fontTools.ttLib import TTFont
+
+        cpal = TTFont(COLRTEST)["CPAL"]
+        assert cfont.cpal.num_palettes == len(cpal.palettes)
+        assert cfont.cpal.num_entries == cpal.numPaletteEntries
+        for p, pal in enumerate(cpal.palettes):
+            for e, c in enumerate(pal):
+                assert cfont.cpal.color(p, e) == (
+                    c.red, c.green, c.blue, c.alpha)
+
+    def test_no_layers_returns_none(self, cfont):
+        assert cfont.colr.layers(0) is None          # .notdef
+        assert cfont.color_layers(0) is None
+        # layer glyphs themselves are not base glyphs
+        assert cfont.colr.layers(4) is None
+
+    def test_foreground_sentinel(self, cfont):
+        fg = (12, 34, 56, 255)
+        layers = cfont.color_layers(
+            cfont.glyph_index("C"), foreground=fg)
+        assert layers[1][1] == fg
+
+    def test_palette_selection(self, cfont):
+        gid = cfont.glyph_index("A")
+        p0 = cfont.color_layers(gid, palette=0)
+        p1 = cfont.color_layers(gid, palette=1)
+        assert [g for g, _ in p0] == [g for g, _ in p1]
+        assert p0 != p1
+        with pytest.raises(IndexError):
+            cfont.cpal.color(9, 0)
+
+    def test_corrupt_colr_degrades(self):
+        """A COLR whose layer ranges run past the layer array is
+        CorruptedFont at parse — and Font.colr degrades to None."""
+        from fontrx.font.colr import ColrTable
+        from fontrx.font.ttf import CorruptedFont
+        from fontrx.utils.reader import BigEndianReader
+
+        import struct
+        bad = struct.pack(">HHIIH", 0, 1, 14, 20, 1) \
+            + struct.pack(">HHH", 5, 0, 9) + struct.pack(">HH", 6, 0)
+        with pytest.raises(CorruptedFont):
+            ColrTable.parse(BigEndianReader(bad, 0))
+
+    def test_monochrome_font_has_no_color(self, dejavu):
+        assert dejavu.colr is None and dejavu.cpal is None
+        assert dejavu.color_layers(dejavu.glyph_index("A")) is None
+
+
+class TestColorRender:
+    @pytest.fixture(scope="class")
+    def tiles(self, request):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.engine.colorglyphs import color_tiles
+
+        font = Font.open(COLRTEST)
+        gids = [font.glyph_index(c) for c in "ABC"]
+        return color_tiles(
+            font, gids, 64, RasterEngine(backend="jnp"), samples=2)
+
+    def test_layer_stack_order(self, tiles):
+        A = tiles[0]
+        # small blue square paints OVER the red one
+        assert tuple(A[32, 32]) == (0, 0, 255)
+        # the ring between the squares stays red
+        assert tuple(A[6, 6]) == (255, 0, 0)
+        # outside both: background white
+        assert tuple(A[62, 62]) == (255, 255, 255)
+
+    def test_alpha_blend(self, tiles):
+        B = tiles[1]
+        # overlap: green a=128 over red -> (127, 102, 0)
+        assert tuple(B[32, 32]) == (127, 102, 0)
+        # green only (right lobe, over white): a = 128/255
+        assert tuple(int(v) for v in B[19, 45]) == (127, 229, 127)
+        assert tuple(B[32, 16]) == (255, 0, 0)
+
+    def test_foreground_renders(self, tiles):
+        C = tiles[2]
+        assert (np.all(C == 0, axis=2)).sum() > 50     # black bar ink
+        assert tuple(C[10, 32]) == (255, 230, 0)       # yellow square
+
+    def test_monochrome_fallback_tile(self):
+        """Glyphs without COLR layers render their own outline in the
+        foreground color — mixed color/mono text stays uniform."""
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.engine.colorglyphs import color_tiles
+
+        font = Font.open(COLRTEST)
+        t = color_tiles(
+            font, [0], 64, RasterEngine(backend="jnp"),
+            foreground=(10, 20, 30, 255))
+        # .notdef has no outline at all -> all background
+        assert (t[0] == 255).all()
+
+    def test_palette_switch_changes_pixels(self):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.engine.colorglyphs import color_tiles
+
+        font = Font.open(COLRTEST)
+        gid = font.glyph_index("A")
+        eng = RasterEngine(backend="jnp")
+        t0 = color_tiles(font, [gid], 64, eng, palette=0)
+        t1 = color_tiles(font, [gid], 64, eng, palette=1)
+        assert tuple(t1[0][32, 32]) == (255, 255, 255)  # white small sq
+        assert tuple(t1[0][6, 6]) == (0, 0, 0)          # black big sq
+        assert not np.array_equal(t0, t1)
+
+
+class TestColorCli:
+    def test_color_mode_end_to_end(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "c.qoi"
+        rc = main(["-f", COLRTEST, "-t", "ABC", "-m", "color",
+                   "-s", "64", "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        assert img.shape == (64, 192, 3)
+        assert tuple(img[32, 32]) == (0, 0, 255)
+        assert tuple(img[32, 64 + 32]) == (127, 102, 0)
+
+    def test_palette_flag(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "p1.qoi"
+        rc = main(["-f", COLRTEST, "-t", "A", "-m", "color",
+                   "-s", "64", "--palette", "1", "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        assert tuple(img[32, 32]) == (255, 255, 255)
+
+    def test_monochrome_font_warns_and_renders(self, tmp_path, caplog):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "m.qoi"
+        rc = main(["-f",
+                   "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                   "-t", "Ab", "-m", "color", "-s", "48",
+                   "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        # black-on-white monochrome rendering
+        assert (np.all(img == 0, axis=2)).sum() > 20
+        assert (np.all(img == 255, axis=2)).sum() > 20
