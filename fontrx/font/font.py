@@ -50,6 +50,13 @@ class Font:
         accepts bare TrueType scalers.  TTC table offsets are
         file-absolute, so a member parses as a normal directory
         rooted at its collection offset."""
+        if data[:4] in (b"wOFF", b"wOF2"):
+            # web containers unwrap to a plain sfnt first (WOFF 1.0;
+            # WOFF2 raises a clear unsupported error) — every
+            # downstream capability is container-agnostic
+            from fontrx.font.woff import decode_container
+
+            data = decode_container(data)
         self._reader = BigEndianReader(data)
         start = 0
         if data[:4] == b"ttcf":
