@@ -328,11 +328,16 @@ def _render(font, text, cfg, engine) -> np.ndarray:
 
     if cfg.mode == "color":
         # COLR/CPAL layered color glyphs (capability extension — the
-        # reference is monochrome end to end): one tile per unique
-        # glyph, every (glyph, layer) coverage in one batched launch,
-        # src-over fold in paint order (engine/colorglyphs.py).
-        # Monochrome glyphs render as a single foreground layer.
-        from fontrx.engine.colorglyphs import color_tiles
+        # reference is monochrome end to end): every (unique glyph,
+        # layer) coverage rasters in one batched launch, the layer
+        # stack folds src-over into premultiplied RGBA tiles, and the
+        # tiles composite at the layout's pen positions (kerning,
+        # ligatures, marks — every layout flag applies).  Monochrome
+        # glyphs render as a single foreground layer.
+        from fontrx.engine.colorglyphs import (
+            color_glyph_tiles,
+            composite_color_page,
+        )
 
         layout = _layout_for(font, text, cfg)
         if font.colr is None or font.cpal is None:
@@ -345,11 +350,25 @@ def _render(font, text, cfg, engine) -> np.ndarray:
             log.warning("palette %d out of range (%d palettes); using 0",
                         palette, font.cpal.num_palettes)
             palette = 0
-        tiles = color_tiles(
+        tiles, grids = color_glyph_tiles(
             font, [int(g) for g in layout.slot_gids], cfg.size, engine,
             palette=palette, samples=max(cfg.samples, 2),
         )
-        return np.concatenate(list(tiles), axis=1)
+        upem = font.info.units_per_em
+        ppu = cfg.size / upem
+        margin = max(cfg.size // 8, 4)
+        width = int(layout.width * ppu) + 2 * margin
+        height = int(layout.height * ppu) + 2 * margin
+        slots, offsets_em = layout.instance_arrays()
+        pen = np.empty((len(slots), 2), np.float64)
+        pen[:, 0] = margin + offsets_em[:, 0] * ppu
+        # first baseline sits one ascent below the top margin; em y up
+        # -> page y down
+        pen[:, 1] = margin + font.info.ascent * ppu \
+            - offsets_em[:, 1] * ppu
+        return composite_color_page(
+            tiles, grids, slots, pen, page_h=height, page_w=width,
+        )
 
     if cfg.mode == "coverage":
         from fontrx.kernels.coverage import coverage_to_gray

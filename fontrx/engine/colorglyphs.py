@@ -11,6 +11,16 @@ Per base glyph all layers share one grid (anchored at the union of the
 layer boxes) so the stack composites in register; glyphs without COLR
 layers degrade to a single foreground-colored layer of their own
 outline, which makes mixed color/monochrome text uniform.
+
+Two surfaces:
+
+- :func:`color_glyph_tiles` — premultiplied RGBA tiles + their grids
+  (the atlas form: page compositing needs the alpha and the anchor).
+- :func:`color_tiles` — the same tiles flattened over an opaque
+  background (the simple per-glyph strip form).
+- :func:`composite_color_page` — src-over placement of RGBA tiles at
+  layout pen positions (the color analog of the monochrome composite
+  pass, ``scene/page.py::composite_tiles``).
 """
 
 from __future__ import annotations
@@ -23,7 +33,7 @@ from fontrx.kernels.grid import RasterGrid
 from fontrx.pack.segments import pack_glyphs
 
 
-def color_tiles(
+def color_glyph_tiles(
     font: Font,
     gids: list[int],
     size: int,
@@ -32,22 +42,21 @@ def color_tiles(
     palette: int = 0,
     samples: int = 2,
     foreground: tuple[int, int, int, int] = (0, 0, 0, 255),
-    background: tuple[int, int, int] = (255, 255, 255),
-) -> np.ndarray:
-    """Render ``gids`` as ``size x size`` RGB tiles: uint8
-    ``[len(gids), size, size, 3]``.
+) -> tuple[jnp.ndarray, list[RasterGrid]]:
+    """Premultiplied-RGBA color tiles: float32 ``[len(gids), size,
+    size, 4]`` in [0, 1] (rgb premultiplied by alpha), plus the
+    per-glyph :class:`RasterGrid` anchoring each tile.
 
     One coverage launch covers all (glyph, layer) rows; the src-over
-    fold ``rgb = rgb*(1-a) + layer_rgb*a`` with ``a = coverage *
-    alpha/255`` runs bottom-to-top per glyph, matching the COLR v0
-    paint order.
+    fold runs bottom-to-top per glyph, matching COLR v0 paint order:
+    with premultiplied ``src = (rgb*a, a)``, the fold is
+    ``dst = dst*(1-a) + src`` on all four channels.
     """
     upem = font.info.units_per_em
-    # (glyph cell) -> ordered [(row, rgba), ...]; rows index the packed
-    # (cell, layer) batch
     glyphs = []
     cells: list[list[tuple[int, tuple[int, int, int, int]]]] = []
     row_grid: list[RasterGrid] = []
+    cell_grids: list[RasterGrid] = []
     for gid in gids:
         layers = font.color_layers(gid, palette, foreground)
         if layers is None:
@@ -67,6 +76,7 @@ def color_tiles(
             glyphs.append(g)
             row_grid.append(grid)
         cells.append(rows)
+        cell_grids.append(grid)
 
     batch = pack_glyphs(glyphs)
     cov = engine.coverage_batch(
@@ -79,15 +89,96 @@ def color_tiles(
         samples=max(samples, 2),
     )
 
-    bg = jnp.asarray(background, jnp.float32)
     tiles = []
     for rows in cells:
-        rgb = jnp.broadcast_to(bg, (size, size, 3))
+        acc = jnp.zeros((size, size, 4), jnp.float32)
         for row, (r, g_, b, a) in rows:
             av = cov[row][..., None] * (a / 255.0)
-            rgb = rgb * (1.0 - av) + jnp.asarray(
-                (r, g_, b), jnp.float32) * av
-        tiles.append(rgb)
-    sheet = jnp.stack(tiles) if tiles else jnp.zeros((0, size, size, 3))
+            src = jnp.concatenate(
+                [jnp.asarray((r, g_, b), jnp.float32)[None, None]
+                 / 255.0 * av, av], axis=-1)
+            acc = acc * (1.0 - av) + src
+        tiles.append(acc)
+    stacked = (jnp.stack(tiles) if tiles
+               else jnp.zeros((0, size, size, 4), jnp.float32))
+    return stacked, cell_grids
+
+
+def color_tiles(
+    font: Font,
+    gids: list[int],
+    size: int,
+    engine,
+    *,
+    palette: int = 0,
+    samples: int = 2,
+    foreground: tuple[int, int, int, int] = (0, 0, 0, 255),
+    background: tuple[int, int, int] = (255, 255, 255),
+) -> np.ndarray:
+    """``size x size`` RGB tiles over an opaque background: uint8
+    ``[len(gids), size, size, 3]`` (the strip form)."""
+    rgba, _ = color_glyph_tiles(
+        font, gids, size, engine, palette=palette, samples=samples,
+        foreground=foreground)
+    bg = jnp.asarray(background, jnp.float32) / 255.0
+    rgb = bg * (1.0 - rgba[..., 3:]) + rgba[..., :3]
     return np.asarray(
-        jnp.clip(jnp.round(sheet), 0, 255).astype(jnp.uint8))
+        jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8))
+
+
+def composite_color_page(
+    tiles_rgba: jnp.ndarray,
+    grids: list[RasterGrid],
+    slots: np.ndarray,
+    pen_px: np.ndarray,
+    *,
+    page_h: int,
+    page_w: int,
+    background: tuple[int, int, int] = (255, 255, 255),
+) -> np.ndarray:
+    """Src-over placement of premultiplied RGBA tiles onto an opaque
+    page: uint8 ``[page_h, page_w, 3]``.
+
+    ``slots``: int ``[N]`` tile index per instance; ``pen_px``: float
+    ``[N, 2]`` page-pixel pen positions (x right, y DOWN — the page's
+    raster convention).  Tile origin per instance mirrors the
+    monochrome composite pass: ``round(pen) + (grid.min_x,
+    -grid.max_y)``.  The page is padded by one tile on every side so
+    edge glyphs clip instead of smearing, then cropped.
+    """
+    tile = int(tiles_rgba.shape[1])
+    n = len(slots)
+    if n == 0:
+        out = np.zeros((page_h, page_w, 3), np.uint8)
+        out[:] = background
+        return out
+    g_minx = np.array([g.min_x for g in grids], np.int64)[slots]
+    g_maxy = np.array([g.max_y for g in grids], np.int64)[slots]
+    xs = (np.round(pen_px[:, 0]).astype(np.int64) + g_minx).astype(np.int32)
+    ys = (np.round(pen_px[:, 1]).astype(np.int64) - g_maxy).astype(np.int32)
+
+    import jax
+
+    inst = jnp.asarray(tiles_rgba)[jnp.asarray(slots)]
+    padded = jnp.zeros((page_h + 2 * tile, page_w + 2 * tile, 4),
+                       jnp.float32)
+
+    def body(page, args):
+        t, x0, y0 = args
+        x0 = jnp.clip(x0 + tile, 0, page_w + tile)
+        y0 = jnp.clip(y0 + tile, 0, page_h + tile)
+        cur = jax.lax.dynamic_slice(
+            page, (y0, x0, 0), (tile, tile, 4))
+        blended = cur * (1.0 - t[..., 3:]) + t
+        return (
+            jax.lax.dynamic_update_slice(page, blended, (y0, x0, 0)),
+            None,
+        )
+
+    padded, _ = jax.lax.scan(
+        body, padded, (inst, jnp.asarray(xs), jnp.asarray(ys)))
+    rgba = padded[tile : tile + page_h, tile : tile + page_w]
+    bg = jnp.asarray(background, jnp.float32) / 255.0
+    rgb = bg * (1.0 - rgba[..., 3:]) + rgba[..., :3]
+    return np.asarray(
+        jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8))

@@ -149,6 +149,9 @@ class TestColorRender:
 
 class TestColorCli:
     def test_color_mode_end_to_end(self, tmp_path):
+        """Laid-out color text: 'ABC' composites at pen positions
+        (one em advance per glyph) — the blue-on-red square, the
+        disc blend, and the foreground bar appear left to right."""
         from fontrx.cli.main import main
         from fontrx.io.qoi import decode
 
@@ -157,9 +160,18 @@ class TestColorCli:
                    "-s", "64", "-o", str(out)])
         assert rc == 0
         img = decode(out.read_bytes())
-        assert img.shape == (64, 192, 3)
-        assert tuple(img[32, 32]) == (0, 0, 255)
-        assert tuple(img[32, 64 + 32]) == (127, 102, 0)
+        blue = (img[:, :, 2] == 255) & (img[:, :, 0] == 0)
+        red = ((img[:, :, 0] == 255) & (img[:, :, 1] == 0)
+               & (img[:, :, 2] == 0))
+        blend = ((img[:, :, 0] == 127) & (img[:, :, 1] == 102)
+                 & (img[:, :, 2] == 0))
+        black = np.all(img == 0, axis=2)
+        assert blue.sum() > 400 and red.sum() > 1000
+        assert blend.sum() > 100 and black.sum() > 100
+        # left-to-right pen order: A's ink, then B's, then C's
+        cx = [np.nonzero(m.any(axis=0))[0].mean()
+              for m in (blue, blend, black)]
+        assert cx[0] < cx[1] < cx[2]
 
     def test_palette_flag(self, tmp_path):
         from fontrx.cli.main import main
@@ -170,7 +182,10 @@ class TestColorCli:
                    "-s", "64", "--palette", "1", "-o", str(out)])
         assert rc == 0
         img = decode(out.read_bytes())
-        assert tuple(img[32, 32]) == (255, 255, 255)
+        # palette 1: black big square, white small square — no red
+        assert np.all(img == 0, axis=2).sum() > 1000
+        assert not ((img[:, :, 0] == 255) & (img[:, :, 1] == 0)
+                    & (img[:, :, 2] == 0)).any()
 
     def test_monochrome_font_warns_and_renders(self, tmp_path, caplog):
         from fontrx.cli.main import main
