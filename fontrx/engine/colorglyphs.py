@@ -36,22 +36,29 @@ from fontrx.pack.segments import pack_glyphs
 def color_glyph_tiles(
     font: Font,
     gids: list[int],
-    size: int,
+    size: float,
     engine,
     *,
     palette: int = 0,
     samples: int = 2,
     foreground: tuple[int, int, int, int] = (0, 0, 0, 255),
+    tile: int | None = None,
 ) -> tuple[jnp.ndarray, list[RasterGrid]]:
-    """Premultiplied-RGBA color tiles: float32 ``[len(gids), size,
-    size, 4]`` in [0, 1] (rgb premultiplied by alpha), plus the
+    """Premultiplied-RGBA color tiles: float32 ``[len(gids), tile,
+    tile, 4]`` in [0, 1] (rgb premultiplied by alpha), plus the
     per-glyph :class:`RasterGrid` anchoring each tile.
+
+    ``size`` is the em size in pixels (may be fractional — the page
+    path rasters at the view's zoom); ``tile`` the square raster
+    dimension (defaults to ``round(size)``).
 
     One coverage launch covers all (glyph, layer) rows; the src-over
     fold runs bottom-to-top per glyph, matching COLR v0 paint order:
     with premultiplied ``src = (rgb*a, a)``, the fold is
     ``dst = dst*(1-a) + src`` on all four channels.
     """
+    if tile is None:
+        tile = max(int(round(size)), 1)
     upem = font.info.units_per_em
     glyphs = []
     cells: list[list[tuple[int, tuple[int, int, int, int]]]] = []
@@ -69,7 +76,7 @@ def color_glyph_tiles(
             min(b.x_min for b in boxes), min(b.y_min for b in boxes),
             max(b.x_max for b in boxes), max(b.y_max for b in boxes),
         )
-        grid = RasterGrid.fixed_tile(union, size, upem, size)
+        grid = RasterGrid.fixed_tile(union, size, upem, tile)
         rows = []
         for g, rgba in loaded:
             rows.append((len(glyphs), rgba))
@@ -84,14 +91,14 @@ def color_glyph_tiles(
         jnp.array([g.min_x for g in row_grid], jnp.int32),
         jnp.array([g.max_y for g in row_grid], jnp.int32),
         row_grid[0].scale if row_grid else np.float32(size / upem),
-        height=size,
-        width=size,
+        height=tile,
+        width=tile,
         samples=max(samples, 2),
     )
 
     tiles = []
     for rows in cells:
-        acc = jnp.zeros((size, size, 4), jnp.float32)
+        acc = jnp.zeros((tile, tile, 4), jnp.float32)
         for row, (r, g_, b, a) in rows:
             av = cov[row][..., None] * (a / 255.0)
             src = jnp.concatenate(
@@ -100,7 +107,7 @@ def color_glyph_tiles(
             acc = acc * (1.0 - av) + src
         tiles.append(acc)
     stacked = (jnp.stack(tiles) if tiles
-               else jnp.zeros((0, size, size, 4), jnp.float32))
+               else jnp.zeros((0, tile, tile, 4), jnp.float32))
     return stacked, cell_grids
 
 

@@ -183,9 +183,14 @@ class InteractiveSession:
         self._set_text(self.text)
 
     def cycle_mode(self):
-        """Cycle the render pipeline (direct <-> composite) live — the
-        viewer's 'c' key / mode button."""
-        self.mode = "composite" if self.mode == "direct" else "direct"
+        """Cycle the render pipeline live — the viewer's 'c' key /
+        mode button.  direct <-> composite; fonts carrying COLR/CPAL
+        add a third "color" stop (layered color composite)."""
+        order = ["direct", "composite"]
+        if self.font.colr is not None and self.font.cpal is not None:
+            order.append("color")
+        i = order.index(self.mode) if self.mode in order else 0
+        self.mode = order[(i + 1) % len(order)]
         self._set_text(self.text)  # rebuild the renderer for the mode
 
     def char_input(self, text: str):
@@ -266,6 +271,11 @@ class InteractiveSession:
             # the host fetch is the display boundary; on the dev tunnel
             # it dominates, so it is tracked separately in stats()
             page = np.asarray(page_dev)
+        elif self.mode == "color":
+            # COLR/CPAL layered composite (uint8 [H, W, 3]); msaa/debug
+            # don't apply — layer coverage is already antialiased
+            page = self.renderer.render_color(self.view)
+            self.compute_ms.append((time.perf_counter() - t0) * 1e3)
         else:
             page = self.renderer.render(self.view, **render_kwargs)
             self.compute_ms.append((time.perf_counter() - t0) * 1e3)

@@ -518,7 +518,13 @@ class PageRenderer:
         the reference's transparent-framebuffer mode (premultiplied
         composite alpha, ``VulkanContext.zig:891`` + Ctrl+T): background
         alpha 0 so the page composites over anything; otherwise opaque
-        over black."""
+        over black.  Color pages (``[H, W, 3]`` from ``render_color``)
+        pass through with an opaque alpha."""
+        if page.ndim == 3:
+            rgba = np.empty(page.shape[:2] + (4,), np.uint8)
+            rgba[..., :3] = page
+            rgba[..., 3] = 255
+            return rgba
         a = page.astype(np.uint8)
         rgba = np.zeros(page.shape + (4,), np.uint8)
         rgba[..., 0] = a
@@ -526,6 +532,50 @@ class PageRenderer:
         rgba[..., 2] = a
         rgba[..., 3] = a if transparent else 255
         return rgba
+
+    def render_color(
+        self, view: ViewTransform, palette: int = 0, samples: int = 2,
+    ) -> np.ndarray:
+        """Render one COLR/CPAL color frame: uint8 ``[H, W, 3]``.
+
+        The color analog of the composite pipeline: premultiplied RGBA
+        glyph tiles raster once per zoom (cached like
+        ``rasterize_glyphs``) and composite src-over at the instance
+        pen positions (``engine/colorglyphs.py``).  Monochrome glyphs
+        ride along as foreground-colored layers."""
+        from fontrx.engine.colorglyphs import (
+            color_glyph_tiles,
+            composite_color_page,
+        )
+
+        px_per_unit = view.scale[0] * (self.width / 2.0)
+        if px_per_unit <= 0:
+            raise ValueError("view scale must be positive")
+        tile = self._tile_size(px_per_unit)
+        key = (px_per_unit, palette, tile)
+        cached = getattr(self, "_color_cache", None)
+        if cached is None or cached[0] != key:
+            tiles, grids = color_glyph_tiles(
+                self.font, [int(g) for g in self.layout.slot_gids],
+                px_per_unit * self.font.info.units_per_em,
+                self.engine, palette=palette, samples=samples,
+                tile=tile,
+            )
+            self._color_cache = cached = (key, tiles, grids)
+        _, tiles, grids = cached
+
+        slots, offsets = self.layout.instance_arrays()
+        em = offsets.astype(np.float64)
+        ndc_x = em[:, 0] * view.scale[0] + view.offset[0]
+        ndc_y = (em[:, 1] * view.scale[1] + view.offset[1]) \
+            * view.aspect_ratio
+        pen = np.empty((len(slots), 2), np.float64)
+        pen[:, 0] = (ndc_x + 1.0) / 2.0 * self.width
+        pen[:, 1] = (1.0 - ndc_y) / 2.0 * self.height
+        return composite_color_page(
+            tiles, grids, slots, pen,
+            page_h=self.height, page_w=self.width,
+        )
 
     # -- frame -------------------------------------------------------------
 

@@ -201,3 +201,61 @@ class TestColorCli:
         # black-on-white monochrome rendering
         assert (np.all(img == 0, axis=2)).sum() > 20
         assert (np.all(img == 255, axis=2)).sum() > 20
+
+
+class TestColorInteractive:
+    def test_color_mode_frames_and_zoom(self):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        sess = InteractiveSession(
+            Font.open(COLRTEST), "AB", 256, 128,
+            RasterEngine(backend="jnp"), mode="color")
+        f = sess.frame()
+        assert f.shape == (128, 256, 3)
+        assert (f != 255).any(axis=2).sum() > 1000
+        d = sess.display_frame()
+        assert d.shape == (128, 256, 4) and (d[..., 3] == 255).all()
+        sess.scroll(1.0, (0.0, 0.0))
+        assert not np.array_equal(f, sess.frame())
+
+    def test_cycle_includes_color_only_for_color_fonts(self, dejavu):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.interactive import InteractiveSession
+
+        s1 = InteractiveSession(
+            Font.open(COLRTEST), "A", 128, 128,
+            RasterEngine(backend="jnp"))
+        seen = set()
+        for _ in range(3):
+            s1.cycle_mode()
+            seen.add(s1.mode)
+        assert seen == {"direct", "composite", "color"}
+
+        s2 = InteractiveSession(
+            dejavu, "A", 128, 128, RasterEngine(backend="jnp"))
+        seen = set()
+        for _ in range(2):
+            s2.cycle_mode()
+            seen.add(s2.mode)
+        assert "color" not in seen
+
+    def test_render_color_tile_cache(self):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.scene.layout import layout_text
+        from fontrx.scene.page import PageRenderer
+        from fontrx.scene.transform import ViewTransform
+
+        font = Font.open(COLRTEST)
+        layout = layout_text(font, "A")
+        pr = PageRenderer(font, layout, 128, 128,
+                          RasterEngine(backend="jnp"))
+        view = ViewTransform.init(font.info.units_per_em, 128, 128)
+        a = pr.render_color(view)
+        key1 = pr._color_cache[0]
+        b = pr.render_color(view)
+        assert pr._color_cache[0] == key1      # cache hit at same zoom
+        np.testing.assert_array_equal(a, b)
+        c = pr.render_color(view.zoomed(1.0, (0.0, 0.0)))
+        assert pr._color_cache[0] != key1      # re-raster at new zoom
+        assert not np.array_equal(a, c)
