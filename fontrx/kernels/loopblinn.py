@@ -203,13 +203,13 @@ LB_TILE_W = 128
 LB_CHUNK = 8
 
 
-def _soa_triangles(tris, classes):
+def _soa_triangles(tris, classes, chunk=LB_CHUNK):
     """[B, M, 3, 4] + [B, M] -> float32 [B, M16, 16] SoA:
     lanes 0-11 = (x y u v) x 3 corners, lane 12 = class."""
     import jax.numpy as jnp
 
     b, m = tris.shape[0], tris.shape[1]
-    m16 = ((m + LB_CHUNK - 1) // LB_CHUNK) * LB_CHUNK
+    m16 = ((m + chunk - 1) // chunk) * chunk
     soa = jnp.zeros((b, m16, 16), jnp.float32)
     soa = soa.at[:, :m, :12].set(tris.reshape(b, m, 12))
     soa = soa.at[:, :, 12].set(3.0)  # padding class (never draws)
@@ -217,7 +217,10 @@ def _soa_triangles(tris, classes):
     return soa
 
 
-def _make_lb_kernel():
+def _make_lb_kernel(tile_h=LB_TILE_H, chunk=LB_CHUNK):
+    """``tile_h``/``chunk`` partition work only — the per-(triangle,
+    pixel) float program is identical for any setting, so coverage is
+    exactly the same (class-3 padding rows never pass ``keep``)."""
     from jax.experimental import pallas as pl
 
     def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, tri_ref, out_ref):
@@ -231,24 +234,24 @@ def _make_lb_kernel():
         oy = off_ref[0, 1]
 
         m16 = tri_ref.shape[1]
-        n_chunks = m16 // LB_CHUNK
+        n_chunks = m16 // chunk
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (1, LB_TILE_H, LB_TILE_W), 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, LB_TILE_H, LB_TILE_W), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, LB_TILE_W), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, LB_TILE_W), 2)
         px = ((mx + j * LB_TILE_W + col).astype(jnp.float32) + ox) / scale
-        py = ((my - (i * LB_TILE_H + row)).astype(jnp.float32) + oy) / scale
+        py = ((my - (i * tile_h + row)).astype(jnp.float32) + oy) / scale
         tx0 = px[0, 0, 0]
         tx1 = tx0 + jnp.float32(LB_TILE_W) / scale
         ty1 = py[0, 0, 0]
-        ty0 = ty1 - jnp.float32(LB_TILE_H) / scale
+        ty0 = ty1 - jnp.float32(tile_h) / scale
 
-        out_ref[0] = jnp.zeros((LB_TILE_H, LB_TILE_W), jnp.int32)
+        out_ref[0] = jnp.zeros((tile_h, LB_TILE_W), jnp.int32)
 
         def chunk_body(c, _):
-            chunk = tri_ref[0, pl.ds(c * LB_CHUNK, LB_CHUNK), :]  # (C, 16)
+            tc = tri_ref[0, pl.ds(c * chunk, chunk), :]  # (C, 16)
 
             def lane(k):
-                return chunk[:, k : k + 1].reshape(LB_CHUNK, 1, 1)
+                return tc[:, k : k + 1].reshape(chunk, 1, 1)
 
             ax, ay = lane(0), lane(1)
             bx, by = lane(4), lane(5)
@@ -305,32 +308,50 @@ def _make_lb_kernel():
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "interpret")
+    jax.jit,
+    static_argnames=("height", "width", "interpret", "tile_h", "chunk"),
 )
 def loopblinn_pallas_batch(
     tris, classes, min_x, max_y, scale, *, height, width,
-    interpret=False, sample_offset=(0.0, 0.0),
+    interpret=False, sample_offset=(0.0, 0.0), tile_h=None,
+    chunk=32,
 ):
     """Pallas triangle-mesh fill — same contract as
     :func:`loopblinn_batch` (-> bool ``[B, H, W]``), with per-(chunk,
     tile) bbox culling.  Same float program per (triangle, pixel), so
-    coverage matches the jnp kernel exactly."""
+    coverage matches the jnp kernel exactly.
+
+    ``tile_h``/``chunk`` only partition the work (coverage-identical
+    for every setting).  The kernel is BRANCH-bound, not compute-bound
+    — the round-3-close sweep (tools/tpu_probes/tpu_lb_knobs.py)
+    measured the original 8x8 partition at 9.23 ms for the 94-glyph
+    ASCII atlas @128px vs **1.40 ms at tile_h=128, chunk=32** (6.6x):
+    1504 grid steps x n_chunks tiny pl.when bodies dominated.
+    Defaults: chunk 32, tile_h = the largest divisor of ``height`` in
+    {128, 64, 32, 16, 8} (tile_h x chunk capped to dodge the ~16 MB
+    scoped-VMEM limit: 64x64 OOMs, 128x32 fits)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if tile_h is None:
+        tile_h = next(
+            (t for t in (128, 64, 32, 16, 8) if height % t == 0
+             and t * chunk <= 4096),
+            LB_TILE_H,
+        )
     b = tris.shape[0]
-    assert height % LB_TILE_H == 0 and width % LB_TILE_W == 0
+    assert height % tile_h == 0 and width % LB_TILE_W == 0
     soa = _soa_triangles(jnp.asarray(tris, jnp.float32),
-                         jnp.asarray(classes))
+                         jnp.asarray(classes), chunk=chunk)
     m16 = soa.shape[1]
     min_x = jnp.asarray(min_x, jnp.int32).reshape(1, b)
     max_y = jnp.asarray(max_y, jnp.int32).reshape(1, b)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
     off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
 
-    grid = (b, height // LB_TILE_H, width // LB_TILE_W)
+    grid = (b, height // tile_h, width // LB_TILE_W)
     out = pl.pallas_call(
-        _make_lb_kernel(),
+        _make_lb_kernel(tile_h=tile_h, chunk=chunk),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -343,7 +364,7 @@ def loopblinn_pallas_batch(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, LB_TILE_H, LB_TILE_W), lambda b_, i, j: (b_, i, j),
+            (1, tile_h, LB_TILE_W), lambda b_, i, j: (b_, i, j),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.int32),
