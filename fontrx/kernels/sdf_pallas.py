@@ -45,6 +45,7 @@ NEWTON_ITERS = 3
 def _make_sdf_kernel(
     spread_px: float, glyph_w: int | None = None,
     starts: int = NEWTON_STARTS, iters: int = NEWTON_ITERS,
+    seg_chunk: int = SEG_CHUNK, tile_h: int = TILE_H,
 ):
     """``glyph_w=None``: one (8, 128) out tile covers an 8x128 pixel
     rectangle — correct for wide rasters, but a 32px atlas padded to
@@ -62,47 +63,48 @@ def _make_sdf_kernel(
         scale = scale_ref[0, 0]
 
         s_cap = seg_ref.shape[1]
-        n_chunks = s_cap // SEG_CHUNK
+        n_chunks = s_cap // seg_chunk
 
         if glyph_w is None:
             j = pl.program_id(2)
-            row = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2)
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, TILE_W), 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, TILE_W), 2)
             px = (min_x + j * TILE_W + col).astype(jnp.float32) / scale
-            py = (max_y - (i * TILE_H + row)).astype(jnp.float32) / scale
+            py = (max_y - (i * tile_h + row)).astype(jnp.float32) / scale
             # tile bounds in em space (px increases with col, py decreases)
             tx0 = px[0, 0, 0]
             tx1 = tx0 + jnp.float32(TILE_W) / scale
             ty1 = py[0, 0, 0]
-            ty0 = ty1 - jnp.float32(TILE_H) / scale
+            ty0 = ty1 - jnp.float32(tile_h) / scale
         else:
-            # flat mode: global pixel index = i*1024 + sublane*128 + lane
-            sub = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2)
-            gflat = i * (TILE_H * TILE_W) + sub * TILE_W + lane
+            # flat mode: global pixel index
+            # = i*(tile_h*128) + sublane*128 + lane
+            sub = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, TILE_W), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, TILE_W), 2)
+            gflat = i * (tile_h * TILE_W) + sub * TILE_W + lane
             r = gflat // glyph_w           # W is a power of two (shift)
             cc = gflat - r * glyph_w
             px = (min_x + cc).astype(jnp.float32) / scale
             py = (max_y - r).astype(jnp.float32) / scale
-            r0 = i * (TILE_H * TILE_W) // glyph_w
-            r1 = ((i + 1) * (TILE_H * TILE_W) - 1) // glyph_w
+            r0 = i * (tile_h * TILE_W) // glyph_w
+            r1 = ((i + 1) * (tile_h * TILE_W) - 1) // glyph_w
             tx0 = min_x.astype(jnp.float32) / scale
             tx1 = (min_x + glyph_w).astype(jnp.float32) / scale
             ty0 = (max_y - r1).astype(jnp.float32) / scale
             ty1 = (max_y - r0).astype(jnp.float32) / scale
 
-        out_ref[0] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+        out_ref[0] = jnp.full((tile_h, TILE_W), jnp.inf, jnp.float32)
 
         def chunk_body(c, _):
-            chunk = seg_ref[0, pl.ds(c * SEG_CHUNK, SEG_CHUNK), :]  # (C, 8)
+            chunk = seg_ref[0, pl.ds(c * seg_chunk, seg_chunk), :]  # (C, 8)
             # slice then reshape — newaxis getitem lowers to an
             # unsupported gather in Mosaic
-            p0x = chunk[:, 0:1].reshape(SEG_CHUNK, 1, 1)
-            p0y = chunk[:, 1:2].reshape(SEG_CHUNK, 1, 1)
-            p1x = chunk[:, 2:3].reshape(SEG_CHUNK, 1, 1)
-            p1y = chunk[:, 3:4].reshape(SEG_CHUNK, 1, 1)
-            p2x = chunk[:, 4:5].reshape(SEG_CHUNK, 1, 1)
-            p2y = chunk[:, 5:6].reshape(SEG_CHUNK, 1, 1)
+            p0x = chunk[:, 0:1].reshape(seg_chunk, 1, 1)
+            p0y = chunk[:, 1:2].reshape(seg_chunk, 1, 1)
+            p1x = chunk[:, 2:3].reshape(seg_chunk, 1, 1)
+            p1y = chunk[:, 3:4].reshape(seg_chunk, 1, 1)
+            p2x = chunk[:, 4:5].reshape(seg_chunk, 1, 1)
+            p2y = chunk[:, 5:6].reshape(seg_chunk, 1, 1)
 
             hx0 = jnp.min(jnp.minimum(jnp.minimum(p0x, p1x), p2x))
             hx1 = jnp.max(jnp.maximum(jnp.maximum(p0x, p1x), p2x))
@@ -171,13 +173,14 @@ def _make_sdf_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "spread_px", "interpret", "exact", "flat",
-        "starts", "iters", "scalar_segments",
+        "starts", "iters", "scalar_segments", "seg_chunk", "tile_h",
     ),
 )
 def sdf_pallas_batch(
     segments, min_x, max_y, scale, *, height, width, spread_px=8.0,
     interpret=False, exact=True, flat=False,
     starts=NEWTON_STARTS, iters=NEWTON_ITERS, scalar_segments=False,
+    seg_chunk=None, tile_h=None,
 ):
     """Batched SDF via winding sign + banded Pallas distance.
 
@@ -196,7 +199,28 @@ def sdf_pallas_batch(
     )
 
     b = segments.shape[0]
-    soa = segments_to_soa(segments)
+    # partition defaults (round-3 close, tools/tpu_probes/tpu_sdf_knobs
+    # sweep): the kernel is BRANCH-bound like the Loop-Blinn fill —
+    # fatter chunks/tiles cut the per-(chunk, tile) pl.when count;
+    # the distance min-fold is order-independent so every partition is
+    # bit-identical.  tile_h*seg_chunk is capped (VMEM guard).
+    if seg_chunk is None:
+        seg_chunk = 32
+    if tile_h is None:
+        if flat:
+            tile_h = next(
+                (t for t in (32, 16, 8)
+                 if (height * width) % (t * TILE_W) == 0
+                 and t * seg_chunk <= 1024),
+                TILE_H,
+            )
+        else:
+            tile_h = next(
+                (t for t in (32, 16, 8)
+                 if height % t == 0 and t * seg_chunk <= 1024),
+                TILE_H,
+            )
+    soa = segments_to_soa(segments, chunk=seg_chunk)
     s8 = soa.shape[1]
     min_x = min_x.reshape(1, b).astype(jnp.int32)
     max_y = max_y.reshape(1, b).astype(jnp.int32)
@@ -208,8 +232,8 @@ def sdf_pallas_batch(
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
     if flat:
         assert width & (width - 1) == 0, width
-        assert (height * width) % (TILE_H * TILE_W) == 0, (height, width)
-        n_flat = (height * width) // (TILE_H * TILE_W)
+        assert (height * width) % (tile_h * TILE_W) == 0, (height, width)
+        n_flat = (height * width) // (tile_h * TILE_W)
         soa_in = soa
         s8s = s8
         if scalar_segments:
@@ -233,30 +257,32 @@ def sdf_pallas_batch(
                                         starts=starts, iters=iters)
                 if scalar_segments else
                 _make_sdf_kernel(float(spread_px), glyph_w=width,
-                                 starts=starts, iters=iters))
+                                 starts=starts, iters=iters,
+                                 seg_chunk=seg_chunk, tile_h=tile_h))
         d2 = pl.pallas_call(
             kern,
             grid=(b, n_flat),
             in_specs=smem + [seg_spec],
             out_specs=pl.BlockSpec(
-                (1, TILE_H, TILE_W), lambda b_, i: (b_, i, 0),
+                (1, tile_h, TILE_W), lambda b_, i: (b_, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (b, n_flat * TILE_H, TILE_W), jnp.float32
+                (b, n_flat * tile_h, TILE_W), jnp.float32
             ),
             interpret=interpret,
         )(min_x, max_y, scale_arr, soa_in)
         d2 = d2.reshape(b, height, width)
     else:
-        assert height % TILE_H == 0 and width % TILE_W == 0
-        grid = (b, height // TILE_H, width // TILE_W)
+        assert height % tile_h == 0 and width % TILE_W == 0
+        grid = (b, height // tile_h, width // TILE_W)
         d2 = pl.pallas_call(
-            _make_sdf_kernel(float(spread_px), starts=starts, iters=iters),
+            _make_sdf_kernel(float(spread_px), starts=starts, iters=iters,
+                             seg_chunk=seg_chunk, tile_h=tile_h),
             grid=grid,
             in_specs=smem + [seg_spec],
             out_specs=pl.BlockSpec(
-                (1, TILE_H, TILE_W), lambda b_, i, j: (b_, i, j),
+                (1, tile_h, TILE_W), lambda b_, i, j: (b_, i, j),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.float32),
