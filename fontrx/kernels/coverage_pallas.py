@@ -32,10 +32,15 @@ from fontrx.kernels.winding_pallas import segments_to_soa
 
 STRIP_ROWS = 128
 TILE_W = 128
-SEG_CHUNK = 8
+# round-3 close partition sweep (tools/tpu_probes/tpu_cov_knobs.py, 94
+# ASCII @256px 2x2): sc8 6.11 ms, sc16 5.14 (-16%), sc32 5.28 — winding
+# sums are order-independent so every chunking is bit-identical (device
+# parity 0; the nested-when detail unroll compiles correctly at 16/32,
+# unlike the page kernel's sc64).
+SEG_CHUNK = 16
 
 
-def _make_coverage_kernel(k: int, exact: bool):
+def _make_coverage_kernel(k: int, exact: bool, seg_chunk: int = SEG_CHUNK):
     fdiv = div_cr if exact else (lambda a, b: a / b)
     fsqrt = sqrt_cr if exact else jnp.sqrt
     offs = [(i + 0.5) / k - 0.5 for i in range(k)]
@@ -50,7 +55,7 @@ def _make_coverage_kernel(k: int, exact: bool):
         width = out_ref.shape[2]
         n_tiles = width // TILE_W
         s_cap = seg_ref.shape[1]
-        n_chunks = s_cap // SEG_CHUNK
+        n_chunks = s_cap // seg_chunk
 
         row = jax.lax.broadcasted_iota(jnp.int32, (1, STRIP_ROWS), 1)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
@@ -83,7 +88,7 @@ def _make_coverage_kernel(k: int, exact: bool):
             wind_ref[:] = jnp.zeros((k, STRIP_ROWS, width), jnp.int32)
 
             def chunk_body(c, _):
-                chunk = seg_ref[0, pl.ds(c * SEG_CHUNK, SEG_CHUNK), :]
+                chunk = seg_ref[0, pl.ds(c * seg_chunk, seg_chunk), :]
                 p0x = chunk[:, 0:1]
                 p0y = chunk[:, 1:2]
                 p1x = chunk[:, 2:3]
@@ -158,7 +163,7 @@ def _make_coverage_kernel(k: int, exact: bool):
                                 detail = jnp.zeros(
                                     (STRIP_ROWS, TILE_W), jnp.int32
                                 )
-                                for s in range(SEG_CHUNK):
+                                for s in range(seg_chunk):
                                     detail += jnp.where(
                                         xxT0[:, s : s + 1] >= cxt,
                                         sT0[:, s : s + 1], 0,
@@ -199,11 +204,13 @@ def _make_coverage_kernel(k: int, exact: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "samples", "exact", "interpret")
+    jax.jit,
+    static_argnames=("height", "width", "samples", "exact", "interpret",
+                     "seg_chunk"),
 )
 def coverage_pallas_batch(
     segments, min_x, max_y, scale, *, height, width, samples=2,
-    exact=True, interpret=False,
+    exact=True, interpret=False, seg_chunk=SEG_CHUNK,
 ):
     """Batched k x k supersampled coverage in one kernel launch.
 
@@ -213,7 +220,7 @@ def coverage_pallas_batch(
     """
     b = segments.shape[0]
     assert height % STRIP_ROWS == 0 and width % TILE_W == 0
-    soa = segments_to_soa(segments)
+    soa = segments_to_soa(segments, chunk=seg_chunk)
     s8 = soa.shape[1]
     min_x = min_x.reshape(1, b).astype(jnp.int32)
     max_y = max_y.reshape(1, b).astype(jnp.int32)
@@ -221,7 +228,7 @@ def coverage_pallas_batch(
 
     grid = (b, height // STRIP_ROWS)
     return pl.pallas_call(
-        _make_coverage_kernel(samples, exact),
+        _make_coverage_kernel(samples, exact, seg_chunk=seg_chunk),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
