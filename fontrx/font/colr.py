@@ -7,12 +7,15 @@ the OpenType color-layer subsystem: COLR v0 maps a base glyph to an
 ordered stack of layer glyphs, each painted in a CPAL palette color,
 composited src-over bottom-to-top.
 
-Scope: COLR **version 0** (layer records).  A COLR v1 table's v0
-records (the compatibility fallback most v1 fonts carry) are used when
-present; v1 paint graphs (gradients/transforms) are out of scope and a
-v1-only base glyph simply renders as its monochrome outline —
-documented degradation, never an error.  CPAL v0 and v1 are parsed
-(v1's palette-type/label arrays are skipped; they only annotate).
+Scope: COLR **version 0** (layer records) plus the **solid-fill subset
+of version 1**: BaseGlyphList paint graphs built from PaintColrLayers
+/ PaintGlyph / Paint(Var)Solid / PaintColrGlyph flatten to the same
+ordered (glyph, color) layer stacks (the dominant shape of real v1
+fonts that don't use gradients).  A graph touching any other paint
+(gradients, transforms, compositing modes) falls back to the glyph's
+v0 record when present, else to the monochrome outline — documented
+degradation, never an error.  CPAL v0 and v1 are parsed (v1's
+palette-type/label arrays are skipped; they only annotate).
 
 Layer rasters ride the existing batched coverage pipeline — layers are
 just more glyph tiles in the same Pallas launch — and compositing is a
@@ -22,6 +25,7 @@ just more glyph tiles in the same Pallas launch — and compositing is a
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass
 
 import numpy as np
@@ -48,6 +52,12 @@ class ColrTable:
     num_layers: np.ndarray      # uint16 [B]
     layer_gids: np.ndarray      # uint16 [L]
     layer_palettes: np.ndarray  # uint16 [L] (palette entry or 0xFFFF)
+    # v1: gid -> absolute paint-table offset (BaseGlyphList), the
+    # LayerList's absolute paint offsets, and the raw table bytes the
+    # graph walker reads from (empty for v0 tables)
+    v1_paints: dict | None = None
+    v1_layer_list: tuple = ()
+    data: bytes = b""
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "ColrTable":
@@ -55,6 +65,27 @@ class ColrTable:
         version, n_base = r.unpack("HH")
         base_off, layer_off = r.unpack("II")
         (n_layers,) = r.unpack("H")
+        v1_paints = None
+        v1_layers: tuple = ()
+        if version >= 1:
+            bgl_off, ll_off = r.unpack("II")
+            r.skip(12)  # clipList, varIndexMap, itemVariationStore
+            if bgl_off:
+                br = BigEndianReader(r.data, base + bgl_off)
+                (n,) = br.unpack("I")
+                if n > 0xFFFF:
+                    raise CorruptedFont("COLR v1 BaseGlyphList size")
+                v1_paints = {}
+                for _ in range(n):
+                    gid, poff = br.unpack("HI")
+                    v1_paints[int(gid)] = base + bgl_off + int(poff)
+            if ll_off:
+                lr = BigEndianReader(r.data, base + ll_off)
+                (n,) = lr.unpack("I")
+                if n > 0xFFFFF:
+                    raise CorruptedFont("COLR v1 LayerList size")
+                offs = lr.u32_array(n)
+                v1_layers = tuple(base + ll_off + int(o) for o in offs)
         if n_base:
             r.seek(base + base_off)
             rec = r.u16_array(3 * n_base).reshape(n_base, 3)
@@ -76,7 +107,71 @@ class ColrTable:
             rec[:, 2].copy(),
             lay[:, 0].copy(),
             lay[:, 1].copy(),
+            v1_paints=v1_paints,
+            v1_layer_list=v1_layers,
+            data=r.data,
         )
+
+    def layers_v1(
+        self, gid: int
+    ) -> list[tuple[int, int, float]] | None:
+        """Flatten ``gid``'s v1 paint graph to ordered
+        ``[(layer_gid, palette_entry, alpha), ...]`` (bottom-to-top).
+        ``None`` when the glyph has no v1 record OR its graph uses a
+        paint outside the solid-fill subset (gradients, transforms,
+        composite modes) — callers then fall back to the v0 record."""
+        if not self.v1_paints or gid not in self.v1_paints:
+            return None
+        out: list[tuple[int, int, float]] = []
+        seen: set[int] = set()
+
+        def walk(pos: int, depth: int) -> bool:
+            """True iff the subgraph flattened; False = unsupported."""
+            if depth > 16 or pos in seen or pos + 1 > len(self.data):
+                return False
+            seen.add(pos)
+            try:
+                fmt = self.data[pos]
+                if fmt == 1:          # PaintColrLayers
+                    n, first = struct.unpack_from(">BI", self.data,
+                                                  pos + 1)
+                    if first + n > len(self.v1_layer_list):
+                        return False
+                    ok = all(
+                        walk(self.v1_layer_list[first + k], depth + 1)
+                        for k in range(n)
+                    )
+                    return ok
+                if fmt == 10:         # PaintGlyph
+                    o24 = self.data[pos + 1 : pos + 4]
+                    child = pos + int.from_bytes(o24, "big")
+                    (glyph_id,) = struct.unpack_from(">H", self.data,
+                                                     pos + 4)
+                    if child + 3 > len(self.data):
+                        return False
+                    cfmt = self.data[child]
+                    if cfmt in (2, 3):   # Paint(Var)Solid fill
+                        entry, alpha_raw = struct.unpack_from(
+                            ">Hh", self.data, child + 1)
+                        alpha = max(min(alpha_raw / 16384.0, 1.0), 0.0)
+                        out.append((int(glyph_id), int(entry), alpha))
+                        return True
+                    return False      # gradient/transform fills: out
+                if fmt == 11:         # PaintColrGlyph
+                    (ref,) = struct.unpack_from(">H", self.data, pos + 1)
+                    tgt = self.v1_paints.get(int(ref))
+                    return tgt is not None and walk(tgt, depth + 1)
+                return False          # any other paint: unsupported
+            except (struct.error, IndexError):
+                return False
+            finally:
+                seen.discard(pos)
+
+        mark = len(out)
+        if not walk(self.v1_paints[gid], 0):
+            del out[mark:]
+            return None
+        return out
 
     def layers(self, gid: int) -> list[tuple[int, int]] | None:
         """Ordered ``[(layer_gid, palette_index), ...]`` painting

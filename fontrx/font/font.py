@@ -570,6 +570,15 @@ class Font:
         colr, cpal = self.colr, self.cpal
         if colr is None or cpal is None:
             return None
+        # v1 paint graphs take precedence when they flatten (solid-fill
+        # subset); unsupported graphs fall back to the v0 record
+        v1 = colr.layers_v1(gid)
+        if v1 is not None:
+            out = []
+            for lg, pe, alpha in v1:
+                r, g, b, a = cpal.color(palette, pe, foreground)
+                out.append((lg, (r, g, b, int(round(a * alpha)))))
+            return out
         layers = colr.layers(gid)
         if layers is None:
             return None

@@ -621,6 +621,69 @@ def make_colrtest():
     print("wrote colrtest.ttf")
 
 
+def make_colrv1test():
+    """COLR v1 font (solid-fill subset + one gradient glyph for the
+    documented fallback): 'A' = two PaintGlyph/PaintSolid layers (one
+    half-alpha), 'B' = PaintColrGlyph referencing A, 'C' = a linear
+    gradient (outside the subset -> monochrome fallback)."""
+    upem = 1000
+    fb = FontBuilder(upem, isTTF=True)
+    names = [".notdef", "sq", "refsq", "grad", "l_bigsq", "l_smallsq"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord("A"): "sq", ord("B"): "refsq",
+                          ord("C"): "grad"})
+
+    def rect(pen, x0, y0, x1, y1):
+        pen.moveTo((x0, y0))
+        pen.lineTo((x1, y0))
+        pen.lineTo((x1, y1))
+        pen.lineTo((x0, y1))
+        pen.closePath()
+
+    glyphs = {}
+    for n in (".notdef", "sq", "refsq"):
+        pen = TTGlyphPen(glyphSet={})
+        if n != ".notdef":
+            rect(pen, 0, 0, 10, 10)
+        glyphs[n] = pen.glyph()
+    pen = TTGlyphPen(glyphSet={}); rect(pen, 100, 100, 900, 400)
+    glyphs["grad"] = pen.glyph()
+    pen = TTGlyphPen(glyphSet={}); rect(pen, 100, 100, 900, 900)
+    glyphs["l_bigsq"] = pen.glyph()
+    pen = TTGlyphPen(glyphSet={}); rect(pen, 300, 300, 700, 700)
+    glyphs["l_smallsq"] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({
+        n: (upem, getattr(fb.font["glyf"][n], "xMin", 0)) for n in names
+    })
+    fb.setupHorizontalHeader(ascent=900, descent=-100)
+    fb.setupNameTable({"familyName": "ColrV1Test", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+
+    from fontTools.colorLib.builder import buildCOLR, buildCPAL
+    solid = lambda idx, a: {"Format": 2, "PaletteIndex": idx, "Alpha": a}
+    glyph_paint = lambda g, p: {"Format": 10, "Glyph": g, "Paint": p}
+    fb.font["COLR"] = buildCOLR({
+        "sq": {"Format": 1, "Layers": [
+            glyph_paint("l_bigsq", solid(0, 1.0)),
+            glyph_paint("l_smallsq", solid(1, 0.5)),
+        ]},
+        "refsq": {"Format": 11, "Glyph": "sq"},
+        "grad": glyph_paint("l_bigsq", {
+            "Format": 4,  # PaintLinearGradient
+            "ColorLine": {"ColorStop": [(0.0, 0), (1.0, 1)]},
+            "x0": 100, "y0": 100, "x1": 900, "y1": 100,
+            "x2": 100, "y2": 900,
+        }),
+    }, version=1)
+    fb.font["CPAL"] = buildCPAL([
+        [(1.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 1.0)],
+    ])
+    fb.save(os.path.join(HERE, "colrv1test.ttf"))
+    print("wrote colrv1test.ttf")
+
+
 if __name__ == "__main__":
     make_vartest()
     make_vartest2()
@@ -631,6 +694,7 @@ if __name__ == "__main__":
     make_cjktest()
     make_arabictest()
     make_colrtest()
+    make_colrv1test()
     make_vartest_cff2()
     if os.path.exists(PYGAME_MONO):
         make_cidtest()

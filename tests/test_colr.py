@@ -259,3 +259,106 @@ class TestColorInteractive:
         c = pr.render_color(view.zoomed(1.0, (0.0, 0.0)))
         assert pr._color_cache[0] != key1      # re-raster at new zoom
         assert not np.array_equal(a, c)
+
+
+COLRV1TEST = "tests/data/colrv1test.ttf"
+
+
+class TestColrV1:
+    """COLR v1 solid-fill subset: PaintColrLayers / PaintGlyph /
+    Paint(Var)Solid / PaintColrGlyph flatten to layer stacks; anything
+    else (the fixture's gradient) falls back, documented."""
+
+    @pytest.fixture(scope="class")
+    def vfont(self):
+        return Font.open(COLRV1TEST)
+
+    def test_flattens_solid_graph(self, vfont):
+        gid = vfont.glyph_index("A")
+        layers = vfont.color_layers(gid)
+        # big red square, then half-alpha blue square (Alpha 0.5
+        # scales the palette alpha: 255 * 8192/16384 -> 128)
+        assert layers == [(4, (255, 0, 0, 255)), (5, (0, 0, 255, 128))]
+
+    def test_differential_vs_fonttools_graph(self, vfont):
+        """The flattened stack matches a walk of fontTools' v1 table
+        model for the same glyph."""
+        from fontTools.ttLib import TTFont
+
+        tt = TTFont(COLRV1TEST)
+        order = tt.getGlyphOrder()
+        colr = tt["COLR"].table
+        rec = next(
+            r for r in colr.BaseGlyphList.BaseGlyphPaintRecord
+            if r.BaseGlyph == "sq")
+        ft_layers = []
+        paint = rec.Paint
+        assert paint.Format == 1  # PaintColrLayers
+        ll = colr.LayerList.Paint
+        for k in range(paint.NumLayers):
+            pg = ll[paint.FirstLayerIndex + k]
+            assert pg.Format == 10
+            ft_layers.append(
+                (order.index(pg.Glyph), pg.Paint.PaletteIndex))
+        ours = vfont.colr.layers_v1(vfont.glyph_index("A"))
+        assert [(g, e) for g, e, _ in ours] == ft_layers
+
+    def test_paint_colr_glyph_reference(self, vfont):
+        a = vfont.color_layers(vfont.glyph_index("A"))
+        b = vfont.color_layers(vfont.glyph_index("B"))
+        assert a == b
+
+    def test_gradient_falls_back(self, vfont):
+        """The gradient glyph is outside the subset: no v0 record in
+        this font, so it renders as the monochrome outline."""
+        gid = vfont.glyph_index("C")
+        assert vfont.colr.layers_v1(gid) is None
+        assert vfont.color_layers(gid) is None
+
+    def test_cycle_guard(self):
+        """A self-referencing PaintColrGlyph terminates as
+        unsupported, not as infinite recursion."""
+        import struct as st
+
+        from fontrx.font.colr import ColrTable
+        from fontrx.utils.reader import BigEndianReader
+
+        # v1 header: no v0 records; BaseGlyphList at 34 with one
+        # record (gid 7 -> paint at +10), paint = PaintColrGlyph(7)
+        bgl = st.pack(">I", 1) + st.pack(">HI", 7, 10) + st.pack(
+            ">BH", 11, 7)
+        blob = st.pack(">HHIIH", 1, 0, 0, 0, 0) + st.pack(
+            ">IIIII", 34, 0, 0, 0, 0) + bgl
+        t = ColrTable.parse(BigEndianReader(blob, 0))
+        assert t.layers_v1(7) is None
+
+    def test_truncated_graph_degrades(self, vfont):
+        """Chopping the paint graph mid-table yields None, never an
+        exception."""
+        from fontrx.font.colr import ColrTable
+
+        data = vfont.colr.data
+        gid = vfont.glyph_index("A")
+        pos = vfont.colr.v1_paints[gid]
+        t = ColrTable(
+            1, vfont.colr.base_gids, vfont.colr.first_layer,
+            vfont.colr.num_layers, vfont.colr.layer_gids,
+            vfont.colr.layer_palettes,
+            v1_paints={gid: pos},
+            v1_layer_list=vfont.colr.v1_layer_list,
+            data=data[: pos + 2],
+        )
+        assert t.layers_v1(gid) is None
+
+    def test_render_v1_glyph(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "v1.qoi"
+        rc = main(["-f", COLRV1TEST, "-t", "A", "-m", "color",
+                   "-s", "64", "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        # center: half-alpha blue over red = (127, 0, 128)
+        h, w = img.shape[:2]
+        assert tuple(img[h // 2, w // 2]) == (127, 0, 128)
