@@ -12,6 +12,11 @@ layer boxes) so the stack composites in register; glyphs without COLR
 layers degrade to a single foreground-colored layer of their own
 outline, which makes mixed color/monochrome text uniform.
 
+COLR v1 gradient fills (linear / radial with pad/repeat/reflect
+extends) evaluate as per-pixel RGBA fields over the tile's em-space
+lattice — the same src-over fold applies with the field in place of
+the constant color, so gradients ride the identical compositing path.
+
 Two surfaces:
 
 - :func:`color_glyph_tiles` — premultiplied RGBA tiles + their grids
@@ -31,6 +36,90 @@ import numpy as np
 from fontrx.font.font import Font
 from fontrx.kernels.grid import RasterGrid
 from fontrx.pack.segments import pack_glyphs
+
+
+def _interp_stops(t, stops):
+    """Piecewise-linear color-line lookup: ``t`` (T, T) -> straight
+    RGBA (T, T, 4) in [0, 1].  ``stops``: [(offset, (r, g, b, a))],
+    sorted by offset."""
+    xs = jnp.asarray([o for o, _ in stops], jnp.float32)
+    cols = jnp.asarray([c for _, c in stops], jnp.float32) / 255.0
+    flat = t.reshape(-1)
+    out = jnp.stack(
+        [jnp.interp(flat, xs, cols[:, k]) for k in range(4)], axis=-1)
+    return out.reshape(t.shape + (4,))
+
+
+def _apply_extend(t, s0, s1, extend):
+    """Map ``t`` into the color line's defined span per the extend
+    mode: 0 pad (clamp), 1 repeat, 2 reflect."""
+    span = s1 - s0
+    if span <= 0:
+        return jnp.full_like(t, s0)
+    if extend == 1:
+        return s0 + jnp.mod(t - s0, span)
+    if extend == 2:
+        m = jnp.mod(t - s0, 2.0 * span)
+        return s0 + jnp.where(m > span, 2.0 * span - m, m)
+    return jnp.clip(t, s0, s1)
+
+
+def _gradient_field(paint, grid, tile: int):
+    """Evaluate a ("linear"|"radial", geom, extend, stops) paint over
+    the tile's pixel-center lattice: straight-alpha RGBA float32
+    ``[tile, tile, 4]`` in [0, 1].  Degenerate geometry (coincident
+    gradient points / circles) renders transparent, per spec."""
+    kind, geom, extend, stops = paint
+    c = jnp.arange(tile, dtype=jnp.float32)
+    r = jnp.arange(tile, dtype=jnp.float32)
+    ex = (grid.min_x + c[None, :]) / grid.scale    # em x per column
+    ey = (grid.max_y - r[:, None]) / grid.scale    # em y per row
+    ex = jnp.broadcast_to(ex, (tile, tile))
+    ey = jnp.broadcast_to(ey, (tile, tile))
+
+    if kind == "linear":
+        x0, y0, x1, y1, x2, y2 = (float(v) for v in geom)
+        dx, dy = x1 - x0, y1 - y0
+        rx, ry = x2 - x0, y2 - y0
+        rr = rx * rx + ry * ry
+        if rr > 0.0:
+            # project out the rotation direction: color lines run
+            # parallel to p0->p2 (COLR v1 spec / Skia semantics)
+            k = (dx * rx + dy * ry) / rr
+            dx, dy = dx - k * rx, dy - k * ry
+        dd = dx * dx + dy * dy
+        if dd <= 0.0:
+            return jnp.zeros((tile, tile, 4), jnp.float32)
+        t = ((ex - x0) * dx + (ey - y0) * dy) / dd
+        valid = jnp.ones((tile, tile), bool)
+    else:
+        x0, y0, r0, x1, y1, r1 = (float(v) for v in geom)
+        cdx, cdy = x1 - x0, y1 - y0
+        dr = r1 - r0
+        pdx, pdy = ex - x0, ey - y0
+        a = cdx * cdx + cdy * cdy - dr * dr
+        b = pdx * cdx + pdy * cdy + r0 * dr
+        cc = pdx * pdx + pdy * pdy - r0 * r0
+        if abs(a) < 1e-9:
+            safe_b = jnp.where(b == 0, 1.0, b)
+            t = cc / (2.0 * safe_b)
+            valid = (b != 0) & (r0 + t * dr >= 0)
+        else:
+            disc = b * b - a * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (b + sq) / a
+            t2 = (b - sq) / a
+            # the greater root with a nonnegative interpolated radius
+            hi = jnp.maximum(t1, t2)
+            lo = jnp.minimum(t1, t2)
+            use_hi = r0 + hi * dr >= 0
+            t = jnp.where(use_hi, hi, lo)
+            valid = (disc >= 0) & (r0 + t * dr >= 0)
+
+    s0 = float(stops[0][0])
+    s1 = float(stops[-1][0])
+    rgba = _interp_stops(_apply_extend(t, s0, s1, extend), stops)
+    return jnp.where(valid[..., None], rgba, 0.0)
 
 
 def color_glyph_tiles(
@@ -61,14 +150,15 @@ def color_glyph_tiles(
         tile = max(int(round(size)), 1)
     upem = font.info.units_per_em
     glyphs = []
-    cells: list[list[tuple[int, tuple[int, int, int, int]]]] = []
+    cells: list[list[tuple[int, tuple]]] = []
     row_grid: list[RasterGrid] = []
     cell_grids: list[RasterGrid] = []
     for gid in gids:
-        layers = font.color_layers(gid, palette, foreground)
+        layers = font.color_paint_layers(gid, palette, foreground)
         if layers is None:
-            layers = [(gid, foreground)]
-        loaded = [(font.load_glyph_safe(lg), rgba) for lg, rgba in layers]
+            layers = [(gid, ("solid", foreground))]
+        loaded = [(font.load_glyph_safe(lg), paint)
+                  for lg, paint in layers]
         # shared cell grid: union of the layer boxes (all layers must
         # sample identical pixel centers or the stack shears)
         boxes = [g.box for g, _ in loaded]
@@ -78,8 +168,8 @@ def color_glyph_tiles(
         )
         grid = RasterGrid.fixed_tile(union, size, upem, tile)
         rows = []
-        for g, rgba in loaded:
-            rows.append((len(glyphs), rgba))
+        for g, paint in loaded:
+            rows.append((len(glyphs), paint))
             glyphs.append(g)
             row_grid.append(grid)
         cells.append(rows)
@@ -97,13 +187,18 @@ def color_glyph_tiles(
     )
 
     tiles = []
-    for rows in cells:
+    for cell_i, rows in enumerate(cells):
         acc = jnp.zeros((tile, tile, 4), jnp.float32)
-        for row, (r, g_, b, a) in rows:
-            av = cov[row][..., None] * (a / 255.0)
-            src = jnp.concatenate(
-                [jnp.asarray((r, g_, b), jnp.float32)[None, None]
-                 / 255.0 * av, av], axis=-1)
+        for row, paint in rows:
+            if paint[0] == "solid":
+                r, g_, b, a = paint[1]
+                av = cov[row][..., None] * (a / 255.0)
+                rgb = jnp.asarray((r, g_, b), jnp.float32)[None, None]                     / 255.0
+            else:
+                field = _gradient_field(paint, cell_grids[cell_i], tile)
+                av = cov[row][..., None] * field[..., 3:]
+                rgb = field[..., :3]
+            src = jnp.concatenate([rgb * av, av], axis=-1)
             acc = acc * (1.0 - av) + src
         tiles.append(acc)
     stacked = (jnp.stack(tiles) if tiles

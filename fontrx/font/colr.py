@@ -112,17 +112,80 @@ class ColrTable:
             data=r.data,
         )
 
-    def layers_v1(
-        self, gid: int
-    ) -> list[tuple[int, int, float]] | None:
+    def _color_line(self, pos: int, variable: bool):
+        """(extend, [(offset, palette_entry, alpha), ...]) or None."""
+        try:
+            extend, n = struct.unpack_from(">BH", self.data, pos)
+        except struct.error:
+            return None
+        if extend > 2 or n == 0:
+            return None
+        stride = 10 if variable else 6
+        stops = []
+        p = pos + 3
+        for _ in range(n):
+            try:
+                off_raw, entry, alpha_raw = struct.unpack_from(
+                    ">hHh", self.data, p)
+            except struct.error:
+                return None
+            stops.append((
+                off_raw / 16384.0,
+                int(entry),
+                max(min(alpha_raw / 16384.0, 1.0), 0.0),
+            ))
+            p += stride
+        stops.sort(key=lambda s: s[0])
+        return int(extend), stops
+
+    def _fill(self, pos: int):
+        """Decode a supported fill paint at ``pos``:
+        ``("solid", entry, alpha)`` /
+        ``("linear", (x0..y2), extend, stops)`` /
+        ``("radial", (x0, y0, r0, x1, y1, r1), extend, stops)``;
+        None = unsupported."""
+        if pos + 1 > len(self.data):
+            return None
+        fmt = self.data[pos]
+        try:
+            if fmt in (2, 3):        # Paint(Var)Solid
+                entry, alpha_raw = struct.unpack_from(
+                    ">Hh", self.data, pos + 1)
+                return ("solid", int(entry),
+                        max(min(alpha_raw / 16384.0, 1.0), 0.0))
+            if fmt in (4, 5):        # Paint(Var)LinearGradient
+                o24 = self.data[pos + 1 : pos + 4]
+                cl = self._color_line(
+                    pos + int.from_bytes(o24, "big"), fmt == 5)
+                if cl is None:
+                    return None
+                geom = struct.unpack_from(">6h", self.data, pos + 4)
+                return ("linear", tuple(int(v) for v in geom), *cl)
+            if fmt in (6, 7):        # Paint(Var)RadialGradient
+                o24 = self.data[pos + 1 : pos + 4]
+                cl = self._color_line(
+                    pos + int.from_bytes(o24, "big"), fmt == 7)
+                if cl is None:
+                    return None
+                x0, y0, r0, x1, y1, r1 = struct.unpack_from(
+                    ">hhHhhH", self.data, pos + 4)
+                return ("radial",
+                        (int(x0), int(y0), int(r0),
+                         int(x1), int(y1), int(r1)), *cl)
+        except (struct.error, IndexError):
+            return None
+        return None
+
+    def layers_v1(self, gid: int) -> list[tuple[int, tuple]] | None:
         """Flatten ``gid``'s v1 paint graph to ordered
-        ``[(layer_gid, palette_entry, alpha), ...]`` (bottom-to-top).
-        ``None`` when the glyph has no v1 record OR its graph uses a
-        paint outside the solid-fill subset (gradients, transforms,
-        composite modes) — callers then fall back to the v0 record."""
+        ``[(layer_gid, fill), ...]`` (bottom-to-top; fills per
+        :meth:`_fill`).  ``None`` when the glyph has no v1 record OR
+        its graph uses a paint outside the supported subset
+        (transforms, compositing, sweep gradients) — callers then fall
+        back to the v0 record."""
         if not self.v1_paints or gid not in self.v1_paints:
             return None
-        out: list[tuple[int, int, float]] = []
+        out: list[tuple[int, tuple]] = []
         seen: set[int] = set()
 
         def walk(pos: int, depth: int) -> bool:
@@ -147,16 +210,11 @@ class ColrTable:
                     child = pos + int.from_bytes(o24, "big")
                     (glyph_id,) = struct.unpack_from(">H", self.data,
                                                      pos + 4)
-                    if child + 3 > len(self.data):
+                    fill = self._fill(child)
+                    if fill is None:
                         return False
-                    cfmt = self.data[child]
-                    if cfmt in (2, 3):   # Paint(Var)Solid fill
-                        entry, alpha_raw = struct.unpack_from(
-                            ">Hh", self.data, child + 1)
-                        alpha = max(min(alpha_raw / 16384.0, 1.0), 0.0)
-                        out.append((int(glyph_id), int(entry), alpha))
-                        return True
-                    return False      # gradient/transform fills: out
+                    out.append((int(glyph_id), fill))
+                    return True
                 if fmt == 11:         # PaintColrGlyph
                     (ref,) = struct.unpack_from(">H", self.data, pos + 1)
                     tgt = self.v1_paints.get(int(ref))
@@ -167,9 +225,7 @@ class ColrTable:
             finally:
                 seen.discard(pos)
 
-        mark = len(out)
         if not walk(self.v1_paints[gid], 0):
-            del out[mark:]
             return None
         return out
 

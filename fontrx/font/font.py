@@ -570,12 +570,14 @@ class Font:
         colr, cpal = self.colr, self.cpal
         if colr is None or cpal is None:
             return None
-        # v1 paint graphs take precedence when they flatten (solid-fill
-        # subset); unsupported graphs fall back to the v0 record
+        # v1 paint graphs take precedence when they flatten to solid
+        # fills; gradient-bearing graphs are served by
+        # color_paint_layers (this flat-color API falls back to the
+        # v0 record for them)
         v1 = colr.layers_v1(gid)
-        if v1 is not None:
+        if v1 is not None and all(f[0] == "solid" for _, f in v1):
             out = []
-            for lg, pe, alpha in v1:
+            for lg, (_, pe, alpha) in v1:
                 r, g, b, a = cpal.color(palette, pe, foreground)
                 out.append((lg, (r, g, b, int(round(a * alpha)))))
             return out
@@ -584,6 +586,50 @@ class Font:
             return None
         return [
             (lg, cpal.color(palette, pe, foreground))
+            for lg, pe in layers
+        ]
+
+    def color_paint_layers(
+        self, gid: int, palette: int = 0,
+        foreground: tuple[int, int, int, int] = (0, 0, 0, 255),
+    ) -> list[tuple[int, tuple]] | None:
+        """Ordered ``[(layer_gid, paint), ...]`` with palette-resolved
+        paints — the gradient-capable superset of
+        :meth:`color_layers`:
+
+        - ``("solid", (r, g, b, a))``
+        - ``("linear", (x0, y0, x1, y1, x2, y2), extend, stops)``
+        - ``("radial", (x0, y0, r0, x1, y1, r1), extend, stops)``
+
+        with ``stops = [(offset, (r, g, b, a)), ...]`` sorted;
+        ``extend``: 0 pad / 1 repeat / 2 reflect.  ``None`` when the
+        glyph has no COLR layers (v1-preferred, v0 fallback)."""
+        colr, cpal = self.colr, self.cpal
+        if colr is None or cpal is None:
+            return None
+
+        def rgba(entry, alpha):
+            r, g, b, a = cpal.color(palette, entry, foreground)
+            return (r, g, b, int(round(a * alpha)))
+
+        v1 = colr.layers_v1(gid)
+        if v1 is not None:
+            out = []
+            for lg, f in v1:
+                if f[0] == "solid":
+                    out.append((lg, ("solid", rgba(f[1], f[2]))))
+                else:
+                    kind, geom, extend, stops = f
+                    out.append((lg, (
+                        kind, geom, extend,
+                        [(off, rgba(pe, al)) for off, pe, al in stops],
+                    )))
+            return out
+        layers = colr.layers(gid)
+        if layers is None:
+            return None
+        return [
+            (lg, ("solid", cpal.color(palette, pe, foreground)))
             for lg, pe in layers
         ]
 

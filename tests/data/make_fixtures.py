@@ -622,16 +622,19 @@ def make_colrtest():
 
 
 def make_colrv1test():
-    """COLR v1 font (solid-fill subset + one gradient glyph for the
-    documented fallback): 'A' = two PaintGlyph/PaintSolid layers (one
+    """COLR v1 font: 'A' = two PaintGlyph/PaintSolid layers (one
     half-alpha), 'B' = PaintColrGlyph referencing A, 'C' = a linear
-    gradient (outside the subset -> monochrome fallback)."""
+    gradient, 'D' = a radial gradient, 'E' = a repeat-extend linear
+    gradient, 'F' = a PaintTransform (outside the supported subset ->
+    monochrome fallback)."""
     upem = 1000
     fb = FontBuilder(upem, isTTF=True)
-    names = [".notdef", "sq", "refsq", "grad", "l_bigsq", "l_smallsq"]
+    names = [".notdef", "sq", "refsq", "grad", "radial", "rept",
+             "xform", "l_bigsq", "l_smallsq"]
     fb.setupGlyphOrder(names)
     fb.setupCharacterMap({ord("A"): "sq", ord("B"): "refsq",
-                          ord("C"): "grad"})
+                          ord("C"): "grad", ord("D"): "radial",
+                          ord("E"): "rept", ord("F"): "xform"})
 
     def rect(pen, x0, y0, x1, y1):
         pen.moveTo((x0, y0))
@@ -641,13 +644,12 @@ def make_colrv1test():
         pen.closePath()
 
     glyphs = {}
-    for n in (".notdef", "sq", "refsq"):
+    for n in (".notdef", "sq", "refsq", "grad", "radial", "rept",
+              "xform"):
         pen = TTGlyphPen(glyphSet={})
         if n != ".notdef":
             rect(pen, 0, 0, 10, 10)
         glyphs[n] = pen.glyph()
-    pen = TTGlyphPen(glyphSet={}); rect(pen, 100, 100, 900, 400)
-    glyphs["grad"] = pen.glyph()
     pen = TTGlyphPen(glyphSet={}); rect(pen, 100, 100, 900, 900)
     glyphs["l_bigsq"] = pen.glyph()
     pen = TTGlyphPen(glyphSet={}); rect(pen, 300, 300, 700, 700)
@@ -664,6 +666,7 @@ def make_colrv1test():
     from fontTools.colorLib.builder import buildCOLR, buildCPAL
     solid = lambda idx, a: {"Format": 2, "PaletteIndex": idx, "Alpha": a}
     glyph_paint = lambda g, p: {"Format": 10, "Glyph": g, "Paint": p}
+    stops2 = {"ColorStop": [(0.0, 0), (1.0, 1)]}
     fb.font["COLR"] = buildCOLR({
         "sq": {"Format": 1, "Layers": [
             glyph_paint("l_bigsq", solid(0, 1.0)),
@@ -672,10 +675,28 @@ def make_colrv1test():
         "refsq": {"Format": 11, "Glyph": "sq"},
         "grad": glyph_paint("l_bigsq", {
             "Format": 4,  # PaintLinearGradient
-            "ColorLine": {"ColorStop": [(0.0, 0), (1.0, 1)]},
+            "ColorLine": stops2,
             "x0": 100, "y0": 100, "x1": 900, "y1": 100,
             "x2": 100, "y2": 900,
         }),
+        "radial": glyph_paint("l_bigsq", {
+            "Format": 6,  # PaintRadialGradient
+            "ColorLine": stops2,
+            "x0": 500, "y0": 500, "r0": 0,
+            "x1": 500, "y1": 500, "r1": 400,
+        }),
+        "rept": glyph_paint("l_bigsq", {
+            "Format": 4,
+            "ColorLine": {"ColorStop": [(0.0, 0), (0.25, 1)],
+                          "Extend": "repeat"},
+            "x0": 100, "y0": 100, "x1": 900, "y1": 100,
+            "x2": 100, "y2": 900,
+        }),
+        "xform": {
+            "Format": 12,  # PaintTransform: outside the subset
+            "Paint": glyph_paint("l_bigsq", solid(0, 1.0)),
+            "Transform": (1.0, 0.0, 0.0, 1.0, 50.0, 0.0),
+        },
     }, version=1)
     fb.font["CPAL"] = buildCPAL([
         [(1.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 1.0)],

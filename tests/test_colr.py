@@ -278,7 +278,9 @@ class TestColrV1:
         layers = vfont.color_layers(gid)
         # big red square, then half-alpha blue square (Alpha 0.5
         # scales the palette alpha: 255 * 8192/16384 -> 128)
-        assert layers == [(4, (255, 0, 0, 255)), (5, (0, 0, 255, 128))]
+        big = vfont.glyph_index
+        assert layers == [(7, (255, 0, 0, 255)), (8, (0, 0, 255, 128))]
+        del big
 
     def test_differential_vs_fonttools_graph(self, vfont):
         """The flattened stack matches a walk of fontTools' v1 table
@@ -301,19 +303,35 @@ class TestColrV1:
             ft_layers.append(
                 (order.index(pg.Glyph), pg.Paint.PaletteIndex))
         ours = vfont.colr.layers_v1(vfont.glyph_index("A"))
-        assert [(g, e) for g, e, _ in ours] == ft_layers
+        assert [(g, f[1]) for g, f in ours] == ft_layers
 
     def test_paint_colr_glyph_reference(self, vfont):
         a = vfont.color_layers(vfont.glyph_index("A"))
         b = vfont.color_layers(vfont.glyph_index("B"))
         assert a == b
 
-    def test_gradient_falls_back(self, vfont):
-        """The gradient glyph is outside the subset: no v0 record in
-        this font, so it renders as the monochrome outline."""
-        gid = vfont.glyph_index("C")
+    def test_transform_falls_back(self, vfont):
+        """PaintTransform is outside the subset: no v0 record in this
+        font, so the glyph renders as the monochrome outline."""
+        gid = vfont.glyph_index("F")
         assert vfont.colr.layers_v1(gid) is None
-        assert vfont.color_layers(gid) is None
+        assert vfont.color_paint_layers(gid) is None
+
+    def test_gradient_paints_decode(self, vfont):
+        lin = vfont.color_paint_layers(vfont.glyph_index("C"))
+        assert len(lin) == 1 and lin[0][1][0] == "linear"
+        kind, geom, extend, stops = lin[0][1]
+        assert geom == (100, 100, 900, 100, 100, 900)
+        assert extend == 0
+        assert stops == [(0.0, (255, 0, 0, 255)),
+                         (1.0, (0, 0, 255, 255))]
+        rad = vfont.color_paint_layers(vfont.glyph_index("D"))
+        assert rad[0][1][0] == "radial"
+        assert rad[0][1][1] == (500, 500, 0, 500, 500, 400)
+        rep = vfont.color_paint_layers(vfont.glyph_index("E"))
+        assert rep[0][1][2] == 1  # repeat extend
+        # solid-only API: gradients are not representable -> None
+        assert vfont.color_layers(vfont.glyph_index("C")) is None
 
     def test_cycle_guard(self):
         """A self-referencing PaintColrGlyph terminates as
@@ -362,3 +380,67 @@ class TestColrV1:
         # center: half-alpha blue over red = (127, 0, 128)
         h, w = img.shape[:2]
         assert tuple(img[h // 2, w // 2]) == (127, 0, 128)
+
+
+class TestGradientRender:
+    """Gradient fields against hand-computed color expectations (the
+    em-space pixel mapping comes from the shared RasterGrid; the
+    gradient math itself is checked independently)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.engine.raster import RasterEngine
+
+        font = Font.open(COLRV1TEST)
+        gids = [font.glyph_index(c) for c in "CDE"]
+        tiles, grids = color_glyph_tiles(
+            font, gids, 64, RasterEngine(backend="jnp"))
+        return np.asarray(tiles), grids
+
+    @staticmethod
+    def em(grid, row, col):
+        return ((grid.min_x + col) / grid.scale,
+                (grid.max_y - row) / grid.scale)
+
+    def test_linear_gradient_values(self, setup):
+        tiles, grids = setup
+        lin, grid = tiles[0], grids[0]
+        for row, col in ((30, 10), (30, 30), (30, 50)):
+            x, _y = self.em(grid, row, col)
+            t = (x - 100.0) / 800.0          # p0 x=100 -> p1 x=900
+            exp_r = round((1 - t) * 255)
+            exp_b = round(t * 255)
+            got = lin[row, col]
+            # premultiplied u8 roundtrip: +-1 code
+            assert abs(int(got[0] * 255) - exp_r) <= 1, (row, col)
+            assert abs(int(got[2] * 255) - exp_b) <= 1, (row, col)
+            assert got[3] > 0.99
+
+    def test_radial_gradient_values(self, setup):
+        tiles, grids = setup
+        rad, grid = tiles[1], grids[1]
+        for row, col in ((32, 32), (32, 20), (16, 16)):
+            x, y = self.em(grid, row, col)
+            t = min(np.hypot(x - 500.0, y - 500.0) / 400.0, 1.0)
+            exp_r = round((1 - t) * 255)
+            got = rad[row, col]
+            assert abs(int(got[0] * 255) - exp_r) <= 2, (row, col, t)
+            assert got[3] > 0.99
+
+    def test_repeat_extend_wraps(self, setup):
+        tiles, grids = setup
+        rep, grid = tiles[2], grids[2]
+        # stops span [0, 0.25] with repeat: t and t + 0.25 give the
+        # same color.  800 em units * 0.25 = 200 units = one period.
+        period_px = 200.0 * grid.scale
+        row = 30
+        c0 = 20
+        c1 = int(round(c0 + period_px))
+        a = rep[row, c0]
+        b = rep[row, c1]
+        assert abs(float(a[0]) - float(b[0])) < 0.08
+        assert abs(float(a[2]) - float(b[2])) < 0.08
+        # and a half-period away the color is materially different
+        c2 = int(round(c0 + period_px / 2))
+        assert abs(float(a[0]) - float(rep[row, c2][0])) > 0.2
