@@ -64,11 +64,15 @@ def _apply_extend(t, s0, s1, extend):
     return jnp.clip(t, s0, s1)
 
 
-def _gradient_field(paint, grid, tile: int):
+def _gradient_field(paint, grid, tile: int, xf=None):
     """Evaluate a ("linear"|"radial", geom, extend, stops) paint over
     the tile's pixel-center lattice: straight-alpha RGBA float32
-    ``[tile, tile, 4]`` in [0, 1].  Degenerate geometry (coincident
-    gradient points / circles) renders transparent, per spec."""
+    ``[tile, tile, 4]`` in [0, 1].  ``xf`` (a COLR paint affine,
+    layer-local -> glyph space) inverse-maps the lattice so the
+    gradient evaluates in its own local coordinates — exactly how a
+    transformed gradient paints.  Degenerate geometry (coincident
+    gradient points / circles, singular transforms) renders
+    transparent, per spec."""
     kind, geom, extend, stops = paint
     c = jnp.arange(tile, dtype=jnp.float32)
     r = jnp.arange(tile, dtype=jnp.float32)
@@ -76,6 +80,14 @@ def _gradient_field(paint, grid, tile: int):
     ey = (grid.max_y - r[:, None]) / grid.scale    # em y per row
     ex = jnp.broadcast_to(ex, (tile, tile))
     ey = jnp.broadcast_to(ey, (tile, tile))
+    if xf is not None:
+        xx, yx, xy, yy, dx, dy = (float(v) for v in xf)
+        det = xx * yy - xy * yx
+        if abs(det) < 1e-12:
+            return jnp.zeros((tile, tile, 4), jnp.float32)
+        ux, uy = ex - dx, ey - dy
+        ex = (yy * ux - xy * uy) / det
+        ey = (-yx * ux + xx * uy) / det
 
     if kind == "linear":
         x0, y0, x1, y1, x2, y2 = (float(v) for v in geom)
@@ -153,23 +165,31 @@ def color_glyph_tiles(
     cells: list[list[tuple[int, tuple]]] = []
     row_grid: list[RasterGrid] = []
     cell_grids: list[RasterGrid] = []
+    from fontrx.font.glyph import transform_glyph
+
     for gid in gids:
         layers = font.color_paint_layers(gid, palette, foreground)
         if layers is None:
-            layers = [(gid, ("solid", foreground))]
-        loaded = [(font.load_glyph_safe(lg), paint)
-                  for lg, paint in layers]
+            layers = [(gid, ("solid", foreground), None)]
+        loaded = []
+        for lg, paint, xf in layers:
+            g = font.load_glyph_safe(lg)
+            if xf is not None:
+                # bake the paint transform into the outline (quadratics
+                # are affine-invariant); the gradient field inverse-maps
+                g = transform_glyph(g, xf)
+            loaded.append((g, paint, xf))
         # shared cell grid: union of the layer boxes (all layers must
         # sample identical pixel centers or the stack shears)
-        boxes = [g.box for g, _ in loaded]
+        boxes = [g.box for g, _, _ in loaded]
         union = (
             min(b.x_min for b in boxes), min(b.y_min for b in boxes),
             max(b.x_max for b in boxes), max(b.y_max for b in boxes),
         )
         grid = RasterGrid.fixed_tile(union, size, upem, tile)
         rows = []
-        for g, paint in loaded:
-            rows.append((len(glyphs), paint))
+        for g, paint, xf in loaded:
+            rows.append((len(glyphs), paint, xf))
             glyphs.append(g)
             row_grid.append(grid)
         cells.append(rows)
@@ -189,13 +209,15 @@ def color_glyph_tiles(
     tiles = []
     for cell_i, rows in enumerate(cells):
         acc = jnp.zeros((tile, tile, 4), jnp.float32)
-        for row, paint in rows:
+        for row, paint, xf in rows:
             if paint[0] == "solid":
                 r, g_, b, a = paint[1]
                 av = cov[row][..., None] * (a / 255.0)
-                rgb = jnp.asarray((r, g_, b), jnp.float32)[None, None]                     / 255.0
+                rgb = (jnp.asarray((r, g_, b), jnp.float32)[None, None]
+                       / 255.0)
             else:
-                field = _gradient_field(paint, cell_grids[cell_i], tile)
+                field = _gradient_field(
+                    paint, cell_grids[cell_i], tile, xf)
                 av = cov[row][..., None] * field[..., 3:]
                 rgb = field[..., :3]
             src = jnp.concatenate([rgb * av, av], axis=-1)

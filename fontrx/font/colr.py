@@ -7,13 +7,17 @@ the OpenType color-layer subsystem: COLR v0 maps a base glyph to an
 ordered stack of layer glyphs, each painted in a CPAL palette color,
 composited src-over bottom-to-top.
 
-Scope: COLR **version 0** (layer records) plus the **solid-fill subset
-of version 1**: BaseGlyphList paint graphs built from PaintColrLayers
-/ PaintGlyph / Paint(Var)Solid / PaintColrGlyph flatten to the same
-ordered (glyph, color) layer stacks (the dominant shape of real v1
-fonts that don't use gradients).  A graph touching any other paint
-(gradients, transforms, compositing modes) falls back to the glyph's
-v0 record when present, else to the monochrome outline — documented
+Scope: COLR **version 0** (layer records) plus a broad **version 1**
+subset: BaseGlyphList paint graphs built from PaintColrLayers /
+PaintGlyph / PaintColrGlyph with Paint(Var)Solid and linear/radial
+gradient fills (pad/repeat/reflect extends) and the full
+transform family (PaintTransform / Translate / Scale[Uniform]
+[AroundCenter] / Rotate[AroundCenter] / Skew[AroundCenter], Var
+variants at base values) — transforms accumulate along the walk,
+bake into the layer outline (quadratics are affine-invariant) and
+inverse-map gradient fields.  A graph touching any other paint
+(sweep gradients, PaintComposite) falls back to the glyph's v0 record
+when present, else to the monochrome outline — documented
 degradation, never an error.  CPAL v0 and v1 are parsed (v1's
 palette-type/label arrays are skipped; they only annotate).
 
@@ -35,6 +39,33 @@ from fontrx.utils.reader import BigEndianReader
 
 # CPAL paletteIndex sentinel: use the text foreground color
 FOREGROUND = 0xFFFF
+
+
+
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _compose(a, b):
+    """Affine composition ``a ∘ b`` (apply ``b`` first).  Tuples are
+    (xx, yx, xy, yy, dx, dy): x' = xx*x + xy*y + dx, y' = yx*x + yy*y
+    + dy (the COLR Affine2x3 field order)."""
+    axx, ayx, axy, ayy, adx, ady = a
+    bxx, byx, bxy, byy, bdx, bdy = b
+    return (
+        axx * bxx + axy * byx,
+        ayx * bxx + ayy * byx,
+        axx * bxy + axy * byy,
+        ayx * bxy + ayy * byy,
+        axx * bdx + axy * bdy + adx,
+        ayx * bdx + ayy * bdy + ady,
+    )
+
+
+def _around(mat, cx, cy):
+    """T(c) ∘ mat ∘ T(-c)."""
+    pre = (1.0, 0.0, 0.0, 1.0, -cx, -cy)
+    post = (1.0, 0.0, 0.0, 1.0, cx, cy)
+    return _compose(post, _compose(mat, pre))
 
 
 @dataclass(frozen=True, slots=True)
@@ -176,19 +207,87 @@ class ColrTable:
             return None
         return None
 
-    def layers_v1(self, gid: int) -> list[tuple[int, tuple]] | None:
+    def _transform_matrix(self, pos: int, fmt: int):
+        """(affine, child_paint_offset) for the transform paint family
+        (formats 12-31; Var variants read the same leading fields), or
+        None when malformed."""
+        import math
+
+        d = self.data
+        try:
+            o24 = d[pos + 1 : pos + 4]
+            child = pos + int.from_bytes(o24, "big")
+            a = pos + 4
+            if fmt in (12, 13):       # PaintTransform: Affine2x3 table
+                t24 = d[pos + 4 : pos + 7]
+                tpos = pos + int.from_bytes(t24, "big")
+                vals = struct.unpack_from(">6i", d, tpos)
+                mat = tuple(v / 65536.0 for v in vals)   # Fixed 16.16
+                return mat, child
+            if fmt in (14, 15):       # PaintTranslate
+                dx, dy = struct.unpack_from(">hh", d, a)
+                return (1.0, 0.0, 0.0, 1.0, float(dx), float(dy)), child
+            if fmt in (16, 17):       # PaintScale
+                sx, sy = struct.unpack_from(">hh", d, a)
+                return (sx / 16384.0, 0.0, 0.0, sy / 16384.0,
+                        0.0, 0.0), child
+            if fmt in (18, 19):       # PaintScaleAroundCenter
+                sx, sy, cx, cy = struct.unpack_from(">hhhh", d, a)
+                return _around(
+                    (sx / 16384.0, 0.0, 0.0, sy / 16384.0, 0.0, 0.0),
+                    float(cx), float(cy)), child
+            if fmt in (20, 21):       # PaintScaleUniform
+                (sc,) = struct.unpack_from(">h", d, a)
+                u = sc / 16384.0
+                return (u, 0.0, 0.0, u, 0.0, 0.0), child
+            if fmt in (22, 23):       # PaintScaleUniformAroundCenter
+                sc, cx, cy = struct.unpack_from(">hhh", d, a)
+                u = sc / 16384.0
+                return _around((u, 0.0, 0.0, u, 0.0, 0.0),
+                               float(cx), float(cy)), child
+            if fmt in (24, 25):       # PaintRotate
+                (ang,) = struct.unpack_from(">h", d, a)
+                t = math.radians(ang / 16384.0 * 180.0)
+                c_, s_ = math.cos(t), math.sin(t)
+                return (c_, s_, -s_, c_, 0.0, 0.0), child
+            if fmt in (26, 27):       # PaintRotateAroundCenter
+                ang, cx, cy = struct.unpack_from(">hhh", d, a)
+                t = math.radians(ang / 16384.0 * 180.0)
+                c_, s_ = math.cos(t), math.sin(t)
+                return _around((c_, s_, -s_, c_, 0.0, 0.0),
+                               float(cx), float(cy)), child
+            if fmt in (28, 29):       # PaintSkew
+                xa, ya = struct.unpack_from(">hh", d, a)
+                tx = math.tan(math.radians(xa / 16384.0 * 180.0))
+                ty = math.tan(math.radians(ya / 16384.0 * 180.0))
+                return (1.0, ty, -tx, 1.0, 0.0, 0.0), child
+            if fmt in (30, 31):       # PaintSkewAroundCenter
+                xa, ya, cx, cy = struct.unpack_from(">hhhh", d, a)
+                tx = math.tan(math.radians(xa / 16384.0 * 180.0))
+                ty = math.tan(math.radians(ya / 16384.0 * 180.0))
+                return _around((1.0, ty, -tx, 1.0, 0.0, 0.0),
+                               float(cx), float(cy)), child
+        except (struct.error, IndexError):
+            return None
+        return None
+
+    def layers_v1(
+        self, gid: int
+    ) -> list[tuple[int, tuple, tuple | None]] | None:
         """Flatten ``gid``'s v1 paint graph to ordered
-        ``[(layer_gid, fill), ...]`` (bottom-to-top; fills per
-        :meth:`_fill`).  ``None`` when the glyph has no v1 record OR
-        its graph uses a paint outside the supported subset
-        (transforms, compositing, sweep gradients) — callers then fall
-        back to the v0 record."""
+        ``[(layer_gid, fill, affine_or_None), ...]`` (bottom-to-top;
+        fills per :meth:`_fill`; the affine — accumulated from the
+        PaintTransform/Translate/Scale/Rotate/Skew family — maps the
+        layer's local space into glyph space).  ``None`` when the
+        glyph has no v1 record OR its graph uses a paint outside the
+        supported subset (compositing, sweep gradients) — callers then
+        fall back to the v0 record."""
         if not self.v1_paints or gid not in self.v1_paints:
             return None
-        out: list[tuple[int, tuple]] = []
+        out: list[tuple[int, tuple, tuple | None]] = []
         seen: set[int] = set()
 
-        def walk(pos: int, depth: int) -> bool:
+        def walk(pos: int, depth: int, xf) -> bool:
             """True iff the subgraph flattened; False = unsupported."""
             if depth > 16 or pos in seen or pos + 1 > len(self.data):
                 return False
@@ -201,7 +300,8 @@ class ColrTable:
                     if first + n > len(self.v1_layer_list):
                         return False
                     ok = all(
-                        walk(self.v1_layer_list[first + k], depth + 1)
+                        walk(self.v1_layer_list[first + k], depth + 1,
+                             xf)
                         for k in range(n)
                     )
                     return ok
@@ -213,19 +313,28 @@ class ColrTable:
                     fill = self._fill(child)
                     if fill is None:
                         return False
-                    out.append((int(glyph_id), fill))
+                    out.append((
+                        int(glyph_id), fill,
+                        None if xf == _IDENTITY else xf,
+                    ))
                     return True
                 if fmt == 11:         # PaintColrGlyph
                     (ref,) = struct.unpack_from(">H", self.data, pos + 1)
                     tgt = self.v1_paints.get(int(ref))
-                    return tgt is not None and walk(tgt, depth + 1)
+                    return tgt is not None and walk(tgt, depth + 1, xf)
+                if 12 <= fmt <= 31:   # transform family
+                    mc = self._transform_matrix(pos, fmt)
+                    if mc is None:
+                        return False
+                    mat, child = mc
+                    return walk(child, depth + 1, _compose(xf, mat))
                 return False          # any other paint: unsupported
             except (struct.error, IndexError):
                 return False
             finally:
                 seen.discard(pos)
 
-        if not walk(self.v1_paints[gid], 0):
+        if not walk(self.v1_paints[gid], 0, _IDENTITY):
             return None
         return out
 

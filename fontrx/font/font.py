@@ -575,9 +575,10 @@ class Font:
         # color_paint_layers (this flat-color API falls back to the
         # v0 record for them)
         v1 = colr.layers_v1(gid)
-        if v1 is not None and all(f[0] == "solid" for _, f in v1):
+        if v1 is not None and all(
+                f[0] == "solid" and xf is None for _, f, xf in v1):
             out = []
-            for lg, (_, pe, alpha) in v1:
+            for lg, (_, pe, alpha), _xf in v1:
                 r, g, b, a = cpal.color(palette, pe, foreground)
                 out.append((lg, (r, g, b, int(round(a * alpha)))))
             return out
@@ -593,9 +594,11 @@ class Font:
         self, gid: int, palette: int = 0,
         foreground: tuple[int, int, int, int] = (0, 0, 0, 255),
     ) -> list[tuple[int, tuple]] | None:
-        """Ordered ``[(layer_gid, paint), ...]`` with palette-resolved
-        paints — the gradient-capable superset of
-        :meth:`color_layers`:
+        """Ordered ``[(layer_gid, paint, affine_or_None), ...]``
+        with palette-resolved paints — the gradient- and
+        transform-capable superset of :meth:`color_layers` (the affine
+        maps the layer's local space into glyph space; outlines
+        transform forward, gradient fields inverse-map):
 
         - ``("solid", (r, g, b, a))``
         - ``("linear", (x0, y0, x1, y1, x2, y2), extend, stops)``
@@ -615,21 +618,21 @@ class Font:
         v1 = colr.layers_v1(gid)
         if v1 is not None:
             out = []
-            for lg, f in v1:
+            for lg, f, xf in v1:
                 if f[0] == "solid":
-                    out.append((lg, ("solid", rgba(f[1], f[2]))))
+                    out.append((lg, ("solid", rgba(f[1], f[2])), xf))
                 else:
                     kind, geom, extend, stops = f
                     out.append((lg, (
                         kind, geom, extend,
                         [(off, rgba(pe, al)) for off, pe, al in stops],
-                    )))
+                    ), xf))
             return out
         layers = colr.layers(gid)
         if layers is None:
             return None
         return [
-            (lg, ("solid", cpal.color(palette, pe, foreground)))
+            (lg, ("solid", cpal.color(palette, pe, foreground)), None)
             for lg, pe in layers
         ]
 

@@ -217,6 +217,36 @@ def from_component(
     return Glyph(box, tuple(contours))
 
 
+def transform_glyph(glyph: Glyph, xf) -> Glyph:
+    """General affine image of a glyph: ``x' = xx*x + xy*y + dx``,
+    ``y' = yx*x + yy*y + dy`` on every control point (COLR v1 paint
+    transforms; control points stay float — layer rasters sample the
+    exact affine image, and quadratics are affine-invariant)."""
+    xx, yx, xy, yy, dx, dy = (float(v) for v in xf)
+    if (xx, yx, xy, yy, dx, dy) == (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
+        return glyph
+    if not glyph.contours:
+        return glyph
+    contours = []
+    xs = []
+    ys = []
+    for c in glyph.contours:
+        p = c.points.astype(np.float64)
+        q = np.empty_like(p)
+        q[:, 0] = xx * p[:, 0] + xy * p[:, 1] + dx
+        q[:, 1] = yx * p[:, 0] + yy * p[:, 1] + dy
+        contours.append(Contour(q.astype(np.float32)))
+        xs.append(q[:, 0])
+        ys.append(q[:, 1])
+    ax = np.concatenate(xs)
+    ay = np.concatenate(ys)
+    box = Box(
+        int(np.floor(ax.min())), int(np.floor(ay.min())),
+        int(np.ceil(ax.max())), int(np.ceil(ay.max())),
+    )
+    return Glyph(box, tuple(contours))
+
+
 def shear_glyph(glyph: Glyph, slant: float) -> Glyph:
     """Synthetic oblique: ``x' = x + slant * y`` on every control point
     (rounded to integer font units, like any native outline).  Affine

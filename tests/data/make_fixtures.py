@@ -625,16 +625,18 @@ def make_colrv1test():
     """COLR v1 font: 'A' = two PaintGlyph/PaintSolid layers (one
     half-alpha), 'B' = PaintColrGlyph referencing A, 'C' = a linear
     gradient, 'D' = a radial gradient, 'E' = a repeat-extend linear
-    gradient, 'F' = a PaintTransform (outside the supported subset ->
-    monochrome fallback)."""
+    gradient, 'F' = a PaintTranslate-wrapped solid layer, 'G' = a
+    sweep gradient (outside the supported subset -> monochrome
+    fallback)."""
     upem = 1000
     fb = FontBuilder(upem, isTTF=True)
     names = [".notdef", "sq", "refsq", "grad", "radial", "rept",
-             "xform", "l_bigsq", "l_smallsq"]
+             "xform", "sweep", "l_bigsq", "l_smallsq"]
     fb.setupGlyphOrder(names)
     fb.setupCharacterMap({ord("A"): "sq", ord("B"): "refsq",
                           ord("C"): "grad", ord("D"): "radial",
-                          ord("E"): "rept", ord("F"): "xform"})
+                          ord("E"): "rept", ord("F"): "xform",
+                          ord("G"): "sweep"})
 
     def rect(pen, x0, y0, x1, y1):
         pen.moveTo((x0, y0))
@@ -645,7 +647,7 @@ def make_colrv1test():
 
     glyphs = {}
     for n in (".notdef", "sq", "refsq", "grad", "radial", "rept",
-              "xform"):
+              "xform", "sweep"):
         pen = TTGlyphPen(glyphSet={})
         if n != ".notdef":
             rect(pen, 0, 0, 10, 10)
@@ -693,10 +695,16 @@ def make_colrv1test():
             "x2": 100, "y2": 900,
         }),
         "xform": {
-            "Format": 12,  # PaintTransform: outside the subset
-            "Paint": glyph_paint("l_bigsq", solid(0, 1.0)),
-            "Transform": (1.0, 0.0, 0.0, 1.0, 50.0, 0.0),
+            "Format": 14,  # PaintTranslate
+            "Paint": glyph_paint("l_smallsq", solid(0, 1.0)),
+            "dx": 200, "dy": 0,
         },
+        "sweep": glyph_paint("l_bigsq", {
+            "Format": 8,  # PaintSweepGradient: outside the subset
+            "ColorLine": stops2,
+            "centerX": 500, "centerY": 500,
+            "startAngle": 0.0, "endAngle": 179.0,
+        }),
     }, version=1)
     fb.font["CPAL"] = buildCPAL([
         [(1.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 1.0)],

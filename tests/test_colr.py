@@ -278,9 +278,7 @@ class TestColrV1:
         layers = vfont.color_layers(gid)
         # big red square, then half-alpha blue square (Alpha 0.5
         # scales the palette alpha: 255 * 8192/16384 -> 128)
-        big = vfont.glyph_index
-        assert layers == [(7, (255, 0, 0, 255)), (8, (0, 0, 255, 128))]
-        del big
+        assert layers == [(8, (255, 0, 0, 255)), (9, (0, 0, 255, 128))]
 
     def test_differential_vs_fonttools_graph(self, vfont):
         """The flattened stack matches a walk of fontTools' v1 table
@@ -303,19 +301,45 @@ class TestColrV1:
             ft_layers.append(
                 (order.index(pg.Glyph), pg.Paint.PaletteIndex))
         ours = vfont.colr.layers_v1(vfont.glyph_index("A"))
-        assert [(g, f[1]) for g, f in ours] == ft_layers
+        assert [(g, f[1]) for g, f, _xf in ours] == ft_layers
 
     def test_paint_colr_glyph_reference(self, vfont):
         a = vfont.color_layers(vfont.glyph_index("A"))
         b = vfont.color_layers(vfont.glyph_index("B"))
         assert a == b
 
-    def test_transform_falls_back(self, vfont):
-        """PaintTransform is outside the subset: no v0 record in this
-        font, so the glyph renders as the monochrome outline."""
-        gid = vfont.glyph_index("F")
+    def test_sweep_gradient_falls_back(self, vfont):
+        """PaintSweepGradient is outside the subset: no v0 record in
+        this font, so the glyph renders as the monochrome outline."""
+        gid = vfont.glyph_index("G")
         assert vfont.colr.layers_v1(gid) is None
         assert vfont.color_paint_layers(gid) is None
+
+    def test_translate_carries_affine(self, vfont):
+        layers = vfont.color_paint_layers(vfont.glyph_index("F"))
+        assert layers == [
+            (9, ("solid", (255, 0, 0, 255)),
+             (1.0, 0.0, 0.0, 1.0, 200.0, 0.0))]
+
+    def test_translate_moves_ink(self, vfont):
+        """The translated small square (300..700 + 200) rasters at
+        500..900: compare against the untranslated layer shifted by
+        200 units worth of pixels."""
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.engine.raster import RasterEngine
+
+        eng = RasterEngine(backend="jnp")
+        tiles, grids = color_glyph_tiles(
+            vfont, [vfont.glyph_index("F")], 64, eng)
+        t = np.asarray(tiles[0])
+        ink_cols = np.nonzero((t[..., 3] > 0.5).any(axis=0))[0]
+        # box 500..900 at 64px/em, anchored at the union box (min_x
+        # from 500) -> ink spans ~the tile's leading 400-unit band
+        em_w = (ink_cols.max() - ink_cols.min() + 1) / grids[0].scale
+        assert 380 <= em_w <= 420
+        # absolute position: leftmost ink pixel maps to em x ~500
+        left_em = (grids[0].min_x + ink_cols.min()) / grids[0].scale
+        assert 490 <= left_em <= 520  # within one 15.6-unit pixel of 500
 
     def test_gradient_paints_decode(self, vfont):
         lin = vfont.color_paint_layers(vfont.glyph_index("C"))
