@@ -89,7 +89,14 @@ def _gradient_field(paint, grid, tile: int, xf=None):
         ex = (yy * ux - xy * uy) / det
         ey = (-yx * ux + xx * uy) / det
 
-    if kind == "linear":
+    if kind == "sweep":
+        cx, cy, a0, a1 = (float(v) for v in geom)
+        if a1 == a0:
+            return jnp.zeros((tile, tile, 4), jnp.float32)
+        theta = jnp.degrees(jnp.arctan2(ey - cy, ex - cx))
+        t = (theta - a0) / (a1 - a0)
+        valid = (ex != cx) | (ey != cy)
+    elif kind == "linear":
         x0, y0, x1, y1, x2, y2 = (float(v) for v in geom)
         dx, dy = x1 - x0, y1 - y0
         rx, ry = x2 - x0, y2 - y0

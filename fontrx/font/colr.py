@@ -16,7 +16,7 @@ transform family (PaintTransform / Translate / Scale[Uniform]
 variants at base values) — transforms accumulate along the walk,
 bake into the layer outline (quadratics are affine-invariant) and
 inverse-map gradient fields.  A graph touching any other paint
-(sweep gradients, PaintComposite) falls back to the glyph's v0 record
+(PaintComposite) falls back to the glyph's v0 record
 when present, else to the monochrome outline — documented
 degradation, never an error.  CPAL v0 and v1 are parsed (v1's
 palette-type/label arrays are skipped; they only annotate).
@@ -173,7 +173,8 @@ class ColrTable:
         """Decode a supported fill paint at ``pos``:
         ``("solid", entry, alpha)`` /
         ``("linear", (x0..y2), extend, stops)`` /
-        ``("radial", (x0, y0, r0, x1, y1, r1), extend, stops)``;
+        ``("radial", (x0, y0, r0, x1, y1, r1), extend, stops)`` /
+        ``("sweep", (cx, cy, start_deg, end_deg), extend, stops)``;
         None = unsupported."""
         if pos + 1 > len(self.data):
             return None
@@ -203,6 +204,21 @@ class ColrTable:
                 return ("radial",
                         (int(x0), int(y0), int(r0),
                          int(x1), int(y1), int(r1)), *cl)
+            if fmt in (8, 9):        # Paint(Var)SweepGradient
+                o24 = self.data[pos + 1 : pos + 4]
+                cl = self._color_line(
+                    pos + int.from_bytes(o24, "big"), fmt == 9)
+                if cl is None:
+                    return None
+                cx, cy, a0, a1 = struct.unpack_from(
+                    ">hhhh", self.data, pos + 4)
+                # angles are BIASED F2Dot14: stored = angle/180 - 1
+                # (OpenType COLR sweep angle representation)
+                return ("sweep",
+                        (int(cx), int(cy),
+                         (a0 / 16384.0 + 1.0) * 180.0,
+                         (a1 / 16384.0 + 1.0) * 180.0),
+                        *cl)
         except (struct.error, IndexError):
             return None
         return None

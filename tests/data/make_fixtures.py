@@ -626,17 +626,17 @@ def make_colrv1test():
     half-alpha), 'B' = PaintColrGlyph referencing A, 'C' = a linear
     gradient, 'D' = a radial gradient, 'E' = a repeat-extend linear
     gradient, 'F' = a PaintTranslate-wrapped solid layer, 'G' = a
-    sweep gradient (outside the supported subset -> monochrome
-    fallback)."""
+    sweep gradient, 'H' = PaintComposite (outside the supported
+    subset -> monochrome fallback)."""
     upem = 1000
     fb = FontBuilder(upem, isTTF=True)
     names = [".notdef", "sq", "refsq", "grad", "radial", "rept",
-             "xform", "sweep", "l_bigsq", "l_smallsq"]
+             "xform", "sweep", "compo", "l_bigsq", "l_smallsq"]
     fb.setupGlyphOrder(names)
     fb.setupCharacterMap({ord("A"): "sq", ord("B"): "refsq",
                           ord("C"): "grad", ord("D"): "radial",
                           ord("E"): "rept", ord("F"): "xform",
-                          ord("G"): "sweep"})
+                          ord("G"): "sweep", ord("H"): "compo"})
 
     def rect(pen, x0, y0, x1, y1):
         pen.moveTo((x0, y0))
@@ -647,7 +647,7 @@ def make_colrv1test():
 
     glyphs = {}
     for n in (".notdef", "sq", "refsq", "grad", "radial", "rept",
-              "xform", "sweep"):
+              "xform", "sweep", "compo"):
         pen = TTGlyphPen(glyphSet={})
         if n != ".notdef":
             rect(pen, 0, 0, 10, 10)
@@ -700,11 +700,17 @@ def make_colrv1test():
             "dx": 200, "dy": 0,
         },
         "sweep": glyph_paint("l_bigsq", {
-            "Format": 8,  # PaintSweepGradient: outside the subset
+            "Format": 8,  # PaintSweepGradient
             "ColorLine": stops2,
             "centerX": 500, "centerY": 500,
             "startAngle": 0.0, "endAngle": 179.0,
         }),
+        "compo": {
+            "Format": 32,  # PaintComposite: outside the subset
+            "CompositeMode": "src_over",
+            "SourcePaint": glyph_paint("l_bigsq", solid(0, 1.0)),
+            "BackdropPaint": glyph_paint("l_smallsq", solid(1, 1.0)),
+        },
     }, version=1)
     fb.font["CPAL"] = buildCPAL([
         [(1.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 1.0)],

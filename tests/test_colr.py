@@ -278,7 +278,7 @@ class TestColrV1:
         layers = vfont.color_layers(gid)
         # big red square, then half-alpha blue square (Alpha 0.5
         # scales the palette alpha: 255 * 8192/16384 -> 128)
-        assert layers == [(8, (255, 0, 0, 255)), (9, (0, 0, 255, 128))]
+        assert layers == [(9, (255, 0, 0, 255)), (10, (0, 0, 255, 128))]
 
     def test_differential_vs_fonttools_graph(self, vfont):
         """The flattened stack matches a walk of fontTools' v1 table
@@ -308,17 +308,54 @@ class TestColrV1:
         b = vfont.color_layers(vfont.glyph_index("B"))
         assert a == b
 
-    def test_sweep_gradient_falls_back(self, vfont):
-        """PaintSweepGradient is outside the subset: no v0 record in
-        this font, so the glyph renders as the monochrome outline."""
-        gid = vfont.glyph_index("G")
+    def test_composite_falls_back(self, vfont):
+        """PaintComposite is outside the subset: no v0 record in this
+        font, so the glyph renders as the monochrome outline."""
+        gid = vfont.glyph_index("H")
         assert vfont.colr.layers_v1(gid) is None
         assert vfont.color_paint_layers(gid) is None
+
+    def test_sweep_decodes(self, vfont):
+        sw = vfont.color_paint_layers(vfont.glyph_index("G"))
+        kind, geom, extend, stops = sw[0][1]
+        assert kind == "sweep"
+        assert geom[:2] == (500, 500)
+        assert abs(geom[2] - 0.0) < 1e-6
+        assert abs(geom[3] - 179.0) < 0.02  # F2Dot14 quantization
+
+    def test_sweep_renders_angular_field(self, vfont):
+        """Red at angle 0 (right of center), blue near 179 deg (left
+        of center), mid color straight up."""
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.engine.raster import RasterEngine
+
+        tiles, grids = color_glyph_tiles(
+            vfont, [vfont.glyph_index("G")], 64,
+            RasterEngine(backend="jnp"))
+        t = np.asarray(tiles[0])
+        g = grids[0]
+        # pixel at em (800, 500): angle ~0 -> red
+        col = int(round(800 * g.scale)) - g.min_x
+        row = int(round(g.max_y - 500 * g.scale))
+        right = t[row, col]
+        assert right[0] > 0.9 and right[2] < 0.1
+        # pixel at em (300, 550): angle ~166 deg -> mostly blue
+        # (the exact 180-deg ray is the wrap seam: below it the angle
+        # is negative and pads to the START color, per spec)
+        col_l = int(round(300 * g.scale)) - g.min_x
+        row_l = int(round(g.max_y - 550 * g.scale))
+        left = t[row_l, col_l]
+        assert left[2] > 0.8 and left[0] < 0.2
+        # straight up (500, 800): angle 90 -> mid blend
+        col_u = int(round(500 * g.scale)) - g.min_x
+        row_u = int(round(g.max_y - 800 * g.scale))
+        up = t[row_u, col_u]
+        assert 0.3 < up[0] < 0.7 and 0.3 < up[2] < 0.7
 
     def test_translate_carries_affine(self, vfont):
         layers = vfont.color_paint_layers(vfont.glyph_index("F"))
         assert layers == [
-            (9, ("solid", (255, 0, 0, 255)),
+            (10, ("solid", (255, 0, 0, 255)),
              (1.0, 0.0, 0.0, 1.0, 200.0, 0.0))]
 
     def test_translate_moves_ink(self, vfont):
