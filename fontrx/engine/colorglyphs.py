@@ -141,6 +141,53 @@ def _gradient_field(paint, grid, tile: int, xf=None):
     return jnp.where(valid[..., None], rgba, 0.0)
 
 
+
+# Porter-Duff source/backdrop factors per CompositeMode 0-12, as
+# functions of the (premultiplied) alphas
+_PORTER_DUFF = {
+    0: lambda sa, ba: (0.0, 0.0),          # CLEAR
+    1: lambda sa, ba: (1.0, 0.0),          # SRC
+    2: lambda sa, ba: (0.0, 1.0),          # DEST
+    3: lambda sa, ba: (1.0, 1.0 - sa),     # SRC_OVER
+    4: lambda sa, ba: (1.0 - ba, 1.0),     # DEST_OVER
+    5: lambda sa, ba: (ba, 0.0),           # SRC_IN
+    6: lambda sa, ba: (0.0, sa),           # DEST_IN
+    7: lambda sa, ba: (1.0 - ba, 0.0),     # SRC_OUT
+    8: lambda sa, ba: (0.0, 1.0 - sa),     # DEST_OUT
+    9: lambda sa, ba: (ba, 1.0 - sa),      # SRC_ATOP
+    10: lambda sa, ba: (1.0 - ba, sa),     # DEST_ATOP
+    11: lambda sa, ba: (1.0 - ba, 1.0 - sa),  # XOR
+    12: lambda sa, ba: (1.0, 1.0),         # PLUS (clamped)
+}
+
+
+def _eval_node(node, cov, grid, tile: int):
+    """Evaluate a row-annotated COLR render tree to a premultiplied
+    RGBA tile (float32 [tile, tile, 4])."""
+    if node[0] == "glyph":
+        _, row, paint, xf = node
+        if paint[0] == "solid":
+            r, g_, b, a = paint[1]
+            av = cov[row][..., None] * (a / 255.0)
+            rgb = (jnp.asarray((r, g_, b), jnp.float32)[None, None]
+                   / 255.0)
+        else:
+            field = _gradient_field(paint, grid, tile, xf)
+            av = cov[row][..., None] * field[..., 3:]
+            rgb = field[..., :3]
+        return jnp.concatenate([rgb * av, av], axis=-1)
+    if node[0] == "layers":
+        acc = jnp.zeros((tile, tile, 4), jnp.float32)
+        for k in node[1]:
+            src = _eval_node(k, cov, grid, tile)
+            acc = acc * (1.0 - src[..., 3:]) + src
+        return acc
+    _, mode, sn, bn = node
+    src = _eval_node(sn, cov, grid, tile)
+    bdp = _eval_node(bn, cov, grid, tile)
+    fa, fb = _PORTER_DUFF[mode](src[..., 3:], bdp[..., 3:])
+    return jnp.clip(src * fa + bdp * fb, 0.0, 1.0)
+
 def color_glyph_tiles(
     font: Font,
     gids: list[int],
@@ -175,31 +222,48 @@ def color_glyph_tiles(
     from fontrx.font.glyph import transform_glyph
 
     for gid in gids:
-        layers = font.color_paint_layers(gid, palette, foreground)
-        if layers is None:
-            layers = [(gid, ("solid", foreground), None)]
+        tree = font.color_paint_tree(gid, palette, foreground)
+        if tree is None:
+            tree = ("layers",
+                    [("glyph", gid, ("solid", foreground), None)])
+        # annotate glyph leaves with their batch row and collect the
+        # (transformed) outlines; one shared grid per cell so every
+        # leaf samples identical pixel centers
         loaded = []
-        for lg, paint, xf in layers:
-            g = font.load_glyph_safe(lg)
-            if xf is not None:
-                # bake the paint transform into the outline (quadratics
-                # are affine-invariant); the gradient field inverse-maps
-                g = transform_glyph(g, xf)
-            loaded.append((g, paint, xf))
-        # shared cell grid: union of the layer boxes (all layers must
-        # sample identical pixel centers or the stack shears)
-        boxes = [g.box for g, _, _ in loaded]
-        union = (
-            min(b.x_min for b in boxes), min(b.y_min for b in boxes),
-            max(b.x_max for b in boxes), max(b.y_max for b in boxes),
-        )
+
+        def collect(node):
+            if node[0] == "glyph":
+                _, lg, paint, xf = node
+                g = font.load_glyph_safe(lg)
+                if xf is not None:
+                    # bake the paint transform into the outline
+                    # (quadratics are affine-invariant); gradient
+                    # fields inverse-map instead
+                    g = transform_glyph(g, xf)
+                row = len(glyphs)
+                glyphs.append(g)
+                loaded.append(g)
+                return ("glyph", row, paint, xf)
+            if node[0] == "layers":
+                return ("layers", [collect(k) for k in node[1]])
+            return ("composite", node[1], collect(node[2]),
+                    collect(node[3]))
+
+        n_before = len(glyphs)
+        rowtree = collect(tree)
+        boxes = [g.box for g in loaded]
+        if boxes:
+            union = (
+                min(b.x_min for b in boxes),
+                min(b.y_min for b in boxes),
+                max(b.x_max for b in boxes),
+                max(b.y_max for b in boxes),
+            )
+        else:
+            union = (0, 0, 1, 1)
         grid = RasterGrid.fixed_tile(union, size, upem, tile)
-        rows = []
-        for g, paint, xf in loaded:
-            rows.append((len(glyphs), paint, xf))
-            glyphs.append(g)
-            row_grid.append(grid)
-        cells.append(rows)
+        row_grid.extend([grid] * (len(glyphs) - n_before))
+        cells.append(rowtree)
         cell_grids.append(grid)
 
     batch = pack_glyphs(glyphs)
@@ -214,22 +278,9 @@ def color_glyph_tiles(
     )
 
     tiles = []
-    for cell_i, rows in enumerate(cells):
-        acc = jnp.zeros((tile, tile, 4), jnp.float32)
-        for row, paint, xf in rows:
-            if paint[0] == "solid":
-                r, g_, b, a = paint[1]
-                av = cov[row][..., None] * (a / 255.0)
-                rgb = (jnp.asarray((r, g_, b), jnp.float32)[None, None]
-                       / 255.0)
-            else:
-                field = _gradient_field(
-                    paint, cell_grids[cell_i], tile, xf)
-                av = cov[row][..., None] * field[..., 3:]
-                rgb = field[..., :3]
-            src = jnp.concatenate([rgb * av, av], axis=-1)
-            acc = acc * (1.0 - av) + src
-        tiles.append(acc)
+    for cell_i, rowtree in enumerate(cells):
+        tiles.append(
+            _eval_node(rowtree, cov, cell_grids[cell_i], tile))
     stacked = (jnp.stack(tiles) if tiles
                else jnp.zeros((0, tile, tile, 4), jnp.float32))
     return stacked, cell_grids

@@ -15,9 +15,10 @@ transform family (PaintTransform / Translate / Scale[Uniform]
 [AroundCenter] / Rotate[AroundCenter] / Skew[AroundCenter], Var
 variants at base values) — transforms accumulate along the walk,
 bake into the layer outline (quadratics are affine-invariant) and
-inverse-map gradient fields.  A graph touching any other paint
-(PaintComposite) falls back to the glyph's v0 record
-when present, else to the monochrome outline — documented
+inverse-map gradient fields.  PaintComposite nodes build a
+render TREE (Porter-Duff modes CLEAR..PLUS; separable/HSL blend
+modes unsupported).  A graph touching any other paint falls back to
+the glyph's v0 record when present, else to the monochrome outline — documented
 degradation, never an error.  CPAL v0 and v1 are parsed (v1's
 palette-type/label arrays are skipped; they only annotate).
 
@@ -287,26 +288,27 @@ class ColrTable:
             return None
         return None
 
-    def layers_v1(
-        self, gid: int
-    ) -> list[tuple[int, tuple, tuple | None]] | None:
-        """Flatten ``gid``'s v1 paint graph to ordered
-        ``[(layer_gid, fill, affine_or_None), ...]`` (bottom-to-top;
-        fills per :meth:`_fill`; the affine — accumulated from the
-        PaintTransform/Translate/Scale/Rotate/Skew family — maps the
-        layer's local space into glyph space).  ``None`` when the
-        glyph has no v1 record OR its graph uses a paint outside the
-        supported subset (compositing, sweep gradients) — callers then
-        fall back to the v0 record."""
+    def paint_tree(self, gid: int):
+        """Build ``gid``'s v1 paint graph as a render tree:
+
+        - ``("glyph", layer_gid, fill, affine_or_None)``
+        - ``("layers", [child, ...])`` — src-over bottom-to-top
+        - ``("composite", mode, source, backdrop)`` — Porter-Duff
+          modes 0-12 (CLEAR..PLUS); separable/HSL blend modes are
+          unsupported
+
+        ``None`` when the glyph has no v1 record or the graph uses an
+        unsupported paint.  Transform affines accumulate along the
+        walk and attach to the glyph leaves (composite operands keep
+        their own subtree affines)."""
         if not self.v1_paints or gid not in self.v1_paints:
             return None
-        out: list[tuple[int, tuple, tuple | None]] = []
         seen: set[int] = set()
 
-        def walk(pos: int, depth: int, xf) -> bool:
-            """True iff the subgraph flattened; False = unsupported."""
+        def walk(pos: int, depth: int, xf):
+            """Subtree or None (unsupported)."""
             if depth > 16 or pos in seen or pos + 1 > len(self.data):
-                return False
+                return None
             seen.add(pos)
             try:
                 fmt = self.data[pos]
@@ -314,13 +316,15 @@ class ColrTable:
                     n, first = struct.unpack_from(">BI", self.data,
                                                   pos + 1)
                     if first + n > len(self.v1_layer_list):
-                        return False
-                    ok = all(
-                        walk(self.v1_layer_list[first + k], depth + 1,
-                             xf)
-                        for k in range(n)
-                    )
-                    return ok
+                        return None
+                    kids = []
+                    for k in range(n):
+                        sub = walk(self.v1_layer_list[first + k],
+                                   depth + 1, xf)
+                        if sub is None:
+                            return None
+                        kids.append(sub)
+                    return ("layers", kids)
                 if fmt == 10:         # PaintGlyph
                     o24 = self.data[pos + 1 : pos + 4]
                     child = pos + int.from_bytes(o24, "big")
@@ -328,29 +332,66 @@ class ColrTable:
                                                      pos + 4)
                     fill = self._fill(child)
                     if fill is None:
-                        return False
-                    out.append((
-                        int(glyph_id), fill,
-                        None if xf == _IDENTITY else xf,
-                    ))
-                    return True
+                        return None
+                    return ("glyph", int(glyph_id), fill,
+                            None if xf == _IDENTITY else xf)
                 if fmt == 11:         # PaintColrGlyph
                     (ref,) = struct.unpack_from(">H", self.data, pos + 1)
                     tgt = self.v1_paints.get(int(ref))
-                    return tgt is not None and walk(tgt, depth + 1, xf)
+                    return None if tgt is None else walk(
+                        tgt, depth + 1, xf)
                 if 12 <= fmt <= 31:   # transform family
                     mc = self._transform_matrix(pos, fmt)
                     if mc is None:
-                        return False
+                        return None
                     mat, child = mc
                     return walk(child, depth + 1, _compose(xf, mat))
-                return False          # any other paint: unsupported
+                if fmt == 32:         # PaintComposite
+                    s24 = self.data[pos + 1 : pos + 4]
+                    src = pos + int.from_bytes(s24, "big")
+                    (mode,) = struct.unpack_from(">B", self.data,
+                                                 pos + 4)
+                    b24 = self.data[pos + 5 : pos + 8]
+                    bdp = pos + int.from_bytes(b24, "big")
+                    if mode > 12:     # separable/HSL blends: out
+                        return None
+                    sn = walk(src, depth + 1, xf)
+                    if sn is None:
+                        return None
+                    bn = walk(bdp, depth + 1, xf)
+                    if bn is None:
+                        return None
+                    return ("composite", int(mode), sn, bn)
+                return None           # any other paint: unsupported
             except (struct.error, IndexError):
-                return False
+                return None
             finally:
                 seen.discard(pos)
 
-        if not walk(self.v1_paints[gid], 0, _IDENTITY):
+        return walk(self.v1_paints[gid], 0, _IDENTITY)
+
+    def layers_v1(
+        self, gid: int
+    ) -> list[tuple[int, tuple, tuple | None]] | None:
+        """Flatten ``gid``'s v1 paint graph to ordered
+        ``[(layer_gid, fill, affine_or_None), ...]`` (bottom-to-top)
+        when the graph is a pure src-over stack; ``None`` when absent,
+        unsupported, or when it needs composite semantics (use
+        :meth:`paint_tree`)."""
+        tree = self.paint_tree(gid)
+        if tree is None:
+            return None
+        out: list[tuple[int, tuple, tuple | None]] = []
+
+        def flat(node) -> bool:
+            if node[0] == "glyph":
+                out.append((node[1], node[2], node[3]))
+                return True
+            if node[0] == "layers":
+                return all(flat(k) for k in node[1])
+            return False              # composite: not a flat stack
+
+        if not flat(tree):
             return None
         return out
 

@@ -636,6 +636,55 @@ class Font:
             for lg, pe in layers
         ]
 
+    def color_paint_tree(
+        self, gid: int, palette: int = 0,
+        foreground: tuple[int, int, int, int] = (0, 0, 0, 255),
+    ):
+        """``gid``'s palette-resolved COLR render tree (the
+        PaintComposite-capable superset of :meth:`color_paint_layers`):
+
+        - ``("glyph", layer_gid, paint, affine_or_None)``
+        - ``("layers", [child, ...])`` — src-over bottom-to-top
+        - ``("composite", mode, source, backdrop)`` — Porter-Duff
+          modes 0-12
+
+        ``None`` when the glyph has no COLR record (v1 preferred; a
+        v0 record becomes a ``("layers", [glyph...])`` stack)."""
+        colr, cpal = self.colr, self.cpal
+        if colr is None or cpal is None:
+            return None
+
+        def rgba(entry, alpha):
+            r, g, b, a = cpal.color(palette, entry, foreground)
+            return (r, g, b, int(round(a * alpha)))
+
+        def resolve(f):
+            if f[0] == "solid":
+                return ("solid", rgba(f[1], f[2]))
+            kind, geom, extend, stops = f
+            return (kind, geom, extend,
+                    [(off, rgba(pe, al)) for off, pe, al in stops])
+
+        tree = colr.paint_tree(gid)
+        if tree is not None:
+            def conv(node):
+                if node[0] == "glyph":
+                    return ("glyph", node[1], resolve(node[2]),
+                            node[3])
+                if node[0] == "layers":
+                    return ("layers", [conv(k) for k in node[1]])
+                return ("composite", node[1], conv(node[2]),
+                        conv(node[3]))
+            return conv(tree)
+        layers = colr.layers(gid)
+        if layers is None:
+            return None
+        return ("layers", [
+            ("glyph", lg,
+             ("solid", cpal.color(palette, pe, foreground)), None)
+            for lg, pe in layers
+        ])
+
     def glyph_index_variant(self, char: int | str, selector: int) -> int:
         """Char->glyph resolution honoring a Unicode variation selector
         (U+FE00..FE0F, U+E0100..E01EF).  Sequences absent from the

@@ -626,17 +626,22 @@ def make_colrv1test():
     half-alpha), 'B' = PaintColrGlyph referencing A, 'C' = a linear
     gradient, 'D' = a radial gradient, 'E' = a repeat-extend linear
     gradient, 'F' = a PaintTranslate-wrapped solid layer, 'G' = a
-    sweep gradient, 'H' = PaintComposite (outside the supported
-    subset -> monochrome fallback)."""
+    sweep gradient, 'H' = PaintComposite src-over, 'I' =
+    PaintComposite src-in (gradient masked to a square, the
+    Noto-emoji clipping idiom), 'J' = a separable blend-mode
+    composite (outside the supported subset -> monochrome
+    fallback)."""
     upem = 1000
     fb = FontBuilder(upem, isTTF=True)
     names = [".notdef", "sq", "refsq", "grad", "radial", "rept",
-             "xform", "sweep", "compo", "l_bigsq", "l_smallsq"]
+             "xform", "sweep", "compo", "mask", "blend", "l_bigsq",
+             "l_smallsq"]
     fb.setupGlyphOrder(names)
     fb.setupCharacterMap({ord("A"): "sq", ord("B"): "refsq",
                           ord("C"): "grad", ord("D"): "radial",
                           ord("E"): "rept", ord("F"): "xform",
-                          ord("G"): "sweep", ord("H"): "compo"})
+                          ord("G"): "sweep", ord("H"): "compo",
+                          ord("I"): "mask", ord("J"): "blend"})
 
     def rect(pen, x0, y0, x1, y1):
         pen.moveTo((x0, y0))
@@ -647,7 +652,7 @@ def make_colrv1test():
 
     glyphs = {}
     for n in (".notdef", "sq", "refsq", "grad", "radial", "rept",
-              "xform", "sweep", "compo"):
+              "xform", "sweep", "compo", "mask", "blend"):
         pen = TTGlyphPen(glyphSet={})
         if n != ".notdef":
             rect(pen, 0, 0, 10, 10)
@@ -706,10 +711,27 @@ def make_colrv1test():
             "startAngle": 0.0, "endAngle": 179.0,
         }),
         "compo": {
-            "Format": 32,  # PaintComposite: outside the subset
+            "Format": 32,  # PaintComposite, src-over
             "CompositeMode": "src_over",
+            "SourcePaint": glyph_paint("l_smallsq", solid(1, 1.0)),
+            "BackdropPaint": glyph_paint("l_bigsq", solid(0, 1.0)),
+        },
+        "blend": {
+            "Format": 32,  # separable blend mode: outside the subset
+            "CompositeMode": "screen",
             "SourcePaint": glyph_paint("l_bigsq", solid(0, 1.0)),
             "BackdropPaint": glyph_paint("l_smallsq", solid(1, 1.0)),
+        },
+        "mask": {
+            "Format": 32,  # PaintComposite, src-in: gradient masked
+            # to the small square (the Noto-emoji clipping idiom)
+            "CompositeMode": "src_in",
+            "SourcePaint": glyph_paint("l_bigsq", {
+                "Format": 4, "ColorLine": stops2,
+                "x0": 100, "y0": 100, "x1": 900, "y1": 100,
+                "x2": 100, "y2": 900,
+            }),
+            "BackdropPaint": glyph_paint("l_smallsq", solid(0, 1.0)),
         },
     }, version=1)
     fb.font["CPAL"] = buildCPAL([

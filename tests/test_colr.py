@@ -278,7 +278,8 @@ class TestColrV1:
         layers = vfont.color_layers(gid)
         # big red square, then half-alpha blue square (Alpha 0.5
         # scales the palette alpha: 255 * 8192/16384 -> 128)
-        assert layers == [(9, (255, 0, 0, 255)), (10, (0, 0, 255, 128))]
+        assert layers == [(11, (255, 0, 0, 255)),
+                          (12, (0, 0, 255, 128))]
 
     def test_differential_vs_fonttools_graph(self, vfont):
         """The flattened stack matches a walk of fontTools' v1 table
@@ -308,12 +309,59 @@ class TestColrV1:
         b = vfont.color_layers(vfont.glyph_index("B"))
         assert a == b
 
-    def test_composite_falls_back(self, vfont):
-        """PaintComposite is outside the subset: no v0 record in this
-        font, so the glyph renders as the monochrome outline."""
-        gid = vfont.glyph_index("H")
-        assert vfont.colr.layers_v1(gid) is None
+    def test_blend_mode_falls_back(self, vfont):
+        """Separable blend modes (screen etc.) are outside the
+        Porter-Duff subset: no v0 record in this font, so the glyph
+        renders as the monochrome outline."""
+        gid = vfont.glyph_index("J")
+        assert vfont.color_paint_tree(gid) is None
         assert vfont.color_paint_layers(gid) is None
+
+    def test_composite_tree_shape(self, vfont):
+        """PaintComposite builds a render tree (src-over here); the
+        flat-layer API refuses it."""
+        gid = vfont.glyph_index("H")
+        tree = vfont.color_paint_tree(gid)
+        assert tree[0] == "composite" and tree[1] == 3
+        assert tree[2][0] == "glyph" and tree[3][0] == "glyph"
+        assert vfont.color_paint_layers(gid) is None
+
+    def test_src_in_masks_gradient(self, vfont):
+        """The Noto-emoji clipping idiom: a gradient src-in a shape
+        paints only inside the shape, carrying the gradient colors."""
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.engine.raster import RasterEngine
+
+        tiles, grids = color_glyph_tiles(
+            vfont, [vfont.glyph_index("I")], 64,
+            RasterEngine(backend="jnp"))
+        t = np.asarray(tiles[0])
+        g = grids[0]
+        ink = t[..., 3] > 0.5
+        cols = np.nonzero(ink.any(axis=0))[0]
+        # masked to the small square: em x ~300..700, not 100..900
+        em_l = (g.min_x + cols.min()) / g.scale
+        em_r = (g.min_x + cols.max() + 1) / g.scale
+        assert 295 <= em_l <= 320 and 685 <= em_r <= 710
+        # the surviving ink carries the gradient (mid pixel ~50/50)
+        rows = np.nonzero(ink.any(axis=1))[0]
+        mid = t[int(rows.mean()), int(cols.mean())]
+        assert 0.4 < float(mid[0]) < 0.6
+        assert 0.4 < float(mid[2]) < 0.6
+
+    def test_src_over_composite_renders(self, vfont):
+        """Composite src-over equals the equivalent flat stack."""
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.engine.raster import RasterEngine
+
+        eng = RasterEngine(backend="jnp")
+        tiles, _ = color_glyph_tiles(
+            vfont, [vfont.glyph_index("H")], 64, eng)
+        t = np.asarray(tiles[0])
+        # blue small square over red big square: center blue, ring red
+        h = t.shape[0]
+        assert t[h // 2, h // 2, 2] > 0.9      # blue center
+        assert t[6, 6, 0] > 0.9                # red ring
 
     def test_sweep_decodes(self, vfont):
         sw = vfont.color_paint_layers(vfont.glyph_index("G"))
@@ -355,7 +403,7 @@ class TestColrV1:
     def test_translate_carries_affine(self, vfont):
         layers = vfont.color_paint_layers(vfont.glyph_index("F"))
         assert layers == [
-            (10, ("solid", (255, 0, 0, 255)),
+            (12, ("solid", (255, 0, 0, 255)),
              (1.0, 0.0, 0.0, 1.0, 200.0, 0.0))]
 
     def test_translate_moves_ink(self, vfont):
