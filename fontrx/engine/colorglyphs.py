@@ -185,8 +185,111 @@ def _eval_node(node, cov, grid, tile: int):
     _, mode, sn, bn = node
     src = _eval_node(sn, cov, grid, tile)
     bdp = _eval_node(bn, cov, grid, tile)
-    fa, fb = _PORTER_DUFF[mode](src[..., 3:], bdp[..., 3:])
-    return jnp.clip(src * fa + bdp * fb, 0.0, 1.0)
+    if mode <= 12:
+        fa, fb = _PORTER_DUFF[mode](src[..., 3:], bdp[..., 3:])
+        return jnp.clip(src * fa + bdp * fb, 0.0, 1.0)
+    return _blend(mode, src, bdp)
+
+
+def _lum(c):
+    return (0.3 * c[..., 0:1] + 0.59 * c[..., 1:2]
+            + 0.11 * c[..., 2:3])
+
+
+def _clip_color(c):
+    lum = _lum(c)
+    cmin = jnp.min(c, axis=-1, keepdims=True)
+    cmax = jnp.max(c, axis=-1, keepdims=True)
+    low = lum + (c - lum) * lum / jnp.where(
+        lum - cmin == 0, 1.0, lum - cmin)
+    high = lum + (c - lum) * (1.0 - lum) / jnp.where(
+        cmax - lum == 0, 1.0, cmax - lum)
+    c = jnp.where(cmin < 0.0, low, c)
+    return jnp.where(cmax > 1.0, high, c)
+
+
+def _set_lum(c, lum):
+    return _clip_color(c + (lum - _lum(c)))
+
+
+def _sat(c):
+    return (jnp.max(c, axis=-1, keepdims=True)
+            - jnp.min(c, axis=-1, keepdims=True))
+
+
+def _set_sat(c, sat):
+    cmin = jnp.min(c, axis=-1, keepdims=True)
+    cmax = jnp.max(c, axis=-1, keepdims=True)
+    span = jnp.where(cmax - cmin == 0, 1.0, cmax - cmin)
+    scaled = (c - cmin) * sat / span
+    return jnp.where(cmax > cmin, scaled, jnp.zeros_like(c))
+
+
+def _blend(mode: int, src, bdp):
+    """W3C separable/HSL blend modes (COLR CompositeMode 13-27) on
+    premultiplied tiles: un-premultiply, blend per the spec's B(cb,
+    cs), mix by the backdrop alpha, then composite src-over."""
+    sa = src[..., 3:]
+    ba = bdp[..., 3:]
+    cs = src[..., :3] / jnp.where(sa == 0, 1.0, sa)
+    cb = bdp[..., :3] / jnp.where(ba == 0, 1.0, ba)
+
+    def screen(b, s):
+        return b + s - b * s
+
+    def hard_light(b, s):
+        return jnp.where(s <= 0.5, 2.0 * b * s,
+                         screen(b, 2.0 * s - 1.0))
+
+    if mode == 13:
+        bl = screen(cb, cs)
+    elif mode == 14:                       # overlay
+        bl = hard_light(cs, cb)
+    elif mode == 15:
+        bl = jnp.minimum(cb, cs)
+    elif mode == 16:
+        bl = jnp.maximum(cb, cs)
+    elif mode == 17:                       # color-dodge
+        bl = jnp.where(cb == 0.0, 0.0,
+                       jnp.where(cs == 1.0, 1.0,
+                                 jnp.minimum(1.0, cb / jnp.where(
+                                     cs == 1.0, 1.0, 1.0 - cs))))
+    elif mode == 18:                       # color-burn
+        bl = jnp.where(cb == 1.0, 1.0,
+                       jnp.where(cs == 0.0, 0.0,
+                                 1.0 - jnp.minimum(
+                                     1.0, (1.0 - cb) / jnp.where(
+                                         cs == 0.0, 1.0, cs))))
+    elif mode == 19:
+        bl = hard_light(cb, cs)
+    elif mode == 20:                       # soft-light (W3C D())
+        d = jnp.where(cb <= 0.25,
+                      ((16.0 * cb - 12.0) * cb + 4.0) * cb,
+                      jnp.sqrt(jnp.maximum(cb, 0.0)))
+        bl = jnp.where(
+            cs <= 0.5,
+            cb - (1.0 - 2.0 * cs) * cb * (1.0 - cb),
+            cb + (2.0 * cs - 1.0) * (d - cb))
+    elif mode == 21:
+        bl = jnp.abs(cb - cs)
+    elif mode == 22:                       # exclusion
+        bl = cb + cs - 2.0 * cb * cs
+    elif mode == 23:
+        bl = cb * cs
+    elif mode == 24:                       # hue
+        bl = _set_lum(_set_sat(cs, _sat(cb)), _lum(cb))
+    elif mode == 25:                       # saturation
+        bl = _set_lum(_set_sat(cb, _sat(cs)), _lum(cb))
+    elif mode == 26:                       # color
+        bl = _set_lum(cs, _lum(cb))
+    else:                                  # 27 luminosity
+        bl = _set_lum(cb, _lum(cs))
+
+    mixed = (1.0 - ba) * cs + ba * bl      # straight source color
+    out_a = sa + ba * (1.0 - sa)
+    out_rgb = mixed * sa + bdp[..., :3] * (1.0 - sa)
+    return jnp.clip(
+        jnp.concatenate([out_rgb, out_a], axis=-1), 0.0, 1.0)
 
 def color_glyph_tiles(
     font: Font,

@@ -16,9 +16,10 @@ transform family (PaintTransform / Translate / Scale[Uniform]
 variants at base values) — transforms accumulate along the walk,
 bake into the layer outline (quadratics are affine-invariant) and
 inverse-map gradient fields.  PaintComposite nodes build a
-render TREE (Porter-Duff modes CLEAR..PLUS; separable/HSL blend
-modes unsupported).  A graph touching any other paint falls back to
-the glyph's v0 record when present, else to the monochrome outline — documented
+render TREE (all 28 CompositeModes: Porter-Duff CLEAR..PLUS plus the
+W3C separable and HSL blend modes).  A graph touching any other
+paint falls back to the glyph's v0 record when present, else to the
+monochrome outline — documented
 degradation, never an error.  CPAL v0 and v1 are parsed (v1's
 palette-type/label arrays are skipped; they only annotate).
 
@@ -293,9 +294,9 @@ class ColrTable:
 
         - ``("glyph", layer_gid, fill, affine_or_None)``
         - ``("layers", [child, ...])`` — src-over bottom-to-top
-        - ``("composite", mode, source, backdrop)`` — Porter-Duff
-          modes 0-12 (CLEAR..PLUS); separable/HSL blend modes are
-          unsupported
+        - ``("composite", mode, source, backdrop)`` — all 28
+          CompositeModes (Porter-Duff 0-12, separable 13-23, HSL
+          24-27)
 
         ``None`` when the glyph has no v1 record or the graph uses an
         unsupported paint.  Transform affines accumulate along the
@@ -353,7 +354,7 @@ class ColrTable:
                                                  pos + 4)
                     b24 = self.data[pos + 5 : pos + 8]
                     bdp = pos + int.from_bytes(b24, "big")
-                    if mode > 12:     # separable/HSL blends: out
+                    if mode > 27:     # reserved modes
                         return None
                     sn = walk(src, depth + 1, xf)
                     if sn is None:

@@ -309,13 +309,44 @@ class TestColrV1:
         b = vfont.color_layers(vfont.glyph_index("B"))
         assert a == b
 
-    def test_blend_mode_falls_back(self, vfont):
-        """Separable blend modes (screen etc.) are outside the
-        Porter-Duff subset: no v0 record in this font, so the glyph
-        renders as the monochrome outline."""
-        gid = vfont.glyph_index("J")
-        assert vfont.color_paint_tree(gid) is None
-        assert vfont.color_paint_layers(gid) is None
+    def test_screen_blend_renders(self, vfont):
+        """Separable blend modes evaluate the W3C formulas: red
+        screen-blended over blue gives magenta in the overlap, plain
+        red where the backdrop is empty."""
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.engine.raster import RasterEngine
+
+        tree = vfont.color_paint_tree(vfont.glyph_index("J"))
+        assert tree[0] == "composite" and tree[1] == 13  # SCREEN
+        tiles, _ = color_glyph_tiles(
+            vfont, [vfont.glyph_index("J")], 64,
+            RasterEngine(backend="jnp"))
+        t = np.asarray(tiles[0])
+        h = t.shape[0]
+        mid = t[h // 2, h // 2]
+        assert mid[0] > 0.9 and mid[1] < 0.1 and mid[2] > 0.9  # magenta
+        ring = t[6, 6]
+        assert ring[0] > 0.9 and ring[2] < 0.1                 # red
+
+    def test_reserved_composite_mode_falls_back(self):
+        """CompositeMode values past 27 are reserved: the walker
+        refuses the graph (monochrome fallback), never a wrong
+        render."""
+        import struct as st
+
+        from fontrx.font.colr import ColrTable
+        from fontrx.utils.reader import BigEndianReader
+
+        # header + BaseGlyphList(1 rec: gid 5 -> composite(mode 28))
+        # composite at bgl+10: fmt 32, src Offset24=8, mode, bdp=8
+        paint = st.pack(">B3sB3s", 32, (8).to_bytes(3, "big"), 28,
+                        (8).to_bytes(3, "big"))
+        solid = st.pack(">BHh", 2, 0, 16384)
+        bgl = st.pack(">I", 1) + st.pack(">HI", 5, 10) + paint + solid
+        blob = st.pack(">HHIIH", 1, 0, 0, 0, 0) + st.pack(
+            ">IIIII", 34, 0, 0, 0, 0) + bgl
+        t = ColrTable.parse(BigEndianReader(blob, 0))
+        assert t.paint_tree(5) is None
 
     def test_composite_tree_shape(self, vfont):
         """PaintComposite builds a render tree (src-over here); the
