@@ -91,6 +91,12 @@ class ColrTable:
     v1_paints: dict | None = None
     v1_layer_list: tuple = ()
     data: bytes = b""
+    # v1 variation machinery (absolute offsets; 0 = absent)
+    _var_map_off: int = 0
+    _ivs_off: int = 0
+    # lazily parsed (ivs, var_index_map) — a declared slot so the
+    # frozen dataclass can memoize via object.__setattr__
+    _ivs_cache: tuple | None = None
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "ColrTable":
@@ -100,9 +106,11 @@ class ColrTable:
         (n_layers,) = r.unpack("H")
         v1_paints = None
         v1_layers: tuple = ()
+        var_map_off = ivs_off = 0
         if version >= 1:
             bgl_off, ll_off = r.unpack("II")
-            r.skip(12)  # clipList, varIndexMap, itemVariationStore
+            r.skip(4)  # clipList (render-optimization hint; unused)
+            var_map_off, ivs_off = r.unpack("II")
             if bgl_off:
                 br = BigEndianReader(r.data, base + bgl_off)
                 (n,) = br.unpack("I")
@@ -143,10 +151,58 @@ class ColrTable:
             v1_paints=v1_paints,
             v1_layer_list=v1_layers,
             data=r.data,
+            _var_map_off=(base + var_map_off) if var_map_off else 0,
+            _ivs_off=(base + ivs_off) if ivs_off else 0,
         )
 
-    def _color_line(self, pos: int, variable: bool):
-        """(extend, [(offset, palette_entry, alpha), ...]) or None."""
+    def delta_resolver(self, coords):
+        """A ``dv(var_index_base, i) -> float`` closure resolving COLR
+        v1 variation deltas at normalized ``coords`` through the
+        table's VarIndexMap + ItemVariationStore; returns the
+        zero-resolver when the table carries no store, ``coords`` is
+        None/default, or parsing fails (base values, documented)."""
+        if coords is None or not self._ivs_off:
+            return None
+        cache = self._ivs_cache
+        if cache is None:
+            from fontrx.font.variations import (
+                ItemVariationStore,
+                _read_index_map,
+            )
+
+            try:
+                ivs = ItemVariationStore.parse(self.data, self._ivs_off)
+                vmap = (_read_index_map(self.data, self._var_map_off)
+                        if self._var_map_off else None)
+            except Exception:
+                ivs = vmap = None
+            cache = (ivs, vmap)
+            object.__setattr__(self, "_ivs_cache", cache)
+        ivs, vmap = cache
+        if ivs is None:
+            return None
+
+        def dv(base: int, i: int) -> float:
+            if base == 0xFFFFFFFF:
+                return 0.0
+            idx = base + i
+            if vmap is not None:
+                if idx >= len(vmap):
+                    return 0.0
+                outer, inner = vmap[idx]
+            else:
+                outer, inner = idx >> 16, idx & 0xFFFF
+            try:
+                return float(ivs.delta(outer, inner, coords))
+            except Exception:
+                return 0.0
+
+        return dv
+
+    def _color_line(self, pos: int, variable: bool, dv=None):
+        """(extend, [(offset, palette_entry, alpha), ...]) or None.
+        ``dv``: the variation resolver — VarColorStops vary their
+        offset (index 0) and alpha (index 1) per stop."""
         try:
             extend, n = struct.unpack_from(">BH", self.data, pos)
         except struct.error:
@@ -162,16 +218,23 @@ class ColrTable:
                     ">hHh", self.data, p)
             except struct.error:
                 return None
+            off = off_raw / 16384.0
+            alpha = alpha_raw / 16384.0
+            if variable and dv is not None:
+                try:
+                    (vib,) = struct.unpack_from(">I", self.data, p + 6)
+                except struct.error:
+                    return None
+                off += dv(vib, 0) / 16384.0
+                alpha += dv(vib, 1) / 16384.0
             stops.append((
-                off_raw / 16384.0,
-                int(entry),
-                max(min(alpha_raw / 16384.0, 1.0), 0.0),
+                off, int(entry), max(min(alpha, 1.0), 0.0),
             ))
             p += stride
         stops.sort(key=lambda s: s[0])
         return int(extend), stops
 
-    def _fill(self, pos: int):
+    def _fill(self, pos: int, dv=None):
         """Decode a supported fill paint at ``pos``:
         ``("solid", entry, alpha)`` /
         ``("linear", (x0..y2), extend, stops)`` /
@@ -185,53 +248,85 @@ class ColrTable:
             if fmt in (2, 3):        # Paint(Var)Solid
                 entry, alpha_raw = struct.unpack_from(
                     ">Hh", self.data, pos + 1)
+                alpha = alpha_raw / 16384.0
+                if fmt == 3 and dv is not None:
+                    (vib,) = struct.unpack_from(">I", self.data,
+                                                pos + 5)
+                    alpha += dv(vib, 0) / 16384.0
                 return ("solid", int(entry),
-                        max(min(alpha_raw / 16384.0, 1.0), 0.0))
+                        max(min(alpha, 1.0), 0.0))
             if fmt in (4, 5):        # Paint(Var)LinearGradient
                 o24 = self.data[pos + 1 : pos + 4]
                 cl = self._color_line(
-                    pos + int.from_bytes(o24, "big"), fmt == 5)
+                    pos + int.from_bytes(o24, "big"), fmt == 5, dv)
                 if cl is None:
                     return None
-                geom = struct.unpack_from(">6h", self.data, pos + 4)
-                return ("linear", tuple(int(v) for v in geom), *cl)
+                geom = [float(v) for v in struct.unpack_from(
+                    ">6h", self.data, pos + 4)]
+                if fmt == 5 and dv is not None:
+                    (vib,) = struct.unpack_from(">I", self.data,
+                                                pos + 16)
+                    for k in range(6):
+                        geom[k] += dv(vib, k)
+                return ("linear", tuple(geom), *cl)
             if fmt in (6, 7):        # Paint(Var)RadialGradient
                 o24 = self.data[pos + 1 : pos + 4]
                 cl = self._color_line(
-                    pos + int.from_bytes(o24, "big"), fmt == 7)
+                    pos + int.from_bytes(o24, "big"), fmt == 7, dv)
                 if cl is None:
                     return None
-                x0, y0, r0, x1, y1, r1 = struct.unpack_from(
-                    ">hhHhhH", self.data, pos + 4)
-                return ("radial",
-                        (int(x0), int(y0), int(r0),
-                         int(x1), int(y1), int(r1)), *cl)
+                geom = [float(v) for v in struct.unpack_from(
+                    ">hhHhhH", self.data, pos + 4)]
+                if fmt == 7 and dv is not None:
+                    (vib,) = struct.unpack_from(">I", self.data,
+                                                pos + 16)
+                    for k in range(6):
+                        geom[k] += dv(vib, k)
+                    geom[2] = max(geom[2], 0.0)
+                    geom[5] = max(geom[5], 0.0)
+                return ("radial", tuple(geom), *cl)
             if fmt in (8, 9):        # Paint(Var)SweepGradient
                 o24 = self.data[pos + 1 : pos + 4]
                 cl = self._color_line(
-                    pos + int.from_bytes(o24, "big"), fmt == 9)
+                    pos + int.from_bytes(o24, "big"), fmt == 9, dv)
                 if cl is None:
                     return None
                 cx, cy, a0, a1 = struct.unpack_from(
                     ">hhhh", self.data, pos + 4)
+                cx, cy = float(cx), float(cy)
                 # angles are BIASED F2Dot14: stored = angle/180 - 1
-                # (OpenType COLR sweep angle representation)
-                return ("sweep",
-                        (int(cx), int(cy),
-                         (a0 / 16384.0 + 1.0) * 180.0,
-                         (a1 / 16384.0 + 1.0) * 180.0),
-                        *cl)
+                # (OpenType COLR sweep angle representation); deltas
+                # are unbiased F2Dot14 fractions of 180 degrees
+                s0 = (a0 / 16384.0 + 1.0) * 180.0
+                s1 = (a1 / 16384.0 + 1.0) * 180.0
+                if fmt == 9 and dv is not None:
+                    (vib,) = struct.unpack_from(">I", self.data,
+                                                pos + 12)
+                    cx += dv(vib, 0)
+                    cy += dv(vib, 1)
+                    s0 += dv(vib, 2) / 16384.0 * 180.0
+                    s1 += dv(vib, 3) / 16384.0 * 180.0
+                return ("sweep", (cx, cy, s0, s1), *cl)
         except (struct.error, IndexError):
             return None
         return None
 
-    def _transform_matrix(self, pos: int, fmt: int):
+    def _transform_matrix(self, pos: int, fmt: int, dv=None):
         """(affine, child_paint_offset) for the transform paint family
-        (formats 12-31; Var variants read the same leading fields), or
-        None when malformed."""
+        (formats 12-31), or None when malformed.  ``dv`` resolves Var
+        variants' deltas (varIndexBase follows the base fields; field
+        order matches the wire order)."""
         import math
 
         d = self.data
+
+        def deltas(base_pos, n):
+            """n per-field deltas for a Var paint (zeros without dv)."""
+            if dv is None:
+                return [0.0] * n
+            (vib,) = struct.unpack_from(">I", d, base_pos)
+            return [dv(vib, k) for k in range(n)]
+
         try:
             o24 = d[pos + 1 : pos + 4]
             child = pos + int.from_bytes(o24, "big")
@@ -240,56 +335,74 @@ class ColrTable:
                 t24 = d[pos + 4 : pos + 7]
                 tpos = pos + int.from_bytes(t24, "big")
                 vals = struct.unpack_from(">6i", d, tpos)
-                mat = tuple(v / 65536.0 for v in vals)   # Fixed 16.16
-                return mat, child
+                mat = [v / 65536.0 for v in vals]     # Fixed 16.16
+                if fmt == 13:
+                    dl = deltas(tpos + 24, 6)
+                    mat = [m + dk / 65536.0 for m, dk in zip(mat, dl)]
+                return tuple(mat), child
             if fmt in (14, 15):       # PaintTranslate
                 dx, dy = struct.unpack_from(">hh", d, a)
-                return (1.0, 0.0, 0.0, 1.0, float(dx), float(dy)), child
+                dl = deltas(a + 4, 2) if fmt == 15 else [0.0, 0.0]
+                return (1.0, 0.0, 0.0, 1.0,
+                        dx + dl[0], dy + dl[1]), child
             if fmt in (16, 17):       # PaintScale
                 sx, sy = struct.unpack_from(">hh", d, a)
-                return (sx / 16384.0, 0.0, 0.0, sy / 16384.0,
-                        0.0, 0.0), child
+                dl = deltas(a + 4, 2) if fmt == 17 else [0.0, 0.0]
+                return ((sx + dl[0]) / 16384.0, 0.0, 0.0,
+                        (sy + dl[1]) / 16384.0, 0.0, 0.0), child
             if fmt in (18, 19):       # PaintScaleAroundCenter
                 sx, sy, cx, cy = struct.unpack_from(">hhhh", d, a)
+                dl = deltas(a + 8, 4) if fmt == 19 else [0.0] * 4
                 return _around(
-                    (sx / 16384.0, 0.0, 0.0, sy / 16384.0, 0.0, 0.0),
-                    float(cx), float(cy)), child
+                    ((sx + dl[0]) / 16384.0, 0.0, 0.0,
+                     (sy + dl[1]) / 16384.0, 0.0, 0.0),
+                    cx + dl[2], cy + dl[3]), child
             if fmt in (20, 21):       # PaintScaleUniform
                 (sc,) = struct.unpack_from(">h", d, a)
-                u = sc / 16384.0
+                dl = deltas(a + 2, 1) if fmt == 21 else [0.0]
+                u = (sc + dl[0]) / 16384.0
                 return (u, 0.0, 0.0, u, 0.0, 0.0), child
             if fmt in (22, 23):       # PaintScaleUniformAroundCenter
                 sc, cx, cy = struct.unpack_from(">hhh", d, a)
-                u = sc / 16384.0
+                dl = deltas(a + 6, 3) if fmt == 23 else [0.0] * 3
+                u = (sc + dl[0]) / 16384.0
                 return _around((u, 0.0, 0.0, u, 0.0, 0.0),
-                               float(cx), float(cy)), child
+                               cx + dl[1], cy + dl[2]), child
             if fmt in (24, 25):       # PaintRotate
                 (ang,) = struct.unpack_from(">h", d, a)
-                t = math.radians(ang / 16384.0 * 180.0)
+                dl = deltas(a + 2, 1) if fmt == 25 else [0.0]
+                t = math.radians((ang + dl[0]) / 16384.0 * 180.0)
                 c_, s_ = math.cos(t), math.sin(t)
                 return (c_, s_, -s_, c_, 0.0, 0.0), child
             if fmt in (26, 27):       # PaintRotateAroundCenter
                 ang, cx, cy = struct.unpack_from(">hhh", d, a)
-                t = math.radians(ang / 16384.0 * 180.0)
+                dl = deltas(a + 6, 3) if fmt == 27 else [0.0] * 3
+                t = math.radians((ang + dl[0]) / 16384.0 * 180.0)
                 c_, s_ = math.cos(t), math.sin(t)
                 return _around((c_, s_, -s_, c_, 0.0, 0.0),
-                               float(cx), float(cy)), child
+                               cx + dl[1], cy + dl[2]), child
             if fmt in (28, 29):       # PaintSkew
                 xa, ya = struct.unpack_from(">hh", d, a)
-                tx = math.tan(math.radians(xa / 16384.0 * 180.0))
-                ty = math.tan(math.radians(ya / 16384.0 * 180.0))
+                dl = deltas(a + 4, 2) if fmt == 29 else [0.0, 0.0]
+                tx = math.tan(math.radians(
+                    (xa + dl[0]) / 16384.0 * 180.0))
+                ty = math.tan(math.radians(
+                    (ya + dl[1]) / 16384.0 * 180.0))
                 return (1.0, ty, -tx, 1.0, 0.0, 0.0), child
             if fmt in (30, 31):       # PaintSkewAroundCenter
                 xa, ya, cx, cy = struct.unpack_from(">hhhh", d, a)
-                tx = math.tan(math.radians(xa / 16384.0 * 180.0))
-                ty = math.tan(math.radians(ya / 16384.0 * 180.0))
+                dl = deltas(a + 8, 4) if fmt == 31 else [0.0] * 4
+                tx = math.tan(math.radians(
+                    (xa + dl[0]) / 16384.0 * 180.0))
+                ty = math.tan(math.radians(
+                    (ya + dl[1]) / 16384.0 * 180.0))
                 return _around((1.0, ty, -tx, 1.0, 0.0, 0.0),
-                               float(cx), float(cy)), child
+                               cx + dl[2], cy + dl[3]), child
         except (struct.error, IndexError):
             return None
         return None
 
-    def paint_tree(self, gid: int):
+    def paint_tree(self, gid: int, coords=None):
         """Build ``gid``'s v1 paint graph as a render tree:
 
         - ``("glyph", layer_gid, fill, affine_or_None)``
@@ -301,9 +414,13 @@ class ColrTable:
         ``None`` when the glyph has no v1 record or the graph uses an
         unsupported paint.  Transform affines accumulate along the
         walk and attach to the glyph leaves (composite operands keep
-        their own subtree affines)."""
+        their own subtree affines).  ``coords`` (normalized design
+        location) resolves Var paints' deltas through the table's
+        VarIndexMap + ItemVariationStore; None/default renders base
+        values."""
         if not self.v1_paints or gid not in self.v1_paints:
             return None
+        dv = self.delta_resolver(coords)
         seen: set[int] = set()
 
         def walk(pos: int, depth: int, xf):
@@ -331,7 +448,7 @@ class ColrTable:
                     child = pos + int.from_bytes(o24, "big")
                     (glyph_id,) = struct.unpack_from(">H", self.data,
                                                      pos + 4)
-                    fill = self._fill(child)
+                    fill = self._fill(child, dv)
                     if fill is None:
                         return None
                     return ("glyph", int(glyph_id), fill,
@@ -342,7 +459,7 @@ class ColrTable:
                     return None if tgt is None else walk(
                         tgt, depth + 1, xf)
                 if 12 <= fmt <= 31:   # transform family
-                    mc = self._transform_matrix(pos, fmt)
+                    mc = self._transform_matrix(pos, fmt, dv)
                     if mc is None:
                         return None
                     mat, child = mc
@@ -372,14 +489,14 @@ class ColrTable:
         return walk(self.v1_paints[gid], 0, _IDENTITY)
 
     def layers_v1(
-        self, gid: int
+        self, gid: int, coords=None,
     ) -> list[tuple[int, tuple, tuple | None]] | None:
         """Flatten ``gid``'s v1 paint graph to ordered
         ``[(layer_gid, fill, affine_or_None), ...]`` (bottom-to-top)
         when the graph is a pure src-over stack; ``None`` when absent,
         unsupported, or when it needs composite semantics (use
         :meth:`paint_tree`)."""
-        tree = self.paint_tree(gid)
+        tree = self.paint_tree(gid, coords)
         if tree is None:
             return None
         out: list[tuple[int, tuple, tuple | None]] = []

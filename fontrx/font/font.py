@@ -574,7 +574,7 @@ class Font:
         # fills; gradient-bearing graphs are served by
         # color_paint_layers (this flat-color API falls back to the
         # v0 record for them)
-        v1 = colr.layers_v1(gid)
+        v1 = colr.layers_v1(gid, getattr(self, "_var_coords", None))
         if v1 is not None and all(
                 f[0] == "solid" and xf is None for _, f, xf in v1):
             out = []
@@ -615,7 +615,7 @@ class Font:
             r, g, b, a = cpal.color(palette, entry, foreground)
             return (r, g, b, int(round(a * alpha)))
 
-        v1 = colr.layers_v1(gid)
+        v1 = colr.layers_v1(gid, getattr(self, "_var_coords", None))
         if v1 is not None:
             out = []
             for lg, f, xf in v1:
@@ -665,7 +665,7 @@ class Font:
             return (kind, geom, extend,
                     [(off, rgba(pe, al)) for off, pe, al in stops])
 
-        tree = colr.paint_tree(gid)
+        tree = colr.paint_tree(gid, getattr(self, "_var_coords", None))
         if tree is not None:
             def conv(node):
                 if node[0] == "glyph":

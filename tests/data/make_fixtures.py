@@ -741,6 +741,56 @@ def make_colrv1test():
     print("wrote colrv1test.ttf")
 
 
+def make_varcolrtest():
+    """Variable COLR v1 font (varLib-merged VarStore + VarIndexMap):
+    one color glyph whose PaintVarTranslate dx runs 0 -> 300 and
+    PaintVarSolid alpha 1.0 -> 0.25 across wght 100 -> 900."""
+    def master(alpha, dx):
+        upem = 1000
+        fb = FontBuilder(upem, isTTF=True)
+        names = [".notdef", "c", "l_sq"]
+        fb.setupGlyphOrder(names)
+        fb.setupCharacterMap({ord("A"): "c"})
+
+        def rect(pen, x0, y0, x1, y1):
+            pen.moveTo((x0, y0))
+            pen.lineTo((x1, y0))
+            pen.lineTo((x1, y1))
+            pen.lineTo((x0, y1))
+            pen.closePath()
+
+        glyphs = {}
+        pen = TTGlyphPen(glyphSet={})
+        glyphs[".notdef"] = pen.glyph()
+        pen = TTGlyphPen(glyphSet={})
+        rect(pen, 0, 0, 10, 10)
+        glyphs["c"] = pen.glyph()
+        pen = TTGlyphPen(glyphSet={})
+        rect(pen, 100, 100, 500, 500)
+        glyphs["l_sq"] = pen.glyph()
+        fb.setupGlyf(glyphs)
+        fb.setupHorizontalMetrics({n: (upem, 0) for n in names})
+        fb.setupHorizontalHeader(ascent=900, descent=-100)
+        fb.setupNameTable({"familyName": "VarColr",
+                           "styleName": "Regular"})
+        fb.setupOS2()
+        fb.setupPost()
+        from fontTools.colorLib.builder import buildCOLR, buildCPAL
+        fb.font["COLR"] = buildCOLR({
+            "c": {"Format": 14, "dx": dx, "dy": 0,
+                  "Paint": {"Format": 10, "Glyph": "l_sq",
+                            "Paint": {"Format": 2, "PaletteIndex": 0,
+                                      "Alpha": alpha}}},
+        }, version=1)
+        fb.font["CPAL"] = buildCPAL([[(1.0, 0.0, 0.0, 1.0)]])
+        return fb.font
+
+    _vf([(100, 100, 900, "Weight", "wght", [])],
+        [({"Weight": 100}, master(1.0, 0)),
+         ({"Weight": 900}, master(0.25, 300))],
+        "varcolrtest.ttf")
+
+
 if __name__ == "__main__":
     make_vartest()
     make_vartest2()
@@ -752,6 +802,7 @@ if __name__ == "__main__":
     make_arabictest()
     make_colrtest()
     make_colrv1test()
+    make_varcolrtest()
     make_vartest_cff2()
     if os.path.exists(PYGAME_MONO):
         make_cidtest()

@@ -584,3 +584,54 @@ class TestGradientRender:
         # and a half-period away the color is materially different
         c2 = int(round(c0 + period_px / 2))
         assert abs(float(a[0]) - float(rep[row, c2][0])) > 0.2
+
+
+class TestVariableColr:
+    """COLR v1 variation deltas (VarStore + VarIndexMap, varLib-built
+    fixture): PaintVarTranslate dx 0 -> 300 and PaintVarSolid alpha
+    1.0 -> 0.25 across wght 100 -> 900.  Oracle: linear interpolation
+    in normalized axis space (fontTools' instancer does not yet apply
+    COLR deltas, so the closed form is the independent check)."""
+
+    VARCOLR = "tests/data/varcolrtest.ttf"
+
+    def test_default_location_base_values(self):
+        f = Font.open(self.VARCOLR)
+        tree = f.color_paint_tree(f.glyph_index("A"))
+        assert tree == ("glyph", 2, ("solid", (255, 0, 0, 255)), None)
+
+    def test_max_location(self):
+        f = Font.open(self.VARCOLR)
+        f.set_variation({"wght": 900})
+        tree = f.color_paint_tree(f.glyph_index("A"))
+        _, _, paint, xf = tree
+        assert paint[1][3] == round(0.25 * 255)      # alpha 0.25
+        assert xf[4] == 300.0 and xf[5] == 0.0       # dx 300
+
+    def test_intermediate_location(self):
+        f = Font.open(self.VARCOLR)
+        f.set_variation({"wght": 500})               # normalized 0.5
+        tree = f.color_paint_tree(f.glyph_index("A"))
+        _, _, paint, xf = tree
+        assert paint[1][3] == round(0.625 * 255)     # lerp alpha
+        assert xf[4] == 150.0                        # lerp dx
+
+    def test_render_moves_with_location(self):
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.engine.raster import RasterEngine
+
+        eng = RasterEngine(backend="jnp")
+        f = Font.open(self.VARCOLR)
+        gid = f.glyph_index("A")
+        t0, g0 = color_glyph_tiles(f, [gid], 64, eng)
+        f.set_variation({"wght": 900})
+        t9, g9 = color_glyph_tiles(f, [gid], 64, eng)
+        left0 = (g0[0].min_x
+                 + np.nonzero(np.asarray(t0[0])[..., 3].max(axis=0)
+                              > 0.1)[0].min()) / g0[0].scale
+        left9 = (g9[0].min_x
+                 + np.nonzero(np.asarray(t9[0])[..., 3].max(axis=0)
+                              > 0.1)[0].min()) / g9[0].scale
+        # square translated +300 units; alpha drops to 0.25
+        assert 280 <= (left9 - left0) <= 320
+        assert float(np.asarray(t9[0])[..., 3].max()) < 0.3
