@@ -432,6 +432,10 @@ class TestWholeFontFuzz:
             open(os.path.join(here, "data", "vartest_cff2.otf"),
                  "rb").read(),
             open(os.path.join(here, "data", "cidtest.otf"), "rb").read(),
+            open(os.path.join(here, "data", "colrv1test.ttf"),
+                 "rb").read(),
+            open(os.path.join(here, "data", "varcolrtest.ttf"),
+                 "rb").read(),
         ]
         otf = ("/opt/venv/lib/python3.12/site-packages/pygame/tests/"
                "fixtures/fonts/test_fixed.otf")
@@ -451,5 +455,11 @@ class TestWholeFontFuzz:
                 f.shaper((b"liga",))
                 f.positioner((b"kern",))
                 f.varied_advance(0)
+                # color surface: paint-graph walk + palette resolution
+                # over a few gids (COLR/CPAL flipped bytes must
+                # degrade, never crash)
+                for gid in rng.integers(0, max(f.num_glyphs, 1), 3):
+                    f.color_paint_tree(int(gid))
+                    f.color_layers(int(gid))
             except acceptable:
                 pass
