@@ -55,7 +55,7 @@ class Config:
     size: int = option("s", default=256, help="font size in pixels")
     samples: int = option(None, default=1, help="MSAA supersample factor k (k*k samples)")
     mode: str = option("m", default="fill", help="fill|gray|coverage|sdf|outline|smooth|lcd|color|triangulation")
-    palette: int = option(None, default=0, help="color mode: CPAL palette index")
+    palette: str = option(None, default="0", help="color mode: CPAL palette index, or dark|light (picks the first palette flagged for that background)")
     stroke: float = option(None, default=2.0, help="outline mode: stroke width in pixels")
     oblique: float = option(None, default=0.0, help="synthetic italic slant ratio (e.g. 0.21)")
     rtl: bool = option(None, default=False, help="right-to-left lines (paragraph base direction)")

@@ -344,11 +344,21 @@ def _render(font, text, cfg, engine) -> np.ndarray:
             log.warning(
                 "font has no COLR/CPAL tables; color mode renders "
                 "the monochrome outlines")
-        palette = getattr(cfg, "palette", 0)
-        if font.cpal is not None and not (
-                0 <= palette < font.cpal.num_palettes):
-            log.warning("palette %d out of range (%d palettes); using 0",
-                        palette, font.cpal.num_palettes)
+        palette = getattr(cfg, "palette", "0")
+        if font.cpal is not None:
+            try:
+                palette = (int(palette) if str(palette).lstrip("-")
+                           .isdigit() else font.cpal.select(palette))
+            except ValueError:
+                log.warning("unknown palette selector %r; using 0",
+                            palette)
+                palette = 0
+            if not 0 <= palette < font.cpal.num_palettes:
+                log.warning(
+                    "palette %d out of range (%d palettes); using 0",
+                    palette, font.cpal.num_palettes)
+                palette = 0
+        else:
             palette = 0
         tiles, grids = color_glyph_tiles(
             font, [int(g) for g in layout.slot_gids], cfg.size, engine,

@@ -535,6 +535,9 @@ class CpalTable:
 
     version: int
     colors: np.ndarray  # uint8 [numPalettes, numPaletteEntries, 4] RGBA
+    # CPAL v1 paletteTypes bits per palette (0 when absent):
+    # bit 0 = usable with light background, bit 1 = with dark
+    palette_types: tuple = ()
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "CpalTable":
@@ -544,8 +547,18 @@ class CpalTable:
         if n_entries == 0 or n_palettes == 0:
             raise CorruptedFont("CPAL with no palettes")
         starts = r.u16_array(n_palettes).astype(np.int64)
-        # v1 trailing offsets (palette types/labels) are annotations
-        # only — skipped
+        types = (0,) * n_palettes
+        if version >= 1:
+            # paletteTypes array (labels are name-table annotations
+            # and stay skipped)
+            try:
+                (types_off,) = r.unpack("I")
+                if types_off:
+                    tr = BigEndianReader(r.data, base + types_off)
+                    types = tuple(
+                        int(v) for v in tr.u32_array(n_palettes))
+            except Exception:
+                types = (0,) * n_palettes
         if (starts + n_entries).max() > n_records:
             raise CorruptedFont("CPAL palette start past color records")
         r.seek(base + records_off)
@@ -556,7 +569,7 @@ class CpalTable:
         colors = np.stack(
             [rgba[s : s + n_entries] for s in starts]
         )
-        return cls(int(version), colors.copy())
+        return cls(int(version), colors.copy(), types)
 
     @property
     def num_palettes(self) -> int:
@@ -580,3 +593,19 @@ class CpalTable:
             raise CorruptedFont(
                 f"palette entry {entry} of {self.num_entries}")
         return tuple(int(v) for v in self.colors[palette, entry])
+
+    def select(self, which) -> int:
+        """Resolve a palette selector to an index: an int passes
+        through; ``"light"``/``"dark"`` pick the first palette whose
+        CPAL v1 paletteTypes flag claims usability with that
+        background (bit 0 light / bit 1 dark), falling back to
+        palette 0 when no palette is flagged."""
+        if isinstance(which, int):
+            return which
+        bit = {"light": 1, "dark": 2}.get(str(which).lower())
+        if bit is None:
+            raise ValueError(f"palette selector {which!r}")
+        for i, t in enumerate(self.palette_types):
+            if t & bit:
+                return i
+        return 0

@@ -603,7 +603,11 @@ def make_colrtest():
     fb.setupOS2()
     fb.setupPost()
 
-    from fontTools.colorLib.builder import buildCOLR, buildCPAL
+    from fontTools.colorLib.builder import (
+        ColorPaletteType,
+        buildCOLR,
+        buildCPAL,
+    )
     fb.font["COLR"] = buildCOLR({
         "sq": [("l_bigsq", 0), ("l_smallsq", 1)],
         "disc": [("l_disc1", 0), ("l_disc2", 2)],
@@ -611,12 +615,15 @@ def make_colrtest():
     })
     # palette 0: red, blue, semi-transparent green, yellow
     # palette 1: the same slots re-colored (palette switch test)
-    fb.font["CPAL"], _ = buildCPAL([
+    fb.font["CPAL"] = buildCPAL([
         [(1.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 1.0),
          (0.0, 0.8, 0.0, 0.5), (1.0, 0.9, 0.0, 1.0)],
         [(0.0, 0.0, 0.0, 1.0), (1.0, 1.0, 1.0, 1.0),
          (1.0, 0.0, 1.0, 0.75), (0.0, 0.5, 0.5, 1.0)],
-    ]), None
+    ], paletteTypes=[
+        ColorPaletteType.USABLE_WITH_LIGHT_BACKGROUND,
+        ColorPaletteType.USABLE_WITH_DARK_BACKGROUND,
+    ])
     fb.save(os.path.join(HERE, "colrtest.ttf"))
     print("wrote colrtest.ttf")
 

@@ -635,3 +635,42 @@ class TestVariableColr:
         # square translated +300 units; alpha drops to 0.25
         assert 280 <= (left9 - left0) <= 320
         assert float(np.asarray(t9[0])[..., 3].max()) < 0.3
+
+
+class TestPaletteSelection:
+    def test_palette_types_parse(self, cfont):
+        # fixture: palette 0 flagged light, palette 1 dark (CPAL v1)
+        assert cfont.cpal.version == 1
+        assert cfont.cpal.palette_types == (1, 2)
+
+    def test_select(self, cfont):
+        assert cfont.cpal.select("light") == 0
+        assert cfont.cpal.select("dark") == 1
+        assert cfont.cpal.select(1) == 1
+        with pytest.raises(ValueError):
+            cfont.cpal.select("sepia")
+
+    def test_select_unflagged_falls_back(self):
+        f = Font.open(COLRV1TEST)  # CPAL v0: no flags
+        assert f.cpal.palette_types == (0,)
+        assert f.cpal.select("dark") == 0
+
+    def test_cli_dark_palette(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "d.qoi"
+        rc = main(["-f", COLRTEST, "-t", "A", "-m", "color",
+                   "-s", "64", "--palette", "dark", "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        # dark palette: black big square, white small square
+        assert np.all(img == 0, axis=2).sum() > 1000
+
+    def test_cli_bad_selector_warns(self, tmp_path, caplog):
+        from fontrx.cli.main import main
+
+        out = tmp_path / "x.qoi"
+        rc = main(["-f", COLRTEST, "-t", "A", "-m", "color",
+                   "-s", "48", "--palette", "sepia", "-o", str(out)])
+        assert rc == 0  # falls back to palette 0
