@@ -176,6 +176,10 @@ def _eval_node(node, cov, grid, tile: int):
             av = cov[row][..., None] * field[..., 3:]
             rgb = field[..., :3]
         return jnp.concatenate([rgb * av, av], axis=-1)
+    if node[0] == "bitmap":
+        return node[1]
+    if node[0] == "bitmap":
+        return node[1]
     if node[0] == "layers":
         acc = jnp.zeros((tile, tile, 4), jnp.float32)
         for k in node[1]:
@@ -327,6 +331,29 @@ def color_glyph_tiles(
     for gid in gids:
         tree = font.color_paint_tree(gid, palette, foreground)
         if tree is None:
+            # bitmap strikes (sbix): pre-rendered PNG scaled from the
+            # best strike; positioned by the strike-pixel origin
+            bm = font.sbix_bitmap(gid, size)
+            if bm is not None:
+                img, ox, oy, strike_ppem = bm
+                k = size / max(strike_ppem, 1)
+                th = max(1, min(tile, int(round(img.shape[0] * k))))
+                tw = max(1, min(tile, int(round(img.shape[1] * k))))
+                f = jnp.asarray(img, jnp.float32) / 255.0
+                import jax
+
+                f = jax.image.resize(f, (th, tw, 4), method="linear")
+                prem = jnp.concatenate(
+                    [f[..., :3] * f[..., 3:], f[..., 3:]], axis=-1)
+                buf = jnp.zeros((tile, tile, 4), jnp.float32)
+                buf = buf.at[:th, :tw].set(prem)
+                left_px = int(round(ox * k))
+                top_px = int(round(oy * k)) + th - 1
+                cells.append(("bitmap", buf))
+                cell_grids.append(RasterGrid(
+                    width=tile, height=tile, min_x=left_px,
+                    max_y=top_px, scale=np.float32(size / upem)))
+                continue
             tree = ("layers",
                     [("glyph", gid, ("solid", foreground), None)])
         # annotate glyph leaves with their batch row and collect the

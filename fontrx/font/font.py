@@ -544,6 +544,42 @@ class Font:
         return self._colr
 
     @property
+    def sbix(self):
+        """sbix bitmap-strike table
+        (:class:`fontrx.font.sbix.SbixTable`) or ``None``."""
+        if not hasattr(self, "_sbix"):
+            self._sbix = None
+            if b"sbix" in self.tables:
+                try:
+                    from fontrx.font.sbix import SbixTable
+
+                    self._sbix = SbixTable.parse(
+                        self._at(b"sbix"), self.maxp.num_glyphs)
+                except Exception as e:
+                    log.warning("sbix unusable: %s", e)
+        return self._sbix
+
+    def sbix_bitmap(self, gid: int, ppem: float):
+        """Best-strike bitmap for ``gid`` at ``ppem``:
+        ``(rgba uint8 [h, w, 4], origin_x, origin_y, strike_ppem)``
+        or ``None`` (no sbix / no bitmap / non-PNG graphic).  Origin
+        offsets are in STRIKE pixels (bottom-left of the bitmap
+        relative to the glyph origin), per spec."""
+        sb = self.sbix
+        if sb is None:
+            return None
+        strike = sb.best_strike(ppem)
+        if strike is None:
+            return None
+        entry = sb.glyph_image(strike, gid)
+        from fontrx.font.sbix import decode_bitmap
+
+        img = decode_bitmap(entry)
+        if img is None:
+            return None
+        return img, entry[0], entry[1], strike.ppem
+
+    @property
     def cpal(self):
         """CPAL palette table (:class:`fontrx.font.colr.CpalTable`) or
         ``None``."""

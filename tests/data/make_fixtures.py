@@ -12,6 +12,7 @@ Run: python tests/data/make_fixtures.py
 
 import io
 import os
+import sys
 
 import numpy as np  # noqa: F401  (environment sanity)
 from fontTools import cffLib
@@ -798,6 +799,73 @@ def make_varcolrtest():
         "varcolrtest.ttf")
 
 
+def make_sbixtest():
+    """sbix bitmap-strike font: two strikes (32, 64 ppem) of PNG
+    glyphs (encoded with fontrx's own encoder), plus a 'dupe'
+    redirect and a non-PNG graphic for the documented fallbacks."""
+    import numpy as np
+    from fontTools.ttLib import newTable
+    from fontTools.ttLib.tables.sbixGlyph import Glyph as SbixGlyph
+    from fontTools.ttLib.tables.sbixStrike import Strike
+
+    sys_path = os.path.join(os.path.dirname(HERE), "..")
+    if sys_path not in sys.path:
+        sys.path.insert(0, sys_path)
+    from fontrx.io.png import encode as png_encode
+
+    upem = 1000
+    fb = FontBuilder(upem, isTTF=True)
+    names = [".notdef", "em", "dup", "jpg"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord("A"): "em", ord("B"): "dup",
+                          ord("C"): "jpg"})
+    glyphs = {}
+    for n in names:
+        pen = TTGlyphPen(glyphSet={})
+        if n != ".notdef":
+            pen.moveTo((0, 0))
+            pen.lineTo((10, 0))
+            pen.lineTo((10, 10))
+            pen.lineTo((0, 10))
+            pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (upem, 0) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-100)
+    fb.setupNameTable({"familyName": "SbixTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+
+    def strike(ppem):
+        st = Strike(ppem=ppem, resolution=72)
+        st.glyphs = {}
+        # quadrant test image: TL red, TR green, BL blue, BR white
+        img = np.zeros((ppem, ppem, 4), np.uint8)
+        img[: ppem // 2, : ppem // 2] = (255, 0, 0, 255)
+        img[: ppem // 2, ppem // 2 :] = (0, 255, 0, 255)
+        img[ppem // 2 :, : ppem // 2] = (0, 0, 255, 255)
+        img[ppem // 2 :, ppem // 2 :] = (255, 255, 255, 255)
+        st.glyphs["em"] = SbixGlyph(
+            glyphName="em", graphicType="png ",
+            originOffsetX=2, originOffsetY=-3,
+            imageData=png_encode(img))
+        st.glyphs["dup"] = SbixGlyph(
+            glyphName="dup", graphicType="dupe",
+            referenceGlyphName="em")
+        st.glyphs["jpg"] = SbixGlyph(
+            glyphName="jpg", graphicType="jpg ",
+            imageData=b"\xff\xd8 not really a jpeg")
+        return st
+
+    sbix = newTable("sbix")
+    sbix.version = 1
+    sbix.flags = 1
+    sbix.strikes = {32: strike(32), 64: strike(64)}
+    fb.font["sbix"] = sbix
+    fb.save(os.path.join(HERE, "sbixtest.ttf"))
+    print("wrote sbixtest.ttf")
+
+
 if __name__ == "__main__":
     make_vartest()
     make_vartest2()
@@ -810,6 +878,7 @@ if __name__ == "__main__":
     make_colrtest()
     make_colrv1test()
     make_varcolrtest()
+    make_sbixtest()
     make_vartest_cff2()
     if os.path.exists(PYGAME_MONO):
         make_cidtest()
