@@ -331,9 +331,10 @@ def color_glyph_tiles(
     for gid in gids:
         tree = font.color_paint_tree(gid, palette, foreground)
         if tree is None:
-            # bitmap strikes (sbix): pre-rendered PNG scaled from the
-            # best strike; positioned by the strike-pixel origin
-            bm = font.sbix_bitmap(gid, size)
+            # bitmap strikes (sbix / CBDT): pre-rendered PNG scaled
+            # from the best strike; positioned by the strike-pixel
+            # bottom-left origin
+            bm = font.color_bitmap(gid, size)
             if bm is not None:
                 img, ox, oy, strike_ppem = bm
                 k = size / max(strike_ppem, 1)

@@ -580,6 +580,48 @@ class Font:
         return img, entry[0], entry[1], strike.ppem
 
     @property
+    def cbdt(self):
+        """CBDT/CBLC bitmap table
+        (:class:`fontrx.font.cbdt.CbdtTable`) or ``None``."""
+        if not hasattr(self, "_cbdt"):
+            self._cbdt = None
+            if b"CBDT" in self.tables and b"CBLC" in self.tables:
+                try:
+                    from fontrx.font.cbdt import CbdtTable
+
+                    self._cbdt = CbdtTable.parse(
+                        self._at(b"CBLC"), self._at(b"CBDT"))
+                except Exception as e:
+                    log.warning("CBDT/CBLC unusable: %s", e)
+        return self._cbdt
+
+    def color_bitmap(self, gid: int, ppem: float):
+        """Best bitmap glyph across the bitmap families:
+        ``(rgba uint8 [h, w, 4], left, bottom, strike_ppem)`` with
+        left/bottom the bitmap's bottom-left corner relative to the
+        glyph origin in STRIKE pixels, or ``None``.  sbix (Apple)
+        takes precedence, then CBDT/CBLC (Google)."""
+        sb = self.sbix_bitmap(gid, ppem)
+        if sb is not None:
+            return sb
+        cb = self.cbdt
+        if cb is None:
+            return None
+        strike = cb.best_strike(ppem)
+        if strike is None:
+            return None
+        entry = cb.glyph_image(strike, gid)
+        if entry is None:
+            return None
+        bx, bottom, png = entry
+        from fontrx.font.sbix import decode_bitmap
+
+        img = decode_bitmap((0, 0, b"png ", png))
+        if img is None:
+            return None
+        return img, bx, bottom, strike.ppem
+
+    @property
     def cpal(self):
         """CPAL palette table (:class:`fontrx.font.colr.CpalTable`) or
         ``None``."""

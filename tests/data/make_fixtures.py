@@ -866,6 +866,79 @@ def make_sbixtest():
     print("wrote sbixtest.ttf")
 
 
+def make_cbdttest():
+    """CBDT/CBLC bitmap font (handcrafted wire tables, raw-injected):
+    one 64-ppem strike, index format 1, image format 17 (small
+    metrics + PNG) for glyphs 'em'/'half', and a deliberately empty
+    range entry for the fallback."""
+    import struct as st
+
+    import numpy as np
+    from fontTools.ttLib.tables.DefaultTable import DefaultTable
+
+    sys_path = os.path.join(os.path.dirname(HERE), "..")
+    if sys_path not in sys.path:
+        sys.path.insert(0, sys_path)
+    from fontrx.io.png import encode as png_encode
+
+    upem = 1000
+    fb = FontBuilder(upem, isTTF=True)
+    names = [".notdef", "em", "half", "none"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord("A"): "em", ord("B"): "half",
+                          ord("C"): "none"})
+    glyphs = {}
+    for n in names:
+        pen = TTGlyphPen(glyphSet={})
+        if n != ".notdef":
+            pen.moveTo((0, 0))
+            pen.lineTo((10, 0))
+            pen.lineTo((10, 10))
+            pen.lineTo((0, 10))
+            pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (upem, 0) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-100)
+    fb.setupNameTable({"familyName": "CbdtTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+
+    img1 = np.zeros((64, 64, 4), np.uint8)
+    img1[:32, :32] = (255, 0, 0, 255)
+    img1[:32, 32:] = (0, 255, 0, 255)
+    img1[32:, :32] = (0, 0, 255, 255)
+    img1[32:, 32:] = (255, 255, 255, 255)
+    img2 = np.zeros((32, 32, 4), np.uint8)
+    img2[:] = (255, 0, 255, 255)
+    png1, png2 = png_encode(img1), png_encode(img2)
+
+    def fmt17(h, w, bx, by, adv, png):
+        return st.pack(">BBbbB", h, w, bx, by, adv) + st.pack(
+            ">I", len(png)) + png
+
+    g1 = fmt17(64, 64, 1, 60, 64, png1)      # bottom = 60-64 = -4
+    g2 = fmt17(32, 32, 0, 32, 32, png2)      # bottom = 0
+    cbdt = st.pack(">HH", 3, 0) + g1 + g2 + b""
+    # glyphs 1..3; gid 3 ('none') gets an empty slice (no bitmap)
+    offs = [0, len(g1), len(g1) + len(g2), len(g1) + len(g2)]
+    subtable = st.pack(">HHI", 1, 17, 4) + st.pack(
+        ">4I", *offs)
+    ista = st.pack(">HHI", 1, 3, 8) + subtable
+    size_rec = st.pack(
+        ">IIII", 56, len(ista), 1, 0) + b"\x00" * 24 + st.pack(
+        ">HHBBBb", 1, 3, 64, 64, 32, 1)
+    cblc = st.pack(">HHI", 3, 0, 1) + size_rec + ista
+    assert len(st.pack(">HHI", 3, 0, 1) + size_rec) == 56
+
+    for tag, raw in ((b"CBLC", cblc), (b"CBDT", cbdt)):
+        tbl = DefaultTable(tag=tag.decode())
+        tbl.data = raw
+        fb.font[tag.decode()] = tbl
+    fb.save(os.path.join(HERE, "cbdttest.ttf"))
+    print("wrote cbdttest.ttf")
+
+
 if __name__ == "__main__":
     make_vartest()
     make_vartest2()
@@ -879,6 +952,7 @@ if __name__ == "__main__":
     make_colrv1test()
     make_varcolrtest()
     make_sbixtest()
+    make_cbdttest()
     make_vartest_cff2()
     if os.path.exists(PYGAME_MONO):
         make_cidtest()

@@ -132,3 +132,54 @@ class TestSbixRender:
         blues = ((img[:, :, 2] == 255) & (img[:, :, 0] == 0)
                  & (img[:, :, 1] == 0))
         assert reds.sum() > 400 and blues.sum() > 400  # both glyphs
+
+
+class TestCbdt:
+    """CBDT/CBLC (Google-style) bitmap strikes — the handcrafted
+    fixture has one 64-ppem strike, index format 1 / image format 17,
+    plus an empty-range glyph pinning the no-bitmap fallback."""
+
+    CBDTTEST = "tests/data/cbdttest.ttf"
+
+    @pytest.fixture(scope="class")
+    def cfont(self):
+        return Font.open(self.CBDTTEST)
+
+    def test_strike_parses(self, cfont):
+        assert [(s.ppem, s.bit_depth) for s in cfont.cbdt.strikes] \
+            == [(64, 32)]
+
+    def test_small_metrics_and_png(self, cfont):
+        img, bx, bottom, ppem = cfont.color_bitmap(
+            cfont.glyph_index("A"), 48)
+        assert img.shape == (64, 64, 4)
+        # smallGlyphMetrics bearingY 60, height 64 -> bottom -4
+        assert (bx, bottom, ppem) == (1, -4, 64)
+        assert tuple(img[0, 0, :3]) == (255, 0, 0)
+        assert tuple(img[63, 63, :3]) == (255, 255, 255)
+
+    def test_second_glyph_distinct(self, cfont):
+        img, bx, bottom, ppem = cfont.color_bitmap(
+            cfont.glyph_index("B"), 48)
+        assert img.shape == (32, 32, 4)
+        assert tuple(img[16, 16, :3]) == (255, 0, 255)
+        assert (bx, bottom) == (0, 0)
+
+    def test_empty_range_degrades(self, cfont):
+        assert cfont.color_bitmap(cfont.glyph_index("C"), 48) is None
+        assert cfont.color_bitmap(0, 48) is None
+
+    def test_cli_color_renders_cbdt(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "c.qoi"
+        rc = main(["-f", self.CBDTTEST, "-t", "AB", "-m", "color",
+                   "-s", "48", "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        magenta = ((img[:, :, 0] == 255) & (img[:, :, 1] == 0)
+                   & (img[:, :, 2] == 255))
+        red = ((img[:, :, 0] == 255) & (img[:, :, 1] == 0)
+               & (img[:, :, 2] == 0))
+        assert red.sum() > 200 and magenta.sum() > 200
