@@ -169,6 +169,14 @@ def _render_hinted(font, text, cfg, engine) -> np.ndarray:
     from fontrx.pack.segments import pack_glyphs
 
     ppem = cfg.size
+    # gasp advice: fonts flag per-size whether bilevel grid-fit or
+    # antialiasing is intended; warn when the user's mode contradicts
+    # the font (render proceeds as asked — explicit flags win)
+    behavior = font.gasp_behavior(ppem)
+    if cfg.mode == "fill" and (behavior & 0x2) and not (behavior & 0x1):
+        log.info(
+            "gasp: font asks for antialiasing without grid-fitting at "
+            "%d ppem; consider -m gray without --hinting", ppem)
     eng26 = font.hinting_engine(ppem)
     gids = [font.charmap.glyph_index(ord(ch)) for ch in text]
     glyphs, advs = [], []

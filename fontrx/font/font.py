@@ -543,6 +543,33 @@ class Font:
                     log.warning("COLR unusable: %s", e)
         return self._colr
 
+    def gasp_behavior(self, ppem: int) -> int:
+        """The ``gasp`` table's rasterizer advice bits for ``ppem``:
+        1 GRIDFIT, 2 DOGRAY, 4 SYMMETRIC_GRIDFIT, 8
+        SYMMETRIC_SMOOTHING (OpenType gasp v0/v1).  Fonts without the
+        table get the spec's recommended default for modern
+        rasterizers: grid-fit + gray (0x3) at every size."""
+        if not hasattr(self, "_gasp"):
+            self._gasp = None
+            if b"gasp" in self.tables:
+                try:
+                    r = self._at(b"gasp")
+                    _ver, n = r.unpack("HH")
+                    ranges = []
+                    for _ in range(min(n, 1024)):
+                        max_ppem, behavior = r.unpack("HH")
+                        ranges.append((int(max_ppem), int(behavior)))
+                    ranges.sort()
+                    self._gasp = ranges
+                except Exception as e:
+                    log.warning("gasp unusable: %s", e)
+        if self._gasp:
+            for max_ppem, behavior in self._gasp:
+                if ppem <= max_ppem:
+                    return behavior
+            return self._gasp[-1][1]
+        return 0x3
+
     @property
     def sbix(self):
         """sbix bitmap-strike table

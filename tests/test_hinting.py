@@ -699,3 +699,30 @@ class TestHintContext:
         # grid fitting holds: kerned hinted fill stays hard-edged
         img = decode(kerned.read_bytes())
         assert set(np.unique(img)) <= {0, 255}
+
+
+class TestGasp:
+    def test_dejavu_ranges(self):
+        """DejaVu ships a gasp table; behaviors resolve per size and
+        the largest range covers everything above."""
+        font = Font.open(DEJAVU)
+        for ppem in (4, 8, 16, 100, 5000):
+            b = font.gasp_behavior(ppem)
+            assert 0 <= b <= 0xF
+        # fontTools differential
+        from fontTools.ttLib import TTFont
+
+        g = TTFont(DEJAVU)["gasp"].gaspRange
+        for ppem in (4, 9, 17, 240):
+            exp = None
+            for mx in sorted(g):
+                if ppem <= mx:
+                    exp = g[mx]
+                    break
+            if exp is None:
+                exp = g[max(g)]
+            assert font.gasp_behavior(ppem) == exp, ppem
+
+    def test_absent_table_default(self):
+        f = Font.open("tests/data/colrtest.ttf")
+        assert f.gasp_behavior(12) == 0x3
