@@ -168,6 +168,74 @@ class FontStack:
     # ids never match its u16 coverage/ligature tables, so shaping
     # skips them naturally) ------------------------------------------------
 
+    # -- color surface (per-owner resolution: each stack glyph's
+    # COLR/CPAL/bitmap lookups go to the font that owns it, with
+    # layer gids remapped back into stack space and bitmap strikes
+    # scaled through the owner's em factor) ---------------------------
+
+    @property
+    def colr(self):
+        return self.primary.colr
+
+    @property
+    def cpal(self):
+        return self.primary.cpal
+
+    def _owner(self, sgid: int):
+        fi, gid = sgid >> GID_SHIFT, sgid & _GID_MASK
+        if fi >= len(self.fonts):
+            return None, 0, 1.0
+        return self.fonts[fi], gid, self._factors[fi]
+
+    def color_paint_tree(self, sgid: int, palette: int = 0,
+                         foreground=(0, 0, 0, 255)):
+        font, gid, _f = self._owner(sgid)
+        if font is None:
+            return None
+        tree = font.color_paint_tree(gid, palette, foreground)
+        if tree is None:
+            return None
+        fi = sgid >> GID_SHIFT
+
+        def remap(node):
+            if node[0] == "glyph":
+                return ("glyph", (fi << GID_SHIFT) | node[1],
+                        node[2], node[3])
+            if node[0] == "layers":
+                return ("layers", [remap(k) for k in node[1]])
+            return ("composite", node[1], remap(node[2]),
+                    remap(node[3]))
+
+        return remap(tree)
+
+    def color_layers(self, sgid: int, palette: int = 0,
+                     foreground=(0, 0, 0, 255)):
+        font, gid, _f = self._owner(sgid)
+        if font is None:
+            return None
+        layers = font.color_layers(gid, palette, foreground)
+        if layers is None:
+            return None
+        fi = sgid >> GID_SHIFT
+        return [((fi << GID_SHIFT) | lg, c) for lg, c in layers]
+
+    def color_bitmap(self, sgid: int, ppem: float):
+        font, gid, f = self._owner(sgid)
+        if font is None:
+            return None
+        # ppem is in primary-em pixels; the owner's strike is chosen
+        # for the equivalent size in ITS em (factor rescales outlines,
+        # and bitmap strikes are already absolute-pixel art)
+        return font.color_bitmap(gid, ppem)
+
+    def load_glyph_safe(self, sgid: int) -> Glyph:
+        fi, gid = sgid >> GID_SHIFT, sgid & _GID_MASK
+        if fi >= len(self.fonts):
+            fi, gid = 0, 0
+        return _scale_glyph(
+            self.fonts[fi].load_glyph_safe(gid), self._factors[fi]
+        )
+
     def shaper(self, tags):
         return self.primary.shaper(tags)
 

@@ -137,3 +137,56 @@ class TestLayoutIntegration:
     def test_stack_requires_fonts(self):
         with pytest.raises(ValueError):
             FontStack([])
+
+
+class TestStackColor:
+    """Color surface through fallback stacks: per-owner COLR/bitmap
+    resolution with layer gids remapped into stack space."""
+
+    def test_primary_color_font_renders(self, tmp_path):
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "c.qoi"
+        rc = main(["-f", "tests/data/colrtest.ttf", "--fallback",
+                   "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                   "-t", "Ax", "-m", "color", "-s", "48",
+                   "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        blue = (img[:, :, 2] == 255) & (img[:, :, 0] == 0)
+        black = np.all(img == 0, axis=2)
+        assert blue.sum() > 200      # colored 'A' from the primary
+        assert black.sum() > 20      # mono 'x' from the fallback
+
+    def test_fallback_color_glyph_remaps_layers(self):
+        from fontrx.font.font import Font
+        from fontrx.font.stack import GID_SHIFT, FontStack
+
+        stack = FontStack([
+            Font.open("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"),
+            Font.open("tests/data/colrtest.ttf"),
+        ])
+        colr_font = stack.fonts[1]
+        gid = colr_font.glyph_index("A")
+        sgid = (1 << GID_SHIFT) | gid
+        tree = stack.color_paint_tree(sgid)
+        assert tree is not None and tree[0] == "layers"
+        for node in tree[1]:
+            assert node[0] == "glyph"
+            assert node[1] >> GID_SHIFT == 1   # layers stay in-owner
+        # the remapped layer outlines load (and rescale) through the
+        # stack facade
+        g = stack.load_glyph_safe(tree[1][0][1])
+        assert g.contours
+
+    def test_monochrome_stack_has_no_color(self):
+        from fontrx.font.font import Font
+        from fontrx.font.stack import FontStack
+
+        stack = FontStack([Font.open(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")])
+        assert stack.colr is None
+        assert stack.color_paint_tree(
+            stack.glyph_index("A")) is None
+        assert stack.color_bitmap(stack.glyph_index("A"), 32) is None
