@@ -304,11 +304,23 @@ def layout_text(
 
     if wrap_width is not None and not vertical:
         space = int(font.charmap.glyph_index(0x20))
-        # a font that doesn't map U+0020 gives space==0 (.notdef); every
-        # unmapped char would then become a break point — disable wrap
-        # instead (nothing to break at)
-        if space != 0:
-            lines = _wrap_lines(lines, wrap_width, space, _adv)
+        # CJK text carries no spaces: UAX#14's ID class makes every
+        # inter-ideograph boundary a break opportunity (with a kinsoku
+        # subset — closing punctuation never starts a line, opening
+        # never ends one).  cp lookup is the charmap reverse scan,
+        # cached per gid.
+        _cp_cache: dict[int, int] = {}
+
+        def cp_of(gid: int) -> int:
+            if gid not in _cp_cache:
+                c = font.charmap.char_for_glyph(gid)
+                _cp_cache[gid] = int(c) if c is not None else -1
+            return _cp_cache[gid]
+
+        # wrap needs SOME break opportunity: a space glyph, or CJK text
+        if space != 0 or any(
+                _is_ideograph(cp_of(g)) for line in lines for g in line):
+            lines = _wrap_lines(lines, wrap_width, space, _adv, cp_of)
             comp_lines = None  # wrap reshuffles lines; comps are stale
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
@@ -572,31 +584,78 @@ def _apply_line_direction(
             k = j
 
 
-def _wrap_lines(lines, wrap_width, space_gid, advance_of):
-    """Greedy word wrap over shaped glyph streams: break each line at
-    the last ``space_gid`` that keeps the advance sum within
-    ``wrap_width`` (the breaking space is consumed); an over-budget
-    word breaks after itself rather than mid-glyph."""
+# UAX#14-lite ideograph classification: CJK unified (+ext A),
+# compatibility ideographs, Hiragana/Katakana, Hangul syllables —
+# the classes where every inter-character boundary is a break
+# opportunity (class ID/H2/H3)
+_IDEO_RANGES = (
+    (0x3040, 0x30FF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF),
+    (0xAC00, 0xD7A3), (0xF900, 0xFAFF), (0x20000, 0x2FA1F),
+)
+# kinsoku subsets: closing forms never START a line (UAX#14 CL/NS/EX),
+# opening forms never END one (OP)
+_NO_START = frozenset(
+    "、。，．）」』】〉》〕・ー々〜！？：；"
+) | frozenset(")]}!?,.;:")
+_NO_END = frozenset("（「『【〈《〔") | frozenset("([{")
+
+
+def _is_ideograph(cp: int) -> bool:
+    return any(lo <= cp <= hi for lo, hi in _IDEO_RANGES)
+
+
+def _cjk_break_ok(cp_prev: int, cp_next: int) -> bool:
+    """Break opportunity between two glyphs under the ID rule: both
+    sides CJK-ish, previous not an opener, next not a closer."""
+    if cp_prev < 0 or cp_next < 0:
+        return False
+    if not (_is_ideograph(cp_prev) or _is_ideograph(cp_next)):
+        return False
+    if chr(cp_prev) in _NO_END or chr(cp_next) in _NO_START:
+        return False
+    # at least one true ideograph adjacent to the boundary (don't
+    # split Latin runs embedded in CJK text)
+    return _is_ideograph(cp_prev) and (
+        _is_ideograph(cp_next) or chr(cp_next) not in _NO_START)
+
+
+def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None):
+    """Greedy wrap over shaped glyph streams: break each line at the
+    last break opportunity that keeps the advance sum within
+    ``wrap_width`` — a ``space_gid`` (consumed by the break) or, with
+    ``cp_of``, a UAX#14-lite inter-ideograph boundary (nothing
+    consumed); an over-budget run breaks after itself rather than
+    mid-glyph."""
     out: list[list[int]] = []
     for line in lines:
         cur: list[int] = []
         cur_w = 0.0
-        last_space = -1       # index in cur of the last space glyph
+        last_break = -1       # index in cur AFTER which to break
+        consume = False       # break glyph is a space to drop
         for gid in line:
             w = advance_of(gid)
+            # the boundary BEFORE this glyph is an opportunity too —
+            # register it ahead of the overflow check so a full line
+            # breaks right before the overflowing ideograph
+            if cur and cp_of is not None and gid != space_gid:
+                if _cjk_break_ok(cp_of(cur[-1]), cp_of(gid)):
+                    last_break = len(cur) - 1
+                    consume = False
             if (cur and cur_w + w > wrap_width and gid != space_gid
-                    and last_space >= 0):
-                # break at the space; the remainder restarts the line.
-                # With no space to break at (one over-budget word) the
-                # line overflows until the next space — words never
-                # split mid-glyph.
-                rest = cur[last_space + 1:]
-                out.append(cur[:last_space])
+                    and last_break >= 0):
+                # break at the opportunity; the remainder restarts the
+                # line.  With none (one over-budget word) the line
+                # overflows until the next — glyphs never split.
+                cut = last_break + (0 if consume else 1)
+                rest = cur[last_break + 1:]
+                out.append(cur[:cut])
                 cur = rest
-                last_space = -1
+                last_break = -1
+                consume = False
                 cur_w = float(sum(advance_of(g) for g in cur))
-            if gid == space_gid:
-                last_space = len(cur)
+            if gid == space_gid and space_gid != 0:
+                last_break = len(cur)
+                consume = True
             cur.append(gid)
             cur_w += w
         out.append(cur)

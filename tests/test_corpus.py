@@ -344,3 +344,50 @@ class TestArabicCorpus:
         # the mark sits base_x + 170, base_y + 255
         assert mark_i.x - base_i.x == pytest.approx(170.0)
         assert mark_i.y - base_i.y == pytest.approx(255.0)
+
+
+class TestCjkWrap:
+    """UAX#14-lite wrapping: unspaced CJK text wraps at inter-
+    ideograph boundaries (class ID), with a kinsoku subset."""
+
+    def test_ideograph_wrap(self):
+        from fontrx.font.font import Font
+        from fontrx.scene.layout import layout_text
+
+        font = Font.open("tests/data/cjktest.ttf")
+        text = "".join(chr(0x4E00 + i) for i in range(10))
+        upem = font.info.units_per_em
+        layout = layout_text(font, text, wrap_width=3.5 * upem)
+        # 10 em-wide ideographs at 3.5em budget -> 3/3/3/1
+        ys = sorted({round(i.y) for i in layout.instances},
+                    reverse=True)
+        assert len(ys) == 4
+        per_line = [sum(1 for i in layout.instances
+                        if round(i.y) == y) for y in ys]
+        assert per_line == [3, 3, 3, 1]
+        assert layout.width <= 3.5 * upem
+
+    def test_no_wrap_without_budget_violation(self):
+        from fontrx.font.font import Font
+        from fontrx.scene.layout import layout_text
+
+        font = Font.open("tests/data/cjktest.ttf")
+        text = "".join(chr(0x4E00 + i) for i in range(3))
+        layout = layout_text(
+            font, text, wrap_width=10 * font.info.units_per_em)
+        assert len({round(i.y) for i in layout.instances}) == 1
+
+    def test_kinsoku_classes(self):
+        from fontrx.scene.layout import _cjk_break_ok
+
+        han, han2 = ord("一"), ord("二")
+        assert _cjk_break_ok(han, han2)
+        # closing punctuation can't start a line
+        assert not _cjk_break_ok(han, ord("。"))
+        assert not _cjk_break_ok(han, ord("」"))
+        # opening punctuation can't end a line
+        assert not _cjk_break_ok(ord("「"), han)
+        # Latin-only boundaries are not ID breaks
+        assert not _cjk_break_ok(ord("a"), ord("b"))
+        # unmapped glyphs (cp -1) never break
+        assert not _cjk_break_ok(-1, han)
