@@ -674,3 +674,79 @@ class TestPaletteSelection:
         rc = main(["-f", COLRTEST, "-t", "A", "-m", "color",
                    "-s", "48", "--palette", "sepia", "-o", str(out)])
         assert rc == 0  # falls back to palette 0
+
+
+class TestBlendFormulas:
+    """_blend against hand-computed W3C compositing values (opaque
+    operands so the mix reduces to B(cb, cs) composited src-over)."""
+
+    @staticmethod
+    def blend(mode, cs_rgb, cb_rgb, sa=1.0, ba=1.0):
+        import jax.numpy as jnp
+
+        from fontrx.engine.colorglyphs import _blend
+
+        src = jnp.asarray(
+            [[list(np.asarray(cs_rgb) * sa) + [sa]]], jnp.float32)
+        bdp = jnp.asarray(
+            [[list(np.asarray(cb_rgb) * ba) + [ba]]], jnp.float32)
+        return np.asarray(_blend(mode, src, bdp))[0, 0]
+
+    def test_multiply_screen_darken_lighten(self):
+        cs, cb = (0.8, 0.2, 1.0), (0.5, 0.5, 0.25)
+        out = self.blend(23, cs, cb)          # multiply
+        np.testing.assert_allclose(out[:3], (0.4, 0.1, 0.25), atol=1e-6)
+        out = self.blend(13, cs, cb)          # screen
+        np.testing.assert_allclose(out[:3], (0.9, 0.6, 1.0), atol=1e-6)
+        out = self.blend(15, cs, cb)          # darken
+        np.testing.assert_allclose(out[:3], (0.5, 0.2, 0.25), atol=1e-6)
+        out = self.blend(16, cs, cb)          # lighten
+        np.testing.assert_allclose(out[:3], (0.8, 0.5, 1.0), atol=1e-6)
+
+    def test_difference_exclusion(self):
+        cs, cb = (0.8, 0.2, 1.0), (0.5, 0.5, 0.25)
+        out = self.blend(21, cs, cb)          # difference
+        np.testing.assert_allclose(
+            out[:3], (0.3, 0.3, 0.75), atol=1e-6)
+        out = self.blend(22, cs, cb)          # exclusion
+        exp = tuple(b + s - 2 * b * s for b, s in zip(cb, cs))
+        np.testing.assert_allclose(out[:3], exp, atol=1e-6)
+
+    def test_hard_light_both_branches(self):
+        # cs <= 0.5 -> multiply(b, 2s); cs > 0.5 -> screen(b, 2s-1)
+        out = self.blend(19, (0.25, 0.75, 0.5), (0.4, 0.4, 0.4))
+        exp = (0.4 * 0.5,                      # multiply branch
+               0.4 + 0.5 - 0.4 * 0.5,          # screen branch
+               0.4 * 1.0)                      # boundary (<= 0.5)
+        np.testing.assert_allclose(out[:3], exp, atol=1e-6)
+
+    def test_dodge_burn_edges(self):
+        # color-dodge: cb/(1-cs) clamped; cs==1 -> 1 (unless cb==0)
+        out = self.blend(17, (0.5, 1.0, 0.0), (0.3, 0.5, 0.0))
+        np.testing.assert_allclose(out[:3], (0.6, 1.0, 0.0), atol=1e-6)
+        # color-burn: 1-(1-cb)/cs clamped; cs==0 -> 0 (unless cb==1)
+        out = self.blend(18, (0.5, 0.0, 1.0), (0.6, 0.5, 1.0))
+        np.testing.assert_allclose(out[:3], (0.2, 0.0, 1.0), atol=1e-6)
+
+    def test_hsl_luminosity_and_color(self):
+        # luminosity: backdrop color with the source's luminosity
+        cs, cb = (0.0, 0.0, 1.0), (1.0, 0.0, 0.0)
+        lum = lambda c: 0.3 * c[0] + 0.59 * c[1] + 0.11 * c[2]
+        out = self.blend(27, cs, cb)
+        np.testing.assert_allclose(lum(out[:3]), lum(cs), atol=1e-5)
+        # color: source hue/sat with the backdrop's luminosity
+        out = self.blend(26, cs, cb)
+        np.testing.assert_allclose(lum(out[:3]), lum(cb), atol=1e-5)
+        assert out[2] > out[0]                 # stays blue-hued
+
+    def test_alpha_composition(self):
+        # transparent source: backdrop unchanged (any mode)
+        for mode in (13, 23, 27):
+            out = self.blend(mode, (1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                             sa=0.0)
+            np.testing.assert_allclose(out, (0.0, 1.0, 0.0, 1.0),
+                                       atol=1e-6)
+        # transparent backdrop: blend mixes toward plain source
+        out = self.blend(23, (0.8, 0.2, 1.0), (0.5, 0.5, 0.25),
+                         ba=0.0)
+        np.testing.assert_allclose(out[:3], (0.8, 0.2, 1.0), atol=1e-6)
