@@ -436,6 +436,10 @@ class TestWholeFontFuzz:
                  "rb").read(),
             open(os.path.join(here, "data", "varcolrtest.ttf"),
                  "rb").read(),
+            open(os.path.join(here, "data", "sbixtest.ttf"),
+                 "rb").read(),
+            open(os.path.join(here, "data", "cbdttest.ttf"),
+                 "rb").read(),
         ]
         otf = ("/opt/venv/lib/python3.12/site-packages/pygame/tests/"
                "fixtures/fonts/test_fixed.otf")
@@ -461,5 +465,6 @@ class TestWholeFontFuzz:
                 for gid in rng.integers(0, max(f.num_glyphs, 1), 3):
                     f.color_paint_tree(int(gid))
                     f.color_layers(int(gid))
+                    f.color_bitmap(int(gid), 32)
             except acceptable:
                 pass

@@ -11,6 +11,7 @@ filter types.
 
 import numpy as np
 import pytest
+from struct import error as struct_error
 
 from fontrx.font.font import Font
 
@@ -183,3 +184,50 @@ class TestCbdt:
         red = ((img[:, :, 0] == 255) & (img[:, :, 1] == 0)
                & (img[:, :, 2] == 0))
         assert red.sum() > 200 and magenta.sum() > 200
+
+
+class TestBitmapRobustness:
+    def test_png_truncation_fuzz(self, rng):
+        """Every truncation/corruption of a PNG raises ValueError or
+        zlib.error — decode never crashes with an unexpected type."""
+        import zlib
+
+        from fontrx.io.png import decode, encode
+
+        img = rng.integers(0, 256, (16, 16, 4)).astype(np.uint8)
+        blob = bytearray(encode(img))
+        for cut in range(0, len(blob), max(len(blob) // 53, 1)):
+            try:
+                decode(bytes(blob[:cut]))
+            except (ValueError, zlib.error, struct_error):
+                pass
+        for _ in range(200):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 5))):
+                b[int(rng.integers(0, len(b)))] ^= 1 << int(
+                    rng.integers(0, 8))
+            try:
+                decode(bytes(b))
+            except (ValueError, zlib.error, struct_error):
+                pass
+
+    def test_cbdt_flip_fuzz(self, rng):
+        """Bit-flipped CBDT/CBLC degrade through the typed contract."""
+        import struct
+
+        from fontrx.font.ttf import CorruptedFont
+
+        blob0 = open("tests/data/cbdttest.ttf", "rb").read()
+        acceptable = (CorruptedFont, ValueError, IndexError, KeyError,
+                      struct.error, OverflowError, NotImplementedError)
+        for it in range(120):
+            b = bytearray(blob0)
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(0, len(b)))] ^= 1 << int(
+                    rng.integers(0, 8))
+            try:
+                f = Font(bytes(b))
+                for gid in range(min(f.num_glyphs, 4)):
+                    f.color_bitmap(gid, 48)
+            except acceptable:
+                pass
