@@ -382,8 +382,17 @@ def color_glyph_tiles(
 
         n_before = len(glyphs)
         rowtree = collect(tree)
+        # the ClipList's box is the authoritative render bounds when
+        # present (the tile crops to it, which IS the clip); otherwise
+        # the union of the (transformed) layer boxes
+        clip = None
+        colr = getattr(font, "colr", None)
+        if colr is not None and hasattr(colr, "clip_box"):
+            clip = colr.clip_box(gid)
         boxes = [g.box for g in loaded]
-        if boxes:
+        if clip is not None:
+            union = clip
+        elif boxes:
             union = (
                 min(b.x_min for b in boxes),
                 min(b.y_min for b in boxes),

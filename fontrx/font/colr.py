@@ -94,9 +94,11 @@ class ColrTable:
     # v1 variation machinery (absolute offsets; 0 = absent)
     _var_map_off: int = 0
     _ivs_off: int = 0
-    # lazily parsed (ivs, var_index_map) — a declared slot so the
-    # frozen dataclass can memoize via object.__setattr__
+    _clip_off: int = 0
+    # lazily parsed (ivs, var_index_map) / clip ranges — declared
+    # slots so the frozen dataclass can memoize via object.__setattr__
     _ivs_cache: tuple | None = None
+    _clip_cache: tuple | None = None
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "ColrTable":
@@ -106,10 +108,10 @@ class ColrTable:
         (n_layers,) = r.unpack("H")
         v1_paints = None
         v1_layers: tuple = ()
-        var_map_off = ivs_off = 0
+        var_map_off = ivs_off = clip_off = 0
         if version >= 1:
             bgl_off, ll_off = r.unpack("II")
-            r.skip(4)  # clipList (render-optimization hint; unused)
+            (clip_off,) = r.unpack("I")
             var_map_off, ivs_off = r.unpack("II")
             if bgl_off:
                 br = BigEndianReader(r.data, base + bgl_off)
@@ -153,7 +155,46 @@ class ColrTable:
             data=r.data,
             _var_map_off=(base + var_map_off) if var_map_off else 0,
             _ivs_off=(base + ivs_off) if ivs_off else 0,
+            _clip_off=(base + clip_off) if clip_off else 0,
         )
+
+    def clip_box(self, gid: int):
+        """The ClipList's authoritative render bounds for ``gid``:
+        (xMin, yMin, xMax, yMax) design units, or None.  Renderers
+        clip the paint graph's output to this box, per spec (format-2
+        variable boxes read their base values)."""
+        if not self._clip_off:
+            return None
+        clips = self._clip_cache
+        if clips is None:
+            clips = ()
+            try:
+                fmt, n = struct.unpack_from(">BI", self.data,
+                                            self._clip_off)
+                if fmt == 1 and n <= 0xFFFF:
+                    rows = []
+                    p = self._clip_off + 5
+                    for _ in range(n):
+                        first, last = struct.unpack_from(
+                            ">HH", self.data, p)
+                        off = int.from_bytes(
+                            self.data[p + 4 : p + 7], "big")
+                        bpos = self._clip_off + off
+                        bfmt = self.data[bpos]
+                        if bfmt in (1, 2):
+                            box = struct.unpack_from(
+                                ">hhhh", self.data, bpos + 1)
+                            rows.append((int(first), int(last),
+                                         tuple(int(v) for v in box)))
+                        p += 7
+                    clips = tuple(rows)
+            except (struct.error, IndexError):
+                clips = ()
+            object.__setattr__(self, "_clip_cache", clips)
+        for first, last, box in clips:
+            if first <= gid <= last:
+                return box
+        return None
 
     def delta_resolver(self, coords):
         """A ``dv(var_index_base, i) -> float`` closure resolving COLR

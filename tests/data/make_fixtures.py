@@ -741,7 +741,11 @@ def make_colrv1test():
             }),
             "BackdropPaint": glyph_paint("l_smallsq", solid(0, 1.0)),
         },
-    }, version=1)
+    }, version=1, clipBoxes={
+        # authoritative render bounds: crops the 100..900 big square
+        # to the right half (clipping conformance test)
+        "grad": (500, 100, 900, 900),
+    })
     fb.font["CPAL"] = buildCPAL([
         [(1.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 1.0)],
     ])

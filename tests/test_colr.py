@@ -546,7 +546,9 @@ class TestGradientRender:
     def test_linear_gradient_values(self, setup):
         tiles, grids = setup
         lin, grid = tiles[0], grids[0]
-        for row, col in ((30, 10), (30, 30), (30, 50)):
+        # 'C' is clip-boxed to em x 500..900 (TestClipList): sample
+        # columns inside the clip (the tile anchors at the clip box)
+        for row, col in ((30, 5), (30, 12), (30, 20)):
             x, _y = self.em(grid, row, col)
             t = (x - 100.0) / 800.0          # p0 x=100 -> p1 x=900
             exp_r = round((1 - t) * 255)
@@ -750,3 +752,34 @@ class TestBlendFormulas:
         out = self.blend(23, (0.8, 0.2, 1.0), (0.5, 0.5, 0.25),
                          ba=0.0)
         np.testing.assert_allclose(out[:3], (0.8, 0.2, 1.0), atol=1e-6)
+
+
+class TestClipList:
+    """COLR v1 ClipList: the clip box is the authoritative render
+    bounds — the fixture crops the 100..900 linear-gradient square
+    ('C') to its right half."""
+
+    def test_clip_box_lookup(self):
+        f = Font.open(COLRV1TEST)
+        assert f.colr.clip_box(f.glyph_index("C")) == (500, 100, 900, 900)
+        assert f.colr.clip_box(f.glyph_index("A")) is None
+        assert f.colr.clip_box(9999) is None
+
+    def test_render_clips(self):
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.engine.raster import RasterEngine
+
+        f = Font.open(COLRV1TEST)
+        tiles, grids = color_glyph_tiles(
+            f, [f.glyph_index("C")], 64, RasterEngine(backend="jnp"))
+        t = np.asarray(tiles[0])
+        g = grids[0]
+        ink_cols = np.nonzero((t[..., 3] > 0.5).any(axis=0))[0]
+        left_em = (g.min_x + ink_cols.min()) / g.scale
+        # the square spans 100..900; the clip crops to 500..900
+        assert 495 <= left_em <= 520
+        # the surviving ink carries the RIGHT half of the gradient
+        # (t >= 0.5 -> blue-dominant at the left edge of the clip)
+        mid_row = t.shape[0] // 2
+        edge = t[mid_row, ink_cols.min() + 1]
+        assert edge[2] >= edge[0] - 0.1
