@@ -347,7 +347,7 @@ def _render(font, text, cfg, engine) -> np.ndarray:
             composite_color_page,
         )
 
-        layout = _layout_for(font, text, cfg)
+        layout = _layout_for(font, text, cfg, vertical_ok=True)
         has_bitmaps = (getattr(font, "sbix", None) is not None
                        or getattr(font, "cbdt", None) is not None)
         if (font.colr is None or font.cpal is None) and not has_bitmaps:
@@ -382,10 +382,15 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         slots, offsets_em = layout.instance_arrays()
         pen = np.empty((len(slots), 2), np.float64)
         pen[:, 0] = margin + offsets_em[:, 0] * ppu
-        # first baseline sits one ascent below the top margin; em y up
-        # -> page y down
-        pen[:, 1] = margin + font.info.ascent * ppu \
-            - offsets_em[:, 1] * ppu
+        if cfg.vertical:
+            # vertical columns hang from em y = 0 downward (the fill
+            # mode's convention): y = 0 at the top margin
+            pen[:, 1] = margin - offsets_em[:, 1] * ppu
+        else:
+            # first baseline sits one ascent below the top margin;
+            # em y up -> page y down
+            pen[:, 1] = margin + font.info.ascent * ppu \
+                - offsets_em[:, 1] * ppu
         return composite_color_page(
             tiles, grids, slots, pen, page_h=height, page_w=width,
         )

@@ -783,3 +783,25 @@ class TestClipList:
         mid_row = t.shape[0] // 2
         edge = t[mid_row, ink_cols.min() + 1]
         assert edge[2] >= edge[0] - 0.1
+
+
+class TestVerticalColor:
+    def test_vertical_column_of_color_glyphs(self, tmp_path):
+        """--vertical composes with color mode: glyphs stack
+        top-to-bottom in a column taller than wide, keeping their
+        layer colors."""
+        from fontrx.cli.main import main
+        from fontrx.io.qoi import decode
+
+        out = tmp_path / "v.qoi"
+        rc = main(["-f", COLRTEST, "-t", "ABC", "-m", "color",
+                   "-s", "48", "--vertical", "-o", str(out)])
+        assert rc == 0
+        img = decode(out.read_bytes())
+        assert img.shape[0] > img.shape[1]
+        blue = ((img[:, :, 2] == 255) & (img[:, :, 0] == 0))
+        black = np.all(img == 0, axis=2)
+        assert blue.sum() > 200 and black.sum() > 50
+        # top-to-bottom order: A's blue center above C's black bar
+        assert (np.nonzero(blue.any(axis=1))[0].mean()
+                < np.nonzero(black.any(axis=1))[0].mean())
