@@ -8,9 +8,9 @@ wrapper around an sfnt — so web-delivered fonts open directly:
 parses it with the normal table pipeline, making every capability
 (rendering, shaping, variations, hinting, color) container-agnostic.
 
-WOFF2 (``wOF2``) is *detected* but raises: its Brotli entropy coder is
-unavailable in this environment and its transformed glyf/loca encoding
-is a separate project — a clear error beats a wrong parse.
+WOFF2 (``wOF2``) routes to ``fontrx/font/woff2.py``, which binds the
+system Brotli decoder and reverses the glyf/loca/hmtx preprocessing
+transforms.
 
 Wire layout (W3C WOFF 1.0, §3-4):
 
@@ -119,12 +119,13 @@ def decode_woff(data: bytes) -> bytes:
 
 
 def decode_container(data: bytes) -> bytes:
-    """Container-agnostic entry: sfnt/TTC bytes pass through, WOFF
-    unwraps, WOFF2 raises a clear unsupported error."""
+    """Container-agnostic entry: sfnt/TTC bytes pass through, WOFF 1.0
+    unwraps here, WOFF2 unwraps through the Brotli + transform decoder
+    in ``fontrx/font/woff2.py``."""
     if is_woff(data):
         return decode_woff(data)
     if is_woff2(data):
-        raise CorruptedFont(
-            "WOFF2 is not supported (Brotli unavailable); "
-            "convert to WOFF/TTF")
+        from fontrx.font.woff2 import decode_woff2
+
+        return decode_woff2(data)
     return data
