@@ -70,6 +70,7 @@ class Config:
     features: Optional[str] = option(None, default=None, help="comma-separated GSUB feature tags (e.g. ccmp,dlig,smcp) shaped with the full lookup engine")
     alternate: int = option(None, default=0, help="which alternate type-3 (salt/aalt) substitution to pick (default 0)")
     hinting: bool = option(None, default=False, help="grid-fit outlines with the TrueType bytecode interpreter at ppem == --size (fill/gray modes)")
+    bitmaps: bool = option(None, default=False, help="use embedded EBDT/EBLC bitmap strikes at ppem == --size (fill/gray; glyphs without a strike render through the hinted pipeline)")
     positioning: Optional[str] = option(None, default=None, help="comma-separated GPOS feature tags (e.g. kern,cswh) applied with the full positioning engine; replaces the flattened -k/marks paths")
     marks: bool = option(None, default=False, help="attach combining marks (GPOS MarkToBase)")
     vertical: bool = option(None, default=False, help="vertical layout: top-to-bottom columns, right-to-left (vhea/vmtx + GSUB vert)")

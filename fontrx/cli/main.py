@@ -179,8 +179,22 @@ def _render_hinted(font, text, cfg, engine) -> np.ndarray:
             "%d ppem; consider -m gray without --hinting", ppem)
     eng26 = font.hinting_engine(ppem)
     gids = [font.charmap.glyph_index(ord(ch)) for ch in text]
+    # --bitmaps: embedded EBDT/EBLC strikes at exactly this ppem
+    # substitute for the outline (the FreeType embedded-bitmap rule);
+    # their advances come from the strike metrics, already in pixels
+    use_bitmaps = getattr(cfg, "bitmaps", False)
+    bitmaps = [None] * len(gids)
     glyphs, advs = [], []
-    for gid in gids:
+    from fontrx.font.glyph import Glyph as _Glyph
+
+    for i, gid in enumerate(gids):
+        if use_bitmaps:
+            bm = font.embedded_bitmap(gid, ppem)
+            if bm is not None:
+                bitmaps[i] = bm
+                glyphs.append(_Glyph.empty())
+                advs.append(int(bm[3]) << 6)
+                continue
         g, adv = font.hinted_glyph(gid, ppem)
         glyphs.append(g)
         advs.append(int(adv))
@@ -263,6 +277,18 @@ def _render_hinted(font, text, cfg, engine) -> np.ndarray:
 
     page = np.zeros((height, width), np.uint8)
     for i, (grid, pen26) in enumerate(zip(grids, pens)):
+        if bitmaps[i] is not None:
+            alpha, bbx, bottom, _adv, _sp = bitmaps[i]
+            bh, bw = alpha.shape
+            x0 = margin + ((pen26 + 32) >> 6) + bbx
+            y0 = base_row - (bottom + bh)
+            ys, xs = np.nonzero(alpha)
+            vs = alpha[ys, xs]
+            ys = ys + y0
+            xs = xs + x0
+            keep = (ys >= 0) & (ys < height) & (xs >= 0) & (xs < width)
+            np.maximum.at(page, (ys[keep], xs[keep]), vs[keep])
+            continue
         if not glyphs[i].contours:
             continue
         ink = (w[i] != 0)
@@ -288,11 +314,12 @@ def _render(font, text, cfg, engine) -> np.ndarray:
     from fontrx.kernels.grid import RasterGrid
 
     hinting = getattr(cfg, "hinting", False)
-    if hinting and cfg.mode in ("fill", "gray"):
+    bitmaps = getattr(cfg, "bitmaps", False)
+    if (hinting or bitmaps) and cfg.mode in ("fill", "gray"):
         return _render_hinted(font, text, cfg, engine)
-    if hinting:
+    if hinting or bitmaps:
         log.warning(
-            "--hinting applies to the fill/gray modes only; "
+            "--hinting/--bitmaps apply to the fill/gray modes only; "
             "rendering %r unhinted", cfg.mode,
         )
 

@@ -1,19 +1,25 @@
-"""CBDT/CBLC color bitmap glyphs (Google-style embedded PNG strikes).
+"""CBDT/CBLC and EBDT/EBLC bitmap glyphs.
 
-The second bitmap-emoji family (Noto Color Emoji et al.), completing
-the pair with ``fontrx.font.sbix``: CBLC indexes per-strike glyph
-ranges into the CBDT data table, whose color formats carry PNG
-payloads.  Supported subset — the shapes CBDT fonts actually use:
+Two bitmap families share this module because their wire structure is
+one format at two versions: CBLC (3.0, color) and EBLC (2.0, legacy
+monochrome/grayscale) have identical strike/index layouts, and CBDT's
+PNG image formats (17/18/19) extend EBDT's raw-bitmap formats
+(1/2/5/6/7 + composite 8/9) without changing any of them.
 
-- index formats 1 (uint32 offsets), 2 (constant size + shared big
-  metrics) and 3 (uint16 offsets); sparse formats 4/5 degrade to "no
-  bitmap" (documented);
-- image formats 17 (small metrics + PNG), 18 (big metrics + PNG) and
-  19 (metrics in CBLC, data-only PNG).
+- index formats: 1 (uint32 offsets), 2 (constant size + shared big
+  metrics), 3 (uint16 offsets), 4 (sparse glyph-code/offset pairs),
+  5 (constant size, sparse glyph array + shared big metrics);
+- color image formats 17 (small metrics + PNG), 18 (big metrics +
+  PNG), 19 (metrics in CBLC, data-only PNG) — PNGs decode through
+  ``fontrx.io.png.decode`` (libpng-differential-validated);
+- monochrome image formats 1 (small metrics, byte-aligned), 2 (small
+  metrics, bit-aligned), 5 (bit-aligned, metrics from the index
+  subtable), 6 (big metrics, byte-aligned), 7 (big metrics,
+  bit-aligned), 8/9 (composite, small/big metrics) at bit depths
+  1/2/4/8, expanded to 8-bit alpha.
 
-Monochrome EBDT/EBLC bit-aligned formats are out of scope (legacy,
-and the color pipeline is the consumer).  PNGs decode through
-``fontrx.io.png.decode`` (libpng-differential-validated).
+Differential oracle: fontTools' EBDT/EBLC decompiler re-reads the
+fixtures and must agree row-for-row (``tests/test_ebdt.py``).
 """
 
 from __future__ import annotations
@@ -25,6 +31,52 @@ import numpy as np
 
 from fontrx.font.ttf import CorruptedFont
 from fontrx.utils.reader import BigEndianReader
+
+
+def _unpack_rows(d: bytes, body: int, end: int, h: int, w: int,
+                 depth: int, *, byte_aligned: bool) -> "np.ndarray":
+    """Expand packed rows to ``uint8 [h, w]`` alpha.  Byte-aligned:
+    each row padded to a byte boundary; bit-aligned: one continuous
+    MSB-first bit stream across rows."""
+    if h == 0 or w == 0:
+        return np.zeros((max(h, 0), max(w, 0)), np.uint8)
+    if byte_aligned:
+        row_bytes = (w * depth + 7) >> 3
+        need = row_bytes * h
+    else:
+        need = (h * w * depth + 7) >> 3
+    if body + need > end:
+        raise ValueError("bitmap data truncated")
+    raw = np.frombuffer(d, np.uint8, need, body)
+    bits = np.unpackbits(raw)
+    if byte_aligned:
+        bits = bits.reshape(h, row_bytes * 8)[:, : w * depth]
+    else:
+        bits = bits[: h * w * depth].reshape(h, w * depth)
+    if depth == 1:
+        vals = bits
+    else:
+        # combine each pixel's MSB-first bit group
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        vals = (bits.reshape(h, w, depth).astype(np.uint16)
+                * weights).sum(axis=2)
+    scale = 255 // ((1 << depth) - 1)
+    return (vals * scale).astype(np.uint8)
+
+
+def _blit_max(dst: "np.ndarray", src: "np.ndarray",
+              top: int, left: int) -> None:
+    """max-combine ``src`` into ``dst`` with its top-left at
+    (top, left), clipped to the destination."""
+    h, w = dst.shape
+    sh, sw = src.shape
+    y0, x0 = max(top, 0), max(left, 0)
+    y1, x1 = min(top + sh, h), min(left + sw, w)
+    if y0 >= y1 or x0 >= x1:
+        return
+    view = dst[y0:y1, x0:x1]
+    np.maximum(view, src[y0 - top : y1 - top, x0 - left : x1 - left],
+               out=view)
 
 
 @dataclass(frozen=True, slots=True)
@@ -85,17 +137,25 @@ class CbdtTable:
                 return s
         return self.strikes[-1]
 
-    def glyph_image(
-        self, strike: CbdtStrike, gid: int
-    ) -> tuple[int, int, bytes] | None:
-        """(bearing_x, bottom_y, png_bytes) in strike pixels —
-        ``bottom_y`` the bitmap's bottom edge relative to the
-        baseline — or None (no bitmap / unsupported format)."""
+    def exact_strike(self, ppem: float) -> CbdtStrike | None:
+        """Strike whose ppem matches exactly (fixed-size bitmaps are
+        only faithful unscaled — the FreeType embedded-bitmap rule)."""
+        target = int(round(ppem))
+        for s in self.strikes:
+            if s.ppem == target:
+                return s
+        return None
+
+    def _locate(self, strike: CbdtStrike, gid: int):
+        """Resolve ``gid`` through the strike's index subtables:
+        ``(abs_start, length, big_metrics | None, image_format)`` or
+        ``None`` (outside every range / no bitmap / malformed)."""
         d = self.data
         for first, last, idx_fmt, img_fmt, img_off, st in \
                 strike.subtables:
             if not first <= gid <= last:
                 continue
+            metrics = None
             try:
                 if idx_fmt == 1:
                     p = st + 8 + 4 * (gid - first)
@@ -108,39 +168,135 @@ class CbdtTable:
                     metrics = struct.unpack_from(">BBbbBbbB", d, st + 12)
                     lo = img_size * (gid - first)
                     hi = lo + img_size
-                    if img_fmt != 19:
+                elif idx_fmt == 4:
+                    # sparse: numGlyphs+1 (glyphID, offset) pairs;
+                    # the trailing sentinel pair ends the last glyph
+                    (n,) = struct.unpack_from(">I", d, st + 8)
+                    lo = hi = None
+                    for k in range(min(n, 0xFFFF)):
+                        g0, o0, _g1, o1 = struct.unpack_from(
+                            ">HHHH", d, st + 12 + 4 * k)
+                        if g0 == gid:
+                            lo, hi = o0, o1
+                            break
+                    if lo is None:
                         return None
-                    start = self.cbdt_base + img_off + lo
-                    (dlen,) = struct.unpack_from(">I", d, start)
-                    png = d[start + 4 : start + 4 + dlen]
-                    h, w, bx, by = metrics[0], metrics[1], \
-                        metrics[2], metrics[3]
-                    del w
-                    return int(bx), int(by) - int(h), png
+                elif idx_fmt == 5:
+                    (img_size,) = struct.unpack_from(">I", d, st + 8)
+                    metrics = struct.unpack_from(">BBbbBbbB", d, st + 12)
+                    (n,) = struct.unpack_from(">I", d, st + 20)
+                    ids = struct.unpack_from(
+                        f">{min(n, 0xFFFF)}H", d, st + 24)
+                    try:
+                        k = ids.index(gid)
+                    except ValueError:
+                        return None
+                    lo = img_size * k
+                    hi = lo + img_size
                 else:
-                    return None          # sparse formats 4/5: degrade
+                    return None
             except struct.error:
                 return None
             if hi <= lo:
                 return None              # no bitmap for this glyph
-            start = self.cbdt_base + img_off + lo
-            try:
-                if img_fmt == 17:        # smallGlyphMetrics + PNG
-                    h, _w, bx, by, _adv = struct.unpack_from(
-                        ">BBbbB", d, start)
-                    (dlen,) = struct.unpack_from(">I", d, start + 5)
-                    png = d[start + 9 : start + 9 + dlen]
-                    return int(bx), int(by) - int(h), png
-                if img_fmt == 18:        # bigGlyphMetrics + PNG
-                    h, _w, bx, by = struct.unpack_from(
-                        ">BBbb", d, start)
-                    (dlen,) = struct.unpack_from(">I", d, start + 8)
-                    png = d[start + 12 : start + 12 + dlen]
-                    return int(bx), int(by) - int(h), png
-                if img_fmt == 19:        # data-only (metrics in CBLC)
-                    (dlen,) = struct.unpack_from(">I", d, start)
-                    return 0, 0, d[start + 4 : start + 4 + dlen]
-            except struct.error:
-                return None
-            return None                  # other image formats: degrade
+            return (self.cbdt_base + img_off + lo, hi - lo, metrics,
+                    img_fmt)
         return None
+
+    def glyph_image(
+        self, strike: CbdtStrike, gid: int
+    ) -> tuple[int, int, bytes] | None:
+        """(bearing_x, bottom_y, png_bytes) in strike pixels —
+        ``bottom_y`` the bitmap's bottom edge relative to the
+        baseline — or None (no bitmap / non-PNG format)."""
+        loc = self._locate(strike, gid)
+        if loc is None:
+            return None
+        start, _length, idx_metrics, img_fmt = loc
+        d = self.data
+        try:
+            if img_fmt == 17:            # smallGlyphMetrics + PNG
+                h, _w, bx, by, _adv = struct.unpack_from(
+                    ">BBbbB", d, start)
+                (dlen,) = struct.unpack_from(">I", d, start + 5)
+                png = d[start + 9 : start + 9 + dlen]
+                return int(bx), int(by) - int(h), png
+            if img_fmt == 18:            # bigGlyphMetrics + PNG
+                h, _w, bx, by = struct.unpack_from(">BBbb", d, start)
+                (dlen,) = struct.unpack_from(">I", d, start + 8)
+                png = d[start + 12 : start + 12 + dlen]
+                return int(bx), int(by) - int(h), png
+            if img_fmt == 19:            # data-only (metrics in index)
+                (dlen,) = struct.unpack_from(">I", d, start)
+                png = d[start + 4 : start + 4 + dlen]
+                if idx_metrics is not None:
+                    h, _w, bx, by = idx_metrics[:4]
+                    return int(bx), int(by) - int(h), png
+                return 0, 0, png
+        except struct.error:
+            return None
+        return None                      # monochrome/other: not a PNG
+
+    # -- monochrome/grayscale decode (EBDT formats 1/2/5/6/7/8/9) ----
+
+    def glyph_alpha(
+        self, strike: CbdtStrike, gid: int, _depth: int = 0
+    ) -> tuple["np.ndarray", int, int, int] | None:
+        """Decode a raw-bitmap glyph to 8-bit alpha:
+        ``(alpha uint8 [h, w], bearing_x, bottom_y, advance)`` in
+        strike pixels (``bottom_y`` the bitmap's bottom edge relative
+        to the baseline), or ``None``.  Bit depths 1/2/4/8 expand
+        linearly to 0..255 (MSB-first within bytes, leftmost pixel in
+        the most significant bits, per spec)."""
+        if _depth > 4:
+            return None                  # composite recursion bound
+        loc = self._locate(strike, gid)
+        if loc is None:
+            return None
+        start, length, idx_metrics, img_fmt = loc
+        d = self.data
+        try:
+            if img_fmt in (1, 2, 8):     # smallGlyphMetrics
+                h, w, bx, by, adv = struct.unpack_from(">BBbbB", d, start)
+                body = start + 5
+            elif img_fmt in (6, 7, 9):   # bigGlyphMetrics
+                h, w, bx, by, adv = struct.unpack_from(">BBbbB", d, start)
+                body = start + 8
+            elif img_fmt == 5:           # metrics live in the index
+                if idx_metrics is None:
+                    return None
+                h, w, bx, by, adv = idx_metrics[:5]
+                body = start
+            else:
+                return None
+        except struct.error:
+            return None
+        depth = strike.bit_depth if strike.bit_depth in (1, 2, 4, 8) \
+            else 1
+        end = start + length
+        try:
+            if img_fmt in (1, 6):        # byte-aligned rows
+                alpha = _unpack_rows(d, body, end, h, w, depth,
+                                     byte_aligned=True)
+            elif img_fmt in (2, 5, 7):   # bit-aligned stream
+                alpha = _unpack_rows(d, body, end, h, w, depth,
+                                     byte_aligned=False)
+            else:                        # 8/9: composite of components
+                if img_fmt == 8:
+                    body += 1            # pad byte
+                (n_comp,) = struct.unpack_from(">H", d, body)
+                alpha = np.zeros((h, w), np.uint8)
+                p = body + 2
+                for _ in range(min(n_comp, 0xFF)):
+                    cg, dx, dy = struct.unpack_from(">Hbb", d, p)
+                    p += 4
+                    sub = self.glyph_alpha(strike, cg, _depth + 1)
+                    if sub is None:
+                        continue
+                    # component top-left at (dx, dy) from the
+                    # composite's top-left (FreeType ttsbit.c
+                    # x_pos/y_pos accumulation)
+                    _blit_max(alpha, sub[0], dy, dx)
+        except (struct.error, ValueError):
+            return None
+        return alpha, int(bx), int(by) - int(h), int(adv)

@@ -622,6 +622,44 @@ class Font:
                     log.warning("CBDT/CBLC unusable: %s", e)
         return self._cbdt
 
+    @property
+    def ebdt(self):
+        """EBDT/EBLC monochrome/grayscale bitmap table — same wire
+        structure as CBDT/CBLC at version 2
+        (:class:`fontrx.font.cbdt.CbdtTable`) — or ``None``."""
+        if not hasattr(self, "_ebdt"):
+            self._ebdt = None
+            if b"EBDT" in self.tables and b"EBLC" in self.tables:
+                try:
+                    from fontrx.font.cbdt import CbdtTable
+
+                    self._ebdt = CbdtTable.parse(
+                        self._at(b"EBLC"), self._at(b"EBDT"))
+                except Exception as e:
+                    log.warning("EBDT/EBLC unusable: %s", e)
+        return self._ebdt
+
+    def embedded_bitmap(self, gid: int, ppem: float, exact: bool = True):
+        """Embedded monochrome/grayscale strike for ``gid``:
+        ``(alpha uint8 [h, w], bearing_x, bottom, advance,
+        strike_ppem)`` in strike pixels, or ``None``.  ``exact``
+        restricts to a strike at exactly ``round(ppem)`` — fixed-size
+        bitmaps are only faithful unscaled (the FreeType rule);
+        ``exact=False`` falls back to the best strike for scaling
+        consumers."""
+        eb = self.ebdt
+        if eb is None:
+            return None
+        strike = (eb.exact_strike(ppem) if exact
+                  else eb.best_strike(ppem))
+        if strike is None:
+            return None
+        entry = eb.glyph_alpha(strike, gid)
+        if entry is None:
+            return None
+        alpha, bx, bottom, adv = entry
+        return alpha, bx, bottom, adv, strike.ppem
+
     def color_bitmap(self, gid: int, ppem: float):
         """Best bitmap glyph across the bitmap families:
         ``(rgba uint8 [h, w, 4], left, bottom, strike_ppem)`` with

@@ -943,6 +943,189 @@ def make_cbdttest():
     print("wrote cbdttest.ttf")
 
 
+def make_ebdttest():
+    """EBDT/EBLC monochrome/grayscale strike font (handcrafted wire
+    tables, raw-injected): four strikes covering bit depths 1/2/4/8,
+    index formats 1/3/4/5, and image formats 1/2/5/6/8/9 (byte- and
+    bit-aligned rows, metrics-in-index, and both composite forms).
+
+    Glyphs: 'A'->box, 'B'->tri, 'C'->comp (composite of box + tri),
+    'D'->none (no strike at any size).  The bitmap content is a
+    deterministic per-(glyph, ppem, depth) pattern, so the fontTools
+    EBDT decompiler can re-read every pixel as the differential
+    oracle.
+    """
+    import struct as st
+
+    import numpy as np
+    from fontTools.ttLib.tables.DefaultTable import DefaultTable
+
+    upem = 1000
+    fb = FontBuilder(upem, isTTF=True)
+    names = [".notdef", "box", "tri", "comp", "none"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord("A"): "box", ord("B"): "tri",
+                          ord("C"): "comp", ord("D"): "none"})
+    glyphs = {}
+    for n in names:
+        pen = TTGlyphPen(glyphSet={})
+        if n != ".notdef":
+            # full-size outline so the no-strike fallback is visible
+            pen.moveTo((50, 0))
+            pen.lineTo((650, 0))
+            pen.lineTo((650, 600))
+            pen.lineTo((50, 600))
+            pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (upem, 0) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-100)
+    fb.setupNameTable({"familyName": "EbdtTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+
+    def pattern(kind, h, w, depth):
+        top = (1 << depth) - 1
+        v = np.zeros((h, w), np.uint8)
+        if kind == "box":
+            v[0, :] = v[-1, :] = v[:, 0] = v[:, -1] = top
+            yy, xx = np.mgrid[0:h, 0:w]
+            v = np.maximum(v, ((yy * 3 + xx * 5) % (top + 1))
+                           .astype(np.uint8) * ((yy % 2) == 0))
+        else:  # tri: lower-left ramp
+            yy, xx = np.mgrid[0:h, 0:w]
+            v = np.where(xx <= yy, (xx + yy) % (top + 1), 0
+                         ).astype(np.uint8)
+        return v
+
+    def bit_rows(vals, depth, byte_aligned):
+        h, w = vals.shape
+        out = bytearray()
+        acc = nbits = 0
+        for r in range(h):
+            for c in range(w):
+                acc = (acc << depth) | int(vals[r, c])
+                nbits += depth
+                while nbits >= 8:
+                    out.append((acc >> (nbits - 8)) & 0xFF)
+                    nbits -= 8
+            if byte_aligned and nbits:
+                out.append((acc << (8 - nbits)) & 0xFF)
+                acc = nbits = 0
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    def small(h, w):
+        return st.pack(">BBbbB", h, w, 1, h - 2, w + 2)
+
+    def big(h, w):
+        return st.pack(">BBbbBbbB", h, w, 1, h - 2, w + 2, 0, h, h)
+
+    ebdt = bytearray(st.pack(">HH", 2, 0))
+
+    def emit(blob):
+        off = len(ebdt)
+        ebdt.extend(blob)
+        return off
+
+    strikes = []  # (ppem, depth, [(first, last, idx_blob_builder)])
+
+    # ---- strike 1: ppem 16, depth 1 ----------------------------------
+    d1_box = pattern("box", 16, 16, 1)
+    d1_tri = pattern("tri", 16, 16, 1)
+    o_box1 = emit(small(16, 16) + bit_rows(d1_box, 1, True))
+    o_tri1 = emit(small(16, 16) + bit_rows(d1_tri, 1, True))
+    end1 = len(ebdt)
+    # composite: box at (0,0), tri at (2,2); format 8 = small
+    # metrics + pad + count + (gid, dx, dy) components
+    o_comp1 = emit(small(18, 18) + st.pack(">xH", 2)
+                   + st.pack(">Hbb", 1, 0, 0) + st.pack(">Hbb", 2, 2, 2))
+    end1c = len(ebdt)
+
+    def idx1(pairs, img_fmt, base):
+        """index format 1: u32 offsets relative to imageDataOffset."""
+        offs = [p - base for p in pairs]
+        return st.pack(">HHI", 1, img_fmt, base) + st.pack(
+            f">{len(offs)}I", *offs)
+
+    sub_a = idx1([o_box1, o_tri1, end1], 1, o_box1)
+    sub_b = idx1([o_comp1, end1c], 8, o_comp1)
+    strikes.append((16, 1, [(1, 2, sub_a), (3, 3, sub_b)]))
+
+    # ---- strike 2: ppem 20, depth 2, sparse idx 4, bit-aligned -------
+    d2_box = pattern("box", 20, 20, 2)
+    d2_tri = pattern("tri", 20, 20, 2)
+    o_box2 = emit(small(20, 20) + bit_rows(d2_box, 2, False))
+    o_tri2 = emit(small(20, 20) + bit_rows(d2_tri, 2, False))
+    end2 = len(ebdt)
+    sub_c = (st.pack(">HHI", 4, 2, o_box2) + st.pack(">I", 2)
+             + st.pack(">HH", 1, 0)
+             + st.pack(">HH", 2, o_tri2 - o_box2)
+             + st.pack(">HH", 0xFFFF, end2 - o_box2))
+    strikes.append((20, 2, [(1, 2, sub_c)]))
+
+    # ---- strike 3: ppem 24, depth 4, const-size sparse idx 5,
+    # data-only bit-aligned (metrics in the index) --------------------
+    d3_box = pattern("box", 10, 10, 4)
+    d3_tri = pattern("tri", 10, 10, 4)
+    img3_box = bit_rows(d3_box, 4, False)
+    img3_tri = bit_rows(d3_tri, 4, False)
+    assert len(img3_box) == len(img3_tri)
+    o_box3 = emit(img3_box)
+    emit(img3_tri)
+    sub_d = (st.pack(">HHI", 5, 5, o_box3)
+             + st.pack(">I", len(img3_box)) + big(10, 10)
+             + st.pack(">I", 2) + st.pack(">HH", 1, 2))
+    strikes.append((24, 4, [(1, 2, sub_d)]))
+
+    # ---- strike 4: ppem 32, depth 8, idx 3 + big metrics ------------
+    d4_box = pattern("box", 12, 12, 8)
+    d4_tri = pattern("tri", 12, 12, 8)
+    o_box4 = emit(big(12, 12) + bit_rows(d4_box, 8, True))
+    o_tri4 = emit(big(12, 12) + bit_rows(d4_tri, 8, True))
+    end4 = len(ebdt)
+    # format 9 composite: big metrics + count + components
+    o_comp4 = emit(big(14, 14) + st.pack(">H", 2)
+                   + st.pack(">Hbb", 1, 0, 0) + st.pack(">Hbb", 2, 2, 2))
+    end4c = len(ebdt)
+    sub_e = st.pack(">HHI", 3, 6, o_box4) + st.pack(
+        ">3H", 0, o_tri4 - o_box4, end4 - o_box4) + b"\x00\x00"
+    sub_f = idx1([o_comp4, end4c], 9, o_comp4)
+    strikes.append((32, 8, [(1, 2, sub_e), (3, 3, sub_f)]))
+
+    # ---- EBLC assembly ----------------------------------------------
+    n_sizes = len(strikes)
+    header = st.pack(">HHI", 2, 0, n_sizes)
+    size_recs = b""
+    blocks = b""
+    block_base = len(header) + 48 * n_sizes
+    for ppem, depth, subs in strikes:
+        array_off = block_base + len(blocks)
+        arr = b""
+        sub_blob = b""
+        arr_len = 8 * len(subs)
+        for first, last, sub in subs:
+            arr += st.pack(">HHI", first, last, arr_len + len(sub_blob))
+            sub_blob += sub
+        blocks += arr + sub_blob
+        first_g = min(s[0] for s in subs)
+        last_g = max(s[1] for s in subs)
+        size_recs += st.pack(">IIII", array_off, arr_len + len(sub_blob),
+                             len(subs), 0)
+        size_recs += b"\x00" * 24  # two sbitLineMetrics
+        size_recs += st.pack(">HHBBBb", first_g, last_g, ppem, ppem,
+                             depth, 1)
+    eblc = header + size_recs + blocks
+
+    for tag, raw in ((b"EBLC", eblc), (b"EBDT", bytes(ebdt))):
+        tbl = DefaultTable(tag=tag.decode())
+        tbl.data = raw
+        fb.font[tag.decode()] = tbl
+    fb.save(os.path.join(HERE, "ebdttest.ttf"))
+    print("wrote ebdttest.ttf")
+
+
 if __name__ == "__main__":
     make_vartest()
     make_vartest2()
