@@ -377,10 +377,12 @@ def _render(font, text, cfg, engine) -> np.ndarray:
         layout = _layout_for(font, text, cfg, vertical_ok=True)
         has_bitmaps = (getattr(font, "sbix", None) is not None
                        or getattr(font, "cbdt", None) is not None)
-        if (font.colr is None or font.cpal is None) and not has_bitmaps:
+        has_svg = getattr(font, "svg", None) is not None
+        if (font.colr is None or font.cpal is None) \
+                and not has_bitmaps and not has_svg:
             log.warning(
-                "font has no COLR/CPAL tables or bitmap strikes; "
-                "color mode renders the monochrome outlines")
+                "font has no COLR/CPAL, SVG documents, or bitmap "
+                "strikes; color mode renders the monochrome outlines")
         palette = getattr(cfg, "palette", "0")
         if font.cpal is not None:
             try:

@@ -375,6 +375,15 @@ def color_glyph_tiles(
                 glyphs.append(g)
                 loaded.append(g)
                 return ("glyph", row, paint, xf)
+            if node[0] == "outline":
+                # OT-SVG leaf (fontrx.font.svgdoc): the outline is
+                # ALREADY in font units; xf belongs to the gradient
+                # field only (its own space -> glyph space)
+                _, g, paint, xf = node
+                row = len(glyphs)
+                glyphs.append(g)
+                loaded.append(g)
+                return ("glyph", row, paint, xf)
             if node[0] == "layers":
                 return ("layers", [collect(k) for k in node[1]])
             return ("composite", node[1], collect(node[2]),

@@ -792,10 +792,14 @@ class Font:
           modes 0-12
 
         ``None`` when the glyph has no COLR record (v1 preferred; a
-        v0 record becomes a ``("layers", [glyph...])`` stack)."""
+        v0 record becomes a ``("layers", [glyph...])`` stack).  OT-SVG
+        documents serve as the fallback family: when COLR has nothing
+        for ``gid`` but the ``SVG `` table covers it, the lowered SVG
+        tree (``("outline", Glyph, paint, xf)`` leaves,
+        :mod:`fontrx.font.svgdoc`) is returned instead."""
         colr, cpal = self.colr, self.cpal
         if colr is None or cpal is None:
-            return None
+            return self._svg_paint_tree(gid, foreground)
 
         def rgba(entry, alpha):
             r, g, b, a = cpal.color(palette, entry, foreground)
@@ -821,12 +825,62 @@ class Font:
             return conv(tree)
         layers = colr.layers(gid)
         if layers is None:
-            return None
+            return self._svg_paint_tree(gid, foreground)
         return ("layers", [
             ("glyph", lg,
              ("solid", cpal.color(palette, pe, foreground)), None)
             for lg, pe in layers
         ])
+
+    @property
+    def svg(self):
+        """``SVG `` table (:class:`fontrx.font.svgtable.SvgTable`) or
+        ``None``."""
+        if not hasattr(self, "_svg"):
+            self._svg = None
+            if b"SVG " in self.tables:
+                try:
+                    from fontrx.font.svgtable import SvgTable
+
+                    self._svg = SvgTable.parse(self._at(b"SVG "))
+                except Exception as e:
+                    log.warning("SVG table unusable: %s", e)
+        return self._svg
+
+    def _svg_paint_tree(self, gid: int, foreground):
+        """OT-SVG fallback for :meth:`color_paint_tree`: the glyph's
+        SVG document lowered to a COLR-style render tree with
+        ``("outline", Glyph, paint, xf)`` leaves
+        (:mod:`fontrx.font.svgdoc`), or ``None``."""
+        svg = self.svg
+        if svg is None:
+            return None
+        try:
+            doc = svg.document(gid)
+        except Exception as e:
+            log.warning("SVG document for glyph %d unusable: %s", gid, e)
+            return None
+        if doc is None:
+            return None
+        if not hasattr(self, "_svg_docs"):
+            self._svg_docs = {}
+        parsed = self._svg_docs.get(doc)
+        if parsed is None:
+            from fontrx.font.svgdoc import SvgDocument
+
+            try:
+                parsed = SvgDocument(doc, self.info.units_per_em)
+            except ValueError as e:
+                log.warning("SVG document unusable: %s", e)
+                parsed = False
+            self._svg_docs[doc] = parsed
+        if parsed is False:
+            return None
+        try:
+            return parsed.glyph_tree(gid, foreground)
+        except Exception as e:
+            log.warning("SVG glyph %d render failed: %s", gid, e)
+            return None
 
     def glyph_index_variant(self, char: int | str, selector: int) -> int:
         """Char->glyph resolution honoring a Unicode variation selector

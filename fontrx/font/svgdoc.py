@@ -1,0 +1,953 @@
+"""OT-SVG document interpretation: SVG glyph documents lowered onto
+the COLR render machinery.
+
+Capability extension (the reference renders monochrome outlines only).
+Rather than bolting on a second rasterizer, an SVG glyph document is
+*lowered* to the same render-tree form the COLR v1 pipeline consumes
+(``fontrx.engine.colorglyphs``): geometry becomes normalized quadratic
+outlines (cubics via fontTools' cu2qu, arcs via the endpoint->center
+parameterization and 90-degree cubic splitting), and paint becomes the
+existing ``("solid", rgba)`` / ``("linear"|"radial", geom, extend,
+stops)`` nodes evaluated by the shared gradient-field code — so SVG
+gradients and COLR gradients are pixel-identical by construction.
+Leaves are ``("outline", Glyph, paint, gradient_affine)``: outlines
+pre-transformed into font units, gradients inverse-mapped through
+their own accumulated affine (document -> glyph space), exactly like
+transformed COLR paints.
+
+Coordinate model (OT-SVG spec): the initial viewport is the em square
+(upem x upem), the origin is the glyph origin, and the y-axis points
+DOWN — so the document-to-glyph map is y-negation composed with the
+root ``viewBox`` mapping (preserveAspectRatio xMidYMid meet).
+
+Supported subset (the shapes OT-SVG fonts actually use): path data
+(M/L/H/V/C/S/Q/T/A/Z, absolute + relative), rect (incl. rounded),
+circle, ellipse, line, polyline, polygon, g/svg/defs/use structure,
+the full transform grammar, solid fills (#hex, rgb()/rgba(), the SVG
+named colors, currentColor = text foreground), fill-opacity,
+linear/radial gradients (userSpaceOnUse + objectBoundingBox,
+gradientTransform, spreadMethod, href chains), fill-rule evenodd
+(lowered to nonzero by nesting-depth reorientation — exact for
+non-self-intersecting paths), display/visibility.  Documented
+approximations: group ``opacity`` multiplies into descendant fills
+(exact group opacity needs offscreen compositing; differs only where
+siblings inside the group overlap); ``stroke`` and ``clip-path`` are
+ignored with a log notice.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from fontrx.font.glyph import Box, Contour, Glyph, _normalize_contour
+from fontrx.utils.log import get_logger
+
+log = get_logger("SvgDoc")
+
+# affine = (xx, yx, xy, yy, dx, dy):  X = xx*x + xy*y + dx,
+#                                     Y = yx*x + yy*y + dy
+IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def affine_mul(a, b):
+    """a ∘ b (apply b first)."""
+    axx, ayx, axy, ayy, adx, ady = a
+    bxx, byx, bxy, byy, bdx, bdy = b
+    return (
+        axx * bxx + axy * byx,
+        ayx * bxx + ayy * byx,
+        axx * bxy + axy * byy,
+        ayx * bxy + ayy * byy,
+        axx * bdx + axy * bdy + adx,
+        ayx * bdx + ayy * bdy + ady,
+    )
+
+
+def affine_apply(t, x, y):
+    xx, yx, xy, yy, dx, dy = t
+    return xx * x + xy * y + dx, yx * x + yy * y + dy
+
+
+_NUM = re.compile(
+    r"[-+]?(?:\d*\.\d+|\d+\.?)(?:[eE][-+]?\d+)?")
+
+
+def _floats(s: str) -> list[float]:
+    return [float(m) for m in _NUM.findall(s or "")]
+
+
+def _safe_float(v, default=1.0) -> float:
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return default
+
+
+def parse_transform(s: str):
+    """Parse an SVG transform list into one affine."""
+    t = IDENTITY
+    for m in re.finditer(r"(\w+)\s*\(([^)]*)\)", s or ""):
+        op, args = m.group(1), _floats(m.group(2))
+        if op == "matrix" and len(args) == 6:
+            a, b, c, d, e, f = args
+            g = (a, b, c, d, e, f)
+        elif op == "translate" and args:
+            tx = args[0]
+            ty = args[1] if len(args) > 1 else 0.0
+            g = (1.0, 0.0, 0.0, 1.0, tx, ty)
+        elif op == "scale" and args:
+            sx = args[0]
+            sy = args[1] if len(args) > 1 else sx
+            g = (sx, 0.0, 0.0, sy, 0.0, 0.0)
+        elif op == "rotate" and args:
+            a = math.radians(args[0])
+            ca, sa = math.cos(a), math.sin(a)
+            g = (ca, sa, -sa, ca, 0.0, 0.0)
+            if len(args) > 2:
+                cx, cy = args[1], args[2]
+                g = affine_mul(
+                    affine_mul((1, 0, 0, 1, cx, cy), g),
+                    (1, 0, 0, 1, -cx, -cy))
+        elif op == "skewX" and args:
+            g = (1.0, 0.0, math.tan(math.radians(args[0])), 1.0, 0, 0)
+        elif op == "skewY" and args:
+            g = (1.0, math.tan(math.radians(args[0])), 0.0, 1.0, 0, 0)
+        else:
+            continue
+        t = affine_mul(t, g)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# colors
+
+_NAMED = {
+    # CSS/SVG 1.1 color keywords (W3C recommendation, public mapping)
+    "aliceblue": 0xF0F8FF, "antiquewhite": 0xFAEBD7, "aqua": 0x00FFFF,
+    "aquamarine": 0x7FFFD4, "azure": 0xF0FFFF, "beige": 0xF5F5DC,
+    "bisque": 0xFFE4C4, "black": 0x000000, "blanchedalmond": 0xFFEBCD,
+    "blue": 0x0000FF, "blueviolet": 0x8A2BE2, "brown": 0xA52A2A,
+    "burlywood": 0xDEB887, "cadetblue": 0x5F9EA0, "chartreuse": 0x7FFF00,
+    "chocolate": 0xD2691E, "coral": 0xFF7F50,
+    "cornflowerblue": 0x6495ED, "cornsilk": 0xFFF8DC,
+    "crimson": 0xDC143C, "cyan": 0x00FFFF, "darkblue": 0x00008B,
+    "darkcyan": 0x008B8B, "darkgoldenrod": 0xB8860B,
+    "darkgray": 0xA9A9A9, "darkgreen": 0x006400, "darkgrey": 0xA9A9A9,
+    "darkkhaki": 0xBDB76B, "darkmagenta": 0x8B008B,
+    "darkolivegreen": 0x556B2F, "darkorange": 0xFF8C00,
+    "darkorchid": 0x9932CC, "darkred": 0x8B0000, "darksalmon": 0xE9967A,
+    "darkseagreen": 0x8FBC8F, "darkslateblue": 0x483D8B,
+    "darkslategray": 0x2F4F4F, "darkslategrey": 0x2F4F4F,
+    "darkturquoise": 0x00CED1, "darkviolet": 0x9400D3,
+    "deeppink": 0xFF1493, "deepskyblue": 0x00BFFF, "dimgray": 0x696969,
+    "dimgrey": 0x696969, "dodgerblue": 0x1E90FF, "firebrick": 0xB22222,
+    "floralwhite": 0xFFFAF0, "forestgreen": 0x228B22,
+    "fuchsia": 0xFF00FF, "gainsboro": 0xDCDCDC, "ghostwhite": 0xF8F8FF,
+    "gold": 0xFFD700, "goldenrod": 0xDAA520, "gray": 0x808080,
+    "green": 0x008000, "greenyellow": 0xADFF2F, "grey": 0x808080,
+    "honeydew": 0xF0FFF0, "hotpink": 0xFF69B4, "indianred": 0xCD5C5C,
+    "indigo": 0x4B0082, "ivory": 0xFFFFF0, "khaki": 0xF0E68C,
+    "lavender": 0xE6E6FA, "lavenderblush": 0xFFF0F5,
+    "lawngreen": 0x7CFC00, "lemonchiffon": 0xFFFACD,
+    "lightblue": 0xADD8E6, "lightcoral": 0xF08080,
+    "lightcyan": 0xE0FFFF, "lightgoldenrodyellow": 0xFAFAD2,
+    "lightgray": 0xD3D3D3, "lightgreen": 0x90EE90,
+    "lightgrey": 0xD3D3D3, "lightpink": 0xFFB6C1,
+    "lightsalmon": 0xFFA07A, "lightseagreen": 0x20B2AA,
+    "lightskyblue": 0x87CEFA, "lightslategray": 0x778899,
+    "lightslategrey": 0x778899, "lightsteelblue": 0xB0C4DE,
+    "lightyellow": 0xFFFFE0, "lime": 0x00FF00, "limegreen": 0x32CD32,
+    "linen": 0xFAF0E6, "magenta": 0xFF00FF, "maroon": 0x800000,
+    "mediumaquamarine": 0x66CDAA, "mediumblue": 0x0000CD,
+    "mediumorchid": 0xBA55D3, "mediumpurple": 0x9370DB,
+    "mediumseagreen": 0x3CB371, "mediumslateblue": 0x7B68EE,
+    "mediumspringgreen": 0x00FA9A, "mediumturquoise": 0x48D1CC,
+    "mediumvioletred": 0xC71585, "midnightblue": 0x191970,
+    "mintcream": 0xF5FFFA, "mistyrose": 0xFFE4E1, "moccasin": 0xFFE4B5,
+    "navajowhite": 0xFFDEAD, "navy": 0x000080, "oldlace": 0xFDF5E6,
+    "olive": 0x808000, "olivedrab": 0x6B8E23, "orange": 0xFFA500,
+    "orangered": 0xFF4500, "orchid": 0xDA70D6,
+    "palegoldenrod": 0xEEE8AA, "palegreen": 0x98FB98,
+    "paleturquoise": 0xAFEEEE, "palevioletred": 0xDB7093,
+    "papayawhip": 0xFFEFD5, "peachpuff": 0xFFDAB9, "peru": 0xCD853F,
+    "pink": 0xFFC0CB, "plum": 0xDDA0DD, "powderblue": 0xB0E0E6,
+    "purple": 0x800080, "red": 0xFF0000, "rosybrown": 0xBC8F8F,
+    "royalblue": 0x4169E1, "saddlebrown": 0x8B4513, "salmon": 0xFA8072,
+    "sandybrown": 0xF4A460, "seagreen": 0x2E8B57, "seashell": 0xFFF5EE,
+    "sienna": 0xA0522D, "silver": 0xC0C0C0, "skyblue": 0x87CEEB,
+    "slateblue": 0x6A5ACD, "slategray": 0x708090,
+    "slategrey": 0x708090, "snow": 0xFFFAFA, "springgreen": 0x00FF7F,
+    "steelblue": 0x4682B4, "tan": 0xD2B48C, "teal": 0x008080,
+    "thistle": 0xD8BFD8, "tomato": 0xFF6347, "turquoise": 0x40E0D0,
+    "violet": 0xEE82EE, "wheat": 0xF5DEB3, "white": 0xFFFFFF,
+    "whitesmoke": 0xF5F5F5, "yellow": 0xFFFF00,
+    "yellowgreen": 0x9ACD32,
+}
+
+
+def parse_color(s: str, foreground):
+    """CSS color -> (r, g, b, a) or None for 'none'."""
+    s = (s or "").strip()
+    low = s.lower()
+    if low in ("none", ""):
+        return None
+    if low == "currentcolor":
+        return tuple(foreground)
+    if s.startswith("#"):
+        h = s[1:]
+        if len(h) == 3:
+            h = "".join(c * 2 for c in h)
+        if len(h) == 4:
+            h = "".join(c * 2 for c in h)
+        if len(h) == 6:
+            h += "FF"
+        if len(h) == 8:
+            try:
+                v = int(h, 16)
+            except ValueError:
+                return (0, 0, 0, 255)
+            return (v >> 24 & 255, v >> 16 & 255, v >> 8 & 255, v & 255)
+        return (0, 0, 0, 255)
+    m = re.match(r"rgba?\(([^)]*)\)", low)
+    if m:
+        parts = [p.strip() for p in m.group(1).split(",")]
+        vals = []
+        for i, p in enumerate(parts[:3]):
+            if p.endswith("%"):
+                vals.append(round(float(p[:-1]) * 255.0 / 100.0))
+            else:
+                vals.append(round(float(p)))
+        a = 255
+        if len(parts) > 3:
+            a = round(float(parts[3]) * 255.0)
+        v = [max(0, min(255, int(x))) for x in vals + [a]]
+        return tuple(v)
+    if low in _NAMED:
+        v = _NAMED[low]
+        return (v >> 16 & 255, v >> 8 & 255, v & 255, 255)
+    return (0, 0, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# path geometry -> quadratic point chains
+
+def _arc_to_cubics(p0, rx, ry, rot_deg, large, sweep, p1):
+    """SVG elliptical arc -> cubic segments (endpoint -> center
+    parameterization, spec appendix F.6.5, split at <= 90 degrees)."""
+    x0, y0 = p0
+    x1, y1 = p1
+    if (x0, y0) == (x1, y1):
+        return []
+    rx, ry = abs(rx), abs(ry)
+    if rx == 0 or ry == 0:
+        return [(p0, p0, p1, p1)]  # degenerate: straight line
+    phi = math.radians(rot_deg)
+    cp, sp = math.cos(phi), math.sin(phi)
+    hx, hy = (x0 - x1) / 2.0, (y0 - y1) / 2.0
+    xp = cp * hx + sp * hy
+    yp = -sp * hx + cp * hy
+    lam = xp * xp / (rx * rx) + yp * yp / (ry * ry)
+    if lam > 1.0:
+        s = math.sqrt(lam)
+        rx *= s
+        ry *= s
+    num = (rx * rx * ry * ry - rx * rx * yp * yp - ry * ry * xp * xp)
+    den = rx * rx * yp * yp + ry * ry * xp * xp
+    co = math.sqrt(max(num / den, 0.0)) if den else 0.0
+    if large == sweep:
+        co = -co
+    cxp = co * rx * yp / ry
+    cyp = -co * ry * xp / rx
+    cx = cp * cxp - sp * cyp + (x0 + x1) / 2.0
+    cy = sp * cxp + cp * cyp + (y0 + y1) / 2.0
+
+    def angle(ux, uy, vx, vy):
+        d = math.hypot(ux, uy) * math.hypot(vx, vy)
+        if d == 0:
+            return 0.0
+        c = max(-1.0, min(1.0, (ux * vx + uy * vy) / d))
+        a = math.acos(c)
+        return -a if ux * vy - uy * vx < 0 else a
+
+    th1 = angle(1.0, 0.0, (xp - cxp) / rx, (yp - cyp) / ry)
+    dth = angle((xp - cxp) / rx, (yp - cyp) / ry,
+                (-xp - cxp) / rx, (-yp - cyp) / ry)
+    if not sweep and dth > 0:
+        dth -= 2.0 * math.pi
+    elif sweep and dth < 0:
+        dth += 2.0 * math.pi
+    n = max(int(math.ceil(abs(dth) / (math.pi / 2.0))), 1)
+    delta = dth / n
+    # cubic approximation constant for one arc slice
+    k = 4.0 / 3.0 * math.tan(delta / 4.0)
+    out = []
+    t = th1
+    for _ in range(n):
+        c1_, s1_ = math.cos(t), math.sin(t)
+        c2_, s2_ = math.cos(t + delta), math.sin(t + delta)
+
+        def pt(cq, sq):
+            x = cx + rx * cq * cp - ry * sq * sp
+            y = cy + rx * cq * sp + ry * sq * cp
+            return (x, y)
+
+        def dpt(cq, sq):
+            dx = -rx * sq * cp - ry * cq * sp
+            dy = -rx * sq * sp + ry * cq * cp
+            return (dx, dy)
+
+        a0 = pt(c1_, s1_)
+        a1 = pt(c2_, s2_)
+        d0 = dpt(c1_, s1_)
+        d1 = dpt(c2_, s2_)
+        out.append((
+            a0,
+            (a0[0] + k * d0[0], a0[1] + k * d0[1]),
+            (a1[0] - k * d1[0], a1[1] - k * d1[1]),
+            a1,
+        ))
+        t += delta
+    # snap the chain ends to the exact given endpoints (trig eps)
+    out[0] = (p0, out[0][1], out[0][2], out[0][3])
+    out[-1] = (out[-1][0], out[-1][1], out[-1][2], p1)
+    return out
+
+
+class _PathBuilder:
+    """Accumulates subpaths as (on, off, on, ...) quadratic chains in
+    local coordinates.  Cubics are converted with cu2qu at emit time
+    (after the full transform), so the error tolerance is in font
+    units regardless of the document's scale."""
+
+    def __init__(self):
+        self.subpaths = []   # list of list[("pt"|"cub", ...)]
+        self._cur = None
+        self._start = None
+
+    def move_to(self, p):
+        self.close_implicit()
+        self._cur = [("pt", p, True)]
+        self._start = p
+
+    def line_to(self, p):
+        if self._cur is None:
+            self.move_to(p)
+            return
+        self._cur.append(("pt", p, True))
+
+    def quad_to(self, c, p):
+        if self._cur is None:
+            self.move_to(p)
+            return
+        self._cur.append(("pt", c, False))
+        self._cur.append(("pt", p, True))
+
+    def cubic_to(self, c1, c2, p):
+        if self._cur is None:
+            self.move_to(p)
+            return
+        self._cur.append(("cub", c1, c2, p))
+
+    def arc_to(self, p0, rx, ry, rot, large, sweep, p1):
+        for (a0, c1, c2, a1) in _arc_to_cubics(
+                p0, rx, ry, rot, large, sweep, p1):
+            self.cubic_to(c1, c2, a1)
+
+    def close(self):
+        # Z: the closing line is implicit in the contour wrap
+        self.close_implicit()
+
+    def close_implicit(self):
+        if self._cur is not None and len(self._cur) > 1:
+            self.subpaths.append(self._cur)
+        self._cur = None
+
+    def finish(self):
+        self.close_implicit()
+        return self.subpaths
+
+
+def parse_path_data(d: str) -> "list[list]":
+    """SVG path data -> subpath chains (a fresh _PathBuilder's
+    output).  Unknown/garbled trailing data stops the parse (the
+    SVG error-handling rule: render what precedes the error)."""
+    b = _PathBuilder()
+    tokens = re.findall(r"[MmLlHhVvCcSsQqTtAaZz]|" + _NUM.pattern, d or "")
+    i = 0
+    cmd = None
+    cur = (0.0, 0.0)
+    last_ctrl = None  # (kind, point) for S/T reflection
+    start = (0.0, 0.0)
+
+    def take(n):
+        nonlocal i
+        if i + n > len(tokens):
+            raise StopIteration
+        vals = [float(t) for t in tokens[i : i + n]]
+        i += n
+        return vals
+
+    try:
+        while i < len(tokens):
+            t = tokens[i]
+            if t.isalpha():
+                cmd = t
+                i += 1
+                if cmd in "Zz":
+                    b.close()
+                    cur = start
+                    last_ctrl = None
+                    continue
+            if cmd is None:
+                break
+            rel = cmd.islower()
+            c = cmd.upper()
+            ox, oy = cur if rel else (0.0, 0.0)
+            if c == "M":
+                x, y = take(2)
+                cur = (x + ox, y + oy)
+                b.move_to(cur)
+                start = cur
+                cmd = "l" if rel else "L"
+                last_ctrl = None
+            elif c == "L":
+                x, y = take(2)
+                cur = (x + ox, y + oy)
+                b.line_to(cur)
+                last_ctrl = None
+            elif c == "H":
+                (x,) = take(1)
+                cur = (x + ox, cur[1])
+                b.line_to(cur)
+                last_ctrl = None
+            elif c == "V":
+                (y,) = take(1)
+                cur = (cur[0], y + oy)
+                b.line_to(cur)
+                last_ctrl = None
+            elif c == "C":
+                x1, y1, x2, y2, x, y = take(6)
+                c1 = (x1 + ox, y1 + oy)
+                c2 = (x2 + ox, y2 + oy)
+                cur2 = (x + ox, y + oy)
+                b.cubic_to(c1, c2, cur2)
+                last_ctrl = ("C", c2)
+                cur = cur2
+            elif c == "S":
+                x2, y2, x, y = take(4)
+                if last_ctrl and last_ctrl[0] == "C":
+                    px, py = last_ctrl[1]
+                    c1 = (2 * cur[0] - px, 2 * cur[1] - py)
+                else:
+                    c1 = cur
+                c2 = (x2 + ox, y2 + oy)
+                cur2 = (x + ox, y + oy)
+                b.cubic_to(c1, c2, cur2)
+                last_ctrl = ("C", c2)
+                cur = cur2
+            elif c == "Q":
+                x1, y1, x, y = take(4)
+                cq = (x1 + ox, y1 + oy)
+                cur2 = (x + ox, y + oy)
+                b.quad_to(cq, cur2)
+                last_ctrl = ("Q", cq)
+                cur = cur2
+            elif c == "T":
+                x, y = take(2)
+                if last_ctrl and last_ctrl[0] == "Q":
+                    px, py = last_ctrl[1]
+                    cq = (2 * cur[0] - px, 2 * cur[1] - py)
+                else:
+                    cq = cur
+                cur2 = (x + ox, y + oy)
+                b.quad_to(cq, cur2)
+                last_ctrl = ("Q", cq)
+                cur = cur2
+            elif c == "A":
+                rx, ry, rot, large, sweep, x, y = take(7)
+                cur2 = (x + ox, y + oy)
+                b.arc_to(cur, rx, ry, rot, bool(large), bool(sweep),
+                         cur2)
+                last_ctrl = None
+                cur = cur2
+            else:
+                break
+    except (StopIteration, ValueError):
+        pass
+    return b.finish()
+
+
+def _shape_subpaths(el) -> "list[list]":
+    """rect/circle/ellipse/line/polyline/polygon -> subpath chains."""
+    tag = el.tag.split("}")[-1]
+    b = _PathBuilder()
+
+    def attr(name, default=0.0):
+        try:
+            return float(el.get(name, default))
+        except (TypeError, ValueError):
+            return default
+
+    if tag == "rect":
+        x, y = attr("x"), attr("y")
+        w, h = attr("width"), attr("height")
+        if w <= 0 or h <= 0:
+            return []
+        rx = el.get("rx")
+        ry = el.get("ry")
+        rx = float(rx) if rx is not None else (
+            float(ry) if ry is not None else 0.0)
+        ry = float(ry) if ry is not None else rx
+        rx = min(max(rx, 0.0), w / 2.0)
+        ry = min(max(ry, 0.0), h / 2.0)
+        if rx == 0 or ry == 0:
+            b.move_to((x, y))
+            b.line_to((x + w, y))
+            b.line_to((x + w, y + h))
+            b.line_to((x, y + h))
+            b.close()
+        else:
+            b.move_to((x + rx, y))
+            b.line_to((x + w - rx, y))
+            b.arc_to((x + w - rx, y), rx, ry, 0, False, True,
+                     (x + w, y + ry))
+            b.line_to((x + w, y + h - ry))
+            b.arc_to((x + w, y + h - ry), rx, ry, 0, False, True,
+                     (x + w - rx, y + h))
+            b.line_to((x + rx, y + h))
+            b.arc_to((x + rx, y + h), rx, ry, 0, False, True,
+                     (x, y + h - ry))
+            b.line_to((x, y + ry))
+            b.arc_to((x, y + ry), rx, ry, 0, False, True, (x + rx, y))
+            b.close()
+    elif tag in ("circle", "ellipse"):
+        cx, cy = attr("cx"), attr("cy")
+        if tag == "circle":
+            rx = ry = attr("r")
+        else:
+            rx, ry = attr("rx"), attr("ry")
+        if rx <= 0 or ry <= 0:
+            return []
+        b.move_to((cx + rx, cy))
+        b.arc_to((cx + rx, cy), rx, ry, 0, False, True, (cx - rx, cy))
+        b.arc_to((cx - rx, cy), rx, ry, 0, False, True, (cx + rx, cy))
+        b.close()
+    elif tag == "line":
+        b.move_to((attr("x1"), attr("y1")))
+        b.line_to((attr("x2"), attr("y2")))
+    elif tag in ("polyline", "polygon"):
+        pts = _floats(el.get("points", ""))
+        if len(pts) >= 4:
+            b.move_to((pts[0], pts[1]))
+            for k in range(2, len(pts) - 1, 2):
+                b.line_to((pts[k], pts[k + 1]))
+            if tag == "polygon":
+                b.close()
+    return b.finish()
+
+
+# ---------------------------------------------------------------------------
+# chains -> normalized quadratic contours (font units)
+
+def _chain_to_points(chain, xf, tol: float):
+    """One subpath chain -> (points float [n,2], on_curve bool [n]) in
+    glyph space (the final y-flip lives inside ``xf``)."""
+    from fontTools.cu2qu import curve_to_quadratic
+
+    pts: list[tuple[float, float]] = []
+    on: list[bool] = []
+
+    def push(p, is_on):
+        pts.append(affine_apply(xf, p[0], p[1]))
+        on.append(is_on)
+
+    for item in chain:
+        if item[0] == "pt":
+            _, p, is_on = item
+            push(p, is_on)
+        else:
+            _, c1, c2, p1 = item
+            # chains always open with a move-to point, so pts[-1] is
+            # the transformed current point; transforming BEFORE cu2qu
+            # keeps the tolerance in font units at any document scale
+            q = curve_to_quadratic(
+                [pts[-1],
+                 affine_apply(xf, *c1), affine_apply(xf, *c2),
+                 affine_apply(xf, *p1)], tol)
+            # quadratic spline: q[0]=start, q[1:-1]=controls,
+            # q[-1]=end; implied on-points at control midpoints
+            ctrls = q[1:-1]
+            for k, cpt in enumerate(ctrls):
+                pts.append(cpt)
+                on.append(False)
+                if k < len(ctrls) - 1:
+                    nxt = ctrls[k + 1]
+                    pts.append(((cpt[0] + nxt[0]) / 2.0,
+                                (cpt[1] + nxt[1]) / 2.0))
+                    on.append(True)
+            pts.append(q[-1])
+            on.append(True)
+    # drop an explicit closing point that duplicates the start
+    if len(pts) > 1 and abs(pts[0][0] - pts[-1][0]) < 1e-3 \
+            and abs(pts[0][1] - pts[-1][1]) < 1e-3:
+        pts.pop()
+        on.pop()
+    return np.asarray(pts, np.float64), np.asarray(on, bool)
+
+
+def _signed_area(points: np.ndarray) -> float:
+    x, y = points[:, 0], points[:, 1]
+    return 0.5 * float(
+        np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def _point_in_poly(px, py, poly: np.ndarray) -> bool:
+    """Even-odd point-in-polygon on the flattened point chain."""
+    x, y = poly[:, 0], poly[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cond = (y > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x + (py - y) / (y2 - y) * (x2 - x)
+    return bool(np.count_nonzero(cond & (px < xs)) % 2)
+
+
+def _orient_for_evenodd(chains):
+    """Reorient contours so nonzero fill == evenodd fill: nesting
+    depth even -> keep CCW, odd -> CW.  Exact for non-self-
+    intersecting paths (the practical SVG corpus); self-intersecting
+    evenodd paths are out of scope, documented."""
+    polys = [c[0] for c in chains]
+    out = []
+    for i, (pts, on) in enumerate(chains):
+        # nesting depth of a VERTEX of this contour in the others (a
+        # centroid can fall inside a child hole and over-count)
+        sx, sy = float(pts[0, 0]), float(pts[0, 1])
+        depth = sum(
+            1 for j, p in enumerate(polys)
+            if j != i and _point_in_poly(sx, sy, p))
+        area = _signed_area(pts)
+        want_ccw = depth % 2 == 0
+        if (area > 0) != want_ccw:
+            pts = pts[::-1].copy()
+            on = on[::-1].copy()
+        out.append((pts, on))
+    return out
+
+
+def chains_to_glyph(chains, xf, *, fill_rule="nonzero",
+                    tol: float = 0.5) -> Glyph | None:
+    """Subpath chains (local coords) -> a normalized quadratic
+    :class:`Glyph` in font units (``xf`` = local -> glyph affine)."""
+    resolved = []
+    for chain in chains:
+        pts, on = _chain_to_points(chain, xf, tol)
+        if len(pts) < 3:
+            continue
+        resolved.append((pts, on))
+    if not resolved:
+        return None
+    if fill_rule == "evenodd":
+        resolved = _orient_for_evenodd(resolved)
+    contours = []
+    for pts, on in resolved:
+        ipts = np.round(pts).astype(np.int32)
+        # rounding can collapse tiny contours; normalize handles them
+        contours.append(Contour(_normalize_contour(ipts, on)))
+    allpts = np.concatenate([c.points for c in contours])
+    box = Box(int(allpts[:, 0].min()), int(allpts[:, 1].min()),
+              int(allpts[:, 0].max()), int(allpts[:, 1].max()))
+    return Glyph(box, tuple(contours))
+
+
+# ---------------------------------------------------------------------------
+# document walk
+
+def _local(tag: str) -> str:
+    return tag.split("}")[-1]
+
+
+def _style_of(el) -> dict:
+    st = {}
+    for k, v in el.attrib.items():
+        st[_local(k)] = v
+    for decl in (el.get("style") or "").split(";"):
+        if ":" in decl:
+            k, v = decl.split(":", 1)
+            st[k.strip()] = v.strip()
+    return st
+
+
+def _href(el) -> str | None:
+    for k in ("{http://www.w3.org/1999/xlink}href", "href"):
+        v = el.get(k)
+        if v:
+            return v.lstrip()
+    return None
+
+
+class SvgDocument:
+    """One parsed OT-SVG document; renders glyph elements to COLR-
+    style layer trees."""
+
+    def __init__(self, data: bytes, upem: int):
+        self.upem = upem
+        try:
+            self.root = ET.fromstring(data)
+        except ET.ParseError as e:
+            raise ValueError(f"SVG parse error: {e}") from e
+        self.ids: dict[str, ET.Element] = {}
+        self.parents: dict[ET.Element, ET.Element] = {}
+        for parent in self.root.iter():
+            for child in parent:
+                self.parents[child] = parent
+        for el in self.root.iter():
+            i = el.get("id")
+            if i and i not in self.ids:
+                self.ids[i] = el
+        self._warned: set[str] = set()
+
+    # -- root viewport ------------------------------------------------
+
+    def root_transform(self):
+        """document -> glyph space: viewBox (xMidYMid meet) onto the
+        upem viewport, then the OT-SVG y-flip."""
+        upem = float(self.upem)
+        t = (1.0, 0.0, 0.0, -1.0, 0.0, 0.0)  # y-down doc -> y-up glyph
+        vb = _floats(self.root.get("viewBox", ""))
+        if len(vb) == 4 and vb[2] > 0 and vb[3] > 0:
+            minx, miny, w, h = vb
+            s = min(upem / w, upem / h)
+            dx = (upem - w * s) / 2.0 - minx * s
+            dy = (upem - h * s) / 2.0 - miny * s
+            t = affine_mul(t, (s, 0.0, 0.0, s, dx, dy))
+        return t
+
+    def _warn_once(self, what: str):
+        if what not in self._warned:
+            self._warned.add(what)
+            log.info("SVG %s is not supported; ignoring", what)
+
+    # -- gradients ----------------------------------------------------
+
+    def _gradient_chain(self, el):
+        """Resolve href inheritance: returns (attrs, stops_parent)."""
+        attrs: dict = {}
+        stops_el = None
+        seen = set()
+        cur = el
+        while cur is not None and id(cur) not in seen:
+            seen.add(id(cur))
+            for k, v in cur.attrib.items():
+                attrs.setdefault(_local(k), v)
+            if stops_el is None and any(
+                    _local(c.tag) == "stop" for c in cur):
+                stops_el = cur
+            ref = _href(cur)
+            cur = self.ids.get(ref[1:]) if ref and \
+                ref.startswith("#") else None
+        return attrs, stops_el
+
+    def _gradient_paint(self, el, bbox, foreground, opacity):
+        """linearGradient/radialGradient -> (paint, xf) in the COLR
+        node forms, or None (no stops)."""
+        attrs, stops_el = self._gradient_chain(el)
+        stops = []
+        if stops_el is not None:
+            for c in stops_el:
+                if _local(c.tag) != "stop":
+                    continue
+                st = _style_of(c)
+                off = (st.get("offset") or "0").strip()
+                off = (_safe_float(off[:-1], 0.0) / 100.0 if off.endswith("%")
+                       else _safe_float(off, 0.0))
+                col = parse_color(st.get("stop-color", "black"),
+                                  foreground)
+                if col is None:
+                    col = (0, 0, 0, 255)
+                a = _safe_float(st.get("stop-opacity", 1.0))
+                col = col[:3] + (
+                    max(0, min(255, round(col[3] * a * opacity))),)
+                stops.append((max(0.0, min(1.0, off)), col))
+        if not stops:
+            return None
+        stops.sort(key=lambda s: s[0])
+        units = attrs.get("gradientUnits", "objectBoundingBox")
+        gt = parse_transform(attrs.get("gradientTransform", ""))
+        if units == "objectBoundingBox":
+            x0, y0, x1, y1 = bbox
+            bmap = (x1 - x0, 0.0, 0.0, y1 - y0, x0, y0)
+            gt = affine_mul(bmap, gt)
+        spread = {"repeat": 1, "reflect": 2}.get(
+            attrs.get("spreadMethod", "pad"), 0)  # COLR 0 = pad
+        # percentage lengths resolve against the unit square under
+        # objectBoundingBox and against the viewport under
+        # userSpaceOnUse (width for x, height for y, the normalized
+        # diagonal for r — SVG 1.1 7.10)
+        if units == "objectBoundingBox":
+            vw = vh = vd = 1.0
+        else:
+            vb = _floats(self.root.get("viewBox", ""))
+            vw = vb[2] if len(vb) == 4 and vb[2] > 0 else float(self.upem)
+            vh = vb[3] if len(vb) == 4 and vb[3] > 0 else float(self.upem)
+            vd = math.hypot(vw, vh) / math.sqrt(2.0)
+
+        def cv(name, default, ref):
+            v = (attrs.get(name) or default).strip()
+            if v.endswith("%"):
+                return float(v[:-1]) / 100.0 * ref
+            return float(v)
+
+        if _local(el.tag) == "linearGradient":
+            p0 = (cv("x1", "0%", vw), cv("y1", "0%", vh))
+            p1 = (cv("x2", "100%", vw), cv("y2", "0%", vh))
+            dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+            # COLR p2 = rotation point; perpendicular keeps the color
+            # line orthogonal to p0->p1 (plain SVG semantics)
+            p2 = (p0[0] - dy, p0[1] + dx)
+            geom = (p0[0], p0[1], p1[0], p1[1], p2[0], p2[1])
+            return ("linear", geom, spread, stops), gt
+        # radial: the SVG focal form IS the COLR two-circle form
+        cx = cv("cx", "50%", vw)
+        cy = cv("cy", "50%", vh)
+        r = cv("r", "50%", vd)
+        fx = cv("fx", str(cx), vw)
+        fy = cv("fy", str(cy), vh)
+        fr = cv("fr", "0", vd)
+        geom = (fx, fy, fr, cx, cy, r)
+        return ("radial", geom, spread, stops), gt
+
+    # -- walk ---------------------------------------------------------
+
+    def glyph_tree(self, gid: int, foreground=(0, 0, 0, 255)):
+        """Render tree for glyph ``gid``: ``("layers", [("outline",
+        Glyph, paint, xf), ...])`` or None (no such element / no
+        visible geometry)."""
+        el = self.ids.get(f"glyph{gid}")
+        if el is None:
+            return None
+        # inherited context from ancestors (transforms compose;
+        # fill/fill-opacity/fill-rule inherit; opacity multiplies)
+        chain = [el]
+        cur = el
+        while cur in self.parents:
+            cur = self.parents[cur]
+            chain.append(cur)
+        xf = self.root_transform()
+        style: dict = {"fill": "black", "fill-opacity": "1",
+                       "fill-rule": "nonzero"}
+        opacity = 1.0
+        for anc in reversed(chain[1:]):
+            st = _style_of(anc)
+            xf = affine_mul(xf, parse_transform(st.get("transform", "")))
+            for k in ("fill", "fill-opacity", "fill-rule", "color"):
+                if k in st:
+                    style[k] = st[k]
+            opacity *= _safe_float(st.get("opacity", 1.0))
+        leaves: list = []
+        self._emit(el, xf, style, opacity, foreground, leaves)
+        if not leaves:
+            return None
+        return ("layers", leaves)
+
+    def _emit(self, el, xf, style, opacity, foreground, leaves,
+              depth=0):
+        if depth > 32:
+            return
+        tag = _local(el.tag)
+        st = dict(style)
+        own = _style_of(el)
+        for k in ("fill", "fill-opacity", "fill-rule", "color"):
+            if k in own:
+                st[k] = own[k]
+        if own.get("display", "").strip() == "none" or \
+                own.get("visibility") in ("hidden", "collapse"):
+            return
+        opacity *= _safe_float(own.get("opacity", 1.0) or 1.0)
+        xf = affine_mul(xf, parse_transform(own.get("transform", "")))
+        for ignored in ("stroke", "clip-path", "mask", "filter"):
+            v = own.get(ignored)
+            if v and v.strip() not in ("none", ""):
+                self._warn_once(ignored)
+
+        if tag in ("g", "svg", "a"):
+            for child in el:
+                self._emit(child, xf, st, opacity, foreground, leaves,
+                           depth + 1)
+            return
+        if tag == "use":
+            ref = _href(el)
+            target = self.ids.get(ref[1:]) if ref and \
+                ref.startswith("#") else None
+            if target is not None:
+                shift = (1.0, 0.0, 0.0, 1.0,
+                         _safe_float(el.get("x", 0) or 0, 0.0),
+                         _safe_float(el.get("y", 0) or 0, 0.0))
+                self._emit(target, affine_mul(xf, shift), st, opacity,
+                           foreground, leaves, depth + 1)
+            return
+        if tag in ("defs", "linearGradient", "radialGradient",
+                   "clipPath", "mask", "symbol", "style", "title",
+                   "desc", "metadata"):
+            return
+
+        if tag == "path":
+            chains = parse_path_data(el.get("d", ""))
+        else:
+            chains = _shape_subpaths(el)
+        if not chains:
+            return
+
+        fill = st.get("fill", "black")
+        # CSS currentColor resolves through the inherited `color`
+        # property, falling back to the text foreground
+        cur = foreground
+        if "color" in st:
+            c = parse_color(st["color"], foreground)
+            if c is not None:
+                cur = c
+        if fill.strip().startswith("url("):
+            m = re.match(r"url\(\s*#([^)\s]+)\s*\)", fill.strip())
+            grad_el = self.ids.get(m.group(1)) if m else None
+            if grad_el is None or _local(grad_el.tag) not in (
+                    "linearGradient", "radialGradient"):
+                return
+            glyph = chains_to_glyph(
+                chains, xf, fill_rule=st.get("fill-rule", "nonzero"))
+            if glyph is None:
+                return
+            # object bounding box in LOCAL coords, mapped through xf
+            # via the gradient affine composition
+            loc = [p for ch in chains for it in ch
+                   for p in ([it[1]] if it[0] == "pt"
+                             else [it[1], it[2], it[3]])]
+            xs = [p[0] for p in loc]
+            ys = [p[1] for p in loc]
+            bbox = (min(xs), min(ys), max(xs), max(ys))
+            fa = _safe_float(st.get("fill-opacity", 1.0) or 1.0)
+            gp = self._gradient_paint(grad_el, bbox, cur,
+                                      opacity * fa)
+            if gp is None:
+                return
+            paint, gt = gp
+            leaves.append(("outline", glyph, paint,
+                           affine_mul(xf, gt)))
+            return
+
+        rgba = parse_color(fill, cur)
+        if rgba is None:
+            return
+        fa = _safe_float(st.get("fill-opacity", 1.0) or 1.0)
+        alpha = max(0, min(255, round(rgba[3] * fa * opacity)))
+        if alpha == 0:
+            return
+        glyph = chains_to_glyph(
+            chains, xf, fill_rule=st.get("fill-rule", "nonzero"))
+        if glyph is None:
+            return
+        leaves.append(("outline", glyph,
+                       ("solid", (rgba[0], rgba[1], rgba[2], alpha)),
+                       None))

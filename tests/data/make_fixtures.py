@@ -943,6 +943,149 @@ def make_cbdttest():
     print("wrote cbdttest.ttf")
 
 
+def make_svgtest():
+    """OT-SVG color font: glyphs 'A'/'B' share one multi-shape
+    document (two glyph elements), 'C' is a gzip-compressed gradient
+    document (linear userSpaceOnUse + radial objectBoundingBox with
+    gradientTransform + reflect spread), 'D' exercises structure
+    (defs/use, nested transforms, evenodd donut, named colors,
+    currentColor, group opacity), and 'E'/'F' + 'G'/'H' are
+    SVG-vs-COLR equivalence twins: the SAME geometry and gradient
+    expressed as an SVG document (E, G) and as glyf+COLR v1 (F, H) —
+    the renders must be pixel-identical, which pins the whole SVG
+    lowering (viewBox/y-flip mapping, path parse, gradient spaces)
+    against the independently-tested COLR path."""
+    upem = 1000
+    fb = FontBuilder(upem, isTTF=True)
+    names = [".notdef", "svg1", "svg2", "svggrad", "svgstruct",
+             "svglin", "colrlin", "svgrad", "colrrad", "l_eqsq"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord("A"): "svg1", ord("B"): "svg2",
+                          ord("C"): "svggrad", ord("D"): "svgstruct",
+                          ord("E"): "svglin", ord("F"): "colrlin",
+                          ord("G"): "svgrad", ord("H"): "colrrad"})
+
+    def rect(pen, x0, y0, x1, y1):
+        pen.moveTo((x0, y0))
+        pen.lineTo((x1, y0))
+        pen.lineTo((x1, y1))
+        pen.lineTo((x0, y1))
+        pen.closePath()
+
+    glyphs = {}
+    for n in names:
+        pen = TTGlyphPen(glyphSet={})
+        if n == "l_eqsq":
+            rect(pen, 100, 100, 900, 700)
+        elif n != ".notdef":
+            rect(pen, 0, 0, 10, 10)
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({
+        n: (upem, getattr(fb.font["glyf"][n], "xMin", 0)) for n in names
+    })
+    fb.setupHorizontalHeader(ascent=900, descent=-100)
+    fb.setupNameTable({"familyName": "SvgTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+
+    # COLR twins for the equivalence glyphs
+    from fontTools.colorLib.builder import buildCOLR, buildCPAL
+    stops2 = {"ColorStop": [(0.0, 0), (1.0, 1)]}
+    fb.font["COLR"] = buildCOLR({
+        "colrlin": {"Format": 10, "Glyph": "l_eqsq", "Paint": {
+            "Format": 4, "ColorLine": stops2,
+            "x0": 100, "y0": 100, "x1": 900, "y1": 100,
+            "x2": 100, "y2": 900,
+        }},
+        "colrrad": {"Format": 10, "Glyph": "l_eqsq", "Paint": {
+            "Format": 6, "ColorLine": stops2,
+            "x0": 500, "y0": 400, "r0": 0,
+            "x1": 500, "y1": 400, "r1": 300,
+        }},
+    })
+    fb.font["CPAL"] = buildCPAL([[(1.0, 0.0, 0.0, 1.0),
+                                  (0.0, 0.0, 1.0, 1.0)]])
+
+    # documents: doc coords = glyph coords with y negated (the OT-SVG
+    # y-down convention; identity viewBox 0 0 1000 1000)
+    doc_shared = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <g id="glyph1">
+    <rect x="100" y="-700" width="500" height="300" fill="#00aa44"/>
+    <circle cx="700" cy="-300" r="150" fill="rgb(255,0,255)"/>
+    <path d="M100 -250 L300 -250 Q400 -350 500 -250 C600 -150 700 -350 800 -250 Z" fill="#0000ffcc"/>
+  </g>
+  <g id="glyph2" transform="translate(100,0) scale(0.8)">
+    <polygon points="100,-100 900,-100 500,-800" fill="tomato"/>
+  </g>
+</svg>"""
+    doc_grad = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <linearGradient id="L" x1="100" y1="-800" x2="900" y2="-800" gradientUnits="userSpaceOnUse" spreadMethod="reflect">
+      <stop offset="0" stop-color="red"/>
+      <stop offset="0.5" stop-color="#00ff00" stop-opacity="0.8"/>
+    </linearGradient>
+    <radialGradient id="R" cx="0.5" cy="0.5" r="0.5" gradientTransform="scale(1,0.75)">
+      <stop offset="0" stop-color="white"/>
+      <stop offset="1" stop-color="navy"/>
+    </radialGradient>
+  </defs>
+  <g id="glyph3">
+    <rect x="100" y="-900" width="800" height="300" fill="url(#L)"/>
+    <rect x="100" y="-500" width="800" height="400" fill="url(#R)"/>
+  </g>
+</svg>"""
+    doc_struct = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <path id="chip" d="M0 0 H120 V-120 H0 Z"/>
+  </defs>
+  <g id="glyph4" color="#663300">
+    <path d="M100 -100 H900 V-900 H100 Z M300 -300 H700 V-700 H300 Z" fill-rule="evenodd" fill="steelblue"/>
+    <g transform="translate(420,-420) rotate(45)" opacity="0.5">
+      <rect x="-60" y="-60" width="120" height="120" fill="currentColor"/>
+    </g>
+    <use href="#chip" x="120" y="-120" fill="gold"/>
+    <rect x="100" y="-100" width="10" height="10" fill="none"/>
+    <rect x="0" y="0" width="50" height="50" fill="black" display="none"/>
+  </g>
+</svg>"""
+    # equivalence twins: identical geometry/gradient as the COLR
+    # versions above (square (100,100)-(900,700) in glyph space)
+    doc_eq_lin = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <linearGradient id="L" x1="100" y1="-100" x2="900" y2="-100" gradientUnits="userSpaceOnUse">
+      <stop offset="0" stop-color="#ff0000"/>
+      <stop offset="1" stop-color="#0000ff"/>
+    </linearGradient>
+  </defs>
+  <path id="glyph5" d="M100 -100 H900 V-700 H100 Z" fill="url(#L)"/>
+</svg>"""
+    doc_eq_rad = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <radialGradient id="R" cx="500" cy="-400" r="300" fx="500" fy="-400" fr="0" gradientUnits="userSpaceOnUse">
+      <stop offset="0" stop-color="#ff0000"/>
+      <stop offset="1" stop-color="#0000ff"/>
+    </radialGradient>
+  </defs>
+  <path id="glyph7" d="M100 -100 H900 V-700 H100 Z" fill="url(#R)"/>
+</svg>"""
+
+    from fontTools.ttLib import newTable
+    from fontTools.ttLib.tables.S_V_G_ import SVGDocument
+
+    svg = newTable("SVG ")
+    svg.docList = [
+        SVGDocument(doc_shared, 1, 2),
+        SVGDocument(doc_grad, 3, 3, compressed=True),
+        SVGDocument(doc_struct, 4, 4),
+        SVGDocument(doc_eq_lin, 5, 5),
+        SVGDocument(doc_eq_rad, 7, 7),
+    ]
+    fb.font["SVG "] = svg
+    fb.save(os.path.join(HERE, "svgtest.ttf"))
+    print("wrote svgtest.ttf")
+
+
 def make_ebdttest():
     """EBDT/EBLC monochrome/grayscale strike font (handcrafted wire
     tables, raw-injected): four strikes covering bit depths 1/2/4/8,
@@ -1140,6 +1283,8 @@ if __name__ == "__main__":
     make_varcolrtest()
     make_sbixtest()
     make_cbdttest()
+    make_svgtest()
+    make_ebdttest()
     make_vartest_cff2()
     if os.path.exists(PYGAME_MONO):
         make_cidtest()
