@@ -133,7 +133,9 @@ def layout_text(
       L2 reordering applies as geometric span reversals per level
       (arbitrary nesting).  ``rtl`` selects the paragraph base
       direction.  Incompatible with ``wrap_width`` (ignored with a
-      warning) and ``vertical``;
+      warning).  Composes with ``vertical=True``: level runs resolve
+      per column and L2 reordering applies along the column axis
+      (an RTL run's cells read bottom-to-top within the run extent);
     - ``alternate=N``: which alternate GSUB type-3 substitutions pick
       (the salt/aalt selection knob; clamped per alternate set).
     """
@@ -235,7 +237,7 @@ def layout_text(
         return out
 
     line_runs = None
-    if bidi and not vertical:
+    if bidi:
         from fontrx.font.uax9 import mirror_cp
         from fontrx.font.uax9 import resolve as _bidi_resolve
 
@@ -366,7 +368,7 @@ def layout_text(
     if vertical:
         return _layout_vertical(
             font, lines, slot_of, glyphs, widths, slot_ymax, slot_chars,
-            pad_batch_to, positioner,
+            pad_batch_to, positioner, line_runs,
         )
 
     if hasattr(font, "varied_metric"):
@@ -584,6 +586,48 @@ def _apply_line_direction(
             k = j
 
 
+def _apply_column_direction(instances, start, tops, heights, runs):
+    """UAX#9 L2 along a vertical column: the y-axis twin of
+    :func:`_apply_line_direction`.  Glyph cells occupy
+    ``[top - height, top]`` (the pen drops, so tops decrease down the
+    column); from the highest level down to the lowest odd level every
+    maximal span at >= that level reflects its cells within the span's
+    drop extent, shifting each glyph rigidly with its cell.  Nested
+    reversals compose by rewriting cell tops into each mirrored frame
+    (the same scheme the horizontal path uses for its boxes)."""
+    if not runs:
+        return
+    levels = [0] * len(tops)
+    for s, e, lvl in runs:
+        for k in range(s, e):
+            levels[k] = lvl
+    if not levels:
+        return
+    tops = list(tops)
+    hi_lvl = max(levels)
+    lo_odd = min(lv | 1 for lv in levels)
+    for lvl in range(hi_lvl, lo_odd - 1, -1):
+        k = 0
+        while k < len(levels):
+            if levels[k] < lvl:
+                k += 1
+                continue
+            j = k
+            while j < len(levels) and levels[j] >= lvl:
+                j += 1
+            span_hi = max(tops[t] for t in range(k, j))
+            span_lo = min(tops[t] - heights[t] for t in range(k, j))
+            m = span_lo + span_hi
+            for t in range(k, j):
+                new_top = m - (tops[t] - heights[t])
+                inst = instances[start + t]
+                instances[start + t] = Instance(
+                    inst.glyph_slot, inst.x,
+                    inst.y + (new_top - tops[t]))
+                tops[t] = new_top
+            k = j
+
+
 # UAX#14-lite ideograph classification: CJK unified (+ext A),
 # compatibility ideographs, Hiragana/Katakana, Hangul syllables —
 # the classes where every inter-character boundary is a break
@@ -677,12 +721,20 @@ def _trailing_spaces(line, space_gid) -> int:
 
 def _layout_vertical(
     font, lines, slot_of, glyphs, widths, slot_ymax, slot_chars,
-    pad_batch_to, positioner=None,
+    pad_batch_to, positioner=None, line_runs=None,
 ):
     """Vertical (top-to-bottom, columns right-to-left) placement — see
     ``layout_text(vertical=True)``.  The pen drop and hanging origin
     come from ``vhea``/``vmtx``; fonts without them fall back to one em
-    of advance with the hhea ascent as the hanging origin."""
+    of advance with the hhea ascent as the hanging origin.
+
+    ``line_runs`` (from ``bidi=True``): UAX#9 level runs per column.
+    L2 reordering applies along the COLUMN axis — the vertical analog
+    of the horizontal advance-box reversal: an RTL run's glyph cells
+    reverse their top-to-bottom order within the run's drop extent
+    (sideways-rotated display of embedded RTL text reads bottom-to-top
+    in vertical columns), each glyph traveling rigidly with its cell so
+    in-cell offsets (tsb hang, GPOS placement) are preserved."""
     vm = font.vertical_metrics
     upem = font.info.units_per_em
     if vm is not None:
@@ -729,6 +781,9 @@ def _layout_vertical(
             pos = positioner.positions(
                 line, [widths[slot_of[g]] for g in line]
             )
+        col_start = len(instances)
+        tops: list[float] = []
+        heights: list[float] = []
         for idx, gid in enumerate(line):
             slot = slot_of[gid]
             if adv_h is not None:
@@ -744,7 +799,13 @@ def _layout_vertical(
                 x_off += float(pos.x_offset[idx])
                 y_off += float(pos.y_offset[idx])
             instances.append(Instance(slot, x_off, y_off))
+            tops.append(pen_y)
+            heights.append(ah)
             pen_y -= ah
+        if line_runs is not None and col_no < len(line_runs):
+            _apply_column_direction(
+                instances, col_start, tops, heights,
+                line_runs[col_no])
         max_drop = max(max_drop, -pen_y)
 
     batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)

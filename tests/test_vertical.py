@@ -162,3 +162,75 @@ class TestVkrn:
         dy_base = base.instances[0].y - base.instances[1].y
         dy_kern = kerned.instances[0].y - kerned.instances[1].y
         assert dy_base - dy_kern == 150
+
+
+class TestVerticalBidi:
+    """bidi=True composes with vertical=True: UAX#9 levels resolve per
+    column and L2 reordering runs along the column axis (an RTL run's
+    cells read bottom-to-top within the run extent)."""
+
+    def _ys(self, lt, font):
+        return {
+            font.charmap.char_for_glyph(lt.slot_gids[i.glyph_slot]): i.y
+            for i in lt.instances
+        }
+
+    def test_pure_ltr_identity(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        a = layout_text(dejavu, "hello", vertical=True)
+        b = layout_text(dejavu, "hello", vertical=True, bidi=True)
+        assert [(i.glyph_slot, i.x, i.y) for i in a.instances] == \
+               [(i.glyph_slot, i.x, i.y) for i in b.instances]
+
+    def test_rtl_run_reverses_down_the_column(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(dejavu, "ab שלום", vertical=True, bidi=True)
+        ys = self._ys(lt, dejavu)
+        shin, mem = 0x05E9, 0x05DD
+        # Latin keeps logical top-to-bottom order (pen drops: y falls)
+        assert ys[ord("a")] > ys[ord("b")]
+        # the Hebrew run reverses within its extent: the first logical
+        # letter (shin) sits at the BOTTOM of the run
+        assert ys[shin] < ys[mem]
+        # run order down the column: latin above the hebrew span
+        assert ys[ord("b")] > max(ys[shin], ys[mem])
+
+    def test_rtl_base_column(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        lt = layout_text(
+            dejavu, "שלום ab", vertical=True, bidi=True, rtl=True)
+        ys = self._ys(lt, dejavu)
+        shin, mem = 0x05E9, 0x05DD
+        # RTL base: reading starts at the BOTTOM of the column (the
+        # vertical analog of "starts at the right"), so the Hebrew
+        # (first logical) run sits at the bottom reading upward and
+        # the embedded Latin run sits at the top, internally
+        # top-to-bottom
+        assert ys[shin] < ys[ord("b")]
+        assert ys[shin] < ys[mem]          # reads bottom-to-top
+        assert ys[ord("a")] > ys[ord("b")]
+
+    def test_cells_travel_rigidly(self):
+        from fontrx.scene.layout import layout_text
+
+        # synthetic font WITH vmtx: per-glyph tsb offsets must ride
+        # with their reversed cells (rigid shift, not re-anchoring)
+        f = _vfont(num_metrics=4)
+        plain = layout_text(f, "AB", vertical=True)
+        # force a reversal of the whole 2-glyph run via RLO override
+        rev = layout_text(f, "‮AB‬", vertical=True, bidi=True)
+        # cell heights: A: ah=800, B: ah=900 (vmtx)
+        # plain tops: A at 0, B at -800; reversed extent [-1700, 0]:
+        # B's cell top -> -800+? reflect: new_top = lo+hi - (top-h)
+        pa, pb = plain.instances
+        ra = next(i for i in rev.instances if i.glyph_slot == pa.glyph_slot)
+        rb = next(i for i in rev.instances if i.glyph_slot == pb.glyph_slot)
+        # A's cell [(-800, 0)] reflects to [-1700 + 800, ...] top -900:
+        # rigid shift of -900; B's cell [-1700, -800] -> top 0: +800
+        assert ra.y - pa.y == -900.0
+        assert rb.y - pb.y == 800.0
+        # x positions (column axis centering) are untouched
+        assert ra.x == pa.x and rb.x == pb.x
