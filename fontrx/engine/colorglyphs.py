@@ -178,8 +178,10 @@ def _eval_node(node, cov, grid, tile: int):
         return jnp.concatenate([rgb * av, av], axis=-1)
     if node[0] == "bitmap":
         return node[1]
-    if node[0] == "bitmap":
-        return node[1]
+    if node[0] == "alpha":
+        # exact group opacity (SVG `opacity` on a composited subtree):
+        # premultiplied RGBA scales linearly
+        return _eval_node(node[2], cov, grid, tile) * node[1]
     if node[0] == "layers":
         acc = jnp.zeros((tile, tile, 4), jnp.float32)
         for k in node[1]:
@@ -386,6 +388,8 @@ def color_glyph_tiles(
                 return ("glyph", row, paint, xf)
             if node[0] == "layers":
                 return ("layers", [collect(k) for k in node[1]])
+            if node[0] == "alpha":
+                return ("alpha", node[1], collect(node[2]))
             return ("composite", node[1], collect(node[2]),
                     collect(node[3]))
 

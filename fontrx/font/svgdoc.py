@@ -28,11 +28,19 @@ named colors, currentColor = text foreground), fill-opacity,
 linear/radial gradients (userSpaceOnUse + objectBoundingBox,
 gradientTransform, spreadMethod, href chains), fill-rule evenodd
 (lowered to nonzero by nesting-depth reorientation — exact for
-non-self-intersecting paths), display/visibility.  Documented
-approximations: group ``opacity`` multiplies into descendant fills
-(exact group opacity needs offscreen compositing; differs only where
-siblings inside the group overlap); ``stroke`` and ``clip-path`` are
-ignored with a log notice.
+non-self-intersecting paths), display/visibility, **group opacity**
+(exact: the subtree composites offscreen through the engine's
+``("alpha", a, node)`` wrapper, so overlapping siblings dim as one
+surface), **clip-path** (lowered to Porter-Duff SrcIn against the
+clip geometry's coverage — ``("composite", 5, content, clip)``;
+userSpaceOnUse + objectBoundingBox units, clipPath/child transforms,
+use references; the clip union is exact for non-self-intersecting
+children), and **stroke** (stroke-to-outline via
+:mod:`fontrx.font.stroke`: butt/round/square caps, miter/round/bevel
+joins with miterlimit, dasharray/dashoffset, solid + gradient stroke
+paints).  Documented remaining gaps: ``mask``/``filter`` are ignored
+with a log notice; self-intersecting evenodd paths and
+self-intersecting clip children keep the nesting-depth approximation.
 """
 
 from __future__ import annotations
@@ -358,7 +366,11 @@ class _PathBuilder:
             self.cubic_to(c1, c2, a1)
 
     def close(self):
-        # Z: the closing line is implicit in the contour wrap
+        # Z: the closing line is implicit in the contour wrap for
+        # FILLS; a trailing sentinel records the explicit close for
+        # the stroker (closed subpaths stroke without caps)
+        if self._cur is not None and len(self._cur) > 1:
+            self._cur.append(("close",))
         self.close_implicit()
 
     def close_implicit(self):
@@ -566,6 +578,8 @@ def _chain_to_points(chain, xf, tol: float):
         on.append(is_on)
 
     for item in chain:
+        if item[0] == "close":
+            continue
         if item[0] == "pt":
             _, p, is_on = item
             push(p, is_on)
@@ -638,20 +652,25 @@ def _orient_for_evenodd(chains):
     return out
 
 
-def chains_to_glyph(chains, xf, *, fill_rule="nonzero",
-                    tol: float = 0.5) -> Glyph | None:
-    """Subpath chains (local coords) -> a normalized quadratic
-    :class:`Glyph` in font units (``xf`` = local -> glyph affine)."""
+def _resolve_chains(chains, xf, fill_rule="nonzero", tol: float = 0.5):
+    """Subpath chains -> oriented ``(points, on)`` contour pairs in
+    glyph space (evenodd chains reoriented by nesting depth)."""
     resolved = []
     for chain in chains:
         pts, on = _chain_to_points(chain, xf, tol)
         if len(pts) < 3:
             continue
         resolved.append((pts, on))
+    if resolved and fill_rule == "evenodd":
+        resolved = _orient_for_evenodd(resolved)
+    return resolved
+
+
+def _contours_to_glyph(resolved) -> Glyph | None:
+    """Oriented contour pairs -> a normalized quadratic
+    :class:`Glyph` (integer font units)."""
     if not resolved:
         return None
-    if fill_rule == "evenodd":
-        resolved = _orient_for_evenodd(resolved)
     contours = []
     for pts, on in resolved:
         ipts = np.round(pts).astype(np.int32)
@@ -661,6 +680,35 @@ def chains_to_glyph(chains, xf, *, fill_rule="nonzero",
     box = Box(int(allpts[:, 0].min()), int(allpts[:, 1].min()),
               int(allpts[:, 0].max()), int(allpts[:, 1].max()))
     return Glyph(box, tuple(contours))
+
+
+def chains_to_glyph(chains, xf, *, fill_rule="nonzero",
+                    tol: float = 0.5) -> Glyph | None:
+    """Subpath chains (local coords) -> a normalized quadratic
+    :class:`Glyph` in font units (``xf`` = local -> glyph affine)."""
+    return _contours_to_glyph(_resolve_chains(chains, xf, fill_rule, tol))
+
+
+def _chains_bbox(chains):
+    """Control-point bounds of subpath chains in LOCAL coordinates
+    (the SVG object bounding box, conservatively including off-curve
+    controls), or None when empty."""
+    xs: list[float] = []
+    ys: list[float] = []
+    for ch in chains:
+        for it in ch:
+            if it[0] == "pt":
+                pts = (it[1],)
+            elif it[0] == "cub":
+                pts = (it[1], it[2], it[3])
+            else:
+                continue
+            for p in pts:
+                xs.append(p[0])
+                ys.append(p[1])
+    if not xs:
+        return None
+    return (min(xs), min(ys), max(xs), max(ys))
 
 
 # ---------------------------------------------------------------------------
@@ -679,6 +727,17 @@ def _style_of(el) -> dict:
             k, v = decl.split(":", 1)
             st[k.strip()] = v.strip()
     return st
+
+
+# CSS properties that inherit through the document tree (paint +
+# stroke geometry properties; `opacity` and `clip-path` do NOT
+# inherit — they are per-element effects handled by _finish)
+_INHERITED = (
+    "fill", "fill-opacity", "fill-rule", "color",
+    "stroke", "stroke-width", "stroke-opacity", "stroke-linecap",
+    "stroke-linejoin", "stroke-miterlimit", "stroke-dasharray",
+    "stroke-dashoffset",
+)
 
 
 def _href(el) -> str | None:
@@ -823,14 +882,19 @@ class SvgDocument:
     # -- walk ---------------------------------------------------------
 
     def glyph_tree(self, gid: int, foreground=(0, 0, 0, 255)):
-        """Render tree for glyph ``gid``: ``("layers", [("outline",
-        Glyph, paint, xf), ...])`` or None (no such element / no
-        visible geometry)."""
+        """Render tree for glyph ``gid``: ``("layers", [node, ...])``
+        or None (no such element / no visible geometry / clipped
+        away).  Nodes are the COLR render-tree forms plus the
+        engine's ``("alpha", a, node)`` wrapper (exact group opacity)
+        and ``("composite", 5, node, clip_node)`` (clip-path lowered
+        to Porter-Duff SrcIn)."""
         el = self.ids.get(f"glyph{gid}")
         if el is None:
             return None
         # inherited context from ancestors (transforms compose;
-        # fill/fill-opacity/fill-rule inherit; opacity multiplies)
+        # paint properties inherit; each ancestor's opacity and
+        # clip-path wrap the whole subtree — both are exact here
+        # because the glyph element is a single node)
         chain = [el]
         cur = el
         while cur in self.parents:
@@ -840,43 +904,72 @@ class SvgDocument:
         style: dict = {"fill": "black", "fill-opacity": "1",
                        "fill-rule": "nonzero"}
         opacity = 1.0
+        clip_nodes: list = []
         for anc in reversed(chain[1:]):
             st = _style_of(anc)
             xf = affine_mul(xf, parse_transform(st.get("transform", "")))
-            for k in ("fill", "fill-opacity", "fill-rule", "color"):
+            for k in _INHERITED:
                 if k in st:
                     style[k] = st[k]
             opacity *= _safe_float(st.get("opacity", 1.0))
-        leaves: list = []
-        self._emit(el, xf, style, opacity, foreground, leaves)
-        if not leaves:
+            cn = self._resolve_clip(st.get("clip-path"), xf, anc)
+            if cn == "empty":
+                return None
+            if cn is not None:
+                clip_nodes.append(cn)
+        nodes: list = []
+        self._emit(el, xf, style, foreground, nodes)
+        if not nodes:
             return None
-        return ("layers", leaves)
+        node = nodes[0] if len(nodes) == 1 else ("layers", nodes)
+        if opacity < 1.0:
+            node = ("alpha", opacity, node)
+        for cn in clip_nodes:
+            node = ("composite", 5, node, cn)
+        if node[0] == "layers":
+            return node
+        return ("layers", [node])
 
-    def _emit(self, el, xf, style, opacity, foreground, leaves,
-              depth=0):
+    @staticmethod
+    def _finish(out, nodes, opacity, clip):
+        """Wrap an element's rendered nodes with its own opacity
+        (exact: offscreen-composited via the ``alpha`` node) and
+        clip-path (SrcIn against the clip geometry's coverage), then
+        append to the parent's node list."""
+        if not nodes or clip == "empty":
+            return
+        node = nodes[0] if len(nodes) == 1 else ("layers", nodes)
+        if opacity < 1.0:
+            node = ("alpha", opacity, node)
+        if clip is not None:
+            node = ("composite", 5, node, clip)
+        out.append(node)
+
+    def _emit(self, el, xf, style, foreground, out, depth=0):
         if depth > 32:
             return
         tag = _local(el.tag)
         st = dict(style)
         own = _style_of(el)
-        for k in ("fill", "fill-opacity", "fill-rule", "color"):
+        for k in _INHERITED:
             if k in own:
                 st[k] = own[k]
         if own.get("display", "").strip() == "none" or \
                 own.get("visibility") in ("hidden", "collapse"):
             return
-        opacity *= _safe_float(own.get("opacity", 1.0) or 1.0)
+        own_op = _safe_float(own.get("opacity", 1.0) or 1.0)
         xf = affine_mul(xf, parse_transform(own.get("transform", "")))
-        for ignored in ("stroke", "clip-path", "mask", "filter"):
+        for ignored in ("mask", "filter"):
             v = own.get(ignored)
             if v and v.strip() not in ("none", ""):
                 self._warn_once(ignored)
+        clip = self._resolve_clip(own.get("clip-path"), xf, el)
 
         if tag in ("g", "svg", "a"):
+            sub: list = []
             for child in el:
-                self._emit(child, xf, st, opacity, foreground, leaves,
-                           depth + 1)
+                self._emit(child, xf, st, foreground, sub, depth + 1)
+            self._finish(out, sub, own_op, clip)
             return
         if tag == "use":
             ref = _href(el)
@@ -886,8 +979,10 @@ class SvgDocument:
                 shift = (1.0, 0.0, 0.0, 1.0,
                          _safe_float(el.get("x", 0) or 0, 0.0),
                          _safe_float(el.get("y", 0) or 0, 0.0))
-                self._emit(target, affine_mul(xf, shift), st, opacity,
-                           foreground, leaves, depth + 1)
+                sub = []
+                self._emit(target, affine_mul(xf, shift), st,
+                           foreground, sub, depth + 1)
+                self._finish(out, sub, own_op, clip)
             return
         if tag in ("defs", "linearGradient", "radialGradient",
                    "clipPath", "mask", "symbol", "style", "title",
@@ -901,7 +996,29 @@ class SvgDocument:
         if not chains:
             return
 
-        fill = st.get("fill", "black")
+        leaves: list = []
+        fill_leaf = self._paint_leaf(chains, xf, st, foreground,
+                                     "fill")
+        if fill_leaf is not None:
+            leaves.append(fill_leaf)
+        stroke_leaf = self._stroke_leaf(chains, xf, st, foreground)
+        if stroke_leaf is not None:
+            leaves.append(stroke_leaf)
+        self._finish(out, leaves, own_op, clip)
+
+    def _paint_leaf(self, chains, xf, st, foreground, prop,
+                    bbox_chains=None, fill_rule=None):
+        """One painted-geometry leaf: ``("outline", Glyph, paint,
+        gradient_xf)`` for the ``fill`` or ``stroke`` paint of an
+        element, or None (paint 'none' / fully transparent / no
+        geometry).  ``bbox_chains`` supplies the objectBoundingBox
+        geometry when it differs from the painted chains (stroke
+        gradients resolve against the path's FILL bbox per spec)."""
+        paint_str = st.get(prop) or ("black" if prop == "fill"
+                                     else "none")
+        if fill_rule is None:
+            fill_rule = (st.get("fill-rule", "nonzero")
+                         if prop == "fill" else "nonzero")
         # CSS currentColor resolves through the inherited `color`
         # property, falling back to the text foreground
         cur = foreground
@@ -909,45 +1026,185 @@ class SvgDocument:
             c = parse_color(st["color"], foreground)
             if c is not None:
                 cur = c
-        if fill.strip().startswith("url("):
-            m = re.match(r"url\(\s*#([^)\s]+)\s*\)", fill.strip())
+        pa = _safe_float(st.get(f"{prop}-opacity", 1.0) or 1.0)
+        if paint_str.strip().startswith("url("):
+            m = re.match(r"url\(\s*#([^)\s]+)\s*\)", paint_str.strip())
             grad_el = self.ids.get(m.group(1)) if m else None
             if grad_el is None or _local(grad_el.tag) not in (
                     "linearGradient", "radialGradient"):
-                return
-            glyph = chains_to_glyph(
-                chains, xf, fill_rule=st.get("fill-rule", "nonzero"))
+                return None
+            glyph = chains_to_glyph(chains, xf, fill_rule=fill_rule)
             if glyph is None:
-                return
-            # object bounding box in LOCAL coords, mapped through xf
-            # via the gradient affine composition
-            loc = [p for ch in chains for it in ch
-                   for p in ([it[1]] if it[0] == "pt"
-                             else [it[1], it[2], it[3]])]
-            xs = [p[0] for p in loc]
-            ys = [p[1] for p in loc]
-            bbox = (min(xs), min(ys), max(xs), max(ys))
-            fa = _safe_float(st.get("fill-opacity", 1.0) or 1.0)
-            gp = self._gradient_paint(grad_el, bbox, cur,
-                                      opacity * fa)
+                return None
+            bbox = _chains_bbox(bbox_chains
+                                if bbox_chains is not None else chains)
+            if bbox is None:
+                return None
+            gp = self._gradient_paint(grad_el, bbox, cur, pa)
             if gp is None:
-                return
+                return None
             paint, gt = gp
-            leaves.append(("outline", glyph, paint,
-                           affine_mul(xf, gt)))
-            return
-
-        rgba = parse_color(fill, cur)
+            return ("outline", glyph, paint, affine_mul(xf, gt))
+        rgba = parse_color(paint_str, cur)
         if rgba is None:
-            return
-        fa = _safe_float(st.get("fill-opacity", 1.0) or 1.0)
-        alpha = max(0, min(255, round(rgba[3] * fa * opacity)))
+            return None
+        alpha = max(0, min(255, round(rgba[3] * pa)))
         if alpha == 0:
-            return
-        glyph = chains_to_glyph(
-            chains, xf, fill_rule=st.get("fill-rule", "nonzero"))
+            return None
+        glyph = chains_to_glyph(chains, xf, fill_rule=fill_rule)
         if glyph is None:
+            return None
+        return ("outline", glyph,
+                ("solid", (rgba[0], rgba[1], rgba[2], alpha)), None)
+
+    def _stroke_leaf(self, chains, xf, st, foreground):
+        """Stroke paint as a nonzero-filled outline leaf (see
+        :mod:`fontrx.font.stroke`), or None (no stroke)."""
+        paint_str = (st.get("stroke") or "none").strip()
+        if paint_str in ("", "none"):
+            return None
+        width = _safe_float(st.get("stroke-width", 1.0))
+        if width <= 0:
+            return None
+        from fontrx.font.stroke import stroke_chains
+
+        dash = None
+        da = (st.get("stroke-dasharray") or "none").strip()
+        if da and da != "none":
+            dash = _floats(da)
+            if not dash or any(d < 0 for d in dash) or sum(dash) <= 0:
+                dash = None
+        # flatten/arc tolerance in LOCAL units: 0.5 font units mapped
+        # back through the transform's scale
+        det = abs(xf[0] * xf[3] - xf[1] * xf[2])
+        scale = math.sqrt(det) if det > 1e-12 else 1.0
+        sk = stroke_chains(
+            chains, width,
+            cap=st.get("stroke-linecap", "butt").strip(),
+            join=st.get("stroke-linejoin", "miter").strip(),
+            miterlimit=_safe_float(st.get("stroke-miterlimit", 4.0),
+                                   4.0),
+            dash=dash,
+            dashoffset=_safe_float(st.get("stroke-dashoffset", 0.0),
+                                   0.0),
+            tol=0.5 / scale,
+        )
+        if not sk:
+            return None
+        return self._paint_leaf(sk, xf, st, foreground, "stroke",
+                                bbox_chains=chains,
+                                fill_rule="nonzero")
+
+    # -- clip paths -----------------------------------------------------
+
+    def _resolve_clip(self, value, xf, el):
+        """``clip-path`` property -> a clip node (an opaque
+        ``outline`` leaf whose coverage masks the clipped subtree via
+        SrcIn), None (no clip), or ``"empty"`` (an empty clipPath
+        clips everything away, per spec).
+
+        The clip region is the UNION of the clipPath's child shapes:
+        each child's contours are reoriented by their own nesting
+        depth (so every child fills with winding +1 and overlapping
+        children add instead of cancel) — exact for
+        non-self-intersecting children under both clip-rules, the
+        same caveat as the evenodd fill lowering."""
+        v = (value or "").strip()
+        if not v or v == "none":
+            return None
+        m = re.match(r"url\(\s*#([^)\s]+)\s*\)", v)
+        cp = self.ids.get(m.group(1)) if m else None
+        if cp is None or _local(cp.tag) != "clipPath":
+            self._warn_once("clip-path (unresolved reference)")
+            return None
+        cxf = xf
+        if cp.get("clipPathUnits") == "objectBoundingBox":
+            bbox = self._local_bbox(el)
+            if bbox is None:
+                return "empty"
+            x0, y0, x1, y1 = bbox
+            cxf = affine_mul(cxf, (x1 - x0, 0.0, 0.0, y1 - y0, x0, y0))
+        cxf = affine_mul(cxf, parse_transform(cp.get("transform", "")))
+        resolved: list = []
+        for child in cp:
+            self._collect_clip_child(child, cxf, resolved, 0)
+        glyph = _contours_to_glyph(resolved)
+        if glyph is None:
+            return "empty"
+        return ("outline", glyph, ("solid", (0, 0, 0, 255)), None)
+
+    def _collect_clip_child(self, child, cxf, resolved, depth):
+        if depth > 32:
             return
-        leaves.append(("outline", glyph,
-                       ("solid", (rgba[0], rgba[1], rgba[2], alpha)),
-                       None))
+        tag = _local(child.tag)
+        st = _style_of(child)
+        if st.get("display", "").strip() == "none":
+            return
+        child_xf = affine_mul(cxf,
+                              parse_transform(st.get("transform", "")))
+        if tag == "use":
+            ref = _href(child)
+            target = self.ids.get(ref[1:]) if ref and \
+                ref.startswith("#") else None
+            if target is not None:
+                shift = (1.0, 0.0, 0.0, 1.0,
+                         _safe_float(child.get("x", 0) or 0, 0.0),
+                         _safe_float(child.get("y", 0) or 0, 0.0))
+                self._collect_clip_child(
+                    target, affine_mul(child_xf, shift), resolved,
+                    depth + 1)
+            return
+        if tag == "path":
+            chains = parse_path_data(child.get("d", ""))
+        else:
+            chains = _shape_subpaths(child)
+        if not chains:
+            if tag == "text":
+                self._warn_once("clipPath text children")
+            return
+        resolved.extend(
+            _resolve_chains(chains, child_xf, fill_rule="evenodd"))
+
+    def _local_bbox(self, el, depth=0):
+        """Geometry bounds of ``el`` in its own user space (the SVG
+        objectBoundingBox): a shape's chain bounds, a group's union of
+        children mapped through their relative transforms (transformed
+        children contribute their transformed-bbox corners —
+        conservative, like most implementations)."""
+        if depth > 32:
+            return None
+        tag = _local(el.tag)
+        if tag == "path":
+            return _chains_bbox(parse_path_data(el.get("d", "")))
+        if tag in ("rect", "circle", "ellipse", "line", "polyline",
+                   "polygon"):
+            return _chains_bbox(_shape_subpaths(el))
+        if tag == "use":
+            ref = _href(el)
+            target = self.ids.get(ref[1:]) if ref and \
+                ref.startswith("#") else None
+            if target is None:
+                return None
+            b = self._local_bbox(target, depth + 1)
+            if b is None:
+                return None
+            dx = _safe_float(el.get("x", 0) or 0, 0.0)
+            dy = _safe_float(el.get("y", 0) or 0, 0.0)
+            return (b[0] + dx, b[1] + dy, b[2] + dx, b[3] + dy)
+        if tag in ("g", "svg", "a"):
+            box = None
+            for child in el:
+                b = self._local_bbox(child, depth + 1)
+                if b is None:
+                    continue
+                t = parse_transform(child.get("transform", ""))
+                corners = [affine_apply(t, x, y)
+                           for x in (b[0], b[2]) for y in (b[1], b[3])]
+                xs = [c[0] for c in corners]
+                ys = [c[1] for c in corners]
+                b = (min(xs), min(ys), max(xs), max(ys))
+                box = b if box is None else (
+                    min(box[0], b[0]), min(box[1], b[1]),
+                    max(box[2], b[2]), max(box[3], b[3]))
+            return box
+        return None

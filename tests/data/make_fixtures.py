@@ -958,12 +958,15 @@ def make_svgtest():
     upem = 1000
     fb = FontBuilder(upem, isTTF=True)
     names = [".notdef", "svg1", "svg2", "svggrad", "svgstruct",
-             "svglin", "colrlin", "svgrad", "colrrad", "l_eqsq"]
+             "svglin", "colrlin", "svgrad", "colrrad", "l_eqsq",
+             "svgstroke", "strokefill", "svgclip", "svggrpop"]
     fb.setupGlyphOrder(names)
     fb.setupCharacterMap({ord("A"): "svg1", ord("B"): "svg2",
                           ord("C"): "svggrad", ord("D"): "svgstruct",
                           ord("E"): "svglin", ord("F"): "colrlin",
-                          ord("G"): "svgrad", ord("H"): "colrrad"})
+                          ord("G"): "svgrad", ord("H"): "colrrad",
+                          ord("I"): "svgstroke", ord("J"): "strokefill",
+                          ord("K"): "svgclip", ord("L"): "svggrpop"})
 
     def rect(pen, x0, y0, x1, y1):
         pen.moveTo((x0, y0))
@@ -1070,6 +1073,43 @@ def make_svgtest():
   <path id="glyph7" d="M100 -100 H900 V-700 H100 Z" fill="url(#R)"/>
 </svg>"""
 
+    # stroke-vs-fill equivalence twins ('I' strokes, 'J' is the same
+    # geometry as explicit fill paths — straight-segment strokes are
+    # EXACT hand constructions, so the renders must be pixel-identical):
+    # butt line -> rect, square-cap line -> extended rect, stroked
+    # rect -> evenodd annulus
+    doc_stroke = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <g id="glyph10" stroke="#cc2200" stroke-width="100">
+    <line x1="200" y1="-500" x2="800" y2="-500"/>
+    <line x1="200" y1="-200" x2="800" y2="-200" stroke-linecap="square"/>
+    <rect x="300" y="-860" width="400" height="200" fill="none" stroke-width="60"/>
+  </g>
+</svg>"""
+    doc_strokefill = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <g id="glyph11" fill="#cc2200">
+    <path d="M200 -450 H800 V-550 H200 Z"/>
+    <path d="M150 -150 H850 V-250 H150 Z"/>
+    <path d="M270 -630 H730 V-890 H270 Z M330 -690 H670 V-830 H330 Z" fill-rule="evenodd"/>
+  </g>
+</svg>"""
+    # clip-path: a circle clipped to a rect window (SrcIn lowering)
+    doc_clip = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <clipPath id="cpwin"><rect x="300" y="-700" width="400" height="400"/></clipPath>
+  </defs>
+  <g id="glyph12">
+    <circle cx="500" cy="-500" r="300" fill="#0044aa" clip-path="url(#cpwin)"/>
+  </g>
+</svg>"""
+    # exact group opacity: two overlapping opaque circles at group
+    # opacity 0.5 — the overlap must read 0.5, not 0.75
+    doc_grpop = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <g id="glyph13" opacity="0.5">
+    <circle cx="400" cy="-500" r="200" fill="#ff0000"/>
+    <circle cx="600" cy="-500" r="200" fill="#ff0000"/>
+  </g>
+</svg>"""
+
     from fontTools.ttLib import newTable
     from fontTools.ttLib.tables.S_V_G_ import SVGDocument
 
@@ -1080,6 +1120,10 @@ def make_svgtest():
         SVGDocument(doc_struct, 4, 4),
         SVGDocument(doc_eq_lin, 5, 5),
         SVGDocument(doc_eq_rad, 7, 7),
+        SVGDocument(doc_stroke, 10, 10),
+        SVGDocument(doc_strokefill, 11, 11),
+        SVGDocument(doc_clip, 12, 12),
+        SVGDocument(doc_grpop, 13, 13),
     ]
     fb.font["SVG "] = svg
     fb.save(os.path.join(HERE, "svgtest.ttf"))

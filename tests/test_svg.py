@@ -366,3 +366,197 @@ class TestCli:
                      "-s", "64", "-o", str(out)]) == 0
         img = decode(out.read_bytes())
         assert int((img != 255).sum()) > 2000
+
+
+class TestStrokeIntegration:
+    """Stroke-vs-fill equivalence twins: glyph 'I' strokes three
+    shapes (butt line, square-cap line, stroked rect), 'J' is the same
+    geometry as explicit fill paths.  Straight-segment strokes are
+    EXACT hand constructions (tests/test_stroke.py), so the renders
+    must be pixel-identical through the shared pipeline."""
+
+    def test_stroke_vs_fill_pixel_identical(self, font, engine):
+        from fontrx.engine.colorglyphs import color_tiles
+
+        tiles = color_tiles(
+            font, [font.glyph_index("I"), font.glyph_index("J")],
+            100, engine)
+        np.testing.assert_array_equal(tiles[0], tiles[1])
+        assert int((tiles[0] != 255).sum()) > 1000  # really painted
+
+    def test_stroked_rect_annulus_has_hole(self, font, engine):
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+
+        rgba, grids = color_glyph_tiles(
+            font, [font.glyph_index("I")], 100, engine)
+        tile = np.asarray(rgba[0])
+        g = grids[0]
+        scale = float(g.scale)
+
+        def a(ux, uy):
+            col = int(round(ux * scale)) - g.min_x
+            row = g.max_y - int(round(uy * scale))
+            return float(tile[row, col, 3])
+
+        assert a(500, 870) > 0.9     # on the stroked rect's top band
+        assert a(500, 760) < 0.05    # inside the rect: unpainted
+        assert a(500, 500) > 0.9     # the butt-cap line body
+        assert a(170, 200) > 0.9     # square cap extension painted
+        assert a(170, 500) < 0.05    # butt cap: no extension
+
+
+class TestClipPath:
+    def test_clip_window_masks_the_circle(self, font, engine):
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+
+        rgba, grids = color_glyph_tiles(
+            font, [font.glyph_index("K")], 100, engine)
+        tile = np.asarray(rgba[0])
+        g = grids[0]
+        scale = float(g.scale)
+
+        def a(ux, uy):
+            col = int(round(ux * scale)) - g.min_x
+            row = g.max_y - int(round(uy * scale))
+            return float(tile[row, col, 3])
+
+        assert a(500, 500) > 0.99    # circle center, inside the window
+        # inside the circle but OUTSIDE the 400x400 clip window
+        assert a(500, 770) < 0.01
+        assert a(230, 500) < 0.01
+        # outside the circle entirely
+        assert a(150, 150) < 0.01
+
+    def test_tree_structure_srcin(self, font):
+        tree = font.color_paint_tree(font.glyph_index("K"), 0,
+                                     (0, 0, 0, 255))
+        assert tree[0] == "layers" and len(tree[1]) == 1
+        node = tree[1][0]
+        assert node[0] == "composite" and node[1] == 5  # SrcIn
+        assert node[2][0] == "outline"  # the circle content
+        assert node[3][0] == "outline"  # the clip mask
+
+    def test_object_bounding_box_units(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        # clip the unit-square LEFT HALF of the rect's bbox
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <defs><clipPath id="c" clipPathUnits="objectBoundingBox">
+            <rect x="0" y="0" width="0.5" height="1"/>
+          </clipPath></defs>
+          <rect id="glyph1" x="100" y="-600" width="400" height="400"
+                fill="black" clip-path="url(#c)"/>
+        </svg>""", 1000)
+        tree = doc.glyph_tree(1)
+        node = tree[1][0]
+        assert node[0] == "composite" and node[1] == 5
+        clip_glyph = node[3][1]
+        # left half of x [100, 500] in glyph units
+        assert clip_glyph.box.x_min == 100
+        assert clip_glyph.box.x_max == 300
+
+    def test_empty_clip_clips_everything(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <defs><clipPath id="c"/></defs>
+          <rect id="glyph1" x="0" y="-100" width="100" height="100"
+                fill="black" clip-path="url(#c)"/>
+        </svg>""", 1000)
+        assert doc.glyph_tree(1) is None
+
+    def test_ancestor_clip_wraps_the_tree(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <defs><clipPath id="c">
+            <rect x="0" y="-500" width="500" height="500"/>
+          </clipPath></defs>
+          <g clip-path="url(#c)">
+            <rect id="glyph1" x="0" y="-100" width="100" height="100"
+                  fill="black"/>
+          </g>
+        </svg>""", 1000)
+        tree = doc.glyph_tree(1)
+        assert tree[1][0][0] == "composite" and tree[1][0][1] == 5
+
+
+class TestGroupOpacityExact:
+    def test_overlap_reads_half_not_three_quarters(self, font, engine):
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+
+        rgba, grids = color_glyph_tiles(
+            font, [font.glyph_index("L")], 100, engine)
+        tile = np.asarray(rgba[0])
+        g = grids[0]
+        scale = float(g.scale)
+
+        def a(ux, uy):
+            col = int(round(ux * scale)) - g.min_x
+            row = g.max_y - int(round(uy * scale))
+            return float(tile[row, col, 3])
+
+        # single-circle regions: 0.5
+        assert abs(a(300, 500) - 0.5) < 0.01
+        assert abs(a(700, 500) - 0.5) < 0.01
+        # the OVERLAP also reads exactly 0.5 (offscreen-composited
+        # group; per-leaf folding would read 0.75)
+        assert abs(a(500, 500) - 0.5) < 0.01
+        # nothing anywhere exceeds the group opacity
+        assert float(np.max(tile[..., 3])) <= 0.5 + 1e-5
+
+    def test_alpha_node_in_tree(self, font):
+        tree = font.color_paint_tree(font.glyph_index("L"), 0,
+                                     (0, 0, 0, 255))
+        node = tree[1][0]
+        assert node[0] == "alpha" and node[1] == 0.5
+        assert node[2][0] == "layers" and len(node[2][1]) == 2
+
+
+class TestStrokeStyleResolution:
+    def test_stroke_properties_inherit(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <g stroke="#102030" stroke-width="40">
+            <line id="glyph1" x1="0" y1="-500" x2="1000" y2="-500"/>
+          </g>
+        </svg>""", 1000)
+        tree = doc.glyph_tree(1)
+        leaf = tree[1][0]
+        assert leaf[0] == "outline"
+        assert leaf[2] == ("solid", (0x10, 0x20, 0x30, 255))
+        # butt-cap 40-wide stroke of the horizontal line
+        assert leaf[1].box.y_min == 480 and leaf[1].box.y_max == 520
+
+    def test_fill_and_stroke_both_emit(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <rect id="glyph1" x="100" y="-600" width="400" height="400"
+                fill="green" stroke="blue" stroke-width="20"/>
+        </svg>""", 1000)
+        tree = doc.glyph_tree(1)
+        # a single fill+stroke pair IS the root layers list
+        assert tree[0] == "layers" and len(tree[1]) == 2
+        fill_leaf, stroke_leaf = tree[1]
+        assert fill_leaf[2][1][:3] == (0, 0x80, 0)
+        assert stroke_leaf[2][1][:3] == (0, 0, 0xFF)
+        # stroke paints over fill (document paint order)
+        assert stroke_leaf[1].box.x_min == 90  # half-width outside
+
+    def test_stroke_none_width_zero_skip(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <rect id="glyph1" x="100" y="-600" width="400" height="400"
+                fill="black" stroke="red" stroke-width="0"/>
+        </svg>""", 1000)
+        tree = doc.glyph_tree(1)
+        assert tree[1][0][0] == "outline"  # only the fill leaf
