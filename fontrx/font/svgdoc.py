@@ -736,7 +736,7 @@ _INHERITED = (
     "fill", "fill-opacity", "fill-rule", "color",
     "stroke", "stroke-width", "stroke-opacity", "stroke-linecap",
     "stroke-linejoin", "stroke-miterlimit", "stroke-dasharray",
-    "stroke-dashoffset",
+    "stroke-dashoffset", "paint-order",
 )
 
 
@@ -999,11 +999,14 @@ class SvgDocument:
         leaves: list = []
         fill_leaf = self._paint_leaf(chains, xf, st, foreground,
                                      "fill")
-        if fill_leaf is not None:
-            leaves.append(fill_leaf)
         stroke_leaf = self._stroke_leaf(chains, xf, st, foreground)
-        if stroke_leaf is not None:
-            leaves.append(stroke_leaf)
+        # paint-order: fill first by default; a leading "stroke"
+        # token paints the stroke under the fill (markers don't apply)
+        po = (st.get("paint-order") or "normal").split()
+        pair = ([stroke_leaf, fill_leaf]
+                if po and po[0] == "stroke" else
+                [fill_leaf, stroke_leaf])
+        leaves.extend(leaf for leaf in pair if leaf is not None)
         self._finish(out, leaves, own_op, clip)
 
     def _paint_leaf(self, chains, xf, st, foreground, prop,

@@ -560,3 +560,17 @@ class TestStrokeStyleResolution:
         </svg>""", 1000)
         tree = doc.glyph_tree(1)
         assert tree[1][0][0] == "outline"  # only the fill leaf
+
+    def test_paint_order_stroke_first(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <rect id="glyph1" x="100" y="-600" width="400" height="400"
+                fill="green" stroke="blue" stroke-width="20"
+                paint-order="stroke fill"/>
+        </svg>""", 1000)
+        tree = doc.glyph_tree(1)
+        first, second = tree[1]
+        assert first[2][1][:3] == (0, 0, 0xFF)   # stroke painted first
+        assert second[2][1][:3] == (0, 0x80, 0)  # fill on top
