@@ -40,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -446,3 +447,280 @@ def winding_dense_banded_batch(
         interpret=interpret,
     )(min_x, max_y, scale_arr, off_arr, soa)
     return jnp.swapaxes(out_t, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Window-packed dense kernel: per-chunk ROW culling via 16-row windows
+#
+# The lane-packed kernel still evaluates phase A for every (segment,
+# real-row) pair.  Y-sorted dense glyphs concentrate each segment's
+# influence into a narrow row band, so most of those evaluations
+# produce dead crossings.  The window packing assigns every segment to
+# the ``win_rows``-row window(s) its control hull (with the same +-1
+# font-unit guard band the v2 strip cull uses, plus a sample-offset
+# margin) can touch; the kernel then runs ``groups`` window-chunks per
+# 128-lane op, each chunk seeing ONLY its window's rows.
+#
+# Exactness: a Bezier's y-range is inside its control hull's, so a
+# crossing can only exist on rows whose em-y lies in the hull range —
+# rows outside every assigned window provably contribute zero, and a
+# segment duplicated into several windows never double-counts because
+# each copy accumulates only its own window's rows (rows partition).
+# Per (segment, row) the float program is phase_a_roots verbatim with
+# identical cy/cx values, so rasters are BIT-IDENTICAL to
+# winding_dense_batch and the CPU oracle.
+
+
+def pack_dense_windows(
+    segments,
+    min_x,
+    max_y,
+    scale: float,
+    height: int,
+    *,
+    win_rows: int = 16,
+    seg_chunk: int = 16,
+    groups: int = 8,
+    sample_margin: float = 1.0,
+):
+    """Host-side window assignment: ``[B, S, 3, 2]`` segments ->
+    ``([B, n_windows*cap, 3, 2]`` window-major stream, ``n_windows``,
+    ``cap)``.  Window ``w`` owns pixel rows ``[w*win_rows,
+    (w+1)*win_rows)``; each window's sublist is x-sorted (the dense
+    kernel's x-window cull wants x-coherent chunks; winding sums
+    commute so any order is bit-exact).  ``cap`` is the max per-window
+    count rounded up to ``groups * seg_chunk`` (the kernel's lane
+    quantum); dead slots are zero segments (provably zero crossings).
+
+    ``sample_margin`` widens the row range by that many pixels on each
+    side so one packing serves every MSAA sample offset in [-1, 1].
+    """
+    seg = np.asarray(segments, np.float32)
+    b, s = seg.shape[0], seg.shape[1]
+    n_windows = max((height + win_rows - 1) // win_rows, 1)
+    max_y = np.asarray(max_y, np.float64).reshape(b)
+    ys = seg[:, :, :, 1].astype(np.float64)
+    lo = ys.min(axis=2) - 1.0                     # [B, S] hull - guard
+    hi = ys.max(axis=2) + 1.0
+    # rows r with cy(r) = (max_y - r + oy)/scale inside [lo, hi]
+    r_lo = np.floor(max_y[:, None] - scale * hi) - sample_margin
+    r_hi = np.ceil(max_y[:, None] - scale * lo) + sample_margin
+    w_lo = np.clip(r_lo // win_rows, 0, n_windows - 1).astype(np.int64)
+    w_hi = np.clip(r_hi // win_rows, 0, n_windows - 1).astype(np.int64)
+    # dead (all-zero) segments contribute nothing anywhere: assign none
+    dead = (seg == 0.0).all(axis=(2, 3))
+    xmid = seg[:, :, :, 0].min(axis=2) + seg[:, :, :, 0].max(axis=2)
+
+    counts = np.zeros((b, n_windows), np.int64)
+    lists: list[list[np.ndarray]] = []
+    for i in range(b):
+        per_w = []
+        for w in range(n_windows):
+            m = (w_lo[i] <= w) & (w <= w_hi[i]) & ~dead[i]
+            idx = np.nonzero(m)[0]
+            idx = idx[np.argsort(xmid[i, idx], kind="stable")]
+            per_w.append(idx)
+            counts[i, w] = len(idx)
+        lists.append(per_w)
+    quantum = groups * seg_chunk
+    cap = int(max(counts.max(), 1))
+    cap = ((cap + quantum - 1) // quantum) * quantum
+    out = np.zeros((b, n_windows * cap, 3, 2), np.float32)
+    for i in range(b):
+        for w in range(n_windows):
+            idx = lists[i][w]
+            out[i, w * cap : w * cap + len(idx)] = seg[i, idx]
+    return out, n_windows, cap
+
+
+def _make_dense_win_kernel(
+    exact: bool,
+    width: int,
+    seg_chunk: int,
+    col_block: int,
+    x_cull: bool,
+    groups: int,
+    win_rows: int,
+    n_windows: int,
+    cap: int,
+):
+    fdiv = div_cr if exact else (lambda a, b: a / b)
+    fsqrt = sqrt_cr if exact else jnp.sqrt
+
+    assert groups * win_rows == 128, (groups, win_rows)
+
+    def kernel(min_x_ref, max_y_ref, scale_ref, off_ref, seg_ref,
+               out_ref):
+        b = pl.program_id(0)
+        scale = scale_ref[0, 0]
+        ox = off_ref[0, 0]
+        oy = off_ref[0, 1]
+        lane = jax.lax.rem(b, 128)
+        min_x = min_x_ref[0, lane]
+        max_y = max_y_ref[0, lane]
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row_in = jax.lax.rem(lanes, win_rows)     # row within window
+        grp = lanes // win_rows                   # lane group 0..groups-1
+
+        # per-column em x — the same float program as every other
+        # winding kernel's cx
+        cx = [
+            fdiv((min_x + c).astype(jnp.float32) + ox, scale)
+            for c in range(width)
+        ]
+
+        out_ref[0] = jnp.zeros((n_windows, width, 128), jnp.int32)
+
+        n_iters = cap // (groups * seg_chunk)
+        for w in range(n_windows):
+            # every lane group sees ITS chunk against the SAME window
+            # rows; cy values match the full kernel's rows exactly
+            cy = fdiv(
+                (max_y - (w * win_rows + row_in)).astype(jnp.float32)
+                + oy,
+                scale,
+            )
+
+            def chunk_body(c, _, w=w, cy=cy):
+                base = w * cap + c * (groups * seg_chunk)
+                chunks = [
+                    seg_ref[0, pl.ds(base + g * seg_chunk, seg_chunk), :]
+                    for g in range(groups)
+                ]
+                params = []
+                for k in range(6):
+                    p = chunks[0][:, k : k + 1]
+                    for g in range(1, groups):
+                        p = jnp.where(grp == g, chunks[g][:, k : k + 1], p)
+                    params.append(p)
+                xx0m, xx1m, s0, s1 = phase_a_roots_params(
+                    *params, cy, fdiv, fsqrt)
+                tot = jnp.sum(s0 + s1, axis=0, keepdims=True)  # (1, 128)
+                if x_cull:
+                    pos_inf = jnp.float32(jnp.inf)
+                    max_xx = jnp.maximum(jnp.max(xx0m), jnp.max(xx1m))
+                    xx0p = jnp.where(s0 != 0, xx0m, pos_inf)
+                    xx1p = jnp.where(s1 != 0, xx1m, pos_inf)
+                    min_xx = jnp.minimum(jnp.min(xx0p), jnp.min(xx1p))
+
+                for cb in range(width // col_block):
+                    c0 = cb * col_block
+                    cx_first = cx[c0]
+                    cx_last = cx[c0 + col_block - 1]
+
+                    def detail(c0=c0, w=w):
+                        blk = out_ref[0, w, pl.ds(c0, col_block), :]
+                        cols = []
+                        for k in range(col_block):
+                            cxc = cx[c0 + k]
+                            v = jnp.sum(
+                                jnp.where(xx0m >= cxc, s0, 0)
+                                + jnp.where(xx1m >= cxc, s1, 0),
+                                axis=0, keepdims=True,
+                            )
+                            cols.append(v)
+                        out_ref[0, w, pl.ds(c0, col_block), :] = (
+                            blk + jnp.concatenate(cols, axis=0)
+                        )
+
+                    if not x_cull:
+                        detail()
+                    else:
+                        @pl.when(cx_last <= min_xx)
+                        def _(c0=c0, w=w):
+                            blk = out_ref[0, w, pl.ds(c0, col_block), :]
+                            out_ref[0, w, pl.ds(c0, col_block), :] = (
+                                blk + jnp.broadcast_to(
+                                    tot, (col_block, 128))
+                            )
+
+                        @pl.when(
+                            jnp.logical_not(cx_last <= min_xx)
+                            & (cx_first <= max_xx)
+                        )
+                        def _(c0=c0, w=w):
+                            detail(c0, w)
+
+                return 0
+
+            jax.lax.fori_loop(0, n_iters, chunk_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "n_windows", "cap", "interpret", "exact",
+        "seg_chunk", "col_block", "x_cull", "groups", "win_rows",
+    ),
+)
+def winding_dense_win_batch(
+    segments_win, min_x, max_y, scale, *, height, width, n_windows,
+    cap, interpret=False, sample_offset=(0.0, 0.0), exact=False,
+    seg_chunk=16, col_block=8, x_cull=True, groups=8, win_rows=16,
+):
+    """Batched winding maps through the window-packed dense kernel.
+
+    ``segments_win``/``n_windows``/``cap`` come from
+    :func:`pack_dense_windows` (same ``win_rows``/``seg_chunk``/
+    ``groups``).  Returns int32 ``[B, ph, width]`` with ``ph`` padded
+    to the 128-row contract — bit-identical to
+    :func:`winding_dense_batch` on the shared rows (same
+    ``phase_a_roots`` float program per (segment, row); the
+    cross-group/window fold is an integer winding add).
+    """
+    b = segments_win.shape[0]
+    assert groups * win_rows == 128, (groups, win_rows)
+    assert width <= 256 and width % col_block == 0, (width, col_block)
+    assert cap % (groups * seg_chunk) == 0, (cap, groups, seg_chunk)
+    soa = segments_to_soa(segments_win, chunk=seg_chunk)
+    assert soa.shape[1] == n_windows * cap, (soa.shape, n_windows, cap)
+
+    b128 = _round_up(b, 128)
+    min_x = _pad_lanes(
+        jnp.asarray(min_x).reshape(1, b).astype(jnp.int32), b128)
+    max_y = _pad_lanes(
+        jnp.asarray(max_y).reshape(1, b).astype(jnp.int32), b128)
+    scale_arr = jnp.full((1, 1), scale, jnp.float32)
+    off_arr = jnp.asarray(sample_offset, jnp.float32).reshape(1, 2)
+
+    grid = (b,)
+    out_t = pl.pallas_call(
+        _make_dense_win_kernel(
+            exact, width, seg_chunk, col_block, x_cull, groups,
+            win_rows, n_windows, cap),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda b_: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda b_: (0, b_ // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, n_windows * cap, 8), lambda b_: (b_, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_windows, width, 128), lambda b_: (b_, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_windows, width, 128), jnp.int32),
+        interpret=interpret,
+    )(min_x, max_y, scale_arr, off_arr, soa)
+    # fold lane groups (integer winding adds commute), stitch windows
+    # back into rows, pad to the 128-row contract
+    folded = jnp.sum(
+        out_t.reshape(b, n_windows, width, groups, win_rows), axis=3)
+    rows = jnp.transpose(folded, (0, 2, 1, 3)).reshape(
+        b, width, n_windows * win_rows)
+    ph = _round_up(max(height, 1), STRIP_ROWS)
+    if rows.shape[2] < ph:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, ph - rows.shape[2])))
+    else:
+        rows = rows[:, :, :ph]
+    return jnp.swapaxes(rows, 1, 2)

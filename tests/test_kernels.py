@@ -707,3 +707,111 @@ class TestScalarSegmentSdf:
             jnp.asarray(seg), mx, my, scale, height=32, width=32,
             flat=True, scalar_segments=True, interpret=True)
         assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
+class TestDenseWindows:
+    """Window-packed dense kernel (`pack_dense_windows` +
+    `winding_dense_win_batch`): per-chunk ROW culling via 16/32-row
+    windows.  Exactness argument: crossings only exist on rows inside
+    a segment's control hull (+-1 guard), windows partition the rows,
+    and winding sums commute — every raster must be bit-identical to
+    the plain dense kernel and the oracle."""
+
+    def _run(self, size, win_rows, groups, seg_chunk, n=3, segn=280,
+             seed=11):
+        import jax.numpy as jnp
+
+        from benchmarks.cjk import UPEM, synthetic_strokes
+        from fontrx.kernels.winding_dense import (
+            pack_dense_windows,
+            winding_dense_batch,
+            winding_dense_win_batch,
+        )
+
+        rng = np.random.default_rng(seed)
+        segs = np.stack([synthetic_strokes(rng, segn)
+                         for _ in range(n)])
+        scale = np.float32(size / UPEM)
+        min_x = np.zeros(n, np.int32)
+        max_y = np.full(n, size - 1, np.int32)
+        ref = np.asarray(winding_dense_batch(
+            jnp.asarray(segs), jnp.asarray(min_x), jnp.asarray(max_y),
+            jnp.float32(scale), height=size, width=size, exact=True,
+            interpret=True))
+        win, nw, cap = pack_dense_windows(
+            segs, min_x, max_y, float(scale), size,
+            win_rows=win_rows, seg_chunk=seg_chunk, groups=groups)
+        out = np.asarray(winding_dense_win_batch(
+            jnp.asarray(win), jnp.asarray(min_x), jnp.asarray(max_y),
+            jnp.float32(scale), height=size, width=size, n_windows=nw,
+            cap=cap, exact=True, interpret=True, win_rows=win_rows,
+            groups=groups, seg_chunk=seg_chunk))
+        np.testing.assert_array_equal(out, ref)
+        return segs, scale, max_y, out
+
+    @pytest.mark.parametrize("size,win_rows,groups,seg_chunk", [
+        (64, 16, 8, 16), (64, 16, 8, 8), (64, 32, 4, 32),
+        (32, 16, 8, 16), (128, 16, 8, 16),
+    ])
+    def test_bitexact_vs_dense_and_oracle(self, size, win_rows,
+                                          groups, seg_chunk):
+        from fontrx.kernels import oracle
+
+        segs, scale, max_y, out = self._run(
+            size, win_rows, groups, seg_chunk)
+        for i in range(len(segs)):
+            xs = np.arange(size).astype(np.float32) / scale
+            ys = (max_y[i] - np.arange(size)).astype(np.float32) / scale
+            w = oracle.winding_at(segs[i], xs[None, :], ys[:, None])
+            np.testing.assert_array_equal(
+                out[i, :size, :size], w, err_msg=f"glyph {i}")
+
+    def test_sample_offset_within_margin(self):
+        """One packing serves every MSAA sample offset in [-1, 1]
+        (the pack's sample_margin): offset rasters stay bit-identical
+        to the plain dense kernel at the same offset."""
+        import jax.numpy as jnp
+
+        from benchmarks.cjk import UPEM, synthetic_strokes
+        from fontrx.kernels.winding_dense import (
+            pack_dense_windows,
+            winding_dense_batch,
+            winding_dense_win_batch,
+        )
+
+        rng = np.random.default_rng(12)
+        segs = np.stack([synthetic_strokes(rng, 200) for _ in range(2)])
+        size = 64
+        scale = np.float32(size / UPEM)
+        min_x = np.zeros(2, np.int32)
+        max_y = np.full(2, size - 1, np.int32)
+        win, nw, cap = pack_dense_windows(
+            segs, min_x, max_y, float(scale), size)
+        for off in ((0.25, 0.75), (-0.5, 0.5), (0.0, -1.0)):
+            ref = np.asarray(winding_dense_batch(
+                jnp.asarray(segs), jnp.asarray(min_x),
+                jnp.asarray(max_y), jnp.float32(scale), height=size,
+                width=size, exact=True, interpret=True,
+                sample_offset=off))
+            out = np.asarray(winding_dense_win_batch(
+                jnp.asarray(win), jnp.asarray(min_x),
+                jnp.asarray(max_y), jnp.float32(scale), height=size,
+                width=size, n_windows=nw, cap=cap, exact=True,
+                interpret=True, sample_offset=off))
+            np.testing.assert_array_equal(out, ref, err_msg=str(off))
+
+    def test_pack_duplication_is_bounded(self):
+        """The window assignment duplicates a segment only into
+        windows its hull can touch — for stroke-like dense content
+        the duplication factor stays small."""
+        from benchmarks.cjk import UPEM, synthetic_strokes
+        from fontrx.kernels.winding_dense import pack_dense_windows
+
+        rng = np.random.default_rng(13)
+        segs = np.stack([synthetic_strokes(rng, 288) for _ in range(4)])
+        win, nw, cap = pack_dense_windows(
+            segs, np.zeros(4, np.int32), np.full(4, 63, np.int32),
+            64.0 / UPEM, 64)
+        live = int((~(win == 0).all(axis=(2, 3))).sum())
+        total = int((~(segs == 0).all(axis=(2, 3))).sum())
+        assert live / total < 3.0  # duplication factor sanity bound
