@@ -1051,50 +1051,173 @@ class ComponentGlyph:
 
 
 @dataclass(frozen=True, slots=True)
-class KernTable:
-    """Horizontal pair kerning from a format-0 ``kern`` subtable.
+class KernClassMatrix:
+    """One ``kern`` format-2 subtable: class-matrix kerning (the
+    legacy two-ClassTable form, Apple TrueType Reference Manual /
+    OT legacy kern spec).  Class values are byte offsets — left
+    values pre-multiplied by the row width and based at the kerning
+    array, right values pre-multiplied by 2 — so a pair's value lives
+    at ``subtable[leftValue + rightValue]``; out-of-range glyphs and
+    out-of-bounds offsets kern 0 (the defensive convention shared by
+    shipping implementations)."""
 
-    Pairs are stored as a sorted ``(left << 16) | right`` key array for
-    vectorized batch lookup (the layout engine resolves whole pair
-    streams in one ``searchsorted``).
+    sub: bytes          # the whole subtable (offsets are relative)
+    left_first: int
+    left_vals: np.ndarray    # uint16 byte offsets per left glyph
+    right_first: int
+    right_vals: np.ndarray
+
+    def lookup(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        left = np.asarray(left, np.int64)
+        right = np.asarray(right, np.int64)
+        li = left - self.left_first
+        ri = right - self.right_first
+        lok = (li >= 0) & (li < len(self.left_vals))
+        rok = (ri >= 0) & (ri < len(self.right_vals))
+        lv = np.where(lok, self.left_vals[np.clip(li, 0, max(
+            len(self.left_vals) - 1, 0))], 0)
+        rv = np.where(rok, self.right_vals[np.clip(ri, 0, max(
+            len(self.right_vals) - 1, 0))], 0)
+        off = (lv + rv).astype(np.int64)
+        ok = lok & rok & (lv > 0) & (off + 2 <= len(self.sub))
+        off = np.where(ok, off, 0)
+        raw = np.frombuffer(self.sub, np.uint8)
+        hi = raw[off].astype(np.int32)
+        lo = raw[np.minimum(off + 1, len(self.sub) - 1)].astype(np.int32)
+        val = (hi << 8) | lo
+        val = np.where(val >= 0x8000, val - 0x10000, val)
+        return np.where(ok, val, 0).astype(np.int32)
+
+    @classmethod
+    def parse(cls, sub: bytes) -> "KernClassMatrix | None":
+        if len(sub) < 14:
+            return None
+
+        def u16(o):
+            return (sub[o] << 8) | sub[o + 1]
+
+        left_off, right_off = u16(8), u16(10)
+
+        def class_table(off):
+            if off + 4 > len(sub):
+                return None
+            first, n = u16(off), u16(off + 2)
+            if off + 4 + 2 * n > len(sub):
+                return None
+            vals = np.frombuffer(
+                sub, dtype=">u2", count=n, offset=off + 4
+            ).astype(np.int64)
+            return first, vals
+
+        lt = class_table(left_off)
+        rt = class_table(right_off)
+        if lt is None or rt is None:
+            return None
+        return cls(sub, lt[0], lt[1], rt[0], rt[1])
+
+
+@dataclass(frozen=True, slots=True)
+class KernTable:
+    """Horizontal pair kerning from the legacy ``kern`` table.
+
+    Handles both header versions (OT u16 version/nTables and the AAT
+    u32 form with its 16-bit coverage layout), accumulating every
+    horizontal non-cross-stream subtable per the spec: format 0 pair
+    lists merge into one sorted ``(left << 16) | right`` key array for
+    vectorized batch lookup, format 2 class matrices contribute
+    through :class:`KernClassMatrix`.  (The rarely-used coverage
+    override bit is treated as accumulate — documented divergence.)
     """
 
     keys: np.ndarray    # uint32[n], sorted
     values: np.ndarray  # int16[n]
+    matrices: tuple = ()
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "KernTable | None":
-        """Parse the first horizontal format-0 subtable (the common
-        case for OpenType-with-TrueType-outlines fonts)."""
-        version, n_tables = r.unpack("HH")
-        for _ in range(n_tables):
+        data = r.data
+        version = r.u16()
+        if version == 1:
+            # AAT header: u32 version (0x00010000), u32 nTables
+            r.skip(2)
+            n_tables = int(r.unpack("I")[0])
+            aat = True
+        else:
+            n_tables = r.u16()
+            aat = False
+        pair_keys: list[np.ndarray] = []
+        pair_vals: list[np.ndarray] = []
+        matrices: list[KernClassMatrix] = []
+        for _ in range(min(n_tables, 64)):
             sub_start = r.pos
-            _sub_version, length, coverage = r.unpack("HHH")
-            fmt = coverage >> 8
-            horizontal = coverage & 0x01
-            cross_stream = coverage & 0x04
+            if aat:
+                if sub_start + 8 > len(data):
+                    break
+                length = int(r.unpack("I")[0])
+                coverage = r.u16()
+                r.skip(2)  # tupleIndex
+                fmt = coverage & 0xFF
+                horizontal = not (coverage & 0x8000)
+                cross_stream = coverage & 0x4000
+                header = 8
+            else:
+                if sub_start + 6 > len(data):
+                    break
+                _sub_version, length, coverage = r.unpack("HHH")
+                fmt = coverage >> 8
+                horizontal = coverage & 0x01
+                cross_stream = coverage & 0x04
+                header = 6
             if fmt == 0 and horizontal and not cross_stream:
                 n_pairs = r.u16()
                 r.skip(6)  # searchRange, entrySelector, rangeShift
                 raw = np.frombuffer(
-                    r.data, dtype=">u2", count=3 * n_pairs, offset=r.pos
+                    data, dtype=">u2", count=3 * n_pairs, offset=r.pos
                 ).astype(np.int64).reshape(-1, 3)
-                keys = (raw[:, 0].astype(np.uint32) << 16) | raw[:, 1].astype(
-                    np.uint32
-                )
-                values = raw[:, 2].astype(np.uint16).astype(np.int16)
-                ensure_mono_increase(keys, "kern pair keys")
-                return cls(keys, values)
-            r.pos = sub_start + max(length, 6)
-        return None
+                pair_keys.append(
+                    (raw[:, 0].astype(np.uint32) << 16)
+                    | raw[:, 1].astype(np.uint32))
+                pair_vals.append(
+                    raw[:, 2].astype(np.uint16).astype(np.int16))
+            elif fmt == 2 and horizontal and not cross_stream:
+                end = sub_start + max(length, header)
+                m = KernClassMatrix.parse(
+                    bytes(data[sub_start:min(end, len(data))]))
+                if m is not None:
+                    matrices.append(m)
+            r.pos = sub_start + max(length, header)
+            if r.pos > len(data):
+                break
+        if not pair_keys and not matrices:
+            return None
+        if pair_keys:
+            keys = np.concatenate(pair_keys)
+            values = np.concatenate(pair_vals)
+            # accumulate duplicate pairs across subtables, then sort
+            order = np.argsort(keys, kind="stable")
+            keys, values = keys[order], values[order].astype(np.int64)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            summed = np.zeros(len(uniq), np.int64)
+            np.add.at(summed, inv, values)
+            keys = uniq
+            values = np.clip(summed, -0x8000, 0x7FFF).astype(np.int16)
+            ensure_mono_increase(keys, "kern pair keys")
+        else:
+            keys = np.zeros(0, np.uint32)
+            values = np.zeros(0, np.int16)
+        return cls(keys, values, tuple(matrices))
 
     def lookup(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
         """Vectorized kerning values for glyph-index pairs; 0 when the
-        pair is not kerned."""
+        pair is not kerned.  Format-0 pairs and format-2 class
+        matrices accumulate."""
         key = (np.asarray(left, np.uint32) << 16) | np.asarray(right, np.uint32)
-        if len(self.keys) == 0:  # nPairs == 0: degrade, don't crash
-            return np.zeros(np.shape(key), np.int32)
-        idx = np.searchsorted(self.keys, key)
-        idx = np.clip(idx, 0, len(self.keys) - 1)
-        hit = self.keys[idx] == key
-        return np.where(hit, self.values[idx], 0).astype(np.int32)
+        out = np.zeros(np.shape(key), np.int32)
+        if len(self.keys):
+            idx = np.searchsorted(self.keys, key)
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            hit = self.keys[idx] == key
+            out = np.where(hit, self.values[idx], 0).astype(np.int32)
+        for m in self.matrices:
+            out = out + m.lookup(left, right)
+        return out

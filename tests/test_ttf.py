@@ -534,3 +534,120 @@ class TestTtcWithCffMembers:
         g = f0.load_glyph(1)
         assert g.num_segments > 0
         assert f1.load_glyph(1).box == g.box
+
+
+class TestKernFormats:
+    """Legacy kern coverage beyond the common case: AAT headers,
+    format-2 class matrices, multi-subtable accumulation."""
+
+    @staticmethod
+    def _fmt0_sub(pairs):
+        import struct
+
+        body = struct.pack(">HHHH", len(pairs), 0, 0, 0)
+        for left, right, v in sorted(pairs):
+            body += struct.pack(">HHh", left, right, v)
+        return struct.pack(">HHH", 0, 6 + len(body), 0x0001) + body
+
+    def test_two_format0_subtables_accumulate(self):
+        import struct
+
+        data = (struct.pack(">HH", 0, 2)
+                + self._fmt0_sub([(4, 5, -80), (4, 6, 30)])
+                + self._fmt0_sub([(4, 5, -20), (7, 8, 10)]))
+        kt = ttf.KernTable.parse(BigEndianReader(data))
+        out = kt.lookup(np.array([4, 4, 7, 9]), np.array([5, 6, 8, 9]))
+        np.testing.assert_array_equal(out, [-100, 30, 10, 0])
+
+    def test_aat_header_format0(self):
+        import struct
+
+        sub = self._fmt0_sub([(2, 3, -55)])
+        # AAT subtable: u32 length, u16 coverage (fmt low byte,
+        # horizontal = bit15 CLEAR), u16 tupleIndex
+        body = sub[6:]
+        aat_sub = struct.pack(">IHH", 8 + len(body), 0x0000, 0) + body
+        data = struct.pack(">HHI", 1, 0, 1) + aat_sub
+        kt = ttf.KernTable.parse(BigEndianReader(data))
+        assert kt is not None
+        out = kt.lookup(np.array([2, 3]), np.array([3, 2]))
+        np.testing.assert_array_equal(out, [-55, 0])
+
+    def test_aat_vertical_subtable_skipped(self):
+        import struct
+
+        body = self._fmt0_sub([(2, 3, -55)])[6:]
+        aat_sub = struct.pack(">IHH", 8 + len(body), 0x8000, 0) + body
+        data = struct.pack(">HHI", 1, 0, 1) + aat_sub
+        assert ttf.KernTable.parse(BigEndianReader(data)) is None
+
+    @staticmethod
+    def _fmt2_sub(left_glyphs, right_glyphs, matrix):
+        """Build a format-2 subtable: matrix[i][j] kerns
+        (left_glyphs[i+1], right_glyphs[j+1]); row/col 0 are the
+        zero classes."""
+        import struct
+
+        n_rows = len(matrix)          # includes class-0 row
+        n_cols = len(matrix[0])
+        row_width = n_cols * 2
+        header = 6 + 8                # subtable header + fmt2 header
+        left_off = header
+        left_len = 4 + 2 * len(left_glyphs)
+        right_off = left_off + left_len
+        right_len = 4 + 2 * len(right_glyphs)
+        array_off = right_off + right_len
+        # left class values: array offset + row index * row_width
+        left_tab = struct.pack(">HH", min(left_glyphs), len(left_glyphs))
+        for i, _ in enumerate(left_glyphs):
+            left_tab += struct.pack(">H", array_off + (i + 1) * row_width)
+        right_tab = struct.pack(">HH", min(right_glyphs),
+                                len(right_glyphs))
+        for j, _ in enumerate(right_glyphs):
+            right_tab += struct.pack(">H", (j + 1) * 2)
+        arr = b"".join(
+            struct.pack(">h", v) for row in matrix for v in row)
+        length = array_off + len(arr)
+        return (struct.pack(">HHH", 0, length, 0x0201)
+                + struct.pack(">HHHH", row_width, left_off, right_off,
+                              array_off)
+                + left_tab + right_tab + arr)
+
+    def test_format2_class_matrix(self):
+        import struct
+
+        # left glyphs 10,11 -> classes 1,2; right glyphs 20,21 ->
+        # classes 1,2; matrix rows include the zero class
+        matrix = [
+            [0, 0, 0],
+            [0, -40, 15],
+            [0, 7, -90],
+        ]
+        data = struct.pack(">HH", 0, 1) + self._fmt2_sub(
+            [10, 11], [20, 21], matrix)
+        kt = ttf.KernTable.parse(BigEndianReader(data))
+        assert kt is not None and len(kt.matrices) == 1
+        out = kt.lookup(np.array([10, 10, 11, 11, 10, 99]),
+                        np.array([20, 21, 20, 21, 99, 20]))
+        np.testing.assert_array_equal(out, [-40, 15, 7, -90, 0, 0])
+
+    def test_format2_plus_format0_accumulate(self):
+        import struct
+
+        matrix = [[0, 0], [0, -40]]
+        data = (struct.pack(">HH", 0, 2)
+                + self._fmt0_sub([(10, 20, -10)])
+                + self._fmt2_sub([10], [20], matrix))
+        kt = ttf.KernTable.parse(BigEndianReader(data))
+        out = kt.lookup(np.array([10]), np.array([20]))
+        np.testing.assert_array_equal(out, [-50])
+
+    def test_format2_truncated_degrades(self):
+        import struct
+
+        sub = self._fmt2_sub([10], [20], [[0, 0], [0, -40]])
+        data = struct.pack(">HH", 0, 1) + sub[:20]  # cut mid-header
+        kt = ttf.KernTable.parse(BigEndianReader(data))
+        # degrade to no kerning rather than crash
+        assert kt is None or not kt.matrices or int(kt.lookup(
+            np.array([10]), np.array([20]))[0]) in (0, -40)
