@@ -75,6 +75,10 @@ class Config:
     marks: bool = option(None, default=False, help="attach combining marks (GPOS MarkToBase)")
     vertical: bool = option(None, default=False, help="vertical layout: top-to-bottom columns, right-to-left (vhea/vmtx + GSUB vert)")
     wrap: int = option(None, default=0, help="greedy word wrap at this pixel width (0 = no wrap)")
+    letter_spacing: float = option(None, default=0.0, help="extra tracking per glyph in pixels (CSS letter-spacing)")
+    word_spacing: float = option(None, default=0.0, help="extra advance on space glyphs in pixels (CSS word-spacing)")
+    underline: bool = option(None, default=False, help="draw per-line underline bars (post metrics; MVAR-varied)")
+    strikethrough: bool = option(None, default=False, help="draw per-line strikeout bars (OS/2 metrics; MVAR-varied)")
     fallback: Optional[str] = option(None, default=None, help="comma-separated fallback font paths: characters the primary font lacks resolve through these in order")
     serve: int = option(None, default=0, help="serve a live browser viewer on this port (with -i)")
 

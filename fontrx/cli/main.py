@@ -119,6 +119,11 @@ def _layout_for(font, text, cfg, vertical_ok: bool = False):
         positioning=_positioning_tags(cfg), wrap_width=wrap_units,
         oblique=cfg.oblique, rtl=cfg.rtl, bidi=cfg.bidi,
         alternate=cfg.alternate,
+        letter_spacing=cfg.letter_spacing * font.info.units_per_em
+        / cfg.size,
+        word_spacing=cfg.word_spacing * font.info.units_per_em
+        / cfg.size,
+        underline=cfg.underline, strikethrough=cfg.strikethrough,
     )
 
 

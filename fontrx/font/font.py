@@ -445,6 +445,42 @@ class Font:
         return self._vmetrics
 
     @property
+    def decoration_metrics(self):
+        """``(underline_pos, underline_thickness, strikeout_pos,
+        strikeout_thickness)`` in font units — ``post``
+        underlinePosition/underlineThickness (position = top of the
+        bar per the OT spec) and ``OS/2`` yStrikeoutPosition/Size,
+        with conventional em-fraction fallbacks when the tables are
+        absent or degenerate.  Variable fonts vary these through the
+        MVAR ``undo``/``unds``/``stro``/``strs`` tags at the current
+        design location (the layout consumer applies them via
+        ``varied_metric``)."""
+        if not hasattr(self, "_decometrics"):
+            upem = self.info.units_per_em
+            u_pos, u_thick = -round(upem * 0.1), max(round(upem * 0.05), 1)
+            s_pos, s_thick = round(upem * 0.25), max(round(upem * 0.05), 1)
+            if b"post" in self.tables:
+                try:
+                    r = self._at(b"post")
+                    r.skip(8)  # version, italicAngle
+                    p, t = r.unpack("hh")
+                    if t > 0:
+                        u_pos, u_thick = p, t
+                except Exception as e:
+                    log.warning("post table unusable: %s", e)
+            if b"OS/2" in self.tables:
+                try:
+                    r = self._at(b"OS/2")
+                    r.skip(26)
+                    t, p = r.unpack("hh")
+                    if t > 0:
+                        s_pos, s_thick = p, t
+                except Exception as e:
+                    log.warning("OS/2 table unusable: %s", e)
+            self._decometrics = (u_pos, u_thick, s_pos, s_thick)
+        return self._decometrics
+
+    @property
     def gdef(self):
         """GDEF glyph definitions (glyph classes, mark filtering) used
         by GSUB/GPOS lookup skipping, or ``None``."""

@@ -65,6 +65,10 @@ def layout_text(
     rtl: bool = False,
     bidi: bool = False,
     alternate: int = 0,
+    letter_spacing: float = 0.0,
+    word_spacing: float = 0.0,
+    underline: bool = False,
+    strikethrough: bool = False,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -137,7 +141,19 @@ def layout_text(
       per column and L2 reordering applies along the column axis
       (an RTL run's cells read bottom-to-top within the run extent);
     - ``alternate=N``: which alternate GSUB type-3 substitutions pick
-      (the salt/aalt selection knob; clamped per alternate set).
+      (the salt/aalt selection knob; clamped per alternate set);
+    - ``letter_spacing`` / ``word_spacing`` (font units): CSS-style
+      tracking — letter spacing widens every glyph's advance cell,
+      word spacing additionally widens space glyphs.  The extra rides
+      inside the advance box, so RTL mirroring and bidi reordering
+      keep pair gaps intact; applies to the vertical pen drop too;
+    - ``underline`` / ``strikethrough``: per-line decoration bars from
+      the ``post``/``OS/2`` metrics (``decoration_metrics``; MVAR
+      ``undo``/``unds``/``stro``/``strs`` vary them on variable
+      fonts).  Each bar is a synthetic rectangle glyph spanning the
+      line's advance extent, composited like any other glyph (its
+      batch slot carries a geometry-keyed negative id so tile caches
+      never collide with real glyphs).  Horizontal modes only.
     """
     # variable fonts: advances come from the current design location
     # (phantom-point deltas); static fonts/stacks fall through to hmtx
@@ -369,6 +385,7 @@ def layout_text(
         return _layout_vertical(
             font, lines, slot_of, glyphs, widths, slot_ymax, slot_chars,
             pad_batch_to, positioner, line_runs,
+            letter_spacing, word_spacing,
         )
 
     if hasattr(font, "varied_metric"):
@@ -387,8 +404,18 @@ def layout_text(
     )
     mkmk_table = font.mark_to_mark if marks and positioner is None else None
 
+    def _extra(slot: int) -> float:
+        # CSS tracking: letter spacing widens every advance cell, word
+        # spacing additionally widens space glyphs; the extra lives
+        # INSIDE the box so mirroring/bidi keep pair gaps intact
+        e = letter_spacing
+        if word_spacing and slot_chars[slot] == 0x20:
+            e += word_spacing
+        return e
+
     instances: list[Instance] = []
     max_x = 0.0
+    line_ends: list[float] = []
     if positioner is not None:
         for line_no, line in enumerate(lines):
             pen_y = -line_no * float(line_height)
@@ -407,8 +434,9 @@ def layout_text(
                     pen_x + float(pos.x_offset[idx]),
                     pen_y + float(pos.y_offset[idx]),
                 ))
-                boxes.append(float(pos.x_advance[idx]))
-                pen_x += float(pos.x_advance[idx])
+                adv = float(pos.x_advance[idx]) + _extra(slot_of[gid])
+                boxes.append(adv)
+                pen_x += adv
                 max_x = max(max_x, pen_x)
             if rtl or line_runs is not None:
                 # box mirror (GPOS ran on the logical stream); zero-
@@ -421,73 +449,85 @@ def layout_text(
                     else None,
                 )
                 max_x = max(max_x, pen_x)
-        batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
-        return TextLayout(
-            batch=batch,
-            slot_chars=slot_chars,
-            slot_gids=list(slot_of),
-            instances=instances,
-            width=max_x,
-            height=len(lines) * line_height,
-        )
-    for line_no, line in enumerate(lines):
-        pen_x = 0.0
-        pen_y = -line_no * float(line_height)
-        prev_gid: int | None = None
-        prev_x = 0.0  # pen position of the previous BASE glyph
-        prev_w = 0.0
-        last_mark: tuple[int, float, float] | None = None  # (gid, x, y)
-        line_start = len(instances)
-        # per instance: advance-box width, or (base_x, base_w) for
-        # attached marks — the bookkeeping RTL mirroring needs
-        boxes: list = []
-        for gid in line:
-            slot = slot_of[gid]
-            if marks and prev_gid is not None:
-                # stacked diacritics first: attach to the previous MARK
-                # (mkmk), else to the base (mark); neither advances the
-                # pen, and the base stays "previous" for kerning
-                d = None
-                if mkmk_table is not None and last_mark is not None:
-                    d = mkmk_table.attach(last_mark[0], gid)
+            line_ends.append(pen_x)
+    else:
+        for line_no, line in enumerate(lines):
+            pen_x = 0.0
+            pen_y = -line_no * float(line_height)
+            prev_gid: int | None = None
+            prev_x = 0.0  # pen position of the previous BASE glyph
+            prev_w = 0.0
+            last_mark: tuple[int, float, float] | None = None
+            line_start = len(instances)
+            # per instance: advance-box width, or (base_x, base_w) for
+            # attached marks — the bookkeeping RTL mirroring needs
+            boxes = []
+            for gid in line:
+                slot = slot_of[gid]
+                if marks and prev_gid is not None:
+                    # stacked diacritics first: attach to the previous
+                    # MARK (mkmk), else to the base (mark); neither
+                    # advances the pen, and the base stays "previous"
+                    # for kerning
+                    d = None
+                    if mkmk_table is not None and last_mark is not None:
+                        d = mkmk_table.attach(last_mark[0], gid)
+                        if d is not None:
+                            mx = last_mark[1] + d[0]
+                            my = last_mark[2] + d[1]
+                    if d is None and mark_table is not None:
+                        d = mark_table.attach(prev_gid, gid)
+                        if d is not None:
+                            mx, my = prev_x + d[0], pen_y + d[1]
                     if d is not None:
-                        mx, my = last_mark[1] + d[0], last_mark[2] + d[1]
-                if d is None and mark_table is not None:
-                    d = mark_table.attach(prev_gid, gid)
-                    if d is not None:
-                        mx, my = prev_x + d[0], pen_y + d[1]
-                if d is not None:
-                    instances.append(Instance(slot, mx, my))
-                    boxes.append((prev_x, prev_w))
-                    last_mark = (gid, mx, my)
-                    continue
-            if kern_table is not None and prev_gid is not None:
-                # .reshape(-1)[0]: the flattened GPOS lookup returns a
-                # length-1 array for scalar inputs (NumPy deprecates
-                # float() on ndim>0)
-                pen_x += float(np.asarray(
-                    kern_table.lookup(prev_gid, gid)
-                ).reshape(-1)[0])
-            instances.append(Instance(slot, pen_x, pen_y))
-            boxes.append(float(widths[slot]))
-            prev_x = pen_x
-            prev_w = float(widths[slot])
-            pen_x += widths[slot]
-            max_x = max(max_x, pen_x)
-            prev_gid = gid
-            last_mark = None
-        if rtl or line_runs is not None:
-            _apply_line_direction(
-                instances, line_start, boxes, pen_x, rtl,
-                line_runs[line_no] if line_runs is not None else None,
-            )
-            max_x = max(max_x, pen_x)
+                        instances.append(Instance(slot, mx, my))
+                        boxes.append((prev_x, prev_w))
+                        last_mark = (gid, mx, my)
+                        continue
+                if kern_table is not None and prev_gid is not None:
+                    # .reshape(-1)[0]: the flattened GPOS lookup
+                    # returns a length-1 array for scalar inputs
+                    # (NumPy deprecates float() on ndim>0)
+                    pen_x += float(np.asarray(
+                        kern_table.lookup(prev_gid, gid)
+                    ).reshape(-1)[0])
+                instances.append(Instance(slot, pen_x, pen_y))
+                adv = float(widths[slot]) + _extra(slot)
+                boxes.append(adv)
+                prev_x = pen_x
+                prev_w = adv
+                pen_x += adv
+                max_x = max(max_x, pen_x)
+                prev_gid = gid
+                last_mark = None
+            if rtl or line_runs is not None:
+                _apply_line_direction(
+                    instances, line_start, boxes, pen_x, rtl,
+                    line_runs[line_no] if line_runs is not None
+                    else None,
+                )
+                max_x = max(max_x, pen_x)
+            line_ends.append(pen_x)
+
+    extra_gids: list[int] = []
+    if underline or strikethrough:
+        for g, syn_gid, places in _decoration_bars(
+                font, line_ends, float(line_height), underline,
+                strikethrough):
+            slot = len(glyphs)
+            glyphs.append(g)
+            widths.append(0)
+            slot_ymax.append(int(g.box.y_max))
+            slot_chars.append(-1)
+            extra_gids.append(syn_gid)
+            for x, y in places:
+                instances.append(Instance(slot, x, y))
 
     batch = pack_glyphs(glyphs, widths, pad_batch_to=pad_batch_to)
     return TextLayout(
         batch=batch,
         slot_chars=slot_chars,
-        slot_gids=list(slot_of),
+        slot_gids=list(slot_of) + extra_gids,
         instances=instances,
         width=max_x,
         height=len(lines) * line_height,
@@ -584,6 +624,58 @@ def _apply_line_direction(
                 if isinstance(b, tuple):
                     boxes[t] = (m - b[0] - b[1], b[1])
             k = j
+
+
+def _bar_glyph(w: int, y0: int, y1: int):
+    """A synthetic rectangle glyph (decoration bar) spanning
+    ``[0, w] x [y0, y1]`` in font units — composited like any other
+    glyph through every render path."""
+    from fontrx.font.glyph import Box, Contour, Glyph, _normalize_contour
+
+    pts = np.array([[0, y0], [w, y0], [w, y1], [0, y1]], np.int32)
+    on = np.array([True] * 4)
+    return Glyph(Box(0, y0, w, y1),
+                 (Contour(_normalize_contour(pts, on)),))
+
+
+def _decoration_bars(font, line_ends, line_height, underline,
+                     strikethrough):
+    """Underline/strikeout bars per laid-out line: a list of
+    ``(Glyph, synthetic_gid, [(x, y) placements])``.  Positions come
+    from ``Font.decoration_metrics`` (``post`` underlinePosition = the
+    TOP of the bar per the OT spec; ``OS/2`` strikeout likewise),
+    varied through the MVAR ``undo``/``unds``/``stro``/``strs`` tags
+    on variable fonts.  The synthetic gid is a negative CRC of the bar
+    geometry so page tile caches key decorations apart from real
+    glyphs (and apart from differently-sized bars)."""
+    import zlib
+
+    u_pos, u_thick, s_pos, s_thick = font.decoration_metrics
+    if hasattr(font, "varied_metric"):
+        u_pos = font.varied_metric(b"undo", u_pos)
+        u_thick = font.varied_metric(b"unds", u_thick)
+        s_pos = font.varied_metric(b"stro", s_pos)
+        s_thick = font.varied_metric(b"strs", s_thick)
+    kinds = []
+    if underline:
+        kinds.append((int(round(u_pos)), max(int(round(u_thick)), 1)))
+    if strikethrough:
+        kinds.append((int(round(s_pos)), max(int(round(s_thick)), 1)))
+    cache: dict = {}
+    out = []
+    for line_no, w in enumerate(line_ends):
+        w = int(round(w))
+        if w <= 0:
+            continue
+        for pos, thick in kinds:
+            key = (w, pos, thick)
+            if key not in cache:
+                g = _bar_glyph(w, pos - thick, pos)
+                gid = -1 - (zlib.crc32(repr(key).encode()) & 0x7FFFFFFF)
+                cache[key] = (g, gid, [])
+                out.append(cache[key])
+            cache[key][2].append((0.0, -line_no * line_height))
+    return out
 
 
 def _apply_column_direction(instances, start, tops, heights, runs):
@@ -722,6 +814,7 @@ def _trailing_spaces(line, space_gid) -> int:
 def _layout_vertical(
     font, lines, slot_of, glyphs, widths, slot_ymax, slot_chars,
     pad_batch_to, positioner=None, line_runs=None,
+    letter_spacing: float = 0.0, word_spacing: float = 0.0,
 ):
     """Vertical (top-to-bottom, columns right-to-left) placement — see
     ``layout_text(vertical=True)``.  The pen drop and hanging origin
@@ -798,6 +891,10 @@ def _layout_vertical(
                 ah += float(pos.y_advance[idx])
                 x_off += float(pos.x_offset[idx])
                 y_off += float(pos.y_offset[idx])
+            # tracking widens the drop cell (the vertical advance box)
+            ah += letter_spacing
+            if word_spacing and slot_chars[slot] == 0x20:
+                ah += word_spacing
             instances.append(Instance(slot, x_off, y_off))
             tops.append(pen_y)
             heights.append(ah)

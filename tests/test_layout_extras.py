@@ -1,0 +1,105 @@
+"""Tracking (letter/word spacing) and per-line decoration bars
+(`layout_text(letter_spacing=, word_spacing=, underline=,
+strikethrough=)`) — capability extensions; metrics differential vs
+fontTools pins `Font.decoration_metrics`."""
+
+import numpy as np
+import pytest
+
+from fontrx.font.font import Font
+from fontrx.scene.layout import layout_text
+
+DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+
+@pytest.fixture(scope="module")
+def dj():
+    return Font.open(DEJAVU)
+
+
+class TestTracking:
+    def test_letter_spacing_widens_every_cell(self, dj):
+        base = layout_text(dj, "hello world")
+        ls = layout_text(dj, "hello world", letter_spacing=100)
+        assert ls.width == base.width + 11 * 100
+
+    def test_word_spacing_hits_spaces_only(self, dj):
+        base = layout_text(dj, "a b c")
+        ws = layout_text(dj, "a b c", word_spacing=300)
+        assert ws.width == base.width + 2 * 300
+
+    def test_tracking_composes_with_kern(self, dj):
+        k = layout_text(dj, "AV", kern=True)
+        kls = layout_text(dj, "AV", kern=True, letter_spacing=50)
+        # second glyph starts 50 further (kern delta preserved)
+        assert kls.instances[1].x - k.instances[1].x == 50
+
+    def test_tracking_in_rtl_mirror(self, dj):
+        # spacing lives inside the advance box, so mirrored lines keep
+        # pair order with wider cells
+        r = layout_text(dj, "שלום", rtl=True, letter_spacing=80)
+        b = layout_text(dj, "שלום", rtl=True)
+        xs_r = sorted(i.x for i in r.instances)
+        xs_b = sorted(i.x for i in b.instances)
+        gaps_r = np.diff(xs_r)
+        gaps_b = np.diff(xs_b)
+        np.testing.assert_allclose(gaps_r - gaps_b, 80)
+
+    def test_vertical_tracking_deepens_column(self, dj):
+        v = layout_text(dj, "ab", vertical=True)
+        vt = layout_text(dj, "ab", vertical=True, letter_spacing=100)
+        assert vt.height == v.height + 2 * 100
+
+
+class TestDecorations:
+    def test_metrics_match_fonttools(self, dj):
+        from fontTools.ttLib import TTFont
+
+        ft = TTFont(DEJAVU)
+        u_pos, u_thick, s_pos, s_thick = dj.decoration_metrics
+        assert u_pos == ft["post"].underlinePosition
+        assert u_thick == ft["post"].underlineThickness
+        assert s_pos == ft["OS/2"].yStrikeoutPosition
+        assert s_thick == ft["OS/2"].yStrikeoutSize
+
+    def test_bars_per_line_and_kind(self, dj):
+        lt = layout_text(dj, "hi\nthere", underline=True,
+                         strikethrough=True)
+        bars = [i for i in lt.instances
+                if lt.slot_chars[i.glyph_slot] == -1]
+        assert len(bars) == 4  # 2 lines x 2 kinds
+        # bar slots carry unique negative synthetic gids
+        neg = [g for g in lt.slot_gids if g < 0]
+        assert len(neg) == len(set(neg)) == 4
+
+    def test_bar_geometry_spans_the_line(self, dj):
+        lt = layout_text(dj, "hello", underline=True)
+        base = layout_text(dj, "hello")
+        bar_slots = [s for s, c in enumerate(lt.slot_chars) if c == -1]
+        assert len(bar_slots) == 1
+        u_pos, u_thick, _, _ = dj.decoration_metrics
+        box = lt.batch.boxes[bar_slots[0]]
+        assert box[0] == 0 and box[2] == round(base.width)
+        assert box[3] == u_pos and box[1] == u_pos - u_thick
+
+    def test_bar_renders_ink(self, dj):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.kernels.grid import RasterGrid
+
+        lt = layout_text(dj, "x", underline=True)
+        bar_slot = lt.slot_chars.index(-1)
+        seg = lt.batch.segments[bar_slot:bar_slot + 1]
+        box = lt.batch.boxes[bar_slot]
+        grid = RasterGrid.for_glyph_box(
+            tuple(int(v) for v in box), 64, dj.info.units_per_em)
+        w = RasterEngine(backend="jnp").winding_batch(
+            seg, np.array([grid.min_x], np.int32),
+            np.array([grid.max_y], np.int32), grid.scale,
+            height=grid.height, width=grid.width)
+        assert int((np.asarray(w) != 0).sum()) > 0
+
+    def test_empty_line_gets_no_bar(self, dj):
+        lt = layout_text(dj, "a\n\nb", underline=True)
+        bars = [i for i in lt.instances
+                if lt.slot_chars[i.glyph_slot] == -1]
+        assert len(bars) == 2  # the empty middle line is skipped
