@@ -181,6 +181,10 @@ def layout_text(
             if prev_cp is not None and lines[-1]:
                 lines[-1][-1] = int(font.glyph_index_variant(prev_cp, cp))
             continue  # selector without a base char: ignored
+        if cp == 0xAD and wrap_width is None:
+            # soft hyphen: default-invisible; it only materializes at
+            # a wrap break (the wrapping path keeps it in the stream)
+            continue
         lines[-1].append(int(font.charmap.glyph_index(cp)))
         cp_lines[-1].append(cp)
         prev_cp = cp
@@ -335,10 +339,15 @@ def layout_text(
                 _cp_cache[gid] = int(c) if c is not None else -1
             return _cp_cache[gid]
 
-        # wrap needs SOME break opportunity: a space glyph, or CJK text
+        # wrap needs SOME break opportunity: a space glyph, CJK text,
+        # or soft/explicit hyphens
+        hyphen = int(font.charmap.glyph_index(0x2D)) or int(
+            font.charmap.glyph_index(0x2010))
         if space != 0 or any(
-                _is_ideograph(cp_of(g)) for line in lines for g in line):
-            lines = _wrap_lines(lines, wrap_width, space, _adv, cp_of)
+                _is_ideograph(cp_of(g)) or cp_of(g) in (0xAD, 0x2D)
+                for line in lines for g in line):
+            lines = _wrap_lines(lines, wrap_width, space, _adv, cp_of,
+                                hyphen_gid=hyphen)
             comp_lines = None  # wrap reshuffles lines; comps are stale
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
@@ -755,20 +764,37 @@ def _cjk_break_ok(cp_prev: int, cp_next: int) -> bool:
         _is_ideograph(cp_next) or chr(cp_next) not in _NO_START)
 
 
-def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None):
+def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
+                hyphen_gid: int = 0):
     """Greedy wrap over shaped glyph streams: break each line at the
     last break opportunity that keeps the advance sum within
-    ``wrap_width`` — a ``space_gid`` (consumed by the break) or, with
-    ``cp_of``, a UAX#14-lite inter-ideograph boundary (nothing
-    consumed); an over-budget run breaks after itself rather than
-    mid-glyph."""
+    ``wrap_width``:
+
+    - a ``space_gid`` (consumed by the break);
+    - with ``cp_of``, a UAX#14-lite inter-ideograph boundary or the
+      position AFTER an explicit hyphen (0x2D/0x2010, UAX#14 class
+      HY/BA — no break before digits; nothing consumed);
+    - a SOFT HYPHEN (U+00AD): invisible in the stream, it registers a
+      break that, when taken, materializes ``hyphen_gid`` at the line
+      end (registered only while the hyphen itself still fits).
+
+    An over-budget run breaks after itself rather than mid-glyph."""
     out: list[list[int]] = []
+    hyphen_w = advance_of(hyphen_gid) if hyphen_gid else 0.0
     for line in lines:
         cur: list[int] = []
         cur_w = 0.0
         last_break = -1       # index in cur AFTER which to break
-        consume = False       # break glyph is a space to drop
+        mode = "boundary"     # space | boundary | shy
         for gid in line:
+            cp = cp_of(gid) if cp_of is not None else -1
+            if cp == 0xAD:
+                # soft hyphen: zero display width; a break opportunity
+                # while the materialized hyphen would still fit
+                if cur and cur_w + hyphen_w <= wrap_width:
+                    last_break = len(cur) - 1
+                    mode = "shy"
+                continue
             w = advance_of(gid)
             # the boundary BEFORE this glyph is an opportunity too —
             # register it ahead of the overflow check so a full line
@@ -776,22 +802,32 @@ def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None):
             if cur and cp_of is not None and gid != space_gid:
                 if _cjk_break_ok(cp_of(cur[-1]), cp_of(gid)):
                     last_break = len(cur) - 1
-                    consume = False
+                    mode = "boundary"
+                elif cp_of(cur[-1]) in (0x2D, 0x2010) and not (
+                        0x30 <= cp <= 0x39):
+                    last_break = len(cur) - 1
+                    mode = "boundary"
             if (cur and cur_w + w > wrap_width and gid != space_gid
                     and last_break >= 0):
                 # break at the opportunity; the remainder restarts the
                 # line.  With none (one over-budget word) the line
                 # overflows until the next — glyphs never split.
-                cut = last_break + (0 if consume else 1)
+                if mode == "space":
+                    broken = cur[:last_break]
+                elif mode == "shy":
+                    broken = cur[: last_break + 1] + (
+                        [hyphen_gid] if hyphen_gid else [])
+                else:
+                    broken = cur[: last_break + 1]
                 rest = cur[last_break + 1:]
-                out.append(cur[:cut])
+                out.append(broken)
                 cur = rest
                 last_break = -1
-                consume = False
+                mode = "boundary"
                 cur_w = float(sum(advance_of(g) for g in cur))
             if gid == space_gid and space_gid != 0:
                 last_break = len(cur)
-                consume = True
+                mode = "space"
             cur.append(gid)
             cur_w += w
         out.append(cur)

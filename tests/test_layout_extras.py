@@ -103,3 +103,64 @@ class TestDecorations:
         bars = [i for i in lt.instances
                 if lt.slot_chars[i.glyph_slot] == -1]
         assert len(bars) == 2  # the empty middle line is skipped
+
+
+class TestHyphenation:
+    """Soft hyphens (U+00AD) and UAX#14 HY break-after-hyphen in the
+    greedy wrapper."""
+
+    def _em(self, dj, text, **kw):
+        lt = layout_text(dj, text, **kw)
+        return lt
+
+    def test_soft_hyphen_invisible_without_wrap(self, dj):
+        a = layout_text(dj, "super­cali")
+        b = layout_text(dj, "supercali")
+        assert a.width == b.width
+        assert len(a.instances) == len(b.instances)
+
+    def test_soft_hyphen_materializes_at_break(self, dj):
+        # budget fits "super-" but not "supercali"
+        word = "super­califragilistic"
+        w_super = layout_text(dj, "super-").width
+        lt = layout_text(dj, word, wrap_width=w_super + 10)
+        hyphen_gid = int(dj.charmap.glyph_index(0x2D))
+        # two lines; line 0 ends with the materialized hyphen
+        rows = sorted({i.y for i in lt.instances}, reverse=True)
+        assert len(rows) == 2
+        line0 = [i for i in lt.instances if i.y == rows[0]]
+        last = max(line0, key=lambda i: i.x)
+        assert lt.slot_gids[last.glyph_slot] == hyphen_gid
+
+    def test_soft_hyphen_skipped_when_hyphen_does_not_fit(self, dj):
+        # budget smaller than "super-": the shy at 5 can't be taken,
+        # the line overflows to the next opportunity instead
+        word = "super­cali jam"
+        w = layout_text(dj, "sup").width
+        lt = layout_text(dj, word, wrap_width=w)
+        hyphen_gid = int(dj.charmap.glyph_index(0x2D))
+        gids = {lt.slot_gids[i.glyph_slot] for i in lt.instances}
+        assert hyphen_gid not in gids  # no materialized hyphen
+
+    def test_break_after_explicit_hyphen(self, dj):
+        text = "well-known"
+        w = layout_text(dj, "well-k").width
+        lt = layout_text(dj, text, wrap_width=w)
+        rows = sorted({i.y for i in lt.instances}, reverse=True)
+        assert len(rows) == 2
+        # the hyphen stays at the end of line 0 (nothing consumed)
+        hyphen_gid = int(dj.charmap.glyph_index(0x2D))
+        line0 = [i for i in lt.instances if i.y == rows[0]]
+        last = max(line0, key=lambda i: i.x)
+        assert lt.slot_gids[last.glyph_slot] == hyphen_gid
+
+    def test_no_break_before_digit_after_hyphen(self, dj):
+        # UAX#14 HY: "3-4" must not split after the hyphen
+        text = "abc 3-4"
+        w = layout_text(dj, "abc 3-").width
+        lt = layout_text(dj, text, wrap_width=w)
+        rows = sorted({i.y for i in lt.instances}, reverse=True)
+        assert len(rows) == 2
+        # the break fell at the space, keeping "3-4" together
+        line1 = [i for i in lt.instances if i.y == rows[1]]
+        assert len(line1) == 3  # 3, -, 4
