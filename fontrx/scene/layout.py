@@ -185,7 +185,24 @@ def layout_text(
             # soft hyphen: default-invisible; it only materializes at
             # a wrap break (the wrapping path keeps it in the stream)
             continue
-        lines[-1].append(int(font.charmap.glyph_index(cp)))
+        gid = int(font.charmap.glyph_index(cp))
+        if gid == 0:
+            # NFD fallback: a precomposed character the font lacks
+            # renders as its canonical base + combining-mark sequence
+            # when every part maps (strictly better than .notdef; GPOS
+            # mark attachment positions the marks when enabled)
+            import unicodedata
+
+            parts = unicodedata.normalize("NFD", ch)
+            if len(parts) > 1:
+                gids = [int(font.charmap.glyph_index(ord(p)))
+                        for p in parts]
+                if all(gids):
+                    lines[-1].extend(gids)
+                    cp_lines[-1].extend(ord(p) for p in parts)
+                    prev_cp = cp
+                    continue
+        lines[-1].append(gid)
         cp_lines[-1].append(cp)
         prev_cp = cp
 

@@ -164,3 +164,35 @@ class TestHyphenation:
         # the break fell at the space, keeping "3-4" together
         line1 = [i for i in lt.instances if i.y == rows[1]]
         assert len(line1) == 3  # 3, -, 4
+
+
+class TestNfdFallback:
+    def _font(self):
+        from tests import ttf_builder as tb
+
+        # maps 'e' (0x65) and combining acute (0x301), NOT é (0xE9)
+        cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4(
+            [(0x65, 0x65, 1 - 0x65, None),
+             (0x301, 0x301, 2 - 0x301, None)]))])
+        tri = tb.build_simple_glyph(
+            [[(0, 0, True), (50, 100, False), (100, 0, True)]],
+            box=(0, 0, 100, 100))
+        return Font(tb.build_font([b"", tri, tri], cmap))
+
+    def test_missing_precomposed_decomposes(self):
+        f = self._font()
+        assert int(f.charmap.glyph_index(0xE9)) == 0
+        lt = layout_text(f, "é")  # U+00E9
+        gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        assert gids == [1, 2]  # base e + combining acute, no .notdef
+
+    def test_present_precomposed_untouched(self, dj):
+        a = layout_text(dj, "é")
+        assert len(a.instances) == 1
+        assert 0 not in a.slot_gids
+
+    def test_unmappable_still_notdef(self):
+        f = self._font()
+        lt = layout_text(f, "ä")  # diaeresis unmapped: stays .notdef
+        gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        assert gids == [0]
