@@ -155,6 +155,13 @@ def layout_text(
       batch slot carries a geometry-keyed negative id so tile caches
       never collide with real glyphs).  Horizontal modes only.
     """
+    # canonical composition first (the HarfBuzz convention): NFC
+    # prefers precomposed glyphs; anything the font can't serve
+    # composed falls back to NFD base + marks at stream build below
+    import unicodedata
+
+    text = unicodedata.normalize("NFC", text)
+
     # variable fonts: advances come from the current design location
     # (phantom-point deltas); static fonts/stacks fall through to hmtx
     if hasattr(font, "varied_advance"):
