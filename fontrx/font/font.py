@@ -989,6 +989,18 @@ class Font:
                     for part in comp.parts
                 }
                 glyph = from_component(desc, comp, resolve)
+                if comp.metrics_index is not None:
+                    # USE_MY_METRICS: the composite takes the flagged
+                    # component's metrics — patch the advance table so
+                    # every consumer (layout, packing) sees it.  Most
+                    # fonts keep hmtx consistent (the HarfBuzz
+                    # differential pins that), so this is usually a
+                    # no-op; it matters when they don't.
+                    src = comp.parts[comp.metrics_index].glyph_index
+                    if (0 <= src < len(self.advance_widths)
+                            and src != index):
+                        self.advance_widths[index] = (
+                            self.advance_widths[src])
         if getattr(self, "_var_coords", None) is not None and glyph.contours:
             # the glyf-header bbox is the STATIC box; varied outlines
             # need a recomputed one or raster grids would clip them

@@ -185,15 +185,9 @@ def from_component(
     (the caller — ``Font.load_glyph`` — handles recursion and cycle
     detection, ``Font.zig:204-220``).
     """
-    if data.metrics_index is not None:
-        # once per process: full-font loads would otherwise emit
-        # hundreds of identical lines
-        if not getattr(from_component, "_warned_metrics", False):
-            from_component._warned_metrics = True
-            log.warning(
-                "USE_MY_METRICS unsupported; using compound glyph's own "
-                "metrics (warning suppressed for further glyphs)"
-            )
+    # USE_MY_METRICS (data.metrics_index) is handled by the caller:
+    # Font.load_glyph patches the composite's advance from the flagged
+    # component's hmtx entry
     contours: list[Contour] = []
     for part in data.parts:
         if not part.args_are_xy_values:

@@ -196,3 +196,40 @@ class TestNfdFallback:
         lt = layout_text(f, "ä")  # diaeresis unmapped: stays .notdef
         gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
         assert gids == [0]
+
+
+class TestUseMyMetrics:
+    def test_component_metrics_patch_advance(self):
+        from tests import ttf_builder as tb
+
+        # glyph 1 (advance 600), glyph 2 = composite of glyph 1 with
+        # USE_MY_METRICS set but its OWN hmtx advance 900: loading the
+        # composite must patch its effective advance to 600
+        tri = tb.build_simple_glyph(
+            [[(0, 0, True), (50, 100, False), (100, 0, True)]],
+            box=(0, 0, 100, 100))
+        comp = tb.build_compound_glyph(
+            [{"glyph_index": 1, "dx": 0, "dy": 0}])
+        # splice USE_MY_METRICS (0x0200) into the part flags
+        import struct
+        flags = struct.unpack(">H", comp[10:12])[0] | 0x0200
+        comp = comp[:10] + struct.pack(">H", flags) + comp[12:]
+        cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4(
+            [(65, 66, 1 - 65, None)]))])
+        f = Font(tb.build_font(
+            [b"", tri, comp], cmap,
+            metrics=[(500, 0), (600, 0), (900, 0)]))
+        assert int(f.advance_widths[2]) == 900  # pre-load: raw hmtx
+        f.load_glyph(2)
+        assert int(f.advance_widths[2]) == 600  # patched
+
+    def test_dejavu_composites_consistent(self):
+        # real-font sanity: loading every DejaVu composite leaves the
+        # hmtx advances unchanged (the font keeps them consistent)
+        f = Font.open("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+        import numpy as np
+        before = np.array(f.advance_widths, copy=True)
+        for gid in (f.charmap.glyph_index(0xE0),  # à: composite
+                    f.charmap.glyph_index(0xC5)):  # Å
+            f.load_glyph(int(gid))
+        np.testing.assert_array_equal(before, f.advance_widths)
