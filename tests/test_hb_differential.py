@@ -136,3 +136,33 @@ class TestBinding:
         without = hb.shape(dj_bytes, "fi", features="-liga")
         assert len(without) == 2
         assert len(with_liga) == 1
+
+
+class TestRandomizedCorpus:
+    """Seeded random Latin strings (with spacing/punctuation and
+    composable accents) through kern+liga on two real fonts: glyph
+    streams and pen positions must match HarfBuzz exactly.  An
+    exploration run over 300 strings found 0 divergences; this pins a
+    60-string subset per font for CI."""
+
+    @pytest.mark.parametrize("path", [
+        DEJAVU, "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    ])
+    def test_random_strings_pen_exact(self, path):
+        import random
+
+        from fontrx.scene.layout import layout_text
+
+        rng = random.Random(42)
+        alpha = ("abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ ,.'!?-àéüöñ")
+        font = Font.open(path)
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for _ in range(60):
+            text = "".join(rng.choice(alpha)
+                           for _ in range(rng.randint(1, 24)))
+            og, op = _ours(font, text, kern=True, ligatures=True)
+            hg, hp = _theirs(data, text)
+            assert og == hg, text
+            assert op == hp, text
