@@ -445,6 +445,23 @@ class Font:
         return self._vmetrics
 
     @property
+    def morx(self):
+        """AAT extended metamorphosis table
+        (:class:`fontrx.font.morx.MorxTable`) or ``None`` — the Apple
+        shaping system's substitutions, applied by the layout engine
+        when the font has no GSUB (the HarfBuzz preference order)."""
+        if not hasattr(self, "_morx"):
+            self._morx = None
+            if b"morx" in self.tables:
+                try:
+                    from fontrx.font.morx import MorxTable
+
+                    self._morx = MorxTable.parse(self._at(b"morx"))
+                except Exception as e:
+                    log.warning("morx table unusable: %s", e)
+        return self._morx
+
+    @property
     def decoration_metrics(self):
         """``(underline_pos, underline_thickness, strikeout_pos,
         strikeout_thickness)`` in font units — ``post``

@@ -906,11 +906,15 @@ class SimpleGlyph:
         i = 0
         data, pos = r.data, r.pos
         while i < n_points:
+            if pos >= len(data):
+                raise CorruptedFont("glyf: flag stream truncated")
             f = data[pos]
             pos += 1
             flags[i] = f
             i += 1
             if f & FLAG_REPEAT:
+                if pos >= len(data):
+                    raise CorruptedFont("glyf: flag repeat truncated")
                 rep = data[pos]
                 pos += 1
                 flags[i : i + rep] = f

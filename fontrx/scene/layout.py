@@ -348,6 +348,17 @@ def layout_text(
     else:
         comp_lines = None
 
+    # AAT fonts: morx metamorphosis applies when the font has no GSUB
+    # (the HarfBuzz preference order) — the chains' default feature
+    # flags drive the machines, like hb_shape with no feature list
+    if not bidi:
+        _morx = getattr(font, "morx", None)
+        if _morx is not None and b"GSUB" not in getattr(
+                font, "tables", {}):
+            lines = [_morx.apply(line, vertical=vertical)
+                     for line in lines]
+            comp_lines = None  # streams changed; comps are stale
+
     if wrap_width is not None and not vertical:
         space = int(font.charmap.glyph_index(0x20))
         # CJK text carries no spaces: UAX#14's ID class makes every

@@ -30,32 +30,50 @@ class BigEndianReader:
         self.pos += n
 
     def u8(self) -> int:
-        v = self.data[self.pos]
+        try:
+            v = self.data[self.pos]
+        except IndexError:
+            raise CorruptedFont("read past end of table data") from None
         self.pos += 1
         return v
 
     def u16(self) -> int:
-        v = struct.unpack_from(">H", self.data, self.pos)[0]
+        try:
+            v = struct.unpack_from(">H", self.data, self.pos)[0]
+        except struct.error:
+            raise CorruptedFont("read past end of table data") from None
         self.pos += 2
         return v
 
     def i16(self) -> int:
-        v = struct.unpack_from(">h", self.data, self.pos)[0]
+        try:
+            v = struct.unpack_from(">h", self.data, self.pos)[0]
+        except struct.error:
+            raise CorruptedFont("read past end of table data") from None
         self.pos += 2
         return v
 
     def u32(self) -> int:
-        v = struct.unpack_from(">I", self.data, self.pos)[0]
+        try:
+            v = struct.unpack_from(">I", self.data, self.pos)[0]
+        except struct.error:
+            raise CorruptedFont("read past end of table data") from None
         self.pos += 4
         return v
 
     def i32(self) -> int:
-        v = struct.unpack_from(">i", self.data, self.pos)[0]
+        try:
+            v = struct.unpack_from(">i", self.data, self.pos)[0]
+        except struct.error:
+            raise CorruptedFont("read past end of table data") from None
         self.pos += 4
         return v
 
     def i64(self) -> int:
-        v = struct.unpack_from(">q", self.data, self.pos)[0]
+        try:
+            v = struct.unpack_from(">q", self.data, self.pos)[0]
+        except struct.error:
+            raise CorruptedFont("read past end of table data") from None
         self.pos += 8
         return v
 
@@ -72,7 +90,10 @@ class BigEndianReader:
     def unpack(self, fmt: str) -> tuple:
         """Unpack a big-endian struct format (without the leading '>')."""
         size = struct.calcsize(">" + fmt)
-        v = struct.unpack_from(">" + fmt, self.data, self.pos)
+        try:
+            v = struct.unpack_from(">" + fmt, self.data, self.pos)
+        except struct.error:
+            raise CorruptedFont("read past end of table data") from None
         self.pos += size
         return v
 

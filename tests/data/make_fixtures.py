@@ -1313,6 +1313,174 @@ def make_ebdttest():
     print("wrote ebdttest.ttf")
 
 
+
+
+def make_morxtest():
+    """AAT morx fixtures — one font per subtable type, each exercising
+    one extended-state-table machine.  The shaping oracle is HarfBuzz
+    (tests/test_hb_differential.py binding): fontrx\'s morx engine must
+    match hb_shape glyph-for-glyph on every fixture
+    (tests/test_morx.py)."""
+    import io
+
+    import fontTools.ttLib.tables.otTables as ot
+    from fontTools.ttLib import newTable
+
+    def base_font(names, cmap):
+        fb = FontBuilder(1000, isTTF=True)
+        fb.setupGlyphOrder(names)
+        fb.setupCharacterMap(cmap)
+        gl = {}
+        for n in names:
+            pen = TTGlyphPen(glyphSet={})
+            pen.moveTo((0, 0)); pen.lineTo((100, 0))
+            pen.lineTo((50, 100)); pen.closePath()
+            gl[n] = pen.glyph()
+        fb.setupGlyf(gl)
+        fb.setupHorizontalMetrics({n: (600, 0) for n in names})
+        fb.setupHorizontalHeader(ascent=800, descent=-200)
+        fb.setupNameTable({"familyName": "MorxT", "styleName": "R"})
+        fb.setupOS2(); fb.setupPost()
+        return fb
+
+    def wrap(subs):
+        t = ot.morx(); t.Version = 2; t.Reserved = 0
+        chain = ot.MorxChain(); chain.DefaultFlags = 1
+        feat = ot.MorphFeature()
+        feat.FeatureType = 0; feat.FeatureSetting = 0
+        feat.EnableFlags = 1; feat.DisableFlags = 0xFFFFFFFF
+        chain.MorphFeature = [feat]
+        chain.MorphSubtable = subs
+        chain.SubtableCount = len(subs); chain.MorphFeatureCount = 1
+        t.MorphChain = [chain]; t.ChainCount = 1
+        return t
+
+    def subtable(kind, struct_):
+        sub = ot.MorxSubtable()
+        sub.Reserved = 0
+        sub.ProcessingOrder = "LayoutOrder"
+        sub.TextDirection = "Horizontal"
+        sub.CoverageFlags = 0
+        sub.SubFeatureFlags = 1
+        sub.MorphType = kind
+        sub.SubStruct = struct_
+        return sub
+
+    def state(n_classes, trans, default):
+        s = ot.AATState()
+        s.Transitions = {
+            c: trans.get(c, default()) for c in range(n_classes)}
+        return s
+
+    def save(fb, t, name):
+        tab = newTable("morx"); tab.table = t
+        fb.font["morx"] = tab
+        fb.save(os.path.join(HERE, name))
+        print("wrote", name)
+
+    names = [".notdef", "A", "B", "C", "D"]
+    cmap = {ord(c): c for c in "ABCD"}
+
+    # type 4 noncontextual: A -> B
+    fb = base_font(names, cmap)
+    nm = ot.NoncontextualMorph()
+    nm.Substitution = {"A": "B"}
+    save(fb, wrap([subtable(4, nm)]), "morx_nonctx.ttf")
+
+    # type 1 contextual: A BEFORE B becomes C (marked substitution)
+    fb = base_font(names, cmap)
+    st = ot.AATStateTable()
+    st.GlyphClasses = {"A": 4, "B": 5}
+
+    def ca(new_state=0, set_mark=False, mark_index=0xFFFF,
+           cur_index=0xFFFF):
+        a = ot.ContextualMorphAction()
+        a.NewState = new_state; a.SetMark = set_mark
+        a.MarkIndex = mark_index; a.CurrentIndex = cur_index
+        return a
+
+    st.States = [
+        state(6, {4: ca(2, set_mark=True)}, ca),
+        state(6, {4: ca(2, set_mark=True)}, ca),
+        state(6, {4: ca(2, set_mark=True), 5: ca(0, mark_index=0)},
+              ca),
+    ]
+    st.PerGlyphLookups = [{"A": "C"}]
+    cm = ot.ContextualMorph(); cm.StateTable = st
+    save(fb, wrap([subtable(1, cm)]), "morx_ctx.ttf")
+
+    # type 0 rearrangement: A x D -> D x A (verb 3, adjacent only)
+    fb = base_font(names, cmap)
+    st = ot.AATStateTable()
+    st.GlyphClasses = {"A": 4, "D": 5}
+
+    def ra(new_state=0, mark_first=False, mark_last=False, verb=0):
+        a = ot.RearrangementMorphAction()
+        a.NewState = new_state
+        a.MarkFirst = mark_first; a.MarkLast = mark_last
+        a.DontAdvance = False; a.Verb = verb
+        return a
+
+    st.States = [
+        state(6, {4: ra(2, mark_first=True)}, ra),
+        state(6, {4: ra(2, mark_first=True)}, ra),
+        state(6, {4: ra(2, mark_first=True),
+                  5: ra(0, mark_last=True, verb=3)}, ra),
+    ]
+    rm = ot.RearrangementMorph(); rm.StateTable = st
+    save(fb, wrap([subtable(0, rm)]), "morx_rearr.ttf")
+
+    # type 5 insertion: C inserted after every A
+    fb = base_font(names, cmap)
+    st = ot.AATStateTable()
+    st.GlyphClasses = {"A": 4}
+
+    def ia(new_state=0, current=(), before=False):
+        a = ot.InsertionMorphAction()
+        a.NewState = new_state
+        a.CurrentInsertionAction = list(current)
+        a.CurrentInsertBefore = before
+        return a
+
+    st.States = [
+        state(5, {4: ia(0, current=["C"])}, ia),
+        state(5, {4: ia(0, current=["C"])}, ia),
+    ]
+    im = ot.InsertionMorph(); im.StateTable = st
+    save(fb, wrap([subtable(5, im)]), "morx_ins.ttf")
+
+    # type 2 ligature: f i -> fi, f l -> fl (component stack)
+    lig_names = [".notdef", "f", "i", "l", "fi", "fl", "A"]
+    fb = base_font(lig_names,
+                   {ord(c): c for c in "filA"})
+    st = ot.AATStateTable()
+    st.GlyphClasses = {"f": 4, "i": 5, "l": 5}
+
+    def la_act(new_state=0, set_comp=False, actions=()):
+        a = ot.LigatureMorphAction()
+        a.NewState = new_state
+        a.SetComponent = set_comp
+        a.Actions = list(actions)
+        return a
+
+    def la(store, delta):
+        x = ot.LigAction(); x.Store = store; x.GlyphIndexDelta = delta
+        return x
+
+    st.States = [
+        state(6, {4: la_act(2, set_comp=True)}, la_act),
+        state(6, {4: la_act(2, set_comp=True)}, la_act),
+        state(6, {4: la_act(2, set_comp=True),
+                  5: la_act(0, set_comp=True,
+                            actions=[la(False, -1), la(True, -1)])},
+              la_act),
+    ]
+    st.LigComponents = [0, 0, 1]
+    st.Ligatures = ["fi", "fl"]
+    lm = ot.LigatureMorph(); lm.StateTable = st
+    save(fb, wrap([subtable(2, lm)]), "morx_lig.ttf")
+
+
 if __name__ == "__main__":
     make_vartest()
     make_vartest2()
@@ -1330,5 +1498,6 @@ if __name__ == "__main__":
     make_svgtest()
     make_ebdttest()
     make_vartest_cff2()
+    make_morxtest()
     if os.path.exists(PYGAME_MONO):
         make_cidtest()
