@@ -151,6 +151,14 @@ class Font:
                 self.kerning = ttf.KernTable.parse(self._at(b"kern"))
             except Exception as e:  # malformed kern degrades to none
                 log.warning("kern table unusable: %s", e)
+        if self.kerning is None and b"kerx" in self.tables:
+            # AAT extended kerning: same .lookup interface
+            try:
+                from fontrx.font.kerx import KerxTable
+
+                self.kerning = KerxTable.parse(self._at(b"kerx"))
+            except Exception as e:
+                log.warning("kerx table unusable: %s", e)
 
         # GPOS pair positioning (modern kerning) — also an extension;
         # same .lookup interface as KernTable

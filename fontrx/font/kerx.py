@@ -1,0 +1,219 @@
+"""AAT extended kerning (``kerx``): the Apple pair-kerning table.
+
+Capability extension — Apple-ecosystem fonts often carry ``kerx``
+instead of the legacy ``kern`` or GPOS.  Horizontal non-cross-stream
+subtables accumulate (the same convention as the legacy table):
+
+- **format 0**: sorted pair list ({left, right} u16 pairs -> FWORD),
+  vectorized into the same ``(left << 16) | right`` searchsorted
+  lookup the legacy table uses;
+- **format 2**: two-ClassTable matrix (AAT lookups yielding
+  premultiplied byte offsets; value at ``subtable[left + right]``);
+- **format 6**: row/column index form (AAT lookups yielding indices
+  into a kerning vector; 16- or 32-bit flavors).
+
+Format 1 (state-machine contextual kerning) and format 4 (control
+point attachment via ``ankr``) are parsed and skipped with a log
+notice — they position via state machines rather than pair values and
+are rare outside Apple system fonts; the subtable framing is honored
+so their presence never corrupts the accumulating formats.
+
+The shaping oracle is HarfBuzz (``tests/test_kerx.py``): hb_shape's
+advances on the hand-assembled fixtures must match the layout
+engine's pen positions exactly.
+
+Wire format: Apple TrueType Reference Manual, "The 'kerx' table".
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from fontrx.font.morx import aat_lookup
+from fontrx.font.ttf import BigEndianReader, CorruptedFont
+from fontrx.utils.log import get_logger
+
+log = get_logger("Kerx")
+
+
+def _u16(d: bytes, o: int) -> int:
+    return (d[o] << 8) | d[o + 1]
+
+
+def _u32(d: bytes, o: int) -> int:
+    return struct.unpack_from(">I", d, o)[0]
+
+
+def _s16(v: int) -> int:
+    return v - 0x10000 if v & 0x8000 else v
+
+
+@dataclass(frozen=True, slots=True)
+class _Pairs:
+    keys: np.ndarray
+    values: np.ndarray
+
+    def lookup(self, left, right):
+        key = (np.asarray(left, np.uint32) << 16) | np.asarray(
+            right, np.uint32)
+        if not len(self.keys):
+            return np.zeros(np.shape(key), np.int32)
+        idx = np.searchsorted(self.keys, key)
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        hit = self.keys[idx] == key
+        return np.where(hit, self.values[idx], 0).astype(np.int32)
+
+
+@dataclass(frozen=True, slots=True)
+class _ClassMatrix:
+    """kerx format 2: class values are ARRAY INDICES (the left lookup
+    yields ``row * columnCount``, the right a column index; the value
+    is ``array[l + r]``) — unlike the legacy ``kern`` format 2's byte
+    offsets.  Pinned against hb_shape on the fixtures."""
+
+    left: dict
+    right: dict
+    array: np.ndarray
+
+    def lookup(self, left, right):
+        left = np.atleast_1d(np.asarray(left, np.int64))
+        right = np.atleast_1d(np.asarray(right, np.int64))
+        out = np.zeros(left.shape, np.int32)
+        for i in range(left.size):
+            lv = self.left.get(int(left.flat[i]))
+            rv = self.right.get(int(right.flat[i]))
+            if lv is None or rv is None:
+                continue
+            idx = lv + rv
+            if 0 <= idx < len(self.array):
+                out.flat[i] = int(self.array[idx])
+        return out
+
+
+@dataclass(frozen=True, slots=True)
+class _IndexForm:
+    rows: dict     # gid -> row index
+    cols: dict     # gid -> column index
+    vector: np.ndarray
+    col_count: int
+
+    def lookup(self, left, right):
+        left = np.atleast_1d(np.asarray(left, np.int64))
+        right = np.atleast_1d(np.asarray(right, np.int64))
+        out = np.zeros(left.shape, np.int32)
+        for i in range(left.size):
+            r = self.rows.get(int(left.flat[i]))
+            c = self.cols.get(int(right.flat[i]))
+            if r is None or c is None:
+                continue
+            idx = r + c
+            if 0 <= idx < len(self.vector):
+                out.flat[i] = int(self.vector[idx])
+        return out
+
+
+@dataclass(frozen=True, slots=True)
+class KerxTable:
+    """Parsed horizontal ``kerx`` kerning; ``lookup`` matches the
+    legacy :class:`fontrx.font.ttf.KernTable` interface so the layout
+    engine consumes either transparently."""
+
+    forms: tuple
+
+    @classmethod
+    def parse(cls, r: BigEndianReader) -> "KerxTable | None":
+        d = r.data
+        base = r.pos
+        if base + 8 > len(d):
+            raise CorruptedFont("kerx header truncated")
+        n_tables = _u32(d, base + 4)
+        if n_tables > 64:
+            raise CorruptedFont(f"kerx table count {n_tables}")
+        forms = []
+        p = base + 8
+        for _ in range(n_tables):
+            if p + 12 > len(d):
+                break
+            length = _u32(d, p)
+            coverage = _u32(d, p + 4)
+            # tupleCount at p+8 (variation kerning: unsupported, the
+            # subtable still frames correctly)
+            if length < 12 or p + length > len(d):
+                raise CorruptedFont("kerx subtable out of bounds")
+            fmt = coverage & 0xFF
+            vertical = bool(coverage & 0x80000000)
+            cross = bool(coverage & 0x40000000)
+            sub = bytes(d[p + 12:p + length])
+            p += length
+            if vertical or cross:
+                continue
+            try:
+                form = cls._parse_subtable(fmt, sub)
+            except (CorruptedFont, IndexError, struct.error) as e:
+                log.warning("kerx subtable unusable: %s", e)
+                continue
+            if form is not None:
+                forms.append(form)
+        if not forms:
+            return None
+        return cls(tuple(forms))
+
+    @staticmethod
+    def _parse_subtable(fmt: int, sub: bytes):
+        if fmt == 0:
+            n = _u32(sub, 0)
+            if 16 + 6 * n > len(sub):
+                raise CorruptedFont("kerx pairs truncated")
+            raw = np.frombuffer(
+                sub, dtype=">u2", count=3 * n, offset=16
+            ).astype(np.int64).reshape(-1, 3)
+            keys = (raw[:, 0].astype(np.uint32) << 16) | raw[:, 1].astype(
+                np.uint32)
+            values = raw[:, 2].astype(np.uint16).astype(np.int16)
+            order = np.argsort(keys, kind="stable")
+            return _Pairs(keys[order], values[order].astype(np.int16))
+        if fmt == 2:
+            left_off = _u32(sub, 4)
+            right_off = _u32(sub, 8)
+            arr_off = _u32(sub, 12)
+            # offsets are from the START of the subtable (including
+            # its 12-byte header, which `sub` excludes)
+            left = aat_lookup(sub, left_off - 12)
+            right = aat_lookup(sub, right_off - 12)
+            start = arr_off - 12
+            count = (len(sub) - start) // 2
+            arr = np.frombuffer(sub, dtype=">i2", count=count,
+                                offset=start).astype(np.int32)
+            return _ClassMatrix(left, right, arr)
+        if fmt == 6:
+            flags = _u32(sub, 0)
+            row_off = _u32(sub, 8)
+            col_off = _u32(sub, 12)
+            arr_off = _u32(sub, 16)
+            rows = aat_lookup(sub, row_off - 12)
+            cols = aat_lookup(sub, col_off - 12)
+            start = arr_off - 12
+            if flags & 1:
+                count = (len(sub) - start) // 4
+                vec = np.frombuffer(sub, dtype=">i4", count=count,
+                                    offset=start).astype(np.int32)
+            else:
+                count = (len(sub) - start) // 2
+                vec = np.frombuffer(sub, dtype=">i2", count=count,
+                                    offset=start).astype(np.int32)
+            col_count = _u16(sub, 6)
+            return _IndexForm(rows, cols, vec, col_count)
+        if fmt in (1, 4):
+            log.info("kerx format %d (state machine) skipped", fmt)
+            return None
+        raise CorruptedFont(f"kerx format {fmt}")
+
+    def lookup(self, left, right):
+        out = None
+        for f in self.forms:
+            v = f.lookup(left, right)
+            out = v if out is None else out + v
+        return out

@@ -1481,6 +1481,107 @@ def make_morxtest():
     save(fb, wrap([subtable(2, lm)]), "morx_lig.ttf")
 
 
+
+
+def make_kerxtest():
+    """AAT kerx fixtures (hand-assembled wire bytes; fontTools has no
+    kerx writer): format 0 pair list, format 2 class matrix (ARRAY
+    INDEX class values, the hb-pinned convention), format 6
+    row/column index form, and a two-subtable accumulation font.
+    Shaping oracle: hb_shape pen positions (tests/test_kerx.py)."""
+    import struct as _s
+
+    from fontTools.ttLib.tables.DefaultTable import DefaultTable
+
+    def base_font():
+        names = [".notdef", "A", "V", "W", "o"]
+        fb = FontBuilder(1000, isTTF=True)
+        fb.setupGlyphOrder(names)
+        fb.setupCharacterMap({ord(c): c for c in "AVWo"})
+        gl = {}
+        for n in names:
+            pen = TTGlyphPen(glyphSet={})
+            pen.moveTo((0, 0)); pen.lineTo((100, 0))
+            pen.lineTo((50, 100)); pen.closePath()
+            gl[n] = pen.glyph()
+        fb.setupGlyf(gl)
+        fb.setupHorizontalMetrics({n: (600, 0) for n in names})
+        fb.setupHorizontalHeader(ascent=800, descent=-200)
+        fb.setupNameTable({"familyName": "KerxT", "styleName": "R"})
+        fb.setupOS2(); fb.setupPost()
+        return fb
+
+    def lookup8(first, values):
+        b = _s.pack(">HHH", 8, first, len(values)) + b"".join(
+            _s.pack(">H", v) for v in values)
+        if len(b) % 4:
+            b += b"\x00" * (4 - len(b) % 4)
+        return b
+
+    def pad4(b):
+        return b + b"\x00" * (-len(b) % 4)
+
+    def sub0(pairs, coverage=0x0000):
+        body = _s.pack(">IIII", len(pairs), 0, 0, 0)
+        for left, right, v in sorted(pairs):
+            body += _s.pack(">HHh", left, right, v)
+        body = pad4(body)
+        return _s.pack(">III", 12 + len(body), coverage, 0) + body
+
+    def sub2(matrix, left_rows, right_cols, coverage=0x0002):
+        # matrix: list of rows (incl class-0 row/col); class values
+        # are ARRAY INDICES: left = row * n_cols, right = col
+        n_cols = len(matrix[0])
+        arr = b"".join(_s.pack(">h", v) for row in matrix for v in row)
+        left = lookup8(min(left_rows), [
+            left_rows[g] * n_cols for g in sorted(left_rows)])
+        right = lookup8(min(right_cols), [
+            right_cols[g] for g in sorted(right_cols)])
+        left_off = 12 + 16
+        right_off = left_off + len(left)
+        arr_off = right_off + len(right)
+        body = _s.pack(">IIII", n_cols * 2, left_off, right_off,
+                       arr_off) + left + right + arr
+        body = pad4(body)
+        return _s.pack(">III", 12 + len(body), coverage, 0) + body
+
+    def sub6(vector, rows, cols, n_cols):
+        # rows: gid -> row index (premultiplied by n_cols here)
+        rl = lookup8(min(rows), [rows[g] * n_cols
+                                 for g in sorted(rows)])
+        cl = lookup8(min(cols), [cols[g] for g in sorted(cols)])
+        row_off = 12 + 20
+        col_off = row_off + len(rl)
+        arr_off = col_off + len(cl)
+        vec = b"".join(_s.pack(">h", v) for v in vector)
+        body = _s.pack(">IHHIII", 0, len(vector) // n_cols, n_cols,
+                       row_off, col_off, arr_off) + rl + cl + vec
+        body = pad4(body)
+        return _s.pack(">III", 12 + len(body), 0x0006, 0) + body
+
+    def save(subs, name):
+        fb = base_font()
+        tbl = DefaultTable(tag="kerx")
+        tbl.data = _s.pack(">HHI", 2, 0, len(subs)) + b"".join(subs)
+        fb.font["kerx"] = tbl
+        fb.save(os.path.join(HERE, name))
+        print("wrote", name)
+
+    # A=1 V=2 W=3 o=4
+    save([sub0([(1, 2, -150), (2, 1, -80)])], "kerx_pairs.ttf")
+    save([sub2([[0, 0, 0], [0, -150, 25], [0, -60, 0]],
+               {1: 1, 2: 2, 3: 2}, {2: 1, 3: 0, 4: 2})],
+         "kerx_class.ttf")
+    save([sub6([0, 0, 0, -150], {1: 1}, {2: 1}, 2)], "kerx_index.ttf")
+    # accumulation: pair list + class matrix both hit (A, V)
+    save([sub0([(1, 2, -50)]),
+          sub2([[0, 0], [0, -100]], {1: 1}, {2: 1})],
+         "kerx_accum.ttf")
+    # vertical-coverage subtable must be ignored in horizontal layout
+    save([sub0([(1, 2, -150)], coverage=0x80000000)],
+         "kerx_vertical.ttf")
+
+
 if __name__ == "__main__":
     make_vartest()
     make_vartest2()
@@ -1499,5 +1600,6 @@ if __name__ == "__main__":
     make_ebdttest()
     make_vartest_cff2()
     make_morxtest()
+    make_kerxtest()
     if os.path.exists(PYGAME_MONO):
         make_cidtest()

@@ -1,0 +1,99 @@
+"""AAT kerx extended kerning (`fontrx/font/kerx.py`): pair/class/index
+forms + accumulation + vertical-coverage gating, with pen positions
+pinned against hb_shape on every fixture."""
+
+import numpy as np
+import pytest
+
+from fontrx.font.font import Font
+from fontrx.font.kerx import KerxTable
+from fontrx.native import hb
+from fontrx.scene.layout import layout_text
+
+FIXTURES = {
+    "pairs": "tests/data/kerx_pairs.ttf",
+    "class": "tests/data/kerx_class.ttf",
+    "index": "tests/data/kerx_index.ttf",
+    "accum": "tests/data/kerx_accum.ttf",
+}
+
+# second-glyph pen position for a two-glyph string (advance 600 each)
+CASES = {
+    ("pairs", "AV"): 450,   # -150
+    ("pairs", "VA"): 520,   # -80
+    ("pairs", "AW"): 600,   # unkerned
+    ("class", "AV"): 450,   # matrix [1][1]
+    ("class", "Ao"): 625,   # matrix [1][2] = +25
+    ("class", "VV"): 540,   # matrix [2][1]
+    ("class", "WV"): 540,   # W shares V's row class
+    ("class", "AW"): 600,   # W is column class 0
+    ("index", "AV"): 450,
+    ("index", "VA"): 600,
+    ("accum", "AV"): 450,   # -50 (pairs) + -100 (class) accumulate
+}
+
+
+class TestForms:
+    @pytest.mark.parametrize("key,expect", CASES.items(),
+                             ids=[f"{k[0]}-{k[1]}" for k in CASES])
+    def test_pen_positions_pinned_and_hb(self, key, expect):
+        fixture, text = key
+        path = FIXTURES[fixture]
+        font = Font.open(path)
+        lt = layout_text(font, text, kern=True)
+        ours = [round(i.x) for i in lt.instances]
+        assert ours[1] == expect, (fixture, text)
+        if hb.available():
+            with open(path, "rb") as f:
+                data = f.read()
+            pen = 0
+            hp = []
+            for g in hb.shape(data, text):
+                hp.append(pen + g.x_offset)
+                pen += g.x_advance
+            assert ours == hp, (fixture, text)
+
+    def test_parse_structure(self):
+        font = Font.open(FIXTURES["accum"])
+        k = font.kerning
+        assert isinstance(k, KerxTable)
+        assert len(k.forms) == 2
+
+    def test_vertical_subtable_ignored(self):
+        font = Font.open("tests/data/kerx_vertical.ttf")
+        # the only subtable is vertical-coverage: no horizontal kern
+        assert font.kerning is None
+
+    def test_legacy_kern_takes_precedence(self):
+        # DejaVu has 'kern' (GPOS) but no kerx; fonts with both use
+        # the legacy table first (kerx is the fallback)
+        font = Font.open(FIXTURES["pairs"])
+        assert b"kern" not in font.tables
+        assert isinstance(font.kerning, KerxTable)
+
+    def test_vectorized_lookup(self):
+        font = Font.open(FIXTURES["pairs"])
+        out = font.kerning.lookup(
+            np.array([1, 2, 1]), np.array([2, 1, 3]))
+        np.testing.assert_array_equal(out, [-150, -80, 0])
+
+
+class TestRobustness:
+    def test_bitflip_fuzz_degrades(self):
+        import random
+
+        rng = random.Random(11)
+        with open(FIXTURES["class"], "rb") as f:
+            data = bytearray(f.read())
+        for _ in range(200):
+            d = bytearray(data)
+            for _ in range(rng.randint(1, 4)):
+                p = rng.randrange(len(d))
+                d[p] ^= 1 << rng.randrange(8)
+            try:
+                font = Font(bytes(d))
+                layout_text(font, "AV o", kern=True)
+            except Exception as e:
+                from fontrx.font.ttf import CorruptedFont
+
+                assert isinstance(e, (CorruptedFont, ValueError)), e
