@@ -32,7 +32,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from fontrx.font.morx import aat_lookup
+from fontrx.font.morx import _Stx, aat_lookup
 from fontrx.font.ttf import BigEndianReader, CorruptedFont
 from fontrx.utils.log import get_logger
 
@@ -113,6 +113,53 @@ class _IndexForm:
             if 0 <= idx < len(self.vector):
                 out.flat[i] = int(self.vector[idx])
         return out
+
+
+@dataclass(frozen=True, slots=True)
+class _StateKern:
+    """kerx format 1: contextual state-machine kerning.  Entries carry
+    a value index; ``push`` (0x8000) stacks the current position and
+    an action pops positions applying successive FWORDs until one with
+    the low bit set terminates the list (the applied value is
+    ``v & ~1``).  The hb-pinned pen semantics: each popped position's
+    kern inserts into the pen BEFORE that glyph (hb applies it to both
+    x_offset and x_advance, which is the same displacement)."""
+
+    stx: object
+    value_off: int
+
+    def deltas(self, gids) -> np.ndarray:
+        """Per-position pen deltas for one glyph stream."""
+        out = np.zeros(len(gids), np.int32)
+        d = self.stx.data
+        stack: list[int] = []
+
+        def handler(i, entry):
+            _new, flags, value_index = entry
+            if flags & 0x8000 and i < len(gids):  # push
+                stack.append(i)
+            if value_index != 0xFFFF:
+                p = self.value_off + 2 * value_index
+                for _ in range(16):
+                    if p + 2 > len(d) or not stack:
+                        break
+                    v = _s16(_u16(d, p))
+                    p += 2
+                    pos = stack.pop()
+                    out[pos] += v & ~1
+                    if v & 1:
+                        break
+
+        try:
+            self.stx.run(list(gids), 1, handler)
+        except (CorruptedFont, IndexError) as e:
+            log.warning("kerx state machine unusable: %s", e)
+        return out
+
+    def lookup(self, left, right):
+        # pairwise interface: contextual kerning contributes through
+        # ``deltas`` instead
+        return np.zeros(np.shape(np.asarray(left)), np.int32)
 
 
 @dataclass(frozen=True, slots=True)
@@ -206,8 +253,11 @@ class KerxTable:
                                     offset=start).astype(np.int32)
             col_count = _u16(sub, 6)
             return _IndexForm(rows, cols, vec, col_count)
-        if fmt in (1, 4):
-            log.info("kerx format %d (state machine) skipped", fmt)
+        if fmt == 1:
+            stx = _Stx.parse(sub, 1)
+            return _StateKern(stx, stx.extra[0])
+        if fmt == 4:
+            log.info("kerx format 4 (control-point via ankr) skipped")
             return None
         raise CorruptedFont(f"kerx format {fmt}")
 
@@ -216,4 +266,14 @@ class KerxTable:
         for f in self.forms:
             v = f.lookup(left, right)
             out = v if out is None else out + v
+        return out
+
+    def contextual_deltas(self, gids) -> np.ndarray:
+        """Per-position pen deltas from format-1 state machines (zero
+        when the table has none); the layout engine adds ``delta[i]``
+        to the pen BEFORE placing glyph ``i``."""
+        out = np.zeros(len(gids), np.int32)
+        for f in self.forms:
+            if isinstance(f, _StateKern):
+                out = out + f.deltas(gids)
         return out

@@ -506,8 +506,17 @@ def layout_text(
             # per instance: advance-box width, or (base_x, base_w) for
             # attached marks — the bookkeeping RTL mirroring needs
             boxes = []
-            for gid in line:
+            # kerx format-1 contextual kerning: per-position pen
+            # deltas (inserted BEFORE each glyph, the hb-pinned
+            # semantics) on top of the pairwise lookups
+            ctx = (kern_table.contextual_deltas(line)
+                   if kern_table is not None
+                   and hasattr(kern_table, "contextual_deltas")
+                   and line else None)
+            for idx, gid in enumerate(line):
                 slot = slot_of[gid]
+                if ctx is not None:
+                    pen_x += float(ctx[idx])
                 if marks and prev_gid is not None:
                     # stacked diacritics first: attach to the previous
                     # MARK (mkmk), else to the base (mark); neither

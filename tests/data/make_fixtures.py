@@ -1581,6 +1581,35 @@ def make_kerxtest():
     save([sub0([(1, 2, -150)], coverage=0x80000000)],
          "kerx_vertical.ttf")
 
+    # format 1: contextual state-machine kerning — push A, apply -150
+    # (odd-terminated value list) when V follows; offsets relative to
+    # the STATE-TABLE start (the hb-pinned convention)
+    def sub1():
+        n_classes = 6
+        classes = lookup8(1, [4, 5])  # A=4, V=5
+        PUSH = 0x8000
+        entries = [(0, 0, 0xFFFF), (2, PUSH, 0xFFFF), (0, 0, 0)]
+        state_rows = [
+            [0, 0, 0, 0, 1, 0],
+            [0, 0, 0, 0, 1, 0],
+            [0, 0, 0, 0, 1, 2],
+        ]
+        class_off = 20
+        state_off = class_off + len(classes)
+        states = pad4(b"".join(
+            _s.pack(">H", e) for row in state_rows for e in row))
+        entry_off = state_off + len(states)
+        ents = pad4(b"".join(_s.pack(">HHH", *e) for e in entries))
+        value_off = entry_off + len(ents)
+        vals = _s.pack(">h", (-150) | 1)
+        body = _s.pack(">IIIII", n_classes, class_off, state_off,
+                       entry_off, value_off) + classes + states + \
+            ents + vals
+        body = pad4(body)
+        return _s.pack(">III", 12 + len(body), 0x0001, 0) + body
+
+    save([sub1()], "kerx_state.ttf")
+
 
 if __name__ == "__main__":
     make_vartest()

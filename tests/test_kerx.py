@@ -97,3 +97,39 @@ class TestRobustness:
                 from fontrx.font.ttf import CorruptedFont
 
                 assert isinstance(e, (CorruptedFont, ValueError)), e
+
+
+class TestStateMachine:
+    """Format 1 contextual kerning: push/pop value application with
+    odd-bit list termination, pen deltas inserted BEFORE the pushed
+    glyph — all pinned against hb_shape."""
+
+    PATH = "tests/data/kerx_state.ttf"
+
+    @pytest.mark.parametrize("text,expect", [
+        ("AV", [-150, 450]),
+        ("AW", [0, 600]),
+        ("AAV", [0, 450, 1050]),   # only the adjacent A is pushed-live
+        ("AVAV", [-150, 450, 900, 1500]),
+    ])
+    def test_pen_positions(self, text, expect):
+        font = Font.open(self.PATH)
+        lt = layout_text(font, text, kern=True)
+        ours = [round(i.x) for i in lt.instances]
+        assert ours == expect
+        if hb.available():
+            with open(self.PATH, "rb") as f:
+                data = f.read()
+            pen = 0
+            hp = []
+            for g in hb.shape(data, text):
+                hp.append(pen + g.x_offset)
+                pen += g.x_advance
+            assert ours == hp
+
+    def test_contextual_deltas_api(self):
+        font = Font.open(self.PATH)
+        d = font.kerning.contextual_deltas([1, 2])  # A V
+        np.testing.assert_array_equal(d, [-150, 0])
+        d = font.kerning.contextual_deltas([1, 3])  # A W
+        np.testing.assert_array_equal(d, [0, 0])
