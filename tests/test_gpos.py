@@ -105,19 +105,23 @@ class TestMarkToBase:
 
         from fontrx.kernels import oracle
         from fontrx.pack.segments import glyph_segments
-        from fontrx.scene.layout import layout_text
 
-        lt = layout_text(dejavu, "e" + chr(0x0301), marks=True)
-        assert len(lt.instances) == 2
+        # NFC in the layout now (correctly) prefers the precomposed
+        # glyph, so the anchor math is exercised directly: place the
+        # mark via mark_positioning.attach and compare ink against the
+        # font's own precomposed composite
+        e = dejavu.glyph_index("e")
+        acute = dejavu.glyph_index(chr(0x0301))
+        dx, dy = dejavu.mark_positioning.attach(e, acute)
+        placements = [(e, 0.0, 0.0), (acute, float(dx), float(dy))]
         scale = np.float32(96 / dejavu.info.units_per_em)
         W, H = 96, 128
         xs = np.arange(W).astype(np.float32) / scale
         ys = ((H - 32) - np.arange(H)).astype(np.float32) / scale
         comp = np.zeros((H, W), bool)
-        gids = [dejavu.glyph_index("e"), dejavu.glyph_index(chr(0x0301))]
-        for inst, gid in zip(lt.instances, gids):
+        for gid, ix, iy in placements:
             segs = glyph_segments(dejavu.load_glyph(gid)) + np.float32(
-                [inst.x, inst.y]
+                [ix, iy]
             )
             comp |= oracle.winding_at(
                 segs.astype(np.float32), xs[None, :], ys[:, None]
@@ -132,8 +136,10 @@ class TestMarkToBase:
     def test_mark_consumes_no_advance(self, dejavu):
         from fontrx.scene.layout import layout_text
 
-        plain = layout_text(dejavu, "ex", marks=True)
-        marked = layout_text(dejavu, "e" + chr(0x0301) + "x", marks=True)
+        # x + combining acute has no precomposed form, so the mark
+        # path (not NFC composition) is what's exercised
+        plain = layout_text(dejavu, "xo", marks=True)
+        marked = layout_text(dejavu, "x" + chr(0x0301) + "o", marks=True)
         # the x lands at the same pen position with or without the mark
         assert marked.instances[2].x == plain.instances[1].x
         assert marked.width == plain.width
@@ -142,20 +148,21 @@ class TestMarkToBase:
         from fontrx.scene.layout import layout_text
 
         kerned = layout_text(dejavu, "AV", kern=True, marks=True)
-        # A + combining-ring + V: the AV kern still applies because the
-        # base stays "previous" across the attached mark
+        # A + combining ring composes (Å) — use x + combining ring
+        # before V... x has no V kern pair; instead pin with A + a
+        # NON-composable mark (U+0484) that DejaVu anchors
         with_mark = layout_text(
-            dejavu, "A" + chr(0x030A) + "V", kern=True, marks=True
+            dejavu, "A" + chr(0x0484) + "V", kern=True, marks=True
         )
         assert with_mark.instances[2].x == kerned.instances[1].x
 
     def test_marks_off_by_default(self, dejavu):
         from fontrx.scene.layout import layout_text
 
-        lt = layout_text(dejavu, "e" + chr(0x0301))
+        lt = layout_text(dejavu, "x" + chr(0x0301))
         # reference-exact default: the mark advances like any glyph
         assert lt.instances[1].x == float(
-            dejavu.advance_widths[dejavu.glyph_index("e")]
+            dejavu.advance_widths[dejavu.glyph_index("x")]
         )
 
 
@@ -173,7 +180,7 @@ class TestMarkToMark:
         d = mm.attach(dot, acute)
         assert d is not None and d[1] > 0  # stacks upward
 
-        lt = layout_text(dejavu, "e" + chr(0x0307) + chr(0x0301), marks=True)
+        lt = layout_text(dejavu, "q" + chr(0x0307) + chr(0x0301), marks=True)
         assert len(lt.instances) == 3
         base, first, second = lt.instances
         assert first.y >= base.y
@@ -181,7 +188,7 @@ class TestMarkToMark:
         assert second.x == first.x + d[0]
         # neither mark advanced the pen
         assert lt.width == float(
-            dejavu.advance_widths[dejavu.glyph_index("e")]
+            dejavu.advance_widths[dejavu.glyph_index("q")]
         )
 
     def test_base_resets_stack(self, dejavu):
@@ -189,7 +196,7 @@ class TestMarkToMark:
 
         # mark after a NEW base attaches to that base, not the old stack
         lt = layout_text(
-            dejavu, "e" + chr(0x0301) + "o" + chr(0x0301), marks=True
+            dejavu, "x" + chr(0x0301) + "q" + chr(0x0301), marks=True
         )
         m1, m2 = lt.instances[1], lt.instances[3]
         assert m2.x > m1.x             # second accent moved to the 'o'
