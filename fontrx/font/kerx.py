@@ -95,10 +95,13 @@ class _ClassMatrix:
 
 @dataclass(frozen=True, slots=True)
 class _IndexForm:
-    rows: dict     # gid -> row index
+    """kerx format 6: row values come PREMULTIPLIED by the column
+    count (the hb-pinned convention), so the value is simply
+    ``vector[row + col]``."""
+
+    rows: dict     # gid -> premultiplied row index
     cols: dict     # gid -> column index
     vector: np.ndarray
-    col_count: int
 
     def lookup(self, left, right):
         left = np.atleast_1d(np.asarray(left, np.int64))
@@ -251,8 +254,7 @@ class KerxTable:
                 count = (len(sub) - start) // 2
                 vec = np.frombuffer(sub, dtype=">i2", count=count,
                                     offset=start).astype(np.int32)
-            col_count = _u16(sub, 6)
-            return _IndexForm(rows, cols, vec, col_count)
+            return _IndexForm(rows, cols, vec)
         if fmt == 1:
             stx = _Stx.parse(sub, 1)
             return _StateKern(stx, stx.extra[0])

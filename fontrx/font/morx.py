@@ -34,7 +34,7 @@ Wire format: Apple TrueType Reference Manual, "The 'morx' table".
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from fontrx.font.ttf import BigEndianReader, CorruptedFont
 from fontrx.utils.log import get_logger
@@ -200,6 +200,9 @@ class _Subtable:
     coverage: int
     flags: int
     data: bytes
+    # parsed-structure memo (state tables / lookups are immutable and
+    # re-parsed per apply() otherwise — a per-line cost in layout)
+    cache: dict = field(default_factory=dict, compare=False)
 
     @property
     def vertical_only(self) -> bool:
@@ -217,7 +220,9 @@ class _Subtable:
         if self.descending:
             gids = gids[::-1]
         if self.kind == 4:
-            lut = aat_lookup(self.data, 0)
+            lut = self.cache.get("lut")
+            if lut is None:
+                lut = self.cache["lut"] = aat_lookup(self.data, 0)
             gids = [lut.get(g, g) for g in gids]
         elif self.kind == 0:
             gids = self._rearrangement(gids)
@@ -236,8 +241,14 @@ class _Subtable:
 
     # -- type 0: rearrangement ------------------------------------------
 
+    def _stx(self, n_extra: int) -> "_Stx":
+        stx = self.cache.get("stx")
+        if stx is None:
+            stx = self.cache["stx"] = _Stx.parse(self.data, n_extra)
+        return stx
+
     def _rearrangement(self, gids: list[int]) -> list[int]:
-        stx = _Stx.parse(self.data, 0)
+        stx = self._stx(0)
         first = last = None
         out = list(gids)
 
@@ -260,11 +271,12 @@ class _Subtable:
     # -- type 1: contextual ---------------------------------------------
 
     def _contextual(self, gids: list[int]) -> list[int]:
-        stx = _Stx.parse(self.data, 1)
+        stx = self._stx(1)
         sub_base = stx.extra[0]
         out = list(gids)
         mark = 0
-        luts: dict[int, dict] = {}
+        mark_set = False
+        luts = self.cache.setdefault("ctx_luts", {})
 
         def lut(idx: int) -> dict:
             if idx not in luts:
@@ -273,9 +285,11 @@ class _Subtable:
             return luts[idx]
 
         def handler(i, entry):
-            nonlocal mark
+            nonlocal mark, mark_set
             _new, flags, mark_index, cur_index = entry
-            if mark_index != 0xFFFF and mark < len(out):
+            # a marked substitution before any setMark fired is a
+            # no-op (the HarfBuzz mark_set guard)
+            if mark_index != 0xFFFF and mark_set and mark < len(out):
                 g = lut(mark_index).get(out[mark])
                 if g is not None:
                     out[mark] = g
@@ -285,6 +299,7 @@ class _Subtable:
                     out[i] = g
             if flags & 0x8000:      # setMark
                 mark = i
+                mark_set = True
 
         stx.run(out, 2, handler)
         return out
@@ -292,9 +307,8 @@ class _Subtable:
     # -- type 2: ligature -------------------------------------------------
 
     def _ligature(self, gids: list[int]) -> list[int]:
-        stx = _Stx.parse(self.data, 3)
+        stx = self._stx(3)
         action_off, comp_off, lig_off = stx.extra
-        d = self.data
         out = list(gids)
         stack: list[int] = []
 
@@ -308,7 +322,9 @@ class _Subtable:
                     action_index)
 
         stx.run(out, 1, handler)
-        return [g for g in out if g != DELETED]
+        # DELETED glyphs stay in the stream until the END of the
+        # chain (later subtables see them as class 2, like hb)
+        return out
 
     def _run_lig_actions(self, out, stack, action_off, comp_off,
                          lig_off, action_index):
@@ -346,7 +362,7 @@ class _Subtable:
     # -- type 5: insertion -------------------------------------------------
 
     def _insertion(self, gids: list[int]) -> list[int]:
-        stx = _Stx.parse(self.data, 1)
+        stx = self._stx(1)
         ins_off = stx.extra[0]
         d = self.data
         out = list(gids)
@@ -455,7 +471,6 @@ class MorxTable:
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "MorxTable":
-        data = r.data[r.pos:] if r.pos else r.data
         base = r.pos
         d = r.data
         version = _u16(d, base)

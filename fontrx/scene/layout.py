@@ -168,6 +168,12 @@ def layout_text(
         _adv = font.varied_advance
     else:
         def _adv(gid):
+            # loading first lets USE_MY_METRICS composites patch their
+            # advance before anything (wrap measurement) reads it; the
+            # glyph is cached, so the later dedup load is free
+            loader = getattr(font, "load_glyph_safe", None)
+            if loader is not None:
+                loader(gid)
             return int(font.advance_widths[gid])
 
     # text -> per-line glyph-id streams (ligatures never cross newlines).
@@ -188,10 +194,18 @@ def layout_text(
             if prev_cp is not None and lines[-1]:
                 lines[-1][-1] = int(font.glyph_index_variant(prev_cp, cp))
             continue  # selector without a base char: ignored
-        if cp == 0xAD and wrap_width is None:
-            # soft hyphen: default-invisible; it only materializes at
-            # a wrap break (the wrapping path keeps it in the stream)
-            continue
+        if cp == 0xAD:
+            # soft hyphen: default-invisible; the wrapping path keeps
+            # it in the stream ONLY when the font maps U+00AD to an
+            # identifiable dedicated glyph (the wrapper re-derives
+            # codepoints from gids; an unmapped SHY would inject
+            # .notdef tofu and a hyphen-aliased one a visible hyphen —
+            # those fonts degrade to no SHY break opportunity)
+            if wrap_width is None:
+                continue
+            g = int(font.charmap.glyph_index(0xAD))
+            if g == 0 or font.charmap.char_for_glyph(g) != 0xAD:
+                continue
         gid = int(font.charmap.glyph_index(cp))
         if gid == 0:
             # NFD fallback: a precomposed character the font lacks
@@ -280,6 +294,10 @@ def layout_text(
         _shape_stream.last_comps = comps
         return out
 
+    _morx = getattr(font, "morx", None)
+    _morx_active = _morx is not None and b"GSUB" not in getattr(
+        font, "tables", {})
+
     line_runs = None
     if bidi:
         from fontrx.font.uax9 import mirror_cp
@@ -319,6 +337,11 @@ def layout_text(
                     seg.append(g)
                 shaped = _shape_stream(
                     seg, [cps[i] for i in idx[k:j]])
+                if _morx_active:
+                    # AAT substitutions run per level run (ligatures/
+                    # machines never cross direction boundaries)
+                    shaped = _morx.apply(shaped, vertical=vertical)
+                    _shape_stream.last_comps = [0] * len(shaped)
                 extents.append(
                     (len(parts), len(parts) + len(shaped), lvl)
                 )
@@ -350,14 +373,12 @@ def layout_text(
 
     # AAT fonts: morx metamorphosis applies when the font has no GSUB
     # (the HarfBuzz preference order) — the chains' default feature
-    # flags drive the machines, like hb_shape with no feature list
-    if not bidi:
-        _morx = getattr(font, "morx", None)
-        if _morx is not None and b"GSUB" not in getattr(
-                font, "tables", {}):
-            lines = [_morx.apply(line, vertical=vertical)
-                     for line in lines]
-            comp_lines = None  # streams changed; comps are stale
+    # flags drive the machines, like hb_shape with no feature list.
+    # Under bidi the machines ran per level run inside the block above.
+    if not bidi and _morx_active:
+        lines = [_morx.apply(line, vertical=vertical)
+                 for line in lines]
+        comp_lines = None  # streams changed; comps are stale
 
     if wrap_width is not None and not vertical:
         space = int(font.charmap.glyph_index(0x20))
@@ -472,15 +493,34 @@ def layout_text(
             pen_x = 0.0
             line_start = len(instances)
             boxes: list = []
+            # tracking applies per typographic unit: the extra joins
+            # the pen only after a base's zero-advance attached marks
+            # placed (their GPOS offsets anchor against the unspaced
+            # advance), and rides the base's box for mirroring
+            pending = 0.0
+            pending_box = -1
             for idx, gid in enumerate(line):
+                adv = float(pos.x_advance[idx])
+                if adv != 0.0 and pending:
+                    pen_x += pending
+                    if pending_box >= 0:
+                        boxes[pending_box] += pending
+                    pending = 0.0
                 instances.append(Instance(
                     slot_of[gid],
                     pen_x + float(pos.x_offset[idx]),
                     pen_y + float(pos.y_offset[idx]),
                 ))
-                adv = float(pos.x_advance[idx]) + _extra(slot_of[gid])
                 boxes.append(adv)
                 pen_x += adv
+                if adv != 0.0:
+                    pending = _extra(slot_of[gid])
+                    pending_box = len(boxes) - 1
+                max_x = max(max_x, pen_x)
+            if pending:
+                pen_x += pending
+                if pending_box >= 0:
+                    boxes[pending_box] += pending
                 max_x = max(max_x, pen_x)
             if rtl or line_runs is not None:
                 # box mirror (GPOS ran on the logical stream); zero-
@@ -957,28 +997,47 @@ def _layout_vertical(
         col_start = len(instances)
         tops: list[float] = []
         heights: list[float] = []
+        # tracking widens the drop cell (the vertical advance box),
+        # deferred past zero-advance attached marks so their
+        # placement anchors against the unspaced drop; the extra
+        # rides the previous real cell for column-axis reordering
+        v_pending = 0.0
+        v_pending_cell = -1
         for idx, gid in enumerate(line):
             slot = slot_of[gid]
             if adv_h is not None:
                 ah = _vadv(gid)
+            else:
+                ah = float(upem)
+            if pos is not None:
+                ah += float(pos.y_advance[idx])
+            if ah != 0.0 and v_pending:
+                pen_y -= v_pending
+                if v_pending_cell >= 0:
+                    heights[v_pending_cell] += v_pending
+                v_pending = 0.0
+            if adv_h is not None:
                 # glyph bbox top hangs at pen - topSideBearing
                 y_off = pen_y - _vtsb(gid) - float(slot_ymax[slot])
             else:
-                ah = float(upem)
                 y_off = pen_y - float(font.info.ascent)
             x_off = x_axis - widths[slot] / 2.0
             if pos is not None:
-                ah += float(pos.y_advance[idx])
                 x_off += float(pos.x_offset[idx])
                 y_off += float(pos.y_offset[idx])
-            # tracking widens the drop cell (the vertical advance box)
-            ah += letter_spacing
-            if word_spacing and slot_chars[slot] == 0x20:
-                ah += word_spacing
             instances.append(Instance(slot, x_off, y_off))
             tops.append(pen_y)
             heights.append(ah)
             pen_y -= ah
+            if ah != 0.0:
+                v_pending = letter_spacing
+                if word_spacing and slot_chars[slot] == 0x20:
+                    v_pending += word_spacing
+                v_pending_cell = len(heights) - 1
+        if v_pending:
+            pen_y -= v_pending
+            if v_pending_cell >= 0:
+                heights[v_pending_cell] += v_pending
         if line_runs is not None and col_no < len(line_runs):
             _apply_column_direction(
                 instances, col_start, tops, heights,

@@ -233,3 +233,28 @@ class TestUseMyMetrics:
                     f.charmap.glyph_index(0xC5)):  # Å
             f.load_glyph(int(gid))
         np.testing.assert_array_equal(before, f.advance_widths)
+
+
+class TestReviewRegressions:
+    """Pinned fixes from the round-3-extension code review."""
+
+    def test_shy_without_cmap_entry_degrades_cleanly(self):
+        # font lacks U+00AD: SHY never enters the stream (no tofu)
+        f = Font.open("tests/data/kerx_pairs.ttf")
+        lt = layout_text(f, "A­V", wrap_width=10000)
+        gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        assert gids == [1, 2]
+
+    def test_tracking_defers_past_attached_marks(self, dj):
+        a = layout_text(dj, "x̂y", positioning=(), marks=True)
+        b = layout_text(dj, "x̂y", positioning=(), marks=True,
+                        letter_spacing=100)
+        # the mark stays on its GPOS anchor; the next base shifts once
+        assert b.instances[1].x == a.instances[1].x
+        assert b.instances[2].x - a.instances[2].x == 100
+
+    def test_morx_applies_under_bidi(self):
+        f = Font.open("tests/data/morx_nonctx.ttf")
+        lt = layout_text(f, "AC", bidi=True)
+        gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        assert gids == [2, 3]
