@@ -124,6 +124,7 @@ def _layout_for(font, text, cfg, vertical_ok: bool = False):
         word_spacing=cfg.word_spacing * font.info.units_per_em
         / cfg.size,
         underline=cfg.underline, strikethrough=cfg.strikethrough,
+        tracking_ptem=float(cfg.size) if cfg.tracking else None,
     )
 
 

@@ -470,6 +470,22 @@ class Font:
         return self._morx
 
     @property
+    def trak(self):
+        """AAT tracking table (:class:`fontrx.font.trak.TrakTable`)
+        or ``None`` — size-dependent letter spacing consumed by
+        ``layout_text(tracking_ptem=...)``."""
+        if not hasattr(self, "_trak"):
+            self._trak = None
+            if b"trak" in self.tables:
+                try:
+                    from fontrx.font.trak import TrakTable
+
+                    self._trak = TrakTable.parse(self._at(b"trak"))
+                except Exception as e:
+                    log.warning("trak table unusable: %s", e)
+        return self._trak
+
+    @property
     def decoration_metrics(self):
         """``(underline_pos, underline_thickness, strikeout_pos,
         strikeout_thickness)`` in font units — ``post``

@@ -69,6 +69,7 @@ def layout_text(
     word_spacing: float = 0.0,
     underline: bool = False,
     strikethrough: bool = False,
+    tracking_ptem: float | None = None,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -161,6 +162,16 @@ def layout_text(
     import unicodedata
 
     text = unicodedata.normalize("NFC", text)
+
+    # AAT trak: size-dependent tracking folds into the letter-spacing
+    # machinery (per real advance cell, deferred past attached marks).
+    # hb additionally shifts every glyph by trunc(v/2) — a constant
+    # line-origin offset fontrx omits (documented; the differential
+    # tests compensate).
+    if tracking_ptem is not None:
+        _trak = getattr(font, "trak", None)
+        if _trak is not None:
+            letter_spacing += _trak.value(tracking_ptem)
 
     # variable fonts: advances come from the current design location
     # (phantom-point deltas); static fonts/stacks fall through to hmtx

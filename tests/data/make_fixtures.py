@@ -1611,6 +1611,47 @@ def make_kerxtest():
     save([sub1()], "kerx_state.ttf")
 
 
+
+
+def make_traktest():
+    """AAT trak fixture: default track with two sizes (12pt -> -50,
+    24pt -> -100); hb interpolates between and EXTRAPOLATES beyond —
+    pinned in tests/test_trak.py."""
+    import struct as _s
+
+    from fontTools.ttLib.tables.DefaultTable import DefaultTable
+
+    names = [".notdef", "A", "V"]
+    fb = FontBuilder(1000, isTTF=True)
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord(c): c for c in "AV"})
+    gl = {}
+    for n in names:
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((0, 0)); pen.lineTo((100, 0))
+        pen.lineTo((50, 100)); pen.closePath()
+        gl[n] = pen.glyph()
+    fb.setupGlyf(gl)
+    fb.setupHorizontalMetrics({n: (600, 0) for n in names})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "TrakT", "styleName": "R"})
+    fb.setupOS2(); fb.setupPost()
+    n_tracks, n_sizes = 1, 2
+    track_data_off = 12
+    size_table_off = track_data_off + 8 + n_tracks * 8
+    values_off = size_table_off + 4 * n_sizes
+    header = _s.pack(">IHHHH", 0x10000, 0, track_data_off, 0, 0)
+    td = _s.pack(">HHI", n_tracks, n_sizes, size_table_off)
+    tt = _s.pack(">iHH", 0, 0, values_off)
+    sizes = _s.pack(">ii", 12 << 16, 24 << 16)
+    vals = _s.pack(">hh", -50, -100)
+    tbl = DefaultTable(tag="trak")
+    tbl.data = header + td + tt + sizes + vals
+    fb.font["trak"] = tbl
+    fb.save(os.path.join(HERE, "traktest.ttf"))
+    print("wrote traktest.ttf")
+
+
 if __name__ == "__main__":
     make_vartest()
     make_vartest2()
@@ -1630,5 +1671,6 @@ if __name__ == "__main__":
     make_vartest_cff2()
     make_morxtest()
     make_kerxtest()
+    make_traktest()
     if os.path.exists(PYGAME_MONO):
         make_cidtest()
