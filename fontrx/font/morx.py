@@ -467,7 +467,8 @@ class MorxTable:
     the default-on rendering path, which is what hb_shape does with
     no features either)."""
 
-    chains: tuple  # ((default_flags, (subtables...)), ...)
+    chains: tuple  # ((default_flags, feature_entries, (subtables...)), ...)
+    # feature_entries: ((type, setting, enable_mask, disable_mask), ...)
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "MorxTable":
@@ -489,6 +490,13 @@ class MorxTable:
             n_subs = _u32(d, p + 12)
             if chain_len < 16 or p + chain_len > len(d):
                 raise CorruptedFont("morx chain length out of bounds")
+            feats = []
+            for k in range(min(n_feats, 512)):
+                fp = p + 16 + 12 * k
+                if fp + 12 > len(d):
+                    break
+                feats.append((_u16(d, fp), _u16(d, fp + 2),
+                              _u32(d, fp + 4), _u32(d, fp + 8)))
             q = p + 16 + 12 * n_feats
             subs = []
             for _ in range(min(n_subs, 512)):
@@ -506,17 +514,29 @@ class MorxTable:
                     data=bytes(d[q + 12:q + sub_len]),
                 ))
                 q += sub_len
-            chains.append((default_flags, tuple(subs)))
+            chains.append((default_flags, tuple(feats), tuple(subs)))
             p += chain_len
         return cls(tuple(chains))
 
-    def apply(self, gids: list[int], vertical: bool = False) -> list[int]:
-        """Run every enabled subtable over the glyph stream (default
-        chain flags); deleted glyphs drop after each chain."""
+    def apply(self, gids: list[int], vertical: bool = False,
+              features=()) -> list[int]:
+        """Run every enabled subtable over the glyph stream; deleted
+        glyphs drop after each chain.
+
+        ``features``: AAT ``(featureType, featureSetting)`` selectors
+        layered over the chain defaults — each matching feature entry
+        rewrites the enable mask per the spec
+        (``flags = (flags & disable) | enable``, in table order)."""
         out = list(gids)
-        for default_flags, subs in self.chains:
+        for default_flags, feats, subs in self.chains:
+            flags = default_flags
+            if features:
+                want = set(features)
+                for ftype, fsetting, enable, disable in feats:
+                    if (ftype, fsetting) in want:
+                        flags = (flags & disable) | enable
             for sub in subs:
-                if not (sub.flags & default_flags):
+                if not (sub.flags & flags):
                     continue
                 if sub.vertical_only and not vertical and \
                         not sub.both_directions:

@@ -70,6 +70,7 @@ def layout_text(
     underline: bool = False,
     strikethrough: bool = False,
     tracking_ptem: float | None = None,
+    aat_features: tuple = (),
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -351,7 +352,8 @@ def layout_text(
                 if _morx_active:
                     # AAT substitutions run per level run (ligatures/
                     # machines never cross direction boundaries)
-                    shaped = _morx.apply(shaped, vertical=vertical)
+                    shaped = _morx.apply(shaped, vertical=vertical,
+                                         features=aat_features)
                     _shape_stream.last_comps = [0] * len(shaped)
                 extents.append(
                     (len(parts), len(parts) + len(shaped), lvl)
@@ -387,7 +389,8 @@ def layout_text(
     # flags drive the machines, like hb_shape with no feature list.
     # Under bidi the machines ran per level run inside the block above.
     if not bidi and _morx_active:
-        lines = [_morx.apply(line, vertical=vertical)
+        lines = [_morx.apply(line, vertical=vertical,
+                             features=aat_features)
                  for line in lines]
         comp_lines = None  # streams changed; comps are stale
 

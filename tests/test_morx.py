@@ -70,7 +70,7 @@ class TestParse:
         m = font.morx
         assert isinstance(m, MorxTable)
         assert len(m.chains) == 1
-        flags, subs = m.chains[0]
+        flags, _feats, subs = m.chains[0]
         assert flags == 1
         assert [s.kind for s in subs] == [2]
 
@@ -108,22 +108,22 @@ class TestIntegration:
     def test_vertical_only_subtable_skipped_horizontally(self):
         font = Font.open(FIXTURES["nonctx"])
         m = font.morx
-        flags, subs = m.chains[0]
+        flags, feats, subs = m.chains[0]
         # synthesize a vertical-only copy of the subtable
         from dataclasses import replace
 
         vert = replace(subs[0], coverage=subs[0].coverage | 0x80000000)
-        vm = MorxTable(((flags, (vert,)),))
+        vm = MorxTable(((flags, feats, (vert,)),))
         assert vm.apply([1, 3]) == [1, 3]           # skipped
         assert vm.apply([1, 3], vertical=True) == [2, 3]
 
     def test_disabled_subtable_skipped(self):
         font = Font.open(FIXTURES["nonctx"])
-        flags, subs = font.morx.chains[0]
+        flags, feats, subs = font.morx.chains[0]
         from dataclasses import replace
 
         off = replace(subs[0], flags=0x2)  # not in default flags
-        m = MorxTable(((flags, (off,)),))
+        m = MorxTable(((flags, feats, (off,)),))
         assert m.apply([1, 3]) == [1, 3]
 
 
@@ -150,3 +150,29 @@ class TestRobustness:
                 from fontrx.font.ttf import CorruptedFont
 
                 assert isinstance(e, (CorruptedFont, ValueError)), e
+
+
+class TestFeatureSelection:
+    def test_feature_rewrites_chain_flags(self):
+        # synthesize: default flags enable subtable A->B (flag 1); a
+        # feature entry (type 1, setting 2) disables it and enables a
+        # flag-2 copy with a different mapping
+        from dataclasses import replace
+
+        font = Font.open(FIXTURES["nonctx"])
+        _flags, _feats, subs = font.morx.chains[0]
+        alt = replace(subs[0], flags=0x2)
+        feats = ((1, 2, 0x2, 0xFFFFFFFD),)  # enable 2, disable 1
+        m = MorxTable(((0x1, feats, (subs[0], alt)),))
+        # default: only the flag-1 subtable runs
+        assert m.apply([1, 3]) == [2, 3]
+        # selecting (1, 2): flag 1 off, flag 2 on — same mapping here,
+        # but the flag arithmetic is what's pinned
+        assert m.apply([1, 3], features=[(1, 2)]) == [2, 3]
+        off_everything = ((1, 2, 0x0, 0xFFFFFFFC),)
+        m2 = MorxTable(((0x1, off_everything, (subs[0], alt)),))
+        assert m2.apply([1, 3], features=[(1, 2)]) == [1, 3]
+
+    def test_unknown_feature_keeps_defaults(self):
+        font = Font.open(FIXTURES["nonctx"])
+        assert font.morx.apply([1, 3], features=[(99, 1)]) == [2, 3]
