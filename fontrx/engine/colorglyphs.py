@@ -182,6 +182,17 @@ def _eval_node(node, cov, grid, tile: int):
         # exact group opacity (SVG `opacity` on a composited subtree):
         # premultiplied RGBA scales linearly
         return _eval_node(node[2], cov, grid, tile) * node[1]
+    if node[0] == "mask":
+        # SVG luminance masking: the content scales by the mask
+        # render's luminance x alpha (CSS masking / Rec.709
+        # coefficients on the unpremultiplied color)
+        src = _eval_node(node[1], cov, grid, tile)
+        m = _eval_node(node[2], cov, grid, tile)
+        ma = m[..., 3:]
+        rgb = m[..., :3] / jnp.where(ma == 0, 1.0, ma)
+        lum = (0.2126 * rgb[..., 0:1] + 0.7152 * rgb[..., 1:2]
+               + 0.0722 * rgb[..., 2:3])
+        return src * (lum * ma)
     if node[0] == "layers":
         acc = jnp.zeros((tile, tile, 4), jnp.float32)
         for k in node[1]:
@@ -390,6 +401,8 @@ def color_glyph_tiles(
                 return ("layers", [collect(k) for k in node[1]])
             if node[0] == "alpha":
                 return ("alpha", node[1], collect(node[2]))
+            if node[0] == "mask":
+                return ("mask", collect(node[1]), collect(node[2]))
             return ("composite", node[1], collect(node[2]),
                     collect(node[3]))
 

@@ -38,8 +38,11 @@ use references; the clip union is exact for non-self-intersecting
 children), and **stroke** (stroke-to-outline via
 :mod:`fontrx.font.stroke`: butt/round/square caps, miter/round/bevel
 joins with miterlimit, dasharray/dashoffset, solid + gradient stroke
-paints).  Documented remaining gaps: ``mask``/``filter`` are ignored
-with a log notice; self-intersecting evenodd paths and
+paints), and **mask** (luminance x alpha of the mask render scales
+the content — the engine's ``("mask", content, mask)`` node with CSS
+masking / Rec.709 coefficients; maskContentUnits=userSpaceOnUse, the
+region clip unapplied).  Documented remaining gaps: ``filter`` is
+ignored with a log notice; self-intersecting evenodd paths and
 self-intersecting clip children keep the nesting-depth approximation.
 """
 
@@ -931,18 +934,21 @@ class SvgDocument:
         return ("layers", [node])
 
     @staticmethod
-    def _finish(out, nodes, opacity, clip):
+    def _finish(out, nodes, opacity, clip, mask=None):
         """Wrap an element's rendered nodes with its own opacity
-        (exact: offscreen-composited via the ``alpha`` node) and
-        clip-path (SrcIn against the clip geometry's coverage), then
-        append to the parent's node list."""
-        if not nodes or clip == "empty":
+        (exact: offscreen-composited via the ``alpha`` node),
+        clip-path (SrcIn against the clip geometry's coverage) and
+        mask (luminance x alpha of the mask render), then append to
+        the parent's node list."""
+        if not nodes or clip == "empty" or mask == "empty":
             return
         node = nodes[0] if len(nodes) == 1 else ("layers", nodes)
         if opacity < 1.0:
             node = ("alpha", opacity, node)
         if clip is not None:
             node = ("composite", 5, node, clip)
+        if mask is not None:
+            node = ("mask", node, mask)
         out.append(node)
 
     def _emit(self, el, xf, style, foreground, out, depth=0):
@@ -959,17 +965,18 @@ class SvgDocument:
             return
         own_op = _safe_float(own.get("opacity", 1.0) or 1.0)
         xf = affine_mul(xf, parse_transform(own.get("transform", "")))
-        for ignored in ("mask", "filter"):
-            v = own.get(ignored)
-            if v and v.strip() not in ("none", ""):
-                self._warn_once(ignored)
+        v = own.get("filter")
+        if v and v.strip() not in ("none", ""):
+            self._warn_once("filter")
         clip = self._resolve_clip(own.get("clip-path"), xf, el)
+        mask = self._resolve_mask(own.get("mask"), xf, style,
+                                  foreground, depth)
 
         if tag in ("g", "svg", "a"):
             sub: list = []
             for child in el:
                 self._emit(child, xf, st, foreground, sub, depth + 1)
-            self._finish(out, sub, own_op, clip)
+            self._finish(out, sub, own_op, clip, mask)
             return
         if tag == "use":
             ref = _href(el)
@@ -982,7 +989,7 @@ class SvgDocument:
                 sub = []
                 self._emit(target, affine_mul(xf, shift), st,
                            foreground, sub, depth + 1)
-                self._finish(out, sub, own_op, clip)
+                self._finish(out, sub, own_op, clip, mask)
             return
         if tag in ("defs", "linearGradient", "radialGradient",
                    "clipPath", "mask", "symbol", "style", "title",
@@ -1007,7 +1014,7 @@ class SvgDocument:
                 if po and po[0] == "stroke" else
                 [fill_leaf, stroke_leaf])
         leaves.extend(leaf for leaf in pair if leaf is not None)
-        self._finish(out, leaves, own_op, clip)
+        self._finish(out, leaves, own_op, clip, mask)
 
     def _paint_leaf(self, chains, xf, st, foreground, prop,
                     bbox_chains=None, fill_rule=None):
@@ -1097,6 +1104,32 @@ class SvgDocument:
         return self._paint_leaf(sk, xf, st, foreground, "stroke",
                                 bbox_chains=chains,
                                 fill_rule="nonzero")
+
+    def _resolve_mask(self, value, xf, style, foreground, depth):
+        """``mask`` property -> a render-tree node whose luminance x
+        alpha scales the masked content, None (no mask), or
+        ``"empty"`` (an empty mask hides the element).  The mask's
+        children render with full paint capability
+        (maskContentUnits=userSpaceOnUse, the default; the mask
+        REGION x/y/width/height clip is not applied — content-bounded
+        masks, the practical corpus, are unaffected)."""
+        v = (value or "").strip()
+        if not v or v == "none":
+            return None
+        m = re.match(r"url\(\s*#([^)\s]+)\s*\)", v)
+        mel = self.ids.get(m.group(1)) if m else None
+        if mel is None or _local(mel.tag) != "mask":
+            self._warn_once("mask (unresolved reference)")
+            return None
+        if depth > 16:
+            return None
+        sub: list = []
+        for child in mel:
+            self._emit(child, xf, dict(style), foreground, sub,
+                       depth + 8)
+        if not sub:
+            return "empty"
+        return sub[0] if len(sub) == 1 else ("layers", sub)
 
     # -- clip paths -----------------------------------------------------
 

@@ -574,3 +574,90 @@ class TestStrokeStyleResolution:
         first, second = tree[1]
         assert first[2][1][:3] == (0, 0, 0xFF)   # stroke painted first
         assert second[2][1][:3] == (0, 0x80, 0)  # fill on top
+
+
+class TestMask:
+    def test_luminance_mask_scales_alpha(self, engine):
+        from fontrx.engine.colorglyphs import _eval_node
+        from fontrx.font.svgdoc import SvgDocument
+        import jax.numpy as jnp
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <defs><mask id="m">
+            <rect x="0" y="-1000" width="500" height="1000"
+                  fill="white"/>
+            <rect x="500" y="-1000" width="500" height="1000"
+                  fill="#808080"/>
+          </mask></defs>
+          <rect id="glyph1" x="100" y="-600" width="800" height="400"
+                fill="red" mask="url(#m)"/>
+        </svg>""", 1000)
+        tree = doc.glyph_tree(1)
+        node = tree[1][0]
+        assert node[0] == "mask"
+        # render through a synthetic single-glyph pipeline: build a
+        # tiny Font-like fixture is overkill — evaluate structure
+        # numerically instead via the engine path on the svgtest font
+        # is not possible for an inline doc, so pin the node algebra:
+        assert node[1][0] == "outline"      # the red rect
+        assert node[2][0] == "layers"       # white + gray mask rects
+
+    def test_mask_pixels_through_pipeline(self, engine, tmp_path):
+        # build an on-disk font with the mask doc and render it
+        import io
+
+        import numpy as np
+        from fontTools.fontBuilder import FontBuilder
+        from fontTools.pens.ttGlyphPen import TTGlyphPen
+        from fontTools.ttLib import newTable
+        from fontTools.ttLib.tables.S_V_G_ import SVGDocument as SD
+
+        fb = FontBuilder(1000, isTTF=True)
+        names = [".notdef", "m"]
+        fb.setupGlyphOrder(names)
+        fb.setupCharacterMap({ord("M"): "m"})
+        gl = {}
+        for n in names:
+            pen = TTGlyphPen(glyphSet={})
+            pen.moveTo((0, 0)); pen.lineTo((10, 0))
+            pen.lineTo((5, 10)); pen.closePath()
+            gl[n] = pen.glyph()
+        fb.setupGlyf(gl)
+        fb.setupHorizontalMetrics({n: (1000, 0) for n in names})
+        fb.setupHorizontalHeader(ascent=800, descent=-200)
+        fb.setupNameTable({"familyName": "MaskT", "styleName": "R"})
+        fb.setupOS2(); fb.setupPost()
+        doc = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+          <defs><mask id="m">
+            <rect x="0" y="-1000" width="500" height="1000" fill="white"/>
+            <rect x="500" y="-1000" width="500" height="1000" fill="#808080"/>
+          </mask></defs>
+          <rect id="glyph1" x="100" y="-600" width="800" height="400" fill="red" mask="url(#m)"/>
+        </svg>"""
+        svg = newTable("SVG ")
+        svg.docList = [SD(doc, 1, 1)]
+        fb.font["SVG "] = svg
+        buf = io.BytesIO()
+        fb.font.save(buf)
+        p = tmp_path / "mask.ttf"
+        p.write_bytes(buf.getvalue())
+
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.font.font import Font
+
+        font = Font.open(str(p))
+        rgba, grids = color_glyph_tiles(
+            font, [font.glyph_index("M")], 100, engine)
+        tile = np.asarray(rgba[0])
+        g = grids[0]
+        scale = float(g.scale)
+
+        def a(ux, uy):
+            col = int(round(ux * scale)) - g.min_x
+            row = g.max_y - int(round(uy * scale))
+            return float(tile[row, col, 3])
+
+        assert a(300, 400) > 0.99                    # white mask half
+        assert abs(a(700, 400) - 0x80 / 255) < 0.02  # gray: lum scales
+        assert a(300, 900) < 0.01                    # outside the rect
