@@ -152,11 +152,15 @@ class Font:
             except Exception as e:  # malformed kern degrades to none
                 log.warning("kern table unusable: %s", e)
         if self.kerning is None and b"kerx" in self.tables:
-            # AAT extended kerning: same .lookup interface
+            # AAT extended kerning: same .lookup interface (ankr
+            # feeds format-4 anchor attachment)
             try:
                 from fontrx.font.kerx import KerxTable
 
-                self.kerning = KerxTable.parse(self._at(b"kerx"))
+                self.kerning = KerxTable.parse(
+                    self._at(b"kerx"),
+                    ankr=(self._at(b"ankr")
+                          if b"ankr" in self.tables else None))
             except Exception as e:
                 log.warning("kerx table unusable: %s", e)
 

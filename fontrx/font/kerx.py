@@ -10,13 +10,13 @@ subtables accumulate (the same convention as the legacy table):
 - **format 2**: two-ClassTable matrix (AAT lookups yielding
   premultiplied byte offsets; value at ``subtable[left + right]``);
 - **format 6**: row/column index form (AAT lookups yielding indices
-  into a kerning vector; 16- or 32-bit flavors).
-
-Format 1 (state-machine contextual kerning) and format 4 (control
-point attachment via ``ankr``) are parsed and skipped with a log
-notice — they position via state machines rather than pair values and
-are rare outside Apple system fonts; the subtable framing is honored
-so their presence never corrupts the accumulating formats.
+  into a kerning vector; 16- or 32-bit flavors);
+- **format 1**: contextual state-machine kerning (push/pop value
+  lists, odd-bit termination) surfaced as per-position pen deltas;
+- **format 4**: anchor attachment — the machine aligns the current
+  glyph's ``ankr`` anchor (or direct coordinates) to a marked
+  glyph's, a pure position offset (``attach_offsets``); outline
+  control-point actions are skipped with a notice.
 
 The shaping oracle is HarfBuzz (``tests/test_kerx.py``): hb_shape's
 advances on the hand-assembled fixtures must match the layout
@@ -165,6 +165,102 @@ class _StateKern:
         return np.zeros(np.shape(np.asarray(left)), np.int32)
 
 
+def parse_ankr(data: bytes, base: int = 0) -> dict:
+    """AAT anchor-point table -> {gid: [(x, y), ...]} (consumed by
+    kerx format 4)."""
+    if base + 12 > len(data):
+        raise CorruptedFont("ankr header truncated")
+    lookup_off = _u32(data, base + 4)
+    glyph_data_off = _u32(data, base + 8)
+    lut = aat_lookup(data, base + lookup_off)
+    out: dict = {}
+    for gid, off in lut.items():
+        p = base + glyph_data_off + off
+        if p + 4 > len(data):
+            continue
+        n = _u32(data, p)
+        if n > 64:
+            continue
+        pts = []
+        for k in range(n):
+            q = p + 4 + 4 * k
+            if q + 4 > len(data):
+                break
+            pts.append((_s16(_u16(data, q)), _s16(_u16(data, q + 2))))
+        out[gid] = pts
+    return out
+
+
+@dataclass(frozen=True, slots=True)
+class _AnchorAttach:
+    """kerx format 4: anchor attachment.  The machine marks a glyph;
+    an action aligns the CURRENT glyph's anchor to the marked glyph's
+    (a pure position offset — the pen advances normally, the
+    hb-pinned semantics).  Action types: 1 = ankr anchor indices,
+    2 = direct FWORD coordinate pairs; type 0 (outline control
+    points) is skipped with a notice."""
+
+    stx: object
+    action_type: int
+    action_off: int
+    anchors: dict     # from ankr (type 1)
+
+    def offsets(self, gids, advances):
+        """Per-position (dx, dy) placement offsets."""
+        n = len(gids)
+        dx = np.zeros(n, np.int32)
+        dy = np.zeros(n, np.int32)
+        if self.action_type == 0:
+            log.info("kerx format 4 control-point actions skipped")
+            return dx, dy
+        d = self.stx.data
+        pens = np.concatenate(([0], np.cumsum(
+            np.asarray(advances, np.int64))))
+        marked = {"i": None}
+
+        def anchor(gid, idx):
+            pts = self.anchors.get(gid)
+            if pts and 0 <= idx < len(pts):
+                return pts[idx]
+            return None
+
+        def handler(i, entry):
+            _new, flags, action_index = entry
+            if action_index != 0xFFFF and marked["i"] is not None \
+                    and i < n:
+                mi = marked["i"]
+                if self.action_type == 1:
+                    p = self.action_off + 4 * action_index
+                    if p + 4 <= len(d):
+                        ma = anchor(gids[mi], _u16(d, p))
+                        ca = anchor(gids[i], _u16(d, p + 2))
+                        if ma and ca:
+                            dx[i] = (pens[mi] + dx[mi] + ma[0]
+                                     - pens[i] - ca[0])
+                            dy[i] = dy[mi] + ma[1] - ca[1]
+                else:  # coordinates: markedX markedY currentX currentY
+                    p = self.action_off + 8 * action_index
+                    if p + 8 <= len(d):
+                        mx = _s16(_u16(d, p))
+                        my = _s16(_u16(d, p + 2))
+                        cx = _s16(_u16(d, p + 4))
+                        cy = _s16(_u16(d, p + 6))
+                        dx[i] = (pens[mi] + dx[mi] + mx
+                                 - pens[i] - cx)
+                        dy[i] = dy[mi] + my - cy
+            if flags & 0x8000:  # mark
+                marked["i"] = i
+
+        try:
+            self.stx.run(list(gids), 1, handler)
+        except (CorruptedFont, IndexError) as e:
+            log.warning("kerx anchor machine unusable: %s", e)
+        return dx, dy
+
+    def lookup(self, left, right):
+        return np.zeros(np.shape(np.asarray(left)), np.int32)
+
+
 @dataclass(frozen=True, slots=True)
 class KerxTable:
     """Parsed horizontal ``kerx`` kerning; ``lookup`` matches the
@@ -174,7 +270,14 @@ class KerxTable:
     forms: tuple
 
     @classmethod
-    def parse(cls, r: BigEndianReader) -> "KerxTable | None":
+    def parse(cls, r: BigEndianReader,
+              ankr: "BigEndianReader | None" = None) -> "KerxTable | None":
+        anchors: dict = {}
+        if ankr is not None:
+            try:
+                anchors = parse_ankr(ankr.data, ankr.pos)
+            except (CorruptedFont, IndexError, struct.error) as e:
+                log.warning("ankr table unusable: %s", e)
         d = r.data
         base = r.pos
         if base + 8 > len(d):
@@ -201,7 +304,7 @@ class KerxTable:
             if vertical or cross:
                 continue
             try:
-                form = cls._parse_subtable(fmt, sub)
+                form = cls._parse_subtable(fmt, sub, anchors)
             except (CorruptedFont, IndexError, struct.error) as e:
                 log.warning("kerx subtable unusable: %s", e)
                 continue
@@ -212,7 +315,7 @@ class KerxTable:
         return cls(tuple(forms))
 
     @staticmethod
-    def _parse_subtable(fmt: int, sub: bytes):
+    def _parse_subtable(fmt: int, sub: bytes, anchors: dict):
         if fmt == 0:
             n = _u32(sub, 0)
             if 16 + 6 * n > len(sub):
@@ -259,8 +362,11 @@ class KerxTable:
             stx = _Stx.parse(sub, 1)
             return _StateKern(stx, stx.extra[0])
         if fmt == 4:
-            log.info("kerx format 4 (control-point via ankr) skipped")
-            return None
+            stx = _Stx.parse(sub, 1)
+            flags_word = stx.extra[0]
+            action_type = (flags_word >> 30) & 0x3
+            action_off = flags_word & 0x00FFFFFF
+            return _AnchorAttach(stx, action_type, action_off, anchors)
         raise CorruptedFont(f"kerx format {fmt}")
 
     def lookup(self, left, right):
@@ -269,6 +375,19 @@ class KerxTable:
             v = f.lookup(left, right)
             out = v if out is None else out + v
         return out
+
+    def attach_offsets(self, gids, advances):
+        """Per-position (dx, dy) placement offsets from format-4
+        anchor machines (zeros when the table has none).  Pens are
+        modeled as plain advance sums — exact for AAT-only fonts
+        (nothing else moves the pen before attachment)."""
+        dx = np.zeros(len(gids), np.int32)
+        dy = np.zeros(len(gids), np.int32)
+        for f in self.forms:
+            if isinstance(f, _AnchorAttach):
+                a, b = f.offsets(gids, advances)
+                dx, dy = dx + a, dy + b
+        return dx, dy
 
     def contextual_deltas(self, gids) -> np.ndarray:
         """Per-position pen deltas from format-1 state machines (zero

@@ -567,6 +567,12 @@ def layout_text(
                    if kern_table is not None
                    and hasattr(kern_table, "contextual_deltas")
                    and line else None)
+            # kerx format-4 anchor attachment: pure position offsets
+            att = (kern_table.attach_offsets(
+                       line, [widths[slot_of[g]] for g in line])
+                   if kern_table is not None
+                   and hasattr(kern_table, "attach_offsets")
+                   and line else None)
             for idx, gid in enumerate(line):
                 slot = slot_of[gid]
                 if ctx is not None:
@@ -598,7 +604,12 @@ def layout_text(
                     pen_x += float(np.asarray(
                         kern_table.lookup(prev_gid, gid)
                     ).reshape(-1)[0])
-                instances.append(Instance(slot, pen_x, pen_y))
+                instances.append(Instance(
+                    slot,
+                    pen_x + (float(att[0][idx]) if att is not None
+                             else 0.0),
+                    pen_y + (float(att[1][idx]) if att is not None
+                             else 0.0)))
                 adv = float(widths[slot]) + _extra(slot)
                 boxes.append(adv)
                 prev_x = pen_x

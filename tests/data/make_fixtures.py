@@ -1610,6 +1610,52 @@ def make_kerxtest():
 
     save([sub1()], "kerx_state.ttf")
 
+    # format 4 + ankr: V's anchor 0 aligns to a preceding A's anchor 0
+    # (A anchor at (500, 700), V anchor at (100, 100)) — a pure
+    # position offset, the hb-pinned semantics
+    def ankr_bytes():
+        lut = lookup8(1, [0, 8])
+        lookup_off = 12
+        glyph_data_off = lookup_off + len(lut)
+        gd = _s.pack(">Ihh", 1, 500, 700) + _s.pack(">Ihh", 1, 100, 100)
+        return _s.pack(">HHII", 0, 0, lookup_off,
+                       glyph_data_off) + lut + gd
+
+    def sub4():
+        n_classes = 6
+        classes = lookup8(1, [4, 5])
+        MARK = 0x8000
+        entries = [(0, 0, 0xFFFF), (2, MARK, 0xFFFF), (0, 0, 0)]
+        state_rows = [
+            [0, 0, 0, 0, 1, 0],
+            [0, 0, 0, 0, 1, 0],
+            [0, 0, 0, 0, 1, 2],
+        ]
+        class_off = 20
+        st = pad4(b"".join(
+            _s.pack(">H", e) for row in state_rows for e in row))
+        ents = pad4(b"".join(_s.pack(">HHH", *e) for e in entries))
+        state_off = class_off + len(classes)
+        entry_off = state_off + len(st)
+        cp_off = entry_off + len(ents)
+        actions = _s.pack(">HH", 0, 0)  # anchor pair (0, 0)
+        flags_word = (1 << 30) | cp_off  # anchor-point action type
+        body = _s.pack(">IIIII", n_classes, class_off, state_off,
+                       entry_off, flags_word) + classes + st + \
+            ents + actions
+        body = pad4(body)
+        return _s.pack(">III", 12 + len(body), 0x0004, 0) + body
+
+    fb = base_font()
+    tbl = DefaultTable(tag="kerx")
+    tbl.data = _s.pack(">HHI", 2, 0, 1) + sub4()
+    fb.font["kerx"] = tbl
+    tbl2 = DefaultTable(tag="ankr")
+    tbl2.data = ankr_bytes()
+    fb.font["ankr"] = tbl2
+    fb.save(os.path.join(HERE, "kerx_anchor.ttf"))
+    print("wrote kerx_anchor.ttf")
+
 
 
 

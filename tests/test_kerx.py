@@ -133,3 +133,41 @@ class TestStateMachine:
         np.testing.assert_array_equal(d, [-150, 0])
         d = font.kerning.contextual_deltas([1, 3])  # A W
         np.testing.assert_array_equal(d, [0, 0])
+
+
+class TestAnchorAttachment:
+    """Format 4 + ankr: anchor alignment as a pure position offset
+    (pen advances normally), hb-pinned."""
+
+    PATH = "tests/data/kerx_anchor.ttf"
+
+    @pytest.mark.parametrize("text,expect", [
+        ("AV", [(0, 0), (400, 600)]),
+        ("VA", [(0, 0), (600, 0)]),
+        ("AVA", [(0, 0), (400, 600), (1200, 0)]),
+    ])
+    def test_positions(self, text, expect):
+        font = Font.open(self.PATH)
+        lt = layout_text(font, text, kern=True)
+        ours = [(round(i.x), round(i.y)) for i in lt.instances]
+        assert ours == expect
+        if hb.available():
+            with open(self.PATH, "rb") as f:
+                data = f.read()
+            pen = 0
+            hp = []
+            for g in hb.shape(data, text):
+                hp.append((pen + g.x_offset, g.y_offset))
+                pen += g.x_advance
+            assert ours == hp
+
+    def test_ankr_parse(self):
+        from fontrx.font.kerx import parse_ankr
+
+        font = Font.open(self.PATH)
+        with open(self.PATH, "rb") as f:
+            data = f.read()
+        r = font._at(b"ankr")
+        anchors = parse_ankr(r.data, r.pos)
+        assert anchors[1] == [(500, 700)]
+        assert anchors[2] == [(100, 100)]
