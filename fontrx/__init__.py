@@ -35,3 +35,53 @@ __version__ = "0.1.0"
 from fontrx.font.font import Font  # noqa: F401
 from fontrx.font.stack import FontStack  # noqa: F401
 from fontrx.pack.segments import pack_glyph, pack_glyphs  # noqa: F401
+
+
+def render_text(font, text, *, size=256, mode="fill", engine=None,
+                **options):
+    """One-call library rendering: ``text`` -> uint8 RGB image array.
+
+    ``font`` is a path, raw bytes, or an opened :class:`Font`/
+    :class:`FontStack`; ``mode`` and ``options`` mirror the CLI flags
+    (``kern=True``, ``ligatures=True``, ``mode="color"``,
+    ``vertical=True``, ``underline=True``, ``wrap=800``,
+    ``variation="wght=700"``, ...).  The same dispatch the ``fontrx``
+    CLI uses renders the image; pass an :class:`~fontrx.engine.raster.
+    RasterEngine` to reuse compiled kernels across calls.
+
+    >>> img = render_text("DejaVuSans.ttf", "Hello", size=64,
+    ...                   kern=True)
+    >>> img.shape   # (H, W, 3) uint8
+    """
+    from fontrx.cli.config import Config
+    from fontrx.cli.main import _render
+
+    if isinstance(font, str):
+        font = Font.open(font)
+    elif isinstance(font, (bytes, bytearray)):
+        font = Font(bytes(font))
+
+    cfg_kwargs = {"font_file": "<memory>", "text": text, "size": size,
+                  "mode": mode}
+    import dataclasses
+
+    valid = {f.name for f in dataclasses.fields(Config)}
+    unknown = set(options) - valid
+    if unknown:
+        raise TypeError(f"unknown render options: {sorted(unknown)}")
+    cfg = Config(**cfg_kwargs, **options)
+
+    if engine is None:
+        from fontrx.engine.raster import RasterEngine
+
+        engine = RasterEngine(backend=getattr(cfg, "backend", "auto"))
+    if cfg.variation and hasattr(font, "set_variation"):
+        loc = {}
+        for part in cfg.variation.split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                loc[k.strip()] = float(v)
+        font.set_variation(loc)
+    import numpy as np
+
+    return np.asarray(_render(font, text, cfg, engine))

@@ -594,3 +594,55 @@ class TestViewerAxisUI:
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+class TestRenderTextApi:
+    """`fontrx.render_text` — the one-call library surface."""
+
+    def test_fill_render(self):
+        import fontrx
+
+        img = fontrx.render_text(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+            "Hi", size=48, kern=True)
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert img.dtype.name == "uint8"
+        assert (img != img.flat[0]).any()  # something rendered
+
+    def test_bytes_and_font_inputs(self):
+        import fontrx
+        from fontrx.font.font import Font
+
+        path = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+        with open(path, "rb") as f:
+            data = f.read()
+        a = fontrx.render_text(data, "x", size=32)
+        b = fontrx.render_text(Font(data), "x", size=32)
+        import numpy as np
+
+        np.testing.assert_array_equal(a, b)
+
+    def test_variation_option(self):
+        import fontrx
+        import numpy as np
+
+        a = fontrx.render_text("tests/data/vartest.ttf", "A", size=48)
+        b = fontrx.render_text("tests/data/vartest.ttf", "A", size=48,
+                               variation="wght=700")
+        assert a.shape != b.shape or (np.asarray(a) != np.asarray(b)).any()
+
+    def test_unknown_option_raises(self):
+        import fontrx
+        import pytest
+
+        with pytest.raises(TypeError, match="unknown render options"):
+            fontrx.render_text(
+                "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                "x", sizee=10)
+
+    def test_color_mode(self):
+        import fontrx
+
+        img = fontrx.render_text("tests/data/svgtest.ttf", "IK",
+                                 size=64, mode="color")
+        assert img.shape[2] == 3
