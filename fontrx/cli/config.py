@@ -80,6 +80,7 @@ class Config:
     underline: bool = option(None, default=False, help="draw per-line underline bars (post metrics; MVAR-varied)")
     strikethrough: bool = option(None, default=False, help="draw per-line strikeout bars (OS/2 metrics; MVAR-varied)")
     tracking: bool = option(None, default=False, help="apply the font's AAT trak curve at --size points")
+    align: str = option(None, default="left", help="left|right|center|justify (justify needs --wrap; applies per wrapped block)")
     fallback: Optional[str] = option(None, default=None, help="comma-separated fallback font paths: characters the primary font lacks resolve through these in order")
     serve: int = option(None, default=0, help="serve a live browser viewer on this port (with -i)")
 

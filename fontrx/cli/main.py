@@ -125,6 +125,7 @@ def _layout_for(font, text, cfg, vertical_ok: bool = False):
         / cfg.size,
         underline=cfg.underline, strikethrough=cfg.strikethrough,
         tracking_ptem=float(cfg.size) if cfg.tracking else None,
+        align=cfg.align,
     )
 
 

@@ -71,6 +71,7 @@ def layout_text(
     strikethrough: bool = False,
     tracking_ptem: float | None = None,
     aat_features: tuple = (),
+    align: str = "left",
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -495,6 +496,7 @@ def layout_text(
     instances: list[Instance] = []
     max_x = 0.0
     line_ends: list[float] = []
+    line_spans: list[tuple[int, int]] = []
     if positioner is not None:
         for line_no, line in enumerate(lines):
             pen_y = -line_no * float(line_height)
@@ -626,11 +628,57 @@ def layout_text(
                 )
                 max_x = max(max_x, pen_x)
             line_ends.append(pen_x)
+            line_spans.append((line_start, len(instances)))
+
+    # alignment post-pass: uniform line shifts (right/center) or
+    # space-cell stretching (justify; skips the last line, rtl/bidi
+    # lines keep left behavior with a warning) — marks follow their
+    # bases contiguously in instance order, so cumulative shifts
+    # after spaces move whole clusters rigidly
+    line_geom = [(0.0, w) for w in line_ends]
+    if align != "left" and line_ends:
+        target = (wrap_width if wrap_width is not None
+                  else max(line_ends))
+        for li, ((s_, e_), w) in enumerate(zip(line_spans, line_ends)):
+            if align in ("right", "center"):
+                shift = (target - w) / (2.0 if align == "center"
+                                        else 1.0)
+                for k in range(s_, e_):
+                    inst = instances[k]
+                    instances[k] = Instance(
+                        inst.glyph_slot, inst.x + shift, inst.y)
+                line_geom[li] = (shift, w)
+                max_x = max(max_x, shift + w)
+            elif align == "justify":
+                if rtl or line_runs is not None:
+                    from fontrx.utils.log import get_logger
+
+                    get_logger("Layout").warning(
+                        "justify is unsupported with rtl/bidi; "
+                        "keeping left alignment")
+                    break
+                if li == len(line_spans) - 1 or target <= w:
+                    continue  # the last line never justifies
+                spaces = [k for k in range(s_, e_)
+                          if slot_chars[instances[k].glyph_slot]
+                          == 0x20]
+                if not spaces:
+                    continue
+                per = (target - w) / len(spaces)
+                cum = 0.0
+                for k in range(s_, e_):
+                    inst = instances[k]
+                    instances[k] = Instance(
+                        inst.glyph_slot, inst.x + cum, inst.y)
+                    if k in spaces:
+                        cum += per
+                line_geom[li] = (0.0, target)
+                max_x = max(max_x, target)
 
     extra_gids: list[int] = []
     if underline or strikethrough:
         for g, syn_gid, places in _decoration_bars(
-                font, line_ends, float(line_height), underline,
+                font, line_geom, float(line_height), underline,
                 strikethrough):
             slot = len(glyphs)
             glyphs.append(g)
@@ -756,7 +804,7 @@ def _bar_glyph(w: int, y0: int, y1: int):
                  (Contour(_normalize_contour(pts, on)),))
 
 
-def _decoration_bars(font, line_ends, line_height, underline,
+def _decoration_bars(font, line_geom, line_height, underline,
                      strikethrough):
     """Underline/strikeout bars per laid-out line: a list of
     ``(Glyph, synthetic_gid, [(x, y) placements])``.  Positions come
@@ -781,7 +829,7 @@ def _decoration_bars(font, line_ends, line_height, underline,
         kinds.append((int(round(s_pos)), max(int(round(s_thick)), 1)))
     cache: dict = {}
     out = []
-    for line_no, w in enumerate(line_ends):
+    for line_no, (x0, w) in enumerate(line_geom):
         w = int(round(w))
         if w <= 0:
             continue
@@ -792,7 +840,7 @@ def _decoration_bars(font, line_ends, line_height, underline,
                 gid = -1 - (zlib.crc32(repr(key).encode()) & 0x7FFFFFFF)
                 cache[key] = (g, gid, [])
                 out.append(cache[key])
-            cache[key][2].append((0.0, -line_no * line_height))
+            cache[key][2].append((x0, -line_no * line_height))
     return out
 
 

@@ -258,3 +258,46 @@ class TestReviewRegressions:
         lt = layout_text(f, "AC", bidi=True)
         gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
         assert gids == [2, 3]
+
+
+class TestAlignment:
+    def test_right_and_center(self, dj):
+        left = layout_text(dj, "hi\nlonger line", wrap_width=None)
+        right = layout_text(dj, "hi\nlonger line", align="right")
+        center = layout_text(dj, "hi\nlonger line", align="center")
+        # line 1 ("longer line") is the widest: unmoved under right
+        rows = sorted({i.y for i in right.instances}, reverse=True)
+        r0 = [i for i in right.instances if i.y == rows[0]]
+        l0 = [i for i in left.instances if i.y == rows[0]]
+        shift = r0[0].x - l0[0].x
+        assert shift > 0  # the short line moved right
+        c0 = [i for i in center.instances if i.y == rows[0]]
+        assert abs((c0[0].x - l0[0].x) - shift / 2) < 1e-6
+
+    def test_justify_stretches_spaces_only(self, dj):
+        text = "a b c d e f g h\nlast"
+        base = layout_text(dj, text, wrap_width=9000)
+        just = layout_text(dj, text, wrap_width=9000, align="justify")
+        rows = sorted({i.y for i in just.instances}, reverse=True)
+        j0 = sorted((i for i in just.instances if i.y == rows[0]),
+                    key=lambda i: i.x)
+        b0 = sorted((i for i in base.instances if i.y == rows[0]),
+                    key=lambda i: i.x)
+        # first glyph unmoved, last glyph pushed toward the budget
+        assert j0[0].x == b0[0].x
+        assert j0[-1].x > b0[-1].x
+        # the LAST line never justifies
+        last = rows[-1]
+        j1 = [i for i in just.instances if i.y == last]
+        b1 = [i for i in base.instances if i.y == last]
+        assert sorted(i.x for i in j1) == sorted(i.x for i in b1)
+
+    def test_underline_follows_alignment(self, dj):
+        lt = layout_text(dj, "hi\nlonger line", align="right",
+                         underline=True)
+        bars = [i for i in lt.instances
+                if lt.slot_chars[i.glyph_slot] == -1]
+        assert len(bars) == 2
+        # the short line's bar starts at its shifted origin (non-zero)
+        assert max(b.x for b in bars) > 0
+        assert min(b.x for b in bars) == 0.0  # the wide line's bar
