@@ -166,3 +166,49 @@ class TestRandomizedCorpus:
             hg, hp = _theirs(data, text)
             assert og == hg, text
             assert op == hp, text
+
+
+class TestScriptSelection:
+    """Per-script GSUB lookup selection end-to-end vs hb: the same
+    'locl' tag registered under latn and grek selects different
+    lookups per itemized run."""
+
+    def _font(self):
+        from tests import ttf_builder as tb
+
+        # 'a' -> gid 1 (latn), alpha -> gid 2 (grek);
+        # locl/latn: 1->3, locl/grek: 2->4
+        cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4(
+            [(0x61, 0x61, 1 - 0x61, None),
+             (0x3B1, 0x3B1, 2 - 0x3B1, None)]))])
+        tri = tb.build_simple_glyph(
+            [[(0, 0, True), (50, 100, False), (100, 0, True)]],
+            box=(0, 0, 100, 100))
+        gsub = tb.build_gsub(
+            [(b"locl", [0]), (b"locl", [1])],
+            [(1, 0, [tb.gsub_single({1: 3})]),
+             (1, 0, [tb.gsub_single({2: 4})])],
+            scripts=[
+                (b"latn", {None: (None, [0])}),
+                (b"grek", {None: (None, [1])}),
+            ],
+        )
+        data = tb.build_font([b"", tri, tri, tri, tri], cmap,
+                             extra_tables={b"GSUB": gsub})
+        return data
+
+    def test_per_script_locl_matches_hb(self):
+        from fontrx.scene.layout import layout_text
+
+        data = self._font()
+        font = Font(data)
+        # fontrx itemizes multi-script text internally (the
+        # Pango-layer job); hb_shape shapes ONE run per buffer, so the
+        # differential compares per script run
+        lt = layout_text(font, "aα", features=(b"locl",))
+        ours = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        assert ours == [3, 4]  # per-script selection
+        if hb.available():
+            latn = [g.gid for g in hb.shape(data, "a")]
+            grek = [g.gid for g in hb.shape(data, "α")]
+            assert ours == latn + grek
