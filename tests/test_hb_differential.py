@@ -188,9 +188,10 @@ class TestScriptSelection:
             [(b"locl", [0]), (b"locl", [1])],
             [(1, 0, [tb.gsub_single({1: 3})]),
              (1, 0, [tb.gsub_single({2: 4})])],
+            # NB sorted by tag: hb binary-searches ScriptRecords
             scripts=[
-                (b"latn", {None: (None, [0])}),
                 (b"grek", {None: (None, [1])}),
+                (b"latn", {None: (None, [0])}),
             ],
         )
         data = tb.build_font([b"", tri, tri, tri, tri], cmap,
