@@ -73,6 +73,9 @@ class InteractiveSession:
     positioning: tuple[bytes, ...] | None = None
     rtl: bool = False
     bidi: bool = False
+    # extra layout_text options (underline=True, letter_spacing=...,
+    # align=..., tracking_ptem=..., ...) applied on every re-layout
+    layout_options: dict = field(default_factory=dict)
 
     def __post_init__(self):
         self.layout: TextLayout = layout_text(self.font, self.text,
@@ -82,7 +85,8 @@ class InteractiveSession:
                                               features=self.features,
                                               positioning=self.positioning,
                                               rtl=self.rtl,
-                                              bidi=self.bidi)
+                                              bidi=self.bidi,
+                                              **self.layout_options)
         self.view = ViewTransform.init(
             self.font.info.units_per_em, self.width, self.height
         )
@@ -214,7 +218,8 @@ class InteractiveSession:
                                   features=self.features,
                                   positioning=self.positioning,
                                   rtl=self.rtl,
-                                  bidi=self.bidi)
+                                  bidi=self.bidi,
+                                  **self.layout_options)
         self.renderer = PageRenderer(
             self.font, self.layout, self.width, self.height, self.engine,
             tile_cache=self.tile_cache,

@@ -72,6 +72,7 @@ def layout_text(
     tracking_ptem: float | None = None,
     aat_features: tuple = (),
     align: str = "left",
+    line_height: float | None = None,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -468,16 +469,20 @@ def layout_text(
             letter_spacing, word_spacing,
         )
 
-    if hasattr(font, "varied_metric"):
-        line_height = (
-            font.varied_metric(b"hasc", font.info.ascent)
-            - font.varied_metric(b"hdsc", font.info.descent)
-            + font.varied_metric(b"hlgp", font.info.line_gap)
-        )
-    else:
-        line_height = (
-            font.info.ascent - font.info.descent + font.info.line_gap
-        )
+    if line_height is None:
+        # hhea metrics (MVAR-varied on variable fonts); callers can
+        # override in font units (CSS line-height in absolute terms)
+        if hasattr(font, "varied_metric"):
+            line_height = (
+                font.varied_metric(b"hasc", font.info.ascent)
+                - font.varied_metric(b"hdsc", font.info.descent)
+                + font.varied_metric(b"hlgp", font.info.line_gap)
+            )
+        else:
+            line_height = (
+                font.info.ascent - font.info.descent
+                + font.info.line_gap
+            )
     kern_table = font.kerning if kern and positioner is None else None
     mark_table = (
         font.mark_positioning if marks and positioner is None else None

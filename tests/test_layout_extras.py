@@ -301,3 +301,24 @@ class TestAlignment:
         # the short line's bar starts at its shifted origin (non-zero)
         assert max(b.x for b in bars) > 0
         assert min(b.x for b in bars) == 0.0  # the wide line's bar
+
+
+class TestLineHeight:
+    def test_override(self, dj):
+        a = layout_text(dj, "a\nb")
+        b = layout_text(dj, "a\nb", line_height=3000)
+        assert b.instances[1].y == -3000.0
+        assert a.instances[1].y != b.instances[1].y
+
+    def test_interactive_layout_options(self, dj):
+        from fontrx.scene.interactive import InteractiveSession
+
+        s = InteractiveSession(dj, "hi", 160, 100,
+                               layout_options={"underline": True})
+        bars = [i for i in s.layout.instances
+                if s.layout.slot_chars[i.glyph_slot] == -1]
+        assert len(bars) == 1
+        s._set_text("hello there")
+        bars = [i for i in s.layout.instances
+                if s.layout.slot_chars[i.glyph_slot] == -1]
+        assert len(bars) == 1  # options survive re-layout
