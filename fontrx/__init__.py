@@ -66,9 +66,19 @@ def render_text(font, text, *, size=256, mode="fill", engine=None,
     import dataclasses
 
     valid = {f.name for f in dataclasses.fields(Config)}
-    unknown = set(options) - valid
+    cli_only = {"interactive", "output", "serve", "font_file",
+                "text", "cache"}
+    unknown = set(options) - (valid - cli_only)
     if unknown:
         raise TypeError(f"unknown render options: {sorted(unknown)}")
+    fallback = options.pop("fallback", None)
+    if fallback and isinstance(font, Font):
+        # the CLI's --fallback: characters the primary lacks resolve
+        # through the listed fonts in order
+        paths = [p.strip() for p in str(fallback).split(",")
+                 if p.strip()]
+        opened = [Font.open(p) for p in paths]
+        font = FontStack([font] + opened)
     cfg = Config(**cfg_kwargs, **options)
 
     if engine is None:
@@ -76,12 +86,9 @@ def render_text(font, text, *, size=256, mode="fill", engine=None,
 
         engine = RasterEngine(backend=getattr(cfg, "backend", "auto"))
     if cfg.variation and hasattr(font, "set_variation"):
-        loc = {}
-        for part in cfg.variation.split(","):
-            if "=" in part:
-                k, v = part.split("=", 1)
-                loc[k.strip()] = float(v)
-        font.set_variation(loc)
+        from fontrx.cli.main import parse_variation_str
+
+        font.set_variation(parse_variation_str(cfg.variation))
     import numpy as np
 
     return np.asarray(_render(font, text, cfg, engine))

@@ -56,12 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         font = Font.open(cfg.font_file)
     if cfg.variation and hasattr(font, "set_variation"):
-        loc = {}
-        for part in cfg.variation.split(","):
-            if "=" in part:
-                k, v = part.split("=", 1)
-                loc[k.strip()] = float(v)
-        font.set_variation(loc)
+        font.set_variation(parse_variation_str(cfg.variation))
     engine = RasterEngine(backend=cfg.backend)
     text = cfg.text if cfg.text is not None else "A"
 
@@ -78,6 +73,17 @@ def main(argv: list[str] | None = None) -> int:
     else:
         _print_ascii(out_img)
     return 0
+
+
+def parse_variation_str(spec: str) -> dict:
+    """``"wght=700,wdth=80"`` -> a design-location dict (shared by the
+    CLI and :func:`fontrx.render_text`)."""
+    loc = {}
+    for part in spec.split(","):
+        if "=" in part:
+            k, v = part.split("=", 1)
+            loc[k.strip()] = float(v)
+    return loc
 
 
 def _feature_tags(cfg) -> tuple[bytes, ...] | None:
@@ -560,12 +566,25 @@ def _run_interactive(font, text, cfg, engine) -> int:
     from fontrx.io.qoi import encode_rgb
     from fontrx.scene.interactive import InteractiveSession
 
-    sess = InteractiveSession(font, text, 1920, 1080, engine,
-                              kern=cfg.kern, ligatures=cfg.ligatures,
-                              marks=cfg.marks,
-                              features=_feature_tags(cfg),
-                              positioning=_positioning_tags(cfg),
-                              rtl=cfg.rtl, bidi=cfg.bidi)
+    sess = InteractiveSession(
+        font, text, 1920, 1080, engine,
+        kern=cfg.kern, ligatures=cfg.ligatures,
+        marks=cfg.marks,
+        features=_feature_tags(cfg),
+        positioning=_positioning_tags(cfg),
+        rtl=cfg.rtl, bidi=cfg.bidi,
+        layout_options={
+            "letter_spacing": cfg.letter_spacing
+            * font.info.units_per_em / cfg.size,
+            "word_spacing": cfg.word_spacing
+            * font.info.units_per_em / cfg.size,
+            "underline": cfg.underline,
+            "strikethrough": cfg.strikethrough,
+            "tracking_ptem": (float(cfg.size) if cfg.tracking
+                              else None),
+            "align": cfg.align,
+            "oblique": cfg.oblique,
+        })
     if cfg.serve:
         from fontrx.cli.serve import serve
 

@@ -205,17 +205,19 @@ class _AnchorAttach:
     action_off: int
     anchors: dict     # from ankr (type 1)
 
-    def offsets(self, gids, advances):
-        """Per-position (dx, dy) placement offsets."""
+    def offsets(self, gids, pens):
+        """Per-position (dx, dy) placement offsets; ``pens`` are the
+        layout's ACTUAL pen positions per glyph (pair kerning /
+        tracking included — hb attaches after its kerning passes)."""
         n = len(gids)
         dx = np.zeros(n, np.int32)
         dy = np.zeros(n, np.int32)
-        if self.action_type == 0:
-            log.info("kerx format 4 control-point actions skipped")
+        if self.action_type in (0, 3):
+            log.info("kerx format 4 action type %d skipped",
+                     self.action_type)
             return dx, dy
         d = self.stx.data
-        pens = np.concatenate(([0], np.cumsum(
-            np.asarray(advances, np.int64))))
+        pens = np.asarray(pens, np.int64)
         marked = {"i": None}
 
         def anchor(gid, idx):
@@ -376,16 +378,15 @@ class KerxTable:
             out = v if out is None else out + v
         return out
 
-    def attach_offsets(self, gids, advances):
+    def attach_offsets(self, gids, pens):
         """Per-position (dx, dy) placement offsets from format-4
-        anchor machines (zeros when the table has none).  Pens are
-        modeled as plain advance sums — exact for AAT-only fonts
-        (nothing else moves the pen before attachment)."""
+        anchor machines (zeros when the table has none).  ``pens``:
+        the actual per-glyph pen positions from the layout walk."""
         dx = np.zeros(len(gids), np.int32)
         dy = np.zeros(len(gids), np.int32)
         for f in self.forms:
             if isinstance(f, _AnchorAttach):
-                a, b = f.offsets(gids, advances)
+                a, b = f.offsets(gids, pens)
                 dx, dy = dx + a, dy + b
         return dx, dy
 

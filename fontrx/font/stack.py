@@ -201,8 +201,16 @@ class FontStack:
             if node[0] == "glyph":
                 return ("glyph", (fi << GID_SHIFT) | node[1],
                         node[2], node[3])
+            if node[0] == "outline":
+                # OT-SVG leaves carry the Glyph object directly —
+                # nothing to remap
+                return node
             if node[0] == "layers":
                 return ("layers", [remap(k) for k in node[1]])
+            if node[0] == "alpha":
+                return ("alpha", node[1], remap(node[2]))
+            if node[0] == "mask":
+                return ("mask", remap(node[1]), remap(node[2]))
             return ("composite", node[1], remap(node[2]),
                     remap(node[3]))
 

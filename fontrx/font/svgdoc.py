@@ -908,6 +908,7 @@ class SvgDocument:
                        "fill-rule": "nonzero"}
         opacity = 1.0
         clip_nodes: list = []
+        mask_nodes: list = []
         for anc in reversed(chain[1:]):
             st = _style_of(anc)
             xf = affine_mul(xf, parse_transform(st.get("transform", "")))
@@ -920,6 +921,12 @@ class SvgDocument:
                 return None
             if cn is not None:
                 clip_nodes.append(cn)
+            mn = self._resolve_mask(st.get("mask"), xf, style,
+                                    foreground, 0)
+            if mn == "empty":
+                return None
+            if mn is not None:
+                mask_nodes.append(mn)
         nodes: list = []
         self._emit(el, xf, style, foreground, nodes)
         if not nodes:
@@ -929,6 +936,8 @@ class SvgDocument:
             node = ("alpha", opacity, node)
         for cn in clip_nodes:
             node = ("composite", 5, node, cn)
+        for mn in mask_nodes:
+            node = ("mask", node, mn)
         if node[0] == "layers":
             return node
         return ("layers", [node])

@@ -70,17 +70,15 @@ class TrakTable:
             raise CorruptedFont("trak counts out of range")
         sizes = tuple(
             _fixed(d, base + size_off + 4 * k) for k in range(n_sizes))
-        # the default track (0.0); fall back to the first entry
+        # ONLY the default track (0.0) is consumed — hb applies no
+        # tracking when a font carries named tracks but no default
         chosen = None
         for t in range(n_tracks):
             e = td + 8 + 8 * t
             if e + 8 > len(d):
                 raise CorruptedFont("trak trackTable truncated")
-            track = _fixed(d, e)
-            val_off = _u16(d, e + 6)
-            if chosen is None or track == 0.0:
-                chosen = val_off
-            if track == 0.0:
+            if _fixed(d, e) == 0.0:
+                chosen = _u16(d, e + 6)
                 break
         if chosen is None or not n_sizes:
             return None

@@ -312,6 +312,7 @@ def layout_text(
     _morx_active = _morx is not None and b"GSUB" not in getattr(
         font, "tables", {})
 
+    hard_breaks = None  # set by the wrapper; None = every line hard
     line_runs = None
     if bidi:
         from fontrx.font.uax9 import mirror_cp
@@ -418,8 +419,9 @@ def layout_text(
         if space != 0 or any(
                 _is_ideograph(cp_of(g)) or cp_of(g) in (0xAD, 0x2D)
                 for line in lines for g in line):
-            lines = _wrap_lines(lines, wrap_width, space, _adv, cp_of,
-                                hyphen_gid=hyphen)
+            lines, hard_breaks = _wrap_lines(
+                lines, wrap_width, space, _adv, cp_of,
+                hyphen_gid=hyphen)
             comp_lines = None  # wrap reshuffles lines; comps are stale
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
@@ -502,6 +504,8 @@ def layout_text(
     max_x = 0.0
     line_ends: list[float] = []
     line_spans: list[tuple[int, int]] = []
+    if hard_breaks is None:
+        hard_breaks = [True] * len(lines)
     if positioner is not None:
         for line_no, line in enumerate(lines):
             pen_y = -line_no * float(line_height)
@@ -555,6 +559,7 @@ def layout_text(
                 )
                 max_x = max(max_x, pen_x)
             line_ends.append(pen_x)
+            line_spans.append((line_start, len(instances)))
     else:
         for line_no, line in enumerate(lines):
             pen_x = 0.0
@@ -574,12 +579,10 @@ def layout_text(
                    if kern_table is not None
                    and hasattr(kern_table, "contextual_deltas")
                    and line else None)
-            # kerx format-4 anchor attachment: pure position offsets
-            att = (kern_table.attach_offsets(
-                       line, [widths[slot_of[g]] for g in line])
-                   if kern_table is not None
-                   and hasattr(kern_table, "attach_offsets")
-                   and line else None)
+            has_attach = (kern_table is not None
+                          and hasattr(kern_table, "attach_offsets")
+                          and line)
+            pen_log: list[float] = []
             for idx, gid in enumerate(line):
                 slot = slot_of[gid]
                 if ctx is not None:
@@ -611,12 +614,9 @@ def layout_text(
                     pen_x += float(np.asarray(
                         kern_table.lookup(prev_gid, gid)
                     ).reshape(-1)[0])
-                instances.append(Instance(
-                    slot,
-                    pen_x + (float(att[0][idx]) if att is not None
-                             else 0.0),
-                    pen_y + (float(att[1][idx]) if att is not None
-                             else 0.0)))
+                instances.append(Instance(slot, pen_x, pen_y))
+                if has_attach:
+                    pen_log.append(pen_x)
                 adv = float(widths[slot]) + _extra(slot)
                 boxes.append(adv)
                 prev_x = pen_x
@@ -625,6 +625,19 @@ def layout_text(
                 max_x = max(max_x, pen_x)
                 prev_gid = gid
                 last_mark = None
+            if has_attach and len(pen_log) == len(line):
+                # kerx format-4 anchor attachment: pure position
+                # offsets computed against the ACTUAL pens (pair
+                # kerning, contextual deltas and tracking included —
+                # hb attaches after its kerning passes too)
+                adx, ady = kern_table.attach_offsets(line, pen_log)
+                for k in range(len(line)):
+                    if adx[k] or ady[k]:
+                        inst = instances[line_start + k]
+                        instances[line_start + k] = Instance(
+                            inst.glyph_slot,
+                            inst.x + float(adx[k]),
+                            inst.y + float(ady[k]))
             if rtl or line_runs is not None:
                 _apply_line_direction(
                     instances, line_start, boxes, pen_x, rtl,
@@ -662,11 +675,14 @@ def layout_text(
                         "justify is unsupported with rtl/bidi; "
                         "keeping left alignment")
                     break
-                if li == len(line_spans) - 1 or target <= w:
-                    continue  # the last line never justifies
-                spaces = [k for k in range(s_, e_)
+                if target <= w or (li < len(hard_breaks)
+                                   and hard_breaks[li]):
+                    # paragraph-final lines (hard \n or the text end)
+                    # never justify
+                    continue
+                spaces = {k for k in range(s_, e_)
                           if slot_chars[instances[k].glyph_slot]
-                          == 0x20]
+                          == 0x20}
                 if not spaces:
                     continue
                 per = (target - w) / len(spaces)
@@ -940,8 +956,13 @@ def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
       break that, when taken, materializes ``hyphen_gid`` at the line
       end (registered only while the hyphen itself still fits).
 
-    An over-budget run breaks after itself rather than mid-glyph."""
+    An over-budget run breaks after itself rather than mid-glyph.
+
+    Returns ``(lines, hard_breaks)``: flag True for lines that end at
+    an ORIGINAL hard break (the paragraph-final fragments — justify
+    exempts them)."""
     out: list[list[int]] = []
+    hard: list[bool] = []
     hyphen_w = advance_of(hyphen_gid) if hyphen_gid else 0.0
     for line in lines:
         cur: list[int] = []
@@ -983,6 +1004,7 @@ def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
                     broken = cur[: last_break + 1]
                 rest = cur[last_break + 1:]
                 out.append(broken)
+                hard.append(False)  # a soft (wrap) break
                 cur = rest
                 last_break = -1
                 mode = "boundary"
@@ -993,11 +1015,12 @@ def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
             cur.append(gid)
             cur_w += w
         out.append(cur)
+        hard.append(True)   # the original line's final fragment
     # drop trailing spaces left hanging at line ends by the breaks
     return [
         l[: len(l) - _trailing_spaces(l, space_gid)] if l else l
         for l in out
-    ]
+    ], hard
 
 
 def _trailing_spaces(line, space_gid) -> int:

@@ -1656,6 +1656,21 @@ def make_kerxtest():
     fb.save(os.path.join(HERE, "kerx_anchor.ttf"))
     print("wrote kerx_anchor.ttf")
 
+    # pairs + anchor in ONE table: attachment must compute against
+    # the KERNED pens (kern -100 makes V's pen 500; the anchor target
+    # is 400, so the offset is -100 — an advances-only pen model
+    # would read 600 and misplace by the kern)
+    fb = base_font()
+    tbl = DefaultTable(tag="kerx")
+    tbl.data = _s.pack(">HHI", 2, 0, 2) + \
+        sub0([(1, 2, -100)]) + sub4()
+    fb.font["kerx"] = tbl
+    tbl2 = DefaultTable(tag="ankr")
+    tbl2.data = ankr_bytes()
+    fb.font["ankr"] = tbl2
+    fb.save(os.path.join(HERE, "kerx_mixed.ttf"))
+    print("wrote kerx_mixed.ttf")
+
 
 
 

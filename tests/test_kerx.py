@@ -171,3 +171,29 @@ class TestAnchorAttachment:
         anchors = parse_ankr(r.data, r.pos)
         assert anchors[1] == [(500, 700)]
         assert anchors[2] == [(100, 100)]
+
+
+class TestMixedPairAndAnchor:
+    """Pair kerning + anchor attachment in one kerx table: the anchor
+    machine must see KERNED pens (the review-found bug; hb-pinned)."""
+
+    PATH = "tests/data/kerx_mixed.ttf"
+
+    @pytest.mark.parametrize("text,expect", [
+        ("AV", [(0, 0), (400, 600)]),      # pen 500 (kerned) - 100
+        ("AVAV", [(0, 0), (400, 600), (1100, 0), (1500, 600)]),
+    ])
+    def test_attachment_sees_kerned_pens(self, text, expect):
+        font = Font.open(self.PATH)
+        lt = layout_text(font, text, kern=True)
+        ours = [(round(i.x), round(i.y)) for i in lt.instances]
+        assert ours == expect
+        if hb.available():
+            with open(self.PATH, "rb") as f:
+                data = f.read()
+            pen = 0
+            hp = []
+            for g in hb.shape(data, text):
+                hp.append((pen + g.x_offset, g.y_offset))
+                pen += g.x_advance
+            assert ours == hp

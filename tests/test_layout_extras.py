@@ -322,3 +322,71 @@ class TestLineHeight:
         bars = [i for i in s.layout.instances
                 if s.layout.slot_chars[i.glyph_slot] == -1]
         assert len(bars) == 1  # options survive re-layout
+
+
+class TestReviewRegressions2:
+    """Second review batch, regression-pinned."""
+
+    def test_align_works_with_positioner(self, dj):
+        left = layout_text(dj, "hi\nlonger line", positioning=(),
+                           kern=True)
+        right = layout_text(dj, "hi\nlonger line", positioning=(),
+                            kern=True, align="right")
+        rows = sorted({i.y for i in right.instances}, reverse=True)
+        r0 = [i for i in right.instances if i.y == rows[0]]
+        l0 = [i for i in left.instances if i.y == rows[0]]
+        assert r0[0].x > l0[0].x  # the short line moved
+
+    def test_justify_skips_paragraph_final_lines(self, dj):
+        text = "tiny one.\nlong words that wrap around the budget end"
+        w = layout_text(dj, "long words that").width
+        base = layout_text(dj, text, wrap_width=w)
+        just = layout_text(dj, text, wrap_width=w, align="justify")
+        rows_b = sorted({i.y for i in base.instances}, reverse=True)
+        # line 0 = 'tiny one.' ends at a HARD break: never justified
+        j0 = [i for i in just.instances if i.y == rows_b[0]]
+        b0 = [i for i in base.instances if i.y == rows_b[0]]
+        assert sorted(i.x for i in j0) == sorted(i.x for i in b0)
+
+    def test_trak_without_default_track_is_none(self):
+        import struct
+
+        from fontrx.font.trak import TrakTable
+        from fontrx.utils.reader import BigEndianReader
+
+        # one NAMED track (1.0), no 0.0 default -> None (hb behavior)
+        td_off = 12
+        size_off = td_off + 8 + 8
+        val_off = size_off + 4
+        data = (struct.pack(">IHHHH", 0x10000, 0, td_off, 0, 0)
+                + struct.pack(">HHI", 1, 1, size_off)
+                + struct.pack(">iHH", 1 << 16, 0, val_off)
+                + struct.pack(">i", 12 << 16)
+                + struct.pack(">h", -50))
+        assert TrakTable.parse(BigEndianReader(data)) is None
+
+    def test_render_text_fallback_builds_stack(self):
+        import fontrx
+
+        img = fontrx.render_text(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+            "ab", size=32,
+            fallback="/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf")
+        assert img.shape[2] == 3
+
+    def test_render_text_rejects_cli_only_options(self):
+        import fontrx
+        import pytest
+
+        with pytest.raises(TypeError):
+            fontrx.render_text(
+                "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                "x", interactive=True)
+
+    def test_interactive_cli_flags_reach_layout(self, dj):
+        # the CLI wires --underline/--align into layout_options
+        from fontrx.cli.config import parse_args
+        cfg = parse_args([
+            "-f", "x.ttf", "-t", "hi", "--underline", "--align",
+            "center"])
+        assert cfg.underline and cfg.align == "center"

@@ -190,3 +190,25 @@ class TestStackColor:
         assert stack.color_paint_tree(
             stack.glyph_index("A")) is None
         assert stack.color_bitmap(stack.glyph_index("A"), 32) is None
+
+
+class TestColorTreeNodeForms:
+    def test_svg_composite_nodes_flow_through_stack(self):
+        """clip-path/alpha/mask render-tree forms survive the stack's
+        gid remap (the review-found walker gap)."""
+        import numpy as np
+
+        from fontrx.engine.colorglyphs import color_glyph_tiles
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.font.stack import FontStack
+
+        stack = FontStack.open([
+            "tests/data/svgtest.ttf",
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        ])
+        gid = int(stack.glyph_index("K"))  # clip-path composite
+        tree = stack.color_paint_tree(gid, 0, (0, 0, 0, 255))
+        assert tree is not None
+        eng = RasterEngine(backend="jnp")
+        rgba, _ = color_glyph_tiles(stack, [gid], 64, eng)
+        assert float(np.asarray(rgba)[..., 3].sum()) > 0
