@@ -474,6 +474,61 @@ class Font:
         return self._morx
 
     @property
+    def names(self):
+        """Decoded ``name`` table records: {nameID: str} for the
+        best-available encoding per ID (Windows Unicode BMP platform
+        3/1 UTF-16BE preferred, Macintosh Roman 1/0 Latin-1 fallback).
+        Common IDs: 1 family, 2 subfamily, 4 full name, 5 version,
+        6 PostScript name.  Empty dict when the table is absent or
+        unusable."""
+        if not hasattr(self, "_names"):
+            self._names = {}
+            if b"name" in self.tables:
+                try:
+                    r = self._at(b"name")
+                    base = r.pos
+                    _fmt, count, str_off = r.unpack("HHH")
+                    prefer: dict[int, tuple[int, str]] = {}
+                    for _ in range(count):
+                        pid, eid, _lang, nid, ln, off = r.unpack(
+                            "HHHHHH")
+                        if (pid, eid) == (3, 1):
+                            rank, enc = 2, "utf-16-be"
+                        elif (pid, eid) == (3, 10):
+                            rank, enc = 2, "utf-16-be"
+                        elif (pid, eid) == (1, 0):
+                            rank, enc = 1, "mac-roman"
+                        elif (pid, eid) == (0, 3) or pid == 0:
+                            rank, enc = 2, "utf-16-be"
+                        else:
+                            continue
+                        if prefer.get(nid, (0, ""))[0] >= rank:
+                            continue
+                        s = base + str_off + off
+                        raw = bytes(r.data[s:s + ln])
+                        try:
+                            prefer[nid] = (rank, raw.decode(enc))
+                        except (UnicodeDecodeError, LookupError):
+                            continue
+                    self._names = {k: v for k, (_, v)
+                                   in prefer.items()}
+                except Exception as e:
+                    log.warning("name table unusable: %s", e)
+        return self._names
+
+    @property
+    def family_name(self) -> str:
+        """Typographic family (nameID 16 preferred, else 1)."""
+        n = self.names
+        return n.get(16) or n.get(1, "")
+
+    @property
+    def style_name(self) -> str:
+        """Typographic subfamily (nameID 17 preferred, else 2)."""
+        n = self.names
+        return n.get(17) or n.get(2, "")
+
+    @property
     def trak(self):
         """AAT tracking table (:class:`fontrx.font.trak.TrakTable`)
         or ``None`` — size-dependent letter spacing consumed by

@@ -651,3 +651,40 @@ class TestKernFormats:
         # degrade to no kerning rather than crash
         assert kt is None or not kt.matrices or int(kt.lookup(
             np.array([10]), np.array([20]))[0]) in (0, -40)
+
+
+class TestNameTable:
+    """`Font.names` / family/style — decoded name records, differential
+    vs fontTools across the system fonts."""
+
+    @pytest.mark.parametrize("path", [
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+    ])
+    def test_matches_fonttools(self, path):
+        from fontTools.ttLib import TTFont
+
+        from fontrx.font.font import Font
+
+        f = Font.open(path)
+        ft = TTFont(path)
+        for nid in (1, 2, 4, 6):
+            expect = ft["name"].getDebugName(nid)
+            if expect is not None:
+                assert f.names.get(nid) == expect, (path, nid)
+        assert f.family_name == ft["name"].getDebugName(1)
+
+    def test_absent_table_is_empty(self):
+        from tests import ttf_builder as tb
+
+        from fontrx.font.font import Font
+
+        cmap = tb.build_cmap([(3, 1, tb.build_cmap_format4(
+            [(65, 65, 1 - 65, None)]))])
+        tri = tb.build_simple_glyph(
+            [[(0, 0, True), (50, 100, False), (100, 0, True)]],
+            box=(0, 0, 100, 100))
+        f = Font(tb.build_font([b"", tri], cmap))
+        assert f.names == {}
+        assert f.family_name == ""
