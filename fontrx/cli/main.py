@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
         font = Font.open(cfg.font_file)
     if cfg.variation and hasattr(font, "set_variation"):
         font.set_variation(parse_variation_str(cfg.variation))
+    if cfg.info:
+        print(font_info_text(font))
+        return 0
     engine = RasterEngine(backend=cfg.backend)
     text = cfg.text if cfg.text is not None else "A"
 
@@ -73,6 +76,73 @@ def main(argv: list[str] | None = None) -> int:
     else:
         _print_ascii(out_img)
     return 0
+
+
+def font_info_text(font) -> str:
+    """Human-readable font inventory for ``--info``: names, tables,
+    glyph/coverage counts, variation axes, layout features, and which
+    color/AAT families the font carries."""
+    lines = []
+    fam = getattr(font, "family_name", "")
+    sty = getattr(font, "style_name", "")
+    if fam or sty:
+        lines.append(f"{fam} {sty}".strip())
+    names = getattr(font, "names", {})
+    if 5 in names:
+        lines.append(f"version: {names[5]}")
+    info = font.info
+    lines.append(
+        f"upem {info.units_per_em}, ascent {info.ascent}, "
+        f"descent {info.descent}, line gap {info.line_gap}")
+    tables = getattr(font, "tables", {})
+    if tables:
+        lines.append("tables: " + " ".join(
+            sorted(t.decode("ascii", "replace").strip()
+                   for t in tables)))
+        lines.append(f"glyphs: {font.maxp.num_glyphs}")
+    cm = getattr(font, "charmap", None)
+    if cm is not None and hasattr(cm, "__len__"):
+        lines.append(f"cmap ranges: {len(cm)}")
+    fvar = getattr(font, "fvar", None)
+    if fvar is not None:
+        axes = ", ".join(
+            f"{a.tag.decode('ascii', 'replace')}"
+            f"[{a.min_value:g}..{a.default_value:g}..{a.max_value:g}]"
+            for a in fvar.axes)
+        lines.append(f"variation axes: {axes}")
+    for tag, label in ((b"GSUB", "GSUB features"),
+                       (b"GPOS", "GPOS features")):
+        if tag not in tables or not hasattr(font, "_at"):
+            continue
+        try:
+            from fontrx.font.shape import parse_layout_header
+
+            hdr = parse_layout_header(font._at(tag), ())
+        except Exception:
+            hdr = None
+        if hdr is not None:
+            feats = sorted({fr[0].decode("ascii", "replace")
+                            for fr in hdr[4]})
+            if feats:
+                lines.append(label + ": " + " ".join(feats))
+            scripts = sorted(
+                s.decode("ascii", "replace") for s in hdr[5])
+            if scripts and label.startswith("GSUB"):
+                lines.append("scripts: " + " ".join(scripts))
+    fams = []
+    for attr, label in (("colr", "COLR"), ("cpal", "CPAL"),
+                        ("svg", "SVG"), ("sbix", "sbix"),
+                        ("cbdt", "CBDT"), ("ebdt", "EBDT"),
+                        ("morx", "morx"), ("trak", "trak")):
+        if getattr(font, attr, None) is not None:
+            fams.append(label)
+    if b"kerx" in tables:
+        fams.append("kerx")
+    if b"kern" in tables:
+        fams.append("kern")
+    if fams:
+        lines.append("families: " + " ".join(fams))
+    return "\n".join(lines)
 
 
 def parse_variation_str(spec: str) -> dict:

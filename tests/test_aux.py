@@ -646,3 +646,28 @@ class TestRenderTextApi:
         img = fontrx.render_text("tests/data/svgtest.ttf", "IK",
                                  size=64, mode="color")
         assert img.shape[2] == 3
+
+
+class TestInfoCli:
+    def test_info_lists_inventory(self, capsys):
+        from fontrx.cli.main import main
+
+        rc = main(["-f",
+                   "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                   "--info"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "DejaVu Sans" in out
+        assert "GSUB features:" in out and "liga" in out
+        assert "GPOS features:" in out and "kern" in out
+        assert "glyphs: 6253" in out
+
+    def test_info_shows_axes_and_families(self, capsys):
+        from fontrx.cli.main import main
+
+        main(["-f", "tests/data/vartest.ttf", "--info"])
+        out = capsys.readouterr().out
+        assert "wght[100..100..900]" in out
+        main(["-f", "tests/data/svgtest.ttf", "--info"])
+        out = capsys.readouterr().out
+        assert "COLR" in out and "SVG" in out
