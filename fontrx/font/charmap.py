@@ -77,8 +77,17 @@ class CharGlyphMapping:
 
     def glyph_index(self, char: int) -> int:
         """O(log n) single lookup; 0 when unmapped
-        (``CharGlyphMapping.getGlyph``, ``CharGlyphMapping.zig:71-93``)."""
-        return int(self.glyph_indices(np.array([char]))[0])
+        (``CharGlyphMapping.getGlyph``, ``CharGlyphMapping.zig:71-93``).
+        Memoized: layout resolves one char at a time and text repeats
+        few unique codepoints."""
+        memo = getattr(self, "_gid_memo", None)
+        if memo is None:
+            memo = self._gid_memo = {}
+        c = int(char)
+        v = memo.get(c)
+        if v is None:
+            v = memo[c] = int(self.glyph_indices(np.array([c]))[0])
+        return v
 
     def glyph_indices(self, chars: np.ndarray) -> np.ndarray:
         """Vectorized batch lookup — resolves a whole codepoint array at

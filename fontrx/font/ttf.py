@@ -1136,6 +1136,7 @@ class KernTable:
     keys: np.ndarray    # uint32[n], sorted
     values: np.ndarray  # int16[n]
     matrices: tuple = ()
+    pair_memo: dict = field(default_factory=dict, compare=False)
 
     @classmethod
     def parse(cls, r: BigEndianReader) -> "KernTable | None":
@@ -1214,7 +1215,19 @@ class KernTable:
     def lookup(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
         """Vectorized kerning values for glyph-index pairs; 0 when the
         pair is not kerned.  Format-0 pairs and format-2 class
-        matrices accumulate."""
+        matrices accumulate.  Scalar pairs memoize (the layout pen
+        walk queries one pair at a time; text repeats few)."""
+        if isinstance(left, (int, np.integer)) and isinstance(
+                right, (np.integer, int)):
+            k = (int(left) << 16) | int(right)
+            v = self.pair_memo.get(k)
+            if v is None:
+                v = self.pair_memo[k] = self._lookup_vec(
+                    np.array([left]), np.array([right]))
+            return v
+        return self._lookup_vec(left, right)
+
+    def _lookup_vec(self, left, right) -> np.ndarray:
         key = (np.asarray(left, np.uint32) << 16) | np.asarray(right, np.uint32)
         out = np.zeros(np.shape(key), np.int32)
         if len(self.keys):
