@@ -1222,9 +1222,9 @@ class KernTable:
             k = (int(left) << 16) | int(right)
             v = self.pair_memo.get(k)
             if v is None:
-                v = self.pair_memo[k] = self._lookup_vec(
-                    np.array([left]), np.array([right]))
-            return v
+                v = self.pair_memo[k] = int(self._lookup_vec(
+                    np.array([left]), np.array([right]))[0])
+            return np.int32(v)  # 0-d scalar, like the pre-memo shape
         return self._lookup_vec(left, right)
 
     def _lookup_vec(self, left, right) -> np.ndarray:
