@@ -213,3 +213,19 @@ class TestScriptSelection:
             latn = [g.gid for g in hb.shape(data, "a")]
             grek = [g.gid for g in hb.shape(data, "α")]
             assert ours == latn + grek
+
+
+class TestCcmpContextual:
+    """DejaVu's ccmp feature (contextual dotless-i/j substitution
+    before above-marks) + mark attachment, pen-exact vs hb.  NFC keeps
+    the precomposed forms where they exist; the j-tilde case has no
+    precomposed form, so the full chain (ccmp contextual sub ->
+    dotless j -> mark anchor) runs in both engines."""
+
+    @pytest.mark.parametrize("text", ["í", "îx", "j̃", "nïo"])
+    def test_pen_exact(self, dj, dj_bytes, text):
+        og, op = _ours(dj, text, features=(b"ccmp",), marks=True,
+                       kern=True)
+        hg, hp = _theirs(dj_bytes, text)
+        assert og == hg
+        assert op == hp
