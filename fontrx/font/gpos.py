@@ -470,10 +470,10 @@ class MarkBaseTable:
         """``(dx, dy)`` to add to the base's pen position to place the
         mark, or ``None`` when this pair does not attach."""
         for sub in self.subtables:
-            mi = int(sub.mark_cov.rank(np.array([mark_gid]))[0])
+            mi = int(sub.mark_cov.rank([int(mark_gid)])[0])
             if mi < 0 or mi >= len(sub.mark_class):
                 continue
-            bi = int(sub.base_cov.rank(np.array([base_gid]))[0])
+            bi = int(sub.base_cov.rank([int(base_gid)])[0])
             if bi < 0 or bi >= len(sub.base_anchor):
                 continue
             c = int(sub.mark_class[mi])
@@ -492,6 +492,6 @@ class MarkBaseTable:
         """Covered by any mark coverage — the layout's cue that the
         glyph is a combining mark (zero pen advance when attached)."""
         return any(
-            int(sub.mark_cov.rank(np.array([gid]))[0]) >= 0
+            int(sub.mark_cov.rank([int(gid)])[0]) >= 0
             for sub in self.subtables
         )
