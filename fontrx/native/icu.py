@@ -158,3 +158,52 @@ def bidi_visual_order(cps: list[int], rtl: bool) -> list[int] | None:
         return out
     finally:
         _close(bidi)
+
+
+UBRK_LINE = 2
+
+
+def line_breaks(text: str) -> list[int] | None:
+    """ICU's UAX#14 line-break opportunities as codepoint offsets
+    (positions where the NEXT line may start), or None on error.
+    Soundness oracle for the layout wrapper: every break fontrx takes
+    must be in this set."""
+    icu = _lib()
+    if not icu:
+        return None
+    u16 = text.encode("utf-16-le")
+    n = len(u16) // 2
+    buf = ctypes.create_string_buffer(u16, len(u16))
+    err = ctypes.c_int(0)
+    open_f = _fn("ubrk_open")
+    open_f.restype = ctypes.c_void_p
+    open_f.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                       ctypes.c_void_p, ctypes.c_int32,
+                       ctypes.POINTER(ctypes.c_int)]
+    bi = open_f(UBRK_LINE, b"en", buf, n, ctypes.byref(err))
+    if err.value > 0 or not bi:
+        return None
+    try:
+        nxt = _fn("ubrk_next")
+        nxt.restype = ctypes.c_int32
+        nxt.argtypes = [ctypes.c_void_p]
+        # u16 offset -> codepoint offset
+        cp_at = []
+        ci = 0
+        for ch in text:
+            cp_at.append(ci)
+            if ord(ch) > 0xFFFF:
+                cp_at.append(ci)
+            ci += 1
+        cp_at.append(ci)
+        out = []
+        while True:
+            p = nxt(bi)
+            if p == -1:
+                break
+            out.append(cp_at[p])
+        return out
+    finally:
+        f = _fn("ubrk_close")
+        f.argtypes = [ctypes.c_void_p]
+        f(bi)

@@ -75,3 +75,56 @@ class TestRandomizedCorpus:
             _compare(cps, rtl)
             checked += 1
         assert checked > 380
+
+
+class TestLineBreakSoundness:
+    """UAX#14-lite soundness vs ICU's line-break iterator: every break
+    the fontrx wrapper takes (space / soft-hyphen / after-hyphen / CJK
+    boundary) must be a valid ICU break opportunity.  The wrapper is
+    deliberately a subset (it finds fewer opportunities, never wrong
+    ones)."""
+
+    @staticmethod
+    def _our_breaks(text, budget):
+        from fontrx.scene.layout import _wrap_lines
+
+        cps = [ord(c) for c in text]
+        lines, _hard = _wrap_lines(
+            [cps], budget, ord(" "), lambda g: 100,
+            lambda g: g, hyphen_gid=ord("-"))
+        breaks = []
+        p = 0
+        for li, line in enumerate(lines[:-1]):
+            for g in line:
+                # skip text chars the wrapper dropped (consumed
+                # spaces, soft hyphens); a MATERIALIZED hyphen has no
+                # text counterpart and simply doesn't match
+                q = p
+                while q < len(cps) and cps[q] != g:
+                    q += 1
+                if q < len(cps):
+                    p = q + 1
+            nxt = lines[li + 1]
+            if not nxt:
+                continue
+            q = p
+            while q < len(cps) and cps[q] != nxt[0]:
+                q += 1
+            breaks.append(q)
+            p = q
+        return breaks
+
+    @pytest.mark.parametrize("text", [
+        "well-known words and more here to wrap around",
+        "super­califragilistic expialidocious stuff",
+        "abc 3-4 def ghi jkl",
+        "日本語のテキストは折り返し可能です and latin",
+        "one two three four five six seven",
+    ])
+    def test_every_break_is_an_icu_opportunity(self, text):
+        ref = icu.line_breaks(text)
+        assert ref is not None
+        ref = set(ref)
+        for budget in (300, 500, 800, 1200):
+            for b in self._our_breaks(text, budget):
+                assert b in ref, (text, budget, b)
