@@ -27,7 +27,10 @@ _RANGES: tuple[tuple[int, int, bytes], ...] = (
     (0x00AA, 0x00AA, b"latn"), (0x00BA, 0x00BA, b"latn"),
     (0x00C0, 0x024F, b"latn"),   # Latin-1 letters + Extended-A/B
     (0x0250, 0x02AF, b"latn"),   # IPA extensions
-    (0x0370, 0x03FF, b"grek"), (0x1F00, 0x1FFF, b"grek"),
+    # Coptic letters live inside the Greek block (ICU-differential
+    # finding): split the range around U+03E2..03EF
+    (0x0370, 0x03E1, b"grek"), (0x03E2, 0x03EF, b"copt"),
+    (0x03F0, 0x03FF, b"grek"), (0x1F00, 0x1FFF, b"grek"),
     (0x0400, 0x052F, b"cyrl"), (0x1C80, 0x1C8F, b"cyrl"),
     (0x2DE0, 0x2DFF, b"cyrl"), (0xA640, 0xA69F, b"cyrl"),
     (0x0530, 0x058F, b"armn"),
@@ -70,7 +73,8 @@ _RANGES: tuple[tuple[int, int, bytes], ...] = (
     (0x3100, 0x312F, b"bopo"),
     (0x3400, 0x4DBF, b"hani"), (0x4E00, 0x9FFF, b"hani"),
     (0xF900, 0xFAFF, b"hani"), (0x20000, 0x3FFFF, b"hani"),
-    (0x10800, 0x1083F, b"xpeo"),
+    (0x10800, 0x1083F, b"cprt"),  # Cypriot (was misfiled as xpeo)
+    (0x103A0, 0x103DF, b"xpeo"),
     (0x10840, 0x1085F, b"armi"),
 )
 

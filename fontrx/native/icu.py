@@ -62,6 +62,13 @@ def available() -> bool:
     return bool(_lib())
 
 
+def symbol(name):
+    """Version-suffixed ICU symbol (resolves the suffix first)."""
+    if not _lib():
+        raise RuntimeError("libicuuc unavailable")
+    return _fn(name)
+
+
 def bidi_levels(cps: list[int], rtl: bool) -> list[int] | None:
     """ICU's resolved embedding level per codepoint (UTF-16 surrogate
     pairs collapse back to one level per codepoint), or None on

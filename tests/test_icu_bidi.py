@@ -128,3 +128,47 @@ class TestLineBreakSoundness:
         for budget in (300, 500, 800, 1200):
             for b in self._our_breaks(text, budget):
                 assert b in ref, (text, budget, b)
+
+
+class TestScriptClassification:
+    """Soundness of the script itemizer's ranges vs ICU uscript:
+    wherever script_of assigns an OT tag, ICU's script for that
+    codepoint must map to the same tag (common/inherited/unknown
+    codepoints are itemizer-None by design and excluded).  The sweep
+    over the full classified space found two real range bugs (Coptic
+    inside the Greek block; Cypriot misfiled as Old Persian), both
+    fixed."""
+
+    def test_all_classified_codepoints_agree(self):
+        import ctypes
+
+        from fontrx.font.script import script_of
+        from fontrx.native.icu import symbol
+
+        get = symbol("uscript_getScript")
+        get.restype = ctypes.c_int
+        get.argtypes = [ctypes.c_int32, ctypes.POINTER(ctypes.c_int)]
+        name = symbol("uscript_getShortName")
+        name.restype = ctypes.c_char_p
+        name.argtypes = [ctypes.c_int]
+
+        special = {"Hira": b"kana", "Kana": b"kana", "Laoo": b"lao ",
+                   "Yiii": b"yi  ", "Nkoo": b"nko ", "Vaii": b"vai "}
+        skip = {"Zyyy", "Zinh", "Zzzz"}
+        bad = []
+        for cp in range(0x20, 0x30000):
+            ours = script_of(cp)
+            if ours is None:
+                continue
+            err = ctypes.c_int(0)
+            sc = get(cp, ctypes.byref(err))
+            if err.value > 0:
+                continue
+            ref = name(sc).decode()
+            if ref in skip:
+                continue
+            expect = special.get(
+                ref, ref.lower().encode().ljust(4)[:4])
+            if ours != expect:
+                bad.append((hex(cp), ours, ref))
+        assert not bad, bad[:10]
