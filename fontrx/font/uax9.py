@@ -64,6 +64,12 @@ def bidi_class(cp: int) -> str:
     c = unicodedata.bidirectional(chr(cp))
     if c:
         return c
+    # DerivedBidiClass @missing: noncharacters and unassigned
+    # default-ignorables are BN (ICU-differential finding; these never
+    # appear in interchange text but the class table should be right)
+    if 0xFDD0 <= cp <= 0xFDEF or (cp & 0xFFFE) == 0xFFFE \
+            or 0x2060 <= cp <= 0x206F or 0xE0000 <= cp <= 0xE0FFF:
+        return "BN"
     for lo, hi in DEFAULT_AL_RANGES:
         if lo <= cp <= hi:
             return "AL"

@@ -172,3 +172,25 @@ class TestScriptClassification:
             if ours != expect:
                 bad.append((hex(cp), ours, ref))
         assert not bad, bad[:10]
+
+
+class TestBidiClassTable:
+    def test_exhaustive_class_agreement(self):
+        """Every codepoint's bidi class matches ICU's u_charDirection
+        (UCD + DerivedBidiClass @missing defaults, incl. the
+        noncharacter/default-ignorable BN rule)."""
+        import ctypes
+
+        from fontrx.font.uax9 import bidi_class
+        from fontrx.native.icu import symbol
+
+        get = symbol("u_charDirection")
+        get.restype = ctypes.c_int
+        get.argtypes = [ctypes.c_int32]
+        enum = ["L", "R", "EN", "ES", "ET", "AN", "CS", "B", "S",
+                "WS", "ON", "LRE", "LRO", "AL", "RLE", "RLO", "PDF",
+                "NSM", "BN", "FSI", "LRI", "RLI", "PDI"]
+        bad = [(hex(cp), bidi_class(cp), enum[get(cp)])
+               for cp in range(0x20, 0x30000)
+               if bidi_class(cp) != enum[get(cp)]]
+        assert not bad, bad[:10]
