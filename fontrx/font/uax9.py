@@ -68,7 +68,8 @@ def bidi_class(cp: int) -> str:
     # default-ignorables are BN (ICU-differential finding; these never
     # appear in interchange text but the class table should be right)
     if 0xFDD0 <= cp <= 0xFDEF or (cp & 0xFFFE) == 0xFFFE \
-            or 0x2060 <= cp <= 0x206F or 0xE0000 <= cp <= 0xE0FFF:
+            or 0x2060 <= cp <= 0x206F or 0xE0000 <= cp <= 0xE0FFF \
+            or 0xFFF0 <= cp <= 0xFFF8:
         return "BN"
     for lo, hi in DEFAULT_AL_RANGES:
         if lo <= cp <= hi:
