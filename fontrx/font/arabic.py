@@ -118,17 +118,26 @@ class ArabicShaper:
     def forms(self, cps: list[int], gids: list[int]) -> list[bytes | None]:
         """Per-position feature tag (or None) for one logical line."""
         n = len(gids)
+        # TEXT-driven joining classes (ArabicShaping semantics from
+        # the ICU-generated vendored table): joining is a property of
+        # the CHARACTERS, so an unmapped codepoint mid-word still
+        # joins its neighbors correctly (the hb behavior) — the old
+        # font-derived classes live on in joining_class() as the
+        # fallback for codepoints the table doesn't cover.  Marks
+        # outside the Arabic blocks are transparent by their combining
+        # class.
+        import unicodedata
+
+        from fontrx.font._arabic_data import joining_type
+
         cls = []
         for cp, g in zip(cps, gids):
-            if cp == 0x0640 or cp == 0x200D:
-                # tatweel (kashida) and ZWJ are JOIN-CAUSING: they have
-                # no positional forms themselves but make neighbors
-                # join (Unicode joining types C / join-causing)
-                cls.append("D")
-            elif is_arabic(cp):
-                cls.append(self.joining_class(g))
-            else:
-                cls.append("U")
+            t = joining_type(cp)
+            if t == "U" and unicodedata.combining(chr(cp)):
+                t = "T"
+            if t == "U" and is_arabic(cp):
+                t = self.joining_class(g)
+            cls.append(t)
 
         def prev_solid(i):
             j = i - 1
@@ -148,9 +157,11 @@ class ArabicShaper:
                 continue
             p = prev_solid(i)
             nx = next_solid(i)
-            link_prev = p >= 0 and cls[p] == "D"
+            # join-causing (C: tatweel/ZWJ) connects both sides
+            link_prev = p >= 0 and cls[p] in ("D", "C")
             link_next = (
-                cls[i] == "D" and nx >= 0 and cls[nx] in ("D", "R")
+                cls[i] == "D" and nx >= 0
+                and cls[nx] in ("D", "R", "C")
             )
             if link_prev and link_next:
                 out[i] = b"medi"

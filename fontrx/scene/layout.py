@@ -182,6 +182,8 @@ def layout_text(
         _adv = font.varied_advance
     else:
         def _adv(gid):
+            if gid < 0:
+                return 0  # invisible sentinel
             # loading first lets USE_MY_METRICS composites patch their
             # advance before anything (wrap measurement) reads it; the
             # glyph is cached, so the later dedup load is free
@@ -221,6 +223,16 @@ def layout_text(
             if g == 0 or font.charmap.char_for_glyph(g) != 0xAD:
                 continue
         gid = int(font.charmap.glyph_index(cp))
+        if gid == 0 and _is_default_ignorable(cp):
+            # unmapped default-ignorables (ZWNJ/ZWJ/LRM/WJ/...) render
+            # INVISIBLE, not as .notdef tofu; the -1 sentinel keeps the
+            # position through the shaping passes (the Arabic joiner
+            # and bidi read the parallel codepoints) and placement
+            # skips it
+            lines[-1].append(-1)
+            cp_lines[-1].append(cp)
+            prev_cp = cp
+            continue
         if gid == 0:
             # NFD fallback: a precomposed character the font lacks
             # renders as its canonical base + combining-mark sequence
@@ -432,7 +444,7 @@ def layout_text(
     slot_chars: list[int] = []
     for line in lines:
         for gid in line:
-            if gid not in slot_of:
+            if gid >= 0 and gid not in slot_of:
                 slot_of[gid] = len(glyphs)
                 g = font.load_glyph(gid)
                 if oblique:
@@ -525,6 +537,8 @@ def layout_text(
             pending = 0.0
             pending_box = -1
             for idx, gid in enumerate(line):
+                if gid < 0:
+                    continue  # invisible: no instance, no box
                 adv = float(pos.x_advance[idx])
                 if adv != 0.0 and pending:
                     pen_x += pending
@@ -584,6 +598,8 @@ def layout_text(
                           and line)
             pen_log: list[float] = []
             for idx, gid in enumerate(line):
+                if gid < 0:
+                    continue  # invisible: no instance, no box
                 slot = slot_of[gid]
                 if ctx is not None:
                     pen_x += float(ctx[idx])
@@ -719,6 +735,22 @@ def layout_text(
         width=max_x,
         height=len(lines) * line_height,
     )
+
+
+# Unicode Default_Ignorable_Code_Point (the ranges real text uses);
+# unmapped members render invisible instead of .notdef tofu
+_DEFAULT_IGNORABLE = (
+    (0x00AD, 0x00AD), (0x034F, 0x034F), (0x061C, 0x061C),
+    (0x115F, 0x1160), (0x17B4, 0x17B5), (0x180B, 0x180F),
+    (0x200B, 0x200F), (0x202A, 0x202E), (0x2060, 0x206F),
+    (0x3164, 0x3164), (0xFE00, 0xFE0F), (0xFEFF, 0xFEFF),
+    (0xFFA0, 0xFFA0), (0x1BCA0, 0x1BCA3), (0x1D173, 0x1D17A),
+    (0xE0000, 0xE0FFF),
+)
+
+
+def _is_default_ignorable(cp: int) -> bool:
+    return any(lo <= cp <= hi for lo, hi in _DEFAULT_IGNORABLE)
 
 
 def _is_arabic_cp(cp: int) -> bool:
@@ -1105,6 +1137,8 @@ def _layout_vertical(
         v_pending = 0.0
         v_pending_cell = -1
         for idx, gid in enumerate(line):
+            if gid < 0:
+                continue  # invisible sentinel
             slot = slot_of[gid]
             if adv_h is not None:
                 ah = _vadv(gid)

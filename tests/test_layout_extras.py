@@ -390,3 +390,36 @@ class TestReviewRegressions2:
             "-f", "x.ttf", "-t", "hi", "--underline", "--align",
             "center"])
         assert cfg.underline and cfg.align == "center"
+
+
+class TestDefaultIgnorables:
+    """Unmapped default-ignorable codepoints render INVISIBLE (no
+    .notdef tofu), while staying visible to the shaping passes
+    through the parallel codepoint stream."""
+
+    def test_zwnj_breaks_joining_without_tofu(self):
+        from fontrx.native import hb
+
+        f = Font.open("tests/data/arabictest.ttf")
+        lt = layout_text(f, "ب‌ب", ligatures=True, rtl=True)
+        gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        assert 0 not in gids          # no tofu
+        assert gids == [4, 4]         # both ISOLATED (ZWNJ broke it)
+        # and withOUT the ZWNJ the pair joins (init+fina)
+        lt2 = layout_text(f, "بب", ligatures=True, rtl=True)
+        gids2 = [lt2.slot_gids[i.glyph_slot] for i in lt2.instances]
+        assert gids2 != gids
+
+    def test_unmapped_zwsp_is_invisible(self):
+        f = Font.open("tests/data/kerx_pairs.ttf")  # maps only A/V
+        lt = layout_text(f, "A​V")
+        gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
+        assert gids == [1, 2]         # the ZWSP left no instance
+
+    def test_mapped_ignorables_keep_their_glyph(self, dj):
+        # DejaVu maps the word joiner: the font's own (zero-width)
+        # glyph renders, we don't override mapped characters
+        if int(dj.charmap.glyph_index(0x2060)) == 0:
+            pytest.skip("font doesn't map WJ")
+        lt = layout_text(dj, "a⁠b")
+        assert len(lt.instances) == 3
