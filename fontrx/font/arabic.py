@@ -2,20 +2,16 @@
 form selection and application.
 
 A capability extension (the reference maps codepoints straight to
-glyphs).  The Unicode joining algorithm needs per-character joining
-classes (ArabicShaping.txt), which this environment does not ship —
-instead the classes are DERIVED FROM THE FONT's own positional
-coverage, which encodes the same typographic facts:
-
-- **D** (dual-joining, e.g. beh/seen): the glyph is covered by the
-  ``init`` feature's substitutions (only dual-joining letters have
-  initial forms);
-- **R** (right-joining, e.g. alef/dal/reh/waw): covered by ``fina``
-  but not ``init`` (they join only with the preceding letter);
-- **T** (transparent): GDEF mark glyphs — skipped when determining
-  neighbors;
-- **U** (non-joining): everything else (includes non-Arabic text,
-  which therefore never triggers forms).
+glyphs).  Joining classes are TEXT-driven: the vendored
+``_arabic_data.py`` table (ArabicShaping semantics, generated from the
+system ICU's joining-type property by ``tools/gen_arabic_data.py``)
+classifies each codepoint as D (dual), R (right), C (join-causing:
+tatweel/ZWJ), T (transparent: marks) or U (non-joining) — so joining
+survives unmapped codepoints mid-word and ZWNJ breaks joins, matching
+HarfBuzz.  Codepoints the table doesn't cover fall back to classes
+DERIVED FROM THE FONT's own positional coverage (covered-by-``init``
+=> D, by ``fina`` only => R, GDEF marks => T), which encodes the same
+typographic facts for exotic additions.
 
 The joining rule then runs in LOGICAL order over each line: letter x
 links backward iff ``class(x) in (D, R)`` and its previous
