@@ -112,12 +112,14 @@ def layout_text(
       positioning source and nothing double-applies.  Fonts whose GPOS
       lacks every requested tag fall back to the legacy paths;
     - ``wrap_width`` (font units): greedy word wrap — each shaped line
-      breaks at the last space glyph that keeps the advance-width sum
-      within the budget (the breaking space is consumed); a word wider
-      than the budget gets a line of its own rather than overflowing
-      forever.  Wrap measurement uses plain advances; kerning and GPOS
-      placement apply after the break decisions (like most greedy
-      layout engines).  Horizontal modes only;
+      breaks at the last UAX#14 break opportunity (full LB2-LB31 via
+      :mod:`fontrx.font.uax14`, ICU-differential-exact) that keeps the
+      advance-width sum within the budget; breaking spaces are
+      consumed; soft hyphens materialize a hyphen glyph when taken; a
+      word wider than the budget gets a line of its own rather than
+      overflowing forever.  Wrap measurement uses plain advances;
+      kerning and GPOS placement apply after the break decisions (like
+      most greedy layout engines).  Horizontal modes only;
     - ``oblique`` (slant ratio, e.g. 0.21 for ~12 deg): synthetic
       italic — every glyph outline shears ``x' = x + oblique * y``
       before packing (exact: affine images of quadratics).  Advances
@@ -411,11 +413,10 @@ def layout_text(
 
     if wrap_width is not None and not vertical:
         space = int(font.charmap.glyph_index(0x20))
-        # CJK text carries no spaces: UAX#14's ID class makes every
-        # inter-ideograph boundary a break opportunity (with a kinsoku
-        # subset — closing punctuation never starts a line, opening
-        # never ends one).  cp lookup is the charmap reverse scan,
-        # cached per gid.
+        # Break opportunities come from the full UAX#14 engine over
+        # the glyph stream's codepoints (charmap reverse scan, cached
+        # per gid; unmapped glyphs — e.g. ligatures — classify AL, so
+        # no opportunity appears inside them).
         _cp_cache: dict[int, int] = {}
 
         def cp_of(gid: int) -> int:
@@ -424,17 +425,12 @@ def layout_text(
                 _cp_cache[gid] = int(c) if c is not None else -1
             return _cp_cache[gid]
 
-        # wrap needs SOME break opportunity: a space glyph, CJK text,
-        # or soft/explicit hyphens
         hyphen = int(font.charmap.glyph_index(0x2D)) or int(
             font.charmap.glyph_index(0x2010))
-        if space != 0 or any(
-                _is_ideograph(cp_of(g)) or cp_of(g) in (0xAD, 0x2D)
-                for line in lines for g in line):
-            lines, hard_breaks = _wrap_lines(
-                lines, wrap_width, space, _adv, cp_of,
-                hyphen_gid=hyphen)
-            comp_lines = None  # wrap reshuffles lines; comps are stale
+        lines, hard_breaks = _wrap_lines(
+            lines, wrap_width, space, _adv, cp_of,
+            hyphen_gid=hyphen)
+        comp_lines = None  # wrap reshuffles lines; comps are stale
 
     # dedup pass (by glyph index: ligature glyphs have no codepoint)
     slot_of: dict[int, int] = {}
@@ -939,51 +935,17 @@ def _apply_column_direction(instances, start, tops, heights, runs):
             k = j
 
 
-# UAX#14-lite ideograph classification: CJK unified (+ext A),
-# compatibility ideographs, Hiragana/Katakana, Hangul syllables —
-# the classes where every inter-character boundary is a break
-# opportunity (class ID/H2/H3)
-_IDEO_RANGES = (
-    (0x3040, 0x30FF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF),
-    (0xAC00, 0xD7A3), (0xF900, 0xFAFF), (0x20000, 0x2FA1F),
-)
-# kinsoku subsets: closing forms never START a line (UAX#14 CL/NS/EX),
-# opening forms never END one (OP)
-_NO_START = frozenset(
-    "、。，．）」』】〉》〕・ー々〜！？：；"
-) | frozenset(")]}!?,.;:")
-_NO_END = frozenset("（「『【〈《〔") | frozenset("([{")
-
-
-def _is_ideograph(cp: int) -> bool:
-    return any(lo <= cp <= hi for lo, hi in _IDEO_RANGES)
-
-
-def _cjk_break_ok(cp_prev: int, cp_next: int) -> bool:
-    """Break opportunity between two glyphs under the ID rule: both
-    sides CJK-ish, previous not an opener, next not a closer."""
-    if cp_prev < 0 or cp_next < 0:
-        return False
-    if not (_is_ideograph(cp_prev) or _is_ideograph(cp_next)):
-        return False
-    if chr(cp_prev) in _NO_END or chr(cp_next) in _NO_START:
-        return False
-    # at least one true ideograph adjacent to the boundary (don't
-    # split Latin runs embedded in CJK text)
-    return _is_ideograph(cp_prev) and (
-        _is_ideograph(cp_next) or chr(cp_next) not in _NO_START)
-
-
 def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
                 hyphen_gid: int = 0):
     """Greedy wrap over shaped glyph streams: break each line at the
     last break opportunity that keeps the advance sum within
     ``wrap_width``:
 
-    - a ``space_gid`` (consumed by the break);
-    - with ``cp_of``, a UAX#14-lite inter-ideograph boundary or the
-      position AFTER an explicit hyphen (0x2D/0x2010, UAX#14 class
-      HY/BA — no break before digits; nothing consumed);
+    - a full UAX#14 break opportunity (:mod:`fontrx.font.uax14`,
+      LB2-LB31 with the ICU tailorings, differential-exact against
+      ICU's ubrk) computed over the stream's codepoints via ``cp_of``
+      (unmapped glyphs classify AL, so ligatures never split);
+      breaking spaces are consumed (trailing spaces hang, then drop);
     - a SOFT HYPHEN (U+00AD): invisible in the stream, it registers a
       break that, when taken, materializes ``hyphen_gid`` at the line
       end (registered only while the hyphen itself still fits).
@@ -993,16 +955,20 @@ def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
     Returns ``(lines, hard_breaks)``: flag True for lines that end at
     an ORIGINAL hard break (the paragraph-final fragments — justify
     exempts them)."""
+    from fontrx.font.uax14 import break_opportunities
+
     out: list[list[int]] = []
     hard: list[bool] = []
     hyphen_w = advance_of(hyphen_gid) if hyphen_gid else 0.0
     for line in lines:
+        cps = [cp_of(g) if cp_of is not None else -1 for g in line]
+        allowed = break_opportunities(cps)
         cur: list[int] = []
         cur_w = 0.0
         last_break = -1       # index in cur AFTER which to break
-        mode = "boundary"     # space | boundary | shy
-        for gid in line:
-            cp = cp_of(gid) if cp_of is not None else -1
+        mode = "boundary"     # boundary | shy
+        for idx, gid in enumerate(line):
+            cp = cps[idx]
             if cp == 0xAD:
                 # soft hyphen: zero display width; a break opportunity
                 # while the materialized hyphen would still fit
@@ -1011,25 +977,21 @@ def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
                     mode = "shy"
                 continue
             w = advance_of(gid)
-            # the boundary BEFORE this glyph is an opportunity too —
-            # register it ahead of the overflow check so a full line
-            # breaks right before the overflowing ideograph
-            if cur and cp_of is not None and gid != space_gid:
-                if _cjk_break_ok(cp_of(cur[-1]), cp_of(gid)):
-                    last_break = len(cur) - 1
-                    mode = "boundary"
-                elif cp_of(cur[-1]) in (0x2D, 0x2010) and not (
-                        0x30 <= cp <= 0x39):
-                    last_break = len(cur) - 1
-                    mode = "boundary"
+            # the boundary BEFORE this glyph is the UAX#14 opportunity
+            # — register it ahead of the overflow check so a full line
+            # breaks right before the overflowing glyph.  The boundary
+            # after a soft hyphen stays with the shy registration
+            # above (it materializes the hyphen; a plain boundary
+            # would not).
+            if cur and allowed[idx] and cps[idx - 1] != 0xAD:
+                last_break = len(cur) - 1
+                mode = "boundary"
             if (cur and cur_w + w > wrap_width and gid != space_gid
                     and last_break >= 0):
                 # break at the opportunity; the remainder restarts the
                 # line.  With none (one over-budget word) the line
                 # overflows until the next — glyphs never split.
-                if mode == "space":
-                    broken = cur[:last_break]
-                elif mode == "shy":
+                if mode == "shy":
                     broken = cur[: last_break + 1] + (
                         [hyphen_gid] if hyphen_gid else [])
                 else:
@@ -1041,9 +1003,6 @@ def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
                 last_break = -1
                 mode = "boundary"
                 cur_w = float(sum(advance_of(g) for g in cur))
-            if gid == space_gid and space_gid != 0:
-                last_break = len(cur)
-                mode = "space"
             cur.append(gid)
             cur_w += w
         out.append(cur)

@@ -378,16 +378,26 @@ class TestCjkWrap:
         assert len({round(i.y) for i in layout.instances}) == 1
 
     def test_kinsoku_classes(self):
-        from fontrx.scene.layout import _cjk_break_ok
+        # full UAX#14 engine (replaced the round-3 lite subset):
+        # the kinsoku behaviors ride the real ID/CL/OP/NS classes
+        from fontrx.font.uax14 import break_opportunities
+
+        def ok(a, b):
+            return break_opportunities([a, b])[1]
 
         han, han2 = ord("一"), ord("二")
-        assert _cjk_break_ok(han, han2)
+        assert ok(han, han2)
         # closing punctuation can't start a line
-        assert not _cjk_break_ok(han, ord("。"))
-        assert not _cjk_break_ok(han, ord("」"))
+        assert not ok(han, ord("。"))
+        assert not ok(han, ord("」"))
         # opening punctuation can't end a line
-        assert not _cjk_break_ok(ord("「"), han)
-        # Latin-only boundaries are not ID breaks
-        assert not _cjk_break_ok(ord("a"), ord("b"))
-        # unmapped glyphs (cp -1) never break
-        assert not _cjk_break_ok(-1, han)
+        assert not ok(ord("「"), han)
+        # Latin-only boundaries are not break opportunities
+        assert not ok(ord("a"), ord("b"))
+        # unmapped glyphs (cp -1) classify AL: no break inside a
+        # ligature run, but the full rules DO allow AL ÷ ID (an
+        # improvement over the round-3 lite subset, which required the
+        # left side to be an ideograph)
+        assert not ok(-1, -1)
+        assert ok(-1, han)
+        assert ok(han, -1)
