@@ -125,13 +125,20 @@ def atlas(b=1000, n_segments=288):
         max_y = np.full(b, size - 1, np.int32)
         d_var = jnp.stack([jnp.full(b, i, jnp.int32) for i in range(4)])
         d_my = jnp.asarray(max_y)
+        # pack-time window stream (the shipped atlas parameterization:
+        # per-chunk row culling + lane-group chunk splits; None off-TPU
+        # keeps the interpret path single-kernel)
+        wins = engine.pack_windows(
+            np.stack([xsort_segments(s) for s in segs]),
+            np.zeros(b, np.int32), max_y, float(scale), height=size,
+        )
 
-        def fn(mx, size=size, scale=scale, d_my=d_my):
+        def fn(mx, size=size, scale=scale, d_my=d_my, wins=wins):
             # the SHIPPED engine path (picks the dense column-major
             # kernel for this capacity/tile shape)
             return engine.winding_batch(
                 d_segs, mx, d_my, jnp.float32(scale),
-                height=size, width=size,
+                height=size, width=size, windows=wins,
             )
 
         dt = _chained_timer(fn, d_var, n_iter=12 if on_tpu else 2,

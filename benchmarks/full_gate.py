@@ -293,6 +293,26 @@ def run_full_gate(verbose: bool = True) -> dict:
         total_mismatch += m
         log(f"  dense{tile}: {m}/{exp_d.size}")
 
+        # the window-packed dense path (the shipped atlas
+        # parameterization when callers pack windows at pack time)
+        wins = engine.pack_windows(
+            np.stack([xsort_segments(s) for s in dsegs]),
+            np.asarray(dmx), np.asarray(dmy), float(dscale),
+            height=tile,
+        )
+        if wins is not None:
+            out_w = engine.winding_batch(
+                dx, dmx, dmy, dscale, height=tile, width=tile,
+                windows=wins,
+            )
+            m = _device_mismatch(out_w, exp_d)
+            results[f"dense{tile}win"] = {
+                "checked": exp_d.size, "mismatch_canonical": m,
+            }
+            total_checked += exp_d.size
+            total_mismatch += m
+            log(f"  dense{tile}win: {m}/{exp_d.size}")
+
     # ---- 7. SDF + LCD modes (every shipped CLI mode gate-listed) ---------
     # SDF is Newton-lattice vs closed-form: tolerance-gated at the u8
     # quantization step (mismatch = pixels beyond it, expected 0).

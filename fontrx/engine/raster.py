@@ -44,6 +44,28 @@ def default_backend() -> str:
     return BACKEND_PALLAS if jax.default_backend() == "tpu" else BACKEND_JNP
 
 
+@dataclass(frozen=True)
+class DenseWindows:
+    """Pack-time acceleration structure for the dense (single-tile)
+    winding path: segments re-streamed window-major so each chunk's
+    phase A runs only on the pixel-row window it can cross (plus lane
+    groups that split the 128 row lanes across chunk streams).  Built
+    by :meth:`RasterEngine.pack_windows` from HOST segments; pass to
+    :meth:`RasterEngine.winding_batch` via ``windows=``.  Bit-identical
+    to the unwindowed path (same per-(segment, row) float program;
+    winding folds are integer adds) — device-gated in the full gate.
+    Measured (tpu_dense_windows_ab.py): CJK 1000x288 atlas @32px
+    3.92 -> 2.40 ms, @64px 5.70 -> 4.82 ms."""
+
+    segments_win: jax.Array   # [B, n_windows * cap, 3, 2]
+    n_windows: int
+    cap: int
+    win_rows: int
+    groups: int
+    seg_chunk: int
+    height: int
+
+
 @dataclass
 class RasterEngine:
     """Stateless-ish raster dispatcher.
@@ -64,6 +86,44 @@ class RasterEngine:
 
     # -- core entry points -------------------------------------------------
 
+    def pack_windows(
+        self, segments, min_x, max_y, scale, *, height: int,
+    ) -> DenseWindows | None:
+        """Build the window-packed segment stream for a dense-path
+        raster (``height``/``width`` <= 128 single-tile atlases) from
+        HOST segments.  Returns None when the backend or shape cannot
+        use it.  One packing serves every MSAA sample offset in
+        [-1, 1] (the pack carries a one-pixel row margin)."""
+        if self._resolve() not in (BACKEND_PALLAS, BACKEND_INTERPRET):
+            return None
+        if height > STRIP_ROWS:
+            return None
+        segments = np.asarray(segments, np.float32)
+        if segments.shape[1] < 128:
+            # sparse buckets measured WORSE under windows — the
+            # groups*seg_chunk cap quantum (256 @64px) outpads the
+            # row cull when real capacity is 64
+            # (tpu_fullfont_windows.py: DejaVu cap-64 bucket
+            # 15.6 -> 24.9 ms @64px, 8.7 -> 14.4 @32px, 0 mismatches)
+            return None
+        from fontrx.kernels.winding_dense import (
+            dense_win_tuning,
+            pack_dense_windows,
+        )
+
+        win_rows, groups, seg_chunk = dense_win_tuning(height)
+        win, nw, cap = pack_dense_windows(
+            segments,
+            np.asarray(min_x), np.asarray(max_y), float(scale),
+            height, win_rows=win_rows, seg_chunk=seg_chunk,
+            groups=groups,
+        )
+        return DenseWindows(
+            segments_win=jnp.asarray(win), n_windows=nw, cap=cap,
+            win_rows=win_rows, groups=groups, seg_chunk=seg_chunk,
+            height=height,
+        )
+
     def winding_batch(
         self,
         segments,
@@ -73,9 +133,14 @@ class RasterEngine:
         *,
         height: int,
         width: int,
+        windows: DenseWindows | None = None,
     ) -> jax.Array:
         """Batched winding maps: ``[B, H, W]`` int32.  H/W are padded to
-        kernel tiles internally; the returned array is cropped back."""
+        kernel tiles internally; the returned array is cropped back.
+
+        ``windows``: optional pack-time :class:`DenseWindows` (from
+        :meth:`pack_windows` over the same segments/anchors/scale) —
+        routes the dense path through the window-packed kernel."""
         backend = self._resolve()
         # profiler annotation (SURVEY §5.1): raster phases show up in
         # TPU traces under fontrx/raster
@@ -96,6 +161,12 @@ class RasterEngine:
                         scale,
                         height=height,
                         width=width,
+                        windows=None if windows is None else DenseWindows(
+                            windows.segments_win[i : i + MAX_KERNEL_BATCH],
+                            windows.n_windows, windows.cap,
+                            windows.win_rows, windows.groups,
+                            windows.seg_chunk, windows.height,
+                        ),
                     )
                     for i in range(0, segments.shape[0], MAX_KERNEL_BATCH)
                 ]
@@ -118,9 +189,27 @@ class RasterEngine:
                 from fontrx.kernels.winding_dense import (
                     dense_tuning,
                     winding_dense_batch,
+                    winding_dense_win_batch,
                 )
 
                 pw8 = _round_up(width, 8)
+                if windows is not None and windows.height == height:
+                    # window-packed stream from pack time: per-chunk
+                    # ROW culling + lane-group chunk splitting
+                    # (bit-identical; measured CJK @32px 3.92 -> 2.40,
+                    # @64px 5.70 -> 4.82 ms, tpu_dense_windows_ab.py)
+                    out = winding_dense_win_batch(
+                        windows.segments_win, min_x, max_y,
+                        jnp.float32(scale), height=height, width=pw8,
+                        n_windows=windows.n_windows, cap=windows.cap,
+                        interpret=backend == BACKEND_INTERPRET,
+                        exact=self.exact, seg_chunk=windows.seg_chunk,
+                        col_block=8, groups=windows.groups,
+                        win_rows=windows.win_rows,
+                    )
+                    if (STRIP_ROWS, pw8) != (height, width):
+                        out = out[:, :height, :width]
+                    return out
                 # lane packing: tiles <= 64/32 rows leave 1/2 / 3/4 of
                 # the 128 row lanes idle; packing 2/4 consecutive
                 # segment chunks of the SAME glyph into lane groups

@@ -67,6 +67,20 @@ def dense_tuning(height: int) -> tuple[int, int]:
     return 1, 64
 
 
+def dense_win_tuning(height: int) -> tuple[int, int, int]:
+    """Measured (win_rows, groups, seg_chunk) for the window-packed
+    dense kernel (tpu_dense_windows_ab.py interleaved A/Bs, min-of-6
+    chained, all bit-identical: CJK 1000x288 @32px 3.92 -> 2.40 ms
+    with 16-row windows x 8 lane groups, @64px 5.70 -> 4.82 with
+    32-row windows x 4 groups; 16-row windows at 64px LOSE — 6.7 ms —
+    the duplication outgrows the row cull)."""
+    if height <= 32:
+        return 16, 8, 32
+    if height <= 64:
+        return 32, 4, 64
+    return 128, 1, 64
+
+
 def _make_dense_kernel(
     exact: bool,
     width: int,

@@ -800,6 +800,37 @@ class TestDenseWindows:
                 interpret=True, sample_offset=off))
             np.testing.assert_array_equal(out, ref, err_msg=str(off))
 
+    def test_engine_windows_route(self):
+        """`RasterEngine.pack_windows` + `winding_batch(windows=)` —
+        the shipped atlas routing — matches the plain engine path
+        bit-for-bit at the shipped `dense_win_tuning` knobs."""
+        import jax.numpy as jnp
+
+        from benchmarks.cjk import UPEM, synthetic_strokes
+        from fontrx.engine.raster import RasterEngine
+
+        rng = np.random.default_rng(14)
+        segs = np.stack([synthetic_strokes(rng, 280) for _ in range(3)])
+        engine = RasterEngine(exact=True, backend="interpret")
+        min_x = np.zeros(3, np.int32)
+        for size in (64, 32):
+            scale = float(size / UPEM)
+            max_y = np.full(3, size - 1, np.int32)
+            wins = engine.pack_windows(
+                segs, min_x, max_y, scale, height=size)
+            assert wins is not None
+            ref = np.asarray(engine.winding_batch(
+                jnp.asarray(segs), min_x, max_y, scale,
+                height=size, width=size))
+            out = np.asarray(engine.winding_batch(
+                jnp.asarray(segs), min_x, max_y, scale,
+                height=size, width=size, windows=wins))
+            np.testing.assert_array_equal(out, ref)
+        # non-Pallas backends decline the pack
+        assert RasterEngine(backend="jnp").pack_windows(
+            segs, min_x, np.full(3, 63, np.int32), 64 / UPEM,
+            height=64) is None
+
     def test_pack_duplication_is_bounded(self):
         """The window assignment duplicates a segment only into
         windows its hull can touch — for stroke-like dense content
