@@ -5026,345 +5026,6 @@ LB30_EAW_OPCP = frozenset((
 
 # Extended_Pictographic & Cn ranges (LB30b EB-base rule)
 EXTPICT_CN = (
-    (0x0378, 0x0379),
-    (0x0380, 0x0383),
-    (0x038B, 0x038B),
-    (0x038D, 0x038D),
-    (0x03A2, 0x03A2),
-    (0x0530, 0x0530),
-    (0x0557, 0x0558),
-    (0x058B, 0x058C),
-    (0x0590, 0x0590),
-    (0x05C8, 0x05CF),
-    (0x05EB, 0x05EE),
-    (0x05F5, 0x05FF),
-    (0x070E, 0x070E),
-    (0x074B, 0x074C),
-    (0x07B2, 0x07BF),
-    (0x07FB, 0x07FC),
-    (0x082E, 0x082F),
-    (0x083F, 0x083F),
-    (0x085C, 0x085D),
-    (0x085F, 0x085F),
-    (0x086B, 0x086F),
-    (0x088F, 0x088F),
-    (0x0892, 0x0897),
-    (0x0984, 0x0984),
-    (0x098D, 0x098E),
-    (0x0991, 0x0992),
-    (0x09A9, 0x09A9),
-    (0x09B1, 0x09B1),
-    (0x09B3, 0x09B5),
-    (0x09BA, 0x09BB),
-    (0x09C5, 0x09C6),
-    (0x09C9, 0x09CA),
-    (0x09CF, 0x09D6),
-    (0x09D8, 0x09DB),
-    (0x09DE, 0x09DE),
-    (0x09E4, 0x09E5),
-    (0x09FF, 0x0A00),
-    (0x0A04, 0x0A04),
-    (0x0A0B, 0x0A0E),
-    (0x0A11, 0x0A12),
-    (0x0A29, 0x0A29),
-    (0x0A31, 0x0A31),
-    (0x0A34, 0x0A34),
-    (0x0A37, 0x0A37),
-    (0x0A3A, 0x0A3B),
-    (0x0A3D, 0x0A3D),
-    (0x0A43, 0x0A46),
-    (0x0A49, 0x0A4A),
-    (0x0A4E, 0x0A50),
-    (0x0A52, 0x0A58),
-    (0x0A5D, 0x0A5D),
-    (0x0A5F, 0x0A65),
-    (0x0A77, 0x0A80),
-    (0x0A84, 0x0A84),
-    (0x0A8E, 0x0A8E),
-    (0x0A92, 0x0A92),
-    (0x0AA9, 0x0AA9),
-    (0x0AB1, 0x0AB1),
-    (0x0AB4, 0x0AB4),
-    (0x0ABA, 0x0ABB),
-    (0x0AC6, 0x0AC6),
-    (0x0ACA, 0x0ACA),
-    (0x0ACE, 0x0ACF),
-    (0x0AD1, 0x0ADF),
-    (0x0AE4, 0x0AE5),
-    (0x0AF2, 0x0AF8),
-    (0x0B00, 0x0B00),
-    (0x0B04, 0x0B04),
-    (0x0B0D, 0x0B0E),
-    (0x0B11, 0x0B12),
-    (0x0B29, 0x0B29),
-    (0x0B31, 0x0B31),
-    (0x0B34, 0x0B34),
-    (0x0B3A, 0x0B3B),
-    (0x0B45, 0x0B46),
-    (0x0B49, 0x0B4A),
-    (0x0B4E, 0x0B54),
-    (0x0B58, 0x0B5B),
-    (0x0B5E, 0x0B5E),
-    (0x0B64, 0x0B65),
-    (0x0B78, 0x0B81),
-    (0x0B84, 0x0B84),
-    (0x0B8B, 0x0B8D),
-    (0x0B91, 0x0B91),
-    (0x0B96, 0x0B98),
-    (0x0B9B, 0x0B9B),
-    (0x0B9D, 0x0B9D),
-    (0x0BA0, 0x0BA2),
-    (0x0BA5, 0x0BA7),
-    (0x0BAB, 0x0BAD),
-    (0x0BBA, 0x0BBD),
-    (0x0BC3, 0x0BC5),
-    (0x0BC9, 0x0BC9),
-    (0x0BCE, 0x0BCF),
-    (0x0BD1, 0x0BD6),
-    (0x0BD8, 0x0BE5),
-    (0x0BFB, 0x0BFF),
-    (0x0C0D, 0x0C0D),
-    (0x0C11, 0x0C11),
-    (0x0C29, 0x0C29),
-    (0x0C3A, 0x0C3B),
-    (0x0C45, 0x0C45),
-    (0x0C49, 0x0C49),
-    (0x0C4E, 0x0C54),
-    (0x0C57, 0x0C57),
-    (0x0C5B, 0x0C5C),
-    (0x0C5E, 0x0C5F),
-    (0x0C64, 0x0C65),
-    (0x0C70, 0x0C76),
-    (0x0C8D, 0x0C8D),
-    (0x0C91, 0x0C91),
-    (0x0CA9, 0x0CA9),
-    (0x0CB4, 0x0CB4),
-    (0x0CBA, 0x0CBB),
-    (0x0CC5, 0x0CC5),
-    (0x0CC9, 0x0CC9),
-    (0x0CCE, 0x0CD4),
-    (0x0CD7, 0x0CDC),
-    (0x0CDF, 0x0CDF),
-    (0x0CE4, 0x0CE5),
-    (0x0CF0, 0x0CF0),
-    (0x0CF4, 0x0CFF),
-    (0x0D0D, 0x0D0D),
-    (0x0D11, 0x0D11),
-    (0x0D45, 0x0D45),
-    (0x0D49, 0x0D49),
-    (0x0D50, 0x0D53),
-    (0x0D64, 0x0D65),
-    (0x0D80, 0x0D80),
-    (0x0D84, 0x0D84),
-    (0x0D97, 0x0D99),
-    (0x0DB2, 0x0DB2),
-    (0x0DBC, 0x0DBC),
-    (0x0DBE, 0x0DBF),
-    (0x0DC7, 0x0DC9),
-    (0x0DCB, 0x0DCE),
-    (0x0DD5, 0x0DD5),
-    (0x0DD7, 0x0DD7),
-    (0x0DE0, 0x0DE5),
-    (0x0DF0, 0x0DF1),
-    (0x0DF5, 0x0E00),
-    (0x0E3B, 0x0E3E),
-    (0x0E5C, 0x0E80),
-    (0x0E83, 0x0E83),
-    (0x0E85, 0x0E85),
-    (0x0E8B, 0x0E8B),
-    (0x0EA4, 0x0EA4),
-    (0x0EA6, 0x0EA6),
-    (0x0EBE, 0x0EBF),
-    (0x0EC5, 0x0EC5),
-    (0x0EC7, 0x0EC7),
-    (0x0ECF, 0x0ECF),
-    (0x0EDA, 0x0EDB),
-    (0x0EE0, 0x0EFF),
-    (0x0F48, 0x0F48),
-    (0x0F6D, 0x0F70),
-    (0x0F98, 0x0F98),
-    (0x0FBD, 0x0FBD),
-    (0x0FCD, 0x0FCD),
-    (0x0FDB, 0x0FFF),
-    (0x10C6, 0x10C6),
-    (0x10C8, 0x10CC),
-    (0x10CE, 0x10CF),
-    (0x1249, 0x1249),
-    (0x124E, 0x124F),
-    (0x1257, 0x1257),
-    (0x1259, 0x1259),
-    (0x125E, 0x125F),
-    (0x1289, 0x1289),
-    (0x128E, 0x128F),
-    (0x12B1, 0x12B1),
-    (0x12B6, 0x12B7),
-    (0x12BF, 0x12BF),
-    (0x12C1, 0x12C1),
-    (0x12C6, 0x12C7),
-    (0x12D7, 0x12D7),
-    (0x1311, 0x1311),
-    (0x1316, 0x1317),
-    (0x135B, 0x135C),
-    (0x137D, 0x137F),
-    (0x139A, 0x139F),
-    (0x13F6, 0x13F7),
-    (0x13FE, 0x13FF),
-    (0x169D, 0x169F),
-    (0x16F9, 0x16FF),
-    (0x1716, 0x171E),
-    (0x1737, 0x173F),
-    (0x1754, 0x175F),
-    (0x176D, 0x176D),
-    (0x1771, 0x1771),
-    (0x1774, 0x177F),
-    (0x17DE, 0x17DF),
-    (0x17EA, 0x17EF),
-    (0x17FA, 0x17FF),
-    (0x181A, 0x181F),
-    (0x1879, 0x187F),
-    (0x18AB, 0x18AF),
-    (0x18F6, 0x18FF),
-    (0x191F, 0x191F),
-    (0x192C, 0x192F),
-    (0x193C, 0x193F),
-    (0x1941, 0x1943),
-    (0x196E, 0x196F),
-    (0x1975, 0x197F),
-    (0x19AC, 0x19AF),
-    (0x19CA, 0x19CF),
-    (0x19DB, 0x19DD),
-    (0x1A1C, 0x1A1D),
-    (0x1A5F, 0x1A5F),
-    (0x1A7D, 0x1A7E),
-    (0x1A8A, 0x1A8F),
-    (0x1A9A, 0x1A9F),
-    (0x1AAE, 0x1AAF),
-    (0x1ACF, 0x1AFF),
-    (0x1B4D, 0x1B4F),
-    (0x1B7F, 0x1B7F),
-    (0x1BF4, 0x1BFB),
-    (0x1C38, 0x1C3A),
-    (0x1C4A, 0x1C4C),
-    (0x1C89, 0x1C8F),
-    (0x1CBB, 0x1CBC),
-    (0x1CC8, 0x1CCF),
-    (0x1CFB, 0x1CFF),
-    (0x1F16, 0x1F17),
-    (0x1F1E, 0x1F1F),
-    (0x1F46, 0x1F47),
-    (0x1F4E, 0x1F4F),
-    (0x1F58, 0x1F58),
-    (0x1F5A, 0x1F5A),
-    (0x1F5C, 0x1F5C),
-    (0x1F5E, 0x1F5E),
-    (0x1F7E, 0x1F7F),
-    (0x1FB5, 0x1FB5),
-    (0x1FC5, 0x1FC5),
-    (0x1FD4, 0x1FD5),
-    (0x1FDC, 0x1FDC),
-    (0x1FF0, 0x1FF1),
-    (0x1FF5, 0x1FF5),
-    (0x1FFF, 0x1FFF),
-    (0x2065, 0x2065),
-    (0x2072, 0x2073),
-    (0x208F, 0x208F),
-    (0x209D, 0x209F),
-    (0x20C1, 0x20CF),
-    (0x20F1, 0x20FF),
-    (0x218C, 0x218F),
-    (0x2427, 0x243F),
-    (0x244B, 0x245F),
-    (0x2B74, 0x2B75),
-    (0x2B96, 0x2B96),
-    (0x2CF4, 0x2CF8),
-    (0x2D26, 0x2D26),
-    (0x2D28, 0x2D2C),
-    (0x2D2E, 0x2D2F),
-    (0x2D68, 0x2D6E),
-    (0x2D71, 0x2D7E),
-    (0x2D97, 0x2D9F),
-    (0x2DA7, 0x2DA7),
-    (0x2DAF, 0x2DAF),
-    (0x2DB7, 0x2DB7),
-    (0x2DBF, 0x2DBF),
-    (0x2DC7, 0x2DC7),
-    (0x2DCF, 0x2DCF),
-    (0x2DD7, 0x2DD7),
-    (0x2DDF, 0x2DDF),
-    (0x2E5E, 0x2E7F),
-    (0x2E9A, 0x2E9A),
-    (0x2EF4, 0x2EFF),
-    (0x2FD6, 0x2FEF),
-    (0x2FFC, 0x2FFF),
-    (0x3040, 0x3040),
-    (0x3097, 0x3098),
-    (0x3100, 0x3104),
-    (0x3130, 0x3130),
-    (0x318F, 0x318F),
-    (0x31E4, 0x31EF),
-    (0x321F, 0x321F),
-    (0xA48D, 0xA48F),
-    (0xA4C7, 0xA4CF),
-    (0xA62C, 0xA63F),
-    (0xA6F8, 0xA6FF),
-    (0xA7CB, 0xA7CF),
-    (0xA7D2, 0xA7D2),
-    (0xA7D4, 0xA7D4),
-    (0xA7DA, 0xA7F1),
-    (0xA82D, 0xA82F),
-    (0xA83A, 0xA83F),
-    (0xA878, 0xA87F),
-    (0xA8C6, 0xA8CD),
-    (0xA8DA, 0xA8DF),
-    (0xA954, 0xA95E),
-    (0xA97D, 0xA97F),
-    (0xA9CE, 0xA9CE),
-    (0xA9DA, 0xA9DD),
-    (0xA9FF, 0xA9FF),
-    (0xAA37, 0xAA3F),
-    (0xAA4E, 0xAA4F),
-    (0xAA5A, 0xAA5B),
-    (0xAAC3, 0xAADA),
-    (0xAAF7, 0xAB00),
-    (0xAB07, 0xAB08),
-    (0xAB0F, 0xAB10),
-    (0xAB17, 0xAB1F),
-    (0xAB27, 0xAB27),
-    (0xAB2F, 0xAB2F),
-    (0xAB6C, 0xAB6F),
-    (0xABEE, 0xABEF),
-    (0xABFA, 0xABFF),
-    (0xD7A4, 0xD7AF),
-    (0xD7C7, 0xD7CA),
-    (0xD7FC, 0xD7FF),
-    (0xFA6E, 0xFA6F),
-    (0xFADA, 0xFAFF),
-    (0xFB07, 0xFB12),
-    (0xFB18, 0xFB1C),
-    (0xFB37, 0xFB37),
-    (0xFB3D, 0xFB3D),
-    (0xFB3F, 0xFB3F),
-    (0xFB42, 0xFB42),
-    (0xFB45, 0xFB45),
-    (0xFBC3, 0xFBD2),
-    (0xFD90, 0xFD91),
-    (0xFDC8, 0xFDCE),
-    (0xFDD0, 0xFDEF),
-    (0xFE1A, 0xFE1F),
-    (0xFE53, 0xFE53),
-    (0xFE67, 0xFE67),
-    (0xFE6C, 0xFE6F),
-    (0xFE75, 0xFE75),
-    (0xFEFD, 0xFEFE),
-    (0xFF00, 0xFF00),
-    (0xFFBF, 0xFFC1),
-    (0xFFC8, 0xFFC9),
-    (0xFFD0, 0xFFD1),
-    (0xFFD8, 0xFFD9),
-    (0xFFDD, 0xFFDF),
-    (0xFFE7, 0xFFE7),
-    (0xFFEF, 0xFFF8),
-    (0xFFFE, 0xFFFF),
     (0x1F02C, 0x1F02F),
     (0x1F094, 0x1F09F),
     (0x1F0AF, 0x1F0B0),
@@ -5399,5 +5060,5 @@ EXTPICT_CN = (
     (0x1FADC, 0x1FADF),
     (0x1FAE9, 0x1FAEF),
     (0x1FAF9, 0x1FAFF),
-    (0x1FC00, 0x1FFFF),
+    (0x1FC00, 0x1FFFD),
 )

@@ -167,14 +167,26 @@ def bidi_visual_order(cps: list[int], rtl: bool) -> list[int] | None:
         _close(bidi)
 
 
+UBRK_CHARACTER = 0
 UBRK_LINE = 2
+
+
+def character_breaks(text: str) -> list[int] | None:
+    """ICU's UAX#29 extended-grapheme-cluster boundaries as codepoint
+    offsets (cluster START positions, excluding 0), or None on error.
+    Differential oracle for ``fontrx.font.uax29``."""
+    return _breaks(text, UBRK_CHARACTER)
 
 
 def line_breaks(text: str) -> list[int] | None:
     """ICU's UAX#14 line-break opportunities as codepoint offsets
     (positions where the NEXT line may start), or None on error.
-    Soundness oracle for the layout wrapper: every break fontrx takes
-    must be in this set."""
+    EXACT differential oracle for ``fontrx.font.uax14`` (and the
+    soundness bar for every break the layout wrapper takes)."""
+    return _breaks(text, UBRK_LINE)
+
+
+def _breaks(text: str, kind: int) -> list[int] | None:
     icu = _lib()
     if not icu:
         return None
@@ -187,7 +199,7 @@ def line_breaks(text: str) -> list[int] | None:
     open_f.argtypes = [ctypes.c_int, ctypes.c_char_p,
                        ctypes.c_void_p, ctypes.c_int32,
                        ctypes.POINTER(ctypes.c_int)]
-    bi = open_f(UBRK_LINE, b"en", buf, n, ctypes.byref(err))
+    bi = open_f(kind, b"en", buf, n, ctypes.byref(err))
     if err.value > 0 or not bi:
         return None
     try:

@@ -204,11 +204,17 @@ class InteractiveSession:
         self._set_text(self.text + text)
 
     def backspace(self, n: int = 1):
-        """Delete the last ``n`` characters and re-layout (the edit
-        half of user text input; glyph tiles for the remaining text
-        stay warm in the tile cache)."""
+        """Delete the last ``n`` GRAPHEME CLUSTERS (UAX#29 extended
+        clusters via :mod:`fontrx.font.uax29` — one backspace removes
+        a whole base+marks stack, Hangul syllable, emoji ZWJ sequence,
+        or flag pair, the way editors behave) and re-layout; glyph
+        tiles for the remaining text stay warm in the tile cache."""
         if n > 0 and self.text:
-            self._set_text(self.text[: -n] if n < len(self.text) else "")
+            from fontrx.font.uax29 import grapheme_clusters
+
+            clusters = grapheme_clusters(self.text)
+            self._set_text(
+                "".join(clusters[:-n]) if n < len(clusters) else "")
 
     def _set_text(self, text: str):
         self.text = text

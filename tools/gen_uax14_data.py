@@ -22,9 +22,17 @@ sys.path.insert(0, ".")
 
 from fontrx.native.icu import symbol  # noqa: E402
 
+import ctypes  # noqa: E402
+
 get = symbol("u_getIntPropertyValue")
+get.restype = ctypes.c_int32
+get.argtypes = [ctypes.c_int32, ctypes.c_int32]
 chartype = symbol("u_charType")
+chartype.restype = ctypes.c_int8
+chartype.argtypes = [ctypes.c_int32]
 hasbin = symbol("u_hasBinaryProperty")
+hasbin.restype = ctypes.c_int8  # UBool — without this ctypes reads a
+hasbin.argtypes = [ctypes.c_int32, ctypes.c_int32]  # garbage-truthy int
 
 UCHAR_LINE_BREAK = 0x1008
 UCHAR_EAST_ASIAN_WIDTH = 0x1004
