@@ -199,6 +199,8 @@ def _eval_node(node, cov, grid, tile: int):
             src = _eval_node(k, cov, grid, tile)
             acc = acc * (1.0 - src[..., 3:]) + src
         return acc
+    if node[0] == "filter":
+        return _eval_filter(node, cov, grid, tile)
     _, mode, sn, bn = node
     src = _eval_node(sn, cov, grid, tile)
     bdp = _eval_node(bn, cov, grid, tile)
@@ -206,6 +208,220 @@ def _eval_node(node, cov, grid, tile: int):
         fa, fb = _PORTER_DUFF[mode](src[..., 3:], bdp[..., 3:])
         return jnp.clip(src * fa + bdp * fb, 0.0, 1.0)
     return _blend(mode, src, bdp)
+
+
+# -- SVG filter primitives (fontrx.font.svgdoc lowers <filter> to
+# ("filter", region_em, prims, node); evaluation is raster-space on
+# the premultiplied tile) --------------------------------------------
+
+
+def _blur_kernel(sigma_px: float):
+    """SVG 1.1 feGaussianBlur: the composite 1-D kernel of the spec's
+    THREE successive box blurs (the deterministic approximation the
+    spec itself prescribes), as (taps, index-of-zero-offset).  None =
+    identity."""
+    if not (sigma_px > 0.0):
+        return None
+    d = int(np.floor(sigma_px * 3.0 * np.sqrt(2.0 * np.pi) / 4.0 + 0.5))
+    if d < 1:
+        return None
+    if d % 2 == 1:
+        boxes = [(d, d // 2)] * 3
+    else:
+        # two size-d boxes centered on the pixel boundaries to the
+        # left and right, one size-(d+1) box centered
+        boxes = [(d, d // 2), (d, d // 2 - 1), (d + 1, d // 2)]
+    kern = np.array([1.0])
+    center = 0
+    for size, c in boxes:
+        kern = np.convolve(kern, np.full(size, 1.0 / size))
+        center += c
+    return kern.astype(np.float32), center
+
+
+def _conv1d(img, kern, center: int, axis: int):
+    """out[i] = sum_j kern[j] * img[i + j - center], zero outside (the
+    spec's transparent-black edge rule)."""
+    n = img.shape[axis]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (center, len(kern) - 1 - center)
+    p = jnp.pad(img, pad)
+    out = jnp.zeros_like(img)
+    for j, w in enumerate(kern):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(j, j + n)
+        out = out + jnp.float32(w) * p[tuple(sl)]
+    return out
+
+
+def _gaussian_blur(img, sx_px: float, sy_px: float):
+    kx = _blur_kernel(sx_px)
+    ky = _blur_kernel(sy_px)
+    if kx is not None:
+        img = _conv1d(img, *kx, axis=1)
+    if ky is not None:
+        img = _conv1d(img, *ky, axis=0)
+    return img
+
+
+def _offset_px(img, dx: int, dy: int):
+    """Integer pixel shift with transparent-black fill (dy in ROW
+    direction, already y-flipped by the caller)."""
+    if dx == 0 and dy == 0:
+        return img
+    out = jnp.roll(img, (dy, dx), axis=(0, 1))
+    t = img.shape[0]
+    rows = jnp.arange(t)
+    if dy > 0:
+        out = jnp.where((rows < dy)[:, None, None], 0.0, out)
+    elif dy < 0:
+        out = jnp.where((rows >= t + dy)[:, None, None], 0.0, out)
+    if dx > 0:
+        out = jnp.where((rows < dx)[None, :, None], 0.0, out)
+    elif dx < 0:
+        out = jnp.where((rows >= t + dx)[None, :, None], 0.0, out)
+    return out
+
+
+_COLORMATRIX_LUM = (0.2125, 0.7154, 0.0721)
+
+
+def _colormatrix(img, kind: str, values):
+    """feColorMatrix on STRAIGHT (unpremultiplied) RGBA, per spec."""
+    a = img[..., 3:]
+    straight = img[..., :3] / jnp.where(a == 0, 1.0, a)
+    if kind == "saturate":
+        s = float(values[0]) if values else 1.0
+        m = np.array([
+            [0.213 + 0.787 * s, 0.715 - 0.715 * s, 0.072 - 0.072 * s, 0, 0],
+            [0.213 - 0.213 * s, 0.715 + 0.285 * s, 0.072 - 0.072 * s, 0, 0],
+            [0.213 - 0.213 * s, 0.715 - 0.715 * s, 0.072 + 0.928 * s, 0, 0],
+            [0, 0, 0, 1, 0]])
+    elif kind == "hueRotate":
+        t = np.radians(float(values[0]) if values else 0.0)
+        c, s = np.cos(t), np.sin(t)
+        m = (np.array([
+            [0.213, 0.715, 0.072, 0, 0],
+            [0.213, 0.715, 0.072, 0, 0],
+            [0.213, 0.715, 0.072, 0, 0],
+            [0, 0, 0, 1, 0]])
+            + c * np.array([
+                [0.787, -0.715, -0.072, 0, 0],
+                [-0.213, 0.285, -0.072, 0, 0],
+                [-0.213, -0.715, 0.928, 0, 0],
+                [0, 0, 0, 0, 0]])
+            + s * np.array([
+                [-0.213, -0.715, 0.928, 0, 0],
+                [0.143, 0.140, -0.283, 0, 0],
+                [-0.787, 0.715, 0.072, 0, 0],
+                [0, 0, 0, 0, 0]]))
+    elif kind == "luminanceToAlpha":
+        lr, lg, lb = _COLORMATRIX_LUM
+        m = np.array([
+            [0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+            [lr, lg, lb, 0, 0]])
+    else:  # "matrix": 20 values, rows of [r g b a 1] weights
+        m = np.asarray(values, np.float64).reshape(4, 5)
+    vec = jnp.concatenate(
+        [straight, a, jnp.ones_like(a)], axis=-1)  # [T, T, 5]
+    out = jnp.clip(
+        jnp.einsum("ijk,lk->ijl", vec, jnp.asarray(m, jnp.float32)),
+        0.0, 1.0)
+    oa = out[..., 3:]
+    return jnp.concatenate([out[..., :3] * oa, oa], axis=-1)
+
+
+_FE_BLEND = {"normal": None, "screen": 13, "darken": 15,
+             "lighten": 16, "multiply": 23}
+
+
+def _fe_composite(src, bdp, op: str, k):
+    sa, ba = src[..., 3:], bdp[..., 3:]
+    if op == "in":
+        return src * ba
+    if op == "out":
+        return src * (1.0 - ba)
+    if op == "atop":
+        return src * ba + bdp * (1.0 - sa)
+    if op == "xor":
+        return src * (1.0 - ba) + bdp * (1.0 - sa)
+    if op == "arithmetic":
+        k1, k2, k3, k4 = (float(v) for v in k)
+        return jnp.clip(
+            k1 * src * bdp + k2 * src + k3 * bdp + k4, 0.0, 1.0)
+    return src + bdp * (1.0 - sa)  # over
+
+
+def _eval_filter(node, cov, grid, tile: int):
+    """Evaluate a ("filter", region_em, prims, child) node: raster the
+    child, then run the primitive pipeline over the premultiplied
+    tile.  Lengths in the prims are EM units (the document lowering
+    already applied the element transform); they scale to pixels by
+    ``grid.scale`` here so zoom changes re-raster correctly.  Each
+    primitive's output crops to the filter region (the spec's hard
+    clip; per-primitive subregions are not supported — documented in
+    fontrx.font.svgdoc)."""
+    _, region, prims, child = node
+    src = _eval_node(child, cov, grid, tile)
+
+    mask = None
+    if region is not None:
+        x0, y0, x1, y1 = region
+        c = jnp.arange(tile, dtype=jnp.float32)
+        r = jnp.arange(tile, dtype=jnp.float32)
+        ex = (grid.min_x + c[None, :]) / grid.scale
+        ey = (grid.max_y - r[:, None]) / grid.scale
+        mask = ((ex >= x0) & (ex <= x1) & (ey >= y0)
+                & (ey <= y1)).astype(jnp.float32)[..., None]
+
+    def crop(img):
+        return img if mask is None else img * mask
+
+    results = {"SourceGraphic": crop(src)}
+    results["SourceAlpha"] = crop(jnp.concatenate(
+        [jnp.zeros_like(src[..., :3]), src[..., 3:]], axis=-1))
+    last = results["SourceGraphic"]
+
+    def get(ref):
+        if ref and ref in results:
+            return results[ref]
+        return last
+
+    scale = float(grid.scale)
+    for p in prims:
+        kind = p[0]
+        if kind == "blur":
+            out = _gaussian_blur(get(p[1]), p[2] * scale, p[3] * scale)
+        elif kind == "offset":
+            out = _offset_px(get(p[1]),
+                             int(round(p[2] * scale)),
+                             int(round(-p[3] * scale)))
+        elif kind == "flood":
+            r_, g_, b_, a_ = p[1]
+            out = jnp.broadcast_to(
+                jnp.asarray((r_ * a_, g_ * a_, b_ * a_, a_),
+                            jnp.float32), (tile, tile, 4))
+        elif kind == "merge":
+            out = jnp.zeros((tile, tile, 4), jnp.float32)
+            for ref in p[1]:
+                s = get(ref)
+                out = out * (1.0 - s[..., 3:]) + s
+        elif kind == "composite":
+            out = _fe_composite(get(p[1]), get(p[2]), p[3], p[4])
+        elif kind == "blend":
+            mode = _FE_BLEND.get(p[3])
+            s, b = get(p[1]), get(p[2])
+            out = (s + b * (1.0 - s[..., 3:]) if mode is None
+                   else _blend(mode, s, b))
+        elif kind == "colormatrix":
+            out = _colormatrix(get(p[1]), p[2], p[3])
+        else:  # pragma: no cover - the lowering rejects unknown prims
+            continue
+        out = crop(out)
+        if p[-1]:
+            results[p[-1]] = out
+        last = out
+    return last
 
 
 def _lum(c):
@@ -403,6 +619,8 @@ def color_glyph_tiles(
                 return ("alpha", node[1], collect(node[2]))
             if node[0] == "mask":
                 return ("mask", collect(node[1]), collect(node[2]))
+            if node[0] == "filter":
+                return ("filter", node[1], node[2], collect(node[3]))
             return ("composite", node[1], collect(node[2]),
                     collect(node[3]))
 
@@ -416,14 +634,36 @@ def color_glyph_tiles(
         if colr is not None and hasattr(colr, "clip_box"):
             clip = colr.clip_box(gid)
         boxes = [g.box for g in loaded]
+        # filter regions are render bounds too (a drop shadow spills
+        # past the outline union; the region is the spec's hard clip)
+        regions: list[tuple] = []
+
+        def scan_regions(n):
+            if n[0] == "filter" and n[1] is not None:
+                regions.append(n[1])
+                scan_regions(n[3])
+            elif n[0] == "layers":
+                for k in n[1]:
+                    scan_regions(k)
+            elif n[0] == "alpha":
+                scan_regions(n[2])
+            elif n[0] in ("mask", "composite"):
+                scan_regions(n[-2])
+                scan_regions(n[-1])
+
+        scan_regions(rowtree)
         if clip is not None:
             union = clip
-        elif boxes:
+        elif boxes or regions:
             union = (
-                min(b.x_min for b in boxes),
-                min(b.y_min for b in boxes),
-                max(b.x_max for b in boxes),
-                max(b.y_max for b in boxes),
+                min([b.x_min for b in boxes]
+                    + [r[0] for r in regions]),
+                min([b.y_min for b in boxes]
+                    + [r[1] for r in regions]),
+                max([b.x_max for b in boxes]
+                    + [r[2] for r in regions]),
+                max([b.y_max for b in boxes]
+                    + [r[3] for r in regions]),
             )
         else:
             union = (0, 0, 1, 1)

@@ -211,6 +211,8 @@ class FontStack:
                 return ("alpha", node[1], remap(node[2]))
             if node[0] == "mask":
                 return ("mask", remap(node[1]), remap(node[2]))
+            if node[0] == "filter":
+                return ("filter", node[1], node[2], remap(node[3]))
             return ("composite", node[1], remap(node[2]),
                     remap(node[3]))
 

@@ -41,9 +41,17 @@ joins with miterlimit, dasharray/dashoffset, solid + gradient stroke
 paints), and **mask** (luminance x alpha of the mask render scales
 the content — the engine's ``("mask", content, mask)`` node with CSS
 masking / Rec.709 coefficients; maskContentUnits=userSpaceOnUse, the
-region clip unapplied).  Documented remaining gaps: ``filter`` is
-ignored with a log notice; self-intersecting evenodd paths and
-self-intersecting clip children keep the nesting-depth approximation.
+region clip unapplied), and **filter** (raster-space primitive
+pipeline on the composited tile — feGaussianBlur per the spec's
+three-box approximation, feOffset, feFlood, feMerge, feComposite
+(all operators incl. arithmetic), feBlend (SVG 1.1 modes),
+feColorMatrix (matrix/saturate/hueRotate/luminanceToAlpha),
+feDropShadow — with SourceGraphic/SourceAlpha/named results and the
+filter-region hard clip; a filter using any other primitive or input
+warns once and renders UNFILTERED; per-primitive subregions are not
+applied).  Documented remaining gaps: self-intersecting evenodd
+paths and self-intersecting clip children keep the nesting-depth
+approximation.
 """
 
 from __future__ import annotations
@@ -909,6 +917,7 @@ class SvgDocument:
         opacity = 1.0
         clip_nodes: list = []
         mask_nodes: list = []
+        filter_nodes: list = []
         for anc in reversed(chain[1:]):
             st = _style_of(anc)
             xf = affine_mul(xf, parse_transform(st.get("transform", "")))
@@ -916,6 +925,10 @@ class SvgDocument:
                 if k in st:
                     style[k] = st[k]
             opacity *= _safe_float(st.get("opacity", 1.0))
+            fn = self._resolve_filter(st.get("filter"), xf, anc,
+                                      foreground)
+            if fn is not None:
+                filter_nodes.append(fn)
             cn = self._resolve_clip(st.get("clip-path"), xf, anc)
             if cn == "empty":
                 return None
@@ -932,32 +945,38 @@ class SvgDocument:
         if not nodes:
             return None
         node = nodes[0] if len(nodes) == 1 else ("layers", nodes)
-        if opacity < 1.0:
-            node = ("alpha", opacity, node)
+        for fn in filter_nodes:
+            node = ("filter", fn[1], fn[2], node)
         for cn in clip_nodes:
             node = ("composite", 5, node, cn)
         for mn in mask_nodes:
             node = ("mask", node, mn)
+        if opacity < 1.0:
+            node = ("alpha", opacity, node)
         if node[0] == "layers":
             return node
         return ("layers", [node])
 
     @staticmethod
-    def _finish(out, nodes, opacity, clip, mask=None):
-        """Wrap an element's rendered nodes with its own opacity
-        (exact: offscreen-composited via the ``alpha`` node),
-        clip-path (SrcIn against the clip geometry's coverage) and
-        mask (luminance x alpha of the mask render), then append to
-        the parent's node list."""
+    def _finish(out, nodes, opacity, clip, mask=None, filt=None):
+        """Wrap an element's rendered nodes with its filter, clip-path
+        (SrcIn against the clip geometry's coverage), mask (luminance
+        x alpha of the mask render) and group opacity (exact:
+        offscreen-composited via the ``alpha`` node) — the spec's
+        group-effect order: filter first, opacity last (opacity
+        commutes with clip/mask but NOT with filter primitives like
+        feFlood/feColorMatrix)."""
         if not nodes or clip == "empty" or mask == "empty":
             return
         node = nodes[0] if len(nodes) == 1 else ("layers", nodes)
-        if opacity < 1.0:
-            node = ("alpha", opacity, node)
+        if filt is not None:
+            node = ("filter", filt[1], filt[2], node)
         if clip is not None:
             node = ("composite", 5, node, clip)
         if mask is not None:
             node = ("mask", node, mask)
+        if opacity < 1.0:
+            node = ("alpha", opacity, node)
         out.append(node)
 
     def _emit(self, el, xf, style, foreground, out, depth=0):
@@ -974,9 +993,8 @@ class SvgDocument:
             return
         own_op = _safe_float(own.get("opacity", 1.0) or 1.0)
         xf = affine_mul(xf, parse_transform(own.get("transform", "")))
-        v = own.get("filter")
-        if v and v.strip() not in ("none", ""):
-            self._warn_once("filter")
+        filt = self._resolve_filter(own.get("filter"), xf, el,
+                                    foreground)
         clip = self._resolve_clip(own.get("clip-path"), xf, el)
         mask = self._resolve_mask(own.get("mask"), xf, style,
                                   foreground, depth)
@@ -985,7 +1003,7 @@ class SvgDocument:
             sub: list = []
             for child in el:
                 self._emit(child, xf, st, foreground, sub, depth + 1)
-            self._finish(out, sub, own_op, clip, mask)
+            self._finish(out, sub, own_op, clip, mask, filt)
             return
         if tag == "use":
             ref = _href(el)
@@ -998,7 +1016,7 @@ class SvgDocument:
                 sub = []
                 self._emit(target, affine_mul(xf, shift), st,
                            foreground, sub, depth + 1)
-                self._finish(out, sub, own_op, clip, mask)
+                self._finish(out, sub, own_op, clip, mask, filt)
             return
         if tag in ("defs", "linearGradient", "radialGradient",
                    "clipPath", "mask", "symbol", "style", "title",
@@ -1023,7 +1041,7 @@ class SvgDocument:
                 if po and po[0] == "stroke" else
                 [fill_leaf, stroke_leaf])
         leaves.extend(leaf for leaf in pair if leaf is not None)
-        self._finish(out, leaves, own_op, clip, mask)
+        self._finish(out, leaves, own_op, clip, mask, filt)
 
     def _paint_leaf(self, chains, xf, st, foreground, prop,
                     bbox_chains=None, fill_rule=None):
@@ -1139,6 +1157,247 @@ class SvgDocument:
         if not sub:
             return "empty"
         return sub[0] if len(sub) == 1 else ("layers", sub)
+
+    # -- filters ----------------------------------------------------------
+
+    _FE_IN_SPECIAL = {"SourceGraphic", "SourceAlpha"}
+
+    def _subtree_user_bbox(self, el, xf=(1.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+                           depth=0):
+        """Control-hull bounding box of the element's geometry in the
+        element's OWN user space (descendant transforms folded in) —
+        the objectBoundingBox reference for filter regions.  None when
+        the subtree carries no geometry."""
+        if depth > 16:
+            return None
+        tag = _local(el.tag)
+        box = None
+
+        def fold(b, pts):
+            for x, y in pts:
+                tx, ty = affine_apply(xf, x, y)
+                if b is None:
+                    b = [tx, ty, tx, ty]
+                else:
+                    b[0] = min(b[0], tx)
+                    b[1] = min(b[1], ty)
+                    b[2] = max(b[2], tx)
+                    b[3] = max(b[3], ty)
+            return b
+
+        if tag in ("g", "svg", "a", "symbol"):
+            for child in el:
+                cxf = affine_mul(xf, parse_transform(
+                    _style_of(child).get("transform", "")))
+                cb = self._subtree_user_bbox(child, cxf, depth + 1)
+                if cb is not None:
+                    box = fold(box, [(cb[0], cb[1]), (cb[2], cb[3])])
+            return tuple(box) if box else None
+        if tag == "use":
+            ref = _href(el)
+            target = self.ids.get(ref[1:]) if ref and \
+                ref.startswith("#") else None
+            if target is None:
+                return None
+            shift = (1.0, 0.0, 0.0, 1.0,
+                     _safe_float(el.get("x", 0) or 0, 0.0),
+                     _safe_float(el.get("y", 0) or 0, 0.0))
+            txf = affine_mul(xf, affine_mul(shift, parse_transform(
+                _style_of(target).get("transform", ""))))
+            return self._subtree_user_bbox(target, txf, depth + 1)
+        chains = (parse_path_data(el.get("d", "")) if tag == "path"
+                  else _shape_subpaths(el))
+        for chain in chains:
+            for item in chain:
+                box = fold(box, [p for p in item[1:]
+                                 if isinstance(p, tuple)])
+        return tuple(box) if box else None
+
+    def _filter_region(self, fel, bb, xf):
+        """Filter region in EM space: x/y/width/height in filterUnits
+        (default objectBoundingBox, -10%/-10%/120%/120%), mapped
+        through the element transform (corner hull)."""
+        units = (fel.get("filterUnits") or "objectBoundingBox").strip()
+
+        def frac(name, default):
+            v = fel.get(name)
+            if v is None:
+                return default
+            v = v.strip()
+            if v.endswith("%"):
+                return _safe_float(v[:-1], default * 100.0) / 100.0
+            return _safe_float(v, default)
+
+        if units == "userSpaceOnUse":
+            x = frac("x", 0.0)
+            y = frac("y", 0.0)
+            w = frac("width", 0.0)
+            h = frac("height", 0.0)
+            if w <= 0 or h <= 0:
+                return None
+        else:
+            if bb is None:
+                return None
+            bx, by, bx1, by1 = bb
+            bw, bh = bx1 - bx, by1 - by
+            x = bx + frac("x", -0.1) * bw
+            y = by + frac("y", -0.1) * bh
+            w = frac("width", 1.2) * bw
+            h = frac("height", 1.2) * bh
+            if w <= 0 or h <= 0:
+                return None
+        corners = [affine_apply(xf, px, py)
+                   for px in (x, x + w) for py in (y, y + h)]
+        xs = [c[0] for c in corners]
+        ys = [c[1] for c in corners]
+        return (min(xs), min(ys), max(xs), max(ys))
+
+    def _lower_primitive(self, child, tag, xf, foreground, idx):
+        """One filter-element child -> a list of engine prims, or None
+        (unsupported — the caller drops the whole filter)."""
+        sx_k = math.hypot(xf[0], xf[1])   # user->em length scales
+        sy_k = math.hypot(xf[2], xf[3])
+
+        def inref(name="in"):
+            v = (child.get(name) or "").strip()
+            if not v:
+                return ""
+            if v in self._FE_IN_SPECIAL or not v[0].isupper():
+                return v
+            return None  # BackgroundImage/FillPaint/...: unsupported
+
+        res = (child.get("result") or "").strip()
+        i1 = inref()
+        if i1 is None:
+            return None
+        if tag == "feGaussianBlur":
+            sd = _floats(child.get("stdDeviation", "0"))
+            sx = sd[0] if sd else 0.0
+            sy = sd[1] if len(sd) > 1 else sx
+            if sx < 0 or sy < 0:
+                return None
+            return [("blur", i1, sx * sx_k, sy * sy_k, res)]
+        if tag == "feOffset":
+            dx = _safe_float(child.get("dx", 0), 0.0)
+            dy = _safe_float(child.get("dy", 0), 0.0)
+            dex = xf[0] * dx + xf[2] * dy
+            dey = xf[1] * dx + xf[3] * dy
+            return [("offset", i1, dex, dey, res)]
+        if tag == "feFlood":
+            col = parse_color(child.get("flood-color", "black"),
+                              foreground)
+            if col is None:
+                col = (0, 0, 0, 255)
+            fo = _safe_float(child.get("flood-opacity", 1.0), 1.0)
+            r, g, b, a = col
+            return [("flood", (r / 255.0, g / 255.0, b / 255.0,
+                               a / 255.0 * max(0.0, min(fo, 1.0))),
+                     res)]
+        if tag == "feMerge":
+            refs = []
+            for mn in child:
+                if _local(mn.tag) != "feMergeNode":
+                    return None
+                v = (mn.get("in") or "").strip()
+                if v and v not in self._FE_IN_SPECIAL \
+                        and v[0].isupper():
+                    return None
+                refs.append(v)
+            return [("merge", refs, res)]
+        if tag == "feComposite":
+            i2 = inref("in2")
+            if i2 is None:
+                return None
+            op = (child.get("operator") or "over").strip()
+            if op not in ("over", "in", "out", "atop", "xor",
+                          "arithmetic"):
+                return None
+            k = tuple(_safe_float(child.get(f"k{j}", 0), 0.0)
+                      for j in (1, 2, 3, 4))
+            return [("composite", i1, i2, op, k, res)]
+        if tag == "feBlend":
+            i2 = inref("in2")
+            if i2 is None:
+                return None
+            mode = (child.get("mode") or "normal").strip()
+            if mode not in ("normal", "multiply", "screen", "darken",
+                            "lighten"):
+                return None
+            return [("blend", i1, i2, mode, res)]
+        if tag == "feColorMatrix":
+            kind = (child.get("type") or "matrix").strip()
+            values = tuple(_floats(child.get("values", "")))
+            if kind == "matrix" and len(values) not in (0, 20):
+                return None
+            if kind == "matrix" and not values:
+                values = tuple(
+                    1.0 if j % 6 == 0 else 0.0 for j in range(20))
+            if kind not in ("matrix", "saturate", "hueRotate",
+                            "luminanceToAlpha"):
+                return None
+            return [("colormatrix", i1, kind, values, res)]
+        if tag == "feDropShadow":
+            sd = _floats(child.get("stdDeviation", "2"))
+            sx = sd[0] if sd else 2.0
+            sy = sd[1] if len(sd) > 1 else sx
+            dx = _safe_float(child.get("dx", 2), 2.0)
+            dy = _safe_float(child.get("dy", 2), 2.0)
+            col = parse_color(child.get("flood-color", "black"),
+                              foreground) or (0, 0, 0, 255)
+            fo = _safe_float(child.get("flood-opacity", 1.0), 1.0)
+            r, g, b, a = col
+            dex = xf[0] * dx + xf[2] * dy
+            dey = xf[1] * dx + xf[3] * dy
+            if i1 not in ("", "SourceGraphic", "SourceAlpha"):
+                return None  # alpha of a named result: unsupported
+            src = i1 or "SourceGraphic"
+            t = f"__ds{idx}"
+            return [
+                ("blur", "SourceAlpha", sx * sx_k, sy * sy_k, t + "b"),
+                ("offset", t + "b", dex, dey, t + "o"),
+                ("flood", (r / 255.0, g / 255.0, b / 255.0,
+                           a / 255.0 * max(0.0, min(fo, 1.0))),
+                 t + "f"),
+                ("composite", t + "f", t + "o", "in", (0, 0, 0, 0),
+                 t + "s"),
+                ("merge", [t + "s", src], res),
+            ]
+        if tag in ("title", "desc", "metadata"):
+            return []
+        return None
+
+    def _resolve_filter(self, value, xf, el, foreground):
+        """``filter`` property -> ("filter", region_em, prims) for the
+        engine's filter node, or None.  Restriction, documented: the
+        supported primitive set is feGaussianBlur (the spec's
+        three-box approximation), feOffset, feFlood, feMerge,
+        feComposite, feBlend, feColorMatrix, feDropShadow with
+        SourceGraphic/SourceAlpha/named results; a filter using
+        anything else (or an unresolved reference) warns once and
+        renders UNFILTERED; per-primitive subregions are not applied
+        (the filter region is)."""
+        v = (value or "").strip()
+        if not v or v == "none":
+            return None
+        m = re.match(r"url\(\s*#([^)\s]+)\s*\)", v)
+        fel = self.ids.get(m.group(1)) if m else None
+        if fel is None or _local(fel.tag) != "filter":
+            self._warn_once("filter (unresolved reference)")
+            return None
+        prims: list = []
+        for i, child in enumerate(fel):
+            lowered = self._lower_primitive(
+                child, _local(child.tag), xf, foreground, i)
+            if lowered is None:
+                self._warn_once(
+                    f"filter primitive {_local(child.tag)}")
+                return None
+            prims.extend(lowered)
+        if not prims:
+            return None
+        bb = self._subtree_user_bbox(el)
+        region = self._filter_region(fel, bb, xf)
+        return ("filter", region, tuple(prims))
 
     # -- clip paths -----------------------------------------------------
 

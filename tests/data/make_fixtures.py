@@ -959,14 +959,20 @@ def make_svgtest():
     fb = FontBuilder(upem, isTTF=True)
     names = [".notdef", "svg1", "svg2", "svggrad", "svgstruct",
              "svglin", "colrlin", "svgrad", "colrrad", "l_eqsq",
-             "svgstroke", "strokefill", "svgclip", "svggrpop"]
+             "svgstroke", "strokefill", "svgclip", "svggrpop",
+             "svgoff", "offfill", "svgsat", "satplain", "svgfloodin",
+             "floodfill", "svgshadow"]
     fb.setupGlyphOrder(names)
     fb.setupCharacterMap({ord("A"): "svg1", ord("B"): "svg2",
                           ord("C"): "svggrad", ord("D"): "svgstruct",
                           ord("E"): "svglin", ord("F"): "colrlin",
                           ord("G"): "svgrad", ord("H"): "colrrad",
                           ord("I"): "svgstroke", ord("J"): "strokefill",
-                          ord("K"): "svgclip", ord("L"): "svggrpop"})
+                          ord("K"): "svgclip", ord("L"): "svggrpop",
+                          ord("M"): "svgoff", ord("N"): "offfill",
+                          ord("O"): "svgsat", ord("P"): "satplain",
+                          ord("Q"): "svgfloodin", ord("R"): "floodfill",
+                          ord("S"): "svgshadow"})
 
     def rect(pen, x0, y0, x1, y1):
         pen.moveTo((x0, y0))
@@ -1110,6 +1116,51 @@ def make_svgtest():
   </g>
 </svg>"""
 
+    # filter twins (the same exactness idiom as stroke-vs-fill):
+    # M feOffset == N plain rect at the offset position;
+    # O saturate(1) identity == P unfiltered; Q feFlood composited
+    # 'in' SourceAlpha == R plain solid fill.  S is a drop shadow
+    # (pixel checks, not a twin).  Regions widened where the effect
+    # spills past the default -10%/+120% bbox region.
+    doc_off = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <filter id="fo" x="-50%" y="-50%" width="200%" height="200%">
+      <feOffset dx="100" dy="-100"/>
+    </filter>
+  </defs>
+  <rect id="glyph14" x="200" y="-600" width="300" height="200" fill="#336699" filter="url(#fo)"/>
+  <rect id="glyph15" x="300" y="-700" width="300" height="200" fill="#336699"/>
+</svg>"""
+    doc_sat = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <linearGradient id="SL" x1="100" y1="-500" x2="900" y2="-500" gradientUnits="userSpaceOnUse">
+      <stop offset="0" stop-color="#ff2200"/>
+      <stop offset="1" stop-color="#0022ff"/>
+    </linearGradient>
+    <filter id="fs"><feColorMatrix type="saturate" values="1"/></filter>
+  </defs>
+  <rect id="glyph16" x="100" y="-700" width="800" height="400" fill="url(#SL)" filter="url(#fs)"/>
+  <rect id="glyph17" x="100" y="-700" width="800" height="400" fill="url(#SL)"/>
+</svg>"""
+    doc_floodin = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <filter id="ff">
+      <feFlood flood-color="#aa0000" flood-opacity="0.75"/>
+      <feComposite in2="SourceAlpha" operator="in"/>
+    </filter>
+  </defs>
+  <circle id="glyph18" cx="500" cy="-450" r="250" fill="black" filter="url(#ff)"/>
+  <circle id="glyph19" cx="500" cy="-450" r="250" fill="#aa0000" fill-opacity="0.75"/>
+</svg>"""
+    doc_shadow = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <filter id="fd" x="-50%" y="-50%" width="200%" height="200%">
+      <feDropShadow dx="120" dy="120" stdDeviation="8" flood-color="#004400"/>
+    </filter>
+  </defs>
+  <rect id="glyph20" x="200" y="-800" width="400" height="400" fill="#ddaa00" filter="url(#fd)"/>
+</svg>"""
+
     from fontTools.ttLib import newTable
     from fontTools.ttLib.tables.S_V_G_ import SVGDocument
 
@@ -1124,6 +1175,10 @@ def make_svgtest():
         SVGDocument(doc_strokefill, 11, 11),
         SVGDocument(doc_clip, 12, 12),
         SVGDocument(doc_grpop, 13, 13),
+        SVGDocument(doc_off, 14, 15),
+        SVGDocument(doc_sat, 16, 17),
+        SVGDocument(doc_floodin, 18, 19),
+        SVGDocument(doc_shadow, 20, 20),
     ]
     fb.font["SVG "] = svg
     fb.save(os.path.join(HERE, "svgtest.ttf"))
