@@ -356,13 +356,17 @@ class GlyphPositions:
     - ``x_advance``: final pen advance per glyph (``hmtx`` width plus
       GPOS adjustments);
     - ``y_advance``: GPOS vertical-advance *delta* (for ``vkrn``-style
-      features; base vertical advances live in ``vmtx``).
+      features; base vertical advances live in ``vmtx``);
+    - ``attach_to``: per-glyph index of the mark-attachment parent
+      (-1 when unattached) — layout uses it to make attached marks
+      ride their base's advance box under RTL mirroring / bidi L2.
     """
 
     x_offset: np.ndarray
     y_offset: np.ndarray
     x_advance: np.ndarray
     y_advance: np.ndarray
+    attach_to: np.ndarray | None = None
 
 
 @dataclass(slots=True)
@@ -861,6 +865,11 @@ class _PosState:
             # hmtx width (typically 0 for marks); fonts that rely on
             # mark widths keep them — fontrx does not zero advances
 
+        parent = np.full(n, -1, np.int64)
+        for i in range(n):
+            if self.attach[i] is not None:
+                parent[i] = self.attach[i][0]
         return GlyphPositions(
             x_offset=xo, y_offset=yo, x_advance=xa, y_advance=ya,
+            attach_to=parent,
         )

@@ -163,10 +163,15 @@ def layout_text(
     """
     # canonical composition first (the HarfBuzz convention): NFC
     # prefers precomposed glyphs; anything the font can't serve
-    # composed falls back to NFD base + marks at stream build below
+    # composed falls back to NFD base + marks at stream build below.
+    # Residual mark runs then sort by hb's MODIFIED combining classes
+    # (Hebrew dots/dagesh before vowels, Arabic shadda before vowels)
+    # — fonts author their GPOS anchors against that order
     import unicodedata
 
-    text = unicodedata.normalize("NFC", text)
+    from fontrx.font.normalize import sort_marks
+
+    text = sort_marks(unicodedata.normalize("NFC", text))
 
     # AAT trak: size-dependent tracking folds into the letter-spacing
     # machinery (per real advance cell, deferred past attached marks).
@@ -517,15 +522,19 @@ def layout_text(
     if positioner is not None:
         for line_no, line in enumerate(lines):
             pen_y = -line_no * float(line_height)
-            pos = positioner.positions(
-                line, [widths[slot_of[g]] for g in line],
-                lig_comps=(comp_lines[line_no]
-                           if comp_lines is not None
-                           and line_no < len(comp_lines) else None),
+            pos = _positions_itemized(
+                positioner, line, [widths[slot_of[g]] for g in line],
+                (comp_lines[line_no]
+                 if comp_lines is not None
+                 and line_no < len(comp_lines) else None),
+                [slot_chars[slot_of[g]] if g >= 0 else 0x20
+                 for g in line],
             )
             pen_x = 0.0
             line_start = len(instances)
             boxes: list = []
+            pens: list[float] = []       # pen position per box
+            box_of_idx: dict[int, int] = {}
             # tracking applies per typographic unit: the extra joins
             # the pen only after a base's zero-advance attached marks
             # placed (their GPOS offsets anchor against the unspaced
@@ -546,6 +555,8 @@ def layout_text(
                     pen_x + float(pos.x_offset[idx]),
                     pen_y + float(pos.y_offset[idx]),
                 ))
+                box_of_idx[idx] = len(boxes)
+                pens.append(pen_x)
                 boxes.append(adv)
                 pen_x += adv
                 if adv != 0.0:
@@ -557,11 +568,27 @@ def layout_text(
                 if pending_box >= 0:
                     boxes[pending_box] += pending
                 max_x = max(max_x, pen_x)
+            # attached marks ride their base's advance box under the
+            # direction pass: rewrite their box as (base_x, base_w) —
+            # the same bookkeeping the legacy mark path records (mkmk
+            # chains resolve to the ROOT base)
+            att = getattr(pos, "attach_to", None)
+            if att is not None and (rtl or line_runs is not None):
+                for idx, k in box_of_idx.items():
+                    p = int(att[idx])
+                    if p < 0:
+                        continue
+                    seen = set()
+                    while p >= 0 and int(att[p]) >= 0 and p not in seen:
+                        seen.add(p)
+                        p = int(att[p])
+                    kb = box_of_idx.get(p)
+                    if kb is not None and not isinstance(
+                            boxes[kb], tuple):
+                        boxes[k] = (pens[kb], boxes[kb])
             if rtl or line_runs is not None:
-                # box mirror (GPOS ran on the logical stream); zero-
-                # advance attached glyphs mirror inside the line only
-                # approximately — mark attachment under RTL needs a
-                # full bidi shaper and stays out of scope
+                # box mirror (GPOS ran on the logical stream);
+                # attached marks travel inside their base's box
                 _apply_line_direction(
                     instances, line_start, boxes, pen_x, rtl,
                     line_runs[line_no] if line_runs is not None
@@ -753,6 +780,43 @@ def _is_arabic_cp(cp: int) -> bool:
     from fontrx.font.arabic import is_arabic
 
     return is_arabic(cp)
+
+
+def _positions_itemized(positioner, line, advs, lig, cps):
+    """GPOS over one shaped line, itemized into script runs (the
+    HarfBuzz model: each run applies only ITS script's registered
+    features — e.g. DejaVu registers mark but NOT mkmk under `hebr`,
+    so pointed Hebrew must not run the mkmk lookups).  Fonts without
+    a usable ScriptList keep the tag-global scan; kerning never
+    crosses a script boundary (hb splits runs the same way)."""
+    if not getattr(positioner, "scripts", None):
+        return positioner.positions(line, advs, lig_comps=lig)
+    from fontrx.font.script import itemize
+
+    runs = itemize(cps)
+    if len(runs) <= 1:
+        stag = runs[0][2] if runs else None
+        return positioner.positions(
+            line, advs, script=stag or b"DFLT", lig_comps=lig)
+    parts = []
+    for s, e, stag in runs:
+        parts.append((s, positioner.positions(
+            line[s:e], advs[s:e], script=stag or b"DFLT",
+            lig_comps=lig[s:e] if lig is not None else None)))
+    from fontrx.font.gpos_shape import GlyphPositions
+
+    att = []
+    for s, p in parts:
+        a = (p.attach_to if p.attach_to is not None
+             else np.full(len(p.x_offset), -1, np.int64))
+        att.append(np.where(a >= 0, a + s, -1))
+    return GlyphPositions(
+        x_offset=np.concatenate([p.x_offset for _, p in parts]),
+        y_offset=np.concatenate([p.y_offset for _, p in parts]),
+        x_advance=np.concatenate([p.x_advance for _, p in parts]),
+        y_advance=np.concatenate([p.y_advance for _, p in parts]),
+        attach_to=np.concatenate(att),
+    )
 
 
 def _mirror_line(instances, start, boxes, width, origin: float = 0.0):

@@ -11,10 +11,15 @@ offsets, exactly.  Covered: Latin kerning (GPOS PairPos via the
 reversal, and the Arabic positional pipeline on the feaLib-compiled
 fixture.
 
-Known divergence (documented, not asserted): pointed Hebrew with
-MULTIPLE marks on one base — HarfBuzz's Hebrew complex shaper applies
-its own mark handling (composition fallbacks/reordering) where fontrx
-anchors each mark through the font's GPOS lookups directly.
+Round 4 closed the last documented divergence (pointed Hebrew with
+multiple marks per base) with three composed fixes, all pinned below:
+hb's MODIFIED-combining-class mark reordering
+(`fontrx.font.normalize.sort_marks` — Hebrew dots/dagesh sort before
+vowels, Arabic shadda before vowels; the permutation was extracted
+empirically from hb by pairwise mark shaping), script-itemized GPOS
+in layout (DejaVu registers mark but NOT mkmk under `hebr`, so the
+tag-global scan mis-applied mkmk), and attached marks riding their
+base's advance box under RTL mirroring (GlyphPositions.attach_to).
 """
 
 import numpy as np
@@ -44,7 +49,8 @@ def dj_bytes():
 def _ours(font, text, **kw):
     from fontrx.scene.layout import layout_text
 
-    lt = layout_text(font, text, positioning=(), **kw)
+    kw.setdefault("positioning", ())
+    lt = layout_text(font, text, **kw)
     gids = [lt.slot_gids[i.glyph_slot] for i in lt.instances]
     pos = [(round(i.x), round(i.y)) for i in lt.instances]
     return gids, pos
@@ -106,6 +112,55 @@ class TestRtl:
         og, op = _ours(dj, text, rtl=True, kern=True)
         hg, hp = _theirs(dj_bytes, text, direction=hb.DIR_RTL)
         assert sorted(zip(og, op)) == sorted(zip(hg, hp))
+
+    @pytest.mark.parametrize("text", [
+        "בָ", "בְ", "בּ",           # single points (MarkToBase + RTL box ride)
+        "שָׁ", "שּׁ", "וֹ", "בְּ",   # dot + vowel: hb's modified-ccc order
+        "שָׁלוֹם", "אֲ", "אָבּגְ",
+        "שָׁלוֹם עֲלֵיכֶם",           # ayin alternative via ccmp
+        "בְּרֵאשִׁית בָּרָא",
+        "וַיֹּאמֶר אֱלֹהִים",         # yod + dagesh + holam stack
+        "מִשָּׁמַיִם",
+        "הַשָּׁמַיִם וְאֵת הָאָרֶץ",
+    ])
+    def test_pointed_hebrew_exact(self, dj, dj_bytes, text):
+        """Pointed Hebrew with stacked marks: the round-3 KNOWN
+        DIVERGENCE, now exact — mark reordering by hb's modified
+        combining classes, script-selected GPOS (hebr has mark but no
+        mkmk in DejaVu), and marks riding base boxes under RTL."""
+        og, op = _ours(dj, text, rtl=True,
+                       positioning=(b"mark", b"mkmk"),
+                       features=(b"ccmp",))
+        hg, hp = _theirs(dj_bytes, text, direction=hb.DIR_RTL)
+        a = sorted(zip(og, op))
+        b = sorted(zip(hg, hp))
+        ax0 = min(p[0] for _, p in a)
+        bx0 = min(p[0] for _, p in b)
+        assert [(g, p[0] - ax0, p[1]) for g, p in a] == \
+               [(g, p[0] - bx0, p[1]) for g, p in b]
+
+    def test_modified_ccc_mark_order(self):
+        """The empirically-extracted hb permutation: dots and dagesh
+        precede vowels in the normalized stream (canonical ccc would
+        sort them AFTER)."""
+        from fontrx.font.normalize import sort_marks
+
+        def cps(*v):
+            return "".join(chr(c) for c in v)
+
+        # shin + qamats(ccc18) + shin-dot(ccc24) -> dot first
+        assert sort_marks(cps(0x5E9, 0x5B8, 0x5C1)) == \
+            cps(0x5E9, 0x5C1, 0x5B8)
+        # yod + holam(19) + dagesh(21) -> dagesh first
+        assert sort_marks(cps(0x5D9, 0x5B9, 0x5BC)) == \
+            cps(0x5D9, 0x5BC, 0x5B9)
+        # Arabic: beh + fatha(ccc30) + shadda(ccc33) -> shadda first
+        assert sort_marks(cps(0x628, 0x64E, 0x651)) == \
+            cps(0x628, 0x651, 0x64E)
+        # identity classes keep canonical order; bases untouched
+        assert sort_marks("plain") == "plain"
+        assert sort_marks(cps(0x61, 0x301, 0x302)) == \
+            cps(0x61, 0x301, 0x302)
 
 
 class TestArabicFixture:
