@@ -142,8 +142,10 @@ def layout_text(
       controls drop from display, placement runs in logical order, and
       L2 reordering applies as geometric span reversals per level
       (arbitrary nesting).  ``rtl`` selects the paragraph base
-      direction.  Incompatible with ``wrap_width`` (ignored with a
-      warning).  Composes with ``vertical=True``: level runs resolve
+      direction.  Composes with ``wrap_width``: per the UAX#9 model,
+      lines break on the LOGICAL order (full UAX#14 opportunities over
+      the shaped stream) and L2 reordering applies to each broken
+      line.  Composes with ``vertical=True``: level runs resolve
       per column and L2 reordering applies along the column axis
       (an RTL run's cells read bottom-to-top within the run extent);
     - ``alternate=N``: which alternate GSUB type-3 substitutions pick
@@ -387,15 +389,64 @@ def layout_text(
             comp_lines.append(line_comps)
             line_runs.append(extents)
         lines = shaped_lines
-        if wrap_width is not None:
-            from fontrx.utils.log import get_logger
+        if wrap_width is not None and not vertical:
+            # wrap INSIDE bidi (UAX#9 model: line breaking happens on
+            # the LOGICAL order, then L2 reorders each broken line):
+            # the index-returning wrapper breaks each paragraph's
+            # shaped logical stream at UAX#14 opportunities, and the
+            # level runs + ligature components slice along the same
+            # indices so reordering/positioning see consistent lines
+            space = int(font.charmap.glyph_index(0x20))
+            _cpc: dict[int, int] = {}
 
-            get_logger("Layout").warning(
-                "wrap_width is ignored with bidi=True (line breaks "
-                "inside direction runs are unsupported)"
-            )
-            wrap_width = None
-        comp_lines = comp_lines  # noqa: B018 (bidi path built above)
+            def _cp_of_bidi(gid: int) -> int:
+                if gid not in _cpc:
+                    c = font.charmap.char_for_glyph(gid)
+                    _cpc[gid] = int(c) if c is not None else -1
+                return _cpc[gid]
+
+            hyph = int(font.charmap.glyph_index(0x2D)) or int(
+                font.charmap.glyph_index(0x2010))
+            nl: list = []
+            nc: list = []
+            nr: list = []
+            hard_breaks = []
+            for parts, lcomps, extents in zip(
+                    shaped_lines, comp_lines, line_runs):
+                levels = [0] * len(parts)
+                for s, e, lvl in extents:
+                    for i in range(s, e):
+                        levels[i] = lvl
+                idx_lines, hard = _wrap_lines(
+                    [parts], wrap_width, space, _adv, _cp_of_bidi,
+                    hyphen_gid=hyph, return_indices=True)
+                for ids, hflag in zip(idx_lines, hard):
+                    gids: list[int] = []
+                    comps: list[int] = []
+                    lvls: list[int] = []
+                    for i in ids:
+                        if i < 0:  # materialized soft hyphen: it
+                            # takes the preceding glyph's level
+                            gids.append(hyph)
+                            comps.append(0)
+                            lvls.append(lvls[-1] if lvls else 0)
+                        else:
+                            gids.append(parts[i])
+                            comps.append(lcomps[i])
+                            lvls.append(levels[i])
+                    runs: list[tuple[int, int, int]] = []
+                    k = 0
+                    while k < len(lvls):
+                        j = k
+                        while j < len(lvls) and lvls[j] == lvls[k]:
+                            j += 1
+                        runs.append((k, j, lvls[k]))
+                        k = j
+                    nl.append(gids)
+                    nc.append(comps)
+                    nr.append(runs)
+                    hard_breaks.append(hflag)
+            lines, comp_lines, line_runs = nl, nc, nr
     elif tags:
         shaped_lines = []
         comp_lines = []
@@ -416,7 +467,7 @@ def layout_text(
                  for line in lines]
         comp_lines = None  # streams changed; comps are stale
 
-    if wrap_width is not None and not vertical:
+    if wrap_width is not None and not vertical and line_runs is None:
         space = int(font.charmap.glyph_index(0x20))
         # Break opportunities come from the full UAX#14 engine over
         # the glyph stream's codepoints (charmap reverse scan, cached
@@ -1000,7 +1051,7 @@ def _apply_column_direction(instances, start, tops, heights, runs):
 
 
 def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
-                hyphen_gid: int = 0):
+                hyphen_gid: int = 0, return_indices: bool = False):
     """Greedy wrap over shaped glyph streams: break each line at the
     last break opportunity that keeps the advance sum within
     ``wrap_width``:
@@ -1018,10 +1069,16 @@ def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
 
     Returns ``(lines, hard_breaks)``: flag True for lines that end at
     an ORIGINAL hard break (the paragraph-final fragments — justify
-    exempts them)."""
+    exempts them).
+
+    ``return_indices=True`` (single input line only): yields lists of
+    indices into that line instead of glyph ids, with ``-1`` marking a
+    materialized hyphen — the bidi wrapper uses this to slice levels
+    and ligature components alongside the glyphs."""
     from fontrx.font.uax14 import break_opportunities
 
-    out: list[list[int]] = []
+    out: list[list[int]] = []       # index lists (-1 = hyphen)
+    src: list[list[int]] = []       # the source line per output line
     hard: list[bool] = []
     hyphen_w = advance_of(hyphen_gid) if hyphen_gid else 0.0
     for line in lines:
@@ -1055,36 +1112,35 @@ def _wrap_lines(lines, wrap_width, space_gid, advance_of, cp_of=None,
                 # break at the opportunity; the remainder restarts the
                 # line.  With none (one over-budget word) the line
                 # overflows until the next — glyphs never split.
-                if mode == "shy":
-                    broken = cur[: last_break + 1] + (
-                        [hyphen_gid] if hyphen_gid else [])
-                else:
-                    broken = cur[: last_break + 1]
+                broken = cur[: last_break + 1]
+                if mode == "shy" and hyphen_gid:
+                    broken = broken + [-1]
                 rest = cur[last_break + 1:]
                 out.append(broken)
+                src.append(line)
                 hard.append(False)  # a soft (wrap) break
                 cur = rest
                 last_break = -1
                 mode = "boundary"
-                cur_w = float(sum(advance_of(g) for g in cur))
-            cur.append(gid)
+                cur_w = float(sum(advance_of(line[i]) for i in cur))
+            cur.append(idx)
             cur_w += w
         out.append(cur)
+        src.append(line)
         hard.append(True)   # the original line's final fragment
     # drop trailing spaces left hanging at line ends by the breaks
+    for k, (ids, line) in enumerate(zip(out, src)):
+        while ids and ids[-1] >= 0 and line[ids[-1]] == space_gid \
+                and space_gid != 0:
+            ids.pop()
+        out[k] = ids
+    if return_indices:
+        assert len(lines) == 1
+        return out, hard
     return [
-        l[: len(l) - _trailing_spaces(l, space_gid)] if l else l
-        for l in out
+        [hyphen_gid if i < 0 else line[i] for i in ids]
+        for ids, line in zip(out, src)
     ], hard
-
-
-def _trailing_spaces(line, space_gid) -> int:
-    n = 0
-    for g in reversed(line):
-        if g != space_gid:
-            break
-        n += 1
-    return n
 
 
 def _layout_vertical(

@@ -113,13 +113,16 @@ class TestLayoutBidi:
         # the fi ligature formed inside its LTR run: 1 lig + space + 4
         assert len(lt.instances) == 6
 
-    def test_wrap_ignored_with_warning(self, dejavu):
+    def test_wrap_now_composes(self, dejavu):
+        # round 4: wrap_width is no longer ignored under bidi — a
+        # tight budget produces multiple lines (full behavior pinned
+        # in TestBidiWrap)
         from fontrx.scene.layout import layout_text
 
         lt = layout_text(
-            dejavu, "abc שלום abc", bidi=True, wrap_width=2000
+            dejavu, "abc שלום abc", bidi=True, wrap_width=4000
         )
-        assert len({i.y for i in lt.instances}) == 1  # no wrapping
+        assert len({round(i.y) for i in lt.instances}) > 1
 
 
 class TestMirroredForms:
@@ -166,3 +169,71 @@ class TestBidiMarksRegression:
         # nothing flies off the line
         for i in lt.instances:
             assert -100 <= i.x <= lt.width + 100
+
+
+class TestBidiWrap:
+    """wrap_width composes with bidi (round 4 — previously a
+    documented incompatibility): lines break on the LOGICAL order at
+    UAX#14 opportunities, then L2 reorders each broken line."""
+
+    @staticmethod
+    def _vis_lines(lt):
+        ys = sorted({round(i.y) for i in lt.instances}, reverse=True)
+        out = []
+        for y in ys:
+            xs = sorted((i.x, i.glyph_slot) for i in lt.instances
+                        if round(i.y) == y)
+            out.append([lt.slot_chars[s] for _, s in xs])
+        return out
+
+    def test_mixed_direction_wrap(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        lt = layout_text(dejavu,
+                         "the שלום עולם quick brown אבג דהו fox",
+                         bidi=True, wrap_width=9 * upem)
+        lines = self._vis_lines(lt)
+        assert len(lines) == 3
+        # line 1 = logical "the שלום עולם": Hebrew reversed visually
+        assert lines[0][:3] == [ord("t"), ord("h"), ord("e")]
+        heb = [c for c in lines[0] if c >= 0x5D0]
+        assert heb == [ord(c) for c in "םלוע םולש" if c != " "]
+        # every line fits the budget
+        assert lt.width <= 9 * upem * 1.05
+
+    def test_rtl_base_wrap_logical_breaks(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        lt = layout_text(dejavu, "שלום עולם הזה abc ארוך מאוד כאן",
+                         bidi=True, rtl=True, wrap_width=8 * upem)
+        lines = self._vis_lines(lt)
+        assert len(lines) == 3
+        # line 2 holds logical "abc ארוך מאוד"; RTL base puts the
+        # logical-first LTR run RIGHTMOST
+        assert lines[1][-3:] == [ord("a"), ord("b"), ord("c")]
+
+    def test_wrap_flag_consistency_with_plain(self, dejavu):
+        """All-LTR text wraps identically with and without bidi."""
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        t = "the quick brown fox jumps over it"
+        a = layout_text(dejavu, t, wrap_width=9 * upem)
+        b = layout_text(dejavu, t, bidi=True, wrap_width=9 * upem)
+        pa = sorted((i.x, i.y, a.slot_gids[i.glyph_slot])
+                    for i in a.instances)
+        pb = sorted((i.x, i.y, b.slot_gids[i.glyph_slot])
+                    for i in b.instances)
+        assert pa == pb
+
+    def test_soft_hyphen_inside_bidi(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        lt = layout_text(dejavu, "אבג super­califragilistic",
+                         bidi=True, wrap_width=8 * upem)
+        lines = self._vis_lines(lt)
+        assert len(lines) == 2
+        assert lines[0][-1] == ord("-")  # materialized hyphen
