@@ -739,10 +739,11 @@ def layout_text(
             line_spans.append((line_start, len(instances)))
 
     # alignment post-pass: uniform line shifts (right/center) or
-    # space-cell stretching (justify; skips the last line, rtl/bidi
-    # lines keep left behavior with a warning) — marks follow their
-    # bases contiguously in instance order, so cumulative shifts
-    # after spaces move whole clusters rigidly
+    # space-cell stretching (justify; skips paragraph-final lines —
+    # rtl/bidi lines stretch in VISUAL order since direction
+    # reordering already ran) — marks follow their bases contiguously
+    # in instance order, so cumulative shifts after spaces move whole
+    # clusters rigidly
     line_geom = [(0.0, w) for w in line_ends]
     if align != "left" and line_ends:
         target = (wrap_width if wrap_width is not None
@@ -758,31 +759,51 @@ def layout_text(
                 line_geom[li] = (shift, w)
                 max_x = max(max_x, shift + w)
             elif align == "justify":
-                if rtl or line_runs is not None:
-                    from fontrx.utils.log import get_logger
-
-                    get_logger("Layout").warning(
-                        "justify is unsupported with rtl/bidi; "
-                        "keeping left alignment")
-                    break
-                if target <= w or (li < len(hard_breaks)
-                                   and hard_breaks[li]):
-                    # paragraph-final lines (hard \n or the text end)
-                    # never justify
-                    continue
                 spaces = {k for k in range(s_, e_)
                           if slot_chars[instances[k].glyph_slot]
                           == 0x20}
-                if not spaces:
+                if (target <= w or not spaces
+                        or (li < len(hard_breaks) and hard_breaks[li])):
+                    # paragraph-final lines (hard \n or the text end)
+                    # never justify — an RTL base keeps them flush at
+                    # ITS start edge (the right margin), like CSS
+                    # text-align: justify with direction: rtl
+                    if rtl and target > w:
+                        for k in range(s_, e_):
+                            inst = instances[k]
+                            instances[k] = Instance(
+                                inst.glyph_slot,
+                                inst.x + (target - w), inst.y)
+                        line_geom[li] = (target - w, w)
+                        max_x = max(max_x, target)
                     continue
                 per = (target - w) / len(spaces)
-                cum = 0.0
-                for k in range(s_, e_):
-                    inst = instances[k]
-                    instances[k] = Instance(
-                        inst.glyph_slot, inst.x + cum, inst.y)
-                    if k in spaces:
-                        cum += per
+                if rtl or line_runs is not None:
+                    # direction-reordered lines: instances hold VISUAL
+                    # positions, so stretch in visual order — each
+                    # glyph shifts right by one `per` for every space
+                    # CELL whose center lies left of its own box edge
+                    # (marks share their base's edge, so clusters move
+                    # rigidly; both margins end up flush)
+                    import bisect
+
+                    centers = sorted(
+                        instances[k].x
+                        + float(widths[instances[k].glyph_slot]) / 2.0
+                        for k in spaces)
+                    for k in range(s_, e_):
+                        inst = instances[k]
+                        n = bisect.bisect_left(centers, inst.x)
+                        instances[k] = Instance(
+                            inst.glyph_slot, inst.x + n * per, inst.y)
+                else:
+                    cum = 0.0
+                    for k in range(s_, e_):
+                        inst = instances[k]
+                        instances[k] = Instance(
+                            inst.glyph_slot, inst.x + cum, inst.y)
+                        if k in spaces:
+                            cum += per
                 line_geom[li] = (0.0, target)
                 max_x = max(max_x, target)
 

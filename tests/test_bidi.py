@@ -237,3 +237,82 @@ class TestBidiWrap:
         lines = self._vis_lines(lt)
         assert len(lines) == 2
         assert lines[0][-1] == ord("-")  # materialized hyphen
+
+
+class TestBidiJustify:
+    """align="justify" composes with rtl/bidi: direction-reordered
+    lines stretch their space cells in VISUAL order, both margins
+    flush; paragraph-final lines under an RTL base flush right."""
+
+    def test_bidi_justify_flush_both_margins(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        budget = 9 * upem
+        lt = layout_text(dejavu,
+                         "the שלום עולם quick brown אבג דהו fox",
+                         bidi=True, wrap_width=budget, align="justify")
+        ys = sorted({round(i.y) for i in lt.instances}, reverse=True)
+        assert len(ys) == 3
+        # non-final lines span exactly [0, budget]
+        for y in ys[:-1]:
+            xs = [(i.x, i.glyph_slot) for i in lt.instances
+                  if round(i.y) == y]
+            left = min(x for x, _ in xs)
+            right = max(x + float(lt.batch.advance_widths[s]) for x, s in xs
+                        if lt.slot_chars[s] != 0x20)
+            assert left == pytest.approx(0.0, abs=1.0)
+            assert right == pytest.approx(budget, abs=1.0)
+
+    def test_bidi_justify_preserves_visual_order(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        a = layout_text(dejavu, "abc שלום def עולם ghi jkl",
+                        bidi=True, wrap_width=9 * upem)
+        b = layout_text(dejavu, "abc שלום def עולם ghi jkl",
+                        bidi=True, wrap_width=9 * upem,
+                        align="justify")
+        # same instance count; per line, the x-sorted glyph sequence
+        # is unchanged (stretching only widens gaps at spaces)
+        assert len(a.instances) == len(b.instances)
+        for y in {round(i.y) for i in a.instances}:
+            sa = [s for _, s in sorted((i.x, i.glyph_slot)
+                                       for i in a.instances
+                                       if round(i.y) == y)]
+            sb = [s for _, s in sorted((i.x, i.glyph_slot)
+                                       for i in b.instances
+                                       if round(i.y) == y)]
+            assert sa == sb
+
+    def test_rtl_final_line_flush_right(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        budget = 8 * upem
+        lt = layout_text(dejavu, "שלום עולם הזה ארוך מאוד כאן",
+                         bidi=True, rtl=True, wrap_width=budget,
+                         align="justify")
+        ys = sorted({round(i.y) for i in lt.instances}, reverse=True)
+        assert len(ys) >= 2
+        # the paragraph-final (bottom) line's rightmost ink reaches
+        # the right margin: RTL start edge
+        last = [(i.x, i.glyph_slot) for i in lt.instances
+                if round(i.y) == ys[-1]]
+        right = max(x + float(lt.batch.advance_widths[s]) for x, s in last)
+        assert right == pytest.approx(budget, abs=1.0)
+
+    def test_ltr_only_bidi_matches_plain_justify(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        t = "the quick brown fox jumps over the lazy dog again"
+        a = layout_text(dejavu, t, wrap_width=9 * upem,
+                        align="justify")
+        b = layout_text(dejavu, t, bidi=True, wrap_width=9 * upem,
+                        align="justify")
+        pa = sorted((round(i.x, 3), round(i.y, 3),
+                     a.slot_gids[i.glyph_slot]) for i in a.instances)
+        pb = sorted((round(i.x, 3), round(i.y, 3),
+                     b.slot_gids[i.glyph_slot]) for i in b.instances)
+        assert pa == pb
