@@ -81,6 +81,7 @@ class Config:
     strikethrough: bool = option(None, default=False, help="draw per-line strikeout bars (OS/2 metrics; MVAR-varied)")
     tracking: bool = option(None, default=False, help="apply the font's AAT trak curve at --size points")
     align: str = option(None, default="left", help="left|right|center|justify (justify needs --wrap; applies per wrapped block)")
+    kashida: bool = option(None, default=False, help="justify Arabic with tatweel elongation at joined-letter junctions (with --align justify)")
     info: bool = option(None, default=False, help="print font metadata (names, tables, axes, features, coverage) and exit")
     fallback: Optional[str] = option(None, default=None, help="comma-separated fallback font paths: characters the primary font lacks resolve through these in order")
     serve: int = option(None, default=0, help="serve a live browser viewer on this port (with -i)")

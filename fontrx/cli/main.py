@@ -201,7 +201,7 @@ def _layout_for(font, text, cfg, vertical_ok: bool = False):
         / cfg.size,
         underline=cfg.underline, strikethrough=cfg.strikethrough,
         tracking_ptem=float(cfg.size) if cfg.tracking else None,
-        align=cfg.align,
+        align=cfg.align, kashida=cfg.kashida,
     )
 
 
@@ -653,6 +653,7 @@ def _run_interactive(font, text, cfg, engine) -> int:
             "tracking_ptem": (float(cfg.size) if cfg.tracking
                               else None),
             "align": cfg.align,
+            "kashida": cfg.kashida,
             "oblique": cfg.oblique,
         })
     if cfg.serve:

@@ -111,6 +111,50 @@ class ArabicShaper:
         self._class_cache[gid] = c
         return c
 
+    def connection_sides(self) -> dict[int, str]:
+        """Map of FORM glyph ids -> visual connector sides: ``"L"``
+        (connects to the glyph drawn at its left — ``init`` outputs),
+        ``"R"`` (``fina`` outputs), ``"LR"`` (``medi`` outputs, and
+        the tatweel U+0640 which joins both ways).  Derived from the
+        font's own positional type-1 substitutions, so it covers
+        exactly the glyphs that can render joined; kashida insertion
+        (``layout_text(kashida=True)``) keys junction detection on
+        it.  Glyphs reachable from several features accumulate sides
+        (set union)."""
+        sides = getattr(self, "_conn_sides", None)
+        if sides is not None:
+            return sides
+        sides = {}
+
+        def add(gid: int, s: str) -> None:
+            have = sides.get(gid, "")
+            sides[gid] = "".join(
+                c for c in "LR" if c in have or c in s)
+
+        if self.shaper is not None:
+            for tag, s in ((b"init", "L"), (b"medi", "LR"),
+                           (b"fina", "R")):
+                for li in self._feat_lookups(tag):
+                    lk = self.shaper._lookup(li)
+                    if lk is None:
+                        continue
+                    for s_type, sub in lk.subtables:
+                        if s_type != 1:
+                            continue
+                        cov = sub.coverage
+                        for lo, hi in zip(cov.start, cov.end):
+                            for g in range(int(lo),
+                                           min(int(hi), int(lo) + 512)
+                                           + 1):
+                                out = sub.sub_for(g)
+                                if out is not None:
+                                    add(int(out), s)
+        tw = int(self.font.charmap.glyph_index(0x0640))
+        if tw:
+            add(tw, "LR")
+        self._conn_sides = sides
+        return sides
+
     def forms(self, cps: list[int], gids: list[int]) -> list[bytes | None]:
         """Per-position feature tag (or None) for one logical line."""
         n = len(gids)

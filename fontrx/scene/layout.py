@@ -73,6 +73,7 @@ def layout_text(
     aat_features: tuple = (),
     align: str = "left",
     line_height: float | None = None,
+    kashida: bool = False,
 ) -> TextLayout:
     """Lay out ``text`` (supports ``\\n``) at the em scale: glyph slots
     dedup (``Appli.zig:319`` getOrPut — by glyph index here, which
@@ -161,7 +162,19 @@ def layout_text(
       fonts).  Each bar is a synthetic rectangle glyph spanning the
       line's advance extent, composited like any other glyph (its
       batch slot carries a geometry-keyed negative id so tile caches
-      never collide with real glyphs).  Horizontal modes only.
+      never collide with real glyphs).  Horizontal modes only;
+    - ``kashida=True`` (with ``align="justify"``): Arabic justified
+      lines stretch at KASHIDA points — tatweel (U+0640) elongations
+      inserted where two positional-form glyphs render joined — in
+      addition to space cells.  Junctions are detected geometrically
+      from the font's own ``init``/``medi``/``fina`` form glyphs
+      (:meth:`~fontrx.font.arabic.ArabicShaper.connection_sides`), one
+      preferred point per connected word (the junction nearest the
+      word's final letter, the classic simplified-Naskh rule; every
+      junction participates when the slack per point would exceed
+      three tatweel widths).  The inserted tatweels tile the widened
+      gap with overlap so the baseline stroke stays continuous.
+      Ignored when the font has no tatweel glyph or no Arabic forms.
     """
     # canonical composition first (the HarfBuzz convention): NFC
     # prefers precomposed glyphs; anything the font can't serve
@@ -745,6 +758,37 @@ def layout_text(
     # in instance order, so cumulative shifts after spaces move whole
     # clusters rigidly
     line_geom = [(0.0, w) for w in line_ends]
+    # kashida environment: the form-gid -> connector-sides map from
+    # the font's own positional lookups plus the tatweel glyph that
+    # will tile the widened junctions (both required; the slot is
+    # created lazily on the first junction actually stretched)
+    kash_env = None
+    if (kashida and align == "justify"
+            and getattr(font, "arabic_shaper", None) is not None):
+        _sides = font.arabic_shaper.connection_sides()
+        _tw_gid = int(font.charmap.glyph_index(0x0640))
+        _tw_adv = float(_adv(_tw_gid)) if _tw_gid else 0.0
+        if _sides and _tw_gid and _tw_adv > 0.0:
+            kash_env = (_sides, _tw_gid, _tw_adv)
+    gid_of_slot = ({v: k for k, v in slot_of.items()}
+                   if kash_env is not None else None)
+
+    def _tw_slot() -> int:
+        gid = kash_env[1]
+        if gid in slot_of:
+            return slot_of[gid]
+        slot_of[gid] = len(glyphs)
+        g = font.load_glyph(gid)
+        if oblique:
+            from fontrx.font.glyph import shear_glyph
+
+            g = shear_glyph(g, oblique)
+        glyphs.append(g)
+        widths.append(int(_adv(gid)))
+        slot_ymax.append(int(g.box.y_max))
+        slot_chars.append(0x0640)
+        return slot_of[gid]
+
     if align != "left" and line_ends:
         target = (wrap_width if wrap_width is not None
                   else max(line_ends))
@@ -762,8 +806,30 @@ def layout_text(
                 spaces = {k for k in range(s_, e_)
                           if slot_chars[instances[k].glyph_slot]
                           == 0x20}
-                if (target <= w or not spaces
-                        or (li < len(hard_breaks) and hard_breaks[li])):
+                hard = li < len(hard_breaks) and hard_breaks[li]
+                # kashida points: junctions where two positional-form
+                # glyphs render joined, grouped into connected words —
+                # stretch at the junction nearest each word's final
+                # letter (its LEFTMOST junction: RTL words end at the
+                # left), widening to every junction when the slack per
+                # point would exceed three tatweel widths
+                kash_sel: list[float] = []
+                if (kash_env is not None and not hard and target > w
+                        and (rtl or line_runs is not None)):
+                    chains = _kashida_chains(
+                        instances, s_, e_, widths, gid_of_slot,
+                        kash_env[0])
+                    if chains:
+                        tw_adv = kash_env[2]
+                        pref = [c[0] for c in chains]
+                        kash_sel = pref
+                        every = [x for c in chains for x in c]
+                        if (len(every) > len(pref)
+                                and (target - w)
+                                / (len(spaces) + len(pref))
+                                > 3.0 * tw_adv):
+                            kash_sel = every
+                if target <= w or hard or not (spaces or kash_sel):
                     # paragraph-final lines (hard \n or the text end)
                     # never justify — an RTL base keeps them flush at
                     # ITS start edge (the right margin), like CSS
@@ -777,25 +843,48 @@ def layout_text(
                         line_geom[li] = (target - w, w)
                         max_x = max(max_x, target)
                     continue
-                per = (target - w) / len(spaces)
+                per = (target - w) / (len(spaces) + len(kash_sel))
                 if rtl or line_runs is not None:
                     # direction-reordered lines: instances hold VISUAL
                     # positions, so stretch in visual order — each
-                    # glyph shifts right by one `per` for every space
-                    # CELL whose center lies left of its own box edge
-                    # (marks share their base's edge, so clusters move
+                    # glyph shifts right by one `per` for every stretch
+                    # point (space-cell center, or kashida junction —
+                    # nudged left an epsilon so the junction's RIGHT
+                    # glyph moves) left of its own box edge (marks
+                    # share their base's edge, so clusters move
                     # rigidly; both margins end up flush)
                     import bisect
 
-                    centers = sorted(
-                        instances[k].x
-                        + float(widths[instances[k].glyph_slot]) / 2.0
-                        for k in spaces)
+                    coords = sorted(
+                        [instances[k].x
+                         + float(widths[instances[k].glyph_slot]) / 2.0
+                         for k in spaces]
+                        + [x - 1e-6 for x in kash_sel])
                     for k in range(s_, e_):
                         inst = instances[k]
-                        n = bisect.bisect_left(centers, inst.x)
+                        n = bisect.bisect_left(coords, inst.x)
                         instances[k] = Instance(
                             inst.glyph_slot, inst.x + n * per, inst.y)
+                    if kash_sel:
+                        # tile each widened junction with tatweels that
+                        # overlap their neighbors (and each other) so
+                        # the baseline stroke stays continuous
+                        tw_adv = kash_env[2]
+                        tslot = _tw_slot()
+                        pen_y = -li * float(line_height)
+                        for xj in kash_sel:
+                            n = bisect.bisect_left(coords, xj - 1e-6)
+                            left = xj + n * per
+                            cnt = max(1, -int(-per // tw_adv))
+                            if cnt == 1:
+                                xs = [left + (per - tw_adv) / 2.0]
+                            else:
+                                step = (per - tw_adv) / (cnt - 1)
+                                xs = [left + i * step
+                                      for i in range(cnt)]
+                            for x in xs:
+                                instances.append(
+                                    Instance(tslot, x, pen_y))
                 else:
                     cum = 0.0
                     for k in range(s_, e_):
@@ -846,6 +935,42 @@ _DEFAULT_IGNORABLE = (
 
 def _is_default_ignorable(cp: int) -> bool:
     return any(lo <= cp <= hi for lo, hi in _DEFAULT_IGNORABLE)
+
+
+def _kashida_chains(
+    instances, s_: int, e_: int, widths, gid_of_slot, sides,
+    tol: float = 1.0,
+) -> list[list[float]]:
+    """Kashida junctions for one laid-out line, grouped into connected
+    words.  Operates on VISUAL positions (the line has already been
+    direction-reordered): a junction exists between two x-adjacent
+    nonzero-advance glyphs whose forms render joined — the left glyph
+    connects rightward (``"R"`` in its connector sides) and the right
+    glyph leftward (``"L"``) and their boxes touch within ``tol`` font
+    units (GPOS-kerned or tracked pairs don't join, so they don't
+    stretch).  Returns one list per maximal joined run, each the run's
+    junction x coordinates (the right glyph's origin) left-to-right;
+    zero-advance marks are skipped (they ride their base's box)."""
+    bases = []
+    for k in range(s_, e_):
+        inst = instances[k]
+        w = float(widths[inst.glyph_slot])
+        if w > 0.0:
+            bases.append((inst.x, w, inst.glyph_slot))
+    bases.sort(key=lambda t: t[0])
+    chains: list[list[float]] = []
+    cur: list[float] = []
+    for (ax, aw, aslot), (bx, _bw, bslot) in zip(bases, bases[1:]):
+        sa = sides.get(gid_of_slot.get(aslot, -1), "")
+        sb = sides.get(gid_of_slot.get(bslot, -1), "")
+        if "R" in sa and "L" in sb and abs(ax + aw - bx) <= tol:
+            cur.append(bx)
+        elif cur:
+            chains.append(cur)
+            cur = []
+    if cur:
+        chains.append(cur)
+    return chains
 
 
 def _is_arabic_cp(cp: int) -> bool:

@@ -316,3 +316,165 @@ class TestBidiJustify:
         pb = sorted((round(i.x, 3), round(i.y, 3),
                      b.slot_gids[i.glyph_slot]) for i in b.instances)
         assert pa == pb
+
+
+class TestKashida:
+    """layout_text(kashida=True, align="justify"): Arabic justified
+    lines stretch at kashida junctions — detected geometrically from
+    the font's own init/medi/fina form glyphs — and the widened gaps
+    are tiled with tatweel (U+0640) instances so the baseline stroke
+    stays continuous."""
+
+    @staticmethod
+    def _line_rows(lt, y):
+        return sorted((i.x, i.glyph_slot) for i in lt.instances
+                      if round(i.y) == y)
+
+    @staticmethod
+    def _tatweel_clusters(lt, dejavu, y):
+        """Count maximal runs of tatweel instances between real
+        (nonzero-advance, non-tatweel) glyphs along one line."""
+        tw = int(dejavu.charmap.glyph_index(0x0640))
+        rows = [(x, s) for x, s in TestKashida._line_rows(lt, y)
+                if float(lt.batch.advance_widths[s]) > 0.0]
+        runs, in_run = 0, False
+        for _, s in rows:
+            is_tw = lt.slot_gids[s] == tw
+            if is_tw and not in_run:
+                runs += 1
+            in_run = is_tw
+        return runs
+
+    def test_kashida_inserts_tatweels_and_flushes(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        budget = 7 * upem
+        text = "بسم ببب " * 4
+        plain = layout_text(dejavu, text.strip(), bidi=True,
+                            wrap_width=budget, align="justify")
+        kash = layout_text(dejavu, text.strip(), bidi=True,
+                           wrap_width=budget, align="justify",
+                           kashida=True)
+        tw = int(dejavu.charmap.glyph_index(0x0640))
+        assert all(g != tw for g in plain.slot_gids)
+        n_tw = sum(1 for i in kash.instances
+                   if kash.slot_gids[i.glyph_slot] == tw)
+        assert n_tw > 0
+        # non-final lines stay flush on both margins, tatweels included
+        ys = sorted({round(i.y) for i in kash.instances}, reverse=True)
+        assert len(ys) >= 2
+        for y in ys[:-1]:
+            xs = self._line_rows(kash, y)
+            left = min(x for x, _ in xs)
+            right = max(x + float(kash.batch.advance_widths[s])
+                        for x, s in xs
+                        if kash.slot_chars[s] != 0x20)
+            assert left == pytest.approx(0.0, abs=1.0)
+            assert right == pytest.approx(budget, abs=1.0)
+
+    def test_kashida_junctions_tile_continuously(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        budget = 6 * upem
+        lt = layout_text(dejavu, "ببب ببب",
+                         bidi=True, rtl=True, wrap_width=budget,
+                         align="justify", kashida=True)
+        tw = int(dejavu.charmap.glyph_index(0x0640))
+        ys = sorted({round(i.y) for i in lt.instances}, reverse=True)
+        y0 = ys[0]
+        # reconstruct ink intervals of every nonzero-advance glyph on
+        # the top (justified) line; each Arabic word must be one
+        # connected component (the tatweels bridge every widened gap)
+        spans = []
+        for x, s in self._line_rows(lt, y0):
+            if float(lt.batch.advance_widths[s]) <= 0.0:
+                continue
+            if lt.slot_chars[s] == 0x20:
+                spans.append(None)  # word separator
+                continue
+            g = dejavu.load_glyph(lt.slot_gids[s])
+            spans.append((x + g.box.x_min, x + g.box.x_max))
+        words, cur = [], []
+        for sp in spans:
+            if sp is None:
+                if cur:
+                    words.append(cur)
+                cur = []
+            else:
+                cur.append(sp)
+        if cur:
+            words.append(cur)
+        assert len(words) >= 1
+        for word in words:
+            hi = word[0][1]
+            for lo2, hi2 in word[1:]:
+                assert lo2 <= hi + 0.5, "gap inside a joined word"
+                hi = max(hi, hi2)
+
+    def test_kashida_prefers_one_point_per_word(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        word = "ب" * 7  # 7 letters -> 6 junctions per word
+        pair = word + " " + word
+        # width of two words on one line (paragraph-final: unstretched)
+        w0 = layout_text(dejavu, pair, bidi=True, rtl=True).width
+        # four words + a tight budget wraps to two 2-word lines; the
+        # top line justifies with slack upem/2 (well under 3 tatweel
+        # widths per point): only the word-final (leftmost) junction
+        # of each connected word stretches -> 2 tatweel clusters
+        text2 = pair + " " + pair
+        tight = layout_text(dejavu, text2, bidi=True, rtl=True,
+                            wrap_width=w0 + upem // 2,
+                            align="justify", kashida=True)
+        ys = sorted({round(i.y) for i in tight.instances}, reverse=True)
+        assert len(ys) == 2
+        assert self._tatweel_clusters(tight, dejavu, ys[0]) == 2
+        # huge slack (> 3 tatweel widths per preferred point, but still
+        # under one extra word): every junction participates -> 12
+        wide = layout_text(dejavu, text2, bidi=True, rtl=True,
+                           wrap_width=w0 + 3 * upem,
+                           align="justify", kashida=True)
+        ys = sorted({round(i.y) for i in wide.instances}, reverse=True)
+        assert len(ys) == 2
+        assert self._tatweel_clusters(wide, dejavu, ys[0]) == 12
+
+    def test_kashida_noop_without_tatweel_glyph(self):
+        import os
+
+        from fontrx.font.font import Font
+        from fontrx.scene.layout import layout_text
+
+        # the feaLib fixture has forms but no U+0640 in cmap: kashida
+        # degrades to plain space justification, bit-identically
+        arabic_font = Font.open(os.path.join(
+            os.path.dirname(__file__), "data", "arabictest.ttf"))
+        text = "بمب لمل بم"
+        a = layout_text(arabic_font, text, bidi=True, rtl=True,
+                        wrap_width=2500, align="justify")
+        b = layout_text(arabic_font, text, bidi=True, rtl=True,
+                        wrap_width=2500, align="justify", kashida=True)
+        pa = sorted((round(i.x, 3), round(i.y, 3),
+                     a.slot_gids[i.glyph_slot]) for i in a.instances)
+        pb = sorted((round(i.x, 3), round(i.y, 3),
+                     b.slot_gids[i.glyph_slot]) for i in b.instances)
+        assert pa == pb
+
+    def test_kashida_ignored_for_ltr_text(self, dejavu):
+        from fontrx.scene.layout import layout_text
+
+        upem = dejavu.info.units_per_em
+        t = "the quick brown fox jumps over the lazy dog again"
+        a = layout_text(dejavu, t, bidi=True, wrap_width=9 * upem,
+                        align="justify")
+        b = layout_text(dejavu, t, bidi=True, wrap_width=9 * upem,
+                        align="justify", kashida=True)
+        tw = int(dejavu.charmap.glyph_index(0x0640))
+        assert all(g != tw for g in b.slot_gids)
+        pa = sorted((round(i.x, 3), round(i.y, 3),
+                     a.slot_gids[i.glyph_slot]) for i in a.instances)
+        pb = sorted((round(i.x, 3), round(i.y, 3),
+                     b.slot_gids[i.glyph_slot]) for i in b.instances)
+        assert pa == pb
