@@ -612,6 +612,23 @@ class Font:
                 log.warning("arabic shaper unusable: %s", e)
         return self._arabic
 
+    @property
+    def indic_shaper(self):
+        """Indic complex-script shaping engine
+        (:class:`fontrx.font.indic.IndicShaper`), or ``None`` when the
+        font carries none of the Indic basic features."""
+        if not hasattr(self, "_indic"):
+            self._indic = None
+            try:
+                from fontrx.font.indic import IndicShaper
+
+                sh = IndicShaper(self)
+                if sh.available:
+                    self._indic = sh
+            except Exception as e:
+                log.warning("indic shaper unusable: %s", e)
+        return self._indic
+
     def shaper(self, tags: tuple[bytes, ...]):
         """Full GSUB shaping engine (:class:`fontrx.font.shape.GsubShaper`)
         over the features tagged ``tags`` — lookup types 1-7 including

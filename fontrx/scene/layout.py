@@ -304,27 +304,37 @@ def layout_text(
         from its ScriptList entry (script/language-system selection —
         ``locl`` and per-script feature registration resolve correctly
         on multi-script fonts); fonts without a usable ScriptList keep
-        the tag-global behavior.
+        the tag-global behavior.  Devanagari runs route through the
+        Indic complex-script engine (:mod:`fontrx.font.indic` —
+        syllable analysis, reordering, staged basic/presentation
+        features) automatically, like the Arabic joiner; user-selected
+        feature tags then apply on top (the reference-shaper stage
+        order).
 
         Side channel: ``_shape_stream.last_comps`` holds the 1-based
         ligature-component index per output glyph (marks that rode
         inside formed ligatures; 0 elsewhere) for GPOS
         mark-to-ligature attachment."""
         _shape_stream.last_comps = [0] * len(seq)
-        if not tags:
+        indic = None
+        if (seg_cps is not None and len(seg_cps) == len(seq)
+                and any(_is_deva_cp(c) for c in seg_cps)):
+            indic = getattr(font, "indic_shaper", None)
+        if not tags and indic is None:
             return seq
-        shaper = font.shaper(tags)
-        if shaper is None:
+        shaper = font.shaper(tags) if tags else None
+        if tags and shaper is None and indic is None:
             if ligatures and font.ligatures is not None:
                 out = font.ligatures.apply(seq)
                 _shape_stream.last_comps = [0] * len(out)
                 return out
             return seq
-        if hasattr(shaper, "alt_index"):
+        if shaper is not None and hasattr(shaper, "alt_index"):
             shaper.alt_index = alternate
         if (seg_cps is None or len(seg_cps) != len(seq)
-                or not getattr(shaper, "scripts", None)):
-            out = shaper.apply(seq)
+                or (indic is None
+                    and not getattr(shaper, "scripts", None))):
+            out = shaper.apply(seq) if shaper is not None else list(seq)
             _shape_stream.last_comps = list(
                 getattr(shaper, "last_lig_comps", None)
                 or [0] * len(out))
@@ -334,11 +344,20 @@ def layout_text(
         out: list[int] = []
         comps: list[int] = []
         for s, e, stag in itemize(seg_cps):
-            part = shaper.apply(seq[s:e], script=stag or b"DFLT")
+            if stag == b"deva" and indic is not None:
+                part = indic.shape(seg_cps[s:e], seq[s:e])
+                if shaper is not None:
+                    part = shaper.apply(part, script=stag)
+                pc = [0] * len(part)
+            elif shaper is not None:
+                part = shaper.apply(seq[s:e], script=stag or b"DFLT")
+                pc = list(getattr(shaper, "last_lig_comps", None)
+                          or [0] * len(part))
+            else:
+                part = list(seq[s:e])
+                pc = [0] * len(part)
             out.extend(part)
-            comps.extend(
-                getattr(shaper, "last_lig_comps", None)
-                or [0] * len(part))
+            comps.extend(pc)
         _shape_stream.last_comps = comps
         return out
 
@@ -460,7 +479,8 @@ def layout_text(
                     nr.append(runs)
                     hard_breaks.append(hflag)
             lines, comp_lines, line_runs = nl, nc, nr
-    elif tags:
+    elif tags or any(
+            _is_deva_cp(c) for cps in cp_lines for c in cps):
         shaped_lines = []
         comp_lines = []
         for line, cps in zip(lines, cp_lines):
@@ -977,6 +997,12 @@ def _is_arabic_cp(cp: int) -> bool:
     from fontrx.font.arabic import is_arabic
 
     return is_arabic(cp)
+
+
+def _is_deva_cp(cp: int) -> bool:
+    from fontrx.font.indic import is_devanagari
+
+    return is_devanagari(cp)
 
 
 def _positions_itemized(positioner, line, advs, lig, cps):

@@ -542,6 +542,165 @@ feature mark {
     print("wrote arabictest.ttf")
 
 
+def make_devatest():
+    """A Devanagari shaping corpus font with GENUINE OpenType Indic
+    structure, compiled from feature syntax by fontTools feaLib and
+    registered under ``dev2``/``deva``: nukta forms (nukt), an akhand
+    ligature (akhn: k.ssa), reph formation (rphf), rakar conjuncts
+    both as a full ligature (rkrf: kra) and a below-base form (blwf),
+    half forms (half), a pre-base conjunct (pres: s_ta), a reph+
+    anusvara presentation form (abvs), a base+matra ligature (psts)
+    and an explicit-halant form (haln) — the feature set the OpenType
+    Indic shaping model routes through syllable analysis and
+    reordering.  The shaping differential pins fontrx's Indic shaper
+    against HarfBuzz on this font.  U+25CC maps to a real dotted
+    circle so broken clusters exercise dotted-circle insertion in
+    both engines."""
+    upem = 1000
+    fb = FontBuilder(upem, isTTF=True)
+    names = [
+        ".notdef", "space",
+        "a-deva", "ka-deva", "ga-deva", "ta-deva", "ma-deva",
+        "ya-deva", "ra-deva", "ssa-deva", "sa-deva",
+        "nukta-deva", "halant-deva",
+        "aasign-deva", "isign-deva", "iisign-deva", "usign-deva",
+        "esign-deva", "anusvara-deva", "danda-deva",
+        "ka-deva.half", "ga-deva.half", "ta-deva.half", "ma-deva.half",
+        "sa-deva.half", "ssa-deva.half",
+        "reph-deva", "rakar-deva", "kra-deva", "kssa-deva", "qa-deva",
+        "ka_aa-deva", "s_ta-deva", "reph_anusvara-deva", "ka-deva.haln",
+        "dottedcircle",
+    ]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({
+        0x20: "space", 0x905: "a-deva", 0x915: "ka-deva",
+        0x917: "ga-deva", 0x924: "ta-deva", 0x92E: "ma-deva",
+        0x92F: "ya-deva", 0x930: "ra-deva", 0x937: "ssa-deva",
+        0x938: "sa-deva", 0x93C: "nukta-deva", 0x94D: "halant-deva",
+        0x93E: "aasign-deva", 0x93F: "isign-deva", 0x940: "iisign-deva",
+        0x941: "usign-deva", 0x947: "esign-deva", 0x902: "anusvara-deva",
+        0x964: "danda-deva", 0x25CC: "dottedcircle",
+    })
+
+    def boxglyph(x0, y0, x1, y1, notch=0):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((x0, y0))
+        pen.lineTo((x1, y0))
+        pen.lineTo((x1, y1))
+        pen.qCurveTo(((x0 + x1) // 2, y1 + 60 + notch), (x0, y1))
+        pen.closePath()
+        return pen.glyph()
+
+    glyphs = {".notdef": boxglyph(50, 0, 450, 700)}
+    pen = TTGlyphPen(glyphSet={})
+    glyphs["space"] = pen.glyph()
+    # distinct rasters per form (the differential compares streams and
+    # pen positions; exact letterforms are irrelevant)
+    dims = {
+        "a-deva": (40, 0, 520, 700), "ka-deva": (40, 0, 540, 700),
+        "ga-deva": (40, 0, 500, 700), "ta-deva": (40, 0, 480, 700),
+        "ma-deva": (40, 0, 530, 700), "ya-deva": (40, 0, 510, 700),
+        "ra-deva": (40, 0, 380, 700), "ssa-deva": (40, 0, 490, 700),
+        "sa-deva": (40, 0, 550, 700),
+        "nukta-deva": (-160, -180, -60, -100),
+        "halant-deva": (-200, -220, -80, -120),
+        "aasign-deva": (30, 0, 150, 700), "isign-deva": (30, 0, 190, 740),
+        "iisign-deva": (30, 0, 170, 740), "usign-deva": (-300, -260, -120, -140),
+        "esign-deva": (-320, 720, -100, 840),
+        "anusvara-deva": (-260, 760, -160, 860),
+        "danda-deva": (60, -100, 140, 700),
+        "ka-deva.half": (40, 0, 330, 700), "ga-deva.half": (40, 0, 310, 700),
+        "ta-deva.half": (40, 0, 290, 700), "ma-deva.half": (40, 0, 320, 700),
+        "sa-deva.half": (40, 0, 340, 700), "ssa-deva.half": (40, 0, 300, 700),
+        "reph-deva": (-240, 700, -60, 880),
+        "rakar-deva": (-340, -300, -140, -160),
+        "kra-deva": (40, -300, 560, 700), "kssa-deva": (40, 0, 760, 700),
+        "qa-deva": (40, -180, 540, 700), "ka_aa-deva": (40, 0, 700, 700),
+        "s_ta-deva": (40, 0, 720, 700),
+        "reph_anusvara-deva": (-280, 700, -40, 900),
+        "ka-deva.haln": (40, -220, 540, 700),
+        "dottedcircle": (80, 80, 480, 560),
+    }
+    for i, (n, (x0, y0, x1, y1)) in enumerate(dims.items()):
+        glyphs[n] = boxglyph(x0, y0, x1, y1, notch=i * 5)
+    fb.setupGlyf(glyphs)
+    widths = {
+        "space": 260, "nukta-deva": 0, "halant-deva": 0, "usign-deva": 0,
+        "esign-deva": 0, "anusvara-deva": 0, "reph-deva": 0,
+        "rakar-deva": 0, "reph_anusvara-deva": 0,
+        "aasign-deva": 210, "isign-deva": 240, "iisign-deva": 220,
+        "danda-deva": 200,
+        "ka-deva.half": 380, "ga-deva.half": 360, "ta-deva.half": 340,
+        "ma-deva.half": 370, "sa-deva.half": 390, "ssa-deva.half": 350,
+        "kra-deva": 620, "kssa-deva": 820, "qa-deva": 600,
+        "ka_aa-deva": 780, "s_ta-deva": 790, "ka-deva.haln": 600,
+        "dottedcircle": 560,
+    }
+    adv = {n: (widths.get(n, 600),
+               getattr(fb.font["glyf"][n], "xMin", 0)) for n in names}
+    fb.setupHorizontalMetrics(adv)
+    fb.setupHorizontalHeader(ascent=900, descent=-350)
+    fb.setupNameTable({"familyName": "DevaTest", "styleName": "Regular"})
+    fb.setupOS2()
+    fb.setupPost()
+
+    fea = """
+languagesystem DFLT dflt;
+languagesystem dev2 dflt;
+languagesystem deva dflt;
+
+feature nukt {
+    sub ka-deva nukta-deva by qa-deva;
+} nukt;
+
+feature akhn {
+    sub ka-deva halant-deva ssa-deva by kssa-deva;
+} akhn;
+
+feature rphf {
+    sub ra-deva halant-deva by reph-deva;
+} rphf;
+
+feature rkrf {
+    sub ka-deva halant-deva ra-deva by kra-deva;
+} rkrf;
+
+feature blwf {
+    sub halant-deva ra-deva by rakar-deva;
+} blwf;
+
+feature half {
+    sub ka-deva halant-deva by ka-deva.half;
+    sub ga-deva halant-deva by ga-deva.half;
+    sub ta-deva halant-deva by ta-deva.half;
+    sub ma-deva halant-deva by ma-deva.half;
+    sub sa-deva halant-deva by sa-deva.half;
+    sub ssa-deva halant-deva by ssa-deva.half;
+} half;
+
+feature pres {
+    sub sa-deva.half ta-deva by s_ta-deva;
+} pres;
+
+feature abvs {
+    sub reph-deva anusvara-deva by reph_anusvara-deva;
+} abvs;
+
+feature psts {
+    sub ka-deva aasign-deva by ka_aa-deva;
+} psts;
+
+feature haln {
+    sub ka-deva halant-deva by ka-deva.haln;
+} haln;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "devatest.ttf"))
+    print("wrote devatest.ttf")
+
+
 def make_colrtest():
     """COLR v0 + CPAL color-layer font: three base color glyphs
     (square-on-square, overlapping discs, a glyph using the 0xFFFF
@@ -1777,6 +1936,7 @@ if __name__ == "__main__":
     make_vartest6()
     make_cjktest()
     make_arabictest()
+    make_devatest()
     make_colrtest()
     make_colrv1test()
     make_varcolrtest()
