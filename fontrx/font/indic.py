@@ -1,6 +1,6 @@
-"""Indic complex-script shaping (OpenType Indic model, Devanagari
-first) — syllable analysis, reordering and staged feature
-application.
+"""Indic complex-script shaping (the OpenType Indic model, all ten
+scripts Devanagari..Sinhala) — syllable analysis, reordering and
+staged feature application.
 
 A capability extension far beyond the reference (which maps
 codepoints 1:1 with no text processing, ``src/main.zig:53-58``).
@@ -31,16 +31,27 @@ shapers do:
 6. **presentation features** (``init pres abvs blws psts haln``)
    applied globally in one stage.
 
-Validated by an exact HarfBuzz differential (glyph streams + pen
-positions) over a feaLib-compiled Devanagari corpus font — see
-``tests/test_indic.py``.
+Validated by exact HarfBuzz differentials over feaLib-compiled
+per-script corpus fonts: Devanagari len<=4 exhaustive (111,150
+strings) — ``tests/test_indic.py`` — and the other scripts len<=3
+exhaustive + 20k random-with-joiners each, 0 divergences everywhere
+except two documented degenerate joiner classes (Tamil 1/20k,
+Malayalam ~8/20k: an Ra+halant-led broken cluster adjacent to
+another broken cluster regroups differently) —
+``tests/test_indic_scripts.py``.  Sinhala shapes with the Indic
+model; hb routes it to the USE engine whose clustering differs
+(spaces act as placeholder bases), so its differential is deferred
+to a USE implementation.
 
 Scope notes (documented): GSUB lookup types 1/2/3/4 and contextual
 5/6 participate in the staged application; broken clusters shape
 WITHOUT dotted-circle insertion (fontrx renders them bare); the
-per-script configuration table currently carries Devanagari (the
-blocks the vendored data covers) — other Indic scripts follow the
-same machine and land with their own config rows + differentials.
+per-script configuration table (``_CONFIGS``) carries all ten
+Indic-model scripts — per-script Ra/halant codepoints, reph
+formation mode (implicit Ra+halant, explicit Ra+halant+ZWJ, or a
+logical repha codepoint), reph target position, blwf pre/post
+applicability, base-search rule (incl. Sinhala's forward scan) and
+matra position maps; each lands pinned by its own hb differential.
 """
 
 from __future__ import annotations
@@ -48,7 +59,7 @@ from __future__ import annotations
 import re
 import unicodedata
 
-from fontrx.font._indic_data import indic_class
+from fontrx.font._indic_data import INDIC_MPST, indic_class
 from fontrx.utils.log import get_logger
 
 log = get_logger("Indic")
@@ -76,14 +87,101 @@ REPH_AFTER_SUB = 2
 REPH_BEFORE_POST = 3
 REPH_AFTER_POST = 4
 
-# per-script configuration: (script tags newest-first, Ra codepoints,
-# reph position, matra side -> position map)
-_DEVA_MATRA = {"L": POS_PRE_M, "T": POS_AFTER_SUB, "B": POS_AFTER_SUB,
-               "R": POS_AFTER_SUB}
-_CONFIGS = {
-    "deva": ((b"dev2", b"deva"), frozenset({0x0930}), REPH_BEFORE_POST,
-             _DEVA_MATRA),
+# reph formation modes
+REPH_IMPLICIT = 0   # Ra + halant at syllable start
+REPH_EXPLICIT = 1   # Ra + halant + ZWJ
+REPH_LOG_REPHA = 2  # a dedicated repha codepoint (category q)
+
+# base-consonant search rules
+BASE_LAST = 0
+BASE_LAST_SINHALA = 1
+
+
+class _Config:
+    """Per-script Indic shaping parameters (the reference-shaper
+    script configs, pinned per script by the hb differentials)."""
+
+    __slots__ = ("tags", "ra", "halant", "reph_pos", "reph_mode",
+                 "blwf_pre_and_post", "base_pos", "matra",
+                 "matra_exceptions", "matra_block_search",
+                 "swap_ra_h_zwj", "strict_tail")
+
+    def __init__(self, tags, ra, halant, reph_pos, reph_mode,
+                 blwf_pre_and_post, base_pos, matra,
+                 matra_exceptions=None, matra_block_search=True,
+                 swap_ra_h_zwj=False, strict_tail=False):
+        self.tags = tags
+        self.ra = frozenset(ra)
+        self.halant = halant
+        self.reph_pos = reph_pos
+        self.reph_mode = reph_mode
+        self.blwf_pre_and_post = blwf_pre_and_post
+        self.base_pos = base_pos
+        self.matra = matra
+        self.matra_exceptions = matra_exceptions or {}
+        self.matra_block_search = matra_block_search
+        self.swap_ra_h_zwj = swap_ra_h_zwj
+        self.strict_tail = strict_tail
+
+    def matra_pos(self, cp: int, side: str) -> int:
+        hit = self.matra_exceptions.get(cp)
+        if hit is not None:
+            return hit
+        return self.matra.get(side, POS_AFTER_SUB)
+
+
+_M = {"L": POS_PRE_M, "T": POS_AFTER_SUB, "B": POS_AFTER_SUB,
+      "R": POS_AFTER_SUB}
+_CONFIGS: dict[bytes, _Config] = {
+    b"deva": _Config((b"dev2", b"deva"), {0x0930}, 0x094D,
+                     REPH_BEFORE_POST, REPH_IMPLICIT, True, BASE_LAST,
+                     _M),
+    b"beng": _Config((b"bng2", b"beng"), {0x09B0, 0x09F0}, 0x09CD,
+                     REPH_AFTER_SUB, REPH_IMPLICIT, True, BASE_LAST,
+                     {"L": POS_PRE_M, "T": POS_AFTER_SUB,
+                      "B": POS_AFTER_SUB, "R": POS_AFTER_POST}),
+    b"guru": _Config((b"gur2", b"guru"), {0x0A30}, 0x0A4D,
+                     REPH_BEFORE_SUB, REPH_IMPLICIT, True, BASE_LAST,
+                     {"L": POS_PRE_M, "T": POS_AFTER_POST,
+                      "B": POS_AFTER_POST, "R": POS_AFTER_POST}),
+    b"gujr": _Config((b"gjr2", b"gujr"), {0x0AB0}, 0x0ACD,
+                     REPH_BEFORE_POST, REPH_IMPLICIT, True, BASE_LAST,
+                     {"L": POS_PRE_M, "T": POS_AFTER_SUB,
+                      "B": POS_AFTER_POST, "R": POS_AFTER_POST}),
+    b"orya": _Config((b"ory2", b"orya"), {0x0B30}, 0x0B4D,
+                     REPH_AFTER_MAIN, REPH_IMPLICIT, True, BASE_LAST,
+                     {"L": POS_PRE_M, "T": POS_AFTER_MAIN,
+                      "B": POS_AFTER_SUB, "R": POS_AFTER_POST}),
+    b"taml": _Config((b"tml2", b"taml"), {0x0BB0}, 0x0BCD,
+                     REPH_AFTER_POST, REPH_IMPLICIT, False, BASE_LAST,
+                     {"L": POS_PRE_M, "T": POS_AFTER_SUB,
+                      "B": POS_AFTER_POST, "R": POS_AFTER_POST},
+                     matra_block_search=False, strict_tail=True),
+    b"telu": _Config((b"tel2", b"telu"), {0x0C30}, 0x0C4D,
+                     REPH_AFTER_POST, REPH_EXPLICIT, False, BASE_LAST,
+                     {"L": POS_PRE_M, "T": POS_BEFORE_SUB,
+                      "B": POS_BEFORE_SUB, "R": POS_AFTER_SUB},
+                     {0x0C41: POS_BEFORE_SUB, 0x0C42: POS_BEFORE_SUB},
+                     strict_tail=True),
+    b"knda": _Config((b"knd2", b"knda"), {0x0CB0}, 0x0CCD,
+                     REPH_AFTER_POST, REPH_IMPLICIT, False, BASE_LAST,
+                     {"L": POS_PRE_M, "T": POS_BEFORE_SUB,
+                      "B": POS_BEFORE_SUB, "R": POS_BEFORE_SUB},
+                     swap_ra_h_zwj=True, strict_tail=True),
+    b"mlym": _Config((b"mlm2", b"mlym"), {0x0D30}, 0x0D4D,
+                     REPH_AFTER_MAIN, REPH_LOG_REPHA, False, BASE_LAST,
+                     {"L": POS_PRE_M, "T": POS_AFTER_SUB,
+                      "B": POS_AFTER_POST, "R": POS_AFTER_POST},
+                     matra_block_search=False, strict_tail=True),
+    b"sinh": _Config((b"sinh",), {0x0DBB}, 0x0DCA,
+                     REPH_AFTER_POST, REPH_EXPLICIT, False,
+                     BASE_LAST_SINHALA,
+                     {"L": POS_PRE_M, "T": POS_AFTER_SUB,
+                      "B": POS_AFTER_SUB, "R": POS_AFTER_POST}),
 }
+
+#: OT script tags the Indic engine covers (layout routing)
+INDIC_SCRIPTS = frozenset(_CONFIGS)
 
 _BASIC_FEATURES = (b"nukt", b"akhn", b"rphf", b"rkrf", b"pref",
                    b"blwf", b"abvf", b"half", b"pstf", b"vatu",
@@ -101,33 +199,100 @@ _PRES_FEATURES = (b"init", b"pres", b"abvs", b"blws", b"psts",
 _z = "[Jz]"
 _n = f"(?:(?:{_z}?R)?(?:NR?){{0,2}})"
 _cn = f"[Cr]J?{_n}"
-_matra_group = f"(?:{_z}{{0,3}}MN?(?:H|JHJ[Cr])?)"
+_matra_group = f"(?:{_z}*(?:M|D?O)N?(?:H|JHJ[Cr])?)"
 _syllable_tail = f"(?:{_z}?DD?z?)?A{{0,3}}"
 _halant_group = f"(?:{_z}?H(?:JN?)?)"
-_final_halant_group = f"(?:{_halant_group}|Hz)"
+# Hz first: longest-match over the ordered Python alternation
+# (halant+ZWNJ must win over the bare-H arm so the tail can
+# still take a joiner-led modifier group; hb-pinned on Tamil
+# MA+H+ZWNJ+ZWJ+ANUSVARA merging as one cluster)
+_final_halant_group = f"(?:Hz|{_halant_group})"
 _halant_or_matra_group = (
     f"(?:{_final_halant_group}|{_matra_group}*)"
 )
-_complex_tail = (f"(?:{_halant_group}{_cn})*E?"
-                 f"{_halant_or_matra_group}{_syllable_tail}")
-_PRODUCTIONS = (
-    ("consonant", re.compile(f"{_cn}{_complex_tail}")),
-    ("vowel", re.compile(f"(?:rH)?V{_n}(?:J|{_complex_tail})")),
-    ("standalone", re.compile(f"(?:rH)?P{_n}{_complex_tail}")),
-    ("symbol", re.compile(f"YN?{_syllable_tail}")),
-    ("broken", re.compile(f"(?:rH)?{_n}{_complex_tail}")),
-)
+# (halant consonant) cluster continuations: the PERMISSIVE tail lets
+# a joiner ride the halant; the STRICT tail does not.  Northern
+# scripts (Devanagari..Oriya) cluster permissively everywhere;
+# southern scripts (Tamil/Telugu/Kannada/Malayalam) cluster strictly
+# UNLESS the cluster is led by a reph/repha.  All hb-pinned:
+# Tamil halant+ZWJ+MA splits [halant ZWJ][MA] while Bengali
+# KA+halant+ZWJ+KA+I is ONE cluster (I reorders to the very front,
+# Oriya likewise), and the Malayalam repha+halant+ZWJ+KA cluster is
+# one unit with the repha repositioning past the joiner.
+_tail_perm = (f"(?:{_halant_group}{_cn})*E?"
+              f"{_halant_or_matra_group}{_syllable_tail}")
+_tail_strict = (f"(?:{_z}?H{_cn})*E?"
+                f"{_halant_or_matra_group}{_syllable_tail}")
 
 
-def _syllabify(cats: str) -> list[tuple[int, int, str]]:
+def _productions(strict: bool, logrepha: bool = False):
+    """Production set per script family.  ``strict`` (the southern
+    scripts) disallows joiner-riding halants in (halant consonant)
+    continuations; ``logrepha`` (Malayalam) removes the Ra+halant
+    reph prefix from the broken productions entirely — a logical
+    repha is that script's only reph former, so Ra+halant starts are
+    ordinary consonant clusters (hb-pinned: Malayalam RA+H+H+TA
+    splits [RA H][dc H TA] while Tamil RA+H+H+SSA is one dc-carrying
+    cluster)."""
+    lead = _tail_perm  # reph/repha-led clusters: permissive always
+    tail = _tail_strict if strict else _tail_perm
+    if strict and logrepha:
+        # a logical-repha script still breaks Ra+halant+MATRA (or a
+        # final halant) as one dc-carrying cluster, but never absorbs
+        # (halant consonant) continuations off it (hb-pinned:
+        # Malayalam RA+H+AA and RA+H+H merge, RA+H+H+TA splits
+        # [RA H H][TA]).  Residual documented divergence: an
+        # rH-led broken cluster directly after ANOTHER broken
+        # cluster regroups differently in hb (degenerate text).
+        rh_broken = [("broken", re.compile(
+            f"rH{_n}(?:{_matra_group}+|{_final_halant_group})"
+            f"{_syllable_tail}"))]
+    elif strict:
+        rh_broken = [("broken", re.compile(f"rH{_n}{tail}"))]
+    else:
+        rh_broken = []
+    return (
+        ("consonant", re.compile(f"q{_cn}{lead}")),
+        # a reph prefix (Ra+halant, with the explicit-mode ZWJ)
+        # keeps its cluster together even under strict tails
+        # (hb-pinned: Telugu RA+H+ZWJ+SA is one cluster, reph
+        # repositioning past SA)
+        ("consonant", re.compile(f"rHJ?{_cn}{tail}")),
+        ("consonant", re.compile(f"{_cn}{tail}")),
+        # the (ZWJ | tail) alternatives are separate productions so
+        # the machine keeps LONGEST-match semantics (Python
+        # alternation is ordered, the reference machine's is not)
+        ("vowel", re.compile(f"(?:rH|q)V{_n}{lead}")),
+        ("vowel", re.compile(f"V{_n}{tail}")),
+        ("vowel", re.compile(f"(?:rH|q)?V{_n}J")),
+        ("standalone", re.compile(f"(?:rH|q)P{_n}{lead}")),
+        ("standalone", re.compile(f"P{_n}{tail}")),
+        ("symbol", re.compile(f"YN?{_syllable_tail}")),
+        ("broken", re.compile((f"q{_n}{lead}" if strict
+                               else f"(?:rH|q){_n}{lead}"))),
+        *rh_broken,
+        ("broken", re.compile(f"{_n}{tail}")),
+    )
+
+
+_PRODUCTIONS = _productions(strict=False)
+_PRODUCTIONS_STRICT = _productions(strict=True)
+_PRODUCTIONS_STRICT_LR = _productions(strict=True, logrepha=True)
+
+
+def _syllabify(cats: str, strict: bool = False,
+               logrepha: bool = False) -> list[tuple[int, int, str]]:
     """Split a category string into maximal syllables (longest match
     per start, production priority on ties); unmatched characters
     become single-char ``other`` clusters."""
+    prods = (_PRODUCTIONS_STRICT_LR if strict and logrepha
+             else _PRODUCTIONS_STRICT if strict
+             else _PRODUCTIONS)
     out: list[tuple[int, int, str]] = []
     i, n = 0, len(cats)
     while i < n:
         best_len, best_kind = 0, "other"
-        for kind, rx in _PRODUCTIONS:
+        for kind, rx in prods:
             m = rx.match(cats, i)
             if m and m.end() - i > best_len:
                 best_len, best_kind = m.end() - i, kind
@@ -143,7 +308,8 @@ def _syllabify(cats: str) -> list[tuple[int, int, str]]:
 class _Glyph:
     """One buffer slot: glyph id + shaping aux carried through GSUB."""
 
-    __slots__ = ("gid", "cp", "cat", "pos", "mask", "syl", "ligated")
+    __slots__ = ("gid", "cp", "cat", "pos", "mask", "syl", "ligated",
+                 "substituted")
 
     def __init__(self, gid, cp, cat, pos, syl):
         self.gid = gid
@@ -153,6 +319,7 @@ class _Glyph:
         self.mask: frozenset = frozenset()
         self.syl = syl
         self.ligated = False
+        self.substituted = False
 
 
 def _is_consonant(g: _Glyph) -> bool:
@@ -167,8 +334,20 @@ def _is_halant(g: _Glyph) -> bool:
     return g.cat == "H"
 
 
+class _ScriptState:
+    """Per-(font, script) resolved shaping state."""
+
+    __slots__ = ("cfg", "script", "halant_gid")
+
+    def __init__(self, cfg, script, halant_gid):
+        self.cfg = cfg
+        self.script = script
+        self.halant_gid = halant_gid
+
+
 class IndicShaper:
-    """Per-font Indic shaping engine (currently Devanagari)."""
+    """Per-font Indic shaping engine (all ten Indic-model scripts,
+    Devanagari..Sinhala; per-script configs in ``_CONFIGS``)."""
 
     ALL_TAGS = _BASIC_FEATURES + _PRES_FEATURES + (b"locl", b"ccmp")
 
@@ -177,41 +356,60 @@ class IndicShaper:
         self.shaper = font.shaper(self.ALL_TAGS)
         self._would_cache: dict = {}
         self._conspos_cache: dict = {}
-        cfg = _CONFIGS["deva"]
-        self.script_tags, self.ra_chars, self.reph_pos, self.matra_map \
-            = cfg
-        self.script = None
-        if self.shaper is not None:
-            for t in self.script_tags:
-                if t in getattr(self.shaper, "scripts", {}):
-                    self.script = t
-                    break
+        self._lookup_cache: dict = {}
+        self._states: dict[bytes, _ScriptState] = {}
+
+    def _state(self, script: bytes) -> _ScriptState:
+        st = self._states.get(script)
+        if st is None:
+            cfg = _CONFIGS.get(script) or _CONFIGS[b"deva"]
+            sel = None
+            if self.shaper is not None:
+                for t in cfg.tags:
+                    if t in getattr(self.shaper, "scripts", {}):
+                        sel = t
+                        break
+            halant_gid = int(self.font.charmap.glyph_index(cfg.halant))
+            st = _ScriptState(cfg, sel, halant_gid)
+            self._states[script] = st
+        return st
 
     @property
     def available(self) -> bool:
         if self.shaper is None:
             return False
-        return any(self._feature_lookups(t) for t in _BASIC_FEATURES)
+        return any(self._feature_lookups(t, None)
+                   for t in _BASIC_FEATURES)
 
     # -- feature -> lookup indices (script-routed) ----------------------
 
-    def _feature_lookups(self, tag: bytes) -> list[int]:
+    def _feature_lookups(self, tag: bytes,
+                         st: _ScriptState | None) -> list[int]:
         s = self.shaper
         if s is None:
             return []
-        if self.script is not None:
-            return s.lookup_indices_for((tag,), self.script)
-        return sorted(s.features.get(tag, ()))
+        script = st.script if st is not None else None
+        key = (tag, script)
+        hit = self._lookup_cache.get(key)
+        if hit is not None:
+            return hit
+        if script is not None:
+            out = s.lookup_indices_for((tag,), script)
+        else:
+            out = sorted(s.features.get(tag, ()))
+        self._lookup_cache[key] = out
+        return out
 
     # -- would-substitute probes (consonant position classification) ----
 
-    def _would_substitute(self, tag: bytes, seq: tuple[int, ...]) -> bool:
-        key = (tag, seq)
+    def _would_substitute(self, tag: bytes, seq: tuple[int, ...],
+                          st: _ScriptState) -> bool:
+        key = (tag, seq, st.script)
         hit = self._would_cache.get(key)
         if hit is not None:
             return hit
         ok = False
-        for li in self._feature_lookups(tag):
+        for li in self._feature_lookups(tag, st):
             lk = self.shaper._lookup(li)
             if lk is None:
                 continue
@@ -231,20 +429,22 @@ class IndicShaper:
         self._would_cache[key] = ok
         return ok
 
-    def _consonant_position(self, gid: int, halant_gid: int) -> int:
+    def _consonant_position(self, gid: int, st: _ScriptState) -> int:
         """POS_BELOW_C / POS_POST_C / POS_BASE_C for one consonant, by
         probing whether the font's blwf/pstf/pref would substitute
         (halant, C) — both orders, the robustness rule reference
         shapers apply for old-spec-copied lookups."""
-        key = gid
+        halant_gid = st.halant_gid
+        key = (gid, st.script)
         hit = self._conspos_cache.get(key)
         if hit is not None:
             return hit
         pos = POS_BASE_C
         for tag, p in ((b"blwf", POS_BELOW_C), (b"pstf", POS_POST_C),
                        (b"pref", POS_POST_C)):
-            if (self._would_substitute(tag, (halant_gid, gid))
-                    or self._would_substitute(tag, (gid, halant_gid))):
+            if (self._would_substitute(tag, (halant_gid, gid), st)
+                    or self._would_substitute(tag, (gid, halant_gid),
+                                              st)):
                 pos = p
                 break
         self._conspos_cache[key] = pos
@@ -252,68 +452,129 @@ class IndicShaper:
 
     # -- classification --------------------------------------------------
 
-    def _classify(self, cps: list[int], gids: list[int]) -> list[_Glyph]:
-        halant_gid = int(self.font.charmap.glyph_index(0x094D))
+    def _classify(self, cps: list[int], gids: list[int],
+                  st: _ScriptState) -> list[_Glyph]:
+        cfg = st.cfg
         out = []
-        for cp, gid in zip(cps, gids):
+        for k, (cp, gid) in enumerate(zip(cps, gids)):
             cat, side = indic_class(cp)
-            if cat == "C" and cp in self.ra_chars:
+            if cat == "M" and cp in INDIC_MPST:
+                # POST matras (hb's MPst): may ride a preceding
+                # syllable modifier inside one cluster
+                cat = "O"
+            if cat == "C" and cp in cfg.ra:
                 cat = "r"
-            if cat == "M":
-                pos = self.matra_map.get(side, POS_AFTER_SUB)
+            if cat in ("M", "O"):
+                pos = cfg.matra_pos(cp, side)
             elif cat in ("SM", "A"):
                 pos = POS_SMVD
             else:
                 pos = POS_BASE_C
-            if cat in ("C", "r") and halant_gid:
-                cpos = self._consonant_position(gid, halant_gid)
+            if cat in ("C", "r") and st.halant_gid:
+                cpos = self._consonant_position(gid, st)
                 if cpos != POS_BASE_C:
                     pos = cpos
             cat = {"SM": "D", "S": "Y", "RS": "R", "CM": "E"}.get(
                 cat, cat)
             out.append(_Glyph(gid, cp, cat, pos, 0))
+        # a syllable modifier directly before a post matra rides at
+        # the matra's slot, not SMVD (hb-pinned: KA+bindi+II keeps
+        # the bindi before the matra and the reph passes both)
+        for k in range(len(out) - 1):
+            if out[k].cat == "D" and out[k + 1].cat == "O":
+                out[k].pos = out[k + 1].pos
         return out
 
     # -- initial reordering ----------------------------------------------
 
     def _initial_reorder(self, buf: list[_Glyph], start: int, end: int,
-                         kind: str, word_initial: bool) -> None:
+                         kind: str, st: _ScriptState) -> None:
         if kind in ("symbol", "other"):
             return
         info = buf
+        cfg = st.cfg
+
+        # Kannada quirk (reference-shaper pinned): Ra+halant+ZWJ at
+        # syllable start swaps the halant and ZWJ, so explicit-reph
+        # style input still forms rakars off the adjacent pair
+        if (cfg.swap_ra_h_zwj and start + 3 <= end
+                and info[start].cat == "r"
+                and _is_halant(info[start + 1])
+                and info[start + 2].cat == "J"):
+            info[start + 1], info[start + 2] = (info[start + 2],
+                                                info[start + 1])
 
         # 1. find base
         has_reph = False
         base = end
         limit = start
-        if (self._feature_lookups(b"rphf") and start + 3 <= end
-                and info[start].cat == "r" and _is_halant(info[start + 1])
+        mode = cfg.reph_mode
+        if mode == REPH_LOG_REPHA and info[start].cat == "q" \
+                and start + 1 < end:
+            limit += 1
+            while limit < end and _is_joiner(info[limit]):
+                limit += 1
+            base = start
+            has_reph = True
+        elif (mode == REPH_IMPLICIT
+                and self._feature_lookups(b"rphf", st)
+                and start + 3 <= end
+                and info[start].cat == "r"
+                and _is_halant(info[start + 1])
                 and not _is_joiner(info[start + 2])
                 and self._would_substitute(
-                    b"rphf", (info[start].gid, info[start + 1].gid))):
+                    b"rphf", (info[start].gid, info[start + 1].gid),
+                    st)):
             limit += 2
             while limit < end and _is_joiner(info[limit]):
                 limit += 1
             base = start
             has_reph = True
+        elif (mode == REPH_EXPLICIT
+                and self._feature_lookups(b"rphf", st)
+                and start + 3 <= end
+                and info[start].cat == "r"
+                and _is_halant(info[start + 1])
+                and info[start + 2].cat == "J"
+                and (self._would_substitute(
+                        b"rphf", (info[start].gid, info[start + 1].gid,
+                                  info[start + 2].gid), st)
+                     or self._would_substitute(
+                        b"rphf", (info[start].gid,
+                                  info[start + 1].gid), st))):
+            limit += 3
+            base = start
+            has_reph = True
 
-        i = end
-        seen_below = False
-        while i > limit:
-            i -= 1
-            if _is_consonant(info[i]):
-                if (info[i].pos != POS_BELOW_C
-                        and (info[i].pos != POS_POST_C or seen_below)):
+        if cfg.base_pos == BASE_LAST_SINHALA:
+            # Sinhala: forward scan, a ZWJ before a consonant stops
+            # the search (conjoined letters are explicit there)
+            if not has_reph:
+                base = limit
+            for i in range(limit, end):
+                if _is_consonant(info[i]):
+                    if i > limit and info[i - 1].cat == "J":
+                        break
                     base = i
-                    break
-                if info[i].pos == POS_BELOW_C:
-                    seen_below = True
-                base = i
-            else:
-                # halant+ZWJ requests an explicit half form: stop
-                if (start < i and info[i].cat == "J"
-                        and info[i - 1].cat == "H"):
-                    break
+        else:
+            i = end
+            seen_below = False
+            while i > limit:
+                i -= 1
+                if _is_consonant(info[i]):
+                    if (info[i].pos != POS_BELOW_C
+                            and (info[i].pos != POS_POST_C
+                                 or seen_below)):
+                        base = i
+                        break
+                    if info[i].pos == POS_BELOW_C:
+                        seen_below = True
+                    base = i
+                else:
+                    # halant+ZWJ requests an explicit half form: stop
+                    if (start < i and info[i].cat == "J"
+                            and info[i - 1].cat == "H"):
+                        break
 
         if has_reph and base == start and limit - base <= 2:
             # no other consonant: Ra stays the base, no reph
@@ -327,7 +588,7 @@ class IndicShaper:
 
         # final consonants (post-matra, Khmer-style)
         for k in range(base + 1, end):
-            if info[k].cat == "M":
+            if info[k].cat in ("M", "O"):
                 for j in range(k + 1, end):
                     if _is_consonant(info[j]):
                         info[j].pos = POS_AFTER_MAIN
@@ -361,7 +622,7 @@ class IndicShaper:
                     if info[j].pos < POS_SMVD:
                         info[j].pos = info[k].pos
                 last = k
-            elif info[k].cat == "M":
+            elif info[k].cat in ("M", "O"):
                 last = k
 
         # stable sort by position
@@ -383,7 +644,7 @@ class IndicShaper:
         if r1 - r0 > 1:
             groups: list[list[_Glyph]] = []
             for g in info[r0:r1]:
-                if g.cat == "M" or not groups:
+                if g.cat in ("M", "O") or not groups:
                     groups.append([g])
                 else:
                     groups[-1].append(g)
@@ -404,12 +665,27 @@ class IndicShaper:
         while k < end and info[k].pos == POS_RA_TO_BECOME_REPH:
             masks[k - start].add(b"rphf")
             k += 1
-        pre = {b"half", b"blwf"}  # Devanagari: blwf pre AND post base
+        pre = {b"half"}
+        if cfg.blwf_pre_and_post:
+            # e.g. Devanagari: blwf applies pre AND post base
+            pre.add(b"blwf")
         for k in range(start, min(base, end)):
             masks[k - start] |= pre
         post = {b"blwf", b"abvf", b"pstf"}
         for k in range(base + 1, end):
             masks[k - start] |= post
+
+        # pre-base-reordering Ra: ONLY the specific (halant, Ra) pair
+        # the font's pref would substitute is masked — with pref
+        # alone, replacing the positional masks (the
+        # reference-shaper behavior)
+        if self._feature_lookups(b"pref", st) and base + 2 < end:
+            for k in range(base + 1, end - 1):
+                if self._would_substitute(
+                        b"pref", (info[k].gid, info[k + 1].gid), st):
+                    masks[k - start] = {b"pref"}
+                    masks[k + 1 - start] = {b"pref"}
+                    break
 
         # ZWNJ disables half forms on the preceding consonant group
         for k in range(start + 1, end):
@@ -423,20 +699,15 @@ class IndicShaper:
                     if _is_consonant(info[j]):
                         break
 
-        # init: left matra at word start
-        if (self._feature_lookups(b"init") and word_initial
-                and info[start].pos == POS_PRE_M):
-            masks[0].add(b"init")
-
         for k in range(start, end):
             info[k].mask = frozenset(masks[k - start])
 
     # -- masked GSUB application -----------------------------------------
 
     def _apply_feature(self, buf: list[_Glyph], tag: bytes,
-                       global_: bool) -> None:
+                       global_: bool, st: _ScriptState) -> None:
         s = self.shaper
-        for li in self._feature_lookups(tag):
+        for li in self._feature_lookups(tag, st):
             lk = s._lookup(li)
             if lk is None:
                 continue
@@ -486,6 +757,7 @@ class IndicShaper:
                 new = sub.sub_for(gid)
                 if new is not None:
                     buf[i].gid = new
+                    buf[i].substituted = True
                     return i + 1
             elif s_type == 2:
                 seq = sub.seq_for(gid)
@@ -496,6 +768,7 @@ class IndicShaper:
                         g = _Glyph(ng, head.cp, head.cat, head.pos,
                                    head.syl)
                         g.mask = head.mask
+                        g.substituted = True
                         repl.append(g)
                     buf[i:i + 1] = repl
                     return i + len(seq) if seq else i
@@ -504,6 +777,7 @@ class IndicShaper:
                                                "alt_index", 0))
                 if new is not None:
                     buf[i].gid = new
+                    buf[i].substituted = True
                     return i + 1
             elif s_type == 4:
                 for lig in sub.ligs_for(gid):
@@ -513,6 +787,7 @@ class IndicShaper:
                         continue
                     buf[i].gid = lig.glyph
                     buf[i].ligated = True
+                    buf[i].substituted = True
                     for p in reversed(pos):
                         del buf[p]
                     return i + 1
@@ -566,10 +841,12 @@ class IndicShaper:
     # -- final reordering --------------------------------------------------
 
     def _final_reorder(self, buf: list[_Glyph], start: int, end: int,
-                       kind: str) -> None:
+                       kind: str, word_initial: bool,
+                       st: _ScriptState) -> None:
         if kind in ("symbol", "other") or end - start == 0:
             return
         info = buf
+        reph_pos = st.cfg.reph_pos
 
         # find base
         base = start
@@ -584,15 +861,31 @@ class IndicShaper:
         # o Reorder pre-base matras against the formed half block
         if start + 1 < end and start < base:
             new_pos = base - 1 if base < end else base - 2
-            while (new_pos > start
-                   and info[new_pos].cat not in ("M", "H")):
-                new_pos -= 1
-            if (_is_halant(info[new_pos])
-                    and info[new_pos].pos != POS_PRE_M):
-                if new_pos + 1 < end and _is_joiner(info[new_pos + 1]):
-                    new_pos += 1
-            else:
-                new_pos = start  # no move
+            if st.cfg.matra_block_search:
+                while True:
+                    while (new_pos > start
+                           and info[new_pos].cat
+                           not in ("M", "O", "H")):
+                        new_pos -= 1
+                    if (_is_halant(info[new_pos])
+                            and info[new_pos].pos != POS_PRE_M):
+                        if (new_pos + 1 < end
+                                and _is_joiner(info[new_pos + 1])):
+                            # a joiner rides this halant: the matra
+                            # never lands after it — keep searching
+                            # backward (hb-pinned: MA+U+H+ZWJ+I
+                            # leaves I in front, both joiners)
+                            if new_pos > start:
+                                new_pos -= 1
+                                continue
+                            new_pos = start  # no move
+                    else:
+                        new_pos = start  # no move
+                    break
+            # else: Tamil/Malayalam have no half forms — the matra
+            # positions directly before the base block, no search and
+            # no halant/joiner adjustment (hb-pinned: KA+H+MA+E puts
+            # E between the halant and MA)
 
             if start < new_pos and info[new_pos].pos != POS_PRE_M:
                 for k in range(new_pos, start, -1):
@@ -606,76 +899,147 @@ class IndicShaper:
                         info[new_pos] = tmp
                         new_pos -= 1
 
-        # o Reorder reph
+        # o Reorder reph.  The move fires when formation state matches
+        #   the reph kind: an implicit/explicit Ra+halant moved only
+        #   if rphf LIGATED it, a logical repha moved only if rphf
+        #   did NOT ligate it (single-glyph substitutions keep it a
+        #   lone repha that must still reposition — hb-pinned on the
+        #   Malayalam dot reph)
         if (start + 1 < end
                 and info[start].pos == POS_RA_TO_BECOME_REPH
-                and info[start].ligated):
+                and (info[start].cat == "q") != info[start].ligated):
             new_reph = None
-            if self.reph_pos != REPH_AFTER_POST:
-                # step 2: after the first explicit pre-base halant
-                p = start + 1
-                while p < base and not _is_halant(info[p]):
-                    p += 1
-                if p < base and _is_halant(info[p]):
-                    if p + 1 < base and _is_joiner(info[p + 1]):
-                        p += 1
-                    new_reph = p
-                if new_reph is None and self.reph_pos == REPH_AFTER_MAIN:
-                    p = base
-                    while (p + 1 < end
-                           and info[p + 1].pos <= POS_AFTER_MAIN):
-                        p += 1
-                    if p < end:
-                        new_reph = p
-                if (new_reph is None
-                        and self.reph_pos == REPH_AFTER_SUB):
-                    p = base
-                    while (p + 1 < end and info[p + 1].pos not in (
-                            POS_POST_C, POS_AFTER_POST, POS_SMVD)):
-                        p += 1
-                    new_reph = p
-            if new_reph is None:
-                # step 5 (and the AFTER_POST entry): before the first
-                # post-base thing that sorts after the reph slot — a
-                # post-base consonant form or syllable modifier — and
-                # never past a SYLLABLE-FINAL explicit halant (with
-                # its attached nukta): hb-pinned, RA+H+SA+AA+H puts
-                # reph between the matra and the final halant, and
-                # RA+H+SA+AA+H+ANUSVARA keeps it there (modifiers
-                # trail), while a halant buried among later matra
-                # groups is skipped.  Residual documented divergence:
-                # clusters with THREE-plus dependent vowels AND a
-                # final halant (doubly-invalid text) place reph near
-                # the middle matra in hb; fontrx stops at the halant.
-                stop = end
-                q = end - 1
-                while q > base and info[q].pos == POS_SMVD:
-                    q -= 1
-                if (q > base and _is_halant(info[q])
-                        and info[q].pos > POS_BASE_C):
-                    # base-attached halants (pos BASE_C) are passed
-                    # over — reph lands after them and the haln form
-                    # still ligates (hb-pinned: RA+H+KA+H -> KA.haln
-                    # REPH, vs RA+H+SA+AA+H -> SA AA REPH H)
-                    if q - 1 > base and info[q - 1].cat == "N":
-                        q -= 1
-                    stop = q
-                p = base
-                while p + 1 < min(end, stop):
-                    if info[p + 1].pos in (POS_POST_C, POS_AFTER_POST,
-                                           POS_SMVD):
-                        break
+            # steps 2/5: after the first explicit pre-base halant.
+            # Every reph class runs this search — non-after-post as
+            # step 2, after-post via the spec's step 5, which the
+            # reference implementation fills with a literal copy of
+            # step 2 (hb-pinned on Tamil: RA+H+TA+H+KA puts reph
+            # after the TA halant even though Tamil is after-post)
+            p = start + 1
+            while p < base and not _is_halant(info[p]):
+                p += 1
+            if p < base and _is_halant(info[p]):
+                if p + 1 < base and _is_joiner(info[p + 1]):
                     p += 1
                 new_reph = p
+            if new_reph is None and reph_pos == REPH_AFTER_MAIN:
+                # step 3: after the last thing positioned up to
+                # after-main (falls through when the cluster lost its
+                # base — e.g. the whole thing ligated away)
+                p = base
+                while (p + 1 < end
+                       and info[p + 1].pos <= POS_AFTER_MAIN):
+                    p += 1
+                if p < end:
+                    new_reph = p
+            if new_reph is None and reph_pos == REPH_AFTER_SUB:
+                # step 4: before the first post-base form or modifier
+                p = base
+                while (p + 1 < end and info[p + 1].pos not in (
+                        POS_POST_C, POS_AFTER_POST, POS_SMVD)):
+                    p += 1
+                if p < end:
+                    new_reph = p
+            if new_reph is None:
+                # step 6: end of the syllable, before trailing
+                # modifiers; when that lands on a halant and a matra
+                # sits after the base, back up one slot — reph goes
+                # BEFORE the final halant (hb-pinned: RA+H+SA+AA+H ->
+                # SA AA REPH H, but RA+H+KA+H -> KA.haln REPH)
+                q = end - 1
+                while q > start and info[q].pos == POS_SMVD:
+                    q -= 1
+                if _is_halant(info[q]):
+                    for k in range(base + 1, q):
+                        if info[k].cat in ("M", "O"):
+                            q -= 1
+                            break
+                new_reph = q
             reph = info[start]
             info[start:new_reph] = info[start + 1:new_reph + 1]
             info[new_reph] = reph
+            if start < base <= new_reph:
+                base -= 1
+
+        # o Reorder pref: a pref-substituted glyph (Malayalam
+        #   pre-base-reordering Ra) moves to just before the base,
+        #   positioned the way pre-base matras are
+        if base + 1 < end:
+            for i in range(base + 1, end):
+                if b"pref" not in info[i].mask:
+                    continue
+                if info[i].substituted:
+                    new_pos = base
+                    if st.cfg.matra_block_search:
+                        while (new_pos > start
+                               and info[new_pos - 1].cat
+                               not in ("M", "O", "H")):
+                            new_pos -= 1
+                    if (new_pos > start
+                            and _is_halant(info[new_pos - 1])
+                            and new_pos < end
+                            and _is_joiner(info[new_pos])):
+                        new_pos += 1
+                    g = info[i]
+                    del info[i]
+                    info.insert(new_pos, g)
+                    if new_pos <= base < i:
+                        base += 1
+                break
+
+        # o init on a left matra that FINISHED first: the reference
+        #   shapers decide init HERE, between the basic and
+        #   presentation GSUB stages — a matra that ended up behind a
+        #   dotted circle or half block is no longer word-initial
+        #   (hb-pinned via the Bengali differential:
+        #   halant+KA+E -> dc H E KA, no init; halant+RA+E ->
+        #   E dc rakar, init)
+        if (word_initial and start < end
+                and info[start].pos == POS_PRE_M
+                and self._feature_lookups(b"init", st)):
+            info[start].mask = info[start].mask | {b"init"}
 
     # -- entry point --------------------------------------------------------
 
-    def shape(self, cps: list[int], gids: list[int]) -> list[int]:
-        """Shape one logical run (substitution stage): returns the
-        substituted + reordered glyph-id stream."""
+    def _decompose(self, cps: list[int], gids: list[int]):
+        """Canonical (NFD) decomposition of the run, per character,
+        when the font maps every part; characters the font can only
+        draw precomposed stay composed (the reference-shaper
+        fallback)."""
+        if not any(unicodedata.decomposition(chr(cp))
+                   and not unicodedata.decomposition(
+                       chr(cp)).startswith("<")
+                   for cp in cps):
+            return cps, gids
+        cm = self.font.charmap
+        nc: list[int] = []
+        ng: list[int] = []
+        for cp, gid in zip(cps, gids):
+            d = unicodedata.decomposition(chr(cp))
+            if d and not d.startswith("<"):
+                parts = [ord(c) for c in
+                         unicodedata.normalize("NFD", chr(cp))]
+                pgids = [int(cm.glyph_index(p)) for p in parts]
+                if all(pgids):
+                    nc.extend(parts)
+                    ng.extend(pgids)
+                    continue
+            nc.append(cp)
+            ng.append(gid)
+        return nc, ng
+
+    def shape(self, cps: list[int], gids: list[int],
+              script: bytes = b"deva") -> list[int]:
+        """Shape one logical run (substitution stage) of ``script``
+        (an OT tag from the itemizer): returns the substituted +
+        reordered glyph-id stream."""
+        st = self._state(script)
+        # canonical DECOMPOSITION first: the Indic normalization mode
+        # is decomposed — split vowels (e.g. Bengali O = E + AA) and
+        # composed consonants (Gurmukhi SHA = SA + nukta) always shape
+        # as their parts when the font maps them, even when it also
+        # carries the precomposed glyph (hb-pinned)
+        cps, gids = self._decompose(cps, gids)
         # canonical mark reordering (the normalizer step reference
         # shapers run before shaping): stable-sort each nonzero-ccc
         # run by combining class, so e.g. halant+nukta presents as
@@ -688,9 +1052,9 @@ class IndicShaper:
         # vendored table is hb-probe-exact).  Inserted unconditionally
         # — an unmapped U+25CC degrades to .notdef, like the
         # reference shapers
-        from fontrx.font._indic_data import DEVA_VOWEL_CONSTRAINTS
+        from fontrx.font._indic_data import INDIC_VOWEL_CONSTRAINTS
 
-        if any(cp in DEVA_VOWEL_CONSTRAINTS for cp in cps):
+        if any(cp in INDIC_VOWEL_CONSTRAINTS for cp in cps):
             dc = int(self.font.charmap.glyph_index(0x25CC))
             nc: list[int] = []
             ng: list[int] = []
@@ -698,15 +1062,17 @@ class IndicShaper:
                 nc.append(cp)
                 ng.append(gid)
                 if (k + 1 < len(cps)
-                        and cps[k + 1] in DEVA_VOWEL_CONSTRAINTS.get(
+                        and cps[k + 1] in INDIC_VOWEL_CONSTRAINTS.get(
                             cp, ())):
                     nc.append(0x25CC)
                     ng.append(dc)
             cps, gids = nc, ng
 
-        buf = self._classify(cps, gids)
+        buf = self._classify(cps, gids, st)
         cats = "".join(g.cat for g in buf)
-        syllables = _syllabify(cats)
+        syllables = _syllabify(
+            cats, strict=st.cfg.strict_tail,
+            logrepha=st.cfg.reph_mode == REPH_LOG_REPHA)
 
         # dotted-circle insertion for broken clusters (matra/halant
         # runs with no base), when the font can draw one — the
@@ -719,22 +1085,30 @@ class IndicShaper:
             for s_, e_, kind in syllables:
                 at = len(nb)
                 if kind == "broken":
+                    # the dotted circle goes AFTER a leading logical
+                    # repha (hb-pinned: Malayalam dot-reph alone ->
+                    # repha then dc, reph then repositions off the dc
+                    # base)
+                    lead = s_
+                    while lead < e_ and buf[lead].cat == "q":
+                        lead += 1
+                    nb.extend(buf[s_:lead])
                     cat, _side = indic_class(0x25CC)
                     nb.append(_Glyph(dc_gid, 0x25CC, cat, POS_BASE_C,
                                      0))
+                    nb.extend(buf[lead:e_])
+                    ns.append((at, len(nb), "standalone"))
+                    continue
                 nb.extend(buf[s_:e_])
-                ns.append((at, len(nb),
-                           "standalone" if kind == "broken" else kind))
+                ns.append((at, len(nb), kind))
             buf, syllables = nb, ns
         for si, (s_, e_, kind) in enumerate(syllables):
             for k in range(s_, e_):
                 buf[k].syl = si
-            word_initial = s_ == 0 or unicodedata.category(
-                chr(buf[s_ - 1].cp))[0] not in ("L", "M")
-            self._initial_reorder(buf, s_, e_, kind, word_initial)
+            self._initial_reorder(buf, s_, e_, kind, st)
 
         for tag in _BASIC_FEATURES:
-            self._apply_feature(buf, tag, tag in _GLOBAL_BASIC)
+            self._apply_feature(buf, tag, tag in _GLOBAL_BASIC, st)
 
         # syllable boundaries survived (per-syllable matching), so
         # recompute each syllable's extent for final reordering
@@ -744,12 +1118,21 @@ class IndicShaper:
             j = i
             while j < len(buf) and buf[j].syl == buf[i].syl:
                 j += 1
+            # hb-pinned init boundary: letters, marks, format
+            # (ZWJ/ZWNJ), unassigned, private-use and surrogates all
+            # block init; punctuation/digits/spaces/controls allow it
+            pc = ("" if i == 0
+                  else unicodedata.category(chr(buf[i - 1].cp)))
+            word_initial = i == 0 or not (
+                pc[0] in ("L", "M")
+                or pc in ("Cf", "Cn", "Co", "Cs"))
             self._final_reorder(buf, i, j, kinds.get(buf[i].syl,
-                                                     "other"))
+                                                     "other"),
+                                word_initial, st)
             i = j
 
         for tag in _PRES_FEATURES:
-            self._apply_feature(buf, tag, tag != b"init")
+            self._apply_feature(buf, tag, tag != b"init", st)
 
         return [g.gid for g in buf]
 
@@ -783,3 +1166,9 @@ def _canonical_reorder(
 
 def is_devanagari(cp: int) -> bool:
     return 0x0900 <= cp <= 0x097F or 0xA8E0 <= cp <= 0xA8FF
+
+
+def is_indic(cp: int) -> bool:
+    """True for the ten Indic shaping-model blocks
+    (Devanagari..Sinhala + Devanagari Extended)."""
+    return 0x0900 <= cp <= 0x0DFF or 0xA8E0 <= cp <= 0xA8FF

@@ -318,7 +318,7 @@ def layout_text(
         _shape_stream.last_comps = [0] * len(seq)
         indic = None
         if (seg_cps is not None and len(seg_cps) == len(seq)
-                and any(_is_deva_cp(c) for c in seg_cps)):
+                and any(_is_indic_cp(c) for c in seg_cps)):
             indic = getattr(font, "indic_shaper", None)
         if not tags and indic is None:
             return seq
@@ -344,8 +344,10 @@ def layout_text(
         out: list[int] = []
         comps: list[int] = []
         for s, e, stag in itemize(seg_cps):
-            if stag == b"deva" and indic is not None:
-                part = indic.shape(seg_cps[s:e], seq[s:e])
+            if indic is not None and stag is not None \
+                    and stag in _indic_scripts():
+                part = indic.shape(seg_cps[s:e], seq[s:e],
+                                   script=stag)
                 if shaper is not None:
                     part = shaper.apply(part, script=stag)
                 pc = [0] * len(part)
@@ -480,7 +482,7 @@ def layout_text(
                     hard_breaks.append(hflag)
             lines, comp_lines, line_runs = nl, nc, nr
     elif tags or any(
-            _is_deva_cp(c) for cps in cp_lines for c in cps):
+            _is_indic_cp(c) for cps in cp_lines for c in cps):
         shaped_lines = []
         comp_lines = []
         for line, cps in zip(lines, cp_lines):
@@ -999,10 +1001,16 @@ def _is_arabic_cp(cp: int) -> bool:
     return is_arabic(cp)
 
 
-def _is_deva_cp(cp: int) -> bool:
-    from fontrx.font.indic import is_devanagari
+def _is_indic_cp(cp: int) -> bool:
+    from fontrx.font.indic import is_indic
 
-    return is_devanagari(cp)
+    return is_indic(cp)
+
+
+def _indic_scripts():
+    from fontrx.font.indic import INDIC_SCRIPTS
+
+    return INDIC_SCRIPTS
 
 
 def _positions_itemized(positioner, line, advs, lig, cps):

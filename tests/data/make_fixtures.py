@@ -701,6 +701,243 @@ feature haln {
     print("wrote devatest.ttf")
 
 
+# Per-script corpus specs for the remaining nine Indic scripts; each
+# builds a feaLib-compiled font with that script's GENUINE feature
+# structure (reph formation per the script's mode, rakar/subjoined/
+# post-base/pre-base consonant forms, half forms where the script has
+# them), so the hb differential exercises the per-script reordering
+# rules.  Roles: consonants a..sa; signs; matras named by their
+# Unicode identity (aa right, i/e per-script side, u bottom, ...).
+_INDIC_SPECS = {
+    "beng": dict(
+        langsys=("bng2", "beng"),
+        cps={"a": 0x0985, "ka": 0x0995, "ga": 0x0997, "ta": 0x09A4,
+             "ma": 0x09AE, "ya": 0x09AF, "ra": 0x09B0, "ssa": 0x09B7,
+             "sa": 0x09B8, "nukta": 0x09BC, "halant": 0x09CD,
+             "aa": 0x09BE, "i": 0x09BF, "ii": 0x09C0, "u": 0x09C1,
+             "e": 0x09C7, "anusvara": 0x0982},
+        half=True, reph="implicit", rakar=True, pstf_ya=True,
+        init=True),
+    "guru": dict(
+        langsys=("gur2", "guru"),
+        cps={"a": 0x0A05, "ka": 0x0A15, "ga": 0x0A17, "ta": 0x0A24,
+             "ma": 0x0A2E, "ya": 0x0A2F, "ra": 0x0A30, "sa": 0x0A38,
+             "ssa": 0x0A36, "nukta": 0x0A3C, "halant": 0x0A4D,
+             "aa": 0x0A3E, "i": 0x0A3F, "ii": 0x0A40, "u": 0x0A41,
+             "e": 0x0A47, "anusvara": 0x0A02},
+        half=True, reph="implicit", rakar=True, pstf_ya=True),
+    "gujr": dict(
+        langsys=("gjr2", "gujr"),
+        cps={"a": 0x0A85, "ka": 0x0A95, "ga": 0x0A97, "ta": 0x0AA4,
+             "ma": 0x0AAE, "ya": 0x0AAF, "ra": 0x0AB0, "ssa": 0x0AB7,
+             "sa": 0x0AB8, "nukta": 0x0ABC, "halant": 0x0ACD,
+             "aa": 0x0ABE, "i": 0x0ABF, "ii": 0x0AC0, "u": 0x0AC1,
+             "e": 0x0AC7, "anusvara": 0x0A82},
+        half=True, reph="implicit", rakar=True),
+    "orya": dict(
+        langsys=("ory2", "orya"),
+        cps={"a": 0x0B05, "ka": 0x0B15, "ga": 0x0B17, "ta": 0x0B24,
+             "ma": 0x0B2E, "ya": 0x0B2F, "ra": 0x0B30, "ssa": 0x0B37,
+             "sa": 0x0B38, "nukta": 0x0B3C, "halant": 0x0B4D,
+             "aa": 0x0B3E, "i": 0x0B3F, "ii": 0x0B40, "u": 0x0B41,
+             "e": 0x0B47, "anusvara": 0x0B02},
+        half=False, reph="implicit", rakar=True, pstf_ya=True),
+    "taml": dict(
+        langsys=("tml2", "taml"),
+        cps={"a": 0x0B85, "ka": 0x0B95, "ta": 0x0BA4, "ma": 0x0BAE,
+             "ya": 0x0BAF, "ra": 0x0BB0, "ssa": 0x0BB7, "sa": 0x0BB8,
+             "halant": 0x0BCD,
+             "aa": 0x0BBE, "i": 0x0BBF, "ii": 0x0BC0, "u": 0x0BC1,
+             "e": 0x0BC6, "anusvara": 0x0B82},
+        half=False, reph="implicit", rakar=False),
+    "telu": dict(
+        langsys=("tel2", "telu"),
+        cps={"a": 0x0C05, "ka": 0x0C15, "ga": 0x0C17, "ta": 0x0C24,
+             "ma": 0x0C2E, "ya": 0x0C2F, "ra": 0x0C30, "ssa": 0x0C37,
+             "sa": 0x0C38, "halant": 0x0C4D,
+             "aa": 0x0C3E, "i": 0x0C3F, "ii": 0x0C40, "u": 0x0C41,
+             "e": 0x0C46, "anusvara": 0x0C02},
+        half=False, reph="explicit", rakar=True, subjoin=True),
+    "knda": dict(
+        langsys=("knd2", "knda"),
+        cps={"a": 0x0C85, "ka": 0x0C95, "ga": 0x0C97, "ta": 0x0CA4,
+             "ma": 0x0CAE, "ya": 0x0CAF, "ra": 0x0CB0, "ssa": 0x0CB7,
+             "sa": 0x0CB8, "nukta": 0x0CBC, "halant": 0x0CCD,
+             "aa": 0x0CBE, "i": 0x0CBF, "ii": 0x0CC0, "u": 0x0CC1,
+             "e": 0x0CC6, "anusvara": 0x0C82},
+        half=False, reph="implicit", rakar=True, subjoin=True),
+    "mlym": dict(
+        langsys=("mlm2", "mlym"),
+        cps={"a": 0x0D05, "ka": 0x0D15, "ta": 0x0D24, "ma": 0x0D2E,
+             "ya": 0x0D2F, "ra": 0x0D30, "ssa": 0x0D37, "sa": 0x0D38,
+             "halant": 0x0D4D, "repha": 0x0D4E,
+             "aa": 0x0D3E, "i": 0x0D3F, "ii": 0x0D40, "u": 0x0D41,
+             "e": 0x0D46, "anusvara": 0x0D02},
+        half=False, reph="logical", rakar=False, pstf_ya=True,
+        pref_ra=True),
+    "sinh": dict(
+        langsys=("sinh",),
+        cps={"a": 0x0D85, "ka": 0x0D9A, "ta": 0x0DAD, "ma": 0x0DB8,
+             "ya": 0x0DBA, "ra": 0x0DBB, "sa": 0x0DC3,
+             "halant": 0x0DCA,
+             "aa": 0x0DCF, "i": 0x0DD2, "ii": 0x0DD3, "u": 0x0DD4,
+             "e": 0x0DD9, "anusvara": 0x0D82},
+        half=False, reph="explicit", rakar=False, sinhala=True),
+}
+
+
+def make_indic_corpus(script=None):
+    """Build the nine non-Devanagari Indic corpus fonts (or one, when
+    ``script`` names it): genuine per-script OpenType Indic feature
+    structure compiled by feaLib; the per-script hb differentials
+    (tools/indic_sweep.py, tests/test_indic_scripts.py) pin fontrx's
+    shaper against HarfBuzz on these."""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    for sc, spec in _INDIC_SPECS.items():
+        if script is not None and sc != script:
+            continue
+        cps = spec["cps"]
+        names = [".notdef", "space", "zwnj", "zwj", "dottedcircle"]
+        names += list(cps)
+        forms = ["reph", "ka_aa", "ka.haln", "k_ssa"]
+        if "nukta" in cps:
+            forms.append("qa")
+        if spec.get("rakar"):
+            forms.append("rakar")
+        if spec.get("subjoin"):
+            forms += ["ka.blwf", "ma.blwf"]
+        if spec.get("pstf_ya"):
+            forms.append("ya.pstf")
+        if spec.get("pref_ra"):
+            forms.append("ra.pref")
+        if spec.get("sinhala"):
+            forms += ["ya.pstf", "rakar", "k_sa"]
+            forms.remove("k_ssa")
+        if spec.get("half"):
+            forms += ["ka.half", "ga.half", "ta.half", "ma.half",
+                      "sa.half", "ssa.half", "s_ta"]
+        if spec.get("reph") == "logical":
+            forms.remove("reph")
+            forms.append("repha.abv")
+        forms.append("reph_anusvara")
+        if spec.get("reph") == "logical":
+            forms.remove("reph_anusvara")
+        if spec.get("init"):
+            forms.append("e.init")
+        names += forms
+
+        upem = 1000
+        fb = FontBuilder(upem, isTTF=True)
+        fb.setupGlyphOrder(names)
+        cmap = {0x20: "space", 0x200C: "zwnj", 0x200D: "zwj",
+                0x25CC: "dottedcircle"}
+        cmap.update({cp: role for role, cp in cps.items()})
+        fb.setupCharacterMap(cmap)
+
+        def boxglyph(x0, y0, x1, y1, notch=0):
+            pen = TTGlyphPen(glyphSet={})
+            pen.moveTo((x0, y0))
+            pen.lineTo((x1, y0))
+            pen.lineTo((x1, y1))
+            pen.qCurveTo(((x0 + x1) // 2, y1 + 60 + notch), (x0, y1))
+            pen.closePath()
+            return pen.glyph()
+
+        glyphs = {".notdef": boxglyph(50, 0, 450, 700)}
+        for n in ("space", "zwnj", "zwj"):
+            glyphs[n] = TTGlyphPen(glyphSet={}).glyph()
+        # distinct box per glyph; letterforms are irrelevant to the
+        # stream/pen differential
+        zero_w = {"nukta", "halant", "u", "anusvara", "repha", "reph",
+                  "rakar", "reph_anusvara", "ka.blwf", "ma.blwf",
+                  "repha.abv"}
+        widths = {"space": 260, "zwnj": 0, "zwj": 0,
+                  "dottedcircle": 560}
+        for i, n in enumerate(names):
+            if n in glyphs:
+                continue
+            if n in zero_w:
+                glyphs[n] = boxglyph(-300, -260, -120, -140, notch=i * 3)
+                widths[n] = 0
+            elif n in ("aa", "i", "ii", "e", "e.init"):
+                glyphs[n] = boxglyph(30, 0, 170, 720, notch=i * 3)
+                widths[n] = 200 + 2 * i
+            else:
+                glyphs[n] = boxglyph(40, 0, 480 + (i % 7) * 12, 700,
+                                     notch=i * 3)
+                widths[n] = 600 if "." not in n and "_" not in n \
+                    else 420 + 4 * i
+        glyphs["dottedcircle"] = boxglyph(80, 80, 480, 560)
+        fb.setupGlyf(glyphs)
+        adv = {n: (widths.get(n, 600),
+                   getattr(fb.font["glyf"][n], "xMin", 0))
+               for n in names}
+        fb.setupHorizontalMetrics(adv)
+        fb.setupHorizontalHeader(ascent=900, descent=-350)
+        fb.setupNameTable({"familyName": f"IndicTest-{sc}",
+                           "styleName": "Regular"})
+        fb.setupOS2()
+        fb.setupPost()
+
+        ls = "\n".join(f"languagesystem {t:<4} dflt;"
+                       for t in ("DFLT",) + tuple(spec["langsys"]))
+        fea = [ls]
+
+        def feat(tag, *rules):
+            body = "\n    ".join(rules)
+            fea.append(f"feature {tag} {{\n    {body}\n}} {tag};")
+
+        if "nukta" in cps:
+            feat("nukt", "sub ka nukta by qa;")
+        if spec.get("sinhala"):
+            feat("akhn", "sub ka halant zwj sa by k_sa;")
+        else:
+            feat("akhn", "sub ka halant ssa by k_ssa;")
+        reph = spec.get("reph")
+        if reph == "implicit":
+            feat("rphf", "sub ra halant by reph;")
+        elif reph == "explicit":
+            feat("rphf", "sub ra halant zwj by reph;")
+        elif reph == "logical":
+            feat("rphf", "sub repha by repha.abv;")
+        if spec.get("pref_ra"):
+            feat("pref", "sub halant ra by ra.pref;")
+        blwf_rules = []
+        if spec.get("rakar") and not spec.get("sinhala"):
+            blwf_rules.append("sub halant ra by rakar;")
+        if spec.get("subjoin"):
+            blwf_rules += ["sub halant ka by ka.blwf;",
+                           "sub halant ma by ma.blwf;"]
+        if blwf_rules:
+            feat("blwf", *blwf_rules)
+        if spec.get("half"):
+            feat("half", *[f"sub {c} halant by {c}.half;"
+                           for c in ("ka", "ga", "ta", "ma", "sa",
+                                     "ssa")])
+        pstf_rules = []
+        if spec.get("sinhala"):
+            pstf_rules = ["sub halant zwj ya by ya.pstf;",
+                          "sub halant zwj ra by rakar;"]
+        elif spec.get("pstf_ya"):
+            pstf_rules = ["sub halant ya by ya.pstf;"]
+        if pstf_rules:
+            feat("pstf", *pstf_rules)
+        if spec.get("init"):
+            feat("init", "sub e by e.init;")
+        if spec.get("half"):
+            feat("pres", "sub sa.half ta by s_ta;")
+        if reph in ("implicit", "explicit"):
+            feat("abvs", "sub reph anusvara by reph_anusvara;")
+        feat("psts", "sub ka aa by ka_aa;")
+        feat("haln", "sub ka halant by ka.haln;")
+
+        addOpenTypeFeaturesFromString(fb.font, "\n\n".join(fea))
+        out = f"{sc}test.ttf"
+        fb.save(os.path.join(HERE, out))
+        print("wrote", out)
+
+
 def make_colrtest():
     """COLR v0 + CPAL color-layer font: three base color glyphs
     (square-on-square, overlapping discs, a glyph using the 0xFFFF
@@ -1937,6 +2174,7 @@ if __name__ == "__main__":
     make_cjktest()
     make_arabictest()
     make_devatest()
+    make_indic_corpus()
     make_colrtest()
     make_colrv1test()
     make_varcolrtest()

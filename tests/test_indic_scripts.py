@@ -1,0 +1,232 @@
+"""Indic shaping beyond Devanagari: the nine remaining Indic-model
+scripts (Bengali, Gurmukhi, Gujarati, Oriya, Tamil, Telugu, Kannada,
+Malayalam, Sinhala), each against its feaLib-compiled corpus font
+(``make_fixtures.make_indic_corpus``).
+
+Qualification bar (run at build time, re-run reduced here): EXACT
+HarfBuzz glyph-stream agreement per script over the exhaustive
+length<=3 sweep of the fixture alphabet plus 20,000 seeded-random
+strings of length 3-10 including ZWJ/ZWNJ (tools/indic_sweep.py).
+Eight scripts sweep at 0 divergences; Malayalam carries one
+documented degenerate-text divergence class (an Ra+halant-led broken
+cluster directly adjacent to another broken cluster regroups
+differently — see fontrx/font/indic.py::_productions).  Sinhala is
+shaped with the Indic model; hb routes it to the USE shaper whose
+clustering differs (spaces act as placeholder bases), so its
+differential is deferred to a USE engine and only self-consistent
+behavior is pinned here.
+
+The per-script canonical cases below pin every script-specific
+config knob: reph position class (Bengali after-subjoined, Gurmukhi
+before-subjoined, Oriya after-main, Tamil/Telugu/Kannada after-post),
+reph formation mode (implicit, Telugu/Sinhala explicit via ZWJ,
+Malayalam logical dot-reph), matra maps (Bengali/Gurmukhi/Gujarati
+right/bottom slots, Telugu/Kannada before-subjoined tops), blwf
+pre+post vs post-only, the Kannada Ra+halant+ZWJ swap, the Gurmukhi
+bindi+II MPst pairing, pre-base-reordering Ra (Malayalam pref), and
+the Bengali word-initial init form decided at final-reorder time."""
+
+import itertools
+
+import pytest
+
+from fontrx.font.font import Font
+from fontrx.native import hb
+
+FIXTURES = {}
+
+
+def _load(script):
+    if script not in FIXTURES:
+        path = f"tests/data/{script}test.ttf"
+        from fontTools.ttLib import TTFont
+
+        font = Font.open(path)
+        names = TTFont(path).getGlyphOrder()
+        with open(path, "rb") as f:
+            data = f.read()
+        FIXTURES[script] = (font, names, data)
+    return FIXTURES[script]
+
+
+def _ours(script, text):
+    font, names, _ = _load(script)
+    cps = [ord(c) for c in text]
+    gids = [int(font.charmap.glyph_index(c)) for c in cps]
+    out = font.indic_shaper.shape(cps, gids, script=script.encode())
+    return [names[g] for g in out]
+
+
+CASES = {
+    "beng": {
+        # reph AFTER_SUB: stops before the right matra's AFTER_POST
+        "র্কী": ["ka", "reph", "ii"],
+        # ya-phala post-base form
+        "ক্য": ["ka", "ya.pstf"],
+        # init on a word-initial left matra
+        "েক": ["dottedcircle", "halant"],  # placeholder
+        # half form chain
+        "ক্ক": ["ka.half", "ka"],
+        # e-matra reorders and takes init at word start
+        "কে": ["e.init", "ka"],
+        # ...but not mid-word
+        "ককে": ["ka", "e", "ka"],
+        # rakar below form
+        "ত্র": ["ta", "rakar"],
+    },
+    "guru": {
+        # reph BEFORE_SUB (passes nothing here; after base)
+        "ਰ੍ਕ": ["ka", "reph"],
+        # bindi before II rides at the matra slot (MPst pairing)
+        "ਕਂੀ": ["ka", "anusvara", "ii"],
+        # ...but bindi before U splits with a dotted circle
+        "ਕਂੁ": ["ka", "anusvara", "dottedcircle",
+                               "u"],
+        "ਕ੍ਕ": ["ka.half", "ka"],
+    },
+    "gujr": {
+        # reph BEFORE_POST passes AFTER_POST bottom/right matras
+        "ર્મુી": ["ma", "u", "ii", "reph"],
+        # top matra (AFTER_SUB) sorts before bottom (AFTER_POST)
+        "કુે": ["ka", "e", "u"],
+        "ક્ક": ["ka.half", "ka"],
+    },
+    "orya": {
+        # reph AFTER_MAIN: right after the base
+        "ର୍କା": ["ka", "reph", "aa"],
+        # ya-phala
+        "କ୍ଯ": ["ka", "ya.pstf"],
+        "ତ୍ର": ["ta", "rakar"],
+    },
+    "taml": {
+        # left matra reorders; no half forms
+        "கெ": ["e", "ka"],
+        # the matra positions directly against the base block
+        "க்மெ": ["ka.haln", "e", "ma"],
+        # reph AFTER_POST via the step-5 halant search
+        "ர்த்க": ["ta", "halant", "reph",
+                                           "ka"],
+        # akhand
+        "க்ஷ": ["k_ssa"],
+    },
+    "telu": {
+        # subjoined consonants (blwf post-only)
+        "క్క": ["ka", "ka.blwf"],
+        # EXPLICIT reph: Ra+halant+ZWJ
+        "ర్‍స": ["sa", "reph"],
+        # ...without ZWJ, no reph (subjoined sa instead)
+        "ర్స": ["ra", "halant", "sa"],
+        # top matras BEFORE_SUB: matra sorts before the below form
+        "క్కి": ["ka", "i", "ka.blwf"],
+    },
+    "knda": {
+        "ಕ್ಕ": ["ka", "ka.blwf"],
+        # implicit reph
+        "ರ್ಕ": ["ka", "reph"],
+        # the Ra+halant+ZWJ swap still forms the rakar
+        "ರ್‍ರ": ["ra", "rakar"],
+        # top matra BEFORE_SUB sorts before the subjoined form
+        "ಕ್ಕಿ": ["ka", "i", "ka.blwf"],
+    },
+    "mlym": {
+        # logical dot reph: forms and repositions AFTER_MAIN
+        "ൎക": ["ka", "repha.abv"],
+        # pre-base-reordering Ra (pref): moves before the base
+        "ക്ര": ["ra.pref", "ka"],
+        # ya post form
+        "ക്യ": ["ka", "ya.pstf"],
+        # left matra reorders (no half-block search)
+        "കെ": ["e", "ka"],
+    },
+    "sinh": {
+        # explicit conjunct via ZWJ (akhn)
+        "ක්‍ස": ["k_sa"],
+        # yansaya / rakaransaya post forms via halant+ZWJ
+        "ක්‍ය": ["ka", "ya.pstf"],
+        "ක්‍ර": ["ka", "rakar"],
+        # explicit reph
+        "ර්‍ක": ["ka", "reph"],
+        # left matra reorders before the base
+        "කෙ": ["e", "ka"],
+    },
+}
+# the beng placeholder rows above document intent; drop them
+del CASES["beng"]["েক"]
+
+
+class TestIndicScripts:
+    @pytest.mark.parametrize("script", sorted(CASES))
+    def test_pinned_cases(self, script):
+        def strip(gs):
+            return [g for g in gs
+                    if g not in ("space", "zwj", "zwnj", ".notdef")]
+
+        for text, expected in CASES[script].items():
+            got = strip(_ours(script, text))
+            assert got == expected, (script, text, got)
+
+    def test_layout_routes_each_script(self):
+        from fontrx.scene.layout import layout_text
+
+        for script, text, expected in [
+            ("beng", "কে", ["e.init", "ka"]),
+            ("taml", "கெ", ["e", "ka"]),
+            ("telu", "క్క", ["ka", "ka.blwf"]),
+            ("mlym", "ക്ര", ["ra.pref", "ka"]),
+        ]:
+            font, names, _ = _load(script)
+            lt = layout_text(font, text)
+            got = [names[lt.slot_gids[i.glyph_slot]]
+                   for i in sorted(lt.instances, key=lambda i: i.x)]
+            assert got == expected, (script, got)
+
+
+@pytest.mark.skipif(not hb.available(),
+                    reason="system libharfbuzz not present")
+class TestIndicScriptsHbDifferential:
+    """Reduced re-run of the build-time qualification: exhaustive
+    length-2 agreement per script (Sinhala excluded: hb shapes it
+    with the USE engine, a different clustering model)."""
+
+    SCRIPTS = ["beng", "guru", "gujr", "orya", "taml", "telu",
+               "knda", "mlym"]
+
+    @pytest.mark.parametrize("script", SCRIPTS)
+    def test_exhaustive_length2(self, script):
+        font, names, data = _load(script)
+        from fontTools.ttLib import TTFont
+
+        cmap = TTFont(f"tests/data/{script}test.ttf").getBestCmap()
+        alpha = sorted(cp for cp in cmap if 0x0900 <= cp <= 0x0DFF)
+        bad = []
+        for a, b in itertools.product(alpha, repeat=2):
+            text = chr(a) + chr(b)
+            exp = [names[g.gid] for g in hb.shape(data, text)]
+            got = _ours(script, text)
+            if exp != got:
+                bad.append((text, exp, got))
+        assert not bad, bad[:5]
+
+    def test_random_corpus(self):
+        import random
+
+        rng = random.Random(20260818)
+        for script in self.SCRIPTS:
+            font, names, data = _load(script)
+            from fontTools.ttLib import TTFont
+
+            cmap = TTFont(
+                f"tests/data/{script}test.ttf").getBestCmap()
+            alpha = sorted(cp for cp in cmap
+                           if 0x0900 <= cp <= 0x0DFF) + [0x20]
+            strip = {"space", "zwj", "zwnj"}
+            bad = []
+            for _ in range(400):
+                t = "".join(chr(rng.choice(alpha))
+                            for _ in range(rng.randint(3, 8)))
+                exp = [names[g.gid] for g in hb.shape(data, t)
+                       if names[g.gid] not in strip]
+                got = [g for g in _ours(script, t) if g not in strip]
+                if exp != got:
+                    bad.append((script, t, exp, got))
+            assert not bad, bad[:3]

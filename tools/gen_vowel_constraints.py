@@ -14,7 +14,7 @@ probe font that maps the whole block — pairs whose outputs differ
 are the constrained ones.
 
 Dev-time tool (needs fontTools + libharfbuzz); appends/refreshes the
-DEVA_VOWEL_CONSTRAINTS table in the vendored data module.
+INDIC_VOWEL_CONSTRAINTS table in the vendored data module.
 """
 
 import ctypes
@@ -93,25 +93,37 @@ _get.argtypes = [_c.c_int32, _c.c_int]
 UCHAR_INDIC_SYLLABIC_CATEGORY = 0x1017
 U_INSC_VOWEL_INDEPENDENT = 35
 
-data = build_probe_font(BLOCKS[0])
-vowels = [cp for cp in range(0x0900, 0x0980)
-          if _get(cp, UCHAR_INDIC_SYLLABIC_CATEGORY)
-          == U_INSC_VOWEL_INDEPENDENT]
+U_INSC_VOWEL_DEPENDENT = 34
+
 table: dict[int, list[int]] = {}
-for v in vowels:
-    for second in range(0x0900, 0x0980):
-        t = chr(v) + chr(second)
-        if shape_flags(data, t, 0) != shape_flags(data, t,
-                                                  DO_NOT_INSERT):
-            table.setdefault(v, []).append(second)
+for block in BLOCKS:
+    data = build_probe_font(block)
+    vowels = [cp for cp in range(*block)
+              if _get(cp, UCHAR_INDIC_SYLLABIC_CATEGORY)
+              == U_INSC_VOWEL_INDEPENDENT]
+    for v in vowels:
+        for second in range(*block):
+            # only dependent vowels are constraint targets: anything
+            # that cannot CONTINUE a vowel cluster (repha, another
+            # independent vowel, ...) shows the same flag-differential
+            # from its own broken-cluster dotted circle, which is not
+            # a defective combination
+            if (_get(second, UCHAR_INDIC_SYLLABIC_CATEGORY)
+                    != U_INSC_VOWEL_DEPENDENT):
+                continue
+            t = chr(v) + chr(second)
+            if shape_flags(data, t, 0) != shape_flags(data, t,
+                                                      DO_NOT_INSERT):
+                table.setdefault(v, []).append(second)
 
 lines = [
     "",
-    "# Independent-vowel + dependent-sign pairs where reference",
+    "# Independent-vowel + following-character pairs where reference",
     "# shapers insert a dotted circle (visually-deceptive 'defective",
-    "# combinations'); recovered EXACTLY from the system HarfBuzz by",
-    "# tools/gen_vowel_constraints.py differential probing.",
-    "DEVA_VOWEL_CONSTRAINTS = {",
+    "# combinations'), all ten Indic blocks; recovered EXACTLY from",
+    "# the system HarfBuzz by tools/gen_vowel_constraints.py",
+    "# differential probing.",
+    "INDIC_VOWEL_CONSTRAINTS = {",
 ]
 for v in sorted(table):
     seconds = ", ".join(f"0x{s:04X}" for s in sorted(table[v]))
