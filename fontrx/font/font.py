@@ -629,6 +629,79 @@ class Font:
                 log.warning("indic shaper unusable: %s", e)
         return self._indic
 
+    @property
+    def thai_shaper(self):
+        """Thai/Lao preprocessing engine
+        (:class:`fontrx.font.thai.ThaiShaper`): SARA AM decomposition
+        and, for old-style Thai fonts without a ``thai`` GSUB script,
+        the legacy PUA mark shaping."""
+        if not hasattr(self, "_thai"):
+            from fontrx.font.thai import ThaiShaper
+
+            self._thai = ThaiShaper(self)
+        return self._thai
+
+    @property
+    def khmer_shaper(self):
+        """Khmer shaping engine
+        (:class:`fontrx.font.khmer.KhmerShaper`), or ``None`` when
+        the font carries none of the Khmer basic features."""
+        if not hasattr(self, "_khmer"):
+            self._khmer = None
+            try:
+                from fontrx.font.khmer import KhmerShaper
+
+                sh = KhmerShaper(self)
+                if sh.available:
+                    self._khmer = sh
+            except Exception as e:
+                log.warning("khmer shaper unusable: %s", e)
+        return self._khmer
+
+    @property
+    def myanmar_shaper(self):
+        """Myanmar shaping engine
+        (:class:`fontrx.font.myanmar.MyanmarShaper`), or ``None``
+        when the font carries none of the Myanmar basic features."""
+        if not hasattr(self, "_myanmar"):
+            self._myanmar = None
+            try:
+                from fontrx.font.myanmar import MyanmarShaper
+
+                sh = MyanmarShaper(self)
+                if sh.available:
+                    self._myanmar = sh
+            except Exception as e:
+                log.warning("myanmar shaper unusable: %s", e)
+        return self._myanmar
+
+    @property
+    def hangul_shaper(self):
+        """Hangul jamo composition engine
+        (:class:`fontrx.font.hangul.HangulShaper`)."""
+        if not hasattr(self, "_hangul"):
+            from fontrx.font.hangul import HangulShaper
+
+            self._hangul = HangulShaper(self)
+        return self._hangul
+
+    @property
+    def use_shaper(self):
+        """Universal Shaping Engine
+        (:class:`fontrx.font.use.UseShaper`), or ``None`` when the
+        font carries no USE-stage features."""
+        if not hasattr(self, "_use"):
+            self._use = None
+            try:
+                from fontrx.font.use import UseShaper
+
+                sh = UseShaper(self)
+                if sh.available:
+                    self._use = sh
+            except Exception as e:
+                log.warning("use shaper unusable: %s", e)
+        return self._use
+
     def shaper(self, tags: tuple[bytes, ...]):
         """Full GSUB shaping engine (:class:`fontrx.font.shape.GsubShaper`)
         over the features tagged ``tags`` — lookup types 1-7 including

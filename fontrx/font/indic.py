@@ -38,10 +38,10 @@ exhaustive + 20k random-with-joiners each, 0 divergences everywhere
 except two documented degenerate joiner classes (Tamil 1/20k,
 Malayalam ~8/20k: an Ra+halant-led broken cluster adjacent to
 another broken cluster regroups differently) —
-``tests/test_indic_scripts.py``.  Sinhala shapes with the Indic
-model; hb routes it to the USE engine whose clustering differs
-(spaces act as placeholder bases), so its differential is deferred
-to a USE implementation.
+``tests/test_indic_scripts.py``.  Sinhala keeps an Indic-model
+config here for completeness, but ``layout_text`` routes it to the
+Universal Shaping Engine (:mod:`fontrx.font.use`) matching hb's
+shaper selection — its hb differential lives there.
 
 Scope notes (documented): GSUB lookup types 1/2/3/4 and contextual
 5/6 participate in the staged application; broken clusters shape

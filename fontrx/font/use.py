@@ -1,0 +1,300 @@
+"""The Universal Shaping Engine (USE) — the reference shapers' model
+for the long tail of complex scripts (Sinhala first: hb routes it
+here, with clustering that differs from the classic Indic model —
+spaces act as generic bases, conjoints ride explicit joiners).
+
+Pipeline (hb-pinned by ``tests/test_use.py``):
+
+1. categories from the ICU-generated USE table (``_use_data.py``);
+2. syllabification with the USE cluster grammar (standard /
+   virama-terminated / numeral / symbol / broken clusters);
+3. reph and pre-base-form RECORDING: ``rphf`` applied masked to each
+   cluster's first letters and ``pref`` globally — glyphs they
+   substitute re-categorize to R / VPre, steering the reorder;
+4. the other early features (``locl nukt akhn``) and the basic set
+   (``rkrf abvf blwf half pstf vatu cjct``), all per-syllable;
+5. dotted-circle insertion for broken clusters, then the USE
+   reorder: a leading repha moves before the first post-base glyph,
+   pre-base vowels move to the cluster start (or after the nearest
+   preceding halant);
+6. the final features (``abvs blws haln pres psts``).
+
+Shares the masked lookup application with the Indic engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+from fontrx.font._use_data import use_category
+from fontrx.font.indic import IndicShaper, _Glyph
+from fontrx.utils.log import get_logger
+
+log = get_logger("USE")
+
+_EARLY_FEATURES = (b"locl", b"nukt", b"akhn")
+_BASIC_FEATURES = (b"rkrf", b"abvf", b"blwf", b"half", b"pstf",
+                   b"vatu", b"cjct")
+_FINAL_FEATURES = (b"abvs", b"blws", b"haln", b"pres", b"psts")
+
+#: category -> machine letter
+_LETTER = {
+    "B": "B", "GB": "G", "CS": "c", "SUB": "U", "R": "R", "H": "H",
+    "HN": "n", "N": "N", "IND": "I", "S": "s",
+    "VPre": "p", "VAbv": "a", "VBlw": "b", "VPst": "d",
+    "VMPre": "P", "VMAbv": "Q", "VMBlw": "W", "VMPst": "E",
+    "CMAbv": "x", "CMBlw": "y",
+    "FAbv": "f", "FBlw": "g", "FPst": "h",
+    "FMAbv": "u", "FMBlw": "i", "FMPst": "o",
+    "MPre": "j", "MAbv": "k", "MBlw": "l", "MPst": "m",
+    "O": "O",
+}
+
+_OVERRIDES = {
+    0x0020: "G", 0x00A0: "G", 0x25CC: "G",
+    0x200C: "z", 0x200D: "J",
+}
+
+_POST_BASE = frozenset("fghklmabdQWE")  # post-base letters (reorder)
+
+
+def _letter(cp: int) -> str:
+    hit = _OVERRIDES.get(cp)
+    if hit is not None:
+        return hit
+    if 0xFE00 <= cp <= 0xFE0F:
+        return "v"
+    return _LETTER.get(use_category(cp), "O")
+
+
+# -- the USE cluster grammar --------------------------------------------
+# a ZWJ may ride the stacker inside conjunct continuations
+# (hb-pinned: KA+H+ZWJ+SA is one cluster, the akhn forms)
+_cm = "(?:x*y*(?:(?:HJ?B|U)v?x*y*)*)"
+_med = "j?k?l?m?"
+# H first: longest-match over ordered alternation.  A trailing
+# halant rides the vowel group (hb-pinned: E+H is one dc-carrying
+# cluster).  Joiners never cluster: they separate like "other"
+# characters and hide at render time
+_vowels = "(?:H|p*a*b*d*H?)"
+_vm = "P*Q*W*E*"
+_finals = "f*g*h*"
+_fm = "(?:u*i*|o?)"
+_start = "(?:[Rc]?[BG]v?)"
+_middle = f"{_cm}{_med}{_vowels}{_vm}"
+_tail = f"{_middle}{_finals}{_fm}"
+_num_tail = "(?:nNv?)"
+_sym_tail = "(?:u+i*|i+)"
+_PRODUCTIONS = (
+    ("standard", re.compile(f"{_start}{_tail}")),
+    ("virama", re.compile(f"{_start}{_cm}H")),
+    ("numeral", re.compile(f"Nv?{_num_tail}*n?")),
+    ("symbol", re.compile(f"[sG]v?{_sym_tail}?")),
+    ("broken", re.compile(f"R?(?:{_tail}|{_num_tail}+|{_sym_tail})")),
+
+)
+
+
+def _syllabify(cats: str) -> list[tuple[int, int, str]]:
+    out: list[tuple[int, int, str]] = []
+    i, n = 0, len(cats)
+    while i < n:
+        best_len, best_kind = 0, "other"
+        for kind, rx in _PRODUCTIONS:
+            m = rx.match(cats, i)
+            if m and m.end() - i > best_len:
+                best_len, best_kind = m.end() - i, kind
+        if best_len == 0:
+            out.append((i, i + 1, "other"))
+            i += 1
+        else:
+            out.append((i, i + best_len, best_kind))
+            i += best_len
+    return out
+
+
+class UseShaper:
+    """Per-font Universal Shaping Engine."""
+
+    ALL_TAGS = (_EARLY_FEATURES + (b"rphf", b"pref")
+                + _BASIC_FEATURES + _FINAL_FEATURES + (b"ccmp",))
+
+    _apply_feature = IndicShaper._apply_feature
+    _match_forward = IndicShaper._match_forward
+    _apply_at = IndicShaper._apply_at
+    _apply_context = IndicShaper._apply_context
+    _decompose = IndicShaper._decompose
+
+    def __init__(self, font, script: bytes = b"sinh"):
+        self.font = font
+        self.shaper = font.shaper(self.ALL_TAGS)
+        self._lookup_cache: dict = {}
+        self.script = None
+        if self.shaper is not None:
+            if script in getattr(self.shaper, "scripts", {}):
+                self.script = script
+
+    @property
+    def available(self) -> bool:
+        if self.shaper is None:
+            return False
+        return any(self._feature_lookups(t, None)
+                   for t in (b"rphf", b"pref") + _BASIC_FEATURES)
+
+    def _feature_lookups(self, tag: bytes, st=None) -> list[int]:
+        s = self.shaper
+        if s is None:
+            return []
+        hit = self._lookup_cache.get(tag)
+        if hit is not None:
+            return hit
+        if self.script is not None:
+            out = s.lookup_indices_for((tag,), self.script)
+        else:
+            out = sorted(s.features.get(tag, ()))
+        self._lookup_cache[tag] = out
+        return out
+
+    def shape(self, cps: list[int], gids: list[int],
+              script: bytes = b"sinh") -> list[int]:
+        """Shape one logical run: substituted + reordered glyphs."""
+        from fontrx.font._indic_data import INDIC_VOWEL_CONSTRAINTS
+        from fontrx.font.indic import _canonical_reorder
+
+        cps, gids = self._decompose(cps, gids)
+        cps, gids = _canonical_reorder(cps, gids)
+        # vowel constraints (defective combinations) apply to the
+        # USE-routed Indic scripts too — the probed table covers all
+        # ten blocks incl. Sinhala
+        if any(cp in INDIC_VOWEL_CONSTRAINTS for cp in cps):
+            dc = int(self.font.charmap.glyph_index(0x25CC))
+            nc: list[int] = []
+            ng: list[int] = []
+            for k, (cp, gid) in enumerate(zip(cps, gids)):
+                nc.append(cp)
+                ng.append(gid)
+                if (k + 1 < len(cps)
+                        and cps[k + 1] in INDIC_VOWEL_CONSTRAINTS.get(
+                            cp, ())):
+                    nc.append(0x25CC)
+                    ng.append(dc)
+            cps, gids = nc, ng
+        buf = [_Glyph(g, c, _letter(c), 0, 0)
+               for c, g in zip(cps, gids)]
+        # a ZWNJ opening a letter cluster (not riding one) takes a
+        # dotted circle in front (hb-pinned: ZWNJ+SA -> dc ZWNJ SA,
+        # but SA+ZWNJ+SA has none).  Residual documented divergence:
+        # hb also reaches across generic bases (ZWNJ+SP+SA)
+        dc_gid0 = int(self.font.charmap.glyph_index(0x25CC))
+        if dc_gid0 and any(g.cat == "z" for g in buf):
+            k = 0
+            while k < len(buf):
+                if (buf[k].cat == "z"
+                        and (k == 0
+                             or buf[k - 1].cat in ("z", "J", "O"))
+                        and k + 1 < len(buf)
+                        and buf[k + 1].cat == "B"):
+                    buf.insert(k, _Glyph(dc_gid0, 0x25CC, "G", 0, 0))
+                    k += 1
+                k += 1
+        cats = "".join(g.cat for g in buf)
+        syllables = _syllabify(cats)
+        for si, (s_, e_, kind) in enumerate(syllables):
+            for k in range(s_, e_):
+                buf[k].syl = si
+
+        # reph masking: the first letters of every cluster carry the
+        # rphf mask; glyphs it substitutes re-categorize to R
+        for s_, e_, kind in syllables:
+            limit = 1 if buf[s_].cat == "R" else min(3, e_ - s_)
+            for k in range(s_, s_ + limit):
+                buf[k].mask = buf[k].mask | {b"rphf"}
+        for tag in _EARLY_FEATURES:
+            self._apply_feature(buf, tag, True, None)
+        before = [g.substituted for g in buf]
+        self._apply_feature(buf, b"rphf", False, None)
+        for g, was in zip(buf, before):
+            if g.substituted and not was and b"rphf" in g.mask:
+                g.cat = "R"
+        before = [g.substituted for g in buf]
+        self._apply_feature(buf, b"pref", True, None)
+        for g, was in zip(buf, before):
+            if g.substituted and not was:
+                g.cat = "p"
+        for tag in _BASIC_FEATURES:
+            self._apply_feature(buf, tag, True, None)
+
+        # ligatures may have shrunk the buffer: recompute syllable
+        # runs from the per-glyph ids, then insert dotted circles for
+        # broken clusters and reorder
+        kinds = {si: kind
+                 for si, (s_, e_, kind) in enumerate(syllables)}
+        dc_gid = int(self.font.charmap.glyph_index(0x25CC))
+        runs: list[tuple[int, int, str]] = []
+        i = 0
+        while i < len(buf):
+            j = i
+            while j < len(buf) and buf[j].syl == buf[i].syl:
+                j += 1
+            runs.append((i, j, kinds.get(buf[i].syl, "other")))
+            i = j
+        if dc_gid and any(k == "broken" for _, _, k in runs):
+            nb: list[_Glyph] = []
+            spans: list[tuple[int, int, str]] = []
+            for s_, e_, kind in runs:
+                at = len(nb)
+                if kind == "broken":
+                    # the dotted circle goes after a leading repha
+                    lead = s_
+                    while lead < e_ and buf[lead].cat == "R":
+                        lead += 1
+                    nb.extend(buf[s_:lead])
+                    g = _Glyph(dc_gid, 0x25CC, "G", 0, 0)
+                    g.syl = buf[s_].syl
+                    nb.append(g)
+                    nb.extend(buf[lead:e_])
+                    spans.append((at, len(nb), "standard"))
+                else:
+                    nb.extend(buf[s_:e_])
+                    spans.append((at, len(nb), kind))
+            buf, runs = nb, spans
+
+        for s_, e_, kind in runs:
+            if kind in ("standard", "virama", "broken"):
+                self._reorder(buf, s_, e_)
+
+        for tag in _FINAL_FEATURES:
+            self._apply_feature(buf, tag, True, None)
+        return [g.gid for g in buf]
+
+    def _reorder(self, info: list[_Glyph], start: int,
+                 end: int) -> None:
+        """The USE reorder, hb-pinned: a leading repha moves to just
+        before the first post-base glyph (or the cluster end); then
+        pre-base vowels move to the cluster start, or to after the
+        nearest preceding halant."""
+        if (end - start > 1 and info[start].cat == "R"):
+            i = start + 1
+            while i < end:
+                post = (info[i].cat in _POST_BASE
+                        or info[i].cat == "H")
+                if post or i == end - 1:
+                    if post:
+                        i -= 1
+                    g = info[start]
+                    del info[start]
+                    info.insert(i, g)
+                    break
+                i += 1
+        j = start
+        i = start
+        while i < end:
+            g = info[i]
+            if g.cat == "H":
+                j = i + 1
+            elif g.cat in ("p", "P"):
+                if i != j:
+                    del info[i]
+                    info.insert(j, g)
+                j += 1
+            i += 1

@@ -320,7 +320,24 @@ def layout_text(
         if (seg_cps is not None and len(seg_cps) == len(seq)
                 and any(_is_indic_cp(c) for c in seg_cps)):
             indic = getattr(font, "indic_shaper", None)
-        if not tags and indic is None:
+        thai = None
+        if (seg_cps is not None and len(seg_cps) == len(seq)
+                and any(_is_thai_cp(c) for c in seg_cps)):
+            thai = font.thai_shaper
+        khmer = None
+        if (seg_cps is not None and len(seg_cps) == len(seq)
+                and any(0x1780 <= c <= 0x17FF for c in seg_cps)):
+            khmer = getattr(font, "khmer_shaper", None)
+        mymr = None
+        if (seg_cps is not None and len(seg_cps) == len(seq)
+                and any(0x1000 <= c <= 0x109F for c in seg_cps)):
+            mymr = getattr(font, "myanmar_shaper", None)
+        hang = None
+        if (seg_cps is not None and len(seg_cps) == len(seq)
+                and any(_is_hangul_cp(c) for c in seg_cps)):
+            hang = font.hangul_shaper
+        if not tags and indic is None and thai is None \
+                and khmer is None and mymr is None and hang is None:
             return seq
         shaper = font.shaper(tags) if tags else None
         if tags and shaper is None and indic is None:
@@ -332,7 +349,8 @@ def layout_text(
         if shaper is not None and hasattr(shaper, "alt_index"):
             shaper.alt_index = alternate
         if (seg_cps is None or len(seg_cps) != len(seq)
-                or (indic is None
+                or (indic is None and thai is None and khmer is None
+                    and mymr is None and hang is None
                     and not getattr(shaper, "scripts", None))):
             out = shaper.apply(seq) if shaper is not None else list(seq)
             _shape_stream.last_comps = list(
@@ -344,10 +362,39 @@ def layout_text(
         out: list[int] = []
         comps: list[int] = []
         for s, e, stag in itemize(seg_cps):
-            if indic is not None and stag is not None \
+            if (stag in (b"sinh", b"tibt")
+                    and getattr(font, "use_shaper", None) is not None):
+                part = font.use_shaper.shape(seg_cps[s:e], seq[s:e],
+                                             script=stag)
+                if shaper is not None:
+                    part = shaper.apply(part, script=stag)
+                pc = [0] * len(part)
+            elif indic is not None and stag is not None \
                     and stag in _indic_scripts():
                 part = indic.shape(seg_cps[s:e], seq[s:e],
                                    script=stag)
+                if shaper is not None:
+                    part = shaper.apply(part, script=stag)
+                pc = [0] * len(part)
+            elif hang is not None and stag == b"hang":
+                part = hang.shape(seg_cps[s:e], seq[s:e])
+                if shaper is not None:
+                    part = shaper.apply(part, script=stag)
+                pc = [0] * len(part)
+            elif mymr is not None and stag == b"mymr":
+                part = mymr.shape(seg_cps[s:e], seq[s:e])
+                if shaper is not None:
+                    part = shaper.apply(part, script=stag)
+                pc = [0] * len(part)
+            elif khmer is not None and stag == b"khmr":
+                part = khmer.shape(seg_cps[s:e], seq[s:e])
+                if shaper is not None:
+                    part = shaper.apply(part, script=stag)
+                pc = [0] * len(part)
+            elif thai is not None and stag in (b"thai", b"lao "):
+                ncps = thai.shape(list(seg_cps[s:e]), script=stag)
+                part = [int(font.charmap.glyph_index(c))
+                        for c in ncps]
                 if shaper is not None:
                     part = shaper.apply(part, script=stag)
                 pc = [0] * len(part)
@@ -482,7 +529,10 @@ def layout_text(
                     hard_breaks.append(hflag)
             lines, comp_lines, line_runs = nl, nc, nr
     elif tags or any(
-            _is_indic_cp(c) for cps in cp_lines for c in cps):
+            _is_indic_cp(c) or _is_thai_cp(c)
+            or 0x1780 <= c <= 0x17FF or 0x1000 <= c <= 0x109F
+            or _is_hangul_cp(c)
+            for cps in cp_lines for c in cps):
         shaped_lines = []
         comp_lines = []
         for line, cps in zip(lines, cp_lines):
@@ -1011,6 +1061,18 @@ def _indic_scripts():
     from fontrx.font.indic import INDIC_SCRIPTS
 
     return INDIC_SCRIPTS
+
+
+def _is_thai_cp(cp: int) -> bool:
+    from fontrx.font.thai import is_thai_lao
+
+    return is_thai_lao(cp)
+
+
+def _is_hangul_cp(cp: int) -> bool:
+    from fontrx.font.hangul import is_hangul
+
+    return is_hangul(cp)
 
 
 def _positions_itemized(positioner, line, advs, lig, cps):

@@ -938,6 +938,163 @@ def make_indic_corpus(script=None):
         print("wrote", out)
 
 
+def make_thaitest():
+    """Thai + Lao corpus font, old-style: no GSUB, full Thai block,
+    a Lao subset, and the Windows-PUA preshaped variants
+    (U+F700..F71A) — the configuration that activates the legacy PUA
+    shaping path.  The hb differential pins fontrx's Thai shaper
+    (SARA AM decomposition + PUA mark shaping) against HarfBuzz."""
+    cps = (list(range(0x0E01, 0x0E3B)) + list(range(0x0E3F, 0x0E5C))
+           + list(range(0x0E81, 0x0E85)) + [0x0EAB, 0x0EB2, 0x0EB3,
+              0x0EB4, 0x0EB8, 0x0EC8, 0x0EC9, 0x0ECD]
+           + [0x25CC, 0x20] + list(range(0xF700, 0xF71B)))
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 660 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": "ThaiTest", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fb.save(os.path.join(HERE, "thaitest.ttf"))
+    print("wrote thaitest.ttf")
+
+
+def make_khmrtest():
+    """Khmer corpus font: genuine coeng-subscript GSUB structure
+    (blwf below forms, the pref pre-base RO, a cfar variant, abvs/
+    pres/psts presentation rules) registered under ``khmr``; the hb
+    differential pins fontrx's Khmer engine against HarfBuzz."""
+    cps = (list(range(0x1780, 0x17D4)) + [0x17DD]
+           + list(range(0x17E0, 0x17EA)) + [0x25CC, 0x20, 0x200C,
+                                            0x200D])
+    forms = ["ka.blw", "ta.blw", "mo.blw", "ro.pre", "ka.cfar",
+             "k_aa", "nyo.pres"]
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps] + forms
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 650 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": "KhmerTest", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fea = """
+languagesystem DFLT dflt;
+languagesystem khmr dflt;
+
+feature blwf {
+    sub u17D2 u1780 by ka.blw;
+    sub u17D2 u178F by ta.blw;
+    sub u17D2 u1798 by mo.blw;
+} blwf;
+
+feature pref {
+    sub u17D2 u179A by ro.pre;
+} pref;
+
+feature cfar {
+    sub ka.blw by ka.cfar;
+} cfar;
+
+feature pres {
+    sub u1789 u17B6 by nyo.pres;
+} pres;
+
+feature psts {
+    sub u1780 u17B6 by k_aa;
+} psts;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "khmrtest.ttf"))
+    print("wrote khmrtest.ttf")
+
+
+def make_mymrtest():
+    """Myanmar corpus font: kinzi (rphf-style Ra+asat+halant), below
+    stacks (blwf), medial consonants (pre-base medial Ra via pref,
+    ya/wa/ha medials via blwf-family rules), asat + presentation
+    rules, registered under ``mym2``; the hb differential pins
+    fontrx's Myanmar engine."""
+    cps = (list(range(0x1000, 0x1050)) + list(range(0x105A, 0x1060))
+           + [0x25CC, 0x20, 0x200C, 0x200D])
+    forms = ["ka.blw", "ta.blw", "ya.med", "ra.med", "wa.med",
+             "ha.med", "kinzi"]
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps] + forms
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 650 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": "MymrTest", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fea = """
+languagesystem DFLT dflt;
+languagesystem mym2 dflt;
+
+feature rphf {
+    sub u101B u103A u1039 by kinzi;
+} rphf;
+
+feature blwf {
+    sub u1039 u1000 by ka.blw;
+    sub u1039 u1010 by ta.blw;
+} blwf;
+
+feature pref {
+    sub u103C by ra.med;
+} pref;
+
+feature blws {
+    sub u103D by wa.med;
+    sub u103E by ha.med;
+} blws;
+
+feature pres {
+    sub u103B by ya.med;
+} pres;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "mymrtest.ttf"))
+    print("wrote mymrtest.ttf")
+
+
 def make_colrtest():
     """COLR v0 + CPAL color-layer font: three base color glyphs
     (square-on-square, overlapping discs, a glyph using the 0xFFFF
@@ -2175,6 +2332,9 @@ if __name__ == "__main__":
     make_arabictest()
     make_devatest()
     make_indic_corpus()
+    make_thaitest()
+    make_khmrtest()
+    make_mymrtest()
     make_colrtest()
     make_colrv1test()
     make_varcolrtest()
