@@ -688,16 +688,15 @@ class Font:
     @property
     def use_shaper(self):
         """Universal Shaping Engine
-        (:class:`fontrx.font.use.UseShaper`), or ``None`` when the
-        font carries no USE-stage features."""
+        (:class:`fontrx.font.use.UseShaper`): always available —
+        clustering/reordering are font-independent, features no-op
+        when the font lacks them."""
         if not hasattr(self, "_use"):
             self._use = None
             try:
                 from fontrx.font.use import UseShaper
 
-                sh = UseShaper(self)
-                if sh.available:
-                    self._use = sh
+                self._use = UseShaper(self)
             except Exception as e:
                 log.warning("use shaper unusable: %s", e)
         return self._use

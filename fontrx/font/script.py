@@ -65,6 +65,17 @@ _RANGES: tuple[tuple[int, int, bytes], ...] = (
     (0x16A0, 0x16FF, b"runr"),
     (0x1780, 0x17FF, b"khmr"),
     (0x1800, 0x18AF, b"mong"),
+    # USE-routed scripts (fontrx.font.use.USE_SCRIPTS)
+    (0x1900, 0x194F, b"limb"),
+    (0x1A00, 0x1A1F, b"bugi"),
+    (0x1A20, 0x1AAF, b"lana"),
+    (0x1B00, 0x1B7F, b"bali"),
+    (0x1B80, 0x1BBF, b"sund"), (0x1CC0, 0x1CCF, b"sund"),
+    (0x1BC0, 0x1BFF, b"batk"),
+    (0x1C00, 0x1C4F, b"lepc"),
+    (0xA880, 0xA8DF, b"saur"),
+    (0xA980, 0xA9DF, b"java"),
+    (0xAA00, 0xAA5F, b"cham"),
     (0x1E00, 0x1EFF, b"latn"),   # Latin Extended Additional
     (0x2C60, 0x2C7F, b"latn"), (0xA720, 0xA7FF, b"latn"),
     (0x3040, 0x309F, b"kana"),   # hiragana (OT: kana covers both)

@@ -32,6 +32,35 @@ from fontrx.utils.log import get_logger
 
 log = get_logger("USE")
 
+#: OT script tags layout routes to this engine, with their Unicode
+#: blocks — the twelve scripts the ICU-generated category table
+#: (`tools/gen_use_data.py`) covers.  hb's shaper selection routes
+#: all of these to USE.
+USE_SCRIPTS: dict[bytes, tuple[tuple[int, int], ...]] = {
+    b"sinh": ((0x0D80, 0x0DFF),),
+    b"tibt": ((0x0F00, 0x0FFF),),
+    b"limb": ((0x1900, 0x194F),),
+    b"bugi": ((0x1A00, 0x1A1F),),
+    b"lana": ((0x1A20, 0x1AAF),),
+    b"bali": ((0x1B00, 0x1B7F),),
+    b"sund": ((0x1B80, 0x1BBF), (0x1CC0, 0x1CCF)),
+    b"batk": ((0x1BC0, 0x1BFF),),
+    b"lepc": ((0x1C00, 0x1C4F),),
+    b"saur": ((0xA880, 0xA8DF),),
+    b"java": ((0xA980, 0xA9DF),),
+    b"cham": ((0xAA00, 0xAA5F),),
+}
+
+
+def is_use_cp(cp: int) -> bool:
+    """True for codepoints in any USE-routed script block."""
+    for ranges in USE_SCRIPTS.values():
+        for lo, hi in ranges:
+            if lo <= cp <= hi:
+                return True
+    return False
+
+
 _EARLY_FEATURES = (b"locl", b"nukt", b"akhn")
 _BASIC_FEATURES = (b"rkrf", b"abvf", b"blwf", b"half", b"pstf",
                    b"vatu", b"cjct")
@@ -53,6 +82,16 @@ _LETTER = {
 _OVERRIDES = {
     0x0020: "G", 0x00A0: "G", 0x25CC: "G",
     0x200C: "z", 0x200D: "J",
+    # the Sinhala al-lakuna is a halant that ALSO rides vowel groups
+    # (hb's halant-or-vowel-modifier class; hb-pinned: Sinhala
+    # vowel+al-lakuna is one cluster, Javanese vowel+pangkon is two)
+    0x0DCA: "K",
+    # the Javanese pengkal is a POST medial (hb-pinned:
+    # cakra+pengkal is one cluster, pengkal+pengkal splits)
+    0xA9BE: "m",
+    # Cham AA is a vowel MODIFIER (hb-pinned: VBlw+AA merges as
+    # vowel+modifier, AA+vowel splits)
+    0xAA29: "Q",
 }
 
 _POST_BASE = frozenset("fghklmabdQWE")  # post-base letters (reorder)
@@ -70,24 +109,34 @@ def _letter(cp: int) -> str:
 # -- the USE cluster grammar --------------------------------------------
 # a ZWJ may ride the stacker inside conjunct continuations
 # (hb-pinned: KA+H+ZWJ+SA is one cluster, the akhn forms)
-_cm = "(?:x*y*(?:(?:HJ?B|U)v?x*y*)*)"
+# consonant-modifier runs stay together (hb-pinned: base+double
+# cecak-telu is one cluster).  Residual documented divergence: a
+# modifier run followed by a bare halant regroups differently in hb
+# (degenerate text)
+_cm = "(?:x*y*(?:(?:[HK]J?B|U)v?x*y*)*)"
 _med = "j?k?l?m?"
-# H first: longest-match over ordered alternation.  A trailing
-# halant rides the vowel group (hb-pinned: E+H is one dc-carrying
-# cluster).  Joiners never cluster: they separate like "other"
-# characters and hide at render time
-_vowels = "(?:H|p*a*b*d*H?)"
-_vm = "P*Q*W*E*"
+# halant first: longest-match over ordered alternation — and a BARE
+# halant terminates its cluster (no modifiers chain onto it).
+# Joiners never cluster: they separate like "other" characters and
+# hide at render time.  The halant-or-vowel-modifier (K) may trail
+# a vowel group
+_vowels_vm = "(?:[HK]P*Q*W*E*|p*a*b*d*K?P*Q*W*E*)"
 _finals = "f*g*h*"
 _fm = "(?:u*i*|o?)"
 _start = "(?:[Rc]?[BG]v?)"
-_middle = f"{_cm}{_med}{_vowels}{_vm}"
+_middle = f"{_cm}{_med}{_vowels_vm}"
+# the standard tail admits a single joiner before each medial and
+# before the vowel group (hb-pinned: KA+ZWNJ+TALING is one cluster,
+# the taling still fronts); broken tails don't
+_med_j = ("(?:[Jz]?j)?(?:[Jz]?k)?(?:[Jz]?l)?(?:[Jz]?m)?")
+_middle_j = f"{_cm}{_med_j}[Jz]?{_vowels_vm}"
 _tail = f"{_middle}{_finals}{_fm}"
+_tail_j = f"{_middle_j}{_finals}{_fm}"
 _num_tail = "(?:nNv?)"
 _sym_tail = "(?:u+i*|i+)"
 _PRODUCTIONS = (
-    ("standard", re.compile(f"{_start}{_tail}")),
-    ("virama", re.compile(f"{_start}{_cm}H")),
+    ("standard", re.compile(f"{_start}{_tail_j}")),
+    ("virama", re.compile(f"{_start}{_cm}[Jz]?[HK]")),
     ("numeral", re.compile(f"Nv?{_num_tail}*n?")),
     ("symbol", re.compile(f"[sG]v?{_sym_tail}?")),
     ("broken", re.compile(f"R?(?:{_tail}|{_num_tail}+|{_sym_tail})")),
@@ -136,10 +185,10 @@ class UseShaper:
 
     @property
     def available(self) -> bool:
-        if self.shaper is None:
-            return False
-        return any(self._feature_lookups(t, None)
-                   for t in (b"rphf", b"pref") + _BASIC_FEATURES)
+        # the USE pipeline applies to any font of a USE script:
+        # clustering, dotted circles and reordering are
+        # font-independent; features no-op when absent
+        return True
 
     def _feature_lookups(self, tag: bytes, st=None) -> list[int]:
         s = self.shaper
@@ -163,6 +212,32 @@ class UseShaper:
 
         cps, gids = self._decompose(cps, gids)
         cps, gids = _canonical_reorder(cps, gids)
+        # the USE normalization mode COMPOSES: adjacent pairs with a
+        # canonical composition the font maps become the composite
+        # (hb-pinned: Balinese AKARA+TEDUNG -> U+1B06)
+        if len(cps) > 1:
+            import unicodedata
+
+            nc: list[int] = []
+            ng: list[int] = []
+            for cp, gid in zip(cps, gids):
+                if nc and unicodedata.category(
+                        chr(nc[-1]))[0] != "M":
+                    # never recompose split matras: only non-mark
+                    # starters compose (the reference shapers'
+                    # compose_use guard)
+                    comp = unicodedata.normalize(
+                        "NFC", chr(nc[-1]) + chr(cp))
+                    if len(comp) == 1:
+                        cgid = int(self.font.charmap.glyph_index(
+                            ord(comp)))
+                        if cgid:
+                            nc[-1] = ord(comp)
+                            ng[-1] = cgid
+                            continue
+                nc.append(cp)
+                ng.append(gid)
+            cps, gids = nc, ng
         # vowel constraints (defective combinations) apply to the
         # USE-routed Indic scripts too — the probed table covers all
         # ten blocks incl. Sinhala
@@ -184,7 +259,8 @@ class UseShaper:
         # a ZWNJ opening a letter cluster (not riding one) takes a
         # dotted circle in front (hb-pinned: ZWNJ+SA -> dc ZWNJ SA,
         # but SA+ZWNJ+SA has none).  Residual documented divergence:
-        # hb also reaches across generic bases (ZWNJ+SP+SA)
+        # multi-joiner runs and joiner-before-generic-base sequences
+        # (degenerate text) place dotted circles differently in hb
         dc_gid0 = int(self.font.charmap.glyph_index(0x25CC))
         if dc_gid0 and any(g.cat == "z" for g in buf):
             k = 0
@@ -277,7 +353,7 @@ class UseShaper:
             i = start + 1
             while i < end:
                 post = (info[i].cat in _POST_BASE
-                        or info[i].cat == "H")
+                        or info[i].cat in ("H", "K"))
                 if post or i == end - 1:
                     if post:
                         i -= 1
@@ -290,7 +366,9 @@ class UseShaper:
         i = start
         while i < end:
             g = info[i]
-            if g.cat == "H":
+            if g.cat in ("H", "K") and not g.ligated:
+                # a LIGATED halant (consumed into a conjunct form) no
+                # longer blocks pre-base vowels from the start
                 j = i + 1
             elif g.cat in ("p", "P"):
                 if i != j:

@@ -336,11 +336,16 @@ def layout_text(
         if (seg_cps is not None and len(seg_cps) == len(seq)
                 and any(_is_hangul_cp(c) for c in seg_cps)):
             hang = font.hangul_shaper
+        use = None
+        if (seg_cps is not None and len(seg_cps) == len(seq)
+                and any(_is_use_cp(c) for c in seg_cps)):
+            use = getattr(font, "use_shaper", None)
         if not tags and indic is None and thai is None \
-                and khmer is None and mymr is None and hang is None:
+                and khmer is None and mymr is None and hang is None \
+                and use is None:
             return seq
         shaper = font.shaper(tags) if tags else None
-        if tags and shaper is None and indic is None:
+        if tags and shaper is None and indic is None and use is None:
             if ligatures and font.ligatures is not None:
                 out = font.ligatures.apply(seq)
                 _shape_stream.last_comps = [0] * len(out)
@@ -350,7 +355,7 @@ def layout_text(
             shaper.alt_index = alternate
         if (seg_cps is None or len(seg_cps) != len(seq)
                 or (indic is None and thai is None and khmer is None
-                    and mymr is None and hang is None
+                    and mymr is None and hang is None and use is None
                     and not getattr(shaper, "scripts", None))):
             out = shaper.apply(seq) if shaper is not None else list(seq)
             _shape_stream.last_comps = list(
@@ -362,7 +367,7 @@ def layout_text(
         out: list[int] = []
         comps: list[int] = []
         for s, e, stag in itemize(seg_cps):
-            if (stag in (b"sinh", b"tibt")
+            if (stag is not None and stag in _use_scripts()
                     and getattr(font, "use_shaper", None) is not None):
                 part = font.use_shaper.shape(seg_cps[s:e], seq[s:e],
                                              script=stag)
@@ -531,7 +536,7 @@ def layout_text(
     elif tags or any(
             _is_indic_cp(c) or _is_thai_cp(c)
             or 0x1780 <= c <= 0x17FF or 0x1000 <= c <= 0x109F
-            or _is_hangul_cp(c)
+            or _is_hangul_cp(c) or _is_use_cp(c)
             for cps in cp_lines for c in cps):
         shaped_lines = []
         comp_lines = []
@@ -1073,6 +1078,18 @@ def _is_hangul_cp(cp: int) -> bool:
     from fontrx.font.hangul import is_hangul
 
     return is_hangul(cp)
+
+
+def _is_use_cp(cp: int) -> bool:
+    from fontrx.font.use import is_use_cp
+
+    return is_use_cp(cp)
+
+
+def _use_scripts():
+    from fontrx.font.use import USE_SCRIPTS
+
+    return USE_SCRIPTS
 
 
 def _positions_itemized(positioner, line, advs, lig, cps):

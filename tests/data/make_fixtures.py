@@ -1095,6 +1095,140 @@ feature pres {
     print("wrote mymrtest.ttf")
 
 
+def make_javatest():
+    """Javanese corpus font (a USE-routed script): pangkon-conjunct
+    below forms (blwf), a pasangan ligature, medial/vowel structure
+    under the ``java`` script; extends the USE differential beyond
+    Sinhala."""
+    cps = (list(range(0xA980, 0xA9CE)) + list(range(0xA9D0, 0xA9DA))
+           + [0x25CC, 0x20, 0x200C, 0x200D])
+    forms = ["ka.blw", "ta.blw", "na.blw", "k_a"]
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps] + forms
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 650 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": "JavaTest", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fea = """
+languagesystem DFLT dflt;
+languagesystem java dflt;
+
+feature blwf {
+    sub uA9C0 uA98F by ka.blw;
+    sub uA9C0 uA9A0 by ta.blw;
+    sub uA9C0 uA9A4 by na.blw;
+} blwf;
+
+feature psts {
+    sub uA98F uA9B4 by k_a;
+} psts;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "javatest.ttf"))
+    print("wrote javatest.ttf")
+
+
+def make_balitest():
+    """Balinese corpus font (USE-routed): adeg-adeg conjunct below
+    forms, surang final, pre-base taling; extends the USE
+    differential."""
+    cps = (list(range(0x1B00, 0x1B50)) + list(range(0x1B50, 0x1B5A))
+           + [0x25CC, 0x20, 0x200C, 0x200D])
+    forms = ["ka.blw", "ta.blw", "k_a"]
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps] + forms
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 650 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": "BaliTest", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fea = """
+languagesystem DFLT dflt;
+languagesystem bali dflt;
+
+feature blwf {
+    sub u1B44 u1B13 by ka.blw;
+    sub u1B44 u1B22 by ta.blw;
+} blwf;
+
+feature psts {
+    sub u1B13 u1B35 by k_a;
+} psts;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "balitest.ttf"))
+    print("wrote balitest.ttf")
+
+
+def make_chamtest():
+    """Cham corpus font (USE-routed): medials (pre and post), final
+    consonants, vowel structure; extends the USE differential."""
+    cps = (list(range(0xAA00, 0xAA37)) + list(range(0xAA40, 0xAA5A))
+           + [0x25CC, 0x20, 0x200C, 0x200D])
+    forms = ["k_a"]
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps] + forms
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 650 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": "ChamTest", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fea = """
+languagesystem DFLT dflt;
+languagesystem cham dflt;
+
+feature psts {
+    sub uAA06 uAA33 by k_a;
+} psts;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "chamtest.ttf"))
+    print("wrote chamtest.ttf")
+
+
 def make_colrtest():
     """COLR v0 + CPAL color-layer font: three base color glyphs
     (square-on-square, overlapping discs, a glyph using the 0xFFFF
@@ -2335,6 +2469,9 @@ if __name__ == "__main__":
     make_thaitest()
     make_khmrtest()
     make_mymrtest()
+    make_javatest()
+    make_balitest()
+    make_chamtest()
     make_colrtest()
     make_colrv1test()
     make_varcolrtest()

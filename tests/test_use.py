@@ -1,10 +1,13 @@
 """The Universal Shaping Engine (``fontrx/font/use.py``), validated
-by an EXACT HarfBuzz differential over the Sinhala corpus font
-(``sinhtest.ttf``) — the script hb routes to USE, with clustering
-that differs from the classic Indic model.
+by EXACT HarfBuzz differentials over the Sinhala corpus font
+(``sinhtest.ttf``) and a Javanese one (``javatest.ttf``) — scripts
+hb routes to USE, with clustering that differs from the classic
+Indic model.
 
-Qualification (run at build time, reduced here): JOINER-FREE text is
-fully exact — length<=3 exhaustive over the fixture alphabet (3,615
+Qualification (run at build time, reduced here): Javanese is exact
+over the len<=3 with-joiners exhaustive (5,219 strings, 0
+divergences; 3/12,000 random in a documented double-modifier
+regrouping class).  For Sinhala, JOINER-FREE text is fully exact — length<=3 exhaustive over the fixture alphabet (3,615
 strings) + 12,000 seeded-random strings at ZERO divergences — and
 every single-joiner pair is exact (length<=2 with ZWJ/ZWNJ in the
 alphabet, 306 strings, 0 divergences).  Sequences with MULTIPLE
@@ -80,6 +83,36 @@ class TestUseShaper:
                for i in sorted(lt.instances, key=lambda i: i.x)]
         assert got == ["e", "ka"]
 
+    @pytest.mark.parametrize("path,text,expected", [
+        # pangkon conjunct + tarung through the layout pipeline
+        ("tests/data/javatest.ttf", "ꦏ꧀ꦠꦴ",
+         ["uA98F", "ta.blw", "uA9B4"]),
+        # taling fronts at layout level
+        ("tests/data/javatest.ttf", "ꦏꦺ",
+         ["uA9BA", "uA98F"]),
+        # adeg-adeg conjunct + tedung
+        ("tests/data/balitest.ttf", "ᬓ᭄ᬢᬵ",
+         ["u1B13", "ta.blw", "u1B35"]),
+        # Cham psts ligature under the cham run
+        ("tests/data/chamtest.ttf", "ꨆꨳꨩ",
+         ["k_a", "uAA29"]),
+    ])
+    def test_layout_routes_use_scripts(self, path, text, expected):
+        """Every USE-routed script shapes at the LAYOUT level too
+        (round-3 verify finding: the shaper was exact when called
+        directly, but layout_text only itemized sinh/tibt runs to
+        it)."""
+        from fontTools.ttLib import TTFont
+
+        from fontrx.scene.layout import layout_text
+
+        font = Font.open(path)
+        names = TTFont(path).getGlyphOrder()
+        lt = layout_text(font, text)
+        got = [names[lt.slot_gids[i.glyph_slot]]
+               for i in sorted(lt.instances, key=lambda i: i.x)]
+        assert got == expected
+
 
 @pytest.mark.skipif(not hb.available(),
                     reason="system libharfbuzz not present")
@@ -119,3 +152,135 @@ class TestUseHbDifferential:
             if d:
                 bad.append(d)
         assert not bad, bad[:5]
+
+
+@pytest.mark.skipif(not hb.available(),
+                    reason="system libharfbuzz not present")
+class TestUseJavanese:
+    """Javanese: pangkon conjuncts (blwf below forms), taling
+    (pre-base vowel) reordering past LIGATED halants, the pengkal
+    post-medial, digit bases."""
+
+    JAVA = "tests/data/javatest.ttf"
+
+    @pytest.fixture(scope="class")
+    def jenv(self):
+        from fontTools.ttLib import TTFont
+
+        font = Font.open(self.JAVA)
+        names = TTFont(self.JAVA).getGlyphOrder()
+        with open(self.JAVA, "rb") as f:
+            data = f.read()
+        return font, names, data
+
+    def test_pinned_cases(self, jenv):
+        font, names, _ = jenv
+        sh = font.use_shaper
+
+        def ours(cps):
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            return [names[g]
+                    for g in sh.shape(cps, gids, script=b"java")]
+
+        # pangkon conjunct below form
+        assert ours([0xA98F, 0xA9C0, 0xA98F]) == ["uA98F", "ka.blw"]
+        # taling reorders before the base
+        assert ours([0xA98F, 0xA9BA]) == ["uA9BA", "uA98F"]
+        # ...and past a LIGATED pangkon to the cluster start
+        assert ours([0xA9C0, 0xA98F, 0xA9BA]) == [
+            "uA9BA", "u25CC", "ka.blw"]
+        # digits act as bases for vowel signs (no dotted circle)
+        assert ours([0xA9D0, 0xA9B4]) == ["uA9D0", "uA9B4"]
+
+    def test_exhaustive_length2(self, jenv):
+        import itertools
+
+        font, names, data = jenv
+        sh = font.use_shaper
+        alpha = [0xA98F, 0xA9A0, 0xA9A4, 0xA9A6, 0xA9C0, 0xA9BA,
+                 0xA9B6, 0xA9B8, 0xA9B4, 0xA981, 0xA982, 0xA983,
+                 0xA9BE, 0xA9BF, 0xA9B3, 0xA9D0, 0x20, 0x200C,
+                 0x200D]
+        bad = []
+        for a, b in itertools.product(alpha, repeat=2):
+            t = chr(a) + chr(b)
+            exp = ["space" if names[g.gid] in ("u200C", "u200D",
+                                               "u0020")
+                   else names[g.gid] for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = ["space" if names[g] in ("u200C", "u200D", "u0020")
+                   else names[g]
+                   for g in sh.shape(cps, gids, script=b"java")]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, bad[:5]
+
+
+@pytest.mark.skipif(not hb.available(),
+                    reason="system libharfbuzz not present")
+class TestUseBaliCham:
+    """Balinese and Cham (USE-routed): adeg-adeg conjuncts and the
+    canonical COMPOSE pass (Balinese AKARA+TEDUNG), Cham medials and
+    letter-finals-as-bases.  Exhaustive length-2 with joiners is
+    exact for both; longer multi-joiner sequences carry the
+    documented residual."""
+
+    SPECS = {
+        "bali": ("tests/data/balitest.ttf", b"bali",
+                 [0x1B13, 0x1B22, 0x1B2E, 0x1B44, 0x1B3E, 0x1B36,
+                  0x1B38, 0x1B35, 0x1B01, 0x1B03, 0x1B04, 0x1B00,
+                  0x1B05, 0x1B50, 0x20, 0x200C, 0x200D]),
+        "cham": ("tests/data/chamtest.ttf", b"cham",
+                 [0xAA06, 0xAA08, 0xAA23, 0xAA33, 0xAA34, 0xAA2F,
+                  0xAA2A, 0xAA32, 0xAA40, 0xAA41, 0xAA43, 0xAA4D,
+                  0xAA29, 0xAA00, 0xAA50, 0x20, 0x200C, 0x200D]),
+    }
+
+    @pytest.mark.parametrize("script", sorted(SPECS))
+    def test_exhaustive_length2(self, script):
+        import itertools
+
+        from fontTools.ttLib import TTFont
+
+        path, tag, alpha = self.SPECS[script]
+        font = Font.open(path)
+        names = TTFont(path).getGlyphOrder()
+        with open(path, "rb") as f:
+            data = f.read()
+        sh = font.use_shaper
+        hid = ("u200C", "u200D", "u0020")
+        bad = []
+        for a, b in itertools.product(alpha, repeat=2):
+            t = chr(a) + chr(b)
+            exp = ["sp" if names[g.gid] in hid else names[g.gid]
+                   for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = ["sp" if names[g] in hid else names[g]
+                   for g in sh.shape(cps, gids, script=tag)]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, bad[:5]
+
+    def test_pinned_cases(self):
+        from fontTools.ttLib import TTFont
+
+        path, tag, _ = self.SPECS["bali"]
+        font = Font.open(path)
+        names = TTFont(path).getGlyphOrder()
+        sh = font.use_shaper
+
+        def ours(cps):
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            return [names[g] for g in sh.shape(cps, gids, script=tag)]
+
+        # adeg-adeg conjunct below form
+        assert ours([0x1B13, 0x1B44, 0x1B13]) == ["u1B13", "ka.blw"]
+        # taling fronts
+        assert ours([0x1B13, 0x1B3E]) == ["u1B3E", "u1B13"]
+        # canonical composition when the font maps the composite
+        assert ours([0x1B05, 0x1B35]) == ["u1B06"]
+        # ...but split matras never recompose off a mark
+        assert ours([0x1B13, 0x1B3E, 0x1B35]) == [
+            "u1B3E", "k_a"]

@@ -106,7 +106,11 @@ def use_category(cp: int) -> str:
         return "V" + _pos_suffix(inpc)
     if insc == "Number_Joiner":
         return "HN"
-    if insc in ("Number", "Brahmi_Joining_Number"):
+    if insc == "Number":
+        # digits act as BASES (hb-pinned: Javanese digit + vowel
+        # sign is one cluster, no dotted circle)
+        return "B"
+    if insc == "Brahmi_Joining_Number":
         return "N"
     if insc == "Consonant_Placeholder":
         return "GB"
@@ -115,6 +119,11 @@ def use_category(cp: int) -> str:
     if insc == "Consonant_Medial":
         return "M" + _pos_suffix(inpc)
     if insc in ("Consonant_Final", "Consonant_Succeeding_Repha"):
+        # final-consonant LETTERS act as bases (hb-pinned: a lone
+        # Cham final takes no dotted circle); combining finals keep
+        # their positional class
+        if gc not in ("Mn", "Mc"):
+            return "B"
         return "F" + _pos_suffix(inpc)
     if insc in ("Nukta", "Gemination_Mark", "Consonant_Killer"):
         return "CM" + ("Blw" if _pos_suffix(inpc) == "Blw" else "Abv")
