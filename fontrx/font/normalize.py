@@ -54,10 +54,26 @@ _MODIFIED = {
     # Thai / Lao sara u below-vowels reorder before everything
     103: 3,
     118: 118,
+    # Tibetan: sign i (130) and sign u (132) SWAP so u sorts first;
+    # sign aa (129) stays ahead of both (probed against hb on the
+    # Tibetan corpus font, tests/test_use.py)
+    130: 132,
+    132: 131,
+}
+
+# per-CODEPOINT overrides (hb special-cases these ahead of the ccc
+# permutation; each probed empirically on the corpus fonts)
+_CP_OVERRIDES = {
+    0x0F39: 127,  # Tibetan tsa -phru sorts before the vowels
+    0x0FC6: 254,  # Tibetan padma sorts after everything
+    0x1A60: 254,  # Tai Tham sakot sorts after the tone marks
 }
 
 
 def modified_combining_class(cp: int) -> int:
+    hit = _CP_OVERRIDES.get(cp)
+    if hit is not None:
+        return hit
     ccc = unicodedata.combining(chr(cp))
     return _MODIFIED.get(ccc, ccc)
 

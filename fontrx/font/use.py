@@ -92,9 +92,47 @@ _OVERRIDES = {
     # Cham AA is a vowel MODIFIER (hb-pinned: VBlw+AA merges as
     # vowel+modifier, AA+vowel splits)
     0xAA29: "Q",
+    # Tibetan overrides, every rule hb-probe-pinned on the corpus
+    # font: the a-chung (vowel aa) is a consonant modifier (it rides
+    # BEFORE subjoined letters in a stack: KA+AA+subjoined-KA is one
+    # cluster), the tsheg is a generic base (vowel after tsheg takes
+    # no dotted circle), vowel u occupies its own slot before the
+    # above vowels (u+i joins, halanta+u splits), and the halanta
+    # rides the above-vowel slot (halanta+i joins, halanta+u and
+    # halanta+subjoined split)
+    0x0F71: "y",
+    0x0F0B: "G",
+    0x0F74: "t",
+    0x0F84: "A",
+    # ...and the tsa -phru is a consonant modifier that doubles at
+    # the cluster-INITIAL slot but is singular after a subjoined
+    # continuation (hb-pinned: KA+tsa-phru+tsa-phru is one cluster,
+    # subjoined-KA+tsa-phru+tsa-phru dc-splits the second)
+    0x0F39: "X",
+    # Tibetan head marks, astrological signs, shads and paired
+    # punctuation all HOST marks (hb-probed: sign+vowel takes no
+    # dotted circle for every one of these); rnam bcad (0F7F) and
+    # paluta (0F85) also stand alone dc-less
+    **{cp: "G" for cp in (
+        list(range(0x0F00, 0x0F18)) + list(range(0x0F1A, 0x0F20))
+        + [0x0F34, 0x0F36, 0x0F38] + list(range(0x0F3A, 0x0F3E))
+        + [0x0F7F, 0x0F85])},
+    # yar tshes / mar tshes ride as POST/PRE vowels (hb-pinned:
+    # 0F3F reorders before its base)
+    0x0F3E: "d",
+    0x0F3F: "p",
+    # the digit-attaching astrological signs (ccc 220) land after
+    # the vowels and before VPst/VMs — the below-vowel slot
+    0x0F18: "b",
+    0x0F19: "b",
+    # the undecomposable composite vowels ride the u-vowel slot
+    # (hb-pinned: they chain, follow a-chung, precede above vowels,
+    # and never follow one)
+    0x0F77: "t",
+    0x0F79: "t",
 }
 
-_POST_BASE = frozenset("fghklmabdQWE")  # post-base letters (reorder)
+_POST_BASE = frozenset("fghklmabdQWEtA")  # post-base letters (reorder)
 
 
 def _letter(cp: int) -> str:
@@ -113,14 +151,16 @@ def _letter(cp: int) -> str:
 # cecak-telu is one cluster).  Residual documented divergence: a
 # modifier run followed by a bare halant regroups differently in hb
 # (degenerate text)
-_cm = "(?:x*y*(?:(?:[HK]J?B|U)v?x*y*)*)"
+_cm = "(?:[Xx]*y*(?:(?:[HK]J?B|U)v?X?x*y*)*)"
 _med = "j?k?l?m?"
 # halant first: longest-match over ordered alternation — and a BARE
 # halant terminates its cluster (no modifiers chain onto it).
 # Joiners never cluster: they separate like "other" characters and
 # hide at render time.  The halant-or-vowel-modifier (K) may trail
 # a vowel group
-_vowels_vm = "(?:[HK]P*Q*W*E*|p*a*b*d*K?P*Q*W*E*)"
+# Tibetan slots: t (vowel u) before the above vowels, A
+# (halanta) interleaving them — both hb-probe-pinned
+_vowels_vm = "(?:[HK]P*Q*W*E*|p*t*[Aa]*b*d*K?P*Q*W*E*)"
 _finals = "f*g*h*"
 _fm = "(?:u*i*|o?)"
 _start = "(?:[Rc]?[BG]v?)"
@@ -269,7 +309,15 @@ class UseShaper:
                         and (k == 0
                              or buf[k - 1].cat in ("z", "J", "O"))
                         and k + 1 < len(buf)
-                        and buf[k + 1].cat == "B"):
+                        and (buf[k + 1].cat == "B"
+                             # ...or a REAL generic base (hb-pinned:
+                             # ZWNJ+tsheg takes a dc; ZWNJ+space,
+                             # ZWNJ+dotted-circle and ZWNJ+rnam bcad
+                             # don't)
+                             or (buf[k + 1].cat == "G"
+                                 and buf[k + 1].cp
+                                 not in (0x20, 0xA0, 0x25CC,
+                                         0x0F7F)))):
                     buf.insert(k, _Glyph(dc_gid0, 0x25CC, "G", 0, 0))
                     k += 1
                 k += 1

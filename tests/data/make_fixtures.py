@@ -1229,6 +1229,54 @@ feature psts {
     print("wrote chamtest.ttf")
 
 
+def make_tibttest():
+    """Tibetan corpus font (USE-routed): subjoined stacks (blws
+    ligature forms), above/below vowels, a-chung, tsa -phru,
+    halanta; the script that pinned hb's modified-ccc mark reorder
+    (sign u before sign i, tsa -phru before the vowels)."""
+    cps = (list(range(0x0F00, 0x0F48)) + list(range(0x0F49, 0x0F6D))
+           + list(range(0x0F71, 0x0F98)) + list(range(0x0F99, 0x0FBD))
+           + [0x0FC6, 0x25CC, 0x20, 0x200C, 0x200D])
+    forms = ["k_r", "s_g", "k_i"]
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps] + forms
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 650 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": "TibtTest", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fea = """
+languagesystem DFLT dflt;
+languagesystem tibt dflt;
+
+feature blws {
+    sub u0F40 u0FB2 by k_r;
+    sub u0F66 u0F92 by s_g;
+} blws;
+
+feature abvs {
+    sub u0F40 u0F72 by k_i;
+} abvs;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "tibttest.ttf"))
+    print("wrote tibttest.ttf")
+
+
 def make_colrtest():
     """COLR v0 + CPAL color-layer font: three base color glyphs
     (square-on-square, overlapping discs, a glyph using the 0xFFFF
@@ -2472,6 +2520,7 @@ if __name__ == "__main__":
     make_javatest()
     make_balitest()
     make_chamtest()
+    make_tibttest()
     make_colrtest()
     make_colrv1test()
     make_varcolrtest()

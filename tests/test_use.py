@@ -284,3 +284,105 @@ class TestUseBaliCham:
         # ...but split matras never recompose off a mark
         assert ours([0x1B13, 0x1B3E, 0x1B35]) == [
             "u1B3E", "k_a"]
+
+
+@pytest.mark.skipif(not hb.available(),
+                    reason="system libharfbuzz not present")
+class TestUseTibetan:
+    """Tibetan (USE-routed, no halant — stacks are direct subjoined
+    letters).  The script that pinned hb's MODIFIED combining-class
+    reorder (sign u sorts before sign i, tsa -phru before the
+    vowels) and a set of probed category overrides: a-chung as
+    consonant modifier, halanta riding the above-vowel slot, head
+    marks / shads / paired punctuation hosting marks as bases.
+
+    Qualification at build time: ZERO divergences over the FULL
+    187-cp block alphabet, length<=2 with joiners (35,156 strings),
+    the 20-cp core length<=3 exhaustive + 8,000 random (16,420), and
+    6,000 full-alphabet random strings.  Reduced here."""
+
+    TIBT = "tests/data/tibttest.ttf"
+
+    @pytest.fixture(scope="class")
+    def tenv(self):
+        from fontTools.ttLib import TTFont
+
+        font = Font.open(self.TIBT)
+        names = TTFont(self.TIBT).getGlyphOrder()
+        with open(self.TIBT, "rb") as f:
+            data = f.read()
+        return font, names, data
+
+    def test_pinned_cases(self, tenv):
+        font, names, _ = tenv
+        sh = font.use_shaper
+
+        def ours(cps):
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            return [names[g]
+                    for g in sh.shape(cps, gids, script=b"tibt")]
+
+        # modified ccc: sign u (132->131) sorts before sign i
+        # (130->132)
+        assert ours([0x0F40, 0x0F72, 0x0F74]) == [
+            "u0F40", "u0F74", "u0F72"]
+        # tsa -phru (216->127) fronts the mark run
+        assert ours([0x0F40, 0x0F72, 0x0F39]) == [
+            "u0F40", "u0F39", "u0F72"]
+        # a-chung is a consonant modifier: rides before subjoined
+        assert ours([0x0F40, 0x0F71, 0x0F90]) == [
+            "u0F40", "u0F71", "u0F90"]
+        # halanta rides the above-vowel slot: +i joins, +u dc-splits
+        assert ours([0x0F40, 0x0F84, 0x0F72]) == [
+            "u0F40", "u0F84", "u0F72"]
+        assert ours([0x0F40, 0x0F84, 0x0F74]) == [
+            "u0F40", "u0F84", "u25CC", "u0F74"]
+        # blws ligature through the subjoined stack
+        assert ours([0x0F40, 0x0FB2]) == ["k_r"]
+        # head marks host vowels (no dotted circle)
+        assert ours([0x0F01, 0x0F72]) == ["u0F01", "u0F72"]
+        # sign mar tshes reorders before its base
+        assert ours([0x0F01, 0x0F3F]) == ["u0F3F", "u0F01"]
+
+    def test_exhaustive_length2(self, tenv):
+        font, names, data = tenv
+        sh = font.use_shaper
+        alpha = [0x0F40, 0x0F66, 0x0F90, 0x0FB2, 0x0F71, 0x0F72,
+                 0x0F74, 0x0F7A, 0x0F7E, 0x0F39, 0x0F84, 0x0F77,
+                 0x0F18, 0x0F3F, 0x0F7F, 0x0F01, 0x0F20, 0x0F0B,
+                 0x20, 0x200C, 0x200D]
+        hid = ("u200C", "u200D", "u0020")
+        bad = []
+        for a, b in itertools.product(alpha, repeat=2):
+            t = chr(a) + chr(b)
+            exp = ["sp" if names[g.gid] in hid else names[g.gid]
+                   for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = ["sp" if names[g] in hid else names[g]
+                   for g in sh.shape(cps, gids, script=b"tibt")]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, bad[:5]
+
+    def test_random_joiner_free(self, tenv):
+        font, names, data = tenv
+        sh = font.use_shaper
+        from fontTools.ttLib import TTFont
+
+        cmap = TTFont(self.TIBT).getBestCmap()
+        alpha = sorted(cp for cp in cmap
+                       if 0x0F00 <= cp <= 0x0FFF) + [0x20]
+        rng = random.Random(20260819)
+        bad = []
+        for _ in range(800):
+            t = "".join(chr(rng.choice(alpha))
+                        for _ in range(rng.randint(3, 6)))
+            exp = [names[g.gid] for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = [names[g]
+                   for g in sh.shape(cps, gids, script=b"tibt")]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, bad[:5]
