@@ -130,6 +130,32 @@ _OVERRIDES = {
     # and never follow one)
     0x0F77: "t",
     0x0F79: "t",
+    # Tai Tham: the sakot is a stacker that ALSO trails a finished
+    # cluster (modified ccc 254 sorts it last; hb-pinned:
+    # vowel+sakot and tone+sakot join, sakot+tone splits), and the
+    # cryptogrammic dot is a VMBlw (rides before final signs)
+    0x1A60: "w",
+    0x1A7F: "W",
+    # the mai sams CHAIN and mix freely with the vowel-modifier
+    # group in either order (one [QM]* slot, hb-probed), and low pa
+    # is an above-medial (joins only directly after the base,
+    # single)
+    0x1A7B: "M",
+    0x1A7C: "M",
+    0x1A5A: "k",
+    # Sundanese: the avagraha is a full BASE (hosts marks, takes the
+    # ZWNJ dotted circle); panyecek/panglayar/pangwisad are FINAL
+    # consonant signs ordered panyecek < pangwisad < panglayar
+    # (hb-pinned); the invisible virama is a TERMINAL stacker — it
+    # conjoins a following consonant but nothing may trail it, not
+    # even the marks a bare Javanese pangkon accepts
+    0x1BBA: "B",
+    0x1B80: "f",
+    0x1B82: "g",
+    0x1B81: "h",
+    0x1BAB: "q",
+    # ...and the supplement's bindu punctuation hosts marks
+    **{cp: "G" for cp in range(0x1CC0, 0x1CC8)},
 }
 
 _POST_BASE = frozenset("fghklmabdQWEtA")  # post-base letters (reorder)
@@ -151,7 +177,7 @@ def _letter(cp: int) -> str:
 # cecak-telu is one cluster).  Residual documented divergence: a
 # modifier run followed by a bare halant regroups differently in hb
 # (degenerate text)
-_cm = "(?:[Xx]*y*(?:(?:[HK]J?B|U)v?X?x*y*)*)"
+_cm = "(?:[Xx]*y*(?:(?:[HKq]J?B|U)v?X?x*y*)*)"
 _med = "j?k?l?m?"
 # halant first: longest-match over ordered alternation — and a BARE
 # halant terminates its cluster (no modifiers chain onto it).
@@ -160,7 +186,9 @@ _med = "j?k?l?m?"
 # a vowel group
 # Tibetan slots: t (vowel u) before the above vowels, A
 # (halanta) interleaving them — both hb-probe-pinned
-_vowels_vm = "(?:[HK]P*Q*W*E*|p*t*[Aa]*b*d*K?P*Q*W*E*)"
+_vm = "P*[QM]*W*E*"
+_vowels_plain = f"p*t*[Aa]*b*d*K?{_vm}"
+_vowels_vm = f"(?:[HK]{_vm}|{_vowels_plain})"
 _finals = "f*g*h*"
 _fm = "(?:u*i*|o?)"
 _start = "(?:[Rc]?[BG]v?)"
@@ -170,13 +198,28 @@ _middle = f"{_cm}{_med}{_vowels_vm}"
 # the taling still fronts); broken tails don't
 _med_j = ("(?:[Jz]?j)?(?:[Jz]?k)?(?:[Jz]?l)?(?:[Jz]?m)?")
 _middle_j = f"{_cm}{_med_j}[Jz]?{_vowels_vm}"
-_tail = f"{_middle}{_finals}{_fm}"
-_tail_j = f"{_middle_j}{_finals}{_fm}"
+# the Tai Tham sakot stack (w J? B) appears at most ONCE per
+# cluster — either before the vowel group or terminally after it
+# (hb-pinned: base+sakot+base+vowel and base+vowel+sakot+base both
+# join; a second sakot stack starts a new cluster); a bare trailing
+# sakot terminates, and finals may follow a terminal stack
+_stack = "wJ?Bv?X?x*y*"
+# a bare halant accepts trailing VMs and finals (hb-pinned:
+# Javanese pangkon+layar joins) but the TERMINAL stacker (q)
+# accepts nothing
+_plain_end = (f"{_vowels_plain}(?:w(?:J?B(?:{_finals}{_fm})?w?)?"
+              f"|{_finals}{_fm})")
+_tail = (f"(?:{_stack}{_cm}{_med}{_vowels_plain}(?:w|{_finals}{_fm})"
+         f"|{_cm}{_med}(?:q|[HK]{_vm}{_finals}{_fm}|{_plain_end}))")
+_tail_j = (f"(?:{_stack}{_cm}{_med_j}[Jz]?{_vowels_plain}"
+           f"(?:w|{_finals}{_fm})"
+           f"|{_cm}{_med_j}[Jz]?"
+           f"(?:q|[HK]{_vm}{_finals}{_fm}|{_plain_end}))")
 _num_tail = "(?:nNv?)"
 _sym_tail = "(?:u+i*|i+)"
 _PRODUCTIONS = (
     ("standard", re.compile(f"{_start}{_tail_j}")),
-    ("virama", re.compile(f"{_start}{_cm}[Jz]?[HK]")),
+    ("virama", re.compile(f"{_start}{_cm}[Jz]?[HKwq]")),
     ("numeral", re.compile(f"Nv?{_num_tail}*n?")),
     ("symbol", re.compile(f"[sG]v?{_sym_tail}?")),
     ("broken", re.compile(f"R?(?:{_tail}|{_num_tail}+|{_sym_tail})")),
@@ -414,13 +457,15 @@ class UseShaper:
         i = start
         while i < end:
             g = info[i]
-            if g.cat in ("H", "K") and not g.ligated:
+            if g.cat in ("H", "K", "q") and not g.ligated:
                 # a LIGATED halant (consumed into a conjunct form) no
                 # longer blocks pre-base vowels from the start
                 j = i + 1
             elif g.cat in ("p", "P"):
+                # each pre-base vowel moves to the cluster START, so
+                # multiple pre-vowels come out REVERSED (hb-pinned:
+                # base+e+aue renders aue, e, base)
                 if i != j:
                     del info[i]
                     info.insert(j, g)
-                j += 1
             i += 1

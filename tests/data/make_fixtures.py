@@ -1277,6 +1277,102 @@ feature abvs {
     print("wrote tibttest.ttf")
 
 
+def make_lanatest():
+    """Tai Tham corpus font (USE-routed): sakot conjunct below forms
+    (blwf), a psts ligature, medials, the full mark inventory; the
+    script that pinned the sakot's dual stacker/terminator role and
+    the mai sam [QM]* slot."""
+    cps = (list(range(0x1A20, 0x1A4D)) + [0x1A55, 0x1A56, 0x1A57]
+           + list(range(0x1A58, 0x1A5F)) + list(range(0x1A60, 0x1A7D))
+           + [0x1A7F] + list(range(0x1A80, 0x1A8A))
+           + list(range(0x1A90, 0x1A9A))
+           + [0x25CC, 0x20, 0x200C, 0x200D])
+    forms = ["ka.blw", "ta.blw", "k_aa"]
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps] + forms
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 650 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": "LanaTest", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fea = """
+languagesystem DFLT dflt;
+languagesystem lana dflt;
+
+feature blwf {
+    sub u1A60 u1A20 by ka.blw;
+    sub u1A60 u1A32 by ta.blw;
+} blwf;
+
+feature psts {
+    sub u1A20 u1A63 by k_aa;
+} psts;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "lanatest.ttf"))
+    print("wrote lanatest.ttf")
+
+
+def make_sundtest():
+    """Sundanese corpus font (USE-routed): pasangan conjuncts via
+    the invisible virama (blwf), medials, the final-sign ordering
+    (panyecek < pangwisad < panglayar), supplement punctuation."""
+    cps = (list(range(0x1B80, 0x1BC0)) + list(range(0x1CC0, 0x1CC8))
+           + [0x25CC, 0x20, 0x200C, 0x200D])
+    forms = ["ka.blw", "ta.blw", "k_u"]
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps] + forms
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 650 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": "SundTest", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fea = """
+languagesystem DFLT dflt;
+languagesystem sund dflt;
+
+feature blwf {
+    sub u1BAB u1B8A by ka.blw;
+    sub u1BAB u1B98 by ta.blw;
+} blwf;
+
+feature psts {
+    sub u1B8A u1BA5 by k_u;
+} psts;
+"""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, "sundtest.ttf"))
+    print("wrote sundtest.ttf")
+
+
 def make_colrtest():
     """COLR v0 + CPAL color-layer font: three base color glyphs
     (square-on-square, overlapping discs, a glyph using the 0xFFFF
@@ -2521,6 +2617,8 @@ if __name__ == "__main__":
     make_balitest()
     make_chamtest()
     make_tibttest()
+    make_lanatest()
+    make_sundtest()
     make_colrtest()
     make_colrv1test()
     make_varcolrtest()

@@ -386,3 +386,210 @@ class TestUseTibetan:
             if exp != got:
                 bad.append((t, exp, got))
         assert not bad, bad[:5]
+
+
+@pytest.mark.skipif(not hb.available(),
+                    reason="system libharfbuzz not present")
+class TestUseTaiTham:
+    """Tai Tham (USE-routed): the sakot's DUAL role — an invisible
+    stacker forming conjuncts (at most one stack per cluster, before
+    or after the vowel group) AND a bare cluster terminator that
+    trails vowels/tones (modified ccc 254 sorts it last); the mai
+    sams mix freely with the vowel modifiers in one [QM]* slot; low
+    pa is an above-medial; multiple pre-base vowels REVERSE when
+    fronting.
+
+    Qualification at build time: ZERO divergences over the FULL
+    105-cp block alphabet length<=2 with joiners (11,772 strings)
+    and a 22-cp core length<=3 exhaustive + 8,000 random (19,154).
+    Reduced here."""
+
+    LANA = "tests/data/lanatest.ttf"
+
+    @pytest.fixture(scope="class")
+    def lenv(self):
+        from fontTools.ttLib import TTFont
+
+        font = Font.open(self.LANA)
+        names = TTFont(self.LANA).getGlyphOrder()
+        with open(self.LANA, "rb") as f:
+            data = f.read()
+        return font, names, data
+
+    def test_pinned_cases(self, lenv):
+        font, names, _ = lenv
+        sh = font.use_shaper
+
+        def ours(cps):
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            return [names[g]
+                    for g in sh.shape(cps, gids, script=b"lana")]
+
+        # sakot conjunct (blwf below form), pre-vowel stack
+        assert ours([0x1A20, 0x1A60, 0x1A32, 0x1A63]) == [
+            "u1A20", "ta.blw", "u1A63"]
+        # ...and post-vowel terminal stack (with the psts ligature)
+        assert ours([0x1A20, 0x1A63, 0x1A60, 0x1A32]) == [
+            "k_aa", "ta.blw"]
+        # a vowel after a terminal stack starts a new (dc) cluster
+        assert ours([0x1A20, 0x1A63, 0x1A60, 0x1A32, 0x1A63]) == [
+            "k_aa", "ta.blw", "u25CC", "u1A63"]
+        # a second sakot stack never joins: trailing sakot, new base
+        assert ours([0x1A20, 0x1A60, 0x1A32, 0x1A60, 0x1A3F]) == [
+            "u1A20", "ta.blw", "u1A60", "u1A3F"]
+        # tone + sakot: modified ccc 254 sorts the sakot last in
+        # BOTH input orders, and the trailing sakot joins
+        assert ours([0x1A20, 0x1A60, 0x1A75]) == [
+            "u1A20", "u1A75", "u1A60"]
+        assert ours([0x1A20, 0x1A75, 0x1A60]) == [
+            "u1A20", "u1A75", "u1A60"]
+        # mai sam mixes with vowel modifiers in either order
+        assert ours([0x1A20, 0x1A7B, 0x1A74]) == [
+            "u1A20", "u1A7B", "u1A74"]
+        assert ours([0x1A20, 0x1A74, 0x1A7B]) == [
+            "u1A20", "u1A74", "u1A7B"]
+        # multiple pre-base vowels REVERSE when fronting
+        assert ours([0x1A20, 0x1A6E, 0x1A6F]) == [
+            "u1A6F", "u1A6E", "u1A20"]
+
+    def test_exhaustive_length2(self, lenv):
+        font, names, data = lenv
+        sh = font.use_shaper
+        alpha = [0x1A20, 0x1A32, 0x1A55, 0x1A56, 0x1A5A, 0x1A60,
+                 0x1A63, 0x1A65, 0x1A69, 0x1A6E, 0x1A6F, 0x1A74,
+                 0x1A75, 0x1A7A, 0x1A7B, 0x1A7F, 0x1A58, 0x1A80,
+                 0x20, 0x200C, 0x200D]
+        hid = ("u200C", "u200D", "u0020")
+        bad = []
+        for a, b in itertools.product(alpha, repeat=2):
+            t = chr(a) + chr(b)
+            exp = ["sp" if names[g.gid] in hid else names[g.gid]
+                   for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = ["sp" if names[g] in hid else names[g]
+                   for g in sh.shape(cps, gids, script=b"lana")]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, bad[:5]
+
+    def test_random_joiner_free(self, lenv):
+        font, names, data = lenv
+        sh = font.use_shaper
+        from fontTools.ttLib import TTFont
+
+        cmap = TTFont(self.LANA).getBestCmap()
+        alpha = sorted(cp for cp in cmap
+                       if 0x1A20 <= cp <= 0x1AAF) + [0x20]
+        rng = random.Random(20260819)
+        bad = []
+        for _ in range(800):
+            t = "".join(chr(rng.choice(alpha))
+                        for _ in range(rng.randint(3, 6)))
+            exp = [names[g.gid] for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = [names[g]
+                   for g in sh.shape(cps, gids, script=b"lana")]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, bad[:5]
+
+
+@pytest.mark.skipif(not hb.available(),
+                    reason="system libharfbuzz not present")
+class TestUseSundanese:
+    """Sundanese (USE-routed): the invisible virama is a TERMINAL
+    stacker (conjoins a following consonant, but a bare one accepts
+    no trailing marks — unlike the Javanese pangkon); the final
+    signs order panyecek < pangwisad < panglayar; pre-base vowels
+    front only up to the nearest preceding stacker; the avagraha is
+    a full base.
+
+    Qualification at build time: ZERO divergences over the full
+    72-cp block+supplement alphabet length<=2 with joiners (5,700
+    strings) and a 21-cp core length<=3 exhaustive + 8,000 random
+    (17,723).  Reduced here."""
+
+    SUND = "tests/data/sundtest.ttf"
+
+    @pytest.fixture(scope="class")
+    def senv(self):
+        from fontTools.ttLib import TTFont
+
+        font = Font.open(self.SUND)
+        names = TTFont(self.SUND).getGlyphOrder()
+        with open(self.SUND, "rb") as f:
+            data = f.read()
+        return font, names, data
+
+    def test_pinned_cases(self, senv):
+        font, names, _ = senv
+        sh = font.use_shaper
+
+        def ours(cps):
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            return [names[g]
+                    for g in sh.shape(cps, gids, script=b"sund")]
+
+        # pasangan conjunct via the invisible virama
+        assert ours([0x1B8A, 0x1BAB, 0x1B98]) == [
+            "u1B8A", "ta.blw"]
+        # a bare virama accepts NO trailing marks
+        assert ours([0x1B8A, 0x1BAB, 0x1B80]) == [
+            "u1B8A", "u1BAB", "u25CC", "u1B80"]
+        # final signs: panyecek+panglayar joins, panglayar+panyecek
+        # splits
+        assert ours([0x1B8A, 0x1B80, 0x1B81]) == [
+            "u1B8A", "u1B80", "u1B81"]
+        assert ours([0x1B8A, 0x1B81, 0x1B80]) == [
+            "u1B8A", "u1B81", "u25CC", "u1B80"]
+        # pre-base vowel fronts only up to the stacker
+        assert ours([0x1BAB, 0x1BB0, 0x1BA6]) == [
+            "u25CC", "u1BAB", "u1BA6", "u1BB0"]
+        # the avagraha hosts marks as a base
+        assert ours([0x1BBA, 0x1B80]) == ["u1BBA", "u1B80"]
+
+    def test_exhaustive_length2(self, senv):
+        font, names, data = senv
+        sh = font.use_shaper
+        alpha = [0x1B80, 0x1B81, 0x1B82, 0x1B8A, 0x1B98, 0x1BA8,
+                 0x1BA1, 0x1BA2, 0x1BA3, 0x1BA4, 0x1BA5, 0x1BA6,
+                 0x1BA9, 0x1BAA, 0x1BAB, 0x1BAC, 0x1BAD, 0x1BB0,
+                 0x1BBA, 0x1CC0, 0x20, 0x200C, 0x200D]
+        hid = ("u200C", "u200D", "u0020")
+        bad = []
+        for a, b in itertools.product(alpha, repeat=2):
+            t = chr(a) + chr(b)
+            exp = ["sp" if names[g.gid] in hid else names[g.gid]
+                   for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = ["sp" if names[g] in hid else names[g]
+                   for g in sh.shape(cps, gids, script=b"sund")]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, bad[:5]
+
+    def test_random_joiner_free(self, senv):
+        font, names, data = senv
+        sh = font.use_shaper
+        from fontTools.ttLib import TTFont
+
+        cmap = TTFont(self.SUND).getBestCmap()
+        alpha = sorted(cp for cp in cmap
+                       if 0x1B80 <= cp <= 0x1BBF
+                       or 0x1CC0 <= cp <= 0x1CCF) + [0x20]
+        rng = random.Random(20260819)
+        bad = []
+        for _ in range(800):
+            t = "".join(chr(rng.choice(alpha))
+                        for _ in range(rng.randint(3, 6)))
+            exp = [names[g.gid] for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = [names[g]
+                   for g in sh.shape(cps, gids, script=b"sund")]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, bad[:5]
