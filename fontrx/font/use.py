@@ -156,6 +156,40 @@ _OVERRIDES = {
     0x1BAB: "q",
     # ...and the supplement's bindu punctuation hosts marks
     **{cp: "G" for cp in range(0x1CC0, 0x1CC8)},
+    # Buginese: vowel sign U rides the SAME slot as the above vowels
+    # (hb-pinned: u+i, u+ae join in either order; o+u splits) and
+    # the pallawa punctuation hosts marks
+    0x1A18: "a",
+    0x1A1E: "G",
+    0x1A1F: "G",
+    # Batak: pangolat/panongonan are vowel KILLERS — repeatable
+    # halants that a full vowel group may TRAIL (hb-pinned:
+    # killer+vowel and killer+killer join, vowel+killer dc-splits,
+    # killer+vowel+killer splits at the second killer — unlike the
+    # single-shot Javanese pangkon / Sinhala al-lakuna), and the
+    # vowel signs ride the vowel-MODIFIER slots (above before post);
+    # the symbols/punctuation host marks
+    0x1BF2: "e",
+    0x1BF3: "e",
+    **{cp: "Q" for cp in (0x1BE8, 0x1BE9, 0x1BED, 0x1BEF)},
+    **{cp: "E" for cp in (0x1BE7, 0x1BEA, 0x1BEB, 0x1BEC, 0x1BEE)},
+    **{cp: "G" for cp in range(0x1BFC, 0x1C00)},
+    # Lepcha: vowel sign OO renders LEFT of the base (hb-pinned: it
+    # fronts in the reorder); the ta-rol punctuation hosts marks
+    0x1C29: "p",
+    **{cp: "G" for cp in range(0x1C3B, 0x1C40)},
+    # Saurashtra dandas host marks
+    0xA8CE: "G",
+    0xA8CF: "G",
+    # Limbu: the kemphreng (SA-I) is a vowel MODIFIER — it follows
+    # every vowel incl. VPst and precedes the small-letter finals
+    # (hb-pinned: u+kemphreng joins, kemphreng+vowel splits,
+    # mukphreng+kemphreng splits); loo and the punctuation host
+    # marks
+    0x193A: "Q",
+    0x1940: "G",
+    0x1944: "G",
+    0x1945: "G",
 }
 
 _POST_BASE = frozenset("fghklmabdQWEtA")  # post-base letters (reorder)
@@ -177,49 +211,61 @@ def _letter(cp: int) -> str:
 # cecak-telu is one cluster).  Residual documented divergence: a
 # modifier run followed by a bare halant regroups differently in hb
 # (degenerate text)
-_cm = "(?:[Xx]*y*(?:(?:[HKq]J?B|U)v?X?x*y*)*)"
-_med = "j?k?l?m?"
+#
+# Joiner transparency (hb-pinned on every USE corpus font): a joiner
+# run carrying at most ONE ZWNJ is transparent between a cluster and
+# its continuing marks — base+ZWNJ+vowel/CM/SUB/final all join with
+# no dotted circle (the joiner stays put, fronting moves past it, and
+# GSUB still sees it, so ligatures stay blocked); a run with two
+# ZWNJs is not (base+ZWNJ+ZWNJ+vowel dc-splits).  This holds in
+# BROKEN clusters too (dc+mark+ZWNJ+mark is one cluster).
+_j = "(?:J*z?J*)"
+_cm = (f"(?:(?:{_j}[Xx])*(?:{_j}y)*"
+       f"(?:(?:{_j}[HKqe]J?B|{_j}U)v?"
+       f"(?:{_j}X)?(?:{_j}x)*(?:{_j}y)*)*)")
+_med = f"(?:{_j}j)?(?:{_j}k)?(?:{_j}l)?(?:{_j}m)?"
 # halant first: longest-match over ordered alternation — and a BARE
 # halant terminates its cluster (no modifiers chain onto it).
-# Joiners never cluster: they separate like "other" characters and
-# hide at render time.  The halant-or-vowel-modifier (K) may trail
-# a vowel group
+# Joiners outside these slots never cluster: they separate like
+# "other" characters and hide at render time.  The
+# halant-or-vowel-modifier (K) may trail a vowel group
 # Tibetan slots: t (vowel u) before the above vowels, A
 # (halanta) interleaving them — both hb-probe-pinned
-_vm = "P*[QM]*W*E*"
-_vowels_plain = f"p*t*[Aa]*b*d*K?{_vm}"
+_vm = f"(?:{_j}P)*(?:{_j}[QM])*(?:{_j}W)*(?:{_j}E)*"
+_vowels_plain = (f"(?:{_j}p)*(?:{_j}t)*(?:{_j}[Aa])*(?:{_j}b)*"
+                 f"(?:{_j}d)*(?:{_j}K)?{_vm}")
 _vowels_vm = f"(?:[HK]{_vm}|{_vowels_plain})"
-_finals = "f*g*h*"
-_fm = "(?:u*i*|o?)"
+_finals = f"(?:{_j}f)*(?:{_j}g)*(?:{_j}h)*"
+_fm = f"(?:(?:{_j}u)*(?:{_j}i)*|(?:{_j}o)?)"
 _start = "(?:[Rc]?[BG]v?)"
-_middle = f"{_cm}{_med}{_vowels_vm}"
-# the standard tail admits a single joiner before each medial and
-# before the vowel group (hb-pinned: KA+ZWNJ+TALING is one cluster,
-# the taling still fronts); broken tails don't
-_med_j = ("(?:[Jz]?j)?(?:[Jz]?k)?(?:[Jz]?l)?(?:[Jz]?m)?")
-_middle_j = f"{_cm}{_med_j}[Jz]?{_vowels_vm}"
 # the Tai Tham sakot stack (w J? B) appears at most ONCE per
 # cluster — either before the vowel group or terminally after it
 # (hb-pinned: base+sakot+base+vowel and base+vowel+sakot+base both
 # join; a second sakot stack starts a new cluster); a bare trailing
 # sakot terminates, and finals may follow a terminal stack
-_stack = "wJ?Bv?X?x*y*"
+_stack = f"{_j}wJ?Bv?(?:{_j}X)?(?:{_j}x)*(?:{_j}y)*"
 # a bare halant accepts trailing VMs and finals (hb-pinned:
 # Javanese pangkon+layar joins) but the TERMINAL stacker (q)
 # accepts nothing
-_plain_end = (f"{_vowels_plain}(?:w(?:J?B(?:{_finals}{_fm})?w?)?"
+_plain_end = (f"{_vowels_plain}(?:{_j}w(?:J?B(?:{_finals}{_fm})?w?)?"
               f"|{_finals}{_fm})")
-_tail = (f"(?:{_stack}{_cm}{_med}{_vowels_plain}(?:w|{_finals}{_fm})"
-         f"|{_cm}{_med}(?:q|[HK]{_vm}{_finals}{_fm}|{_plain_end}))")
-_tail_j = (f"(?:{_stack}{_cm}{_med_j}[Jz]?{_vowels_plain}"
-           f"(?:w|{_finals}{_fm})"
-           f"|{_cm}{_med_j}[Jz]?"
-           f"(?:q|[HK]{_vm}{_finals}{_fm}|{_plain_end}))")
+# NB: the joiner slot rides each BRANCH head (never a bare {_j}
+# prefix before the alternation — composed with the branch-internal
+# slots that would admit a two-ZWNJ run, which hb dc-splits)
+_tail = (f"(?:{_stack}{_cm}{_med}{_vowels_plain}"
+         f"(?:{_j}w|{_finals}{_fm})"
+         f"|{_cm}{_med}"
+         f"(?:{_j}q|{_j}e(?:{_j}e)*{_vm}{_finals}{_fm}"
+         # a trailing ZWJ rides a halant-terminated cluster
+         # (hb-pinned: Sinhala ra+al-lakuna+ZWJ forms the bare reph)
+         f"|{_j}[HK]J?{_vm}{_finals}{_fm}|{_plain_end}))")
+_tail_j = _tail
+_middle = f"{_cm}{_med}{_vowels_vm}"
 _num_tail = "(?:nNv?)"
 _sym_tail = "(?:u+i*|i+)"
 _PRODUCTIONS = (
     ("standard", re.compile(f"{_start}{_tail_j}")),
-    ("virama", re.compile(f"{_start}{_cm}[Jz]?[HKwq]")),
+    ("virama", re.compile(f"{_start}{_cm}{_j}[HKwq]J?")),
     ("numeral", re.compile(f"Nv?{_num_tail}*n?")),
     ("symbol", re.compile(f"[sG]v?{_sym_tail}?")),
     ("broken", re.compile(f"R?(?:{_tail}|{_num_tail}+|{_sym_tail})")),
@@ -236,6 +282,10 @@ def _syllabify(cats: str) -> list[tuple[int, int, str]]:
             m = rx.match(cats, i)
             if m and m.end() - i > best_len:
                 best_len, best_kind = m.end() - i, kind
+        if best_len and all(c in "zJ" for c in cats[i:i + best_len]):
+            # a bare joiner run is never a cluster of its own — the
+            # joiner slots only admit them BETWEEN real constituents
+            best_len = 0
         if best_len == 0:
             out.append((i, i + 1, "other"))
             i += 1
@@ -346,21 +396,98 @@ class UseShaper:
         # (degenerate text) place dotted circles differently in hb
         dc_gid0 = int(self.font.charmap.glyph_index(0x25CC))
         if dc_gid0 and any(g.cat == "z" for g in buf):
+            # letters that never CONTINUE a cluster: a ZWNJ followed
+            # by one of these (or by nothing) is a dangling joiner
+            nonmark = ("B", "G", "N", "s", "I", "R", "c", "O",
+                       "z", "J")
             k = 0
             while k < len(buf):
-                if (buf[k].cat == "z"
-                        and (k == 0
-                             or buf[k - 1].cat in ("z", "J", "O"))
-                        and k + 1 < len(buf)
-                        and (buf[k + 1].cat == "B"
-                             # ...or a REAL generic base (hb-pinned:
-                             # ZWNJ+tsheg takes a dc; ZWNJ+space,
-                             # ZWNJ+dotted-circle and ZWNJ+rnam bcad
-                             # don't)
-                             or (buf[k + 1].cat == "G"
-                                 and buf[k + 1].cp
-                                 not in (0x20, 0xA0, 0x25CC,
-                                         0x0F7F)))):
+                dc_here = False
+                if buf[k].cat == "z":
+                    prev = buf[k - 1].cat if k else None
+                    nxt = buf[k + 1].cat if k + 1 < len(buf) else None
+                    # the look-ahead to the base skips intervening
+                    # ZWJs (hb-pinned: ZWNJ+ZWJ+letter dc's the ZWNJ)
+                    n = k + 1
+                    while n < len(buf) and buf[n].cat == "J":
+                        n += 1
+                    # ...and the run must be UNANCHORED: a joiner
+                    # run riding a real cluster's tail never dc's
+                    # before a following base (hb-pinned:
+                    # base+ZWJ+ZWNJ+base has no dc)
+                    a0 = k - 1
+                    while a0 >= 0 and buf[a0].cat in ("z", "J"):
+                        a0 -= 1
+                    unanchored = (a0 < 0 or buf[a0].cat == "O"
+                                  or (buf[a0].cat == "G"
+                                      and buf[a0].cp
+                                      in (0x20, 0xA0, 0x25CC)))
+                    if (prev in (None, "z", "J", "O")
+                            and unanchored
+                            and n < len(buf)
+                            and (buf[n].cat == "B"
+                                 # ...or a REAL generic base
+                                 # (hb-pinned: ZWNJ+tsheg takes a dc;
+                                 # ZWNJ+space, ZWNJ+dotted-circle and
+                                 # ZWNJ+rnam bcad don't)
+                                 or (buf[n].cat == "G"
+                                     and buf[n].cp
+                                     not in (0x20, 0xA0, 0x25CC,
+                                             0x0F7F)))):
+                        dc_here = True
+                    # ...and a ZWNJ before SPACES also takes the dc
+                    # when real text follows them (hb-pinned:
+                    # ZWNJ+space+letter renders dc first;
+                    # ZWNJ+space alone doesn't)
+                    elif (prev in (None, "z", "J", "O")
+                          and nxt == "G"
+                          and buf[k + 1].cp in (0x20, 0xA0)):
+                        b = k + 1
+                        while (b < len(buf)
+                               and (buf[b].cat in ("z", "J")
+                                    or (buf[b].cat == "G"
+                                        and buf[b].cp
+                                        in (0x20, 0xA0)))):
+                            b += 1
+                        if (b < len(buf)
+                                and buf[b].cat not in ("O",)):
+                            dc_here = True
+                    # a second ZWNJ in a CLUSTER-ANCHORED run
+                    # dc-splits when nothing absorbs it (hb-pinned:
+                    # base+ZWNJ+ZWNJ renders base, zwnj, dc, zwnj —
+                    # but base+ZWNJ+ZWNJ+vowel leaves the dc to the
+                    # vowel's broken cluster, and a bare ZWNJ+ZWNJ
+                    # string has no dc at all)
+                    elif prev == "z" and (nxt is None
+                                          or nxt in nonmark):
+                        a = k - 1
+                        while a >= 0 and buf[a].cat in ("z", "J"):
+                            a -= 1
+                        # the run must anchor to a REAL cluster —
+                        # space-anchored runs take no dc (hb-pinned:
+                        # space+ZWNJ+ZWNJ renders without one)
+                        if (a >= 0 and buf[a].cat not in ("O",)
+                                and not (buf[a].cat == "G"
+                                         and buf[a].cp
+                                         in (0x20, 0xA0, 0x25CC))):
+                            dc_here = True
+                    # a string-initial joiner RUN followed by real
+                    # content is broken up front (hb-pinned:
+                    # ZWNJ+ZWNJ+vowel renders dc, zwnj, zwnj, dc,
+                    # vowel; ZWNJ+ZWNJ+base dc's both joiners — but
+                    # a bare joiner run has no dc at all)
+                    elif prev in (None, "O") and nxt == "z":
+                        b = k + 1
+                        while (b < len(buf)
+                               and buf[b].cat in ("z", "J")):
+                            b += 1
+                        if (b < len(buf)
+                                and buf[b].cat != "O"
+                                and not (buf[b].cat == "G"
+                                         and buf[b].cp
+                                         in (0x20, 0xA0, 0x25CC))):
+                            dc_here = True
+                if dc_here:
                     buf.insert(k, _Glyph(dc_gid0, 0x25CC, "G", 0, 0))
                     k += 1
                 k += 1
@@ -411,9 +538,12 @@ class UseShaper:
             for s_, e_, kind in runs:
                 at = len(nb)
                 if kind == "broken":
-                    # the dotted circle goes after a leading repha
+                    # the dotted circle goes after a leading repha —
+                    # and after leading joiners (hb-pinned:
+                    # ZWNJ+vowel renders joiner, dc, vowel)
                     lead = s_
-                    while lead < e_ and buf[lead].cat == "R":
+                    while lead < e_ and buf[lead].cat in ("R", "z",
+                                                          "J"):
                         lead += 1
                     nb.extend(buf[s_:lead])
                     g = _Glyph(dc_gid, 0x25CC, "G", 0, 0)
@@ -454,6 +584,10 @@ class UseShaper:
                     break
                 i += 1
         j = start
+        # pre-base vowels never front past a cluster's LEADING
+        # joiners (hb-pinned: ZWNJ+taling renders zwnj, taling, dc)
+        while j < end and info[j].cat in ("z", "J"):
+            j += 1
         i = start
         while i < end:
             g = info[i]

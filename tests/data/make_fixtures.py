@@ -1373,6 +1373,131 @@ feature psts {
     print("wrote sundtest.ttf")
 
 
+def _make_use_tail_font(tag, family, cps, forms, fea_body, out):
+    """Shared builder for the USE long-tail corpus fonts (Batak,
+    Lepcha, Buginese, Saurashtra, Limbu) — same synthetic-outline
+    convention as the other USE fixtures."""
+    cps = list(cps) + [0x25CC, 0x20, 0x200C, 0x200D]
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef"] + [f"u{cp:04X}" for cp in cps] + list(forms)
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({cp: f"u{cp:04X}" for cp in cps})
+    glyphs = {}
+    for i, n in enumerate(names):
+        pen = TTGlyphPen(glyphSet={})
+        pen.moveTo((50, 0))
+        pen.lineTo((450, 0))
+        pen.lineTo((450, 600))
+        pen.qCurveTo((250, 650 + i * 3), (50, 600))
+        pen.closePath()
+        glyphs[n] = pen.glyph()
+    fb.setupGlyf(glyphs)
+    fb.setupHorizontalMetrics({n: (500, 50) for n in names})
+    fb.setupHorizontalHeader(ascent=900, descent=-300)
+    fb.setupNameTable({"familyName": family, "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    fea = (f"languagesystem DFLT dflt;\nlanguagesystem {tag} dflt;\n"
+           + fea_body)
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    fb.save(os.path.join(HERE, out))
+    print("wrote", out)
+
+
+def make_batktest():
+    """Batak corpus font (USE-routed): pangolat/panongonan vowel
+    killers, above/post vowels, final mark ordering."""
+    _make_use_tail_font(
+        "batk", "BatkTest",
+        list(range(0x1BC0, 0x1BF4)) + list(range(0x1BFC, 0x1C00)),
+        ["k_aa", "ka.haln"],
+        """
+feature psts {
+    sub u1BC0 u1BE7 by k_aa;
+} psts;
+
+feature haln {
+    sub u1BC0 u1BF2 by ka.haln;
+} haln;
+""", "batktest.ttf")
+
+
+def make_lepctest():
+    """Lepcha corpus font (USE-routed): directly-encoded subjoined
+    medials (ya/ra), pre-base vowel signs, consonant-sign finals,
+    ran and nukta."""
+    _make_use_tail_font(
+        "lepc", "LepcTest",
+        list(range(0x1C00, 0x1C38)) + list(range(0x1C3B, 0x1C4A))
+        + list(range(0x1C4D, 0x1C50)),
+        ["k_ya", "k_aa"],
+        """
+feature blws {
+    sub u1C00 u1C24 by k_ya;
+} blws;
+
+feature psts {
+    sub u1C00 u1C26 by k_aa;
+} psts;
+""", "lepctest.ttf")
+
+
+def make_bugitest():
+    """Buginese corpus font (USE-routed): the minimal USE script —
+    pre-base vowel e, above/below i/u, post o."""
+    _make_use_tail_font(
+        "bugi", "BugiTest",
+        list(range(0x1A00, 0x1A1C)) + [0x1A1E, 0x1A1F],
+        ["k_o"],
+        """
+feature psts {
+    sub u1A00 u1A1A by k_o;
+} psts;
+""", "bugitest.ttf")
+
+
+def make_saurtest():
+    """Saurashtra corpus font (USE-routed): a true halant (virama)
+    script — conjunct below forms via the virama, post vowels,
+    final consonant marks."""
+    _make_use_tail_font(
+        "saur", "SaurTest",
+        list(range(0xA880, 0xA8C6)) + list(range(0xA8CE, 0xA8DA)),
+        ["ka.blw", "ta.blw", "k_aa"],
+        """
+feature blwf {
+    sub uA8C4 uA892 by ka.blw;
+    sub uA8C4 uA8A4 by ta.blw;
+} blwf;
+
+feature psts {
+    sub uA892 uA8B5 by k_aa;
+} psts;
+""", "saurtest.ttf")
+
+
+def make_limbtest():
+    """Limbu corpus font (USE-routed): directly-encoded subjoined
+    consonants, small-letter finals, kemphreng and mukphreng."""
+    _make_use_tail_font(
+        "limb", "LimbTest",
+        list(range(0x1900, 0x191F)) + list(range(0x1920, 0x192C))
+        + list(range(0x1930, 0x193C)) + [0x1940]
+        + list(range(0x1944, 0x1950)),
+        ["k_ya", "k_aa"],
+        """
+feature blws {
+    sub u1901 u1929 by k_ya;
+} blws;
+
+feature psts {
+    sub u1901 u1923 by k_aa;
+} psts;
+""", "limbtest.ttf")
+
+
 def make_colrtest():
     """COLR v0 + CPAL color-layer font: three base color glyphs
     (square-on-square, overlapping discs, a glyph using the 0xFFFF
@@ -2619,6 +2744,11 @@ if __name__ == "__main__":
     make_tibttest()
     make_lanatest()
     make_sundtest()
+    make_batktest()
+    make_lepctest()
+    make_bugitest()
+    make_saurtest()
+    make_limbtest()
     make_colrtest()
     make_colrv1test()
     make_varcolrtest()

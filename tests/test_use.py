@@ -593,3 +593,223 @@ class TestUseSundanese:
             if exp != got:
                 bad.append((t, exp, got))
         assert not bad, bad[:5]
+
+
+@pytest.mark.skipif(not hb.available(),
+                    reason="system libharfbuzz not present")
+class TestUseLongTail:
+    """The five long-tail USE scripts — Batak, Lepcha, Buginese,
+    Saurashtra, Limbu — each hb-differential-pinned on a feaLib
+    corpus font.
+
+    Qualification at build time (reduced here): every script is
+    FULLY EXACT over the full-block len<=2 exhaustive WITH joiners
+    (batk 3,481 / lepc 5,929 / bugi 1,089 / saur 7,225 / limb 5,041
+    strings), a core len<=3 exhaustive WITH joiners, 20,000
+    random-with-joiners strings, and 4,000 random joiner-free
+    strings — ZERO divergences everywhere.
+
+    The probed category overrides these pinned (``use.py``
+    ``_OVERRIDES``): Batak killers are repeatable vowel-group-leading
+    halants and its vowel signs ride the VM slots; Lepcha vowel OO is
+    a pre-base vowel; Buginese vowel U shares the above-vowel slot;
+    Limbu kemphreng is a VMAbv; script punctuation (Batak symbols,
+    Lepcha ta-rol, Buginese pallawa, Saurashtra dandas, Limbu
+    loo/exclamation/question) hosts marks."""
+
+    FONTS = {
+        "batk": "tests/data/batktest.ttf",
+        "lepc": "tests/data/lepctest.ttf",
+        "bugi": "tests/data/bugitest.ttf",
+        "saur": "tests/data/saurtest.ttf",
+        "limb": "tests/data/limbtest.ttf",
+    }
+
+    def _env(self, tag):
+        from fontTools.ttLib import TTFont
+
+        path = self.FONTS[tag]
+        font = Font.open(path)
+        names = TTFont(path).getGlyphOrder()
+        with open(path, "rb") as f:
+            data = f.read()
+        return font, names, data
+
+    def _ours(self, env, tag, cps):
+        font, names, _ = env
+        gids = [int(font.charmap.glyph_index(c)) for c in cps]
+        return [names[g] for g in font.use_shaper.shape(
+            cps, gids, script=tag.encode())]
+
+    @pytest.mark.parametrize("tag,cps,expected", [
+        # Batak: pangolat haln ligature; killer+vowel joins (vowel
+        # signs ride the VM slots: above before post); vowel+killer
+        # dc-splits; nukta ccc-reorders before the killer; psts
+        ("batk", [0x1BC0, 0x1BF2], ["ka.haln"]),
+        ("batk", [0x1BC0, 0x1BF2, 0x1BE9, 0x1BE7],
+         ["ka.haln", "u1BE9", "u1BE7"]),
+        ("batk", [0x1BC0, 0x1BE7, 0x1BF2],
+         ["k_aa", "u25CC", "u1BF2"]),
+        ("batk", [0x1BC0, 0x1BF2, 0x1BE6],
+         ["u1BC0", "u1BE6", "u1BF2"]),
+        ("batk", [0x1BC0, 0x1BE7], ["k_aa"]),
+        # Lepcha: vowel OO fronts; multiple pre-base vowels (incl.
+        # the VMPre consonant signs) reverse; subjoined ya ligature;
+        # punctuation hosts final marks
+        ("lepc", [0x1C00, 0x1C29], ["u1C29", "u1C00"]),
+        ("lepc", [0x1C17, 0x1C29, 0x1C27, 0x1C35],
+         ["u1C35", "u1C27", "u1C29", "u1C17"]),
+        ("lepc", [0x1C00, 0x1C24], ["k_ya"]),
+        ("lepc", [0x1C00, 0x1C24, 0x1C27], ["u1C27", "k_ya"]),
+        ("lepc", [0x1C3E, 0x1C2D], ["u1C3E", "u1C2D"]),
+        # Buginese: vowels i/u/ae share one slot (u+i joins in
+        # either order), e fronts — even over the pallawa
+        ("bugi", [0x1A00, 0x1A18, 0x1A17],
+         ["u1A00", "u1A18", "u1A17"]),
+        ("bugi", [0x1A00, 0x1A1A], ["k_o"]),
+        ("bugi", [0x1A1E, 0x1A19], ["u1A19", "u1A1E"]),
+        ("bugi", [0x1A00, 0x1A19, 0x1A19],
+         ["u1A19", "u1A19", "u1A00"]),
+        # Saurashtra: true-halant conjunct below form; danda hosts
+        # the candrabindu; psts ligature
+        ("saur", [0xA892, 0xA8C4, 0xA8A4], ["uA892", "ta.blw"]),
+        ("saur", [0xA892, 0xA8B5], ["k_aa"]),
+        ("saur", [0xA8CE, 0xA8C5], ["uA8CE", "uA8C5"]),
+        # Limbu: directly-encoded subjoined ya ligates; kemphreng is
+        # a VM (follows VPst, precedes the small-letter finals);
+        # mukphreng orders before the small letters
+        ("limb", [0x1901, 0x1929], ["k_ya"]),
+        ("limb", [0x1901, 0x1923], ["k_aa"]),
+        ("limb", [0x1901, 0x1922, 0x193A],
+         ["u1901", "u1922", "u193A"]),
+        ("limb", [0x1901, 0x193A, 0x1930],
+         ["u1901", "u193A", "u1930"]),
+        ("limb", [0x1901, 0x1939, 0x1930],
+         ["u1901", "u1939", "u1930"]),
+        ("limb", [0x1940, 0x1920], ["u1940", "u1920"]),
+    ])
+    def test_pinned_cases(self, tag, cps, expected):
+        env = self._env(tag)
+        got = [g for g in self._ours(env, tag, cps)
+               if g not in ("u200C", "u200D")]
+        assert got == expected, (tag, cps, got)
+
+    @pytest.mark.parametrize("tag", list(FONTS))
+    def test_exhaustive_length2_with_joiners(self, tag):
+        from fontTools.ttLib import TTFont
+
+        env = self._env(tag)
+        font, names, data = env
+        cmap = TTFont(self.FONTS[tag]).getBestCmap()
+        alpha = sorted(cp for cp in cmap
+                       if cp not in (0x25CC, 0x20, 0x200C, 0x200D))
+        full = alpha + [0x20, 0x200C, 0x200D]
+        hid = ("u200C", "u200D", "u0020")
+        sh = font.use_shaper
+        bad = []
+        for a, b in itertools.product(full, repeat=2):
+            t = chr(a) + chr(b)
+            exp = ["sp" if names[g.gid] in hid else names[g.gid]
+                   for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = ["sp" if names[g] in hid else names[g]
+                   for g in sh.shape(cps, gids, script=tag.encode())]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, bad[:5]
+
+    @pytest.mark.parametrize("tag,text,expected", [
+        ("batk", "ᯀ᯲", ["ka.haln"]),
+        ("lepc", "ᰀᰩ", ["u1C29", "u1C00"]),
+        ("bugi", "ᨀᨚ", ["k_o"]),
+        ("saur", "ꢒ꣄ꢤ", ["uA892", "ta.blw"]),
+        ("limb", "ᤁᤩ", ["k_ya"]),
+    ])
+    def test_layout_routes(self, tag, text, expected):
+        from fontTools.ttLib import TTFont
+
+        from fontrx.scene.layout import layout_text
+
+        path = self.FONTS[tag]
+        font = Font.open(path)
+        names = TTFont(path).getGlyphOrder()
+        lt = layout_text(font, text)
+        got = [names[lt.slot_gids[i.glyph_slot]]
+               for i in sorted(lt.instances, key=lambda i: i.x)]
+        assert got == expected
+
+
+@pytest.mark.skipif(not hb.available(),
+                    reason="system libharfbuzz not present")
+class TestUseJoinerTransparency:
+    """The joiner-transparency rules, hb-pinned across scripts: a
+    joiner run carrying at most one ZWNJ is transparent between a
+    cluster and its continuing marks (the joiner stays in place and
+    still blocks GSUB); dangling/doubled ZWNJ runs take dotted
+    circles per the anchored/initial rules.  These rules closed the
+    previously-documented multi-joiner residuals: the seven earlier
+    USE corpus scripts are now ALSO exact over core len<=3
+    exhaustive sweeps WITH joiners (sinh/tibt/lana 2,954 strings
+    each, bali 1,463, sund 1,884, java 2,379, cham 1,463 — ZERO
+    divergences, build-time qualification)."""
+
+    def _shape(self, path, tag, cps):
+        from fontTools.ttLib import TTFont
+
+        font = Font.open(path)
+        names = TTFont(path).getGlyphOrder()
+        gids = [int(font.charmap.glyph_index(c)) for c in cps]
+        return [names[g] for g in font.use_shaper.shape(
+            cps, gids, script=tag)]
+
+    def test_single_joiner_absorbs_marks(self):
+        # nukta rides through a ZWNJ (no dotted circle), and the
+        # joiner stays put in the stream
+        assert self._shape("tests/data/batktest.ttf", b"batk",
+                           [0x1BC0, 0x200C, 0x1BE6]) == [
+            "u1BC0", "u200C", "u1BE6"]
+        # SUB continues through a ZWNJ
+        assert self._shape("tests/data/limbtest.ttf", b"limb",
+                           [0x1901, 0x200C, 0x1929]) == [
+            "u1901", "u200C", "u1929"]
+        # ...but the ligature stays blocked by the joiner glyph
+        assert "k_ya" not in self._shape(
+            "tests/data/limbtest.ttf", b"limb",
+            [0x1901, 0x200C, 0x1929])
+
+    def test_joiner_runs(self):
+        # two ZWNJs do NOT absorb: the vowel breaks with its own dc,
+        # and the initial-run rule dc's the first ZWNJ
+        assert self._shape("tests/data/batktest.ttf", b"batk",
+                           [0x1BC0, 0x200C, 0x200C, 0x1BE7]) == [
+            "u1BC0", "u200C", "u200C", "u25CC", "u1BE7"]
+        # ZWJ+ZWNJ+ZWJ (one ZWNJ) absorbs
+        assert self._shape("tests/data/batktest.ttf", b"batk",
+                           [0x1BC0, 0x200D, 0x200C, 0x200D,
+                            0x1BE7]) == [
+            "u1BC0", "u200D", "u200C", "u200D", "u1BE7"]
+        # a dangling second ZWNJ anchored to a cluster takes a dc
+        assert self._shape("tests/data/batktest.ttf", b"batk",
+                           [0x1BC0, 0x200C, 0x200C]) == [
+            "u1BC0", "u200C", "u25CC", "u200C"]
+        # ...but a bare joiner pair has none
+        assert self._shape("tests/data/batktest.ttf", b"batk",
+                           [0x200C, 0x200C]) == ["u200C", "u200C"]
+
+    def test_broken_cluster_joiners(self):
+        # a broken (mark-first) cluster also absorbs through one
+        # joiner
+        assert self._shape("tests/data/saurtest.ttf", b"saur",
+                           [0xA8B4, 0x200C, 0xA8B5]) == [
+            "u25CC", "uA8B4", "u200C", "uA8B5"]
+        # pre-base vowels front past the dc but never past a
+        # cluster's leading joiner
+        assert self._shape("tests/data/lepctest.ttf", b"lepc",
+                           [0x200C, 0x1C27]) == [
+            "u200C", "u1C27", "u25CC"]
+        # string-initial ZWNJ before a conjunct: the dc rides the
+        # cluster and the conjunct still forms
+        assert self._shape("tests/data/balitest.ttf", b"bali",
+                           [0x200C, 0x1B44, 0x1B13]) == [
+            "u200C", "u25CC", "ka.blw"]
