@@ -46,10 +46,10 @@ def asm(*lines) -> bytes:
 
 
 class StubFont:
-    """Minimal font facade for engine construction.  upem == 64 so one
-    font unit scales to exactly one F26Dot6 pixel unit at 64 ppem is
-    NOT what we want — we use upem = ppem below so 1 font unit = 1 px
-    (64 F26Dot6 units)."""
+    """Minimal font facade for engine construction.  make_exec passes
+    upem == ppem * 64, which makes the FreeType 16.16 scale exactly
+    1.0: one font unit == one F26Dot6 unit, so cvt entries and orus
+    coordinates are specified directly in 26.6 pixels."""
 
     def __init__(self, cvt=(), fpgm=b"", prep=b"", upem=16):
         self.maxp = ttf.Maxp(1, 0, 0, 0, 0, 0, 0,
@@ -72,9 +72,9 @@ class StubFont:
 
 
 def make_exec(n_points=8, cvt=(), fpgm=b"", prep=b"", ppem=16):
-    """Exec over a fresh zone; upem == ppem, so 1 font unit == 1 px
-    (cvt entries read in pixels)."""
-    font = StubFont(cvt=cvt, fpgm=fpgm, prep=prep, upem=ppem)
+    """Exec over a fresh zone; upem == ppem * 64 makes the scale
+    exactly 1.0 (cvt entries and coordinates read in F26Dot6)."""
+    font = StubFont(cvt=cvt, fpgm=fpgm, prep=prep, upem=ppem * 64)
     eng = Engine(font, ppem)
     assert eng.ok
     zone = Zone(n_points, ends=(n_points - 1,))
@@ -83,9 +83,10 @@ def make_exec(n_points=8, cvt=(), fpgm=b"", prep=b"", ppem=16):
 
 
 def set_points(zone, pts):
+    # At unity scale orus (font units) == org (26.6) numerically.
     for i, (x, y) in enumerate(pts):
-        zone.cur_x[i] = zone.org_x[i] = x
-        zone.cur_y[i] = zone.org_y[i] = y
+        zone.cur_x[i] = zone.org_x[i] = zone.orus_x[i] = x
+        zone.cur_y[i] = zone.org_y[i] = zone.orus_y[i] = y
 
 
 class TestStackAndArithmetic:
@@ -108,10 +109,12 @@ class TestStackAndArithmetic:
         ex.run(asm("PUSHW[ ]", "448", "PUSHW[ ]", "128", "DIV[ ]"))
         assert ex.stack == [224]
 
-    def test_div_by_zero_saturates(self):
+    def test_div_by_zero_errors(self):
+        # FreeType raises Divide_By_Zero here (ttinterp Ins_DIV);
+        # matching that keeps the differential oracle exact.
         ex, _ = make_exec()
-        ex.run(asm("PUSHW[ ]", "64", "PUSHB[ ]", "0", "DIV[ ]"))
-        assert ex.stack == [0x7FFFFFFF]
+        with pytest.raises(HintingError):
+            ex.run(asm("PUSHW[ ]", "64", "PUSHB[ ]", "0", "DIV[ ]"))
 
     def test_stack_shuffles(self):
         ex, _ = make_exec()
@@ -292,14 +295,14 @@ class TestPointOps:
         assert zone.cur_x[0] == 100
 
     def test_miap_moves_to_cvt(self):
-        # cvt[0] = 3 font units = 3 px = 192 (upem == ppem)
-        ex, zone = make_exec(cvt=[3])
+        # cvt[0] = 192 font units = 3 px at unity scale
+        ex, zone = make_exec(cvt=[192])
         set_points(zone, [(100, 0)])
         # cut-in: |192 - 100| = 92 > 68 -> falls back to original
         ex.run(asm("PUSHB[ ]", "0", "PUSHB[ ]", "0", "MIAP[1]"))
         assert zone.cur_x[0] == 128          # round(100)
         # without round/cut-in (MIAP[0]) the cvt value is absolute
-        ex2, zone2 = make_exec(cvt=[3])
+        ex2, zone2 = make_exec(cvt=[192])
         set_points(zone2, [(100, 0)])
         ex2.run(asm("PUSHB[ ]", "0", "PUSHB[ ]", "0", "MIAP[0]"))
         assert zone2.cur_x[0] == 192
@@ -332,7 +335,7 @@ class TestPointOps:
         assert zone.cur_x[1] == 64
 
     def test_mirp_uses_cvt_distance(self):
-        ex, zone = make_exec(cvt=[2])        # 2px = 128
+        ex, zone = make_exec(cvt=[128])      # 2px
         set_points(zone, [(0, 0), (120, 0)])
         # |cvt 128 - org 120| = 8 < 68 cut-in -> use cvt, round -> 128
         ex.run(asm("PUSHB[ ]", "0", "SRP0[ ]",
@@ -340,14 +343,14 @@ class TestPointOps:
         assert zone.cur_x[1] == 128
 
     def test_mirp_cut_in_rejects_far_cvt(self):
-        ex, zone = make_exec(cvt=[5])        # 5px = 320, far from 120
+        ex, zone = make_exec(cvt=[320])      # 5px, far from 120
         set_points(zone, [(0, 0), (120, 0)])
         ex.run(asm("PUSHB[ ]", "0", "SRP0[ ]",
                    "PUSHB[ ]", "1", "PUSHB[ ]", "0", "MIRP[10100]"))
         assert zone.cur_x[1] == 128          # round(org 120)
 
     def test_mirp_autoflip(self):
-        ex, zone = make_exec(cvt=[2])        # +128 vs org -120
+        ex, zone = make_exec(cvt=[128])      # +128 vs org -120
         set_points(zone, [(0, 0), (-120, 0)])
         ex.run(asm("PUSHB[ ]", "0", "SRP0[ ]",
                    "PUSHB[ ]", "1", "PUSHB[ ]", "0", "MIRP[10100]"))
@@ -455,7 +458,7 @@ class TestPointOps:
         assert zone.cur_x[0] == 64
 
     def test_deltac(self):
-        ex, _ = make_exec(cvt=[1])
+        ex, _ = make_exec(cvt=[64])          # 1px at unity scale
         # arg 0x70: ppem 16, mag 0x0-8 = -8 -> -8 * 8 = -64
         ex.run(asm("PUSHB[ ]", "112", "PUSHB[ ]", "0",
                    "PUSHB[ ]", "1", "DELTAC1[ ]"))
@@ -516,12 +519,15 @@ class TestVectorsAndMeasurement:
         ex, _ = make_exec(ppem=16)
         ex.run(asm("MPPEM[ ]", "PUSHB[ ]", "1", "GETINFO[ ]",
                    "PUSHB[ ]", "32", "GETINFO[ ]"))
-        assert ex.stack == [16, 40, 1 << 12]
+        # GETINFO(1) == 35: the full bidirectional interpreter
+        # (FreeType interpreter-version 35), the version the FT
+        # differential pins against
+        assert ex.stack == [16, 35, 1 << 12]
 
 
 class TestTwilight:
     def test_miap_establishes_twilight_point(self):
-        ex, _ = make_exec(cvt=[3])
+        ex, _ = make_exec(cvt=[192])
         ex.run(asm("PUSHB[ ]", "0", "SZP0[ ]",
                    "PUSHB[ ]", "2", "PUSHB[ ]", "0", "MIAP[0]"))
         assert ex.zone0.cur_x[2] == 192
