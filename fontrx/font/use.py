@@ -219,7 +219,12 @@ def _letter(cp: int) -> str:
 # GSUB still sees it, so ligatures stay blocked); a run with two
 # ZWNJs is not (base+ZWNJ+ZWNJ+vowel dc-splits).  This holds in
 # BROKEN clusters too (dc+mark+ZWNJ+mark is one cluster).
-_j = "(?:J*z?J*)"
+# possessive stars: a joiner run parses ONE way (maximal munch), so
+# long runs cannot trigger quadratic backtracking across the nested
+# starred slots below.  Equivalent language: every _j slot is followed
+# by a class that matches neither J nor z, so the original lazy splits
+# could never help a match succeed.
+_j = "(?:J*+z?J*+)"
 _cm = (f"(?:(?:{_j}[Xx])*(?:{_j}y)*"
        f"(?:(?:{_j}[HKqe]J?B|{_j}U)v?"
        f"(?:{_j}X)?(?:{_j}x)*(?:{_j}y)*)*)")
@@ -234,7 +239,6 @@ _med = f"(?:{_j}j)?(?:{_j}k)?(?:{_j}l)?(?:{_j}m)?"
 _vm = f"(?:{_j}P)*(?:{_j}[QM])*(?:{_j}W)*(?:{_j}E)*"
 _vowels_plain = (f"(?:{_j}p)*(?:{_j}t)*(?:{_j}[Aa])*(?:{_j}b)*"
                  f"(?:{_j}d)*(?:{_j}K)?{_vm}")
-_vowels_vm = f"(?:[HK]{_vm}|{_vowels_plain})"
 _finals = f"(?:{_j}f)*(?:{_j}g)*(?:{_j}h)*"
 _fm = f"(?:(?:{_j}u)*(?:{_j}i)*|(?:{_j}o)?)"
 _start = "(?:[Rc]?[BG]v?)"
@@ -259,12 +263,10 @@ _tail = (f"(?:{_stack}{_cm}{_med}{_vowels_plain}"
          # a trailing ZWJ rides a halant-terminated cluster
          # (hb-pinned: Sinhala ra+al-lakuna+ZWJ forms the bare reph)
          f"|{_j}[HK]J?{_vm}{_finals}{_fm}|{_plain_end}))")
-_tail_j = _tail
-_middle = f"{_cm}{_med}{_vowels_vm}"
 _num_tail = "(?:nNv?)"
 _sym_tail = "(?:u+i*|i+)"
 _PRODUCTIONS = (
-    ("standard", re.compile(f"{_start}{_tail_j}")),
+    ("standard", re.compile(f"{_start}{_tail}")),
     ("virama", re.compile(f"{_start}{_cm}{_j}[HKwq]J?")),
     ("numeral", re.compile(f"Nv?{_num_tail}*n?")),
     ("symbol", re.compile(f"[sG]v?{_sym_tail}?")),

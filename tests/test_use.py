@@ -44,6 +44,60 @@ def _ours(env, text):
     return [names[g] for g in out]
 
 
+ZWNJ_CH, ZWJ_CH = "‌", "‍"
+
+
+def _joiner_tokens(names, data, text, our_names, *,
+                   space="u0020", zwnj="u200C", zwj="u200D"):
+    """(hb tokens, our tokens) with hidden-glyph identity preserved
+    wherever hb's output preserves it.
+
+    hb renders default-ignorable joiners as a blanked space glyph.
+    When that glyph keeps the joiner's own cluster (ZWNJ between
+    clusters does), map it back to the joiner's glyph name so WHICH
+    hidden glyph sits at a position participates in the differential.
+    When hb merged the joiner's cluster into a neighbour (a ZWJ
+    riding inside a formed cluster), the identity is unrecoverable
+    from hb's output stream — both sides collapse to ``"hidden"`` at
+    that position only.  Scope limit, documented: hb itself does not
+    expose which ignorable a merged-cluster space glyph replaced."""
+    from collections import Counter
+
+    byte_of = {}
+    off = 0
+    for ch in text:
+        byte_of[off] = ch
+        off += len(ch.encode("utf-8"))
+    total = off
+    shaped = hb.shape(data, text)
+    clusters = sorted({g.cluster for g in shaped})
+    nxt = {c: (clusters[i + 1] if i + 1 < len(clusters) else total)
+           for i, c in enumerate(clusters)}
+    space_count = Counter(
+        g.cluster for g in shaped if names[g.gid] == space)
+    exp = []
+    for g in shaped:
+        name = names[g.gid]
+        if name == space:
+            c = g.cluster
+            span = [byte_of[b] for b in byte_of
+                    if c <= b < nxt.get(c, total)]
+            span_j = [ch for ch in span if ch in (ZWNJ_CH, ZWJ_CH)]
+            span_sp = [ch for ch in span if ch == " "]
+            if (space_count[c] == 1 and len(span_j) == 1
+                    and not span_sp):
+                name = zwnj if span_j[0] == ZWNJ_CH else zwj
+            elif span_j:
+                name = "hidden"
+        exp.append(name)
+    got = list(our_names)
+    if len(got) == len(exp):
+        for i, e in enumerate(exp):
+            if e == "hidden" and got[i] in (zwnj, zwj, space):
+                got[i] = "hidden"
+    return exp, got
+
+
 class TestUseShaper:
     CASES = {
         # explicit conjunct via halant+ZWJ (akhn)
@@ -119,9 +173,9 @@ class TestUseShaper:
 class TestUseHbDifferential:
     def _diff(self, env, text):
         font, names, data = env
-        exp = [names[g.gid] for g in hb.shape(data, text)]
-        got = ["space" if g in ("zwj", "zwnj") else g
-               for g in _ours(env, text)]
+        exp, got = _joiner_tokens(
+            names, data, text, _ours(env, text),
+            space="space", zwnj="zwnj", zwj="zwj")
         return None if got == exp else (text, exp, got)
 
     def test_exhaustive_length2_with_joiners(self, env):
@@ -249,16 +303,14 @@ class TestUseBaliCham:
         with open(path, "rb") as f:
             data = f.read()
         sh = font.use_shaper
-        hid = ("u200C", "u200D", "u0020")
         bad = []
         for a, b in itertools.product(alpha, repeat=2):
             t = chr(a) + chr(b)
-            exp = ["sp" if names[g.gid] in hid else names[g.gid]
-                   for g in hb.shape(data, t)]
             cps = [ord(c) for c in t]
             gids = [int(font.charmap.glyph_index(c)) for c in cps]
-            got = ["sp" if names[g] in hid else names[g]
-                   for g in sh.shape(cps, gids, script=tag)]
+            exp, got = _joiner_tokens(
+                names, data, t,
+                [names[g] for g in sh.shape(cps, gids, script=tag)])
             if exp != got:
                 bad.append((t, exp, got))
         assert not bad, bad[:5]
@@ -351,16 +403,15 @@ class TestUseTibetan:
                  0x0F74, 0x0F7A, 0x0F7E, 0x0F39, 0x0F84, 0x0F77,
                  0x0F18, 0x0F3F, 0x0F7F, 0x0F01, 0x0F20, 0x0F0B,
                  0x20, 0x200C, 0x200D]
-        hid = ("u200C", "u200D", "u0020")
         bad = []
         for a, b in itertools.product(alpha, repeat=2):
             t = chr(a) + chr(b)
-            exp = ["sp" if names[g.gid] in hid else names[g.gid]
-                   for g in hb.shape(data, t)]
             cps = [ord(c) for c in t]
             gids = [int(font.charmap.glyph_index(c)) for c in cps]
-            got = ["sp" if names[g] in hid else names[g]
-                   for g in sh.shape(cps, gids, script=b"tibt")]
+            exp, got = _joiner_tokens(
+                names, data, t,
+                [names[g]
+                 for g in sh.shape(cps, gids, script=b"tibt")])
             if exp != got:
                 bad.append((t, exp, got))
         assert not bad, bad[:5]
@@ -459,16 +510,15 @@ class TestUseTaiTham:
                  0x1A63, 0x1A65, 0x1A69, 0x1A6E, 0x1A6F, 0x1A74,
                  0x1A75, 0x1A7A, 0x1A7B, 0x1A7F, 0x1A58, 0x1A80,
                  0x20, 0x200C, 0x200D]
-        hid = ("u200C", "u200D", "u0020")
         bad = []
         for a, b in itertools.product(alpha, repeat=2):
             t = chr(a) + chr(b)
-            exp = ["sp" if names[g.gid] in hid else names[g.gid]
-                   for g in hb.shape(data, t)]
             cps = [ord(c) for c in t]
             gids = [int(font.charmap.glyph_index(c)) for c in cps]
-            got = ["sp" if names[g] in hid else names[g]
-                   for g in sh.shape(cps, gids, script=b"lana")]
+            exp, got = _joiner_tokens(
+                names, data, t,
+                [names[g]
+                 for g in sh.shape(cps, gids, script=b"lana")])
             if exp != got:
                 bad.append((t, exp, got))
         assert not bad, bad[:5]
@@ -557,16 +607,15 @@ class TestUseSundanese:
                  0x1BA1, 0x1BA2, 0x1BA3, 0x1BA4, 0x1BA5, 0x1BA6,
                  0x1BA9, 0x1BAA, 0x1BAB, 0x1BAC, 0x1BAD, 0x1BB0,
                  0x1BBA, 0x1CC0, 0x20, 0x200C, 0x200D]
-        hid = ("u200C", "u200D", "u0020")
         bad = []
         for a, b in itertools.product(alpha, repeat=2):
             t = chr(a) + chr(b)
-            exp = ["sp" if names[g.gid] in hid else names[g.gid]
-                   for g in hb.shape(data, t)]
             cps = [ord(c) for c in t]
             gids = [int(font.charmap.glyph_index(c)) for c in cps]
-            got = ["sp" if names[g] in hid else names[g]
-                   for g in sh.shape(cps, gids, script=b"sund")]
+            exp, got = _joiner_tokens(
+                names, data, t,
+                [names[g]
+                 for g in sh.shape(cps, gids, script=b"sund")])
             if exp != got:
                 bad.append((t, exp, got))
         assert not bad, bad[:5]
@@ -704,20 +753,51 @@ class TestUseLongTail:
         alpha = sorted(cp for cp in cmap
                        if cp not in (0x25CC, 0x20, 0x200C, 0x200D))
         full = alpha + [0x20, 0x200C, 0x200D]
-        hid = ("u200C", "u200D", "u0020")
         sh = font.use_shaper
         bad = []
         for a, b in itertools.product(full, repeat=2):
             t = chr(a) + chr(b)
-            exp = ["sp" if names[g.gid] in hid else names[g.gid]
-                   for g in hb.shape(data, t)]
             cps = [ord(c) for c in t]
             gids = [int(font.charmap.glyph_index(c)) for c in cps]
-            got = ["sp" if names[g] in hid else names[g]
-                   for g in sh.shape(cps, gids, script=tag.encode())]
+            exp, got = _joiner_tokens(
+                names, data, t,
+                [names[g]
+                 for g in sh.shape(cps, gids, script=tag.encode())])
             if exp != got:
                 bad.append((t, exp, got))
         assert not bad, bad[:5]
+
+    @pytest.mark.parametrize("tag", list(FONTS))
+    def test_random_len34_with_joiners(self, tag):
+        """Seeded random length 3-4 differential sample WITH joiners
+        — keeps the build-time long-string qualification (len<=3
+        exhaustive, 20k random strings: 0 divergences) enforced by
+        the committed suite (advisor round 3), covering the Batak
+        killer chains and VM-slot overrides the len<=2 sweep cannot
+        reach."""
+        from fontTools.ttLib import TTFont
+
+        env = self._env(tag)
+        font, names, data = env
+        cmap = TTFont(self.FONTS[tag]).getBestCmap()
+        alpha = sorted(cp for cp in cmap
+                       if cp not in (0x25CC, 0x20, 0x200C, 0x200D))
+        full = alpha + [0x20, 0x200C, 0x200D]
+        sh = font.use_shaper
+        rng = random.Random(20260819 + sum(map(ord, tag)))
+        bad = []
+        for _ in range(400):
+            t = "".join(chr(rng.choice(full))
+                        for _ in range(rng.randint(3, 4)))
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            exp, got = _joiner_tokens(
+                names, data, t,
+                [names[g] for g in sh.shape(cps, gids,
+                                            script=tag.encode())])
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, (len(bad), bad[:5])
 
     @pytest.mark.parametrize("tag,text,expected", [
         ("batk", "ᯀ᯲", ["ka.haln"]),
