@@ -83,9 +83,17 @@ def khmer_category(cp: int) -> str:
 
 # -- the Khmer syllable machine ----------------------------------------
 _j = "[Jz]"
-# robatics ride bases and subscripts alike (hb-pinned)
+# robatic/shifter signs attach per-consonant with hb-probe-pinned
+# budgets (round 4, killing the 20k-sweep residual): the BASE takes up
+# to TWO signs (joiner allowed before the first only — KA+ZWJ+17CC+
+# 17C9 joins, KA+17CC+ZWJ+17C9 dc-splits), each SUBSCRIPT consonant at
+# most ONE (KA+coeng+TA+17CC+17C9 dc-splits before the second), the
+# tail's trailing coeng consonant NONE (KA+AA+coeng+TA+17C9 splits),
+# and a dotted-circle carrier exactly one (17CC+17C9 is two dc
+# clusters).  No sign attaches after a matra/xgroup/ygroup slot
+# (KA+17C6+17C9 splits; KA+17C9+17C6 joins).
 _cn = f"(?:[CrV](?:{_j}?RR?)?)"
-_cnb = _cn
+_cns = f"(?:[CrV](?:{_j}?R)?)"
 _xg = f"(?:{_j}*X)*"
 _yg = "Y*"
 # the vowel slots are SEPARATE (above and post may stack), with
@@ -94,15 +102,15 @@ _yg = "Y*"
 # joiners may lead the ABOVE slot only (hb-pinned: KA+ZWNJ+VAbv is
 # one cluster, KA+ZWNJ+VBlw/VPst/VPre split at the joiner)
 _matra = f"(?:M?{_xg}B?{_xg}(?:{_j}?A)?{_xg}S?{_xg})"
-_tail = f"(?:{_xg}{_matra}(?:H{_cn})?{_yg})"
+_tail = f"(?:{_xg}{_matra}(?:H[CrV])?{_yg})"
 # a syllable's subscript run may END on a bare coeng (hb-pinned:
 # KA+COENG keeps one cluster, no dotted circle); a lone robatic is
 # its own dotted-circle-carrying cluster
 _PRODUCTIONS = (
-    ("consonant", re.compile(f"(?:{_cn}|P)(?:H{_cn})*(?:H|{_tail})")),
+    ("consonant", re.compile(f"(?:{_cn}|P)(?:H{_cns})*(?:H|{_tail})")),
     ("broken", re.compile(
-        f"{_j}(?=[RHMBASXY])R?(?:H{_cnb})*(?:H|{_tail})|"
-        f"R?(?:H{_cnb})*(?:H|{_tail})")),
+        f"{_j}(?=[RHMBASXY])R?(?:H{_cns})*(?:H|{_tail})|"
+        f"R?(?:H{_cns})*(?:H|{_tail})")),
 )
 
 

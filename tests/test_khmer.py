@@ -4,10 +4,11 @@ HarfBuzz differential over a feaLib-compiled corpus font
 pref, a cfar variant, presentation rules).
 
 Qualification (run at build time, reduced here): exhaustive length<=3
-over a 19-codepoint alphabet (7,239 strings, 0 divergences) + 20,000
-seeded-random strings with joiners (26 divergences, all in
-degenerate multi-dotted-circle chains where adjacent broken clusters
-regroup robatics differently — documented in the module)."""
+over a 19-codepoint alphabet (7,239 strings) + 20,000 seeded-random
+strings with joiners — ZERO divergences (round 4: the 26-string
+residual was killed by hb-probing the sign-attachment budgets — base
+two robatics, subscript one, tail coeng none; see the grammar
+comments in the module)."""
 
 import itertools
 import random
@@ -108,5 +109,4 @@ class TestKhmerHbDifferential:
             d = self._diff(env, t, strip=True)
             if d:
                 bad.append(d)
-        # the documented residual: degenerate multi-dc chains
-        assert len(bad) <= 3, bad[:5]
+        assert not bad, bad[:5]
