@@ -34,18 +34,18 @@ shapers do:
 Validated by exact HarfBuzz differentials over feaLib-compiled
 per-script corpus fonts: Devanagari len<=4 exhaustive (111,150
 strings) — ``tests/test_indic.py`` — and the other scripts len<=3
-exhaustive + 20k random-with-joiners each, 0 divergences everywhere
-except two documented degenerate joiner classes (Tamil 1/20k,
-Malayalam ~8/20k: an Ra+halant-led broken cluster adjacent to
-another broken cluster regroups differently) —
+exhaustive + 20k random-with-joiners each, ZERO divergences
+everywhere (round 4 killed the last documented classes: the
+Uniscribe-era forced-rakar matra tail hb no longer has, and the
+Ra+halant-led broken clusters that take the full strict tail) —
 ``tests/test_indic_scripts.py``.  Sinhala keeps an Indic-model
 config here for completeness, but ``layout_text`` routes it to the
 Universal Shaping Engine (:mod:`fontrx.font.use`) matching hb's
 shaper selection — its hb differential lives there.
 
 Scope notes (documented): GSUB lookup types 1/2/3/4 and contextual
-5/6 participate in the staged application; broken clusters shape
-WITHOUT dotted-circle insertion (fontrx renders them bare); the
+5/6 participate in the staged application; broken clusters take a
+dotted-circle placeholder base when the font maps U+25CC; the
 per-script configuration table (``_CONFIGS``) carries all ten
 Indic-model scripts — per-script Ra/halant codepoints, reph
 formation mode (implicit Ra+halant, explicit Ra+halant+ZWJ, or a
@@ -199,7 +199,11 @@ _PRES_FEATURES = (b"init", b"pres", b"abvs", b"blws", b"psts",
 _z = "[Jz]"
 _n = f"(?:(?:{_z}?R)?(?:NR?){{0,2}})"
 _cn = f"[Cr]J?{_n}"
-_matra_group = f"(?:{_z}*(?:M|D?O)N?(?:H|JHJ[Cr])?)"
+# NB: no forced-rakar tail (M + ZWJ H ZWJ Ra) — hb removed the
+# Uniscribe-era forced_rakar production; a ZWJ-led halant group after
+# a matra starts a dc-carrying broken cluster instead (hb-pinned on
+# deva/beng/mlym: KA+AA+ZWJ+H+ZWJ+RA -> [KA AA][dc H RA])
+_matra_group = f"(?:{_z}*(?:M|D?O)N?H?)"
 _syllable_tail = f"(?:{_z}?DD?z?)?A{{0,3}}"
 _halant_group = f"(?:{_z}?H(?:JN?)?)"
 # Hz first: longest-match over the ordered Python alternation
@@ -228,26 +232,17 @@ _tail_strict = (f"(?:{_z}?H{_cn})*E?"
 def _productions(strict: bool, logrepha: bool = False):
     """Production set per script family.  ``strict`` (the southern
     scripts) disallows joiner-riding halants in (halant consonant)
-    continuations; ``logrepha`` (Malayalam) removes the Ra+halant
-    reph prefix from the broken productions entirely — a logical
-    repha is that script's only reph former, so Ra+halant starts are
-    ordinary consonant clusters (hb-pinned: Malayalam RA+H+H+TA
-    splits [RA H][dc H TA] while Tamil RA+H+H+SSA is one dc-carrying
-    cluster)."""
+    continuations.  An Ra+halant prefix may lead a BROKEN cluster in
+    every strict script — INCLUDING the logical-repha one (round 4,
+    hb-pinned on Malayalam: RA+H+H+YA is ONE dc-based cluster whose
+    trailing halant+YA takes its pstf form, and RA+H+H+RA's trailing
+    pair takes pref and fronts past the dc; the earlier
+    'RA+H+H+TA splits' reading was a flat-stream ambiguity — the
+    glyph sequence is identical either way when no form applies)."""
+    del logrepha  # clustering no longer differs for the repha script
     lead = _tail_perm  # reph/repha-led clusters: permissive always
     tail = _tail_strict if strict else _tail_perm
-    if strict and logrepha:
-        # a logical-repha script still breaks Ra+halant+MATRA (or a
-        # final halant) as one dc-carrying cluster, but never absorbs
-        # (halant consonant) continuations off it (hb-pinned:
-        # Malayalam RA+H+AA and RA+H+H merge, RA+H+H+TA splits
-        # [RA H H][TA]).  Residual documented divergence: an
-        # rH-led broken cluster directly after ANOTHER broken
-        # cluster regroups differently in hb (degenerate text).
-        rh_broken = [("broken", re.compile(
-            f"rH{_n}(?:{_matra_group}+|{_final_halant_group})"
-            f"{_syllable_tail}"))]
-    elif strict:
+    if strict:
         rh_broken = [("broken", re.compile(f"rH{_n}{tail}"))]
     else:
         rh_broken = []

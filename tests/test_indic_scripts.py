@@ -6,11 +6,11 @@ Malayalam, Sinhala), each against its feaLib-compiled corpus font
 Qualification bar (run at build time, re-run reduced here): EXACT
 HarfBuzz glyph-stream agreement per script over the exhaustive
 length<=3 sweep of the fixture alphabet plus 20,000 seeded-random
-strings of length 3-10 including ZWJ/ZWNJ (tools/indic_sweep.py).
-Eight scripts sweep at 0 divergences; Malayalam carries one
-documented degenerate-text divergence class (an Ra+halant-led broken
-cluster directly adjacent to another broken cluster regroups
-differently — see fontrx/font/indic.py::_productions).  Sinhala is
+strings of length 3-8 including ZWJ/ZWNJ.  ALL EIGHT scripts sweep
+at ZERO divergences (round 4 killed the last Malayalam class by
+letting Ra+halant-led broken clusters take the full strict tail and
+dropping the Uniscribe-era forced-rakar matra tail hb no longer
+implements).  Sinhala is
 shaped with the Indic model; hb routes it to the USE shaper whose
 clustering differs (spaces act as placeholder bases), so its
 differential is deferred to a USE engine and only self-consistent
@@ -206,6 +206,34 @@ class TestIndicScriptsHbDifferential:
             if exp != got:
                 bad.append((text, exp, got))
         assert not bad, bad[:5]
+
+    def test_random_with_joiners(self):
+        """Seeded random sample WITH ZWJ/ZWNJ — keeps the build-time
+        20k-per-script with-joiner qualification (0 divergences,
+        round 4) enforced by the committed suite."""
+        import random
+
+        rng = random.Random(20260818)
+        for script in self.SCRIPTS:
+            font, names, data = _load(script)
+            from fontTools.ttLib import TTFont
+
+            cmap = TTFont(
+                f"tests/data/{script}test.ttf").getBestCmap()
+            alpha = sorted(cp for cp in cmap
+                           if 0x0900 <= cp <= 0x0DFF) + [
+                               0x20, 0x200C, 0x200D]
+            strip = {"space", "zwj", "zwnj", ".notdef"}
+            bad = []
+            for _ in range(500):
+                t = "".join(chr(rng.choice(alpha))
+                            for _ in range(rng.randint(3, 8)))
+                exp = [names[g.gid] for g in hb.shape(data, t)
+                       if names[g.gid] not in strip]
+                got = [g for g in _ours(script, t) if g not in strip]
+                if exp != got:
+                    bad.append((script, t, exp, got))
+            assert not bad, bad[:3]
 
     def test_random_corpus(self):
         import random
