@@ -256,7 +256,7 @@ _plain_end = (f"{_vowels_plain}(?:{_j}w(?:J?B(?:{_finals}{_fm})?w?)?"
 # NB: the joiner slot rides each BRANCH head (never a bare {_j}
 # prefix before the alternation — composed with the branch-internal
 # slots that would admit a two-ZWNJ run, which hb dc-splits)
-_tail = (f"(?:{_stack}{_cm}{_med}{_vowels_plain}"
+_tail = (f"(?:{_cm}{_stack}{_cm}{_med}{_vowels_plain}"
          f"(?:{_j}w|{_finals}{_fm})"
          f"|{_cm}{_med}"
          f"(?:{_j}q|{_j}e(?:{_j}e)*{_vm}{_finals}{_fm}"
@@ -391,108 +391,75 @@ class UseShaper:
             cps, gids = nc, ng
         buf = [_Glyph(g, c, _letter(c), 0, 0)
                for c, g in zip(cps, gids)]
-        # a ZWNJ opening a letter cluster (not riding one) takes a
-        # dotted circle in front (hb-pinned: ZWNJ+SA -> dc ZWNJ SA,
-        # but SA+ZWNJ+SA has none).  Residual documented divergence:
-        # multi-joiner runs and joiner-before-generic-base sequences
-        # (degenerate text) place dotted circles differently in hb
+        # Dangling-joiner dotted circles (round 4, re-derived from a
+        # 29-case hb probe matrix — kills the multi-adjacent-joiner
+        # residual).  Within a run that carries at least one STRONG
+        # character (hb picks its DFLT shaper for common-only runs —
+        # bare joiner/space strings never dc):
+        #   - ZWJs never take a dotted circle;
+        #   - per maximal joiner run, the FIRST ZWNJ is absorbed by a
+        #     preceding real cluster (letters, spaces and generic
+        #     bases all absorb exactly one);
+        #   - the LAST ZWNJ may instead lead a following MARK-led
+        #     (broken) cluster — its dotted circle then comes from
+        #     that cluster, after the joiner (hb: ZWNJ+vowel ->
+        #     zwnj dc vowel, but ZWNJ+base -> dc zwnj base);
+        #   - every other ZWNJ becomes its own dc-carrying cluster
+        #     (hb: base+ZWNJ+ZWNJ -> base zwnj dc zwnj).
+        # Rnam bcad (0F7F) keeps its probed exception: a generic base
+        # a dangling ZWNJ neither leads nor dc's before.
         dc_gid0 = int(self.font.charmap.glyph_index(0x25CC))
         if dc_gid0 and any(g.cat == "z" for g in buf):
-            # letters that never CONTINUE a cluster: a ZWNJ followed
-            # by one of these (or by nothing) is a dangling joiner
-            nonmark = ("B", "G", "N", "s", "I", "R", "c", "O",
-                       "z", "J")
-            k = 0
-            while k < len(buf):
-                dc_here = False
-                if buf[k].cat == "z":
-                    prev = buf[k - 1].cat if k else None
-                    nxt = buf[k + 1].cat if k + 1 < len(buf) else None
-                    # the look-ahead to the base skips intervening
-                    # ZWJs (hb-pinned: ZWNJ+ZWJ+letter dc's the ZWNJ)
-                    n = k + 1
-                    while n < len(buf) and buf[n].cat == "J":
-                        n += 1
-                    # ...and the run must be UNANCHORED: a joiner
-                    # run riding a real cluster's tail never dc's
-                    # before a following base (hb-pinned:
-                    # base+ZWJ+ZWNJ+base has no dc)
-                    a0 = k - 1
-                    while a0 >= 0 and buf[a0].cat in ("z", "J"):
-                        a0 -= 1
-                    unanchored = (a0 < 0 or buf[a0].cat == "O"
-                                  or (buf[a0].cat == "G"
-                                      and buf[a0].cp
-                                      in (0x20, 0xA0, 0x25CC)))
-                    if (prev in (None, "z", "J", "O")
-                            and unanchored
-                            and n < len(buf)
-                            and (buf[n].cat == "B"
-                                 # ...or a REAL generic base
-                                 # (hb-pinned: ZWNJ+tsheg takes a dc;
-                                 # ZWNJ+space, ZWNJ+dotted-circle and
-                                 # ZWNJ+rnam bcad don't)
-                                 or (buf[n].cat == "G"
-                                     and buf[n].cp
-                                     not in (0x20, 0xA0, 0x25CC,
-                                             0x0F7F)))):
-                        dc_here = True
-                    # ...and a ZWNJ before SPACES also takes the dc
-                    # when real text follows them (hb-pinned:
-                    # ZWNJ+space+letter renders dc first;
-                    # ZWNJ+space alone doesn't)
-                    elif (prev in (None, "z", "J", "O")
-                          and nxt == "G"
-                          and buf[k + 1].cp in (0x20, 0xA0)):
-                        b = k + 1
-                        while (b < len(buf)
-                               and (buf[b].cat in ("z", "J")
-                                    or (buf[b].cat == "G"
-                                        and buf[b].cp
-                                        in (0x20, 0xA0)))):
-                            b += 1
-                        if (b < len(buf)
-                                and buf[b].cat not in ("O",)):
-                            dc_here = True
-                    # a second ZWNJ in a CLUSTER-ANCHORED run
-                    # dc-splits when nothing absorbs it (hb-pinned:
-                    # base+ZWNJ+ZWNJ renders base, zwnj, dc, zwnj —
-                    # but base+ZWNJ+ZWNJ+vowel leaves the dc to the
-                    # vowel's broken cluster, and a bare ZWNJ+ZWNJ
-                    # string has no dc at all)
-                    elif prev == "z" and (nxt is None
-                                          or nxt in nonmark):
-                        a = k - 1
-                        while a >= 0 and buf[a].cat in ("z", "J"):
-                            a -= 1
-                        # the run must anchor to a REAL cluster —
-                        # space-anchored runs take no dc (hb-pinned:
-                        # space+ZWNJ+ZWNJ renders without one)
-                        if (a >= 0 and buf[a].cat not in ("O",)
-                                and not (buf[a].cat == "G"
-                                         and buf[a].cp
-                                         in (0x20, 0xA0, 0x25CC))):
-                            dc_here = True
-                    # a string-initial joiner RUN followed by real
-                    # content is broken up front (hb-pinned:
-                    # ZWNJ+ZWNJ+vowel renders dc, zwnj, zwnj, dc,
-                    # vowel; ZWNJ+ZWNJ+base dc's both joiners — but
-                    # a bare joiner run has no dc at all)
-                    elif prev in (None, "O") and nxt == "z":
-                        b = k + 1
-                        while (b < len(buf)
-                               and buf[b].cat in ("z", "J")):
-                            b += 1
-                        if (b < len(buf)
-                                and buf[b].cat != "O"
-                                and not (buf[b].cat == "G"
-                                         and buf[b].cp
-                                         in (0x20, 0xA0, 0x25CC))):
-                            dc_here = True
-                if dc_here:
-                    buf.insert(k, _Glyph(dc_gid0, 0x25CC, "G", 0, 0))
-                    k += 1
-                k += 1
+            def _strong(g):
+                return (g.cat not in ("z", "J", "O")
+                        and not (g.cat == "G"
+                                 and g.cp in (0x20, 0xA0, 0x25CC)))
+
+            base_led = ("B", "N", "s")
+
+            def _absorber(g):
+                return g.cat not in ("z", "J", "O")
+
+            if any(_strong(g) for g in buf):
+                k = 0
+                while k < len(buf):
+                    if buf[k].cat not in ("z", "J"):
+                        k += 1
+                        continue
+                    # maximal joiner run [k, e)
+                    e = k
+                    while e < len(buf) and buf[e].cat in ("z", "J"):
+                        e += 1
+                    zs = [i for i in range(k, e)
+                          if buf[i].cat == "z"]
+                    first_absorbed = (bool(zs) and k > 0
+                                      and _absorber(buf[k - 1]))
+                    nxt = buf[e] if e < len(buf) else None
+                    last_leads = (
+                        bool(zs) and nxt is not None
+                        and nxt.cat not in ("O",) and not (
+                            nxt.cat == "G"
+                            or nxt.cat in base_led)
+                    ) or (
+                        bool(zs) and nxt is not None
+                        and nxt.cat == "G"
+                        and nxt.cp == 0x25CC
+                    )
+                    inserted = 0
+                    for idx, i in enumerate(zs):
+                        if idx == 0 and first_absorbed:
+                            continue
+                        if (i == zs[-1] and last_leads
+                                and not (idx == 0 and first_absorbed)):
+                            continue
+                        if (i == zs[-1] and nxt is not None
+                                and nxt.cat == "G"
+                                and nxt.cp == 0x0F7F):
+                            continue
+                        buf.insert(i + inserted,
+                                   _Glyph(dc_gid0, 0x25CC, "G", 0, 0))
+                        inserted += 1
+                    k = e + inserted
         cats = "".join(g.cat for g in buf)
         syllables = _syllabify(cats)
         for si, (s_, e_, kind) in enumerate(syllables):
