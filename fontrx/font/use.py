@@ -92,6 +92,26 @@ _OVERRIDES = {
     # Cham AA is a vowel MODIFIER (hb-pinned: VBlw+AA merges as
     # vowel+modifier, AA+vowel splits)
     0xAA29: "Q",
+    # Cham medials form a strict once-each chain ra < la < wa < ya
+    # (hb pair-matrix, round 4): wa takes its own slot between la
+    # (MBlw) and ya (MPst)
+    0xAA36: "L",
+    # Cham AA4E/AA4F (fixture-mapped) act as full bases: marks
+    # attach, the pre-base vowel fronts over them (hb-probed)
+    0xAA4E: "B",
+    0xAA4F: "B",
+    # Javanese pada/rerenggan punctuation hosts marks, and pre-base
+    # vowels front over it like any generic base (hb-probed:
+    # A9C1..A9CD + VM/vowel attach dc-less; A9C1+taling reorders)
+    **{cp: "G" for cp in range(0xA9C1, 0xA9CE)},
+    # Balinese pada punctuation hosts marks dc-less (hb-probed), and
+    # the fixture-mapped 1B4D..1B4F behave as full bases: marks
+    # attach, pre-base vowels front, adeg-adeg conjuncts form off
+    # them (hb-probed: 1B4D+adeg-adeg+KA -> one cluster with ka.blw)
+    **{cp: "G" for cp in range(0x1B5A, 0x1B61)},
+    0x1B4D: "B",
+    0x1B4E: "B",
+    0x1B4F: "B",
     # Tibetan overrides, every rule hb-probe-pinned on the corpus
     # font: the a-chung (vowel aa) is a consonant modifier (it rides
     # BEFORE subjoined letters in a stack: KA+AA+subjoined-KA is one
@@ -228,7 +248,7 @@ _j = "(?:J*+z?J*+)"
 _cm = (f"(?:(?:{_j}[Xx])*(?:{_j}y)*"
        f"(?:(?:{_j}[HKqe]J?B|{_j}U)v?"
        f"(?:{_j}X)?(?:{_j}x)*(?:{_j}y)*)*)")
-_med = f"(?:{_j}j)?(?:{_j}k)?(?:{_j}l)?(?:{_j}m)?"
+_med = f"(?:{_j}j)?(?:{_j}k)?(?:{_j}l)?(?:{_j}L)?(?:{_j}m)?"
 # halant first: longest-match over ordered alternation — and a BARE
 # halant terminates its cluster (no modifiers chain onto it).
 # Joiners outside these slots never cluster: they separate like
@@ -345,27 +365,50 @@ class UseShaper:
         from fontrx.font._indic_data import INDIC_VOWEL_CONSTRAINTS
         from fontrx.font.indic import _canonical_reorder
 
-        cps, gids = self._decompose(cps, gids)
-        cps, gids = _canonical_reorder(cps, gids)
-        # the USE normalization mode COMPOSES: adjacent pairs with a
-        # canonical composition the font maps become the composite
-        # (hb-pinned: Balinese AKARA+TEDUNG -> U+1B06)
-        if len(cps) > 1:
-            import unicodedata
+        # USE normalization, matched to libharfbuzz over a ~35-case
+        # probe matrix (round 4, Balinese two-part vowels both ways):
+        # every decomposable character DECOMPOSES (font permitting),
+        # marks canonically reorder, and then RECOMPOSITION of
+        # adjacent (non-mark starter, mark) pairs the font maps runs
+        # ONLY when the original run carries a mark at index >= 1
+        # (hb's all_simple short circuit: its decompose loop scans for
+        # a mark AFTER the first character — a run of bare letters
+        # (U+1B06 alone, KA+U+1B06) or a single run-INITIAL mark
+        # (suku+U+1B06) stays decomposed, while the same vowel after
+        # any non-initial mark (KA+suku+U+1B06, suku+bisah+...) or a
+        # decomposed input pair (AKARA+TEDUNG) comes out composed).
+        # Mark-led pairs (split matras) never recompose.
+        import unicodedata
 
-            nc: list[int] = []
-            ng: list[int] = []
-            for cp, gid in zip(cps, gids):
-                if nc and unicodedata.category(
-                        chr(nc[-1]))[0] != "M":
-                    # never recompose split matras: only non-mark
-                    # starters compose (the reference shapers'
-                    # compose_use guard)
+        def _is_mark(cp):
+            return unicodedata.category(chr(cp)).startswith("M")
+
+        has_pair = any(_is_mark(cp) for cp in cps[1:])
+        cm = self.font.charmap
+        nc: list[int] = []
+        ng: list[int] = []
+        for cp, gid in zip(cps, gids):
+            d = unicodedata.decomposition(chr(cp))
+            if d and not d.startswith("<"):
+                parts = [ord(c) for c in
+                         unicodedata.normalize("NFD", chr(cp))]
+                pgids = [int(cm.glyph_index(p)) for p in parts]
+                if all(pgids):
+                    nc.extend(parts)
+                    ng.extend(pgids)
+                    continue
+            nc.append(cp)
+            ng.append(gid)
+        cps, gids = nc, ng
+        cps, gids = _canonical_reorder(cps, gids)
+        if has_pair and len(cps) > 1:
+            nc, ng = [cps[0]], [gids[0]]
+            for cp, gid in zip(cps[1:], gids[1:]):
+                if _is_mark(cp) and not _is_mark(nc[-1]):
                     comp = unicodedata.normalize(
                         "NFC", chr(nc[-1]) + chr(cp))
-                    if len(comp) == 1:
-                        cgid = int(self.font.charmap.glyph_index(
-                            ord(comp)))
+                    if len(comp) == 1 and ord(comp) != nc[-1]:
+                        cgid = int(cm.glyph_index(ord(comp)))
                         if cgid:
                             nc[-1] = ord(comp)
                             ng[-1] = cgid
@@ -411,9 +454,13 @@ class UseShaper:
         dc_gid0 = int(self.font.charmap.glyph_index(0x25CC))
         if dc_gid0 and any(g.cat == "z" for g in buf):
             def _strong(g):
+                # gc=Cn chars carry script Unknown: they never make
+                # hb pick a real shaper, so a run of only them (plus
+                # joiners/spaces) rides DFLT — no dotted circles
                 return (g.cat not in ("z", "J", "O")
                         and not (g.cat == "G"
-                                 and g.cp in (0x20, 0xA0, 0x25CC)))
+                                 and g.cp in (0x20, 0xA0, 0x25CC))
+                        and unicodedata.category(chr(g.cp)) != "Cn")
 
             base_led = ("B", "N", "s")
 

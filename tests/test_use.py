@@ -822,6 +822,56 @@ class TestUseLongTail:
 
 @pytest.mark.skipif(not hb.available(),
                     reason="system libharfbuzz not present")
+class TestUseFullBlock:
+    """FULL-BLOCK random differentials — every codepoint the fixture
+    cmap carries, not the curated qualification alphabets (round 4:
+    this surfaced and killed the Javanese pada generic bases, the
+    Balinese two-part-vowel normalization asymmetry, the Cham medial
+    chain order and the unassigned-codepoint classes; build-time
+    qualification 12,000 strings per script at ZERO divergences)."""
+
+    SPECS = {
+        "java": ("tests/data/javatest.ttf", (0xA980, 0xA9DF)),
+        "bali": ("tests/data/balitest.ttf", (0x1B00, 0x1B7F)),
+        "cham": ("tests/data/chamtest.ttf", (0xAA00, 0xAA5F)),
+        "sinh": ("tests/data/sinhtest.ttf", (0x0D80, 0x0DFF)),
+        "tibt": ("tests/data/tibttest.ttf", (0x0F00, 0x0FFF)),
+        "lana": ("tests/data/lanatest.ttf", (0x1A20, 0x1AAF)),
+        "sund": ("tests/data/sundtest.ttf", (0x1B80, 0x1BBF)),
+    }
+
+    @pytest.mark.parametrize("tag", sorted(SPECS))
+    def test_random_full_block(self, tag):
+        from fontTools.ttLib import TTFont
+
+        path, (lo, hi) = self.SPECS[tag]
+        font = Font.open(path)
+        names = TTFont(path).getGlyphOrder()
+        with open(path, "rb") as f:
+            data = f.read()
+        cmap = TTFont(path).getBestCmap()
+        alpha = (sorted(cp for cp in cmap if lo <= cp <= hi)
+                 + [0x20, 0x200C, 0x200D])
+        sh = font.use_shaper
+        hid = ("u200C", "u200D", "u0020", "zwj", "zwnj", "space")
+        rng = random.Random(20260818)
+        bad = []
+        for _ in range(600):
+            t = "".join(chr(rng.choice(alpha))
+                        for _ in range(rng.randint(3, 8)))
+            exp = ["sp" if names[g.gid] in hid else names[g.gid]
+                   for g in hb.shape(data, t)]
+            cps = [ord(c) for c in t]
+            gids = [int(font.charmap.glyph_index(c)) for c in cps]
+            got = ["sp" if names[g] in hid else names[g]
+                   for g in sh.shape(cps, gids, script=tag.encode())]
+            if exp != got:
+                bad.append((t, exp, got))
+        assert not bad, (len(bad), bad[:3])
+
+
+@pytest.mark.skipif(not hb.available(),
+                    reason="system libharfbuzz not present")
 class TestUseJoinerTransparency:
     """The joiner-transparency rules, hb-pinned across scripts: a
     joiner run carrying at most one ZWNJ is transparent between a
