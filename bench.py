@@ -235,10 +235,42 @@ _PIN_PATH = os.path.join(os.path.dirname(__file__), "benchmarks",
                          "GATE_PIN.json")
 
 
+def _kernel_hash() -> str:
+    """sha256 over every source file that can change raster output
+    (kernels, the engine dispatch, pack-time segment transforms) — the
+    mechanical freshness check CLAUDE.md's "re-pin after any kernel
+    change" rule previously left to discipline."""
+    import glob
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(
+        glob.glob(os.path.join(root, "fontrx", "kernels", "*.py"))
+        + [os.path.join(root, "fontrx", "engine", "raster.py"),
+           os.path.join(root, "fontrx", "pack", "segments.py")]
+    )
+    h = hashlib.sha256()
+    for p in files:
+        try:
+            with open(p, "rb") as f:
+                h.update(p.encode())
+                h.update(f.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
+
+
 def _gate_pin(full_gate: dict | None) -> dict:
-    """Persist a fresh full-gate result; always return the latest pin."""
+    """Persist a fresh full-gate result; always return the latest pin.
+
+    A pin is only qualification for the kernel sources it was measured
+    against: the pin records their hash, and a bench run whose current
+    hash differs REFUSES to present the pin as current (``gate_pin``
+    becomes ``gate_pin_stale`` until a ``FONTRX_FULL_GATE=1`` run
+    re-pins)."""
     import subprocess
 
+    khash = _kernel_hash()
     if full_gate is not None:
         try:
             sha = subprocess.run(
@@ -254,6 +286,7 @@ def _gate_pin(full_gate: dict | None) -> dict:
             "date": time.strftime("%Y-%m-%d"),
             "git_sha": sha,
             "backend": full_gate.get("backend", "?"),
+            "kernel_hash": khash,
         }
         try:
             with open(_PIN_PATH, "w") as f:
@@ -263,6 +296,14 @@ def _gate_pin(full_gate: dict | None) -> dict:
     try:
         with open(_PIN_PATH) as f:
             pin = json.load(f)
+        if pin.get("kernel_hash", "") != khash:
+            print(
+                "gate pin is STALE (kernel sources changed since the "
+                "pinned FONTRX_FULL_GATE run); re-pin with "
+                "FONTRX_FULL_GATE=1 python bench.py",
+                file=sys.stderr,
+            )
+            return {"gate_pin_stale": {**pin, "current_kernel_hash": khash}}
         return {"gate_pin": pin}
     except (OSError, ValueError):
         return {}

@@ -403,6 +403,174 @@ def run_full_gate(verbose: bool = True) -> dict:
     total_mismatch += m
     log(f"  lcd48: {m}/{int(np.prod(lcd.shape))}")
 
+    # ---- 8. Loop-Blinn triangle fill (config 3's mode) -------------------
+    # coverage identity: the Pallas kernel runs the same float program
+    # per (triangle, pixel) as the jnp twin, and the fill fold is
+    # order-independent — bit-gated
+    log("gate 8: Loop-Blinn triangle fill, Pallas vs jnp twin")
+    from fontrx.geometry import TriangulatedGlyph
+    from fontrx.kernels.loopblinn import (
+        _pack_triangle_arrays,
+        loopblinn_batch,
+        loopblinn_pallas_batch,
+        pad_triangles,
+    )
+
+    lb_glyphs = []
+    for c in ASCII:
+        g, _ = font.get_glyph(chr(c))
+        if g.num_segments:
+            lb_glyphs.append((chr(c), g))
+    tgs = []
+    for _, g in lb_glyphs:
+        try:
+            tgs.append(TriangulatedGlyph.from_glyph(g))
+        except Exception:  # self-intersecting: winding fallback
+            tgs.append(None)
+    pairs = [(g, t) for (_, g), t in zip(lb_glyphs, tgs)
+             if t is not None and len(t.triangles)]
+    lcap = max(len(t.triangles) for _, t in pairs)
+    ltris = np.zeros((len(pairs), lcap, 3, 4), np.float32)
+    lcls = np.full((len(pairs), lcap), 3, np.int32)
+    lgrids2 = []
+    for i, (g, t) in enumerate(pairs):
+        p, pc = pad_triangles(_pack_triangle_arrays(t), t.classes, lcap)
+        ltris[i] = p
+        lcls[i] = pc
+        lgrids2.append(RasterGrid.fixed_tile(
+            (g.box.x_min, g.box.y_min, g.box.x_max, g.box.y_max),
+            128, font.info.units_per_em, 128))
+    lb_args = (
+        jnp.asarray(ltris), jnp.asarray(lcls),
+        jnp.asarray(np.array([g.min_x for g in lgrids2], np.int32)),
+        jnp.asarray(np.array([g.max_y for g in lgrids2], np.int32)),
+        jnp.float32(lgrids2[0].scale),
+    )
+    lb_dev = loopblinn_pallas_batch(
+        *lb_args, height=128, width=128, interpret=backend != "tpu")
+    lb_ref = loopblinn_batch(*lb_args, height=128, width=128)
+    m = _device_mismatch(lb_dev, np.asarray(lb_ref))
+    results["loopblinn128"] = {
+        "checked": int(np.prod(lb_dev.shape)), "mismatch_canonical": m,
+        "glyphs": len(pairs),
+    }
+    total_checked += int(np.prod(lb_dev.shape))
+    total_mismatch += m
+    log(f"  loopblinn128: {m}/{int(np.prod(lb_dev.shape))} "
+        f"({len(pairs)} triangulated glyphs)")
+
+    # ---- 9. outline (stroke) mode — the SDF-derived coverage -------------
+    # outline coverage = clamp(stroke/2 + 0.5 - |d|, 0, 1) is 1-Lipschitz
+    # in d (cli/main.py outline mode), so the SDF tolerance transfers:
+    # gate at the same u8 quantization step against the closed-form twin
+    log("gate 9: outline/stroke mode (SDF-derived coverage)")
+    half = np.float32(2.0 / 2.0)  # CLI default --stroke 2.0
+    ocov_dev = jnp.clip(half + 0.5 - jnp.abs(sdf_dev), 0.0, 1.0)
+    ocov_ref = jnp.clip(half + 0.5 - jnp.abs(sdf_ref), 0.0, 1.0)
+    d = jnp.abs(ocov_dev - ocov_ref)
+    m = int(jnp.sum(d > quant))
+    results["outline32"] = {
+        "checked": int(np.prod(ocov_dev.shape)),
+        "mismatch_canonical": m,
+        "tolerance": round(quant, 4),
+        "max_dev": round(float(jnp.max(d)), 4),
+    }
+    total_checked += int(np.prod(ocov_dev.shape))
+    total_mismatch += m
+    log(f"  outline32: {m}/{int(np.prod(ocov_dev.shape))} beyond "
+        f"{quant:.4f} (max dev {float(jnp.max(d)):.4f})")
+
+    # ---- 10. color composite fold (COLR src-over) ------------------------
+    # device color tiles vs a NumPy src-over oracle over the
+    # gate-canonical oracle coverage: premultiplied dst = dst*(1-a)+src
+    # per layer, bottom-to-top (engine/colorglyphs.py)
+    log("gate 10: COLR v0 color composite fold vs numpy src-over oracle")
+    from fontrx.engine.colorglyphs import color_glyph_tiles
+    from fontrx.font.font import Font as _Font
+
+    cfont = _Font.open("tests/data/colrtest.ttf")
+    cgids = [cfont.glyph_index(c) for c in "AB"]
+    ctiles, cgrids = color_glyph_tiles(
+        cfont, cgids, 64, engine, samples=2)
+    exp_tiles = np.zeros((len(cgids), 64, 64, 4), np.float32)
+    cupem = cfont.info.units_per_em
+    for i, gid in enumerate(cgids):
+        tree = cfont.color_paint_tree(gid, 0, (0, 0, 0, 255))
+        assert tree is not None and tree[0] == "layers", tree
+        layers = tree[1]
+        boxes = []
+        lglyphs = []
+        for node in layers:
+            assert node[0] == "glyph" and node[2][0] == "solid", node
+            lg = cfont.load_glyph_safe(node[1])
+            lglyphs.append((lg, node[2][1]))
+            boxes.append(lg.box)
+        union = (
+            min(bx.x_min for bx in boxes), min(bx.y_min for bx in boxes),
+            max(bx.x_max for bx in boxes), max(bx.y_max for bx in boxes))
+        cgrid = RasterGrid.fixed_tile(union, 64, cupem, 64)
+        assert (cgrid.min_x, cgrid.max_y) == (
+            cgrids[i].min_x, cgrids[i].max_y), (cgrid, cgrids[i])
+        dst = np.zeros((64, 64, 4), np.float32)
+        from fontrx.pack.segments import glyph_segments as _gseg
+
+        for lg, (r8, g8, b8, a8) in lglyphs:
+            cov = np.zeros((64, 64), np.float32)
+            for ox, oy in sample_offsets(2):
+                xs, ys = _offset_coords(cgrid, ox, oy)
+                w = oracle.winding_at(
+                    _gseg(lg), xs[None, :], ys[:, None],
+                    contract=canonical_contract)
+                cov += (w != 0).astype(np.float32)
+            cov /= 4.0
+            # mirror the device ops exactly: av = cov * f32(a/255)
+            # (weak-typed python-float constant rounds to f32), rgb =
+            # f32(c)/f32(255) (an f32 division in _eval_node)
+            a = cov * np.float32(a8 / 255.0)
+            c255 = np.float32(255.0)
+            src = np.stack([
+                (np.float32(r8) / c255) * a, (np.float32(g8) / c255) * a,
+                (np.float32(b8) / c255) * a, a], axis=-1)
+            dst = dst * (np.float32(1.0) - a[..., None]) + src
+        exp_tiles[i] = dst
+    m = _device_mismatch(ctiles, exp_tiles)
+    results["color64"] = {
+        "checked": int(exp_tiles.size), "mismatch_canonical": m,
+    }
+    total_checked += int(exp_tiles.size)
+    total_mismatch += m
+    log(f"  color64: {m}/{exp_tiles.size}")
+
+    # ---- 11. hinted fill at one ppem --------------------------------------
+    # grid-fitted 26.6 outlines (fontrx.font.hinting, FreeType-pinned)
+    # with the CLI's half-pixel center shift, rastered at scale 1/64
+    # (cli/main.py _render_hinted) — bit-gated vs the oracle on the
+    # same hinted segments
+    log("gate 11: hinted fill @16ppem (grid-fitted 26.6 outlines)")
+    from fontrx.font.glyph import Contour as _Contour, Glyph as _Glyph
+
+    ppem = 16
+    hglyphs = []
+    for c in ASCII[:48]:
+        gid = font.charmap.glyph_index(c)
+        hg, _adv = font.hinted_glyph(gid, ppem)
+        if hg.num_segments:
+            hglyphs.append(_Glyph(hg.box, tuple(
+                _Contour(k.points + np.array([-32, 32], k.points.dtype))
+                for k in hg.contours)))
+    hbatch = pack_glyphs(hglyphs)
+    hgrids = [
+        RasterGrid.fixed_tile(tuple(bx), 1, 64, 32)
+        for bx in np.asarray(hbatch.boxes)
+    ]
+    hseg = jnp.asarray(hbatch.segments)
+    hmx = jnp.asarray(np.array([g.min_x for g in hgrids], np.int32))
+    hmy = jnp.asarray(np.array([g.max_y for g in hgrids], np.int32))
+    out_h = engine.winding_batch(
+        hseg, hmx, hmy, float(hgrids[0].scale), height=32, width=32,
+    )
+    gate("hinted16", out_h, hgrids, hbatch)
+
     results["total_checked"] = total_checked
     results["total_mismatch_canonical"] = total_mismatch
     return results

@@ -709,6 +709,54 @@ class TestScalarSegmentSdf:
         assert float(jnp.max(jnp.abs(a - b))) < 1e-4
 
 
+class TestTiledSdf:
+    """2-D-tiled band-culled SDF kernel (round 4): pack-time per-tile
+    segment lists (hull-box distance vs the spread band), sublane-group
+    register layout, dynamic per-(glyph, register-tile) chunk counts.
+    Exactness argument: kept (segment, pixel) pairs run the identical
+    float program; a dropped pair's distance provably exceeds
+    ``spread`` (distance-to-curve >= distance-to-hull-box > spread +
+    guard), so post-clamp output is BIT-IDENTICAL to the flat kernel —
+    including under the min_x jitter covered by ``x_slack_px``."""
+
+    @pytest.mark.parametrize("size,th,tw", [
+        (32, 8, 16), (32, 32, 32), (64, 8, 16), (64, 16, 16),
+        (64, 32, 32),
+    ])
+    def test_bitexact_vs_flat_kernel(self, rng, size, th, tw):
+        import jax.numpy as jnp
+
+        from fontrx.kernels.sdf_pallas import (
+            pack_sdf_tiles,
+            sdf_pallas_batch,
+            sdf_pallas_tiled_batch,
+        )
+
+        b, n = 3, 96
+        p0 = rng.uniform(100, 1900, (b, n, 2))
+        p1 = p0 + rng.uniform(-80, 80, (b, n, 2))
+        p2 = p0 + rng.uniform(-80, 80, (b, n, 2))
+        seg = np.stack([p0, p1, p2], 2).astype(np.float32)
+        # a couple of all-zero padding rows (dead-slot handling)
+        seg[:, -5:] = 0.0
+        mx = np.full(b, 3, np.int32)  # jittered anchor
+        my = np.full(b, size - 1, np.int32)
+        scale = np.float32(size / 2048.0)
+        ref = sdf_pallas_batch(
+            jnp.asarray(seg), jnp.asarray(mx), jnp.asarray(my),
+            jnp.float32(scale), height=size, width=size, flat=True,
+            interpret=True)
+        stream, cnts, cap = pack_sdf_tiles(
+            seg, np.zeros(b, np.int32), my, scale, size, size,
+            tile_h=th, tile_w=tw, x_slack_px=4.0)
+        out = sdf_pallas_tiled_batch(
+            jnp.asarray(seg), jnp.asarray(stream), cnts,
+            jnp.asarray(mx), jnp.asarray(my), jnp.float32(scale),
+            height=size, width=size, cap=cap, tile_h=th, tile_w=tw,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 class TestDenseWindows:
     """Window-packed dense kernel (`pack_dense_windows` +
     `winding_dense_win_batch`): per-chunk ROW culling via 16/32-row
