@@ -253,7 +253,9 @@ def _kernel_hash() -> str:
     for p in files:
         try:
             with open(p, "rb") as f:
-                h.update(p.encode())
+                # repo-relative path: the same sources must hash the
+                # same in any checkout location
+                h.update(os.path.relpath(p, root).encode())
                 h.update(f.read())
         except OSError:
             pass

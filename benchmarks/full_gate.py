@@ -375,6 +375,37 @@ def run_full_gate(verbose: bool = True) -> dict:
     log(f"  sdf32: {m}/{int(np.prod(sdf_dev.shape))} beyond "
         f"{quant:.4f}px (max dev {float(jnp.max(d)):.4f})")
 
+    # ---- 7b. tiled band-culled SDF: BIT-identity vs the flat kernel ----
+    # the tiled kernel's contract is bit-identical output (kept pairs
+    # run the identical float program; dropped pairs provably clamp at
+    # spread) — gate it at full strength on the same batch
+    log("gate 7b: tiled band-culled SDF, bit-equality vs flat kernel")
+    from fontrx.kernels.sdf_pallas import (
+        pack_sdf_tiles,
+        sdf_pallas_batch as _sdf_flat,
+        sdf_pallas_tiled_batch,
+    )
+
+    flat_dev = (sdf_dev if backend == "tpu" else _sdf_flat(
+        jnp.asarray(sbatch.segments), smx, smy, sscale,
+        height=32, width=32, flat=True, interpret=True))
+    stream, cnts, cap = pack_sdf_tiles(
+        np.asarray(sbatch.segments), np.asarray(smx), np.asarray(smy),
+        float(sscale), 32, 32, tile_h=8, tile_w=16)
+    tiled_dev = sdf_pallas_tiled_batch(
+        jnp.asarray(sbatch.segments), jnp.asarray(stream),
+        jnp.asarray(cnts), smx, smy, sscale, height=32, width=32,
+        cap=cap, tile_h=8, tile_w=16, interpret=backend != "tpu")
+    m = int(np.sum(np.asarray(tiled_dev) != np.asarray(flat_dev)))
+    results["sdf_tiled32"] = {
+        "checked": int(np.prod(np.asarray(tiled_dev).shape)),
+        "mismatch_canonical": m,
+        "tile": "8x16", "cap": int(cap),
+    }
+    total_checked += int(np.prod(np.asarray(tiled_dev).shape))
+    total_mismatch += m
+    log(f"  sdf_tiled32: {m}/{int(np.prod(np.asarray(tiled_dev).shape))}")
+
     lcd_glyphs = glyphs[:20]
     lbatch = pack_glyphs(lcd_glyphs)
     lgrids = [

@@ -115,6 +115,93 @@ class _SafeKern:
         return np.where(prim, self._inner.lookup(safe_l, safe_r), 0)
 
 
+class _StackRunShaper:
+    """A complex-script shaping engine over STACK glyph ids: a script
+    run's nonzero gids name the owning font (``fi << GID_SHIFT``);
+    shape in the owner's own gid space, then remap back into stack
+    space.  Mixed-owner runs pass through unshaped — each font's
+    tables cannot see another font's glyphs, the same natural-skip
+    rule as the stack's primary-font GSUB surface."""
+
+    def __init__(self, stack: "FontStack", attr: str,
+                 method: str = "shape"):
+        self._stack = stack
+        self._attr = attr
+        self._method = method
+
+    def _owner(self, gids) -> int | None:
+        fis = {int(g) >> GID_SHIFT for g in gids if g}
+        return fis.pop() if len(fis) == 1 else None
+
+    def _run(self, cps, gids, **kw):
+        fi = self._owner(gids)
+        if fi is None or fi >= len(self._stack.fonts):
+            return list(gids)
+        sh = getattr(self._stack.fonts[fi], self._attr, None)
+        if sh is None:
+            return list(gids)
+        out = getattr(sh, self._method)(
+            cps, [int(g) & _GID_MASK for g in gids], **kw)
+        return [(fi << GID_SHIFT) | int(g) if g else 0 for g in out]
+
+    def shape(self, cps, gids, **kw):
+        return self._run(cps, gids, **kw)
+
+    def apply(self, cps, gids, **kw):
+        return self._run(cps, gids, **kw)
+
+    def connection_sides(self) -> dict[int, str]:
+        # kashida junction classes: merge every member font's map,
+        # earlier fonts (stack charmap precedence) winning
+        out: dict[int, str] = {}
+        for f in reversed(self._stack.fonts):
+            sh = getattr(f, self._attr, None)
+            if sh is not None:
+                out.update(sh.connection_sides())
+        return out
+
+
+class _StackGdef:
+    """GDEF glyph-class view over stack glyph ids: each glyph asks the
+    font that owns it; owners without a GDEF get hb's synthesized
+    class from the Unicode general category (Mn/Me -> mark)."""
+
+    def __init__(self, stack: "FontStack"):
+        self._stack = stack
+
+    def is_mark(self, sgid: int) -> bool:
+        import unicodedata
+
+        fi = int(sgid) >> GID_SHIFT
+        gid = int(sgid) & _GID_MASK
+        if fi >= len(self._stack.fonts):
+            return False
+        g = self._stack.fonts[fi].gdef
+        if g is not None:
+            return g.is_mark(gid)
+        c = self._stack.charmap.char_for_glyph(int(sgid))
+        return c is not None and unicodedata.category(
+            chr(int(c))) in ("Mn", "Me")
+
+
+class _StackThaiShaper:
+    """Thai/Lao shaping is codepoint-level: resolve the run's owner
+    through the stack charmap and shape with that font's engine (its
+    PUA outputs re-resolve to the same owner downstream)."""
+
+    def __init__(self, stack: "FontStack"):
+        self._stack = stack
+
+    def shape(self, cps, script: bytes = b"thai"):
+        for c in cps:
+            sg = int(self._stack.charmap.glyph_index(c))
+            if sg:
+                fi = sg >> GID_SHIFT
+                return self._stack.fonts[fi].thai_shaper.shape(
+                    list(cps), script=script)
+        return list(cps)
+
+
 class FontStack:
     """An ordered font list exposing the layout-facing ``Font``
     surface.  ``fonts[0]`` is the primary (metrics + shaping)."""
@@ -275,3 +362,54 @@ class FontStack:
         # per-font metric resolution — out of scope, degrade to the
         # one-em fallback path
         return None
+
+    # -- complex-script shaping (per-run owner resolution: the run's
+    # stack gids name the font whose tables shape it; see
+    # _StackRunShaper) -------------------------------------------------
+
+    def _any_shaper(self, attr: str) -> bool:
+        return any(
+            getattr(f, attr, None) is not None for f in self.fonts
+        )
+
+    @property
+    def arabic_shaper(self):
+        if not self._any_shaper("arabic_shaper"):
+            return None
+        return _StackRunShaper(self, "arabic_shaper", method="apply")
+
+    @property
+    def indic_shaper(self):
+        if not self._any_shaper("indic_shaper"):
+            return None
+        return _StackRunShaper(self, "indic_shaper")
+
+    @property
+    def khmer_shaper(self):
+        if not self._any_shaper("khmer_shaper"):
+            return None
+        return _StackRunShaper(self, "khmer_shaper")
+
+    @property
+    def myanmar_shaper(self):
+        if not self._any_shaper("myanmar_shaper"):
+            return None
+        return _StackRunShaper(self, "myanmar_shaper")
+
+    @property
+    def use_shaper(self):
+        if not self._any_shaper("use_shaper"):
+            return None
+        return _StackRunShaper(self, "use_shaper")
+
+    @property
+    def hangul_shaper(self):
+        return _StackRunShaper(self, "hangul_shaper")
+
+    @property
+    def thai_shaper(self):
+        return _StackThaiShaper(self)
+
+    @property
+    def gdef(self):
+        return _StackGdef(self)

@@ -356,7 +356,8 @@ def pack_sdf_tiles(
     [B, n_reg] int32, cap)``.  Register tile ``r`` holds pixel tiles
     ``[r*n_g, (r+1)*n_g)`` (row-major over the raster) as lane groups;
     group ``g``'s chunk ``i`` lives at stream slot
-    ``((r*n_g + g)*cap + i)*seg_chunk``.  ``cnts[b, r]`` is the chunk
+    ``((r*cap + i)*n_g + g)*seg_chunk`` (iteration-interleaved: one
+    chunk step advances every group).  ``cnts[b, r]`` is the chunk
     trip count (max over the register tile's groups).
 
     A segment is kept for a tile iff the 2-D box distance between its

@@ -644,6 +644,17 @@ def layout_text(
         font.mark_positioning if marks and positioner is None else None
     )
     mkmk_table = font.mark_to_mark if marks and positioner is None else None
+    gdef = (getattr(font, "gdef", None)
+            if marks and positioner is None else None)
+
+    def _is_mark_glyph(gid: int, slot: int) -> bool:
+        # hb's GDEF glyph class when the font has one, else the
+        # synthesized class from the Unicode general category (hb
+        # marks Mn/Me as GDEF class 3 when GDEF is absent)
+        if gdef is not None:
+            return gdef.is_mark(gid)
+        c = slot_chars[slot]
+        return c > 0 and unicodedata.category(chr(c)) in ("Mn", "Me")
 
     def _extra(slot: int) -> float:
         # CSS tracking: letter spacing widens every advance cell, word
@@ -783,6 +794,19 @@ def layout_text(
                         if d is not None:
                             mx, my = prev_x + d[0], pen_y + d[1]
                     if d is not None:
+                        instances.append(Instance(slot, mx, my))
+                        boxes.append((prev_x, prev_w))
+                        last_mark = (gid, mx, my)
+                        continue
+                    if _is_mark_glyph(gid, slot):
+                        # hb's BY_GDEF_LATE zero-widthing with offset
+                        # adjust: a mark no attachment table covers
+                        # still consumes no pen advance, its ink
+                        # shifted back by its own advance (x_offset -=
+                        # x_advance in hb) so old-style fonts with
+                        # pre-positioned mark outlines overlay the base
+                        mx = pen_x - float(widths[slot])
+                        my = pen_y
                         instances.append(Instance(slot, mx, my))
                         boxes.append((prev_x, prev_w))
                         last_mark = (gid, mx, my)

@@ -10,9 +10,11 @@ divergences; 3/12,000 random in a documented double-modifier
 regrouping class).  For Sinhala, JOINER-FREE text is fully exact — length<=3 exhaustive over the fixture alphabet (3,615
 strings) + 12,000 seeded-random strings at ZERO divergences — and
 every single-joiner pair is exact (length<=2 with ZWJ/ZWNJ in the
-alphabet, 306 strings, 0 divergences).  Sequences with MULTIPLE
-adjacent joiners (degenerate text) carry a documented residual
-divergence class around dotted-circle placement."""
+alphabet, 306 strings, 0 divergences).  The formerly-documented
+multi-adjacent-joiner residual class was KILLED in round 4 (commit
+7091e4b; see TestUseJoinerTransparency below): all twelve USE
+scripts are now exact over core len<=3 exhaustive sweeps WITH
+joiners."""
 
 import itertools
 import random
@@ -277,8 +279,8 @@ class TestUseBaliCham:
     """Balinese and Cham (USE-routed): adeg-adeg conjuncts and the
     canonical COMPOSE pass (Balinese AKARA+TEDUNG), Cham medials and
     letter-finals-as-bases.  Exhaustive length-2 with joiners is
-    exact for both; longer multi-joiner sequences carry the
-    documented residual."""
+    exact for both; the longer multi-joiner residual was killed in
+    round 4 (see TestUseJoinerTransparency)."""
 
     SPECS = {
         "bali": ("tests/data/balitest.ttf", b"bali",
@@ -828,7 +830,10 @@ class TestUseFullBlock:
     this surfaced and killed the Javanese pada generic bases, the
     Balinese two-part-vowel normalization asymmetry, the Cham medial
     chain order and the unassigned-codepoint classes; build-time
-    qualification 12,000 strings per script at ZERO divergences)."""
+    qualification 12,000 strings per script at ZERO divergences.
+    Round 5 extends the sweep to the five long-tail scripts — Batak,
+    Lepcha, Buginese, Saurashtra, Limbu — 2,000 full-block random
+    strings each at build time, ZERO divergences)."""
 
     SPECS = {
         "java": ("tests/data/javatest.ttf", (0xA980, 0xA9DF)),
@@ -838,6 +843,11 @@ class TestUseFullBlock:
         "tibt": ("tests/data/tibttest.ttf", (0x0F00, 0x0FFF)),
         "lana": ("tests/data/lanatest.ttf", (0x1A20, 0x1AAF)),
         "sund": ("tests/data/sundtest.ttf", (0x1B80, 0x1BBF)),
+        "batk": ("tests/data/batktest.ttf", (0x1BC0, 0x1BFF)),
+        "lepc": ("tests/data/lepctest.ttf", (0x1C00, 0x1C4F)),
+        "bugi": ("tests/data/bugitest.ttf", (0x1A00, 0x1A1F)),
+        "saur": ("tests/data/saurtest.ttf", (0xA880, 0xA8DF)),
+        "limb": ("tests/data/limbtest.ttf", (0x1900, 0x194F)),
     }
 
     @pytest.mark.parametrize("tag", sorted(SPECS))
