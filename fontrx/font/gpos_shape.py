@@ -557,11 +557,30 @@ class GposShaper(GsubShaper):
             order = self.lookup_indices_for(self.tags, script, lang)
         else:
             order = self.order
+        self._apply_order(glyphs, order, st)
+        return st.resolve()
+
+    def _apply_order(self, glyphs, order, st: "_PosState") -> None:
+        """Apply lookups in LookupList order, each through the native
+        walk (fontrx/native/gpos_walk.py — byte-identical for the
+        static lookup types) when eligible, else the Python walk."""
+        from fontrx.native import gpos_walk
+
+        buf_arr = None
+        lig_arr = None
         for li in order:
             lk = self._lookup(li)
-            if lk:
-                self._apply_lookup(glyphs, lk, st, depth=0)
-        return st.resolve()
+            if not lk:
+                continue
+            if buf_arr is None:
+                buf_arr = np.asarray(glyphs, np.int32)
+                lc = getattr(st, "lig_comps", None)
+                lig_arr = (np.asarray(lc, np.int32)
+                           if lc is not None and len(lc) == len(glyphs)
+                           else None)
+            if gpos_walk.apply_lookup(self, li, lk, buf_arr, st, lig_arr):
+                continue
+            self._apply_lookup(glyphs, lk, st, depth=0)
 
     def positions_features(
         self,
@@ -580,10 +599,7 @@ class GposShaper(GsubShaper):
         )
         st.hint_ctx = hint
         order = sorted({li for t in tags for li in self.features.get(t, ())})
-        for li in order:
-            lk = self._lookup(li)
-            if lk:
-                self._apply_lookup(glyphs, lk, st, depth=0)
+        self._apply_order(glyphs, order, st)
         return st.resolve()
 
     def _apply_lookup(self, buf, lookup: Lookup, st: "_PosState", depth: int):

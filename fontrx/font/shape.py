@@ -338,6 +338,11 @@ class GsubShaper:
     # normalized variation coords for GPOS VariationIndex resolution
     # (set by layout from the font's current design location)
     var_coords: "object | None" = None
+    # native-walk caches (fontrx/native/gpos_walk.py): flattened int32
+    # blob per lookup index (None = ineligible), and the GDEF blob
+    # (False = not yet built)
+    _native_blobs: dict = field(default_factory=dict)
+    _native_gdef: "object" = False
 
     def _lookup(self, li: int) -> Lookup | None:
         if li in self.lookups:

@@ -36,17 +36,25 @@ def _load():
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "cff_glyph_outline"):
-            # stale library from before the CFF interpreter: rebuild
+        if not hasattr(lib, "gpos_apply_lookup"):
+            # stale library from before the GPOS walk: rebuild
             log.info("native library stale; rebuilding")
             build(quiet=True)
             lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError as e:
         log.warning("failed to load native library: %s", e)
         return None
-    if not hasattr(lib, "cff_glyph_outline"):
-        log.warning("native library lacks cff_glyph_outline; disabled")
+    if not hasattr(lib, "gpos_apply_lookup"):
+        log.warning("native library lacks gpos_apply_lookup; disabled")
         return None
+    lib.gpos_apply_lookup.restype = ctypes.c_long
+    lib.gpos_apply_lookup.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.qoi_encode_rgb.restype = ctypes.c_long
     lib.qoi_encode_rgb.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
