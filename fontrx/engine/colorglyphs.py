@@ -283,6 +283,108 @@ def _offset_px(img, dx: int, dy: int):
     return out
 
 
+def _morphology(img, op: str, rx_px: int, ry_px: int):
+    """feMorphology on the premultiplied tile: min (erode) / max
+    (dilate) over the ``(2*ry+1, 2*rx+1)`` pixel window, separably
+    (rect structuring elements decompose exactly).  Transparent-black
+    outside, per the filter edge rule.  Radii FLOOR to whole pixels
+    (the common renderer convention for this deprecated-units-free
+    primitive)."""
+    if rx_px <= 0 and ry_px <= 0:
+        return img
+    fold = jnp.maximum if op == "dilate" else jnp.minimum
+    pad_val = 0.0
+
+    def run(a, r, axis):
+        if r <= 0:
+            return a
+        n = a.shape[axis]
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (r, r)
+        p = jnp.pad(a, pad, constant_values=pad_val)
+        out = None
+        for j in range(2 * r + 1):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(j, j + n)
+            s = p[tuple(sl)]
+            out = s if out is None else fold(out, s)
+        return out
+
+    return run(run(img, rx_px, 1), ry_px, 0)
+
+
+def _convolve_matrix(img, order, kern, divisor, bias, target, edge,
+                     preserve_alpha: bool):
+    """feConvolveMatrix per SVG 1.1: result(x, y) = sum over (i, j)
+    of source(x - targetX + j, y - targetY + i) *
+    kernelMatrix[orderX - j - 1, orderY - i - 1] / divisor + bias.
+    ``preserveAlpha=false`` convolves the premultiplied RGBA (our
+    tile's native form); ``true`` convolves straight RGB and passes
+    the source alpha through.  ``edgeMode``: duplicate | wrap | none."""
+    ox, oy = order
+    tx, ty = target
+    k = np.asarray(kern, np.float32).reshape(oy, ox)
+
+    a = img[..., 3:]
+    if preserve_alpha:
+        src = img[..., :3] / jnp.where(a == 0, 1.0, a)
+    else:
+        src = img
+
+    h, w = src.shape[0], src.shape[1]
+    pl_, pr = tx, ox - 1 - tx
+    pt, pb = ty, oy - 1 - ty
+    pad = [(pt, pb), (pl_, pr), (0, 0)]
+    if edge == "duplicate":
+        p = jnp.pad(src, pad, mode="edge")
+    elif edge == "wrap":
+        p = jnp.pad(src, pad, mode="wrap")
+    else:
+        p = jnp.pad(src, pad)
+    out = jnp.zeros_like(src)
+    for i in range(oy):
+        for j in range(ox):
+            wgt = float(k[oy - i - 1, ox - j - 1])
+            if wgt == 0.0:
+                continue
+            out = out + jnp.float32(wgt) * p[i : i + h, j : j + w]
+    out = out / jnp.float32(divisor) + jnp.float32(bias)
+    if preserve_alpha:
+        out = jnp.clip(out, 0.0, 1.0) * a
+        return jnp.concatenate([out, a], axis=-1)
+    out = jnp.clip(out, 0.0, 1.0)
+    # premultiplied invariant: color channels cannot exceed alpha
+    return jnp.concatenate(
+        [jnp.minimum(out[..., :3], out[..., 3:]), out[..., 3:]],
+        axis=-1)
+
+
+def _fe_tile(img, grid, sub_em):
+    """feTile: replicate the input's subregion across the tile.  The
+    subregion (EM units) snaps to the pixel lattice by rounding its
+    edges; a missing/degenerate subregion is the identity (the input
+    already spans the filter region)."""
+    if sub_em is None:
+        return img
+    t = img.shape[0]
+    x0, y0, x1, y1 = sub_em
+    scale = float(grid.scale)
+    # half-open pixel boxes: em x in [x0, x1) covers columns
+    # [x0*s - min_x, x1*s - min_x); em y in [y0, y1) covers rows
+    # [max_y - y1*s + 1, max_y - y0*s + 1) on the y-down raster
+    c0 = int(round(x0 * scale - grid.min_x))
+    c1 = int(round(x1 * scale - grid.min_x))
+    r0 = int(round(grid.max_y - y1 * scale + 1))
+    r1 = int(round(grid.max_y - y0 * scale + 1))
+    c0, c1 = max(c0, 0), min(c1, t)
+    r0, r1 = max(r0, 0), min(r1, t)
+    if c1 - c0 <= 0 or r1 - r0 <= 0:
+        return img
+    rows = r0 + (jnp.arange(t) - r0) % (r1 - r0)
+    cols = c0 + (jnp.arange(t) - c0) % (c1 - c0)
+    return img[rows[:, None], cols[None, :]]
+
+
 _COLORMATRIX_LUM = (0.2125, 0.7154, 0.0721)
 
 
@@ -415,6 +517,15 @@ def _eval_filter(node, cov, grid, tile: int):
                    else _blend(mode, s, b))
         elif kind == "colormatrix":
             out = _colormatrix(get(p[1]), p[2], p[3])
+        elif kind == "morph":
+            out = _morphology(get(p[1]), p[2],
+                              int(np.floor(p[3] * scale)),
+                              int(np.floor(p[4] * scale)))
+        elif kind == "convolve":
+            out = _convolve_matrix(get(p[1]), p[2], p[3], p[4], p[5],
+                                   p[6], p[7], p[8])
+        elif kind == "tile":
+            out = _fe_tile(get(p[1]), grid, p[2])
         else:  # pragma: no cover - the lowering rejects unknown prims
             continue
         out = crop(out)

@@ -46,11 +46,17 @@ pipeline on the composited tile — feGaussianBlur per the spec's
 three-box approximation, feOffset, feFlood, feMerge, feComposite
 (all operators incl. arithmetic), feBlend (SVG 1.1 modes),
 feColorMatrix (matrix/saturate/hueRotate/luminanceToAlpha),
-feDropShadow — with SourceGraphic/SourceAlpha/named results and the
-filter-region hard clip; a filter using any other primitive or input
-warns once and renders UNFILTERED; per-primitive subregions are not
-applied).  Documented remaining gaps: self-intersecting evenodd
-paths and self-intersecting clip children keep the nesting-depth
+feDropShadow, feMorphology (erode/dilate, separable rect windows),
+feConvolveMatrix (all edgeModes, preserveAlpha, spec 180-degree
+kernel orientation; kernelUnitLength rejected), feTile (the input
+primitive's explicit subregion replicated) — with
+SourceGraphic/SourceAlpha/named results and the filter-region hard
+clip; a filter using any other primitive or input
+(feTurbulence/feDisplacementMap/feImage and the BackgroundImage
+family are documented out) warns once and renders UNFILTERED;
+per-primitive subregions are not applied except as feTile inputs).
+Documented remaining gaps: self-intersecting evenodd paths and
+self-intersecting clip children keep the nesting-depth
 approximation.
 """
 
@@ -1362,20 +1368,93 @@ class SvgDocument:
                  t + "s"),
                 ("merge", [t + "s", src], res),
             ]
+        if tag == "feMorphology":
+            op = (child.get("operator") or "erode").strip()
+            if op not in ("erode", "dilate"):
+                return None
+            rad = _floats(child.get("radius", "0"))
+            rx = rad[0] if rad else 0.0
+            ry = rad[1] if len(rad) > 1 else rx
+            if rx < 0 or ry < 0:
+                return None  # negative radius is an error, per spec
+            return [("morph", i1, op, rx * sx_k, ry * sy_k, res)]
+        if tag == "feConvolveMatrix":
+            if child.get("kernelUnitLength") is not None:
+                return None  # deprecated attr; no renderer agrees
+            order = _floats(child.get("order", "3"))
+            ox = int(order[0]) if order else 3
+            oy = int(order[1]) if len(order) > 1 else ox
+            if ox <= 0 or oy <= 0 or ox * oy > 1024:
+                return None
+            kern = _floats(child.get("kernelMatrix", ""))
+            if len(kern) != ox * oy:
+                return None
+            div = child.get("divisor")
+            if div is None:
+                d = sum(kern)
+                divisor = d if d != 0 else 1.0
+            else:
+                divisor = _safe_float(div, 1.0)
+                if divisor == 0:
+                    return None  # zero divisor is an error, per spec
+            bias = _safe_float(child.get("bias", 0), 0.0)
+            tx = child.get("targetX")
+            ty = child.get("targetY")
+            tx = int(_safe_float(tx, ox // 2)) if tx is not None \
+                else ox // 2
+            ty = int(_safe_float(ty, oy // 2)) if ty is not None \
+                else oy // 2
+            if not (0 <= tx < ox and 0 <= ty < oy):
+                return None
+            edge = (child.get("edgeMode") or "duplicate").strip()
+            if edge not in ("duplicate", "wrap", "none"):
+                return None
+            pa = (child.get("preserveAlpha") or "false").strip() \
+                == "true"
+            return [("convolve", i1, (ox, oy), tuple(kern), divisor,
+                     bias, (tx, ty), edge, pa, res)]
+        if tag == "feTile":
+            # the input's explicit subregion is resolved by
+            # _resolve_filter (it belongs to the producing primitive's
+            # element, not this one); None until patched
+            return [("tile", i1, None, res)]
         if tag in ("title", "desc", "metadata"):
             return []
         return None
+
+    def _prim_subregion(self, child, xf):
+        """A primitive's explicit x/y/width/height subregion in EM
+        space (corner hull, same convention as the filter region), or
+        None when unspecified.  Only feTile consumes these — the
+        engine documents per-primitive subregions as not applied
+        elsewhere."""
+        vals = [child.get(k) for k in ("x", "y", "width", "height")]
+        if all(v is None for v in vals):
+            return None
+        x = _safe_float(vals[0], 0.0) if vals[0] is not None else 0.0
+        y = _safe_float(vals[1], 0.0) if vals[1] is not None else 0.0
+        w = _safe_float(vals[2], 0.0) if vals[2] is not None else 0.0
+        h = _safe_float(vals[3], 0.0) if vals[3] is not None else 0.0
+        if w <= 0 or h <= 0:
+            return None
+        corners = [affine_apply(xf, px, py)
+                   for px in (x, x + w) for py in (y, y + h)]
+        xs = [c[0] for c in corners]
+        ys = [c[1] for c in corners]
+        return (min(xs), min(ys), max(xs), max(ys))
 
     def _resolve_filter(self, value, xf, el, foreground):
         """``filter`` property -> ("filter", region_em, prims) for the
         engine's filter node, or None.  Restriction, documented: the
         supported primitive set is feGaussianBlur (the spec's
         three-box approximation), feOffset, feFlood, feMerge,
-        feComposite, feBlend, feColorMatrix, feDropShadow with
+        feComposite, feBlend, feColorMatrix, feDropShadow,
+        feMorphology, feConvolveMatrix, feTile with
         SourceGraphic/SourceAlpha/named results; a filter using
-        anything else (or an unresolved reference) warns once and
-        renders UNFILTERED; per-primitive subregions are not applied
-        (the filter region is)."""
+        anything else (feTurbulence/feDisplacementMap/feImage, an
+        unresolved reference) warns once and renders UNFILTERED;
+        per-primitive subregions are not applied (the filter region
+        is), EXCEPT as the input subregion feTile replicates."""
         v = (value or "").strip()
         if not v or v == "none":
             return None
@@ -1385,6 +1464,8 @@ class SvgDocument:
             self._warn_once("filter (unresolved reference)")
             return None
         prims: list = []
+        sub_of: dict[str, tuple | None] = {}
+        last_sub = None
         for i, child in enumerate(fel):
             lowered = self._lower_primitive(
                 child, _local(child.tag), xf, foreground, i)
@@ -1392,6 +1473,24 @@ class SvgDocument:
                 self._warn_once(
                     f"filter primitive {_local(child.tag)}")
                 return None
+            if lowered and lowered[-1][0] == "tile":
+                # resolve the INPUT's subregion: named result, else
+                # the previous primitive's (the implicit 'in' chain)
+                t = lowered[-1]
+                src = t[1]
+                if src in self._FE_IN_SPECIAL:
+                    sub = None  # the source spans the filter region
+                elif src:
+                    sub = sub_of.get(src)
+                else:
+                    sub = last_sub
+                lowered = lowered[:-1] + [("tile", t[1], sub, t[3])]
+            if lowered:
+                sub = self._prim_subregion(child, xf)
+                r = lowered[-1][-1]
+                if r:
+                    sub_of[r] = sub
+                last_sub = sub
             prims.extend(lowered)
         if not prims:
             return None

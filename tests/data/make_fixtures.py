@@ -1917,7 +1917,8 @@ def make_svgtest():
              "svglin", "colrlin", "svgrad", "colrrad", "l_eqsq",
              "svgstroke", "strokefill", "svgclip", "svggrpop",
              "svgoff", "offfill", "svgsat", "satplain", "svgfloodin",
-             "floodfill", "svgshadow"]
+             "floodfill", "svgshadow", "svgerode", "erodefill",
+             "svgtile", "tilefill"]
     fb.setupGlyphOrder(names)
     fb.setupCharacterMap({ord("A"): "svg1", ord("B"): "svg2",
                           ord("C"): "svggrad", ord("D"): "svgstruct",
@@ -1928,7 +1929,9 @@ def make_svgtest():
                           ord("M"): "svgoff", ord("N"): "offfill",
                           ord("O"): "svgsat", ord("P"): "satplain",
                           ord("Q"): "svgfloodin", ord("R"): "floodfill",
-                          ord("S"): "svgshadow"})
+                          ord("S"): "svgshadow", ord("T"): "svgerode",
+                          ord("U"): "erodefill", ord("V"): "svgtile",
+                          ord("W"): "tilefill"})
 
     def rect(pen, x0, y0, x1, y1):
         pen.moveTo((x0, y0))
@@ -2108,6 +2111,37 @@ def make_svgtest():
   <circle id="glyph18" cx="500" cy="-450" r="250" fill="black" filter="url(#ff)"/>
   <circle id="glyph19" cx="500" cy="-450" r="250" fill="#aa0000" fill-opacity="0.75"/>
 </svg>"""
+    # round-5 long-tail twins: T erode(40) on a rect == U the rect
+    # inset by 40 user units on every side (rect coverage is separable,
+    # so the windowed min IS the inset rect's coverage — exact).
+    # V/W crop to the SAME hard userSpaceOnUse region strictly inside
+    # the rect, so the tiled cell (interior-solid) and the
+    # identity-filtered rect agree on every region pixel — feTile
+    # replicates interior values onto the region boundary per spec,
+    # which an UNfiltered rect's AA edge would not match.
+    doc_erode = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <filter id="fm" x="-50%" y="-50%" width="200%" height="200%">
+      <feMorphology operator="erode" radius="40"/>
+    </filter>
+  </defs>
+  <rect id="glyph21" x="200" y="-600" width="400" height="300" fill="#227744" filter="url(#fm)"/>
+  <rect id="glyph22" x="240" y="-560" width="320" height="220" fill="#227744"/>
+</svg>"""
+    doc_tile = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
+  <defs>
+    <filter id="ft" x="200" y="-600" width="300" height="300" filterUnits="userSpaceOnUse">
+      <feFlood flood-color="#884422" x="200" y="-600" width="100" height="100" result="sq"/>
+      <feComposite in="sq" in2="SourceAlpha" operator="in" x="200" y="-600" width="100" height="100" result="cell"/>
+      <feTile in="cell"/>
+    </filter>
+    <filter id="fi" x="200" y="-600" width="300" height="300" filterUnits="userSpaceOnUse">
+      <feColorMatrix type="saturate" values="1"/>
+    </filter>
+  </defs>
+  <rect id="glyph23" x="100" y="-700" width="500" height="500" fill="black" filter="url(#ft)"/>
+  <rect id="glyph24" x="100" y="-700" width="500" height="500" fill="#884422" filter="url(#fi)"/>
+</svg>"""
     doc_shadow = """<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 1000 1000">
   <defs>
     <filter id="fd" x="-50%" y="-50%" width="200%" height="200%">
@@ -2135,6 +2169,8 @@ def make_svgtest():
         SVGDocument(doc_sat, 16, 17),
         SVGDocument(doc_floodin, 18, 19),
         SVGDocument(doc_shadow, 20, 20),
+        SVGDocument(doc_erode, 21, 22),
+        SVGDocument(doc_tile, 23, 24),
     ]
     fb.font["SVG "] = svg
     fb.save(os.path.join(HERE, "svgtest.ttf"))

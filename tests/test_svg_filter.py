@@ -292,3 +292,225 @@ class TestFallbacks:
         assert node[2][0][1] == "SourceAlpha"
         assert node[2][0][-1] == "blur"
         assert node[2][2][1] == ["off", "SourceGraphic"]
+
+
+class TestLongTailPrimitives:
+    """Round-5 long tail: feMorphology, feConvolveMatrix, feTile —
+    numpy oracles for the engine primitives + lowering semantics
+    (rejection rules, feTile input-subregion resolution)."""
+
+    _eval = TestPrimitiveOracles._eval
+
+    # -- feMorphology ---------------------------------------------------
+
+    @pytest.mark.parametrize("op", ["erode", "dilate"])
+    def test_morphology_matches_numpy_window(self, op):
+        rng = np.random.default_rng(11)
+        cov = rng.random((24, 24)).astype(np.float32)
+        rx, ry = 2, 1
+        out = self._eval([("morph", "", op, float(rx), float(ry), "")],
+                         cov, tile=24)
+        # oracle: direct min/max over the (2ry+1, 2rx+1) window with
+        # transparent-black outside
+        pad_val = 0.0 if op == "dilate" else 0.0
+        src = np.pad(cov, ((ry, ry), (rx, rx)),
+                     constant_values=pad_val)
+        fold = np.maximum if op == "dilate" else np.minimum
+        expect = None
+        for i in range(2 * ry + 1):
+            for j in range(2 * rx + 1):
+                s = src[i:i + 24, j:j + 24]
+                expect = s if expect is None else fold(expect, s)
+        np.testing.assert_allclose(out[..., 3], expect, atol=1e-6)
+        np.testing.assert_allclose(out[..., 0], expect, atol=1e-6)
+
+    def test_morphology_zero_radius_is_identity(self):
+        cov = np.random.default_rng(3).random((8, 8)).astype(np.float32)
+        out = self._eval([("morph", "", "erode", 0.0, 0.0, "")],
+                         cov, tile=8)
+        np.testing.assert_allclose(out[..., 3], cov, atol=1e-6)
+
+    def test_morphology_lowering_rejects_negative_radius(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <defs><filter id="m"><feMorphology radius="-2"/></filter></defs>
+          <rect id="glyph1" x="0" y="-100" width="100" height="100"
+                fill="black" filter="url(#m)"/>
+        </svg>""", 1000)
+        assert doc.glyph_tree(1)[1][0][0] == "outline"  # unfiltered
+
+    def test_morphology_lowering(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <defs><filter id="m">
+            <feMorphology operator="dilate" radius="20 10"/>
+          </filter></defs>
+          <rect id="glyph1" x="0" y="-100" width="100" height="100"
+                fill="black" filter="url(#m)"/>
+        </svg>""", 1000)
+        node = doc.glyph_tree(1)[1][0]
+        assert node[0] == "filter"
+        assert node[2][0][:5] == ("morph", "", "dilate", 20.0, 10.0)
+
+    # -- feConvolveMatrix -----------------------------------------------
+
+    def test_convolve_identity_kernel(self):
+        cov = np.random.default_rng(5).random((8, 8)).astype(np.float32)
+        out = self._eval(
+            [("convolve", "", (1, 1), (1.0,), 1.0, 0.0, (0, 0),
+              "duplicate", False, "")], cov, tile=8)
+        np.testing.assert_allclose(out[..., 3], cov, atol=1e-6)
+
+    @pytest.mark.parametrize("edge", ["duplicate", "wrap", "none"])
+    def test_convolve_matches_spec_formula(self, edge):
+        rng = np.random.default_rng(17)
+        cov = rng.random((16, 16)).astype(np.float32)
+        ox, oy, tx, ty = 3, 2, 1, 0
+        kern = tuple(rng.random(ox * oy).round(3))
+        div, bias = 2.0, 0.0
+        out = self._eval(
+            [("convolve", "", (ox, oy), kern, div, bias, (tx, ty),
+              edge, False, "")], cov, tile=16)
+        # oracle: the spec formula, scalar loops
+        k = np.asarray(kern).reshape(oy, ox)
+        expect = np.zeros((16, 16))
+        for y in range(16):
+            for x in range(16):
+                acc = 0.0
+                for i in range(oy):
+                    for j in range(ox):
+                        sx, sy = x - tx + j, y - ty + i
+                        if edge == "duplicate":
+                            sx = min(max(sx, 0), 15)
+                            sy = min(max(sy, 0), 15)
+                        elif edge == "wrap":
+                            sx %= 16
+                            sy %= 16
+                        elif not (0 <= sx < 16 and 0 <= sy < 16):
+                            continue
+                        acc += cov[sy, sx] * k[oy - i - 1, ox - j - 1]
+                expect[y, x] = min(max(acc / div + bias, 0.0), 1.0)
+        np.testing.assert_allclose(out[..., 3], expect, atol=1e-5)
+
+    def test_convolve_preserve_alpha(self):
+        # preserveAlpha: straight-RGB convolution, source alpha kept
+        cov = np.ones((8, 8), np.float32) * 0.5
+        out = self._eval(
+            [("convolve", "", (3, 3),
+              (0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0),
+              1.0, 0.0, (1, 1), "duplicate", True, "")],
+            cov, tile=8, paint=(200, 100, 50, 255))
+        np.testing.assert_allclose(out[..., 3], cov, atol=1e-6)
+        # identity kernel on straight color -> original premultiplied
+        np.testing.assert_allclose(out[4, 4, :3],
+                                   np.array([200, 100, 50]) / 255 * 0.5,
+                                   atol=1e-5)
+
+    def test_convolve_lowering_rejections(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        cases = [
+            b'<feConvolveMatrix order="3" kernelMatrix="1 1"/>',
+            b'<feConvolveMatrix order="2" kernelMatrix="1 1 1 1" divisor="0"/>',
+            b'<feConvolveMatrix order="2" kernelMatrix="1 1 1 1" targetX="5"/>',
+            b'<feConvolveMatrix order="2" kernelMatrix="1 1 1 1" kernelUnitLength="1"/>',
+            b'<feConvolveMatrix order="2" kernelMatrix="1 1 1 1" edgeMode="bogus"/>',
+        ]
+        for prim in cases:
+            doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+                 viewBox="0 0 1000 1000">
+              <defs><filter id="c">""" + prim + b"""</filter></defs>
+              <rect id="glyph1" x="0" y="-100" width="100" height="100"
+                    fill="black" filter="url(#c)"/>
+            </svg>""", 1000)
+            assert doc.glyph_tree(1)[1][0][0] == "outline", prim
+
+    def test_convolve_default_divisor_is_kernel_sum(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <defs><filter id="c">
+            <feConvolveMatrix order="2" kernelMatrix="1 1 1 1"/>
+          </filter></defs>
+          <rect id="glyph1" x="0" y="-100" width="100" height="100"
+                fill="black" filter="url(#c)"/>
+        </svg>""", 1000)
+        p = doc.glyph_tree(1)[1][0][2][0]
+        assert p[0] == "convolve" and p[4] == 4.0
+
+    # -- feTile ---------------------------------------------------------
+
+    def test_tile_replicates_subregion(self):
+        cov = np.zeros((16, 16), np.float32)
+        cov[12:16, 0:4] = 1.0  # em box x[0,4) y[0,4) (bottom-left)
+        # subregion em x[0,4] y[0,4] -> rows 12..16, cols 0..4
+        out = self._eval(
+            [("tile", "", (0.0, 0.0, 4.0, 4.0), "")], cov, tile=16)
+        # the filled square tiles the whole raster
+        expect = np.ones((16, 16), np.float32)
+        np.testing.assert_allclose(out[..., 3], expect, atol=1e-6)
+
+    def test_tile_pattern_phase(self):
+        cov = np.zeros((8, 8), np.float32)
+        cov[7, 0] = 1.0  # em (0.?, 0.?) single pixel at box corner
+        out = self._eval(
+            [("tile", "", (0.0, 0.0, 2.0, 2.0), "")], cov, tile=8)
+        expect = np.zeros((8, 8), np.float32)
+        expect[1::2, 0::2] = 1.0
+        np.testing.assert_allclose(out[..., 3], expect, atol=1e-6)
+
+    def test_tile_without_subregion_is_identity(self):
+        cov = np.random.default_rng(9).random((8, 8)).astype(np.float32)
+        out = self._eval([("tile", "", None, "")], cov, tile=8)
+        np.testing.assert_allclose(out[..., 3], cov, atol=1e-6)
+
+    def test_tile_lowering_resolves_input_subregion(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <defs><filter id="t">
+            <feFlood flood-color="red" x="100" y="-200" width="50"
+                     height="50" result="sq"/>
+            <feTile in="sq"/>
+          </filter></defs>
+          <rect id="glyph1" x="0" y="-500" width="500" height="500"
+                fill="black" filter="url(#t)"/>
+        </svg>""", 1000)
+        node = doc.glyph_tree(1)[1][0]
+        prims = node[2]
+        assert prims[1][0] == "tile"
+        # y-flip: user y in [-200, -150] -> em y in [150, 200]
+        assert prims[1][2] == (100.0, 150.0, 150.0, 200.0)
+
+    def test_tile_of_source_is_identity_lowering(self):
+        from fontrx.font.svgdoc import SvgDocument
+
+        doc = SvgDocument(b"""<svg xmlns="http://www.w3.org/2000/svg"
+             viewBox="0 0 1000 1000">
+          <defs><filter id="t"><feTile in="SourceGraphic"/></filter></defs>
+          <rect id="glyph1" x="0" y="-100" width="100" height="100"
+                fill="black" filter="url(#t)"/>
+        </svg>""", 1000)
+        assert doc.glyph_tree(1)[1][0][2][0][2] is None
+
+
+class TestLongTailTwins:
+    """Fixture-font equivalence twins for the round-5 primitives:
+    T erode(40) rect == U inset rect (separable rect coverage makes
+    the windowed min exactly the inset rect's coverage); V a tiled
+    100x100 flood cell == W the plain solid rect (mod-copy replicates
+    exact pixels across the userSpaceOnUse region)."""
+
+    _twin = TestEquivalenceTwins._twin
+
+    def test_erode_equals_inset_rect(self, font, engine):
+        self._twin(font, engine, "T", "U")
+
+    def test_tile_equals_solid_rect(self, font, engine):
+        self._twin(font, engine, "V", "W")
