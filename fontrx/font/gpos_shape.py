@@ -563,24 +563,34 @@ class GposShaper(GsubShaper):
     def _apply_order(self, glyphs, order, st: "_PosState") -> None:
         """Apply lookups in LookupList order, each through the native
         walk (fontrx/native/gpos_walk.py — byte-identical for the
-        static lookup types) when eligible, else the Python walk."""
+        static lookup types) when eligible, else the Python walk.  The
+        accumulator arrays live in one NativeRun across consecutive
+        native lookups; they sync with the _PosState lists only around
+        Python-walk fallbacks and at the end."""
         from fontrx.native import gpos_walk
 
-        buf_arr = None
-        lig_arr = None
+        run = None
+        tried = False
         for li in order:
             lk = self._lookup(li)
             if not lk:
                 continue
-            if buf_arr is None:
+            if not tried:
+                tried = True
                 buf_arr = np.asarray(glyphs, np.int32)
                 lc = getattr(st, "lig_comps", None)
                 lig_arr = (np.asarray(lc, np.int32)
                            if lc is not None and len(lc) == len(glyphs)
                            else None)
-            if gpos_walk.apply_lookup(self, li, lk, buf_arr, st, lig_arr):
+                run = gpos_walk.start_run(self, buf_arr, st, lig_arr)
+            if run is not None and gpos_walk.apply_lookup(
+                    self, li, lk, run, st):
                 continue
+            if run is not None:
+                run.push(st)
             self._apply_lookup(glyphs, lk, st, depth=0)
+        if run is not None:
+            run.push(st)
 
     def positions_features(
         self,

@@ -601,10 +601,7 @@ class GsubShaper:
         # ligature, recording which component it followed — consumed
         # by GPOS mark-to-ligature attachment (type 5)
         self._comp = [0] * len(buf)
-        for li in order:
-            lk = self._lookup(li)
-            if lk:
-                self._apply_lookup(buf, lk, depth=0)
+        self._apply_sub_order(buf, order)
         self.last_lig_comps = self._comp
         self._comp = None
         return buf
@@ -619,13 +616,36 @@ class GsubShaper:
         })
         buf = list(glyphs)
         self._comp = [0] * len(buf)
-        for li in order:
-            lk = self._lookup(li)
-            if lk:
-                self._apply_lookup(buf, lk, depth=0)
+        self._apply_sub_order(buf, order)
         self.last_lig_comps = self._comp
         self._comp = None
         return buf
+
+    def _apply_sub_order(self, buf: list[int], order) -> None:
+        """Apply lookups in LookupList order, each through the native
+        walk (fontrx/native/gsub_walk.py — byte-identical for the
+        single/alternate/ligature types) when eligible, else the
+        Python walk.  The buffer/comp arrays live in one SubRun across
+        consecutive native lookups."""
+        from fontrx.native import gsub_walk
+
+        run = None
+        tried = False
+        for li in order:
+            lk = self._lookup(li)
+            if not lk:
+                continue
+            if not tried:
+                tried = True
+                run = gsub_walk.start_run(self)
+            if run is not None and gsub_walk.apply_lookup(
+                    self, li, lk, run, buf, self._comp):
+                continue
+            if run is not None:
+                run.push(buf, self._comp)
+            self._apply_lookup(buf, lk, depth=0)
+        if run is not None:
+            run.push(buf, self._comp)
 
     def _apply_lookup(self, buf: list[int], lookup: Lookup, depth: int) -> None:
         if any(st == 8 for st, _ in lookup.subtables):

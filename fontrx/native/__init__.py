@@ -36,17 +36,23 @@ def _load():
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
-        if not hasattr(lib, "gpos_apply_lookup"):
-            # stale library from before the GPOS walk: rebuild
+        if not hasattr(lib, "gsub_apply_lookup"):
+            # stale library from before the GSUB walk: rebuild
             log.info("native library stale; rebuilding")
             build(quiet=True)
             lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError as e:
         log.warning("failed to load native library: %s", e)
         return None
-    if not hasattr(lib, "gpos_apply_lookup"):
-        log.warning("native library lacks gpos_apply_lookup; disabled")
+    if not hasattr(lib, "gsub_apply_lookup"):
+        log.warning("native library lacks gsub_apply_lookup; disabled")
         return None
+    lib.gsub_apply_lookup.restype = ctypes.c_long
+    lib.gsub_apply_lookup.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long,
+    ]
     lib.gpos_apply_lookup.restype = ctypes.c_long
     lib.gpos_apply_lookup.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p,

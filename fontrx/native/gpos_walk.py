@@ -182,19 +182,88 @@ def flatten_gdef(gdef) -> np.ndarray | None:
     return np.asarray(words, np.int32)
 
 
-def apply_lookup(shaper, li: int, lookup, buf_arr: np.ndarray, st,
-                 lig_arr: np.ndarray | None) -> bool:
-    """Run lookup ``li`` natively over ``buf_arr`` (int32 glyph
-    stream), accumulating into ``st``.  Returns False (caller falls
-    back to Python) when the library isn't built, the lookup is
-    ineligible, or the call carries var/hint context."""
+class NativeRun:
+    """Shared state for one ``positions()`` call: the accumulator
+    arrays live HERE across consecutive native lookups (the page path
+    calls positions per line — rebuilding lists/arrays per lookup was
+    ~40% of the wrapped-layout profile), syncing with the Python
+    ``_PosState`` lists only around Python-walk fallbacks."""
+
+    __slots__ = ("lib", "buf", "n", "lig", "xp", "yp", "xa", "ya",
+                 "att_p", "att_dx", "att_dy", "synced", "gblob_ptr")
+
+    def __init__(self, lib, buf_arr, lig_arr, st):
+        self.lib = lib
+        self.buf = buf_arr
+        self.n = len(buf_arr)
+        self.lig = lig_arr
+        self.xp = self.yp = self.xa = self.ya = None
+        self.att_p = np.empty(self.n, np.int32)
+        self.att_dx = np.zeros(self.n, np.int32)
+        self.att_dy = np.zeros(self.n, np.int32)
+        self.synced = False
+
+    def _pull(self, st):
+        if not self.synced:
+            self.xp = np.asarray(st.xp, np.int32)
+            self.yp = np.asarray(st.yp, np.int32)
+            self.xa = np.asarray(st.xa, np.int32)
+            self.ya = np.asarray(st.ya, np.int32)
+            self.synced = True
+
+    def push(self, st):
+        """Write the array state back into the Python lists (before a
+        Python-walk lookup, and once at the end of the order)."""
+        if self.synced:
+            st.xp[:] = self.xp.tolist()
+            st.yp[:] = self.yp.tolist()
+            st.xa[:] = self.xa.tolist()
+            st.ya[:] = self.ya.tolist()
+            self.synced = False
+
+    def run(self, gblob, blob, st) -> bool:
+        self._pull(st)
+        self.att_p.fill(-2)
+        rc = self.lib.gpos_apply_lookup(
+            None if gblob is None else gblob.ctypes.data,
+            blob.ctypes.data, self.buf.ctypes.data,
+            ctypes.c_long(self.n),
+            None if self.lig is None else self.lig.ctypes.data,
+            self.xp.ctypes.data, self.yp.ctypes.data,
+            self.xa.ctypes.data, self.ya.ctypes.data,
+            self.att_p.ctypes.data, self.att_dx.ctypes.data,
+            self.att_dy.ctypes.data,
+        )
+        if rc != 0:
+            return False
+        hit = np.nonzero(self.att_p != -2)[0]
+        if len(hit):
+            ap, adx, ady = self.att_p, self.att_dx, self.att_dy
+            for i in hit:
+                st.attach[int(i)] = (int(ap[i]), int(adx[i]),
+                                     int(ady[i]))
+        return True
+
+
+def start_run(shaper, buf_arr: np.ndarray, st,
+              lig_arr: np.ndarray | None):
+    """A :class:`NativeRun` for this positions() call, or ``None``
+    when the native walk cannot apply at all (library missing,
+    var/hint context active)."""
     from fontrx.native import _load
 
     if st.var_ctx is not None or st.hint_ctx is not None:
-        return False
+        return None
     lib = _load()
     if lib is None or not hasattr(lib, "gpos_apply_lookup"):
-        return False
+        return None
+    return NativeRun(lib, buf_arr, lig_arr, st)
+
+
+def apply_lookup(shaper, li: int, lookup, run, st) -> bool:
+    """Run lookup ``li`` natively, accumulating into ``run``/``st``.
+    Returns False (caller falls back to Python) when the lookup is
+    ineligible."""
     blob = shaper._native_blobs.get(li, False)
     if blob is False:
         try:
@@ -213,34 +282,4 @@ def apply_lookup(shaper, li: int, lookup, buf_arr: np.ndarray, st,
         shaper._native_gdef = gblob
     if isinstance(gblob, str):  # GDEF unrepresentable: no native walk
         return False
-
-    n = len(buf_arr)
-    xp = np.asarray(st.xp, np.int32)
-    yp = np.asarray(st.yp, np.int32)
-    xa = np.asarray(st.xa, np.int32)
-    ya = np.asarray(st.ya, np.int32)
-    att_p = np.full(n, -2, np.int32)
-    att_dx = np.zeros(n, np.int32)
-    att_dy = np.zeros(n, np.int32)
-
-    def ptr(a):
-        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-
-    rc = lib.gpos_apply_lookup(
-        None if gblob is None else ptr(gblob),
-        ptr(blob), ptr(buf_arr), ctypes.c_long(n),
-        None if lig_arr is None else ptr(lig_arr),
-        ptr(xp), ptr(yp), ptr(xa), ptr(ya),
-        ptr(att_p), ptr(att_dx), ptr(att_dy),
-    )
-    if rc != 0:
-        return False
-    st.xp[:] = xp.tolist()
-    st.yp[:] = yp.tolist()
-    st.xa[:] = xa.tolist()
-    st.ya[:] = ya.tolist()
-    hit = np.nonzero(att_p != -2)[0]
-    for i in hit:
-        st.attach[int(i)] = (int(att_p[i]), int(att_dx[i]),
-                             int(att_dy[i]))
-    return True
+    return run.run(gblob, blob, st)

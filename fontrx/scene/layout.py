@@ -279,11 +279,13 @@ def layout_text(
     # by the font-derived joining algorithm (fontrx/font/arabic.py) —
     # runs before the feature pass so lam-alef rlig sees form glyphs
     if any(
-        _is_arabic_cp(cp) for line in cp_lines for cp in line
+        _is_arabic_cp(cp)
+        for cp in {c for line in cp_lines for c in line}
     ) and getattr(font, "arabic_shaper", None) is not None:
         ar = font.arabic_shaper
         lines = [
-            ar.apply(cps, line) if any(_is_arabic_cp(c) for c in cps)
+            ar.apply(cps, line)
+            if any(_is_arabic_cp(c) for c in set(cps))
             else line
             for cps, line in zip(cp_lines, lines)
         ]
@@ -316,29 +318,30 @@ def layout_text(
         inside formed ligatures; 0 elsewhere) for GPOS
         mark-to-ligature attachment."""
         _shape_stream.last_comps = [0] * len(seq)
+        # family predicates run over the UNIQUE codepoints (any() over
+        # a set equals any() over the stream; real text repeats few
+        # cps, so this turns six 10k-element Python scans per line
+        # into six scans of ~dozens — measured on the wrapped-page
+        # profile)
+        aligned = seg_cps is not None and len(seg_cps) == len(seq)
+        uniq = set(seg_cps) if aligned else ()
         indic = None
-        if (seg_cps is not None and len(seg_cps) == len(seq)
-                and any(_is_indic_cp(c) for c in seg_cps)):
+        if aligned and any(_is_indic_cp(c) for c in uniq):
             indic = getattr(font, "indic_shaper", None)
         thai = None
-        if (seg_cps is not None and len(seg_cps) == len(seq)
-                and any(_is_thai_cp(c) for c in seg_cps)):
+        if aligned and any(_is_thai_cp(c) for c in uniq):
             thai = font.thai_shaper
         khmer = None
-        if (seg_cps is not None and len(seg_cps) == len(seq)
-                and any(0x1780 <= c <= 0x17FF for c in seg_cps)):
+        if aligned and any(0x1780 <= c <= 0x17FF for c in uniq):
             khmer = getattr(font, "khmer_shaper", None)
         mymr = None
-        if (seg_cps is not None and len(seg_cps) == len(seq)
-                and any(0x1000 <= c <= 0x109F for c in seg_cps)):
+        if aligned and any(0x1000 <= c <= 0x109F for c in uniq):
             mymr = getattr(font, "myanmar_shaper", None)
         hang = None
-        if (seg_cps is not None and len(seg_cps) == len(seq)
-                and any(_is_hangul_cp(c) for c in seg_cps)):
+        if aligned and any(_is_hangul_cp(c) for c in uniq):
             hang = font.hangul_shaper
         use = None
-        if (seg_cps is not None and len(seg_cps) == len(seq)
-                and any(_is_use_cp(c) for c in seg_cps)):
+        if aligned and any(_is_use_cp(c) for c in uniq):
             use = getattr(font, "use_shaper", None)
         if not tags and indic is None and thai is None \
                 and khmer is None and mymr is None and hang is None \

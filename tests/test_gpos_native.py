@@ -110,3 +110,52 @@ class TestNativeWalkIdentity:
         monkeypatch.setattr(native, "_tried", True)
         a, b = _both_paths(dj, "AVATAR fi x̂")
         assert a == b
+
+
+class TestGsubNativeIdentity:
+    """Native GSUB walk (gsub_walk.cc) vs the Python substitution
+    engine: identical glyph streams, ligature components, and final
+    positions over randomized text and the complex-script fixtures."""
+
+    def _both(self, font, text, **kw):
+        from fontrx.native import gsub_walk
+        from fontrx.scene.layout import layout_text
+
+        kw.setdefault("ligatures", True)
+        lt1 = layout_text(font, text, **kw)
+        real = gsub_walk.apply_lookup
+        gsub_walk.apply_lookup = lambda *a, **k: False
+        try:
+            lt2 = layout_text(font, text, **kw)
+        finally:
+            gsub_walk.apply_lookup = real
+        key = lambda lt: ([lt.slot_gids[i.glyph_slot]
+                           for i in lt.instances],
+                          [(i.x, i.y) for i in lt.instances])
+        return key(lt1), key(lt2)
+
+    def test_random_latin_liga(self, dj):
+        rng = random.Random(20260820)
+        alpha = "afflight difficulty waffle offices THE fi fl ffi .,"
+        for _ in range(30):
+            text = "".join(rng.choice(alpha)
+                           for _ in range(rng.randint(2, 80)))
+            a, b = self._both(dj, text)
+            assert a == b, text
+
+    def test_liga_components_thread_to_gpos(self, dj):
+        # a mark INSIDE a ligature: comp side channel must match so
+        # GPOS mark-to-ligature attaches identically
+        a, b = self._both(dj, "f́fi fí x̂fl",
+                          positioning=(b"kern", b"mark", b"mkmk"))
+        assert a == b
+
+    @pytest.mark.parametrize("path,text", [
+        ("tests/data/arabictest.ttf", "السلام"),
+        ("tests/data/devatest.ttf", "निम्न"),
+        ("tests/data/khmrtest.ttf", "ខ្មែរ"),
+    ])
+    def test_complex_fixtures(self, path, text):
+        font = Font.open(path)
+        a, b = self._both(font, text)
+        assert a == b
