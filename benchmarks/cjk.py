@@ -177,12 +177,24 @@ def sdf_atlas(b=1000, n_segments=288):
         w128 = ((size + 127) // 128) * 128
 
         if on_tpu:
-            # flat-pixel mode (zero lane waste at 32/64px; see
-            # tools/tpu_probes/tpu_sdf_flat.py)
-            def fn(mx, size=size, scale=scale, d_my=d_my):
-                return sdf_to_u8(sdf_pallas_batch(
-                    d_segs, mx, d_my, jnp.float32(scale),
-                    height=size, width=size, flat=True,
+            # PRODUCTION dispatch: tiled band-culled kernel at 64px
+            # (1.47x, tpu_sdf_tiled3.py), flat-pixel mode at 32px
+            # (tiled measured a wash there); x_slack covers the
+            # chained protocol's jittered anchors
+            from fontrx.engine.raster import RasterEngine
+
+            engine = RasterEngine()
+            pack = engine.pack_sdf(
+                segs, np.zeros(b, np.int32),
+                np.full(b, size - 1, np.int32), float(scale),
+                height=size, width=size, x_slack_px=4.0,
+            )
+
+            def fn(mx, size=size, scale=scale, d_my=d_my,
+                   engine=engine, pack=pack):
+                return sdf_to_u8(engine.sdf_batch(
+                    d_segs, mx, d_my, float(scale),
+                    height=size, width=size, pack=pack,
                 ))
         else:
             def fn(mx, size=size, scale=scale, d_my=d_my):

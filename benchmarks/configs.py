@@ -232,18 +232,27 @@ def config4_sdf_atlas(n_glyphs: int = 1000, size: int = 32):
     use_pallas = jax.default_backend() == "tpu"
     d_var = jnp.stack([args[1] + i for i in range(4)])
     if use_pallas:
-        # flat-pixel mode: row-major pixel flattening fills every lane
-        # (a 32px tile padded to 128 lanes would otherwise compute 4x
-        # dead columns); bit-identical to the tiled kernel, measured
-        # 2.35x @32px / 1.9x @64px (tools/tpu_probes/tpu_sdf_flat.py)
-        flat = size & (size - 1) == 0 and (size * size) % 1024 == 0
-        w = size if flat else ((size + 127) // 128) * 128
+        # PRODUCTION dispatch (engine.sdf_batch): tiled band-culled
+        # kernel in the dense regime (capacity >= 128, size >= 64),
+        # flat-pixel mode elsewhere — both bit-identical; x_slack
+        # covers the chained protocol's jittered anchors so ONE host
+        # packing serves every chained launch
+        from fontrx.engine.raster import RasterEngine
+
+        engine = RasterEngine()
+        host_segs = np.asarray(batch.segments)
+        host_mx = np.array([g.min_x for g in grids], np.int32)
+        host_my = np.array([g.max_y for g in grids], np.int32)
+        pack = engine.pack_sdf(
+            host_segs, host_mx, host_my, float(grids[0].scale),
+            height=size, width=size, x_slack_px=4.0,
+        )
 
         def fn(mx):
-            return sdf_to_u8(sdf_pallas_batch(
-                args[0], mx, args[2], args[3],
-                height=size, width=w, flat=flat,
-            )[:, :, :size])
+            return sdf_to_u8(engine.sdf_batch(
+                host_segs, mx, host_my, float(grids[0].scale),
+                height=size, width=size, pack=pack,
+            ))
     else:
 
         def fn(mx):

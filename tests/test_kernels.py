@@ -719,11 +719,13 @@ class TestTiledSdf:
     guard), so post-clamp output is BIT-IDENTICAL to the flat kernel —
     including under the min_x jitter covered by ``x_slack_px``."""
 
-    @pytest.mark.parametrize("size,th,tw", [
-        (32, 8, 16), (32, 32, 32), (64, 8, 16), (64, 16, 16),
-        (64, 32, 32),
+    @pytest.mark.parametrize("size,th,tw,sort_tiles", [
+        (32, 8, 16, False), (32, 32, 32, False), (64, 8, 16, False),
+        (64, 16, 16, False), (64, 32, 32, False),
+        (64, 8, 16, True), (64, 4, 32, True), (32, 8, 16, True),
     ])
-    def test_bitexact_vs_flat_kernel(self, rng, size, th, tw):
+    def test_bitexact_vs_flat_kernel(self, rng, size, th, tw,
+                                     sort_tiles):
         import jax.numpy as jnp
 
         from fontrx.kernels.sdf_pallas import (
@@ -746,11 +748,12 @@ class TestTiledSdf:
             jnp.asarray(seg), jnp.asarray(mx), jnp.asarray(my),
             jnp.float32(scale), height=size, width=size, flat=True,
             interpret=True)
-        stream, cnts, cap = pack_sdf_tiles(
+        stream, cnts, tids, cap = pack_sdf_tiles(
             seg, np.zeros(b, np.int32), my, scale, size, size,
-            tile_h=th, tile_w=tw, x_slack_px=4.0)
+            tile_h=th, tile_w=tw, x_slack_px=4.0,
+            sort_tiles=sort_tiles)
         out = sdf_pallas_tiled_batch(
-            jnp.asarray(seg), jnp.asarray(stream), cnts,
+            jnp.asarray(seg), jnp.asarray(stream), cnts, tids,
             jnp.asarray(mx), jnp.asarray(my), jnp.float32(scale),
             height=size, width=size, cap=cap, tile_h=th, tile_w=tw,
             interpret=True)
@@ -894,3 +897,64 @@ class TestDenseWindows:
         live = int((~(win == 0).all(axis=(2, 3))).sum())
         total = int((~(segs == 0).all(axis=(2, 3))).sum())
         assert live / total < 3.0  # duplication factor sanity bound
+
+
+class TestSdfEngineDispatch:
+    """RasterEngine.pack_sdf/sdf_batch routing: the dense regime
+    (capacity >= 128, size >= 64) takes the tiled band-culled kernel,
+    bit-identical to flat mode; 32px and sparse batches keep flat."""
+
+    def _batch(self, rng, b=2, n=160):
+        p0 = rng.uniform(100, 1900, (b, n, 2))
+        p1 = p0 + rng.uniform(-80, 80, (b, n, 2))
+        p2 = p0 + rng.uniform(-80, 80, (b, n, 2))
+        return np.stack([p0, p1, p2], 2).astype(np.float32)
+
+    def test_dense_routes_tiled_and_matches_flat(self, rng):
+        from fontrx.engine.raster import RasterEngine
+
+        seg = self._batch(rng)
+        b = len(seg)
+        mx = np.zeros(b, np.int32)
+        my = np.full(b, 63, np.int32)
+        scale = np.float32(64 / 2048)
+        eng = RasterEngine(backend="interpret")
+        pack = eng.pack_sdf(seg, mx, my, scale, height=64, width=64)
+        assert pack is not None
+        tiled = np.asarray(eng.sdf_batch(
+            seg, mx, my, scale, height=64, width=64, pack=pack))
+        flat = np.asarray(eng.sdf_batch(
+            seg, mx, my, scale, height=64, width=64))
+        np.testing.assert_array_equal(tiled, flat)
+
+    def test_sparse_and_small_keep_flat(self, rng):
+        from fontrx.engine.raster import RasterEngine
+
+        seg = self._batch(rng)
+        mx = np.zeros(2, np.int32)
+        my = np.full(2, 63, np.int32)
+        eng = RasterEngine(backend="interpret")
+        assert eng.pack_sdf(seg, mx, my, np.float32(32 / 2048),
+                            height=32, width=32) is None
+        assert eng.pack_sdf(seg[:, :100], mx, my,
+                            np.float32(64 / 2048),
+                            height=64, width=64) is None
+
+    def test_jnp_backend_falls_through(self, rng):
+        from fontrx.engine.raster import RasterEngine
+        from fontrx.kernels.sdf import sdf_batch as sdf_jnp
+
+        import jax.numpy as jnp
+
+        seg = self._batch(rng)
+        mx = np.zeros(2, np.int32)
+        my = np.full(2, 63, np.int32)
+        scale = np.float32(64 / 2048)
+        eng = RasterEngine(backend="jnp")
+        assert eng.pack_sdf(seg, mx, my, scale,
+                            height=64, width=64) is None
+        out = eng.sdf_batch(seg, mx, my, scale, height=64, width=64)
+        ref = sdf_jnp(jnp.asarray(seg), jnp.asarray(mx),
+                      jnp.asarray(my), jnp.float32(scale),
+                      height=64, width=64)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
