@@ -26,7 +26,7 @@ import numpy as np
 
 from fontrx.engine.raster import RasterEngine
 from fontrx.font.font import Font
-from fontrx.scene.layout import TextLayout, layout_text
+from fontrx.scene.layout import TextLayout
 from fontrx.scene.page import GlyphTileCache, PageRenderer
 from fontrx.scene.transform import ViewTransform
 from fontrx.utils.log import get_logger
@@ -78,15 +78,18 @@ class InteractiveSession:
     layout_options: dict = field(default_factory=dict)
 
     def __post_init__(self):
-        self.layout: TextLayout = layout_text(self.font, self.text,
-                                              kern=self.kern,
-                                              ligatures=self.ligatures,
-                                              marks=self.marks,
-                                              features=self.features,
-                                              positioning=self.positioning,
-                                              rtl=self.rtl,
-                                              bidi=self.bidi,
-                                              **self.layout_options)
+        # paragraph-cached incremental layout: edits re-lay only the
+        # changed paragraphs (exact merge, bit-identical to a full
+        # layout_text — tests/test_incremental.py); the reference
+        # re-runs its whole addChar pipeline per char (Appli.zig:318)
+        from fontrx.scene.incremental import IncrementalLayoutEngine
+
+        self._layout_engine = IncrementalLayoutEngine(
+            self.font, kern=self.kern, ligatures=self.ligatures,
+            marks=self.marks, features=self.features,
+            positioning=self.positioning, rtl=self.rtl, bidi=self.bidi,
+            **self.layout_options)
+        self.layout: TextLayout = self._layout_engine.layout(self.text)
         self.view = ViewTransform.init(
             self.font.info.units_per_em, self.width, self.height
         )
@@ -212,20 +215,26 @@ class InteractiveSession:
         if n > 0 and self.text:
             from fontrx.font.uax29 import grapheme_clusters
 
-            clusters = grapheme_clusters(self.text)
-            self._set_text(
-                "".join(clusters[:-n]) if n < len(clusters) else "")
+            # clusters never cross LF (UAX#29 GB4/GB5; CR+LF is one
+            # cluster, GB3), so segmenting only the final paragraph
+            # keeps backspace O(paragraph), not O(text)
+            text = self.text
+            while n > 0 and text:
+                head, sep, last = text.rpartition("\n")
+                if not last:  # trailing newline is its own cluster
+                    text = head[:-1] if head.endswith("\r") else head
+                    n -= 1
+                    continue
+                clusters = grapheme_clusters(last)
+                take = min(n, len(clusters))
+                text = head + sep + "".join(clusters[:-take] if take
+                                            < len(clusters) else [])
+                n -= take
+            self._set_text(text)
 
     def _set_text(self, text: str):
         self.text = text
-        self.layout = layout_text(self.font, self.text, kern=self.kern,
-                                  ligatures=self.ligatures,
-                                  marks=self.marks,
-                                  features=self.features,
-                                  positioning=self.positioning,
-                                  rtl=self.rtl,
-                                  bidi=self.bidi,
-                                  **self.layout_options)
+        self.layout = self._layout_engine.layout(self.text)
         self.renderer = PageRenderer(
             self.font, self.layout, self.width, self.height, self.engine,
             tile_cache=self.tile_cache,

@@ -32,6 +32,34 @@ class Instance:
         return Transform(offset=(self.x, self.y))
 
 
+class LazyInstances:
+    """Array-backed instance sequence: behaves like
+    ``list[Instance]`` but holds (slots int32 [N], offsets f64 [N, 2])
+    columns, so batched consumers skip the per-object round trip.
+    Built by the incremental layout merge (vectorized concatenation);
+    ``Instance`` objects materialize only if someone iterates."""
+
+    __slots__ = ("slots", "offsets")
+
+    def __init__(self, slots: np.ndarray, offsets: np.ndarray):
+        self.slots = slots
+        self.offsets = offsets
+
+    def __len__(self) -> int:
+        return int(self.slots.shape[0])
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        return Instance(int(self.slots[i]),
+                        float(self.offsets[i, 0]),
+                        float(self.offsets[i, 1]))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 @dataclass(slots=True)
 class TextLayout:
     """A laid-out text run over a deduplicated glyph batch."""
@@ -39,14 +67,17 @@ class TextLayout:
     batch: PackedBatch
     slot_chars: list[int]  # codepoint per unique-glyph slot
     slot_gids: list[int]   # font glyph index per slot (tile-cache key)
-    instances: list[Instance]
+    instances: list[Instance] | LazyInstances
     width: float  # pen extent in font units
     height: float
 
     def instance_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         """(slots int32 [N], offsets float32 [N, 2]) for batched compositing."""
-        slots = np.array([i.glyph_slot for i in self.instances], np.int32)
-        offs = np.array([[i.x, i.y] for i in self.instances], np.float32)
+        li = self.instances
+        if isinstance(li, LazyInstances):
+            return li.slots, li.offsets.astype(np.float32).reshape(-1, 2)
+        slots = np.array([i.glyph_slot for i in li], np.int32)
+        offs = np.array([[i.x, i.y] for i in li], np.float32)
         return slots, offs.reshape(-1, 2)
 
 
