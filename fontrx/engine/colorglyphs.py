@@ -34,8 +34,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from fontrx.font.font import Font
+from fontrx.kernels.exactmath import div_cr, sqrt_cr
 from fontrx.kernels.grid import RasterGrid
 from fontrx.pack.segments import pack_glyphs
+
+# TPU VPU division/sqrt are faithfully-rounded, not IEEE-correct
+# (fontrx/kernels/exactmath.py) — the first real-TPU run of the color
+# gate caught 255/255 != 1.0 from an on-device constant divide.  The
+# color path therefore (a) folds all CONSTANT color-space divisions on
+# the host (numpy is IEEE), and (b) routes per-pixel divides/sqrts
+# through the correctly-rounded emulation, which is bit-identical to
+# the plain ops on CPU backends.  Remaining documented inexactness on
+# TPU: transcendentals (arctan2 in sweep gradients, jax.image.resize
+# weights, jnp.interp's internal divide) follow the hardware libm.
 
 
 def _interp_stops(t, stops):
@@ -43,7 +54,8 @@ def _interp_stops(t, stops):
     RGBA (T, T, 4) in [0, 1].  ``stops``: [(offset, (r, g, b, a))],
     sorted by offset."""
     xs = jnp.asarray([o for o, _ in stops], jnp.float32)
-    cols = jnp.asarray([c for _, c in stops], jnp.float32) / 255.0
+    cols = jnp.asarray(
+        np.asarray([c for _, c in stops], np.float32) / np.float32(255.0))
     flat = t.reshape(-1)
     out = jnp.stack(
         [jnp.interp(flat, xs, cols[:, k]) for k in range(4)], axis=-1)
@@ -76,8 +88,8 @@ def _gradient_field(paint, grid, tile: int, xf=None):
     kind, geom, extend, stops = paint
     c = jnp.arange(tile, dtype=jnp.float32)
     r = jnp.arange(tile, dtype=jnp.float32)
-    ex = (grid.min_x + c[None, :]) / grid.scale    # em x per column
-    ey = (grid.max_y - r[:, None]) / grid.scale    # em y per row
+    ex = div_cr(grid.min_x + c[None, :], grid.scale)  # em x per column
+    ey = div_cr(grid.max_y - r[:, None], grid.scale)  # em y per row
     ex = jnp.broadcast_to(ex, (tile, tile))
     ey = jnp.broadcast_to(ey, (tile, tile))
     if xf is not None:
@@ -86,15 +98,15 @@ def _gradient_field(paint, grid, tile: int, xf=None):
         if abs(det) < 1e-12:
             return jnp.zeros((tile, tile, 4), jnp.float32)
         ux, uy = ex - dx, ey - dy
-        ex = (yy * ux - xy * uy) / det
-        ey = (-yx * ux + xx * uy) / det
+        ex = div_cr(yy * ux - xy * uy, det)
+        ey = div_cr(-yx * ux + xx * uy, det)
 
     if kind == "sweep":
         cx, cy, a0, a1 = (float(v) for v in geom)
         if a1 == a0:
             return jnp.zeros((tile, tile, 4), jnp.float32)
         theta = jnp.degrees(jnp.arctan2(ey - cy, ex - cx))
-        t = (theta - a0) / (a1 - a0)
+        t = div_cr(theta - a0, a1 - a0)
         valid = (ex != cx) | (ey != cy)
     elif kind == "linear":
         x0, y0, x1, y1, x2, y2 = (float(v) for v in geom)
@@ -109,7 +121,7 @@ def _gradient_field(paint, grid, tile: int, xf=None):
         dd = dx * dx + dy * dy
         if dd <= 0.0:
             return jnp.zeros((tile, tile, 4), jnp.float32)
-        t = ((ex - x0) * dx + (ey - y0) * dy) / dd
+        t = div_cr((ex - x0) * dx + (ey - y0) * dy, dd)
         valid = jnp.ones((tile, tile), bool)
     else:
         x0, y0, r0, x1, y1, r1 = (float(v) for v in geom)
@@ -121,13 +133,13 @@ def _gradient_field(paint, grid, tile: int, xf=None):
         cc = pdx * pdx + pdy * pdy - r0 * r0
         if abs(a) < 1e-9:
             safe_b = jnp.where(b == 0, 1.0, b)
-            t = cc / (2.0 * safe_b)
+            t = div_cr(cc, 2.0 * safe_b)
             valid = (b != 0) & (r0 + t * dr >= 0)
         else:
             disc = b * b - a * cc
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t1 = (b + sq) / a
-            t2 = (b - sq) / a
+            sq = sqrt_cr(jnp.maximum(disc, 0.0))
+            t1 = div_cr(b + sq, a)
+            t2 = div_cr(b - sq, a)
             # the greater root with a nonnegative interpolated radius
             hi = jnp.maximum(t1, t2)
             lo = jnp.minimum(t1, t2)
@@ -168,9 +180,13 @@ def _eval_node(node, cov, grid, tile: int):
         _, row, paint, xf = node
         if paint[0] == "solid":
             r, g_, b, a = paint[1]
-            av = cov[row][..., None] * (a / 255.0)
-            rgb = (jnp.asarray((r, g_, b), jnp.float32)[None, None]
-                   / 255.0)
+            # constant color-space divisions fold on the HOST (IEEE):
+            # TPU's on-device divide is 1-ulp faithful and turned
+            # 255/255 into 0.99999994 (caught by the color64 gate)
+            av = cov[row][..., None] * np.float32(a / 255.0)
+            rgb = jnp.asarray(
+                np.asarray((r, g_, b), np.float32) / np.float32(255.0)
+            )[None, None]
         else:
             field = _gradient_field(paint, grid, tile, xf)
             av = cov[row][..., None] * field[..., 3:]
@@ -189,7 +205,7 @@ def _eval_node(node, cov, grid, tile: int):
         src = _eval_node(node[1], cov, grid, tile)
         m = _eval_node(node[2], cov, grid, tile)
         ma = m[..., 3:]
-        rgb = m[..., :3] / jnp.where(ma == 0, 1.0, ma)
+        rgb = div_cr(m[..., :3], jnp.where(ma == 0, 1.0, ma))
         lum = (0.2126 * rgb[..., 0:1] + 0.7152 * rgb[..., 1:2]
                + 0.0722 * rgb[..., 2:3])
         return src * (lum * ma)
@@ -327,7 +343,7 @@ def _convolve_matrix(img, order, kern, divisor, bias, target, edge,
 
     a = img[..., 3:]
     if preserve_alpha:
-        src = img[..., :3] / jnp.where(a == 0, 1.0, a)
+        src = div_cr(img[..., :3], jnp.where(a == 0, 1.0, a))
     else:
         src = img
 
@@ -348,7 +364,7 @@ def _convolve_matrix(img, order, kern, divisor, bias, target, edge,
             if wgt == 0.0:
                 continue
             out = out + jnp.float32(wgt) * p[i : i + h, j : j + w]
-    out = out / jnp.float32(divisor) + jnp.float32(bias)
+    out = div_cr(out, jnp.float32(divisor)) + jnp.float32(bias)
     if preserve_alpha:
         out = jnp.clip(out, 0.0, 1.0) * a
         return jnp.concatenate([out, a], axis=-1)
@@ -391,7 +407,7 @@ _COLORMATRIX_LUM = (0.2125, 0.7154, 0.0721)
 def _colormatrix(img, kind: str, values):
     """feColorMatrix on STRAIGHT (unpremultiplied) RGBA, per spec."""
     a = img[..., 3:]
-    straight = img[..., :3] / jnp.where(a == 0, 1.0, a)
+    straight = div_cr(img[..., :3], jnp.where(a == 0, 1.0, a))
     if kind == "saturate":
         s = float(values[0]) if values else 1.0
         m = np.array([
@@ -471,8 +487,8 @@ def _eval_filter(node, cov, grid, tile: int):
         x0, y0, x1, y1 = region
         c = jnp.arange(tile, dtype=jnp.float32)
         r = jnp.arange(tile, dtype=jnp.float32)
-        ex = (grid.min_x + c[None, :]) / grid.scale
-        ey = (grid.max_y - r[:, None]) / grid.scale
+        ex = div_cr(grid.min_x + c[None, :], grid.scale)
+        ey = div_cr(grid.max_y - r[:, None], grid.scale)
         mask = ((ex >= x0) & (ex <= x1) & (ey >= y0)
                 & (ey <= y1)).astype(jnp.float32)[..., None]
 
@@ -544,10 +560,10 @@ def _clip_color(c):
     lum = _lum(c)
     cmin = jnp.min(c, axis=-1, keepdims=True)
     cmax = jnp.max(c, axis=-1, keepdims=True)
-    low = lum + (c - lum) * lum / jnp.where(
-        lum - cmin == 0, 1.0, lum - cmin)
-    high = lum + (c - lum) * (1.0 - lum) / jnp.where(
-        cmax - lum == 0, 1.0, cmax - lum)
+    low = lum + div_cr((c - lum) * lum, jnp.where(
+        lum - cmin == 0, 1.0, lum - cmin))
+    high = lum + div_cr((c - lum) * (1.0 - lum), jnp.where(
+        cmax - lum == 0, 1.0, cmax - lum))
     c = jnp.where(cmin < 0.0, low, c)
     return jnp.where(cmax > 1.0, high, c)
 
@@ -565,7 +581,7 @@ def _set_sat(c, sat):
     cmin = jnp.min(c, axis=-1, keepdims=True)
     cmax = jnp.max(c, axis=-1, keepdims=True)
     span = jnp.where(cmax - cmin == 0, 1.0, cmax - cmin)
-    scaled = (c - cmin) * sat / span
+    scaled = div_cr((c - cmin) * sat, span)
     return jnp.where(cmax > cmin, scaled, jnp.zeros_like(c))
 
 
@@ -575,8 +591,8 @@ def _blend(mode: int, src, bdp):
     cs), mix by the backdrop alpha, then composite src-over."""
     sa = src[..., 3:]
     ba = bdp[..., 3:]
-    cs = src[..., :3] / jnp.where(sa == 0, 1.0, sa)
-    cb = bdp[..., :3] / jnp.where(ba == 0, 1.0, ba)
+    cs = div_cr(src[..., :3], jnp.where(sa == 0, 1.0, sa))
+    cb = div_cr(bdp[..., :3], jnp.where(ba == 0, 1.0, ba))
 
     def screen(b, s):
         return b + s - b * s
@@ -596,14 +612,14 @@ def _blend(mode: int, src, bdp):
     elif mode == 17:                       # color-dodge
         bl = jnp.where(cb == 0.0, 0.0,
                        jnp.where(cs == 1.0, 1.0,
-                                 jnp.minimum(1.0, cb / jnp.where(
-                                     cs == 1.0, 1.0, 1.0 - cs))))
+                                 jnp.minimum(1.0, div_cr(cb, jnp.where(
+                                     cs == 1.0, 1.0, 1.0 - cs)))))
     elif mode == 18:                       # color-burn
         bl = jnp.where(cb == 1.0, 1.0,
                        jnp.where(cs == 0.0, 0.0,
                                  1.0 - jnp.minimum(
-                                     1.0, (1.0 - cb) / jnp.where(
-                                         cs == 0.0, 1.0, cs))))
+                                     1.0, div_cr(1.0 - cb, jnp.where(
+                                         cs == 0.0, 1.0, cs)))))
     elif mode == 19:
         bl = hard_light(cb, cs)
     elif mode == 20:                       # soft-light (W3C D())
@@ -680,7 +696,8 @@ def color_glyph_tiles(
                 k = size / max(strike_ppem, 1)
                 th = max(1, min(tile, int(round(img.shape[0] * k))))
                 tw = max(1, min(tile, int(round(img.shape[1] * k))))
-                f = jnp.asarray(img, jnp.float32) / 255.0
+                f = jnp.asarray(
+                    np.asarray(img, np.float32) / np.float32(255.0))
                 import jax
 
                 f = jax.image.resize(f, (th, tw, 4), method="linear")
@@ -819,7 +836,7 @@ def color_tiles(
     rgba, _ = color_glyph_tiles(
         font, gids, size, engine, palette=palette, samples=samples,
         foreground=foreground)
-    bg = jnp.asarray(background, jnp.float32) / 255.0
+    bg = jnp.asarray(np.asarray(background, np.float32) / np.float32(255.0))
     rgb = bg * (1.0 - rgba[..., 3:]) + rgba[..., :3]
     return np.asarray(
         jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8))
@@ -877,7 +894,7 @@ def composite_color_page(
     padded, _ = jax.lax.scan(
         body, padded, (inst, jnp.asarray(xs), jnp.asarray(ys)))
     rgba = padded[tile : tile + page_h, tile : tile + page_w]
-    bg = jnp.asarray(background, jnp.float32) / 255.0
+    bg = jnp.asarray(np.asarray(background, np.float32) / np.float32(255.0))
     rgb = bg * (1.0 - rgba[..., 3:]) + rgba[..., :3]
     return np.asarray(
         jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8))
