@@ -247,6 +247,7 @@ def _kernel_hash() -> str:
     files = sorted(
         glob.glob(os.path.join(root, "fontrx", "kernels", "*.py"))
         + [os.path.join(root, "fontrx", "engine", "raster.py"),
+           os.path.join(root, "fontrx", "engine", "colorglyphs.py"),
            os.path.join(root, "fontrx", "pack", "segments.py")]
     )
     h = hashlib.sha256()
