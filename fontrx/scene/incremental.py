@@ -52,7 +52,7 @@ class IncrementalLayoutEngine:
     literally, on the fallback path).
     """
 
-    def __init__(self, font, cache_size: int = 2048, **options):
+    def __init__(self, font, cache_size: int = 512, **options):
         self.font = font
         self.options = dict(options)
         self.cache_size = cache_size

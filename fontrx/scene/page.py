@@ -425,9 +425,13 @@ class PageRenderer:
         em = offsets_em.astype(np.float64)
         ndc_x = em[:, 0] * view.scale[0] + view.offset[0]
         ndc_y = (em[:, 1] * view.scale[1] + view.offset[1]) * view.aspect_ratio
-        xs = np.empty((len(slots), 2), np.float32)
-        xs[:, 0] = (ndc_x + 1.0) / 2.0 * self.width
-        xs[:, 1] = (ndc_y + 1.0) / 2.0 * self.height
+        # instance rows bucket to 256 for the same shape-stability
+        # reason as the segment stream; padded rows sit far off-page
+        # (and own only zero segments), so they contribute nothing
+        n_inst = ((len(slots) + 1 + 255) // 256) * 256
+        xs = np.full((n_inst, 2), -1e7, np.float32)
+        xs[: len(slots), 0] = (ndc_x + 1.0) / 2.0 * self.width
+        xs[: len(slots), 1] = (ndc_y + 1.0) / 2.0 * self.height
         # returns the device array; callers fetch at IO boundaries
         interp = self.engine._resolve() != "pallas"
         if msaa:
@@ -504,10 +508,21 @@ class PageRenderer:
         if not seg_chunks:
             seg_chunks = [np.zeros((1, 3, 2), np.float32)]
             idx_chunks = [np.zeros(1, np.int32)]
-        self._compact_cache = (
-            jnp.asarray(np.concatenate(seg_chunks)),
-            jnp.asarray(np.concatenate(idx_chunks)),
-        )
+        seg = np.concatenate(seg_chunks)
+        idx = np.concatenate(idx_chunks)
+        # bucket the stream length so interactive EDITS keep a stable
+        # traced shape (every keystroke changes the live segment count;
+        # unbucketed, each edit recompiled the page kernel).  Padding
+        # segments are all-zero (inert in the winding sum, the same
+        # convention as pack_glyphs row padding) and owned by the
+        # off-page sentinel instance render_direct appends.
+        cap = ((len(seg) + 2047) // 2048) * 2048
+        if cap != len(seg):
+            seg = np.concatenate(
+                [seg, np.zeros((cap - len(seg), 3, 2), np.float32)])
+            idx = np.concatenate(
+                [idx, np.full(cap - len(idx), len(slots), np.int32)])
+        self._compact_cache = (jnp.asarray(seg), jnp.asarray(idx))
         return self._compact_cache
 
     # -- output conversion -------------------------------------------------
