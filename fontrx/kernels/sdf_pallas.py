@@ -350,6 +350,7 @@ def pack_sdf_tiles(
     guard_px: float = 1.0,
     x_slack_px: float = 0.0,
     sort_tiles: bool = False,
+    seg_major: bool = False,
 ):
     """Host-side per-tile segment packing for the tiled SDF kernel.
 
@@ -377,6 +378,14 @@ def pack_sdf_tiles(
     segments provably clamp at ``spread``.  ``x_slack_px`` widens the
     x test for callers that re-use one packing across shifted
     ``min_x`` anchors (the chained bench protocol jitters min_x).
+
+    ``seg_major`` (requires ``n_g == 8``): within an iteration block,
+    order rows segment-major — slot ``(r*cap + i)*(n_g*C) + j*n_g + g``
+    — so the kernel's chunk load reshapes STATICALLY to
+    ``(C, groups, params)`` and each segment param is a lane slice
+    instead of ``n_g`` sublane selects per param per chunk (the
+    round-5 select-elimination redesign).  Same kept-pair float
+    program; bit-identical output.
     """
     seg = np.asarray(segments, np.float32)
     b, s = seg.shape[:2]
@@ -435,6 +444,8 @@ def pack_sdf_tiles(
     # ONE contiguous (n_g*C, 8) block — group g's chunk i at slot
     # ((r*cap + i)*n_g + g)*C — so the kernel does a single dynamic
     # load per iteration (static per-group subslices)
+    if seg_major:
+        assert n_g == 8, (tile_h, tile_w)
     stream = np.zeros((b, n_tiles * cap * seg_chunk, 3, 2), np.float32)
     for i in range(b):
         for s in range(n_tiles):
@@ -443,14 +454,20 @@ def pack_sdf_tiles(
             idx = np.nonzero(keep[i, ti])[0]
             for j in range(0, len(idx), seg_chunk):
                 part = idx[j : j + seg_chunk]
-                base = ((r * cap + j // seg_chunk) * n_g + g) * seg_chunk
-                stream[i, base : base + len(part)] = seg[i, part]
+                if seg_major:
+                    base = (r * cap + j // seg_chunk) * (n_g * seg_chunk)
+                    stream[i, base + np.arange(len(part)) * n_g + g] = (
+                        seg[i, part])
+                else:
+                    base = ((r * cap + j // seg_chunk) * n_g + g) * seg_chunk
+                    stream[i, base : base + len(part)] = seg[i, part]
     return stream, cnts, tile_ids, cap
 
 
 def _make_sdf_tiled_kernel(
     spread_px: float, height: int, width: int, tile_h: int, tile_w: int,
     seg_chunk: int, cap: int, starts: int, iters: int, unroll: int = 1,
+    seg_major: bool = False,
 ):
     n_g = 1024 // (tile_h * tile_w)
     spg = 8 // n_g             # sublanes per group
@@ -497,14 +514,21 @@ def _make_sdf_tiled_kernel(
             # subslices; sublane-axis param selects ((C, 8, 1) — C x 8
             # ops, 16x cheaper than the lane-axis variant)
             blk = seg_ref[0, pl.ds(i * n_g * seg_chunk, n_g * seg_chunk), :]
-            p = [None] * 6
-            for g in range(n_g):
-                for k in range(6):
-                    col = blk[
-                        g * seg_chunk : (g + 1) * seg_chunk, k : k + 1
-                    ].reshape(seg_chunk, 1, 1)
-                    p[k] = col if g == 0 else jnp.where(
-                        grp_s == g, col, p[k])
+            if seg_major:
+                # segment-major rows (j*n_g + g): one static reshape
+                # puts groups on the sublane axis — each param is a
+                # lane slice, no per-group selects at all
+                blk3 = blk.reshape(seg_chunk, n_g, 8)
+                p = [blk3[:, :, k : k + 1] for k in range(6)]
+            else:
+                p = [None] * 6
+                for g in range(n_g):
+                    for k in range(6):
+                        col = blk[
+                            g * seg_chunk : (g + 1) * seg_chunk, k : k + 1
+                        ].reshape(seg_chunk, 1, 1)
+                        p[k] = col if g == 0 else jnp.where(
+                            grp_s == g, col, p[k])
             p0x, p0y, p1x, p1y, p2x, p2y = p
             dead = (
                 (p0x == 0) & (p0y == 0) & (p1x == 0) & (p1y == 0)
@@ -574,14 +598,15 @@ def _make_sdf_tiled_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "cap", "seg_chunk",
-        "spread_px", "starts", "iters", "unroll", "interpret", "exact",
+        "spread_px", "starts", "iters", "unroll", "seg_major",
+        "interpret", "exact",
     ),
 )
 def sdf_pallas_tiled_batch(
     segments, stream, cnts, tile_ids, min_x, max_y, scale, *, height,
     width, cap, tile_h=16, tile_w=16, seg_chunk=8, spread_px=8.0,
     starts=NEWTON_STARTS, iters=NEWTON_ITERS, unroll=1,
-    interpret=False, exact=True,
+    seg_major=False, interpret=False, exact=True,
 ):
     """Batched SDF via the 2-D-tiled band-culled distance kernel.
 
@@ -620,7 +645,7 @@ def sdf_pallas_tiled_batch(
     d2 = pl.pallas_call(
         _make_sdf_tiled_kernel(
             float(spread_px), height, width, tile_h, tile_w,
-            seg_chunk, cap, starts, iters, unroll),
+            seg_chunk, cap, starts, iters, unroll, seg_major),
         grid=(b, n_reg),
         in_specs=smem + [
             pl.BlockSpec(

@@ -759,6 +759,47 @@ class TestTiledSdf:
             interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    @pytest.mark.parametrize("size,chunk,unroll", [
+        (64, 16, 1), (64, 16, 2), (64, 8, 1), (32, 16, 1),
+    ])
+    def test_seg_major_bitexact(self, rng, size, chunk, unroll):
+        """Segment-major stream (round 5): the iteration block orders
+        rows j*n_g + g so params assemble as static lane slices with
+        zero per-group selects — output must stay bit-identical to
+        the flat kernel (and hence to the group-major layout)."""
+        import jax.numpy as jnp
+
+        from fontrx.kernels.sdf_pallas import (
+            pack_sdf_tiles,
+            sdf_pallas_batch,
+            sdf_pallas_tiled_batch,
+        )
+
+        b, n = 3, 96
+        p0 = rng.uniform(100, 1900, (b, n, 2))
+        p1 = p0 + rng.uniform(-80, 80, (b, n, 2))
+        p2 = p0 + rng.uniform(-80, 80, (b, n, 2))
+        seg = np.stack([p0, p1, p2], 2).astype(np.float32)
+        seg[:, -5:] = 0.0
+        mx = np.full(b, 3, np.int32)
+        my = np.full(b, size - 1, np.int32)
+        scale = np.float32(size / 2048.0)
+        ref = sdf_pallas_batch(
+            jnp.asarray(seg), jnp.asarray(mx), jnp.asarray(my),
+            jnp.float32(scale), height=size, width=size, flat=True,
+            interpret=True)
+        stream, cnts, tids, cap = pack_sdf_tiles(
+            seg, np.zeros(b, np.int32), my, scale, size, size,
+            tile_h=8, tile_w=16, seg_chunk=chunk, x_slack_px=4.0,
+            sort_tiles=True, seg_major=True)
+        out = sdf_pallas_tiled_batch(
+            jnp.asarray(seg), jnp.asarray(stream), cnts, tids,
+            jnp.asarray(mx), jnp.asarray(my), jnp.float32(scale),
+            height=size, width=size, cap=cap, tile_h=8, tile_w=16,
+            seg_chunk=chunk, seg_major=True, unroll=unroll,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
 
 class TestDenseWindows:
     """Window-packed dense kernel (`pack_dense_windows` +
