@@ -572,6 +572,185 @@ def run_full_gate(verbose: bool = True) -> dict:
     total_mismatch += m
     log(f"  color64: {m}/{exp_tiles.size}")
 
+    # ---- 10b. COLR v1 gradient paints -------------------------------------
+    # device tiles (linear/radial gradient fields through div_cr/sqrt_cr
+    # + Porter-Duff composite) vs a NumPy mirror of the same formulas
+    # over the oracle coverage.  Gated at 2/255 (coverage and folds are
+    # exact; the residual is jnp.interp's internal arithmetic vs
+    # np.interp, ~ulps).  Sweep paints (arctan2: documented hardware
+    # libm) are excluded.
+    log("gate 10b: COLR v1 gradients (linear/radial/composite) vs "
+        "numpy field oracle")
+    from fontrx.font.glyph import transform_glyph as _tg
+
+    def _np_extend(t, s0, s1, extend):
+        span = s1 - s0
+        if span <= 0:
+            return np.full_like(t, s0)
+        if extend == 1:
+            return s0 + np.mod(t - s0, span)
+        if extend == 2:
+            mm = np.mod(t - s0, 2.0 * span)
+            return s0 + np.where(mm > span, 2.0 * span - mm, mm)
+        return np.clip(t, s0, s1)
+
+    def _np_field(paint, grid, tile):
+        kind, geom, extend, stops = paint
+        c = np.arange(tile, dtype=np.float32)
+        ex = ((grid.min_x + c[None, :]) / grid.scale).astype(np.float32)
+        ey = ((grid.max_y - c[:, None]) / grid.scale).astype(np.float32)
+        ex = np.broadcast_to(ex, (tile, tile)).astype(np.float32)
+        ey = np.broadcast_to(ey, (tile, tile)).astype(np.float32)
+        if kind == "linear":
+            x0, y0, x1, y1, x2, y2 = (float(v) for v in geom)
+            dx, dy = x1 - x0, y1 - y0
+            rx, ry = x2 - x0, y2 - y0
+            rr = rx * rx + ry * ry
+            if rr > 0.0:
+                k = (dx * rx + dy * ry) / rr
+                dx, dy = dx - k * rx, dy - k * ry
+            dd = dx * dx + dy * dy
+            if dd <= 0.0:
+                return np.zeros((tile, tile, 4), np.float32)
+            t = ((ex - x0) * np.float32(dx)
+                 + (ey - y0) * np.float32(dy)) / np.float32(dd)
+            valid = np.ones((tile, tile), bool)
+        else:
+            assert kind == "radial", kind
+            x0, y0, r0, x1, y1, r1 = (float(v) for v in geom)
+            cdx, cdy = x1 - x0, y1 - y0
+            dr = r1 - r0
+            pdx, pdy = ex - np.float32(x0), ey - np.float32(y0)
+            a = np.float32(cdx * cdx + cdy * cdy - dr * dr)
+            bq = (pdx * np.float32(cdx) + pdy * np.float32(cdy)
+                  + np.float32(r0 * dr))
+            cc = pdx * pdx + pdy * pdy - np.float32(r0 * r0)
+            if abs(float(a)) < 1e-9:
+                safe_b = np.where(bq == 0, np.float32(1.0), bq)
+                t = cc / (np.float32(2.0) * safe_b)
+                valid = (bq != 0) & (r0 + t * dr >= 0)
+            else:
+                disc = bq * bq - a * cc
+                sq = np.sqrt(np.maximum(disc, 0.0))
+                t1 = (bq + sq) / a
+                t2 = (bq - sq) / a
+                hi = np.maximum(t1, t2)
+                lo = np.minimum(t1, t2)
+                use_hi = r0 + hi * dr >= 0
+                t = np.where(use_hi, hi, lo)
+                valid = (disc >= 0) & (r0 + t * dr >= 0)
+        s0 = float(stops[0][0])
+        s1 = float(stops[-1][0])
+        tt = _np_extend(t, s0, s1, extend)
+        xs2 = np.asarray([o for o, _ in stops], np.float32)
+        cols = np.asarray([cv for _, cv in stops],
+                          np.float32) / np.float32(255.0)
+        flat = tt.reshape(-1)
+        rgba = np.stack(
+            [np.interp(flat, xs2, cols[:, k]) for k in range(4)],
+            axis=-1).astype(np.float32).reshape(tile, tile, 4)
+        return np.where(valid[..., None], rgba, np.float32(0.0))
+
+    _PD = {
+        0: lambda sa, ba: (0.0, 0.0), 1: lambda sa, ba: (1.0, 0.0),
+        2: lambda sa, ba: (0.0, 1.0), 3: lambda sa, ba: (1.0, 1.0 - sa),
+        4: lambda sa, ba: (1.0 - ba, 1.0), 5: lambda sa, ba: (ba, 0.0),
+        6: lambda sa, ba: (0.0, sa), 7: lambda sa, ba: (1.0 - ba, 0.0),
+        8: lambda sa, ba: (0.0, 1.0 - sa), 9: lambda sa, ba: (ba, 1.0 - sa),
+        10: lambda sa, ba: (1.0 - ba, sa),
+        11: lambda sa, ba: (1.0 - ba, 1.0 - sa),
+        12: lambda sa, ba: (1.0, 1.0),
+    }
+
+    vfont = _Font.open("tests/data/colrv1test.ttf")
+    vupem = vfont.info.units_per_em
+
+    def _np_cov(lg, grid):
+        cov = np.zeros((64, 64), np.float32)
+        for ox, oy in sample_offsets(2):
+            xs2, ys2 = _offset_coords(grid, ox, oy)
+            w = oracle.winding_at(
+                _gseg(lg), xs2[None, :], ys2[:, None],
+                contract=canonical_contract)
+            cov += (w != 0).astype(np.float32)
+        return cov / 4.0
+
+    def _np_node(node, grid):
+        if node[0] == "glyph":
+            _, gid_or_g, paint, xf = node
+            lg = vfont.load_glyph_safe(gid_or_g)
+            if xf is not None:
+                lg = _tg(lg, xf)
+            cov = _np_cov(lg, grid)
+            if paint[0] == "solid":
+                r8, g8, b8, a8 = paint[1]
+                av = cov[..., None] * np.float32(a8 / 255.0)
+                rgb = (np.asarray((r8, g8, b8), np.float32)
+                       / np.float32(255.0))[None, None]
+                return np.concatenate([rgb * av, av], axis=-1)
+            field = _np_field(paint, grid, 64)
+            av = cov[..., None] * field[..., 3:]
+            return np.concatenate([field[..., :3] * av, av], axis=-1)
+        if node[0] == "layers":
+            acc = np.zeros((64, 64, 4), np.float32)
+            for k in node[1]:
+                src = _np_node(k, grid)
+                acc = acc * (np.float32(1.0) - src[..., 3:]) + src
+            return acc
+        assert node[0] == "composite" and node[1] <= 12, node[:2]
+        _, mode, sn, bn = node
+        src = _np_node(sn, grid)
+        bdp = _np_node(bn, grid)
+        fa, fb = _PD[mode](src[..., 3:], bdp[..., 3:])
+        return np.clip(src * fa + bdp * fb, 0.0, 1.0).astype(np.float32)
+
+    def _leaf_boxes(node, acc):
+        if node[0] == "glyph":
+            lg = vfont.load_glyph_safe(node[1])
+            if node[3] is not None:
+                lg = _tg(lg, node[3])
+            acc.append(lg.box)
+        elif node[0] == "layers":
+            for k in node[1]:
+                _leaf_boxes(k, acc)
+        elif node[0] == "composite":
+            _leaf_boxes(node[2], acc)
+            _leaf_boxes(node[3], acc)
+
+    vgids = [vfont.glyph_index(c) for c in "CDEH"]  # linear/radial/
+    # transformed-linear/composite; G (sweep) excluded: arctan2
+    vtiles, vgrids = color_glyph_tiles(vfont, vgids, 64, engine,
+                                       samples=2)
+    vexp = np.zeros((len(vgids), 64, 64, 4), np.float32)
+    for i, gid in enumerate(vgids):
+        tree = vfont.color_paint_tree(gid, 0, (0, 0, 0, 255))
+        clip = None
+        if vfont.colr is not None and hasattr(vfont.colr, "clip_box"):
+            clip = vfont.colr.clip_box(gid)
+        if clip is not None:
+            union = clip
+        else:
+            bxs: list = []
+            _leaf_boxes(tree, bxs)
+            union = (min(b.x_min for b in bxs), min(b.y_min for b in bxs),
+                     max(b.x_max for b in bxs), max(b.y_max for b in bxs))
+        vgrid = RasterGrid.fixed_tile(union, 64, vupem, 64)
+        assert (vgrid.min_x, vgrid.max_y) == (
+            vgrids[i].min_x, vgrids[i].max_y), (vgrid, vgrids[i])
+        vexp[i] = _np_node(tree, vgrid)
+    vtol = 2.0 / 255.0
+    dv = jnp.abs(vtiles - jax.device_put(jnp.asarray(vexp)))
+    mv = int(jnp.sum(dv > vtol))
+    results["colorv164"] = {
+        "checked": int(vexp.size), "mismatch_canonical": mv,
+        "tolerance": round(vtol, 5),
+        "max_dev": round(float(jnp.max(dv)), 5),
+    }
+    total_checked += int(vexp.size)
+    total_mismatch += mv
+    log(f"  colorv164: {mv}/{vexp.size} beyond {vtol:.5f} "
+        f"(max dev {float(jnp.max(dv)):.5f})")
+
     # ---- 11. hinted fill at one ppem --------------------------------------
     # grid-fitted 26.6 outlines (fontrx.font.hinting, FreeType-pinned)
     # with the CLI's half-pixel center shift, rastered at scale 1/64

@@ -875,12 +875,16 @@ def composite_color_page(
 
     import jax
 
-    inst = jnp.asarray(tiles_rgba)[jnp.asarray(slots)]
+    # unique tiles stay resident; each scan step gathers its instance's
+    # tile in the body — an [N, T, T, 4] up-front gather OOM'd page-
+    # scale scenes (the monochrome twin measured it first, round 5)
+    uniq = jnp.asarray(tiles_rgba)
     padded = jnp.zeros((page_h + 2 * tile, page_w + 2 * tile, 4),
                        jnp.float32)
 
     def body(page, args):
-        t, x0, y0 = args
+        s, x0, y0 = args
+        t = uniq[s]
         x0 = jnp.clip(x0 + tile, 0, page_w + tile)
         y0 = jnp.clip(y0 + tile, 0, page_h + tile)
         cur = jax.lax.dynamic_slice(
@@ -892,7 +896,9 @@ def composite_color_page(
         )
 
     padded, _ = jax.lax.scan(
-        body, padded, (inst, jnp.asarray(xs), jnp.asarray(ys)))
+        body, padded,
+        (jnp.asarray(np.asarray(slots, np.int32)), jnp.asarray(xs),
+         jnp.asarray(ys)))
     rgba = padded[tile : tile + page_h, tile : tile + page_w]
     bg = jnp.asarray(np.asarray(background, np.float32) / np.float32(255.0))
     rgb = bg * (1.0 - rgba[..., 3:]) + rgba[..., :3]

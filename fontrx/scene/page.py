@@ -35,17 +35,23 @@ log = get_logger("Page")
 
 
 @functools.partial(jax.jit, static_argnames=("page_h", "page_w", "tile"))
-def composite_tiles(tiles, xs, ys, *, page_h, page_w, tile):
+def composite_tiles(tiles, slots, xs, ys, *, page_h, page_w, tile):
     """Max-blend fixed-size tiles onto a page.
 
-    ``tiles``: uint8 ``[N, T, T]``; ``xs``/``ys``: int32 ``[N]`` top-left
-    page coords (may be out of bounds — the page is padded by T on every
-    side here, then cropped, so edge glyphs clip instead of smearing).
+    ``tiles``: uint8 ``[U, T, T]`` UNIQUE glyph tiles; ``slots``: int32
+    ``[N]`` tile index per instance; ``xs``/``ys``: int32 ``[N]``
+    top-left page coords (may be out of bounds — the page is padded by
+    T on every side here, then cropped, so edge glyphs clip instead of
+    smearing).  The scan gathers each instance's tile INSIDE the body:
+    only the unique tiles stay resident, so 10k-instance pages don't
+    materialize an ``[N, T, T]`` gather (which OOM'd a 16 GB chip at
+    page scale — round-5 probe).
     """
     padded = jnp.zeros((page_h + 2 * tile, page_w + 2 * tile), jnp.uint8)
 
     def body(page, args):
-        t, x0, y0 = args
+        s, x0, y0 = args
+        t = tiles[s]
         x0 = jnp.clip(x0 + tile, 0, page_w + tile)
         y0 = jnp.clip(y0 + tile, 0, page_h + tile)
         cur = jax.lax.dynamic_slice(page, (y0, x0), (tile, tile))
@@ -54,7 +60,7 @@ def composite_tiles(tiles, xs, ys, *, page_h, page_w, tile):
             None,
         )
 
-    padded, _ = jax.lax.scan(body, padded, (tiles, xs, ys))
+    padded, _ = jax.lax.scan(body, padded, (slots, xs, ys))
     return padded[tile : tile + page_h, tile : tile + page_w]
 
 
@@ -607,7 +613,6 @@ class PageRenderer:
         slots, offsets = self.layout.instance_arrays()
         if len(slots) == 0:
             return np.zeros((self.height, self.width), np.uint8)
-        inst_tiles = jnp.asarray(tiles)[slots]
 
         # pen position (em) -> NDC -> page pixels; y flips top-down
         # (vectorized f64, same IEEE results as the scalar loop;
@@ -623,7 +628,8 @@ class PageRenderer:
         xs = (np.round(base_px).astype(np.int64) + g_minx).astype(np.int32)
         ys = (np.round(base_py).astype(np.int64) - g_maxy).astype(np.int32)
         page = composite_tiles(
-            inst_tiles,
+            jnp.asarray(tiles),
+            jnp.asarray(slots),
             jnp.asarray(xs),
             jnp.asarray(ys),
             page_h=self.height,

@@ -41,11 +41,11 @@ def rtt_ms() -> float:
     return (time.perf_counter() - t0) / 10 * 1e3
 
 
-def run(incremental: bool) -> dict:
+def run(incremental: bool, mode: str = "direct") -> dict:
     font = Font.open(DEJAVU)
     text = "\n".join(PARA for _ in range(N_PARA))
     sess = InteractiveSession(
-        font, text, 1920, 1080, RasterEngine(),
+        font, text, 1920, 1080, RasterEngine(), mode=mode,
         kern=True, ligatures=True, marks=True,
         positioning=(b"kern", b"mark", b"mkmk"),
     )
@@ -80,6 +80,7 @@ def run(incremental: bool) -> dict:
 
     return {
         "incremental": incremental,
+        "mode": mode,
         "chars": len(sess.text),
         "edit_host_relayout_ms": round(float(np.median(host_ms)), 2),
         "edit_frame_ms": round(float(np.median(frame_ms)), 2),
@@ -91,9 +92,11 @@ def run(incremental: bool) -> dict:
 
 
 def main():
-    for incremental in (True, False):
-        r = run(incremental)
-        print(json.dumps(r), flush=True)
+    modes = os.environ.get("MODES", "direct").split(",")
+    for mode in modes:
+        for incremental in (True, False):
+            r = run(incremental, mode)
+            print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":
