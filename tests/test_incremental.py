@@ -108,6 +108,22 @@ class TestExactMerge:
             assert_layout_equal(eng.layout(txt),
                                 layout_text(dj, txt, **opts))
 
+    def test_complex_script_paragraphs(self):
+        """Mixed Devanagari/Thai paragraphs: the complex shapers run
+        per line inside layout_text, so the paragraph merge must stay
+        exact across reordering/mark-stacking scripts too."""
+        font = Font.open("tests/data/devatest.ttf")
+        txt = "क्षत्रिय कृपा\nनमस्ते धन्यवाद\nक्क क्त्र"
+        eng = IncrementalLayoutEngine(font, positioning=(b"abvm", b"blwm"))
+        assert_layout_equal(
+            eng.layout(txt),
+            layout_text(font, txt, positioning=(b"abvm", b"blwm")))
+        thai = Font.open("tests/data/thaitest.ttf")
+        ttxt = "สวัสดีครับ\nน้ำใจ ที่นี่\nกำไร"
+        eng2 = IncrementalLayoutEngine(thai, marks=True)
+        assert_layout_equal(eng2.layout(ttxt),
+                            layout_text(thai, ttxt, marks=True))
+
     def test_arabic_kashida(self):
         font = Font.open(ARABIC)
         txt = "بسم محمد\n" \
