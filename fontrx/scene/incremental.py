@@ -56,7 +56,10 @@ class IncrementalLayoutEngine:
         self.font = font
         self.options = dict(options)
         self.cache_size = cache_size
-        self._cache: OrderedDict[tuple, TextLayout] = OrderedDict()
+        self._cache: OrderedDict[tuple, tuple] = OrderedDict()
+        self._seq = 0            # per-entry token (id() reuse is unsafe)
+        self._last_spans = None  # [(token, base, n_lines)] of last layout
+        self._prev_spans = None  # baseline for consume_dirty_lines
         # merge requires: horizontal, no synthetic decoration slots
         # (they append geometry-keyed extra gids AFTER all lines, so a
         # per-paragraph merge would interleave them), no batch padding
@@ -92,11 +95,45 @@ class IncrementalLayoutEngine:
         lh = self._line_height()
         if (not self._mergeable or float(lh) <= 0.0
                 or not float(lh).is_integer()):
+            self._last_spans = None
             return layout_text(self.font, text, **self.options)
         paras = text.split("\n")
         vk = self._var_key()
         solos = [self._solo(p, vk) for p in paras]
         return self._merge(solos, lh)
+
+    def consume_dirty_lines(self):
+        """Visual-line span changed by the LAST :meth:`layout` call
+        relative to the one before it, as a half-open ``(l0, l1)`` —
+        or ``None`` when unknown (first call, fallback path, or var
+        change), meaning everything must be treated dirty.  A clean
+        paragraph is one whose solo layout is the SAME cached object
+        at the SAME first visual line; spans cover the union of old
+        and new line ranges so deletions/insertions dirty everything
+        they shifted.  Consuming resets the baseline to the last
+        layout, so each edit reports only its own span."""
+        prev, cur = self._prev_spans, self._last_spans
+        self._prev_spans = cur
+        if prev is None or cur is None:
+            return None
+        lo, hi = None, None
+
+        def mark(a, b):
+            nonlocal lo, hi
+            lo = a if lo is None else min(lo, a)
+            hi = b if hi is None else max(hi, b)
+
+        n = max(len(prev), len(cur))
+        for k in range(n):
+            if k >= len(prev):
+                mark(cur[k][1], cur[k][1] + cur[k][2])
+            elif k >= len(cur):
+                mark(prev[k][1], prev[k][1] + prev[k][2])
+            elif prev[k] != cur[k]:
+                mark(min(prev[k][1], cur[k][1]),
+                     max(prev[k][1] + prev[k][2],
+                         cur[k][1] + cur[k][2]))
+        return (0, 0) if lo is None else (lo, hi)
 
     def invalidate(self) -> None:
         self._cache.clear()
@@ -118,8 +155,9 @@ class IncrementalLayoutEngine:
             [[i.x, i.y] for i in lay.instances], np.float64
         ).reshape(-1, 2)
         gids = np.asarray(lay.slot_gids, np.int64).reshape(-1)
+        self._seq += 1
         entry = (lay, slots, offs, gids,
-                 int(gids.max()) + 1 if len(gids) else 0)
+                 int(gids.max()) + 1 if len(gids) else 0, self._seq)
         self._cache[key] = entry
         if len(self._cache) > self.cache_size:
             self._cache.popitem(last=False)
@@ -132,6 +170,7 @@ class IncrementalLayoutEngine:
         # are gated off the merge path)
         mg = max((e[4] for e in solos), default=0)
         table = np.full(mg, -1, np.int32)
+        spans: list[tuple] = []
         slot_gids: list[int] = []
         slot_chars: list[int] = []
         # per merged slot: (padded seg row, count, box row, advance)
@@ -140,7 +179,7 @@ class IncrementalLayoutEngine:
         off_chunks: list[np.ndarray] = []
         width = 0.0
         base = 0  # cumulative visual (post-wrap) line count
-        for lay, pslots, poffs, gids, _mg in solos:
+        for lay, pslots, poffs, gids, _mg, token in solos:
             remap = table[gids] if len(gids) else table[:0]
             new = np.nonzero(remap < 0)[0]
             if len(new):
@@ -169,7 +208,9 @@ class IncrementalLayoutEngine:
                 off_chunks.append(shifted)
             if lay.width > width:
                 width = lay.width
-            base += int(round(float(lay.height) / flh))
+            n_lines = int(round(float(lay.height) / flh))
+            spans.append((token, base, n_lines))
+            base += n_lines
         instances = LazyInstances(
             np.concatenate(slot_chunks),
             np.concatenate(off_chunks).reshape(-1, 2),
@@ -189,6 +230,7 @@ class IncrementalLayoutEngine:
             seg_counts[i] = n
             boxes[i] = box
             aw[i] = adv
+        self._last_spans = spans
         return TextLayout(
             batch=PackedBatch(segments, seg_counts, boxes, aw),
             slot_chars=slot_chars,

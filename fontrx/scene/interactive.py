@@ -105,6 +105,22 @@ class InteractiveSession:
         self.frame_count = 0
         self.frame_ms: list[float] = []
         self.compute_ms: list[float] = []
+        # dirty-strip edit cache: the last direct-mode page (device),
+        # the view/size state it was rendered under, and the line span
+        # edits have dirtied since ("all" = full render needed)
+        self._page_dev = None
+        self._page_state = None
+        self._pending_dirty: object = "all"
+        self._dirty_margin = self._layout_margins()
+        # prime the dirty-line baseline so the FIRST edit already
+        # reports a span (consume compares against the initial layout)
+        self._layout_engine.consume_dirty_lines()
+
+    def _layout_margins(self) -> tuple[float, float]:
+        boxes = np.asarray(self.layout.batch.boxes)
+        if len(boxes) == 0:
+            return (0.0, 0.0)
+        return (float(boxes[:, 1].min()), float(boxes[:, 3].max()))
 
     # -- event feeds (the GLFW-callback surface) --------------------------
 
@@ -235,6 +251,20 @@ class InteractiveSession:
     def _set_text(self, text: str):
         self.text = text
         self.layout = self._layout_engine.layout(self.text)
+        # accumulate the edit's dirty line span (for the direct-mode
+        # strip re-raster); glyph-extent margins union OLD and NEW
+        # layouts so overhanging ink from the pre-edit content is
+        # covered by the re-rendered band
+        d = self._layout_engine.consume_dirty_lines()
+        if d is None:
+            self._pending_dirty = "all"
+        elif d != (0, 0) and self._pending_dirty != "all":
+            p = self._pending_dirty
+            self._pending_dirty = d if p == () else (
+                min(p[0], d[0]), max(p[1], d[1]))
+        mn, mx = self._layout_margins()
+        self._dirty_margin = (min(self._dirty_margin[0], mn),
+                              max(self._dirty_margin[1], mx))
         self.renderer = PageRenderer(
             self.font, self.layout, self.width, self.height, self.engine,
             tile_cache=self.tile_cache,
@@ -285,7 +315,7 @@ class InteractiveSession:
             self.compute_ms.append((time.perf_counter() - t0) * 1e3)
             page = np.asarray(prev if prev is not None else page_dev)
         elif self.mode == "direct":
-            page_dev = self.renderer.render_direct(self.view, **render_kwargs)
+            page_dev = self._render_direct_cached(**render_kwargs)
             float(page_dev[0, 0])  # force device completion
             self.compute_ms.append((time.perf_counter() - t0) * 1e3)
             # the host fetch is the display boundary; on the dev tunnel
@@ -303,6 +333,70 @@ class InteractiveSession:
         dt = (time.perf_counter() - t0) * 1e3
         self.frame_ms.append(dt)
         return page
+
+    _BAND_H = 256  # static dirty-strip height (one compiled variant)
+
+    def _render_direct_cached(self, msaa: bool = False,
+                              debug: bool = False):
+        """Direct-mode frame with the dirty-strip edit cache: when only
+        the text changed (same view/size/toggles), re-raster ONLY the
+        256-row band covering the edited paragraphs and splice it into
+        the cached page — bit-identical to a full render because page
+        winding is row-local (the full render is itself computed in row
+        bands).  Any view/zoom/resize/toggle change, a tall dirty span,
+        or msaa/debug falls back to the full render."""
+        import jax
+
+        view_state = (tuple(self.view.scale), tuple(self.view.offset),
+                      self.view.aspect_ratio, self.width, self.height,
+                      msaa, debug)
+        band = None
+        if (self._page_dev is not None
+                and self._page_state == view_state
+                and not msaa and not debug
+                and self._pending_dirty != "all"):
+            if self._pending_dirty == ():
+                return self._page_dev  # nothing changed at all
+            band = self._dirty_band(*self._pending_dirty)
+            if band == (0, 0):  # dirty span entirely offscreen
+                self._pending_dirty = ()
+                self._dirty_margin = self._layout_margins()
+                return self._page_dev
+        if band is not None:
+            y0, bh = band
+            strip = self.renderer.render_direct(self.view, band=(y0, bh))
+            page_dev = jax.lax.dynamic_update_slice(
+                self._page_dev, strip, (np.int32(y0), np.int32(0)))
+        else:
+            page_dev = self.renderer.render_direct(
+                self.view, msaa=msaa, debug=debug)
+        self._page_dev = page_dev
+        self._page_state = view_state
+        self._pending_dirty = ()
+        self._dirty_margin = self._layout_margins()
+        return page_dev
+
+    def _dirty_band(self, l0: int, l1: int):
+        """Map a dirty visual-line span to a page-row band ``(y0,
+        _BAND_H)``; ``(0, 0)`` = offscreen (no visible change), ``None``
+        = too tall for one band (full render)."""
+        lh = float(self._layout_engine._line_height())
+        mn, mx = self._dirty_margin
+        s1 = self.view.scale[1]
+        o1 = self.view.offset[1]
+        ar = self.view.aspect_ratio
+
+        def py(em_y: float) -> float:
+            return (1.0 - (em_y * s1 + o1) * ar) / 2.0 * self.height
+
+        y_top = int(np.floor(py(-l0 * lh + mx))) - 1
+        y_bot = int(np.ceil(py(-(l1 - 1) * lh + mn))) + 1
+        if y_bot <= 0 or y_top >= self.height:
+            return (0, 0)
+        bh = self._BAND_H
+        if y_bot - y_top > bh or self.height < bh:
+            return None
+        return (max(0, min(y_top, self.height - bh)), bh)
 
     def display_frame(self) -> np.ndarray:
         """One frame as displayable RGBA (uint8 ``[H, W, 4]``): the

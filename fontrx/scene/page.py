@@ -153,12 +153,13 @@ PAGE_TUNING = (0, 16, 128, 8)
 @functools.partial(
     jax.jit,
     static_argnames=("page_h", "page_w", "exact", "interpret", "mode",
-                     "tuning"),
+                     "tuning", "out_h"),
 )
 def _direct_page_step(
-    flat_segments, seg_inst_idx, inst_offsets, s_px, *, page_h, page_w,
-    exact=False, interpret=False, sample_offset=(0.0, 0.0), mode="fill",
-    tuning=PAGE_TUNING,
+    flat_segments, seg_inst_idx, inst_offsets, s_px, band_y0=0, *,
+    page_h, page_w, exact=False, interpret=False,
+    sample_offset=(0.0, 0.0), mode="fill", tuning=PAGE_TUNING,
+    out_h=None,
 ):
     """One direct-raster frame: map pre-compacted instance segments from
     em to page pixels (y up) and raster the whole page with the v2
@@ -170,13 +171,21 @@ def _direct_page_step(
     - ``inst_offsets``: float32 [N, 2] page-pixel offsets of each
       instance's em origin (y up)
     - ``s_px``: pixels per font unit
+    - ``band_y0``/``out_h``: render only page rows ``[band_y0,
+      band_y0 + out_h)`` (the dirty-strip edit path).  Winding is
+      row-local, so the band equals the same rows of the full render
+      BIT-FOR-BIT (the full render already splits into row bands
+      internally — this just anchors the split).  ``band_y0`` is
+      traced (no recompile per edit); ``out_h`` is static.
     """
     from fontrx.kernels.winding_pallas_v2 import winding_pallas_v2_batch
 
     offs = inst_offsets[seg_inst_idx]           # [S_total, 2]
     flat = (flat_segments * s_px + offs[:, None, :])[None]  # [1, S, 3, 2]
 
-    ph = ((page_h + 127) // 128) * 128
+    oh = page_h if out_h is None else out_h
+    top = page_h - 1 - band_y0                  # y anchor of row 0
+    ph = ((oh + 127) // 128) * 128
     pw = ((page_w + 127) // 128) * 128
     if pw >= 1024:
         # wide pages: the deferred-carry page kernel with DYNAMIC
@@ -195,7 +204,7 @@ def _direct_page_step(
         wd = winding_page_batch(
             flat,
             jnp.zeros(1, jnp.int32),
-            jnp.full(1, page_h - 1, jnp.int32),
+            jnp.full(1, 1, jnp.int32) * top,
             jnp.float32(1.0),
             height=ph,
             width=pw,
@@ -208,7 +217,7 @@ def _direct_page_step(
             else 8,
             dynamic_tiles=True,
         )
-        winding = wd[0, :page_h, :page_w]
+        winding = wd[0, :oh, :page_w]
         if mode == "winding":
             return jnp.clip(winding * 20 + 100, 0, 255).astype(jnp.uint8)
         return jnp.where(winding != 0, 255, 0).astype(jnp.uint8)
@@ -222,7 +231,7 @@ def _direct_page_step(
             winding_pallas_v2_batch(
                 flat,
                 jnp.zeros(1, jnp.int32),
-                jnp.full(1, page_h - 1 - b0, jnp.int32),
+                jnp.full(1, 1, jnp.int32) * top - b0,
                 jnp.float32(1.0),
                 height=band_rows,
                 width=pw,
@@ -236,7 +245,7 @@ def _direct_page_step(
                 row_windows=tuning[3] if len(tuning) > 3 else 0,
             )
         )
-    winding = jnp.concatenate(bands, axis=1)[0, :page_h, :page_w]
+    winding = jnp.concatenate(bands, axis=1)[0, :oh, :page_w]
     if mode == "winding":
         # debug visualization: the reference's winding coloring
         # (render_glyph.zig:28) instead of the binary fill (Ctrl+D)
@@ -407,7 +416,8 @@ class PageRenderer:
     # -- direct path -------------------------------------------------------
 
     def render_direct(
-        self, view: ViewTransform, msaa: bool = False, debug: bool = False
+        self, view: ViewTransform, msaa: bool = False, debug: bool = False,
+        band: tuple[int, int] | None = None,
     ) -> jax.Array:
         """Render one frame by rasterizing the *page* directly from all
         instance segments in a single v2-kernel launch — no per-glyph
@@ -421,7 +431,8 @@ class PageRenderer:
         """
         slots, offsets_em = self.layout.instance_arrays()
         if len(slots) == 0:
-            return np.zeros((self.height, self.width), np.uint8)
+            h = band[1] if band is not None else self.height
+            return np.zeros((h, self.width), np.uint8)
         flat_segments, seg_inst_idx = self._compact_instances(slots)
         s_px = np.float32(view.scale[0] * (self.width / 2.0))
         # em origin of each instance in page pixels, y up
@@ -440,6 +451,17 @@ class PageRenderer:
         xs[: len(slots), 1] = (ndc_y + 1.0) / 2.0 * self.height
         # returns the device array; callers fetch at IO boundaries
         interp = self.engine._resolve() != "pallas"
+        if band is not None:
+            # dirty-strip edit path: rows [y0, y0+bh) only, bit-equal
+            # to the same rows of the full render (fill mode; callers
+            # fall back to full renders for msaa/debug)
+            assert not msaa and not debug, "band renders are fill-only"
+            y0, bh = band
+            return _direct_page_step(
+                flat_segments, seg_inst_idx, jnp.asarray(xs), s_px,
+                np.int32(y0), page_h=self.height, page_w=self.width,
+                interpret=interp, tuning=self.kernel_tuning, out_h=bh,
+            )
         if msaa:
             from fontrx.kernels.coverage import sample_offsets
 
