@@ -103,6 +103,33 @@ class TestEditSplice:
         assert sess._pending_dirty == ()
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
+    def test_wide_page_session_edits(self, dj):
+        """1100-px pages route the deferred-carry page kernel; the
+        session splice must hold there too."""
+        sess = InteractiveSession(dj, TEXT, 1100, 400, RasterEngine(),
+                                  kern=True)
+        sess.frame()
+        for edit in (lambda: sess.char_input("wide"),
+                     lambda: sess.backspace(1)):
+            edit()
+            page = np.asarray(sess.frame())
+            s2 = InteractiveSession(dj, sess.text, 1100, 400,
+                                    RasterEngine(), kern=True)
+            s2.view = sess.view
+            np.testing.assert_array_equal(page, np.asarray(s2.frame()))
+
+    def test_short_page_falls_back_to_full(self, dj):
+        """Pages shorter than the band height always full-render —
+        and stay correct."""
+        sess = InteractiveSession(dj, "one\ntwo\nthree", 320, 200,
+                                  RasterEngine())
+        sess.frame()
+        sess.char_input("!")
+        page = np.asarray(sess.frame())
+        s2 = InteractiveSession(dj, sess.text, 320, 200, RasterEngine())
+        s2.view = sess.view
+        np.testing.assert_array_equal(page, np.asarray(s2.frame()))
+
     def test_edit_overhang_covered_by_margins(self, dj):
         """Glyphs with tall ascenders/descenders near the band edge:
         the union margin must keep neighbors' ink intact."""
